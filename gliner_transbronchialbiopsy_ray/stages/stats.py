@@ -1,0 +1,191 @@
+"""Grouped statistics suite (SURVEY §2.5 G2-G8) over the entities/triples
+datasets.  All are small-output grouped aggregates: explode row-local lists
+vectorized, pre-aggregate per batch where the key space is small, then a
+tiny groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..config import LABELS
+
+
+def explode_entities(batch: pa.Table) -> pa.Table:
+    """entities list column -> one row per mention (doc_id, label, text, score)."""
+    col = batch.column("entities")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(col)
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                doc_ids[parents].tolist() if len(parents) else [], type=pa.string()
+            ),
+            "label": flat.field("label"),
+            "text": flat.field("text"),
+            "score": flat.field("score"),
+        }
+    )
+
+
+def label_statistics(entities_ds: ray.data.Dataset) -> pd.DataFrame:
+    """G2: per-label Count, Unique_Count, Mean/Min/Max score.  Includes
+    zero rows for labels with no mentions (G3 semantics)."""
+    mentions = entities_ds.map_batches(explode_entities, batch_format="pyarrow")
+    agg = mentions.groupby("label").aggregate(
+        Count(alias_name="count"),
+        Mean("score", alias_name="mean_score"),
+        Min("score", alias_name="min_score"),
+        Max("score", alias_name="max_score"),
+    )
+    uniq = (
+        mentions.groupby(["label", "text"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("label")
+        .aggregate(Count(alias_name="unique_count"))
+    )
+    df = agg.to_pandas().merge(uniq.to_pandas(), on="label", how="outer")
+    base = pd.DataFrame({"label": LABELS})
+    df = base.merge(df, on="label", how="left")
+    df["count"] = df["count"].fillna(0).astype(int)
+    df["unique_count"] = df["unique_count"].fillna(0).astype(int)
+    return df.sort_values("label").reset_index(drop=True)
+
+
+def global_stats(entities_ds: ray.data.Dataset) -> dict:
+    """G4: total docs, docs with conclusion, total entities, mean per doc."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch.column("entities")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_ents = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        status = np.asarray(batch.column("status").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "docs": pa.array([len(status)], type=pa.int64()),
+                "with_conclusion": pa.array(
+                    [int(np.sum((status == "ok") | (status == "no_entities")))],
+                    type=pa.int64(),
+                ),
+                "entities": pa.array([int(np.nansum(n_ents))], type=pa.int64()),
+            }
+        )
+
+    partials = entities_ds.map_batches(per_batch, batch_format="pyarrow")
+    total = partials.aggregate(
+        Sum("docs", alias_name="docs"),
+        Sum("with_conclusion", alias_name="with_conclusion"),
+        Sum("entities", alias_name="entities"),
+    )
+    docs = total["docs"] or 0
+    return {
+        "total_docs": int(docs),
+        "docs_with_conclusion": int(total["with_conclusion"] or 0),
+        "total_entities": int(total["entities"] or 0),
+        "mean_entities_per_doc": (total["entities"] or 0) / docs if docs else 0.0,
+    }
+
+
+class _CooccurPartial:
+    """G5: per-batch partial label-pair counts (pairs per doc are tiny)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("entities")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pairs: dict[tuple[str, str], int] = {}
+        for ents in col.to_pylist():
+            labels = sorted({e["label"] for e in (ents or [])})
+            for i in range(len(labels)):
+                for j in range(i + 1, len(labels)):
+                    k = (labels[i], labels[j])
+                    pairs[k] = pairs.get(k, 0) + 1
+        if not pairs:
+            return pa.table(
+                {"label_a": pa.array([], type=pa.string()),
+                 "label_b": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        ks = sorted(pairs)
+        return pa.table(
+            {
+                "label_a": pa.array([k[0] for k in ks], type=pa.string()),
+                "label_b": pa.array([k[1] for k in ks], type=pa.string()),
+                "n": pa.array([pairs[k] for k in ks], type=pa.int64()),
+            }
+        )
+
+
+def label_cooccurrence(entities_ds: ray.data.Dataset) -> pd.DataFrame:
+    """G5: cross-doc label co-presence counts (pre-aggregated per batch —
+    at most 14*13/2 partial rows per batch reach the shuffle)."""
+    partials = entities_ds.map_batches(_CooccurPartial(), batch_format="pyarrow")
+    out = partials.groupby(["label_a", "label_b"]).aggregate(Sum("n", alias_name="n"))
+    return (
+        out.to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+
+
+def threshold_impact(entities_ds: ray.data.Dataset, n_steps: int = 21) -> pd.DataFrame:
+    """G6: for thresholds linspace(0,1,n), how many mentions survive.
+    Single pass: bucket each mention's score, then cumulative sum."""
+    mentions = entities_ds.map_batches(explode_entities, batch_format="pyarrow")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        b = np.clip((s * (n_steps - 1)).astype(np.int32), 0, n_steps - 1)
+        return pa.table({"bucket": pa.array(b, type=pa.int32()),
+                         "n": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    counts = (
+        mentions.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    full = pd.DataFrame({"bucket": np.arange(n_steps)})
+    counts = full.merge(counts, on="bucket", how="left").fillna(0)
+    counts["n"] = counts["n"].astype(int)
+    # mentions surviving threshold t = sum of buckets >= t
+    rev = counts["n"][::-1].cumsum()[::-1]
+    return pd.DataFrame(
+        {
+            "threshold": np.round(np.linspace(0, 1, n_steps), 3),
+            "surviving": rev.to_numpy(),
+        }
+    )
+
+
+def score_distribution(entities_ds: ray.data.Dataset) -> pd.DataFrame:
+    """G7: per-label score quantiles (exact at this scale; the scale path is
+    a mergeable sketch emitted per batch)."""
+    mentions = entities_ds.map_batches(explode_entities, batch_format="pyarrow")
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g["score"].quantile([0.0, 0.25, 0.5, 0.75, 1.0]).to_numpy()
+        return pd.DataFrame(
+            {
+                "label": [g["label"].iloc[0]],
+                "q0": [qs[0]], "q25": [qs[1]], "q50": [qs[2]],
+                "q75": [qs[3]], "q100": [qs[4]],
+            }
+        )
+
+    return (
+        mentions.groupby("label")
+        .map_groups(q, batch_format="pandas")
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
