@@ -1,0 +1,105 @@
+"""Resume-after-failure: a killed run leaves only tmp debris; resuming
+produces byte-identical output to a single-shot run, with per-partition
+lineage + throughput manifests."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gliner_transbronchialbiopsy_ray import fixtures
+from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
+from gliner_transbronchialbiopsy_ray.state.checkpoint import (
+    CheckpointedRun,
+    plan_partitions,
+    read_checkpointed_output,
+)
+
+CFG = PipelineConfig(ner_concurrency=1, ner_batch_size=64, ner_num_cpus=0.5)
+
+
+def _pipeline(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return triples_dataset(ds, CFG)
+
+
+def _triples(out_root) -> set:
+    t = read_checkpointed_output(out_root)
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in t.select_columns(["subj", "pred", "obj"]).iter_rows()
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus_path():
+    return fixtures.write_corpus(200, seed=42, shards=6)
+
+
+def test_resume_after_partition_failure(corpus_path, tmp_path_factory):
+    files = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+    parts = plan_partitions(files, 3)
+    assert len(parts) == 3 and sum(len(p) for p in parts) == len(files)
+
+    out_a = str(tmp_path_factory.mktemp("single"))
+    CheckpointedRun(out_a).run(parts, _pipeline)
+    expected = _triples(out_a)
+
+    # failing run: partition 1 dies on first attempt
+    out_b = str(tmp_path_factory.mktemp("faulty"))
+    attempts = {"n": 0}
+
+    def flaky(ds):
+        attempts["n"] += 1
+        if attempts["n"] == 2:  # second partition processed
+            raise RuntimeError("injected failure")
+        return _pipeline(ds)
+
+    with pytest.raises(RuntimeError):
+        CheckpointedRun(out_b).run(parts, flaky)
+
+    run_b = CheckpointedRun(out_b)
+    assert len(run_b.completed()) == 1  # only partition 0 manifested
+
+    # resume: skips partition 0, completes the rest
+    summary = run_b.run(parts, _pipeline)
+    assert summary["completed_prior"] == 1
+    assert summary["ran"] == 2
+    assert summary["completed_total"] == 3
+    assert _triples(out_b) == expected
+
+
+def test_manifest_lineage_and_metrics(corpus_path, tmp_path_factory):
+    files = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+    parts = plan_partitions(files, 2)
+    out = str(tmp_path_factory.mktemp("mani"))
+    CheckpointedRun(out).run(parts, _pipeline)
+    manifests = sorted(glob.glob(f"{out}/checkpoints/*.json"))
+    assert len(manifests) == 2
+    m = json.load(open(manifests[0]))
+    assert set(m) >= {
+        "partition", "input_ref", "rows_in", "rows_out", "seconds",
+        "rows_per_sec", "output_path", "content_hash", "engine_version",
+    }
+    assert m["rows_in"] > 0 and m["rows_out"] > 0 and m["seconds"] > 0
+    assert m["input_ref"] == parts[0]
+
+
+def test_untrusted_output_without_manifest_is_redone(corpus_path, tmp_path_factory):
+    files = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+    parts = plan_partitions(files, 2)
+    out = str(tmp_path_factory.mktemp("redo"))
+    run = CheckpointedRun(out)
+    run.run(parts, _pipeline)
+    expected = _triples(out)
+    # simulate crash between write and manifest: drop a manifest, corrupt dir
+    os.remove(f"{out}/checkpoints/part-00001.json")
+    shutil.rmtree(f"{out}/part-00001")
+    os.makedirs(f"{out}/part-00001")  # empty junk dir
+    summary = run.run(parts, _pipeline)
+    assert summary["ran"] == 1
+    assert _triples(out) == expected
