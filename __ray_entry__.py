@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`entry()` runs the flagship pipelines on /root/testdata/sf0.001 (Ray is
+already initialised by the driver — nothing here calls ray.init/shutdown).
+`queries()`/`oracle_sql()` expose every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup family,
+similarity search, text analysis, multimodal plumbing) with DuckDB oracles
+where the semantics are SQL-expressible; the BTB KG pipeline's correctness
+gate is the golden-corpus P/R test suite (tests/test_pipeline_e2e.py).
 """
 
 from __future__ import annotations
@@ -20,25 +16,36 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: document-analysis pipeline (langid-ready features, token
+    stats, fingerprints, duplicate flags) over sf0.001 documents, PLUS a
+    smoke pass of the BTB KG pipeline (triples over the deterministic
+    fixture corpus) — returns the document-features Dataset."""
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+    from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
+    from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
+    from gliner_transbronchialbiopsy_ray.pipelines.docs import analyze_documents
+
+    # KG smoke: 100-doc fixture corpus -> triples (must be non-empty)
+    path = write_corpus(100, seed=42, shards=2)
+    tri = triples_dataset(
+        ray.data.read_parquet(f"{path}/documents"),
+        PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5),
+    )
+    assert tri.count() > 0
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    return analyze_documents(docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql}

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline BTB KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox evidence for the north rule's
+two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline set: flagship KG pipeline + one representative per operator family
+BENCH_QUERIES = [
+    "btb_triples",            # flagship KG construction (NER actor pool)
+    "q01_lineitem_agg",       # grouped aggregate w/ combiner
+    "q04_mktsegment_revenue", # broadcast join
+    "q08_events_hourly",      # time bucketing
+    "q10_sessionize",         # ordered groupby (sessionization)
+    "q13_exact_dedup",        # hash dedup shuffle
+    "q16_quality",            # vectorized text features
+    "q18_ann_topk",           # similarity search
+    "q22_minhash_neardup",    # MinHash-LSH near-dup
+]
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return result.num_rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import QUERIES, _btb_corpus_for
+
+    _btb_corpus_for(SF_DIR)  # generate fixture corpus outside the timed region
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer"):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn(SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def _run_child(ncpu: int, queries: list[str]) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SF_DIR=SF_DIR,
+        GRAFT_BENCH_QUERIES=",".join(queries),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (the N / 4N pair)."""
+    queries = ["btb_triples"]
+    lo, hi = 8, 32
+    r_lo = _run_child(lo, queries)
+    r_hi = _run_child(hi, queries)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    n_rows = r_lo["rows"]["btb_triples"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_btb_triples",
+        "sf": SF_DIR,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "rows": n_rows,
+        "throughput_lo_rows_per_s": round(n_rows / t_lo, 1),
+        "throughput_hi_rows_per_s": round(n_rows / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        override = os.environ.get("GRAFT_BENCH_QUERIES")
+        if override:
+            BENCH_QUERIES = [q for q in override.split(",") if q]
+        print(json.dumps(run_bench()))

@@ -1,0 +1,683 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+callable(sf_dir) plus (where SQL-expressible) a DuckDB oracle string over the
+same parquet tables.  This is the driver's correctness gate
+(`__ray_entry__.queries()` / `oracle_sql()`).
+
+Numeric-parity rules used throughout so value-hashes match the oracle:
+- float aggregates are rounded identically on both sides (round(x, d));
+- ratios that could hit round-half-even vs round-half-away differences are
+  computed in INTEGER arithmetic (scaled //) on both sides;
+- top-k queries always carry a deterministic tie-break key;
+- cosine similarity is computed in float64 on both sides (DuckDB: cast
+  list to DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]]):
+    """Two-phase grouped aggregation: vectorized per-batch pandas partials
+    (combiner) -> Ray groupby Sum over the partials.  The shuffle sees one
+    row per (key-combo, batch), not one per input row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        agg = {}
+        for out, (col, how) in spec.items():
+            agg[out] = (col, "sum" if how == "sum" else "size")
+        return df.groupby(keys, sort=False, dropna=False).agg(**agg).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(
+        *[Sum(out, alias_name=out) for out in spec]
+    )
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (G2/G4-analog aggregates,
+# sorts, joins, dedup) — each with a DuckDB oracle.
+
+
+def q01_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def with_cents(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        # discounts are 2-decimal; integer cents keep the avg divisible
+        # exactly on both engines (no float rounding-mode hazard)
+        df["disc_cents"] = (df["l_discount"] * 100).round().astype("int64")
+        return df
+
+    out = _preagg(
+        ds.map_batches(with_cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "disc_cents": ("disc_cents", "sum"),
+            "n": ("l_quantity", "count"),
+        },
+    ).to_pandas()
+    out["avg_disc_ppm"] = (1_000_000 * out["disc_cents"]) // (100 * out["n"])
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.drop(columns=["disc_cents"])
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n,
+       (1000000 * CAST(round(sum(l_discount) * 100) AS BIGINT))
+         // (100 * count(*)) AS avg_disc_ppm
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filtered_revenue(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"])
+    cutoff = dt.datetime(1996, 1, 1)
+
+    def fr(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_returnflag": batch["l_returnflag"], "revenue": rev})
+
+    out = _preagg(
+        ds.map_batches(fr, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"revenue": ("revenue", "sum"), "n": ("revenue", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+Q02_SQL = """
+SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q03_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q04_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: customer (small) shipped once via ray.put,
+    orders stream through map_batches — no shuffle join."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return df[["c_mktsegment", "o_totalprice"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(AddSegment, batch_format="pyarrow",
+                                concurrency=2, num_cpus=0.5)
+    out = _preagg(
+        joined, ["c_mktsegment"],
+        {"total": ("o_totalprice", "sum"), "n": ("o_totalprice", "count")},
+    ).to_pandas()
+    out["total"] = out["total"].round(2)
+    return out
+
+
+Q04_SQL = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q05_region_customers(sf_dir: str) -> pd.DataFrame:
+    """Multi-hop dimension join, all small sides broadcast."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class AddRegion:
+        def __init__(self):
+            self.lk = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["r_name"] = df["c_nationkey"].map(self.lk)
+            return df[["r_name", "c_custkey"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = cust.map_batches(AddRegion, batch_format="pyarrow",
+                              concurrency=2, num_cpus=0.5)
+    return _preagg(joined, ["r_name"], {"n": ("c_custkey", "count")}).to_pandas()
+
+
+Q05_SQL = """
+SELECT r_name, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q06_distinct_flags(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    batch_distinct = ds.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(), batch_format="pyarrow"
+    )
+    out = batch_distinct.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return out.to_pandas()
+
+
+Q06_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q07_orders_by_status_month(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def month(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        return df[["o_orderstatus", "month", "o_totalprice"]]
+
+    out = _preagg(
+        ds.map_batches(month, batch_format="pyarrow"),
+        ["o_orderstatus", "month"],
+        {"total": ("o_totalprice", "sum"), "n": ("o_totalprice", "count")},
+    ).to_pandas()
+    out["total"] = out["total"].round(2)
+    return out
+
+
+Q07_SQL = """
+SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders GROUP BY o_orderstatus, month
+"""
+
+
+# --------------------------------------------------------------------------
+# events: time bucketing, top-k, sessionization (streaming-shaped workload
+# expressed as ordered groupby — SURVEY §2.9 note)
+
+
+def q08_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def hour(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df[["hour", "event_type", "value"]]
+
+    out = _preagg(
+        ds.map_batches(hour, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        {"total_value": ("value", "sum"), "n": ("value", "count")},
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+Q08_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY hour, event_type
+"""
+
+
+def q09_top_users(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = _preagg(ds, ["user_id"], {"total": ("value", "sum")}).to_pandas()
+    agg["total"] = agg["total"].round(2)
+    agg = agg.sort_values(["total", "user_id"], ascending=[False, True],
+                          kind="stable").head(10)
+    return agg.reset_index(drop=True)
+
+
+Q09_SQL = """
+SELECT user_id, round(sum(value), 2) AS total FROM events
+GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
+"""
+
+
+def q10_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session count per user with a 30-minute inactivity gap.  Ray side:
+    groupby(user).map_groups over ts-sorted events (the partitioned-log
+    pattern for stream-shaped data); oracle: lag window function."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="stable")
+        gaps = ts.diff().dt.total_seconds()
+        n = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
+Q10_SQL = """
+SELECT user_id, count(*) FILTER (
+  WHERE prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
+) AS n_sessions
+FROM (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+) GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + dedup family
+
+
+def q11_token_count(sf_dir: str):
+    from ..stages.text_analysis import token_count
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count, batch_format="pyarrow"
+    )
+
+
+Q11_SQL = "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+
+
+def q12_lang_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = _preagg(ds, ["lang"], {"sum_chars": ("n_chars", "sum"),
+                                 "n": ("n_chars", "count")}).to_pandas()
+    # integer-scaled average (exact on both engines)
+    out["avg_chars_ppm"] = (1_000_000 * out["sum_chars"]) // out["n"]
+    return out.drop(columns=["sum_chars"])
+
+
+Q12_SQL = """
+SELECT lang, count(*) AS n,
+       (1000000 * sum(n_chars)) // count(*) AS avg_chars_ppm
+FROM documents GROUP BY lang
+"""
+
+
+def q13_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+Q13_SQL = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def q14_duplicate_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate pair COUNT (scalar result keeps the schema stable
+    even when the corpus has zero duplicates; the pair-listing operator
+    itself is `stages.dedup.duplicate_pairs`, unit-tested on a corpus with
+    injected dupes)."""
+    from ..stages.dedup import duplicate_pairs
+
+    pairs = duplicate_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return pd.DataFrame({"n_dup_pairs": [pairs.count()]})
+
+
+Q14_SQL = """
+SELECT count(*) AS n_dup_pairs
+FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q15_fingerprint(sf_dir: str):
+    from ..stages.text_analysis import fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+
+
+Q15_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q16_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality features in INTEGER-scaled arithmetic (ppm) so rounding-mode
+    differences between numpy and DuckDB cannot flip a digit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        doc_id = batch.column("doc_id").to_pylist()
+        n_chars = s.str.len().astype("int64")
+        n_tokens = (s.str.count(" ") + 1).astype("int64")
+        n_stop = s.str.count(r"(?:^| )(?:the|a)(?= |$)").astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "stop_ppm": (1_000_000 * n_stop) // n_tokens,
+                "mean_tok_len_ppm": (1_000_000 * (n_chars - (n_tokens - 1))) // n_tokens,
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow").to_pandas()
+
+
+Q16_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       (1000000 * len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))))
+         // len(string_split(text, ' ')) AS stop_ppm,
+       (1000000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+         // len(string_split(text, ' ')) AS mean_tok_len_ppm
+FROM documents
+"""
+
+
+def q17_langid(sf_dir: str):
+    """Heuristic language ID — model-style op, no SQL oracle (rows-only)."""
+    from ..stages.text_analysis import LangId
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    )
+
+
+def q18_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id 0..4 (float64 on
+    both sides; deterministic tie-break on neighbor_id)."""
+    from ..stages.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(lambda r: r["vec_id"] < 5).take_all()
+    queries = {r["vec_id"]: r["embedding"] for r in qrows}
+    out = brute_force_topk(emb, queries, k=5)
+    return out[["query_id", "neighbor_id", "score", "rank"]]
+
+
+Q18_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q19_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(batch: pa.Table) -> pd.DataFrame:
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return pd.DataFrame(
+            {"label": batch.column("label").to_pylist(),
+             "norm": np.sqrt((m * m).sum(axis=1))}
+        )
+
+    out = _preagg(
+        ds.map_batches(norms, batch_format="pyarrow"),
+        ["label"], {"sum_norm": ("norm", "sum"), "n": ("norm", "count")},
+    ).to_pandas()
+    out["avg_norm"] = (out["sum_norm"] / out["n"]).round(6)
+    return out.drop(columns=["sum_norm"])
+
+
+Q19_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q20_emb_neardup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine near-dup pairs (threshold 0.4) — right side broadcast
+    once (embeddings fit the small-side budget; the LSH variant below is the
+    100 TB path)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    m = np.array(full["embedding"].tolist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, mn))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.mn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            bids = np.asarray(batch.column("vec_id").to_pylist())
+            bm = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ self.mn.T
+            li, ri = np.nonzero((sims >= 0.4) & (bids[:, None] < self.ids[None, :]))
+            return pd.DataFrame(
+                {"left_id": bids[li], "right_id": self.ids[ri],
+                 "cosine": np.round(sims[li, ri], 6)}
+            )
+
+    return emb.map_batches(Pairs, batch_format="pyarrow",
+                           concurrency=2, num_cpus=0.5).to_pandas()
+
+
+Q20_SQL = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q21_emb_neardup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (the at-scale variant; approximate -> rows-only)."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, cosine_threshold=0.4)
+
+
+def q22_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate candidates over documents (rows-only)."""
+    from ..stages.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.5,
+        concurrency=2,
+    )
+
+
+def q23_simhash(sf_dir: str):
+    """64-bit SimHash signatures per doc (rows-only; deterministic)."""
+    from ..stages.dedup import simhash_signatures
+
+    return simhash_signatures(
+        _read(sf_dir, "documents", ["doc_id", "text"]), concurrency=2
+    )
+
+
+def q24_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type co-presence pairs (G5 analog with SQL oracle)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(g["event_type"].unique())
+        out = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
+        return pd.DataFrame(out, columns=["et1", "et2"])
+
+    p = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    return _preagg(p, ["et1", "et2"], {"n": ("et1", "count")}).to_pandas()
+
+
+Q24_SQL = """
+SELECT a.event_type AS et1, b.event_type AS et2, count(*) AS n
+FROM (SELECT DISTINCT user_id, event_type FROM events) a
+JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q25_word_frequencies(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text_analysis import word_frequencies
+
+    return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=20)
+
+
+Q25_SQL = """
+SELECT word, CAST(n AS BIGINT) AS n FROM (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+) ORDER BY n DESC, word LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# BTB knowledge-graph pipeline queries (fixture corpus, deterministic; the
+# NER/linking semantics are not SQL-expressible -> rows-only driver check;
+# their correctness gate is tests/test_pipeline_e2e.py's golden P/R)
+
+_SF_TO_NDOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
+
+
+def _btb_corpus_for(sf_dir: str) -> str:
+    from ..fixtures import write_corpus
+
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return write_corpus(_SF_TO_NDOCS.get(name, 1000), seed=42, shards=8)
+
+
+def btb_triples(sf_dir: str):
+    from ..config import PipelineConfig
+    from .btb import triples_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    return triples_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+
+
+def btb_wide(sf_dir: str):
+    from ..config import PipelineConfig
+    from ..stages.pivot import pivot_wide
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    ents = entities_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    return ents.map_batches(pivot_wide, batch_format="pyarrow")
+
+
+def btb_label_stats(sf_dir: str) -> pd.DataFrame:
+    from ..config import PipelineConfig
+    from ..stages.stats import label_statistics
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    ents = entities_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    return label_statistics(ents)
+
+
+def btb_surface_forms(sf_dir: str):
+    from ..config import PipelineConfig
+    from ..stages.triples import surface_form_stats
+    from .btb import triples_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    tri = triples_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    return surface_form_stats(tri)
+
+
+def btb_media_features(sf_dir: str):
+    from ..stages.multimodal import media_features
+
+    path = _btb_corpus_for(sf_dir)
+    return media_features(rd.read_parquet(f"{path}/documents"))
+
+
+def btb_corrected_wide(sf_dir: str):
+    from ..stages.corrections import apply_corrections
+
+    path = _btb_corpus_for(sf_dir)
+    wide = btb_wide(sf_dir)
+    corr = rd.read_parquet(f"{path}/corrections.parquet")
+    return apply_corrections(wide, corr)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple] = {
+    # name -> (callable(sf_dir), oracle_sql | None)
+    "q01_lineitem_agg": (q01_lineitem_agg, Q01_SQL),
+    "q02_filtered_revenue": (q02_filtered_revenue, Q02_SQL),
+    "q03_top_orders": (q03_top_orders, Q03_SQL),
+    "q04_mktsegment_revenue": (q04_mktsegment_revenue, Q04_SQL),
+    "q05_region_customers": (q05_region_customers, Q05_SQL),
+    "q06_distinct_flags": (q06_distinct_flags, Q06_SQL),
+    "q07_orders_by_status_month": (q07_orders_by_status_month, Q07_SQL),
+    "q08_events_hourly": (q08_events_hourly, Q08_SQL),
+    "q09_top_users": (q09_top_users, Q09_SQL),
+    "q10_sessionize": (q10_sessionize, Q10_SQL),
+    "q11_token_count": (q11_token_count, Q11_SQL),
+    "q12_lang_stats": (q12_lang_stats, Q12_SQL),
+    "q13_exact_dedup": (q13_exact_dedup, Q13_SQL),
+    "q14_duplicate_pairs": (q14_duplicate_pairs, Q14_SQL),
+    "q15_fingerprint": (q15_fingerprint, Q15_SQL),
+    "q16_quality": (q16_quality, Q16_SQL),
+    "q17_langid": (q17_langid, None),
+    "q18_ann_topk": (q18_ann_topk, Q18_SQL),
+    "q19_embedding_norms": (q19_embedding_norms, Q19_SQL),
+    "q20_emb_neardup_exact": (q20_emb_neardup_exact, Q20_SQL),
+    "q21_emb_neardup_lsh": (q21_emb_neardup_lsh, None),
+    "q22_minhash_neardup": (q22_minhash_neardup, None),
+    "q23_simhash": (q23_simhash, None),
+    "q24_event_type_cooccurrence": (q24_event_type_cooccurrence, Q24_SQL),
+    "q25_word_frequencies": (q25_word_frequencies, Q25_SQL),
+    "btb_triples": (btb_triples, None),
+    "btb_wide": (btb_wide, None),
+    "btb_label_stats": (btb_label_stats, None),
+    "btb_surface_forms": (btb_surface_forms, None),
+    "btb_media_features": (btb_media_features, None),
+    "btb_corrected_wide": (btb_corrected_wide, None),
+}

@@ -1,0 +1,284 @@
+"""Deduplication family for training-data pipelines:
+
+- exact dedup (content-hash partition -> per-group first)
+- exact duplicate PAIRS (for auditing)
+- MinHash + LSH near-dup candidates (shingle -> minhash -> bands ->
+  bucket groupby -> Jaccard verify)
+- SimHash signatures + hamming-close pairs
+- n-gram Jaccard verification (exact, on candidate pairs only)
+- embedding-cosine near-dup (over a `list<float>` embedding column)
+
+Scale design: every stage is a vectorized `map_batches`; the only shuffles
+are groupbys on (hash) or (band, band_hash) keys whose group sizes are
+bounded; candidate verification happens inside the bucket group (no global
+pairwise pass).  Connected components are NOT computed here — candidate
+pairs are the output contract (the caller can run iterative min-label
+propagation if clusters are needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(data: bytes) -> int:
+    return struct.unpack("<Q", hashlib.md5(data).digest()[:8])[0]
+
+
+def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    texts = batch.column(column).to_pylist()
+    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def exact_dedup(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
+    """Keep the min-doc_id row per distinct content (hash-partitioned
+    groupby on the content hash; group payload is tiny)."""
+    hashed = docs.map_batches(
+        lambda b: add_content_hash(b, key_col), batch_format="pyarrow"
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").head(1)
+
+    out = hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
+    """(left_id, right_id) for every exact-duplicate pair (left < right)."""
+    hashed = docs.select_columns(["doc_id", key_col]).map_batches(
+        lambda b: add_content_hash(b, key_col), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"left_id": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "right_id": pd.Series([], dtype=g["doc_id"].dtype)})
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["left_id", "right_id"])
+
+    return hashed.groupby("content_hash").map_groups(pairs, batch_format="pandas")
+
+
+def _shingle_set(text: str, k: int = 5) -> np.ndarray:
+    """Hashed k-shingles (character shingles over the whitespace-joined
+    text), as a uint64 array."""
+    t = " ".join((text or "").split())
+    if len(t) < k:
+        return np.array([_hash64(t.encode("utf-8"))], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (_hash64(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+class MinHasher:
+    """Actor stage: 64-permutation MinHash signatures + banded LSH keys.
+
+    Permutation parameters are derived deterministically in __init__ (once
+    per actor).  Output: one row per (doc, band) -> the LSH bucket groupby
+    key is (band, band_hash)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(421)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_set(text, self.k).astype(np.object_)  # python ints: no overflow
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        vals = (self.a.astype(np.object_)[None, :] * sh[:, None] + self.b.astype(np.object_)[None, :]) % _MERSENNE
+        return np.min(vals, axis=0).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_bh, out_sig = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = self.signature(t)
+            sig_bytes = sig.tobytes()
+            for b in range(self.bands):
+                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                out_doc.append(d)
+                out_band.append(b)
+                out_bh.append(_hash64(band.tobytes()))
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(np.array(out_bh, dtype=np.uint64)),
+                "signature": pa.array(out_sig, type=pa.binary()),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """MinHash-LSH near-duplicate detection.
+
+    shingle+minhash per batch (actor pool) -> explode to (band, band_hash,
+    doc) rows -> groupby LSH bucket -> emit pairs sharing a bucket with
+    estimated Jaccard (signature agreement) >= threshold.  Pairs are
+    deduplicated by keeping each pair only in its FIRST shared band — no
+    global dedup shuffle needed."""
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if len(g) >= 2:
+            band = int(g["band"].iloc[0])
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].tolist()
+            sig = [np.frombuffer(s, dtype=np.uint64) for s in g["signature"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    est = float(np.mean(sig[i] == sig[j]))
+                    if est < jaccard_threshold:
+                        continue
+                    # keep the pair only in the first band where the two
+                    # signatures collide (dedup without a second shuffle)
+                    first_band = _first_shared_band(sig[i], sig[j], len(sig[i]))
+                    if first_band == band:
+                        out.append((ids[i], ids[j], round(est, 6)))
+        return pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard"])
+
+    return sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+
+def _first_shared_band(sig_a: np.ndarray, sig_b: np.ndarray, num_perm: int,
+                       bands: int = 16) -> int:
+    rows = num_perm // bands
+    for b in range(bands):
+        if np.array_equal(sig_a[b * rows : (b + 1) * rows], sig_b[b * rows : (b + 1) * rows]):
+            return b
+    return -1
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = _shingle_set(text_a, k), _shingle_set(text_b, k)
+    inter = len(np.intersect1d(sa, sb))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+class SimHasher:
+    """Actor stage: 64-bit SimHash over whitespace tokens (deterministic
+    md5 token hashes, so signatures are portable across processes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            vals, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            for w, c in zip(vals, counts):
+                h = _hash64(str(w).encode("utf-8"))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                acc += np.where(bits.astype(bool), c, -c)
+            out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        return pa.table(
+            {"doc_id": pa.array(doc_ids), "simhash": pa.array(out)}
+        )
+
+
+def simhash_signatures(docs: ray.data.Dataset,
+                       concurrency: int | tuple[int, int] = 4) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: ray.data.Dataset,
+    cosine_threshold: float = 0.95,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH bucketing:
+    each vector lands in sign-pattern buckets; pairwise cosine is computed
+    per bucket (numpy matmul), never globally.  A pair may appear in at most
+    one bucket (its full sign pattern), so no dedup shuffle is needed.
+    Recall note: only pairs agreeing on ALL hyperplane signs are compared —
+    raise n_planes/lower n_buckets for higher recall."""
+    n_planes = max(1, int(np.log2(n_buckets)))
+
+    class Bucketize:
+        def __init__(self):
+            rng = np.random.RandomState(777)
+            self.planes = rng.randn(64, n_planes)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            signs = (vecs @ self.planes[: vecs.shape[1]] > 0).astype(np.uint8)
+            bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "bucket": pa.array(bucket.astype(np.int32)),
+                    "vec": pa.array(list(vecs)),
+                }
+            )
+
+    bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
+        Bucketize, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].tolist()
+        out = []
+        if len(ids) >= 2:
+            m = np.array(g["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = m / norms
+            sim = mn @ mn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sim[iu, ju] >= cosine_threshold
+            for i, j, s in zip(iu[mask], ju[mask], sim[iu, ju][mask]):
+                a, b = ids[i], ids[j]
+                if b < a:
+                    a, b = b, a
+                out.append((a, b, round(float(s), 6)))
+        return pd.DataFrame(out, columns=["left_id", "right_id", "cosine"])
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting, corpus word frequencies.
+
+All are vectorized `map_batches` transforms over Arrow/pandas batches; the
+word-frequency aggregate pre-aggregates per batch (combiner) before the
+small groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (deterministic, dependency-free).
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "a", "of", "and", "to", "in", "is"},
+    "fr": {"le", "la", "de", "et", "un", "une", "des"},
+    "es": {"el", "la", "de", "y", "que", "los"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "zh": set(),  # fallback profile
+}
+
+_STOPWORDS = ("the", "a")
+_STOP_RE = re.compile(r"(?:^| )(?:%s)(?= |$)" % "|".join(_STOPWORDS))
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    """n_tokens = single-space-split token count (matches DuckDB
+    len(string_split(text, ' ')) exactly, including the empty-string case)."""
+    text = batch.column("text")
+    n = pc.add(pc.count_substring(text, " "), 1)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Per-doc quality features: char length, token count, stopword ratio,
+    mean token length.  Pure Arrow/pandas kernels — no Python row loop."""
+    text_arr = batch.column("text")
+    n_chars = pc.utf8_length(text_arr)
+    n_tokens = pc.add(pc.count_substring(text_arr, " "), 1)
+    s = pd.Series(text_arr.to_pylist(), dtype="object").fillna("")
+    n_stop = s.str.count(_STOP_RE)
+    nt = np.asarray(n_tokens.to_pylist(), dtype=np.float64)
+    nc = np.asarray(n_chars.to_pylist(), dtype=np.float64)
+    stop_ratio = np.round(n_stop.to_numpy(dtype=np.float64) / nt, 6)
+    # mean token length = (chars - spaces) / tokens
+    spaces = np.asarray(pc.count_substring(text_arr, " ").to_pylist(), dtype=np.float64)
+    mean_tok_len = np.round((nc - spaces) / nt, 6)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(nt.astype(np.int64)),
+            "stop_ratio": pa.array(stop_ratio),
+            "mean_token_len": pa.array(mean_tok_len),
+        }
+    )
+
+
+class LangId:
+    """Stopword-profile language-ID heuristic (actor stage: profiles and
+    regexes built once per actor)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            toks = self.word.findall((t or "").lower())
+            best, best_hits = "unknown", 0
+            for lang, prof in self.profiles.items():
+                hits = sum(1 for w in toks if w in prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Deterministic md5 content fingerprint (matches DuckDB md5())."""
+    texts = batch.column("text").to_pylist()
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, type=pa.string())}
+    )
+
+
+def _word_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch word-count combiner: the shuffle sees one row per distinct
+    word per batch, not one per token."""
+    s = pd.Series(batch.column("text").to_pylist(), dtype="object").fillna("")
+    counts = s.str.split(" ").explode().value_counts()
+    return pa.table(
+        {
+            "word": pa.array(counts.index.to_numpy(dtype=object), type=pa.string()),
+            "n": pa.array(counts.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def word_frequencies(docs: ray.data.Dataset, top_k: int = 20) -> pd.DataFrame:
+    """Corpus-level top-k word frequencies: partial counts per batch ->
+    groupby(word).sum -> driver-side top-k (result is tiny)."""
+    partials = docs.map_batches(_word_partials, batch_format="pyarrow")
+    agg = partials.groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+    return agg.head(top_k).reset_index(drop=True)

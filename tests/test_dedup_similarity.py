@@ -1,0 +1,100 @@
+"""Dedup family + similarity search on corpora with KNOWN injected
+duplicates/near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from gliner_transbronchialbiopsy_ray.stages.dedup import (
+    MinHasher,
+    duplicate_pairs,
+    exact_dedup,
+    exact_jaccard,
+    minhash_candidate_pairs,
+    simhash_signatures,
+)
+from gliner_transbronchialbiopsy_ray.stages.similarity import brute_force_topk
+
+
+def _mk_docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the quiet hills and the river keeps flowing north "
+    ) * 3
+    near = base.replace("quiet hills", "silent hills")  # near-dup of base
+    other = (
+        "completely different content about distributed data processing "
+        "engines with arrow batches actors and shuffles everywhere "
+    ) * 3
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},        # exact dup of 1
+        {"doc_id": 3, "text": near},        # near dup of 1
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": base},        # exact dup of 1
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup_keeps_min_doc():
+    out = exact_dedup(_mk_docs()).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3, 4]
+
+
+def test_duplicate_pairs_lists_all():
+    pairs = duplicate_pairs(_mk_docs()).to_pandas()
+    got = set(zip(pairs["left_id"], pairs["right_id"]))
+    assert got == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_minhash_finds_near_dup_not_distinct():
+    pairs = minhash_candidate_pairs(
+        _mk_docs(), jaccard_threshold=0.5, concurrency=1
+    ).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["left_id"], pairs["right_id"])}
+    assert (1, 3) in got          # near-dup found
+    assert (1, 2) in got          # exact dup found
+    assert not any(4 in p for p in got)  # distinct doc never paired
+    # estimated jaccard is close to exact jaccard for the near-dup pair
+    est = pairs.set_index(["left_id", "right_id"])["est_jaccard"]
+    exact = exact_jaccard(
+        _mk_docs().take_all()[0]["text"], _mk_docs().take_all()[2]["text"]
+    )
+    assert abs(est.get((1, 3), est.get((3, 1))) - exact) < 0.25
+
+
+def test_minhash_pair_emitted_once():
+    pairs = minhash_candidate_pairs(
+        _mk_docs(), jaccard_threshold=0.5, concurrency=1
+    ).to_pandas()
+    keys = list(zip(pairs["left_id"], pairs["right_id"]))
+    assert len(keys) == len(set(keys))  # first-shared-band dedup works
+
+
+def test_simhash_close_for_near_dups():
+    sigs = simhash_signatures(_mk_docs(), concurrency=1).to_pandas()
+    s = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(s[1], s[2]) == 0          # exact dup -> same signature
+    assert ham(s[1], s[3]) <= 8          # near dup -> few differing bits
+    assert ham(s[1], s[4]) > 10          # distinct -> far
+
+
+def test_brute_force_topk_exact():
+    rng = np.random.RandomState(0)
+    m = rng.randn(50, 8)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    queries = {0: m[0].tolist(), 7: m[7].tolist()}
+    out = brute_force_topk(ds, queries, k=3)
+    # numpy oracle
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in queries:
+        sims = mn @ mn[qid]
+        sims[qid] = -np.inf
+        expect = set(np.argsort(-sims)[:3])
+        got = set(out[out["query_id"] == qid]["neighbor_id"])
+        assert got == expect
+        ranks = out[out["query_id"] == qid].sort_values("rank")["score"].to_numpy()
+        assert (np.diff(ranks) <= 0).all()
