@@ -571,6 +571,189 @@ SELECT word, CAST(n AS BIGINT) AS n FROM (
 """
 
 
+def q26_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Keep-latest-by-key (O2 sort + keyed dedup): last event per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas").to_pandas()
+
+
+Q26_SQL = """
+SELECT user_id, ts, event_type, event_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q27_global_sort_check(sf_dir: str) -> pd.DataFrame:
+    """Global sort evidence (O2): events sorted by ts; verified via the
+    order-sensitive fingerprint of (rank -> event_id) for the first 100
+    rows (an order-insensitive hash can't see sort order, so the rank
+    column makes it order-sensitive)."""
+    ds = _read(sf_dir, "events", ["ts", "event_id"])
+    top = ds.sort(["ts", "event_id"]).limit(100).to_pandas()
+    top["rank"] = range(1, len(top) + 1)
+    return top[["rank", "event_id", "ts"]]
+
+
+Q27_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank,
+       event_id, ts
+FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def q28_part_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    out = _preagg(
+        ds, ["p_brand"],
+        {"total_price": ("p_retailprice", "sum"), "n": ("p_size", "count"),
+         "sum_size": ("p_size", "sum")},
+    ).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    out["avg_size_ppm"] = (1_000_000 * out["sum_size"]) // out["n"]
+    return out.drop(columns=["sum_size"])
+
+
+Q28_SQL = """
+SELECT p_brand, round(sum(p_retailprice), 2) AS total_price, count(*) AS n,
+       (1000000 * sum(p_size)) // count(*) AS avg_size_ppm
+FROM part GROUP BY p_brand
+"""
+
+
+def q29_supplier_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join supplier x nation + aggregate."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lk_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class AddNation:
+        def __init__(self):
+            self.lk = ray.get(lk_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["n_name"] = df["s_nationkey"].map(self.lk)
+            return df[["n_name", "s_acctbal"]]
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = sup.map_batches(AddNation, batch_format="pyarrow",
+                             concurrency=2, num_cpus=0.5)
+    out = _preagg(joined, ["n_name"],
+                  {"total_bal": ("s_acctbal", "sum"),
+                   "n": ("s_acctbal", "count")}).to_pandas()
+    out["total_bal"] = out["total_bal"].round(2)
+    return out
+
+
+Q29_SQL = """
+SELECT n_name, round(sum(s_acctbal), 2) AS total_bal, count(*) AS n
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q30_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Large-x-large partitioned hash join expressed the portable way:
+    bucket both sides on the key hash, groupby bucket, pairwise join inside
+    the group (SURVEY §2.4; Dataset.join exists in newer Ray — this is the
+    version-portable pattern).  Output: revenue per order priority."""
+    B = 32
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def o_side(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["bucket"] = (df["o_orderkey"] % B).astype("int32")
+        df["side"] = "o"
+        df = df.rename(columns={"o_orderkey": "key"})
+        df["rev"] = 0.0
+        return df[["bucket", "side", "key", "o_orderpriority", "rev"]]
+
+    def l_side(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["bucket"] = (df["l_orderkey"] % B).astype("int32")
+        df["side"] = "l"
+        df = df.rename(columns={"l_orderkey": "key"})
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["o_orderpriority"] = None
+        return df[["bucket", "side", "key", "o_orderpriority", "rev"]]
+
+    both = orders.map_batches(o_side, batch_format="pyarrow").union(
+        items.map_batches(l_side, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"][["key", "o_orderpriority"]]
+        l = g[g["side"] == "l"][["key", "rev"]]
+        j = l.merge(o, on="key", how="inner")
+        return (
+            j.groupby("o_orderpriority", sort=False)
+            .agg(revenue=("rev", "sum"), n=("rev", "size"))
+            .reset_index()
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    out = (
+        partial.groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+Q30_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q31_training_records(sf_dir: str) -> pd.DataFrame:
+    """Annotation ETL (M7/M8): wide gold annotations -> token-level training
+    records; returns per-record token/span counts (deterministic)."""
+    from ..functions.annotation import annotations_to_records
+
+    path = _btb_corpus_for(sf_dir)
+    wide = btb_wide(sf_dir).drop_columns(["Scores", "n_entities"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = {"Conclusion": "text"}
+        cols = [names.get(c, c) for c in batch.column_names]
+        return batch.rename_columns(cols)
+
+    recs = wide.map_batches(prep, batch_format="pyarrow").map_batches(
+        annotations_to_records, batch_format="pyarrow"
+    )
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        return pd.DataFrame(
+            {
+                "n_tokens": pc.list_value_length(batch.column("tokenized_text")).to_pylist(),
+                "n_spans": pc.list_value_length(batch.column("ner")).to_pylist(),
+            }
+        )
+
+    df = recs.map_batches(counts, batch_format="pyarrow").to_pandas()
+    return (
+        df.groupby(["n_tokens", "n_spans"]).size().rename("n").reset_index()
+    )
+
+
 # --------------------------------------------------------------------------
 # BTB knowledge-graph pipeline queries (fixture corpus, deterministic; the
 # NER/linking semantics are not SQL-expressible -> rows-only driver check;
@@ -674,6 +857,12 @@ QUERIES: dict[str, tuple] = {
     "q23_simhash": (q23_simhash, None),
     "q24_event_type_cooccurrence": (q24_event_type_cooccurrence, Q24_SQL),
     "q25_word_frequencies": (q25_word_frequencies, Q25_SQL),
+    "q26_latest_event_per_user": (q26_latest_event_per_user, Q26_SQL),
+    "q27_global_sort_check": (q27_global_sort_check, Q27_SQL),
+    "q28_part_stats": (q28_part_stats, Q28_SQL),
+    "q29_supplier_nation": (q29_supplier_nation, Q29_SQL),
+    "q30_orders_lineitem_join": (q30_orders_lineitem_join, Q30_SQL),
+    "q31_training_records": (q31_training_records, None),
     "btb_triples": (btb_triples, None),
     "btb_wide": (btb_wide, None),
     "btb_label_stats": (btb_label_stats, None),

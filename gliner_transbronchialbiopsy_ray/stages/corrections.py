@@ -32,6 +32,27 @@ def fold_latest_state(corrections_ds: ray.data.Dataset) -> ray.data.Dataset:
     return corrections_ds.groupby("doc_id").map_groups(fold, batch_format="pandas")
 
 
+def corrections_by_date(corrections_ds: ray.data.Dataset) -> pd.DataFrame:
+    """G8: corrections per calendar date, date-sorted (charts.py:368-381)."""
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["date"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return (
+            df.groupby("date", sort=False).size().rename("n").reset_index()
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        corrections_ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("date")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("date", kind="stable").reset_index(drop=True)
+
+
 class ApplyCorrections:
     """map_batches actor: upsert folded corrections into the wide node table.
 

@@ -153,20 +153,42 @@ class NerStage:
         backend: str = "lexicon",
         model_path: str | None = None,
         merge_overlaps: bool = True,
+        cache_size: int = 4096,
     ):
         self.labels = list(labels) if labels else list(LABELS)
         self.threshold = threshold
         self.truncate = truncate_chars
         self.merge = merge_overlaps
         self.backend = make_backend(backend, self.labels, model_path)
+        # per-actor prediction cache (A2 analog, model_handler.py:111-121):
+        # FIFO-evicted dict keyed by the text; exact-dedup-before-score
+        # within a batch means each distinct text is scored once per actor.
+        self.cache: dict[str, list[dict]] = {}
+        self.cache_size = cache_size
+
+    def _predict_unique(self, texts: list[str]) -> list[list[dict]]:
+        uniq: dict[str, int] = {}
+        to_score: list[str] = []
+        for t in texts:
+            key = t or ""
+            if key not in uniq and key not in self.cache:
+                uniq[key] = len(to_score)
+                to_score.append(key)
+        if to_score:
+            scored = self.backend.predict(to_score, self.labels, self.threshold)
+            if self.merge:
+                scored = [merge_overlapping(p) for p in scored]
+            for key, ents in zip(to_score, scored):
+                if len(self.cache) >= self.cache_size:
+                    self.cache.pop(next(iter(self.cache)))  # FIFO evict
+                self.cache[key] = ents
+        return [self.cache[t or ""] for t in texts]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("conclusion").to_pylist()
         if self.truncate:
             texts = [t[: self.truncate] if t else t for t in texts]
-        preds = self.backend.predict(texts, self.labels, self.threshold)
-        if self.merge:
-            preds = [merge_overlapping(p) for p in preds]
+        preds = self._predict_unique(texts)
         statuses = batch.column("status").to_pylist()
         statuses = [
             "no_entities" if (s == "ok" and not p) else s
