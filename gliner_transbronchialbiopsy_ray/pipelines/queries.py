@@ -28,10 +28,17 @@ from ray.data.aggregate import Sum
 # helpers
 
 
-def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]]):
+def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+            merge: str = "driver"):
     """Two-phase grouped aggregation: vectorized per-batch pandas partials
-    (combiner) -> Ray groupby Sum over the partials.  The shuffle sees one
-    row per (key-combo, batch), not one per input row."""
+    (combiner) -> final merge.
+
+    merge="driver" (default): partial rows are bounded by (distinct keys x
+    batches) — for bounded-cardinality keys the partials are tiny, so the
+    final sum happens driver-side in pandas, avoiding Ray's all-to-all
+    Aggregate machinery (~5 s fixed cost regardless of data size).
+    merge="ray": Ray groupby over the partials — use when the key space
+    itself is huge (the partials wouldn't fit one node)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -41,9 +48,12 @@ def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]]):
         return df.groupby(keys, sort=False, dropna=False).agg(**agg).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).aggregate(
-        *[Sum(out, alias_name=out) for out in spec]
-    )
+    if merge == "ray":
+        return partials.groupby(keys).aggregate(
+            *[Sum(out, alias_name=out) for out in spec]
+        )
+    pdf = partials.to_pandas()
+    return pdf.groupby(keys, sort=False, dropna=False).sum().reset_index()
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -76,7 +86,7 @@ def q01_lineitem_agg(sf_dir: str) -> pd.DataFrame:
             "disc_cents": ("disc_cents", "sum"),
             "n": ("l_quantity", "count"),
         },
-    ).to_pandas()
+    )
     out["avg_disc_ppm"] = (1_000_000 * out["disc_cents"]) // (100 * out["n"])
     out["sum_qty"] = out["sum_qty"].round(2)
     out["sum_price"] = out["sum_price"].round(2)
@@ -109,7 +119,7 @@ def q02_filtered_revenue(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(fr, batch_format="pyarrow"),
         ["l_returnflag"],
         {"revenue": ("revenue", "sum"), "n": ("revenue", "count")},
-    ).to_pandas()
+    )
     out["revenue"] = out["revenue"].round(2)
     return out
 
@@ -155,7 +165,7 @@ def q04_mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     out = _preagg(
         joined, ["c_mktsegment"],
         {"total": ("o_totalprice", "sum"), "n": ("o_totalprice", "count")},
-    ).to_pandas()
+    )
     out["total"] = out["total"].round(2)
     return out
 
@@ -187,7 +197,7 @@ def q05_region_customers(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = cust.map_batches(AddRegion, batch_format="pyarrow",
                               concurrency=2, num_cpus=0.5)
-    return _preagg(joined, ["r_name"], {"n": ("c_custkey", "count")}).to_pandas()
+    return _preagg(joined, ["r_name"], {"n": ("c_custkey", "count")})
 
 
 Q05_SQL = """
@@ -224,7 +234,7 @@ def q07_orders_by_status_month(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(month, batch_format="pyarrow"),
         ["o_orderstatus", "month"],
         {"total": ("o_totalprice", "sum"), "n": ("o_totalprice", "count")},
-    ).to_pandas()
+    )
     out["total"] = out["total"].round(2)
     return out
 
@@ -253,7 +263,7 @@ def q08_events_hourly(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(hour, batch_format="pyarrow"),
         ["hour", "event_type"],
         {"total_value": ("value", "sum"), "n": ("value", "count")},
-    ).to_pandas()
+    )
     out["total_value"] = out["total_value"].round(2)
     return out
 
@@ -267,7 +277,7 @@ FROM events GROUP BY hour, event_type
 
 def q09_top_users(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = _preagg(ds, ["user_id"], {"total": ("value", "sum")}).to_pandas()
+    agg = _preagg(ds, ["user_id"], {"total": ("value", "sum")})
     agg["total"] = agg["total"].round(2)
     agg = agg.sort_values(["total", "user_id"], ascending=[False, True],
                           kind="stable").head(10)
@@ -292,7 +302,7 @@ def q10_sessionize(sf_dir: str) -> pd.DataFrame:
         n = int((gaps.isna() | (gaps > 1800)).sum())
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 Q10_SQL = """
@@ -324,7 +334,7 @@ Q11_SQL = "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM document
 def q12_lang_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = _preagg(ds, ["lang"], {"sum_chars": ("n_chars", "sum"),
-                                 "n": ("n_chars", "count")}).to_pandas()
+                                 "n": ("n_chars", "count")})
     # integer-scaled average (exact on both engines)
     out["avg_chars_ppm"] = (1_000_000 * out["sum_chars"]) // out["n"]
     return out.drop(columns=["sum_chars"])
@@ -395,7 +405,7 @@ def q16_quality(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return ds.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(feats, batch_format="pyarrow")
 
 
 Q16_SQL = """
@@ -457,7 +467,7 @@ def q19_embedding_norms(sf_dir: str) -> pd.DataFrame:
     out = _preagg(
         ds.map_batches(norms, batch_format="pyarrow"),
         ["label"], {"sum_norm": ("norm", "sum"), "n": ("norm", "count")},
-    ).to_pandas()
+    )
     out["avg_norm"] = (out["sum_norm"] / out["n"]).round(6)
     return out.drop(columns=["sum_norm"])
 
@@ -496,7 +506,7 @@ def q20_emb_neardup_exact(sf_dir: str) -> pd.DataFrame:
             )
 
     return emb.map_batches(Pairs, batch_format="pyarrow",
-                           concurrency=2, num_cpus=0.5).to_pandas()
+                           concurrency=2, num_cpus=0.5)
 
 
 Q20_SQL = """
@@ -544,7 +554,7 @@ def q24_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(out, columns=["et1", "et2"])
 
     p = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
-    return _preagg(p, ["et1", "et2"], {"n": ("et1", "count")}).to_pandas()
+    return _preagg(p, ["et1", "et2"], {"n": ("et1", "count")})
 
 
 Q24_SQL = """
@@ -578,7 +588,7 @@ def q26_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["ts", "event_id"], kind="stable").tail(1)
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas").to_pandas()
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
 
 
 Q26_SQL = """
@@ -614,7 +624,7 @@ def q28_part_stats(sf_dir: str) -> pd.DataFrame:
         ds, ["p_brand"],
         {"total_price": ("p_retailprice", "sum"), "n": ("p_size", "count"),
          "sum_size": ("p_size", "sum")},
-    ).to_pandas()
+    )
     out["total_price"] = out["total_price"].round(2)
     out["avg_size_ppm"] = (1_000_000 * out["sum_size"]) // out["n"]
     return out.drop(columns=["sum_size"])
@@ -646,7 +656,7 @@ def q29_supplier_nation(sf_dir: str) -> pd.DataFrame:
                              concurrency=2, num_cpus=0.5)
     out = _preagg(joined, ["n_name"],
                   {"total_bal": ("s_acctbal", "sum"),
-                   "n": ("s_acctbal", "count")}).to_pandas()
+                   "n": ("s_acctbal", "count")})
     out["total_bal"] = out["total_bal"].round(2)
     return out
 

@@ -70,18 +70,33 @@ def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.D
     return hashed.groupby("content_hash").map_groups(pairs, batch_format="pandas")
 
 
+_POW = np.array(
+    [pow(1099511628211, i, 2**64) for i in range(16)], dtype=np.uint64
+)  # FNV prime powers (mod 2^64)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+_OLD_ERR = np.seterr(over="ignore")  # uint64 wrap IS the hash modulus
+np.seterr(**_OLD_ERR)
+
+
 def _shingle_set(text: str, k: int = 5) -> np.ndarray:
     """Hashed k-shingles (character shingles over the whitespace-joined
-    text), as a uint64 array."""
+    text) as a uint64 array — fully vectorized: sliding byte windows dotted
+    with FNV-prime powers in wrapping uint64 arithmetic (the wrap is the
+    modulus; deterministic across platforms)."""
     t = " ".join((text or "").split())
-    if len(t) < k:
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
         return np.array([_hash64(t.encode("utf-8"))], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (_hash64(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = (win * _POW[:k][None, :]).sum(axis=1, dtype=np.uint64)
+        # finalize with a murmur-style mix so nearby windows decorrelate
+        h ^= h >> np.uint64(33)
+        h *= _MIX1
+        h ^= h >> np.uint64(29)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -94,19 +109,25 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
         assert num_perm % bands == 0
         rng = np.random.RandomState(421)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # one xor-seed per "permutation"; h_i(x) = mix(x ^ seed_i) in
+        # wrapping uint64 arithmetic — vectorized (shingles x num_perm)
+        self.seeds = rng.randint(0, 2**63, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_set(text, self.k).astype(np.object_)  # python ints: no overflow
+        sh = _shingle_set(text, self.k)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        vals = (self.a.astype(np.object_)[None, :] * sh[:, None] + self.b.astype(np.object_)[None, :]) % _MERSENNE
-        return np.min(vals, axis=0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = sh[:, None] ^ self.seeds[None, :]
+            x *= _MIX1
+            x ^= x >> np.uint64(33)
+            x *= _MIX2
+            x ^= x >> np.uint64(29)
+        return x.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()

@@ -167,22 +167,31 @@ class NerStage:
         self.cache_size = cache_size
 
     def _predict_unique(self, texts: list[str]) -> list[list[dict]]:
-        uniq: dict[str, int] = {}
+        # batch-local results map keeps correctness independent of cache
+        # eviction (a batch with more unique texts than the cache cap must
+        # still resolve every row)
+        results: dict[str, list[dict]] = {}
         to_score: list[str] = []
         for t in texts:
             key = t or ""
-            if key not in uniq and key not in self.cache:
-                uniq[key] = len(to_score)
+            if key in results:
+                continue
+            hit = self.cache.get(key)
+            if hit is not None:
+                results[key] = hit
+            else:
+                results[key] = []
                 to_score.append(key)
         if to_score:
             scored = self.backend.predict(to_score, self.labels, self.threshold)
             if self.merge:
                 scored = [merge_overlapping(p) for p in scored]
             for key, ents in zip(to_score, scored):
+                results[key] = ents
                 if len(self.cache) >= self.cache_size:
                     self.cache.pop(next(iter(self.cache)))  # FIFO evict
                 self.cache[key] = ents
-        return [self.cache[t or ""] for t in texts]
+        return [results[t or ""] for t in texts]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("conclusion").to_pylist()
