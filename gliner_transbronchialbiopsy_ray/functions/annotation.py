@@ -101,7 +101,7 @@ def shuffle_split(
 
 def kfold_splits(ds: ray.data.Dataset, k: int = 5, seed: int = 42):
     """K-fold (train, eval) dataset pairs (train_cross_validation.py:450-465)."""
-    folds = ds.random_shuffle(seed=seed).split(k)
+    folds = ds.random_shuffle(seed=seed).split(k, equal=True)
     out = []
     for i in range(k):
         train_parts = [f for j, f in enumerate(folds) if j != i]

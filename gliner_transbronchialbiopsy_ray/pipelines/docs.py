@@ -35,19 +35,25 @@ def analyze_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     feat = docs.map_batches(features, batch_format="pyarrow")
 
-    # distinct hash -> canonical doc_id (grouped agg over hashes: output is
-    # one row per distinct text — small enough to broadcast)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"content_hash": [g["content_hash"].iloc[0]],
-             "canonical_doc": [g["doc_id"].min()]}
+    # distinct hash -> canonical doc_id: per-batch combiner (min per hash
+    # within batch) then driver merge — output is one row per distinct
+    # text, small enough to broadcast
+    def partial_min(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (
+            df.groupby("content_hash", sort=False)["doc_id"]
+            .min()
+            .rename("canonical_doc")
+            .reset_index()
         )
 
     canon = (
         feat.select_columns(["content_hash", "doc_id"])
-        .groupby("content_hash")
-        .map_groups(first, batch_format="pandas")
+        .map_batches(partial_min, batch_format="pyarrow")
         .to_pandas()
+        .groupby("content_hash", sort=False)["canonical_doc"]
+        .min()
+        .reset_index()
     )
     canon_ref = ray.put(dict(zip(canon["content_hash"], canon["canonical_doc"])))
 

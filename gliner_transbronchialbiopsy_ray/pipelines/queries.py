@@ -296,13 +296,27 @@ def q10_sessionize(sf_dir: str) -> pd.DataFrame:
     pattern for stream-shaped data); oracle: lag window function."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="stable")
-        gaps = ts.diff().dt.total_seconds()
-        n = int((gaps.isna() | (gaps > 1800)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every user's events are in exactly one bucket; one vectorized
+        # pandas pass per bucket (coarse shuffle key: group-call overhead
+        # is bounded by bucket count, not user count)
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        starts = gaps.isna() | (gaps > 1800)
+        out = starts.groupby(g["user_id"], sort=False).sum().rename("n_sessions")
+        return out.reset_index().astype({"n_sessions": "int64"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 Q10_SQL = """
@@ -434,7 +448,9 @@ def q18_ann_topk(sf_dir: str) -> pd.DataFrame:
     from ..stages.similarity import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = emb.filter(lambda r: r["vec_id"] < 5).take_all()
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).take_all()  # vectorized predicate; 5 tiny rows reach the driver
     queries = {r["vec_id"]: r["embedding"] for r in qrows}
     out = brute_force_topk(emb, queries, k=5)
     return out[["query_id", "neighbor_id", "score", "rank"]]
@@ -548,12 +564,24 @@ def q24_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type co-presence pairs (G5 analog with SQL oracle)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        types = sorted(g["event_type"].unique())
-        out = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
-        return pd.DataFrame(out, columns=["et1", "et2"])
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()  # per-batch combiner
+        df["bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
 
-    p = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        j = g.merge(g, on="user_id")
+        j = j[j["event_type_x"] < j["event_type_y"]]
+        return j.rename(columns={"event_type_x": "et1", "event_type_y": "et2"})[
+            ["et1", "et2"]
+        ]
+
+    p = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
     return _preagg(p, ["et1", "et2"], {"n": ("et1", "count")})
 
 
@@ -585,10 +613,23 @@ def q26_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Keep-latest-by-key (O2 sort + keyed dedup): last event per user."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        # per-batch combiner: keep only the latest per user within the batch
+        df = batch.to_pandas().sort_values(["ts", "event_id"], kind="stable")
+        df = df.groupby("user_id", sort=False).tail(1)
+        df["bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    def latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return g.groupby("user_id", sort=False).tail(1).drop(columns=["bucket"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(latest_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 Q26_SQL = """

@@ -39,35 +39,51 @@ def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, type=pa.string()))
 
 
+N_HASH_BUCKETS = 256
+
+
+def _add_hash_bucket(batch: pa.Table, key_col: str) -> pa.Table:
+    """content hash + coarse bucket column.  The bucket — not the raw hash —
+    is the shuffle key: thousands of per-hash groups collapse into a bounded
+    number of partition-sized groups, and the per-hash work happens
+    VECTORIZED in pandas inside the bucket (per-group UDF-call overhead is
+    the dominant cost of fine-grained map_groups)."""
+    out = add_content_hash(batch, key_col)
+    h = out.column("content_hash").to_pylist()
+    bucket = [int(x[:4], 16) % N_HASH_BUCKETS for x in h]
+    return out.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+
 def exact_dedup(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
-    """Keep the min-doc_id row per distinct content (hash-partitioned
-    groupby on the content hash; group payload is tiny)."""
+    """Keep the min-doc_id row per distinct content.  Shuffle key = coarse
+    hash bucket; intra-bucket dedup is one vectorized pandas pass."""
     hashed = docs.map_batches(
-        lambda b: add_content_hash(b, key_col), batch_format="pyarrow"
+        lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id", kind="stable").head(1)
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        return g.drop_duplicates(subset=["content_hash"], keep="first")
 
-    out = hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    out = hashed.groupby("bucket").map_groups(dedup_bucket, batch_format="pandas")
+    return out.drop_columns(["content_hash", "bucket"])
 
 
 def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
     """(left_id, right_id) for every exact-duplicate pair (left < right)."""
     hashed = docs.select_columns(["doc_id", key_col]).map_batches(
-        lambda b: add_content_hash(b, key_col), batch_format="pyarrow"
+        lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"left_id": pd.Series([], dtype=g["doc_id"].dtype),
-                                 "right_id": pd.Series([], dtype=g["doc_id"].dtype)})
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["left_id", "right_id"])
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("content_hash", keep=False)]
+        j = g.merge(g, on="content_hash", suffixes=("_l", "_r"))
+        j = j[j["doc_id_l"] < j["doc_id_r"]]
+        return j.rename(
+            columns={"doc_id_l": "left_id", "doc_id_r": "right_id"}
+        )[["left_id", "right_id"]]
 
-    return hashed.groupby("content_hash").map_groups(pairs, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(pairs_bucket, batch_format="pandas")
 
 
 _POW = np.array(
@@ -132,22 +148,29 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.signature(t)
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                out_doc.append(d)
-                out_band.append(b)
-                out_bh.append(_hash64(band.tobytes()))
-                out_sig.append(sig_bytes)
+        n = len(doc_ids)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t)
+        # band hashes vectorized: mix the band rows together per (doc, band)
+        with np.errstate(over="ignore"):
+            bands3 = sigs.reshape(n, self.bands, self.rows_per_band)
+            bh = bands3[:, :, 0].copy()
+            for r in range(1, self.rows_per_band):
+                bh = (bh * _MIX1) ^ bands3[:, :, r]
+            bh ^= bh >> np.uint64(31)
+            bh *= _MIX2
+        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
             {
-                "doc_id": pa.array(out_doc),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(np.array(out_bh, dtype=np.uint64)),
-                "signature": pa.array(out_sig, type=pa.binary()),
+                "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=object), self.bands).tolist()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "bucket": pa.array((bh.reshape(-1) % np.uint64(512)).astype(np.int32)),
+                "signature": pa.array(
+                    [sig_bytes[i] for i in range(n) for _ in range(self.bands)],
+                    type=pa.binary(),
+                ),
             }
         )
 
@@ -176,11 +199,12 @@ def minhash_candidate_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        if len(g) >= 2:
-            band = int(g["band"].iloc[0])
-            g = g.sort_values("doc_id", kind="stable")
-            ids = g["doc_id"].tolist()
-            sig = [np.frombuffer(s, dtype=np.uint64) for s in g["signature"]]
+        # drop LSH buckets of size 1 vectorized, then scan real buckets
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
+        for (band, _bh), grp in g.groupby(["band", "band_hash"], sort=False):
+            grp = grp.sort_values("doc_id", kind="stable")
+            ids = grp["doc_id"].tolist()
+            sig = [np.frombuffer(s, dtype=np.uint64) for s in grp["signature"]]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     if ids[i] == ids[j]:
@@ -190,14 +214,13 @@ def minhash_candidate_pairs(
                         continue
                     # keep the pair only in the first band where the two
                     # signatures collide (dedup without a second shuffle)
-                    first_band = _first_shared_band(sig[i], sig[j], len(sig[i]))
-                    if first_band == band:
+                    if _first_shared_band(sig[i], sig[j], len(sig[i])) == band:
                         out.append((ids[i], ids[j], round(est, 6)))
         return pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard"])
 
-    return sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    # shuffle key = coarse bucket (band_hash % 512): bounded group count,
+    # per-LSH-bucket work vectorized/pandas inside
+    return sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
 
 def _first_shared_band(sig_a: np.ndarray, sig_b: np.ndarray, num_perm: int,
