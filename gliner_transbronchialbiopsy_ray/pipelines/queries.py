@@ -212,7 +212,7 @@ def q06_distinct_flags(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     batch_distinct = ds.map_batches(
         lambda b: b.to_pandas().drop_duplicates(), batch_format="pyarrow"
-    )
+    ).repartition(4)
     out = batch_distinct.groupby(["l_returnflag", "l_linestatus"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
@@ -313,6 +313,7 @@ def q10_sessionize(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
+        .repartition(8)
         .groupby("bucket")
         .map_groups(sessions_bucket, batch_format="pandas")
         .to_pandas()
@@ -579,6 +580,7 @@ def q24_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
 
     p = (
         ds.map_batches(bucketize, batch_format="pyarrow")
+        .repartition(8)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -626,6 +628,7 @@ def q26_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
+        .repartition(8)
         .groupby("bucket")
         .map_groups(latest_bucket, batch_format="pandas")
         .to_pandas()

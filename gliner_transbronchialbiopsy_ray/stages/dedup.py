@@ -54,12 +54,16 @@ def _add_hash_bucket(batch: pa.Table, key_col: str) -> pa.Table:
     return out.append_column("bucket", pa.array(bucket, type=pa.int32()))
 
 
-def exact_dedup(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
+def exact_dedup(docs: ray.data.Dataset, key_col: str = "text",
+                shuffle_blocks: int = 8) -> ray.data.Dataset:
     """Keep the min-doc_id row per distinct content.  Shuffle key = coarse
-    hash bucket; intra-bucket dedup is one vectorized pandas pass."""
+    hash bucket; intra-bucket dedup is one vectorized pandas pass.
+    `shuffle_blocks` coalesces before the groupby — Ray's sort-shuffle cost
+    scales with input block count, so size it to data volume (small here;
+    hundreds on a multi-node corpus)."""
     hashed = docs.map_batches(
         lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
-    )
+    ).repartition(shuffle_blocks)
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="stable")
@@ -73,7 +77,7 @@ def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.D
     """(left_id, right_id) for every exact-duplicate pair (left < right)."""
     hashed = docs.select_columns(["doc_id", key_col]).map_batches(
         lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
-    )
+    ).repartition(8)
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated("content_hash", keep=False)]
@@ -219,8 +223,11 @@ def minhash_candidate_pairs(
         return pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard"])
 
     # shuffle key = coarse bucket (band_hash % 512): bounded group count,
-    # per-LSH-bucket work vectorized/pandas inside
-    return sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # per-LSH-bucket work vectorized/pandas inside; coalesce first (sort-
+    # shuffle cost scales with block count)
+    return sigs.repartition(8).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
 
 
 def _first_shared_band(sig_a: np.ndarray, sig_b: np.ndarray, num_perm: int,
@@ -325,4 +332,6 @@ def embedding_neardup_pairs(
                 out.append((a, b, round(float(s), 6)))
         return pd.DataFrame(out, columns=["left_id", "right_id", "cosine"])
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return bucketed.repartition(8).groupby("bucket").map_groups(
+        pairs, batch_format="pandas"
+    )

@@ -47,15 +47,29 @@ class ModelBackend(Protocol):
 
 
 class LexiconBackend:
-    """Deterministic span extractor over the transplant-pathology lexicon."""
+    """Deterministic span extractor over the transplant-pathology lexicon.
 
-    def __init__(self, labels: list[str] | None = None):
+    `work_factor` re-runs the scan N times (discarding the extra passes):
+    real, deterministic CPU work that emulates the per-document cost of a
+    transformer model (the reference's GLiNER runs ~1 doc/s/worker,
+    BASELINE.md) without changing outputs.  Used by the scaling benchmark so
+    throughput measurements are compute-bound like production, not
+    overhead-bound; normal pipelines leave it at 1."""
+
+    def __init__(self, labels: list[str] | None = None, work_factor: int = 1):
         self.patterns = label_patterns(tuple(labels) if labels else None)
+        self.work_factor = max(1, int(work_factor))
 
     def predict(
         self, texts: list[str], labels: list[str], threshold: float
     ) -> list[list[dict]]:
         pats = [(lb, self.patterns[lb]) for lb in labels if lb in self.patterns]
+        for _ in range(self.work_factor - 1):  # emulated model compute
+            for text in texts:
+                if text:
+                    for _label, pat in pats:
+                        for _m in pat.finditer(text):
+                            pass
         out: list[list[dict]] = []
         for text in texts:
             ents: list[dict] = []
