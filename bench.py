@@ -100,12 +100,57 @@ def run_bench() -> dict:
     return out
 
 
-def _run_child(ncpu: int, queries: list[str]) -> dict:
+SCALING_NDOCS = int(os.environ.get("GRAFT_SCALING_NDOCS", "40000"))
+SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "64"))
+
+
+def run_scaling_job() -> dict:
+    """One compute-bound run of the flagship KG pipeline (fresh process):
+    40k-doc skewed corpus, lexicon backend with work_factor emulating
+    transformer-model per-doc cost (LexiconBackend docstring), NER actor
+    pool sized to the cluster.  Prints docs/sec."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+    from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
+    from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
+
+    path = write_corpus(SCALING_NDOCS, seed=42, shards=64)
+    cfg = PipelineConfig(
+        ner_concurrency=(2, NUM_CPUS * 2),  # 0.5 CPU each -> up to all CPUs
+        ner_num_cpus=0.5,
+        ner_batch_size=64,
+        work_factor=SCALING_WORK_FACTOR,
+    )
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(f"{path}/documents")
+    tri = triples_dataset(docs, cfg, link_concurrency=(1, 4))
+    rows = 0
+    for b in tri.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rows += b.num_rows
+    sec = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "scaling_job", "value": sec, "unit": "sec",
+        "rows": rows, "docs": SCALING_NDOCS,
+        "docs_per_sec": round(SCALING_NDOCS / sec, 1),
+        "num_cpus": NUM_CPUS, "work_factor": SCALING_WORK_FACTOR,
+    }
+    ray.shutdown()
+    return out
+
+
+def _run_child(ncpu: int) -> dict:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_SF_DIR=SF_DIR,
-        GRAFT_BENCH_QUERIES=",".join(queries),
+        GRAFT_SCALING_CHILD="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
@@ -116,30 +161,34 @@ def _run_child(ncpu: int, queries: list[str]) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 (the N / 4N pair)."""
-    queries = ["btb_triples"]
+    """Same job, same input, fresh processes at num_cpus=8 then 32 — the
+    sandbox evidence for the north rule's N vs 4N cluster criterion."""
+    from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
+
+    write_corpus(SCALING_NDOCS, seed=42, shards=64)  # generate once, untimed
     lo, hi = 8, 32
-    r_lo = _run_child(lo, queries)
-    r_hi = _run_child(hi, queries)
+    r_lo = _run_child(lo)
+    r_hi = _run_child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
-    n_rows = r_lo["rows"]["btb_triples"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_btb_triples",
-        "sf": SF_DIR,
+        "metric": "scaling_efficiency_kg_pipeline",
+        "docs": SCALING_NDOCS,
+        "work_factor": SCALING_WORK_FACTOR,
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
-        "rows": n_rows,
-        "throughput_lo_rows_per_s": round(n_rows / t_lo, 1),
-        "throughput_hi_rows_per_s": round(n_rows / t_hi, 1),
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("GRAFT_SCALING_CHILD"):
+        print(json.dumps(run_scaling_job()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         override = os.environ.get("GRAFT_BENCH_QUERIES")

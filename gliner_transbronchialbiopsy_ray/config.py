@@ -116,3 +116,4 @@ class PipelineConfig:
     salt_buckets: int = 16
     model_backend: str = "lexicon"  # "lexicon" | "gliner"
     model_path: str | None = None
+    work_factor: int = 1  # lexicon-backend compute emulation (bench only)

@@ -58,6 +58,7 @@ def entities_dataset(
             "truncate_chars": cfg.truncate_chars,
             "backend": cfg.model_backend,
             "model_path": cfg.model_path,
+            "work_factor": cfg.work_factor,
         },
         batch_format="pyarrow",
         batch_size=cfg.ner_batch_size,

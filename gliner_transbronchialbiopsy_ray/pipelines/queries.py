@@ -816,6 +816,25 @@ def q31_training_records(sf_dir: str) -> pd.DataFrame:
 _SF_TO_NDOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
 
 
+def _auto_btb_cfg(work_factor: int = 1):
+    """PipelineConfig sized to the current cluster: the NER actor pool gets
+    ~half the CPUs (at 0.5 CPU each), leaving headroom for the stateless
+    read/map stages so the stream never starves."""
+    from ..config import PipelineConfig
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    pool = max(2, cpus)          # actors at 0.5 CPU each => ~cpus/2 reserved
+    return PipelineConfig(
+        ner_concurrency=(2, pool),
+        ner_num_cpus=0.5,
+        ner_batch_size=128,
+        model_backend="lexicon",
+    ), work_factor
+
+
 def _btb_corpus_for(sf_dir: str) -> str:
     from ..fixtures import write_corpus
 
@@ -829,7 +848,8 @@ def btb_triples(sf_dir: str):
 
     path = _btb_corpus_for(sf_dir)
     docs = rd.read_parquet(f"{path}/documents")
-    return triples_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    cfg, _ = _auto_btb_cfg()
+    return triples_dataset(docs, cfg)
 
 
 def btb_wide(sf_dir: str):
@@ -839,7 +859,8 @@ def btb_wide(sf_dir: str):
 
     path = _btb_corpus_for(sf_dir)
     docs = rd.read_parquet(f"{path}/documents")
-    ents = entities_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(docs, cfg)
     return ents.map_batches(pivot_wide, batch_format="pyarrow")
 
 
@@ -850,7 +871,8 @@ def btb_label_stats(sf_dir: str) -> pd.DataFrame:
 
     path = _btb_corpus_for(sf_dir)
     docs = rd.read_parquet(f"{path}/documents")
-    ents = entities_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(docs, cfg)
     return label_statistics(ents)
 
 
@@ -861,7 +883,8 @@ def btb_surface_forms(sf_dir: str):
 
     path = _btb_corpus_for(sf_dir)
     docs = rd.read_parquet(f"{path}/documents")
-    tri = triples_dataset(docs, PipelineConfig(ner_concurrency=2, ner_num_cpus=0.5))
+    cfg, _ = _auto_btb_cfg()
+    tri = triples_dataset(docs, cfg)
     return surface_form_stats(tri)
 
 

@@ -150,10 +150,11 @@ def merge_overlapping(ents: list[dict], threshold: float = OVERLAP_MERGE_THRESHO
     return merged
 
 
-def make_backend(name: str, labels: list[str], model_path: str | None):
+def make_backend(name: str, labels: list[str], model_path: str | None,
+                 work_factor: int = 1):
     if name == "gliner":
         return GlinerBackend(model_path or "almanach/camembert-bio-gliner-v0.1")
-    return LexiconBackend(labels)
+    return LexiconBackend(labels, work_factor=work_factor)
 
 
 class NerStage:
@@ -168,12 +169,14 @@ class NerStage:
         model_path: str | None = None,
         merge_overlaps: bool = True,
         cache_size: int = 4096,
+        work_factor: int = 1,
     ):
         self.labels = list(labels) if labels else list(LABELS)
         self.threshold = threshold
         self.truncate = truncate_chars
         self.merge = merge_overlaps
-        self.backend = make_backend(backend, self.labels, model_path)
+        self.backend = make_backend(backend, self.labels, model_path,
+                                    work_factor=work_factor)
         # per-actor prediction cache (A2 analog, model_handler.py:111-121):
         # FIFO-evicted dict keyed by the text; exact-dedup-before-score
         # within a batch means each distinct text is scored once per actor.
