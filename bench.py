@@ -101,7 +101,7 @@ def run_bench() -> dict:
 
 
 SCALING_NDOCS = int(os.environ.get("GRAFT_SCALING_NDOCS", "40000"))
-SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "64"))
+SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "1024"))
 
 
 def run_scaling_job() -> dict:
@@ -122,14 +122,21 @@ def run_scaling_job() -> dict:
     from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
 
     path = write_corpus(SCALING_NDOCS, seed=42, shards=64)
+    # pool = one actor per CPU at 0.5-CPU reservation (headroom for the
+    # stateless stages); read split fine so block count >= 8x pool size
+    # (block = actor-task granularity; coarse blocks -> straggler tail on
+    # the skewed length distribution)
     cfg = PipelineConfig(
-        ner_concurrency=(2, NUM_CPUS * 2),  # 0.5 CPU each -> up to all CPUs
+        ner_concurrency=NUM_CPUS,
         ner_num_cpus=0.5,
         ner_batch_size=64,
+        text_batch_size=None,
         work_factor=SCALING_WORK_FACTOR,
     )
     t0 = time.perf_counter()
-    docs = ray.data.read_parquet(f"{path}/documents")
+    docs = ray.data.read_parquet(
+        f"{path}/documents", override_num_blocks=NUM_CPUS * 8
+    )
     tri = triples_dataset(docs, cfg, link_concurrency=(1, 4))
     rows = 0
     for b in tri.iter_batches(batch_size=65536, batch_format="pyarrow"):

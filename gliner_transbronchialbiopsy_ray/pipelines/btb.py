@@ -50,6 +50,10 @@ def entities_dataset(
     ds = ds.map_batches(
         segment_batch, batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
+    if cfg.ner_blocks:
+        # one block = one actor task: without enough blocks the pool idles
+        # (explicit repartitioning is also the skew lever — north rule)
+        ds = ds.repartition(cfg.ner_blocks)
     ds = ds.map_batches(
         NerStage,
         fn_constructor_kwargs={

@@ -904,6 +904,75 @@ def btb_corrected_wide(sf_dir: str):
     return apply_corrections(wide, corr)
 
 
+def btb_global_stats(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import global_stats
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(rd.read_parquet(f"{path}/documents"), cfg)
+    return pd.DataFrame([global_stats(ents)])
+
+
+def btb_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import label_cooccurrence
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(rd.read_parquet(f"{path}/documents"), cfg)
+    return label_cooccurrence(ents)
+
+
+def btb_threshold_curve(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import threshold_impact
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(rd.read_parquet(f"{path}/documents"), cfg)
+    return threshold_impact(ents)
+
+
+def btb_score_distribution(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import score_distribution
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(rd.read_parquet(f"{path}/documents"), cfg)
+    return score_distribution(ents)
+
+
+def btb_corrections_by_date(sf_dir: str) -> pd.DataFrame:
+    from ..stages.corrections import corrections_by_date
+
+    path = _btb_corpus_for(sf_dir)
+    return corrections_by_date(rd.read_parquet(f"{path}/corrections.parquet"))
+
+
+def q32_ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k (scale path; approximate -> rows-only)."""
+    from ..stages.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).take_all()
+    queries = {r["vec_id"]: r["embedding"] for r in qrows}
+    return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
+
+
+def q33_verified_neardups(sf_dir: str):
+    """MinHash-LSH candidates + exact n-gram Jaccard verification."""
+    from ..stages.dedup import verified_near_dups
+
+    return verified_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        jaccard_threshold=0.5, concurrency=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -946,4 +1015,11 @@ QUERIES: dict[str, tuple] = {
     "btb_surface_forms": (btb_surface_forms, None),
     "btb_media_features": (btb_media_features, None),
     "btb_corrected_wide": (btb_corrected_wide, None),
+    "btb_global_stats": (btb_global_stats, None),
+    "btb_cooccurrence": (btb_cooccurrence, None),
+    "btb_threshold_curve": (btb_threshold_curve, None),
+    "btb_score_distribution": (btb_score_distribution, None),
+    "btb_corrections_by_date": (btb_corrections_by_date, None),
+    "q32_ivf_ann_topk": (q32_ivf_ann_topk, None),
+    "q33_verified_neardups": (q33_verified_neardups, None),
 }

@@ -239,6 +239,48 @@ def _first_shared_band(sig_a: np.ndarray, sig_b: np.ndarray, num_perm: int,
     return -1
 
 
+def verified_near_dups(
+    docs: ray.data.Dataset,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates -> EXACT n-gram Jaccard verification.
+
+    Verification needs the two texts side by side: candidate pairs (tiny
+    relative to the corpus) are re-joined to texts via a broadcast
+    id->text map built from only the doc_ids that appear in candidates
+    (semi-join pushdown: the map is bounded by candidate count, not corpus
+    size).  Output: (left_id, right_id, est_jaccard, jaccard)."""
+    import ray as _ray
+
+    cands = minhash_candidate_pairs(
+        docs, jaccard_threshold=jaccard_threshold * 0.8, **minhash_kwargs
+    ).to_pandas()
+    if not len(cands):
+        return ray.data.from_items([]).limit(0)
+    wanted = set(cands["left_id"]) | set(cands["right_id"])
+    wanted_ref = _ray.put(wanted)
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        w = _ray.get(wanted_ref)
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        return df[df["doc_id"].isin(w)]
+
+    texts = docs.map_batches(project, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(texts["doc_id"], texts["text"]))
+    out = []
+    for _, r in cands.iterrows():
+        j = exact_jaccard(lookup.get(r["left_id"], ""),
+                          lookup.get(r["right_id"], ""), k=shingle_k)
+        if j >= jaccard_threshold:
+            out.append((r["left_id"], r["right_id"],
+                        r["est_jaccard"], round(j, 6)))
+    return ray.data.from_pandas(
+        pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard", "jaccard"])
+    )
+
+
 def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = _shingle_set(text_a, k), _shingle_set(text_b, k)
     inter = len(np.intersect1d(sa, sb))

@@ -50,6 +50,106 @@ def _topk_batch(batch: pa.Table, queries_ref, k: int, id_col: str,
     )
 
 
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (seeded farthest-point
+    init, few Lloyd iterations) — the coarse quantizer for IVF."""
+    rng = np.random.RandomState(4242)
+    centers = sample[rng.choice(len(sample), 1)]
+    for _ in range(n_clusters - 1):  # farthest-point init
+        d = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+        centers = np.vstack([centers, sample[np.argmax(d)]])
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            pts = sample[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(0)
+    return centers
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    queries: dict,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 4242,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the 100 TB scale path for similarity search.
+
+    Train a coarse quantizer on a driver-side SAMPLE (bounded), broadcast the
+    centroids, then one streamed pass: each batch computes, for every query,
+    similarities only for vectors whose nearest centroid is among the
+    query's `n_probe` closest centroids.  Cost per batch ≈ brute-force /
+    (n_clusters / n_probe); recall grows with n_probe (n_probe == n_clusters
+    degenerates to exact search)."""
+    sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sn = np.linalg.norm(sample, axis=1, keepdims=True)
+    sn[sn == 0] = 1.0
+    centers = _kmeans_lite(sample / sn, n_clusters)
+    cn = np.linalg.norm(centers, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    centers = centers / cn
+
+    query_ids = list(queries.keys())
+    qm = np.array([queries[i] for i in query_ids], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qm = qm / qn
+    # per-query probe set: n_probe nearest centroids
+    q_probes = np.argsort(-(qm @ centers.T), axis=1)[:, :n_probe]
+    ref = ray.put((query_ids, qm, centers, q_probes))
+    kk = k + (1 if exclude_self else 0)
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        qids, qmat, cents, probes = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        m = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        assign = (mn @ cents.T).argmax(1)  # nearest centroid per vector
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sub = mn[mask] @ qmat[qi]
+            sub_ids = ids[mask]
+            kq = min(kk, len(sub_ids))
+            top = np.argpartition(-sub, kq - 1)[:kq] if kq < len(sub_ids) else np.arange(len(sub_ids))
+            for t in top:
+                out_q.append(qid)
+                out_n.append(sub_ids[t])
+                out_s.append(round(float(sub[t]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = embeddings.select_columns([id_col, vec_col]).map_batches(
+        probe_batch, batch_format="pyarrow"
+    ).to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True], kind="stable",
+    )
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries: dict,

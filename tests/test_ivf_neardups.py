@@ -1,0 +1,59 @@
+"""IVF ANN recall vs brute force; verified near-dups (LSH -> exact Jaccard)."""
+
+import numpy as np
+import ray.data
+
+from gliner_transbronchialbiopsy_ray.stages.dedup import verified_near_dups
+from gliner_transbronchialbiopsy_ray.stages.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+
+def test_ivf_recall_against_brute_force():
+    rng = np.random.RandomState(1)
+    # clustered data so IVF probes are meaningful
+    centers = rng.randn(4, 16) * 4
+    m = np.vstack([c + rng.randn(100, 16) for c in centers])
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(len(m))]
+    ds = ray.data.from_items(rows)
+    queries = {0: m[0].tolist(), 150: m[150].tolist()}
+
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = ivf_topk(ray.data.from_items(rows), queries, k=5,
+                      n_clusters=4, n_probe=2, sample_size=400)
+    for qid in queries:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, (qid, e, a)
+
+
+def test_ivf_full_probe_equals_exact():
+    rng = np.random.RandomState(2)
+    m = rng.randn(60, 8)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(60)]
+    queries = {3: m[3].tolist()}
+    exact = brute_force_topk(ray.data.from_items(rows), queries, k=4)
+    approx = ivf_topk(ray.data.from_items(rows), queries, k=4,
+                      n_clusters=4, n_probe=4, sample_size=60)
+    assert exact["neighbor_id"].tolist() == approx["neighbor_id"].tolist()
+
+
+def test_verified_near_dups():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5)
+    near = base.replace("gamma", "gamma2")
+    far = "totally different words in this one " * 8
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+        ]
+    )
+    out = verified_near_dups(ds, jaccard_threshold=0.6, concurrency=1).to_pandas()
+    pairs = set(zip(out["left_id"], out["right_id"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    row = out[(out["left_id"] == 1) & (out["right_id"] == 2)].iloc[0]
+    assert 0.6 <= row["jaccard"] <= 1.0  # exact Jaccard attached
