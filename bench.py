@@ -173,7 +173,8 @@ def run_scaling() -> dict:
     from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
 
     write_corpus(SCALING_NDOCS, seed=42, shards=64)  # generate once, untimed
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     r_lo = _run_child(lo)
     r_hi = _run_child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -1,0 +1,80 @@
+"""Salted canonicalization aggregate (D4/north-star stage 3), global triple
+dedup variant, NER cache eviction, truncation parity mode."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from gliner_transbronchialbiopsy_ray import fixtures
+from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+from gliner_transbronchialbiopsy_ray.pipelines.btb import (
+    entities_dataset,
+    triples_dataset,
+)
+from gliner_transbronchialbiopsy_ray.stages.ner import NerStage
+from gliner_transbronchialbiopsy_ray.stages.triples import (
+    dedup_triples_global,
+    surface_form_stats,
+)
+
+CFG = PipelineConfig(ner_concurrency=1, ner_num_cpus=0.5)
+N = 120
+
+
+def _tri():
+    path = fixtures.write_corpus(N, seed=42, shards=2)
+    return triples_dataset(ray.data.read_parquet(f"{path}/documents"), CFG)
+
+
+def test_surface_form_stats_matches_pandas():
+    tri = _tri()
+    full = tri.to_pandas()
+    expected = (
+        full.groupby(["pred", "obj"])
+        .agg(n=("subj", "size"), n_docs=("subj", "nunique"))
+        .reset_index()
+    )
+    got = surface_form_stats(_tri()).to_pandas()
+    got = got[["pred", "obj", "n", "n_docs"]].sort_values(["pred", "obj"]).reset_index(drop=True)
+    expected = expected.sort_values(["pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # hot keys exist (grade values are power-law) — salting must not lose them
+    assert (got["n"] > 1).any()
+
+
+def test_global_triple_dedup_variant():
+    # duplicate every triple row, then global dedup must restore uniqueness
+    tri = _tri()
+    full = tri.to_pandas()
+    doubled = ray.data.from_pandas(pd.concat([full, full], ignore_index=True))
+    deduped = dedup_triples_global(doubled).to_pandas()
+    assert len(deduped) == len(full.drop_duplicates(["subj", "pred", "obj"]))
+
+
+def test_ner_cache_eviction_correctness():
+    stage = NerStage(cache_size=2)  # smaller than batch uniques
+    texts = [
+        "Biopsies transbronchiques (LID) : 7 fragments.",
+        "Biopsies transbronchiques (LM) : 3 fragments.",
+        "Biopsies transbronchiques (LSD) : 5 fragments.",
+        "Biopsies transbronchiques (LID) : 7 fragments.",  # repeat of row 0
+    ]
+    batch = pa.table(
+        {"doc_id": [f"d{i}" for i in range(4)],
+         "conclusion": texts,
+         "status": ["ok"] * 4}
+    )
+    out = stage(batch)
+    ents = out.column("entities").to_pylist()
+    assert all(len(e) >= 1 for e in ents)
+    assert ents[0] == ents[3]  # identical text -> identical result
+    assert len(stage.cache) <= 2
+
+
+def test_truncation_parity_mode():
+    path = fixtures.write_corpus(60, seed=42, shards=1)
+    cfg = PipelineConfig(ner_concurrency=1, ner_num_cpus=0.5, truncate_chars=512)
+    ents = entities_dataset(ray.data.read_parquet(f"{path}/documents"), cfg)
+    for row in ents.select_columns(["conclusion", "entities"]).iter_rows():
+        for e in row["entities"]:
+            assert e["end"] <= 512  # no span beyond the truncation cap
