@@ -670,7 +670,8 @@ def q28_part_stats(sf_dir: str) -> pd.DataFrame:
          "sum_size": ("p_size", "sum")},
     )
     out["total_price"] = out["total_price"].round(2)
-    out["avg_size_ppm"] = (1_000_000 * out["sum_size"]) // out["n"]
+    # p_size is int32 — widen before the ppm multiply or it overflows
+    out["avg_size_ppm"] = (1_000_000 * out["sum_size"].astype("int64")) // out["n"]
     return out.drop(columns=["sum_size"])
 
 
