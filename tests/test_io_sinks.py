@@ -1,0 +1,47 @@
+"""Store-layer IO round-trips (K1/K3/K4 analogs)."""
+
+import glob
+
+import pandas as pd
+import ray.data
+
+from gliner_transbronchialbiopsy_ray import fixtures
+from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
+from gliner_transbronchialbiopsy_ray.sources.io import (
+    read_table,
+    write_csv,
+    write_json,
+    write_triples,
+)
+
+
+def _tri():
+    path = fixtures.write_corpus(80, seed=42, shards=1)
+    return triples_dataset(
+        ray.data.read_parquet(f"{path}/documents"),
+        PipelineConfig(ner_concurrency=1, ner_num_cpus=0.5),
+    )
+
+
+def test_triples_parquet_roundtrip(tmp_path):
+    out = str(tmp_path / "triples")
+    write_triples(_tri(), out)
+    back = read_table(out).to_pandas()
+    orig = _tri().to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        back.sort_values(key).reset_index(drop=True)[sorted(back.columns)],
+        orig.sort_values(key).reset_index(drop=True)[sorted(orig.columns)],
+        check_dtype=False,
+    )
+
+
+def test_csv_and_json_sinks(tmp_path):
+    ds = ray.data.from_items([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    write_csv(ds, str(tmp_path / "csv"))
+    write_json(ray.data.from_items([{"a": 1}]), str(tmp_path / "json"))
+    assert glob.glob(str(tmp_path / "csv" / "*"))
+    assert glob.glob(str(tmp_path / "json" / "*"))
+    back = ray.data.read_csv(str(tmp_path / "csv")).to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2]
