@@ -974,6 +974,33 @@ def q33_verified_neardups(sf_dir: str):
     )
 
 
+def q34_native_join(sf_dir: str) -> pd.DataFrame:
+    """Native Dataset.join (hash-partitioned) — the built-in alternative to
+    q30's explicit bucketed join; falls back to q30 when this Ray version
+    lacks Dataset.join.  Output: revenue per order priority (same oracle)."""
+    if not hasattr(rd.Dataset, "join"):
+        return q30_orders_lineitem_join(sf_dir)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = items.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def rev(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["o_orderpriority", "rev"]]
+
+    out = _preagg(
+        joined.map_batches(rev, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"revenue": ("rev", "sum"), "n": ("rev", "count")},
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1023,4 +1050,5 @@ QUERIES: dict[str, tuple] = {
     "btb_corrections_by_date": (btb_corrections_by_date, None),
     "q32_ivf_ann_topk": (q32_ivf_ann_topk, None),
     "q33_verified_neardups": (q33_verified_neardups, None),
+    "q34_native_join": (q34_native_join, Q30_SQL),
 }
