@@ -11,8 +11,13 @@ gate is the golden-corpus P/R test suite (tests/test_pipeline_e2e.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the package importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:
