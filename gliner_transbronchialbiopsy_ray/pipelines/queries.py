@@ -1001,6 +1001,79 @@ def q34_native_join(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q35_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (1 h windows, 30 min slide): each event maps
+    to exactly 2 windows (flat-map in the batch UDF), then combiner+merge.
+    Window keys are integer epoch-seconds — exact on both engines."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        epoch_us = df["ts"].astype("datetime64[us]").astype("int64")
+        slot = epoch_us // 1_800_000_000  # 30-min slots, exact integer math
+        out = []
+        for off in (0, 1):
+            w = df.copy()
+            w["window_start"] = (slot - off) * 1800
+            out.append(w[["window_start", "event_type", "value"]])
+        return pd.concat(out, ignore_index=True)
+
+    out = _preagg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        {"total_value": ("value", "sum"), "n": ("value", "count")},
+    )
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+Q35_SQL = """
+SELECT (epoch_us(ts) // 1800000000 - off) * 1800 AS window_start,
+       event_type, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
+GROUP BY window_start, event_type
+"""
+
+
+def q36_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-2 events by value per event_type (grouped rank): coarse-bucket
+    combiner keeps only per-batch top-2 before the shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def partial_top(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="stable")
+        return df.groupby("event_type", sort=False).head(2)
+
+    partials = ds.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["value", "event_id"],
+                                    ascending=[False, True], kind="stable")
+    out = partials.groupby("event_type", sort=False).head(2).reset_index(drop=True)
+    out["rank"] = out.groupby("event_type").cumcount() + 1
+    return out[["event_type", "event_id", "value", "rank"]]
+
+
+Q36_SQL = """
+SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def q37_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embedding column (iterative:
+    broadcast centroids -> per-batch partial sums -> driver update).
+    Deterministic seed; returns per-cluster sizes + rounded inertia."""
+    from ..stages.similarity import kmeans_dataset
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, stats = kmeans_dataset(emb, k=8, iters=5)
+    return stats
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1051,4 +1124,7 @@ QUERIES: dict[str, tuple] = {
     "q32_ivf_ann_topk": (q32_ivf_ann_topk, None),
     "q33_verified_neardups": (q33_verified_neardups, None),
     "q34_native_join": (q34_native_join, Q30_SQL),
+    "q35_sliding_window": (q35_sliding_window, Q35_SQL),
+    "q36_topk_per_group": (q36_topk_per_group, Q36_SQL),
+    "q37_kmeans_embeddings": (q37_kmeans_embeddings, None),
 }

@@ -150,6 +150,83 @@ def ivf_topk(
     return out
 
 
+def kmeans_dataset(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+):
+    """Distributed Lloyd's k-means (iterative algorithm on Ray Data).
+
+    Each iteration: broadcast centroids (`ray.put`) -> one streamed pass
+    computing per-batch partial (sum, count) per cluster -> driver merges
+    the k×dim partials and updates centroids.  The dataset is never
+    materialized; per-iteration driver state is k vectors.
+
+    Returns (assignment Dataset (id, cluster), stats DataFrame
+    (cluster, n, inertia rounded)).  Seeded deterministic."""
+    sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centers = _kmeans_lite(sample, k, iters=0)  # farthest-point init only
+
+    for _ in range(iters):
+        ref = ray.put(centers)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int32)),
+                    "sum": pa.array(list(sums)),
+                    "n": pa.array(counts),
+                }
+            )
+
+        agg = embeddings.map_batches(partials, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in agg.iterrows():
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["n"]
+        nonzero = counts > 0
+        centers[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    ref = ray.put(centers)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids = batch.column(id_col)
+        m = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        return pa.table(
+            {
+                id_col: ids,
+                "cluster": pa.array(assign.astype(np.int32)),
+                "sq_dist": pa.array(d.min(1)),
+            }
+        )
+
+    assigned = embeddings.map_batches(final_assign, batch_format="pyarrow")
+    stats_df = assigned.to_pandas()
+    stats = (
+        stats_df.groupby("cluster")
+        .agg(n=("cluster", "size"), inertia=("sq_dist", "sum"))
+        .reset_index()
+    )
+    stats["inertia"] = stats["inertia"].round(4)
+    return assigned, stats
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries: dict,
