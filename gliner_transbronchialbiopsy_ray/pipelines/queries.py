@@ -1063,6 +1063,17 @@ SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
 """
 
 
+def q38_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing rolling-hash fingerprints; returns per-doc fingerprint
+    counts (deterministic; set itself is list<uint64>, rows-only check)."""
+    from ..stages.text_analysis import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_fingerprints, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_fingerprints"]).to_pandas()
+
+
 def q37_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the embedding column (iterative:
     broadcast centroids -> per-batch partial sums -> driver update).
@@ -1127,4 +1138,5 @@ QUERIES: dict[str, tuple] = {
     "q35_sliding_window": (q35_sliding_window, Q35_SQL),
     "q36_topk_per_group": (q36_topk_per_group, Q36_SQL),
     "q37_kmeans_embeddings": (q37_kmeans_embeddings, None),
+    "q38_winnow_fingerprints": (q38_winnow_fingerprints, None),
 }

@@ -104,6 +104,47 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     )
 
 
+def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 6) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al. 2003): rolling
+    k-gram hashes -> per-window minimum selection -> a compact, position-
+    robust fingerprint set per document.  Vectorized: the rolling hash is a
+    sliding-window dot product in wrapping uint64 arithmetic; the window
+    minimum is a numpy stride trick.  Output: (doc_id, fingerprints:
+    list<uint64>, n_fingerprints)."""
+    from .dedup import _MIX1, _POW
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    fps_out, counts = [], []
+    for t in texts:
+        t = " ".join((t or "").split())
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            fps_out.append([])
+            counts.append(0)
+            continue
+        with np.errstate(over="ignore"):
+            win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            h = (win * _POW[:k][None, :]).sum(axis=1, dtype=np.uint64)
+            h ^= h >> np.uint64(33)
+            h *= _MIX1
+            h ^= h >> np.uint64(29)
+        if len(h) <= window:
+            sel = np.array([h.min()], dtype=np.uint64)
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            sel = np.unique(wins.min(axis=1))
+        fps_out.append(sel.tolist())
+        counts.append(len(sel))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "fingerprints": pa.array(fps_out, type=pa.list_(pa.uint64())),
+            "n_fingerprints": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def _word_partials(batch: pa.Table) -> pa.Table:
     """Per-batch word-count combiner: the shuffle sees one row per distinct
     word per batch, not one per token."""
