@@ -1063,6 +1063,17 @@ SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
 """
 
 
+def btb_score_histogram(sf_dir: str) -> pd.DataFrame:
+    """Mergeable fixed-bin histogram sketch of mention scores (G7 at scale)."""
+    from ..stages.stats import score_histogram
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(rd.read_parquet(f"{path}/documents"), cfg)
+    return score_histogram(ents)
+
+
 def q38_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Winnowing rolling-hash fingerprints; returns per-doc fingerprint
     counts (deterministic; set itself is list<uint64>, rows-only check)."""
@@ -1139,4 +1150,5 @@ QUERIES: dict[str, tuple] = {
     "q36_topk_per_group": (q36_topk_per_group, Q36_SQL),
     "q37_kmeans_embeddings": (q37_kmeans_embeddings, None),
     "q38_winnow_fingerprints": (q38_winnow_fingerprints, None),
+    "btb_score_histogram": (btb_score_histogram, None),
 }

@@ -167,6 +167,33 @@ def threshold_impact(entities_ds: ray.data.Dataset, n_steps: int = 21) -> pd.Dat
     )
 
 
+def score_histogram(entities_ds: ray.data.Dataset, bins: int = 100) -> pd.DataFrame:
+    """Mergeable-sketch variant of G7 for 100 TB inputs: per-batch fixed-bin
+    histograms (one (label, bin, n) partial row set per batch) merged by a
+    tiny groupby — approximate quantiles derivable from the histogram with
+    error <= 1/bins, and partials merge associatively like any sketch."""
+    mentions = entities_ds.map_batches(explode_entities, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["label", "score"]).to_pandas()
+        df["bin"] = np.clip((df["score"] * bins).astype(int), 0, bins - 1)
+        return (
+            df.groupby(["label", "bin"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    partials = mentions.map_batches(hist, batch_format="pyarrow").to_pandas()
+    return (
+        partials.groupby(["label", "bin"], sort=False)["n"]
+        .sum()
+        .reset_index()
+        .sort_values(["label", "bin"])
+        .reset_index(drop=True)
+    )
+
+
 def score_distribution(entities_ds: ray.data.Dataset) -> pd.DataFrame:
     """G7: per-label score quantiles (exact at this scale; the scale path is
     a mergeable sketch emitted per batch)."""
