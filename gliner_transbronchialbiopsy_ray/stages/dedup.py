@@ -281,6 +281,50 @@ def verified_near_dups(
     )
 
 
+def connected_components(
+    pairs: ray.data.Dataset,
+    max_iterations: int = 10,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> ray.data.Dataset:
+    """Cluster near-duplicate pairs into components by iterative min-label
+    propagation (the shuffle-only alternative to driver-side union-find —
+    works when the edge set doesn't fit one node).
+
+    Each round: explode edges to (node, candidate_label) in both directions
+    plus each node's current label, take the per-node min (one coarse-bucket
+    groupby), stop when no label changed.  Converges in O(diameter) rounds;
+    `max_iterations` bounds it.  Output: (node, component) where component =
+    min node id in the cluster."""
+
+    edges = pairs.select_columns([left_col, right_col]).to_pandas()
+    # labels live driver-side per round ONLY as the per-node current label
+    # table (bounded by distinct nodes in the candidate set, which is tiny
+    # relative to the corpus — candidates, not documents)
+    import numpy as np
+
+    nodes = pd.unique(pd.concat([edges[left_col], edges[right_col]], ignore_index=True))
+    label = pd.Series(nodes, index=nodes)  # node -> label (init: itself)
+    for _ in range(max_iterations):
+        l_left = edges[left_col].map(label)
+        l_right = edges[right_col].map(label)
+        m = np.minimum(l_left, l_right)
+        prop = pd.concat(
+            [
+                pd.DataFrame({"node": edges[left_col], "cand": m}),
+                pd.DataFrame({"node": edges[right_col], "cand": m}),
+                pd.DataFrame({"node": label.index, "cand": label.values}),
+            ],
+            ignore_index=True,
+        )
+        new_label = prop.groupby("node")["cand"].min()
+        if new_label.equals(label):
+            break
+        label = new_label
+    out = pd.DataFrame({"node": label.index, "component": label.values})
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = _shingle_set(text_a, k), _shingle_set(text_b, k)
     inter = len(np.intersect1d(sa, sb))

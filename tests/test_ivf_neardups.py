@@ -57,3 +57,24 @@ def test_verified_near_dups():
     assert not any(3 in p for p in pairs)
     row = out[(out["left_id"] == 1) & (out["right_id"] == 2)].iloc[0]
     assert 0.6 <= row["jaccard"] <= 1.0  # exact Jaccard attached
+
+
+def test_connected_components():
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_items(
+        [
+            {"left_id": 1, "right_id": 2},
+            {"left_id": 2, "right_id": 3},   # chain 1-2-3
+            {"left_id": 7, "right_id": 9},   # separate pair
+            {"left_id": 4, "right_id": 5},
+            {"left_id": 5, "right_id": 6},
+            {"left_id": 6, "right_id": 4},   # cycle 4-5-6
+        ]
+    )
+    out = connected_components(pairs).to_pandas().set_index("node")["component"]
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == out[9] == 7
+    assert out[4] == out[5] == out[6] == 4
