@@ -36,7 +36,6 @@ from .schema import (
     DOCUMENTS_SCHEMA,
     GOLD_ENTITIES_SCHEMA,
     GOLD_TRIPLES_SCHEMA,
-    SPAN_STRUCT,
 )
 from .stages.normalize import extract_conclusion
 

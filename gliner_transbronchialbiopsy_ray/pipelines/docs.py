@@ -19,7 +19,6 @@ def analyze_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
     """One streamed pass adding per-doc features; a second tiny pass marks
     exact duplicates via a broadcast hash->min(doc_id) map built from a
     grouped aggregate of content hashes (small: one row per distinct text)."""
-    from ..stages.dedup import add_content_hash
     from ..stages.text_analysis import _STOP_RE
 
     def features(batch: pa.Table) -> pd.DataFrame:

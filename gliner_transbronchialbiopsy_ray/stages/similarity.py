@@ -12,8 +12,6 @@ instead of a full pass.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
