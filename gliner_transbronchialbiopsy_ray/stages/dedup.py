@@ -286,21 +286,24 @@ def connected_components(
     max_iterations: int = 10,
     left_col: str = "left_id",
     right_col: str = "right_id",
+    distributed: bool = False,
 ) -> ray.data.Dataset:
-    """Cluster near-duplicate pairs into components by iterative min-label
-    propagation (the shuffle-only alternative to driver-side union-find —
-    works when the edge set doesn't fit one node).
+    """Cluster near-duplicate candidate pairs into components by iterative
+    min-label propagation.  Output: (node, component) where component = min
+    node id in the cluster; converges in O(diameter) rounds.
 
-    Each round: explode edges to (node, candidate_label) in both directions
-    plus each node's current label, take the per-node min (one coarse-bucket
-    groupby), stop when no label changed.  Converges in O(diameter) rounds;
-    `max_iterations` bounds it.  Output: (node, component) where component =
-    min node id in the cluster."""
+    distributed=False (default): the loop runs driver-side in pandas —
+    candidate PAIRS are tiny relative to the corpus (they passed an LSH +
+    similarity gate), so this is the right default even at 100 TB input.
+    distributed=True: the same fixpoint as Dataset ops — per round, two
+    hash joins attach current labels to edge endpoints, propagation rows
+    are grouped by node with a Min aggregate; use when the candidate graph
+    itself is too large for one node."""
+
+    if distributed:
+        return _cc_distributed(pairs, max_iterations, left_col, right_col)
 
     edges = pairs.select_columns([left_col, right_col]).to_pandas()
-    # labels live driver-side per round ONLY as the per-node current label
-    # table (bounded by distinct nodes in the candidate set, which is tiny
-    # relative to the corpus — candidates, not documents)
     import numpy as np
 
     nodes = pd.unique(pd.concat([edges[left_col], edges[right_col]], ignore_index=True))
@@ -323,6 +326,81 @@ def connected_components(
         label = new_label
     out = pd.DataFrame({"node": label.index, "component": label.values})
     return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def _cc_distributed(pairs, max_iterations, left_col, right_col):
+    """Min-label propagation as Dataset ops (hash joins + Min aggregate)."""
+    from ray.data.aggregate import Min, Sum
+
+    edges = pairs.select_columns([left_col, right_col]).materialize()
+
+    def init_labels(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        nodes = pd.unique(pd.concat([df[left_col], df[right_col]], ignore_index=True))
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    # repartition(1) after each aggregate: grouped aggregates can emit
+    # empty schema-less blocks that break downstream hash joins
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(1)
+        .materialize()
+    )
+    for _ in range(max_iterations):
+        # Dataset.join drops the right key column; rename the attached label
+        e1 = edges.join(labels, join_type="inner", num_partitions=8,
+                        on=(left_col,), right_on=("node",))
+        e1 = e1.map_batches(
+            lambda b: b.rename_columns(
+                [c if c != "label" else "label_l" for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        e2 = e1.join(labels, join_type="inner", num_partitions=8,
+                     on=(right_col,), right_on=("node",))
+
+        def propagate(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            m = df[["label_l", "label"]].min(axis=1)
+            return pd.concat(
+                [pd.DataFrame({"node": df[left_col], "label": m}),
+                 pd.DataFrame({"node": df[right_col], "label": m})],
+                ignore_index=True,
+            )
+
+        prop = e2.map_batches(propagate, batch_format="pyarrow").union(labels)
+        new_labels = (
+            prop.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(1)
+            .materialize()
+        )
+        # convergence: any label changed?  (join old vs new, count diffs)
+        old = labels.map_batches(
+            lambda b: b.rename_columns(
+                [c if c != "label" else "label_old" for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = new_labels.join(old, join_type="inner", num_partitions=8,
+                                 on=("node",), right_on=("node",))
+
+        def diff(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            return pd.DataFrame({"n": [int((df["label"] != df["label_old"]).sum())]})
+
+        changed = (
+            joined.map_batches(diff, batch_format="pyarrow")
+            .aggregate(Sum("n", alias_name="n"))["n"]
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "component"]), batch_format="pyarrow"
+    )
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:

@@ -78,3 +78,31 @@ def test_connected_components():
     assert out[1] == out[2] == out[3] == 1
     assert out[7] == out[9] == 7
     assert out[4] == out[5] == out[6] == 4
+
+
+def test_connected_components_distributed_matches_driver():
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_items(
+        [
+            {"left_id": 1, "right_id": 2},
+            {"left_id": 2, "right_id": 3},
+            {"left_id": 7, "right_id": 9},
+            {"left_id": 4, "right_id": 5},
+            {"left_id": 5, "right_id": 6},
+            {"left_id": 6, "right_id": 4},
+            {"left_id": 3, "right_id": 10},  # longer chain 1-2-3-10
+        ]
+    )
+    a = connected_components(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+    b = (
+        connected_components(pairs, distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
