@@ -890,10 +890,23 @@ def btb_surface_forms(sf_dir: str):
 
 
 def btb_media_features(sf_dir: str):
+    """Media-span feature extraction (decode stub); the query projects the
+    list<float> feature down to a rounded norm so the driver's value-hash
+    stays scalar — the full vector schema is covered by pytest."""
     from ..stages.multimodal import media_features
 
     path = _btb_corpus_for(sf_dir)
-    return media_features(rd.read_parquet(f"{path}/documents"))
+    feats = media_features(rd.read_parquet(f"{path}/documents"))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["feature_norm"] = df["feature"].map(
+            lambda v: round(float(np.linalg.norm(np.asarray(v, dtype=np.float64))), 4)
+            if v is not None else None
+        )
+        return df[["doc_id", "media_ref", "kind", "decode_status", "feature_norm"]]
+
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def btb_corrected_wide(sf_dir: str):

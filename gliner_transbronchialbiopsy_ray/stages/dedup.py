@@ -11,9 +11,10 @@
 Scale design: every stage is a vectorized `map_batches`; the only shuffles
 are groupbys on (hash) or (band, band_hash) keys whose group sizes are
 bounded; candidate verification happens inside the bucket group (no global
-pairwise pass).  Connected components are NOT computed here — candidate
-pairs are the output contract (the caller can run iterative min-label
-propagation if clusters are needed).
+pairwise pass).  `connected_components` turns candidate pairs into dedup
+clusters by iterative min-label propagation (driver-side over the bounded
+candidate set by default; `distributed=True` runs the same fixpoint as
+Dataset joins + grouped Min for huge candidate graphs).
 """
 
 from __future__ import annotations
