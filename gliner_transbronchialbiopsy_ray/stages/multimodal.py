@@ -75,6 +75,69 @@ class MediaFeatureExtractor:
         )
 
 
+class MediaResizer:
+    """Actor stage: image resize plumbing.  The decode/resize kernel is
+    STUBBED (no PIL in this container): emits deterministic fake output
+    dimensions + a derived output ref; a real deployment decodes bytes,
+    resizes, writes to the media store, and returns the new ref."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224):
+        self.w, self.h = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        out_refs, ws, hs, status = [], [], [], []
+        for r, k in zip(refs, kinds):
+            if k != "image":
+                out_refs.append(None)
+                ws.append(None)
+                hs.append(None)
+                status.append("unsupported_kind")
+                continue
+            out_refs.append(f"{r}#resized_{self.w}x{self.h}")
+            ws.append(self.w)
+            hs.append(self.h)
+            status.append("ok")
+        return (
+            batch.append_column("resized_ref", pa.array(out_refs, type=pa.string()))
+            .append_column("out_w", pa.array(ws, type=pa.int32()))
+            .append_column("out_h", pa.array(hs, type=pa.int32()))
+            .append_column("resize_status", pa.array(status, type=pa.string()))
+        )
+
+
+class FrameSampler:
+    """Actor stage: video frame-sampling plumbing (stubbed kernel).  Emits
+    one row per sampled frame with a deterministic frame ref; a real
+    deployment probes duration and decodes frames at `fps`."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        o_doc, o_ref, o_frame, o_idx = [], [], [], []
+        for d, r, k in zip(doc_ids, refs, kinds):
+            if k != "video":
+                continue
+            for i in range(self.n):
+                o_doc.append(d)
+                o_ref.append(r)
+                o_frame.append(f"{r}#frame_{i}")
+                o_idx.append(i)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, type=pa.string()),
+                "media_ref": pa.array(o_ref, type=pa.string()),
+                "frame_ref": pa.array(o_frame, type=pa.string()),
+                "frame_index": pa.array(o_idx, type=pa.int32()),
+            }
+        )
+
+
 def media_features(
     docs: ray.data.Dataset,
     dim: int = 16,
