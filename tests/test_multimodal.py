@@ -28,7 +28,7 @@ def test_media_features_pipeline():
     a = df.sort_values("media_ref").reset_index(drop=True)
     b = df2.sort_values("media_ref").reset_index(drop=True)
     assert (a["media_ref"] == b["media_ref"]).all()
-    assert all(x == y for x, y in zip(a["feature"], b["feature"]))
+    assert all(list(x) == list(y) for x, y in zip(a["feature"], b["feature"]))
 
 
 def test_resizer_and_frame_sampler():
