@@ -1098,6 +1098,37 @@ def q38_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     return ds.select_columns(["doc_id", "n_fingerprints"]).to_pandas()
 
 
+_BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q39_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex tokenization (GPT-2-style contraction/word/number/punct
+    classes) — per-doc token counts; Python re and DuckDB RE2 agree on this
+    pattern (verified), so it carries a full oracle."""
+    import re
+
+    pat = re.compile(_BPE_RE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_pylist(),
+                "n_bpe_tokens": s.map(lambda t: len(pat.findall(t))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow").to_pandas()
+
+
+Q39_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q37_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the embedding column (iterative:
     broadcast centroids -> per-batch partial sums -> driver update).
@@ -1163,5 +1194,6 @@ QUERIES: dict[str, tuple] = {
     "q36_topk_per_group": (q36_topk_per_group, Q36_SQL),
     "q37_kmeans_embeddings": (q37_kmeans_embeddings, None),
     "q38_winnow_fingerprints": (q38_winnow_fingerprints, None),
+    "q39_bpe_token_count": (q39_bpe_token_count, Q39_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
 }
