@@ -205,10 +205,13 @@ def _interleave(rng: random.Random, doc_id: str, body: str):
     return {"doc_id": doc_id, "spans": spans}
 
 
-def generate_corpus(n_docs: int, seed: int = 42) -> dict[str, pa.Table]:
+def _generate(indices, seed: int = 42) -> dict[str, pa.Table]:
+    """Generate the corpus tables for the given doc indices (per-doc RNG is
+    (seed, index)-derived — any index partitioning reproduces the serial
+    output exactly)."""
     docs, gold_ent, gold_tri, corr = [], [], [], []
     base_ts = _dt.datetime(2025, 1, 1, 8, 0, 0)
-    for i in range(n_docs):
+    for i in indices:
         row, gold, status = _gen_doc(seed, i)
         docs.append(row)
         if gold:
@@ -268,30 +271,67 @@ def corpus_dir(n_docs: int, seed: int = 42, root: str = "/tmp/gtb_fixtures") -> 
     return os.path.join(root, f"seed{seed}_n{n_docs}")
 
 
+def _gen_range(args) -> dict[str, pa.Table]:
+    """Generate docs [lo, hi) — per-doc RNG is (seed, index)-derived, so any
+    range partitioning produces output identical to the serial path."""
+    seed, lo, hi = args
+    return generate_corpus_range(lo, hi, seed)
+
+
+def generate_corpus_range(lo: int, hi: int, seed: int = 42) -> dict[str, pa.Table]:
+    """generate_corpus for the doc-index range [lo, hi)."""
+    return _generate(range(lo, hi), seed)
+
+
+def generate_corpus(n_docs: int, seed: int = 42) -> dict[str, pa.Table]:
+    """Full corpus for n_docs (serial)."""
+    return _generate(range(n_docs), seed)
+
+
 def write_corpus(n_docs: int, seed: int = 42, root: str = "/tmp/gtb_fixtures",
-                 shards: int = 1) -> str:
+                 shards: int = 1, parallel: bool | None = None) -> str:
     """Write the corpus as parquet under a deterministic cached path.
 
     `shards` > 1 splits the documents table into several files so Ray's
     read parallelism (and the checkpoint partitioner) has real input shards.
-    """
+    `parallel` (default: auto for >= 5000 docs) generates shard ranges in a
+    multiprocessing pool — output is byte-identical to the serial path
+    because the per-doc RNG depends only on (seed, doc index)."""
     out = corpus_dir(n_docs, seed, root)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
-    tables = generate_corpus(n_docs, seed)
+    shards = max(1, shards)
+    per = (n_docs + shards - 1) // shards
+    ranges = [(seed, s * per, min((s + 1) * per, n_docs)) for s in range(shards)
+              if s * per < n_docs]
+    if parallel is None:
+        parallel = n_docs >= 5000 and len(ranges) > 1
     tmp = out + ".tmp"
     os.makedirs(os.path.join(tmp, "documents"), exist_ok=True)
-    docs = tables.pop("documents")
-    per = (docs.num_rows + shards - 1) // max(1, shards)
-    for s in range(max(1, shards)):
-        chunk = docs.slice(s * per, per)
-        if chunk.num_rows:
+    if parallel:
+        import multiprocessing as mp
+
+        with mp.Pool(min(len(ranges), max(1, (os.cpu_count() or 4) - 2))) as pool:
+            parts = pool.map(_gen_range, ranges)
+    else:
+        parts = [_gen_range(r) for r in ranges]
+    side: dict[str, list[pa.Table]] = {}
+    for s, tables in enumerate(parts):
+        docs = tables.pop("documents")
+        if docs.num_rows:
             pq.write_table(
-                chunk, os.path.join(tmp, "documents", f"part-{s:05d}.parquet")
+                docs, os.path.join(tmp, "documents", f"part-{s:05d}.parquet")
             )
-    for name, table in tables.items():
-        pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+        for name, table in tables.items():
+            side.setdefault(name, []).append(table)
+    for name, chunks in side.items():
+        if name == "dictionary":
+            pq.write_table(chunks[0], os.path.join(tmp, f"{name}.parquet"))
+        else:
+            pq.write_table(
+                pa.concat_tables(chunks), os.path.join(tmp, f"{name}.parquet")
+            )
     open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
     if os.path.exists(out):  # stale partial dir from a killed run
         import shutil
