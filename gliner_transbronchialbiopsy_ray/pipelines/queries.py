@@ -814,7 +814,7 @@ def q31_training_records(sf_dir: str) -> pd.DataFrame:
 # NER/linking semantics are not SQL-expressible -> rows-only driver check;
 # their correctness gate is tests/test_pipeline_e2e.py's golden P/R)
 
-_SF_TO_NDOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
+_SF_TO_NDOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 20000}
 
 
 def _auto_btb_cfg(work_factor: int = 1):
