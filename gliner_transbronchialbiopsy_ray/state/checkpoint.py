@@ -30,13 +30,17 @@ from .. import __version__
 
 
 def plan_partitions(input_files: list[str], n_partitions: int) -> list[list[str]]:
-    """Deterministic round-robin file grouping (files are the driver's input
-    shards; at 100 TB each group is a contiguous key/shard range)."""
+    """Deterministic STABLE-HASH file grouping: a file's partition depends
+    only on its own name, so appending new input files to a corpus leaves
+    existing partitions' file sets unchanged (their manifests stay valid on
+    resume) except the partitions the new files hash into."""
+    import zlib
+
     files = sorted(input_files)
     n = max(1, min(n_partitions, len(files)))
     groups: list[list[str]] = [[] for _ in range(n)]
-    for i, f in enumerate(files):
-        groups[i % n].append(f)
+    for f in files:
+        groups[zlib.crc32(os.path.basename(f).encode("utf-8")) % n].append(f)
     return groups
 
 
@@ -79,9 +83,15 @@ class CheckpointedRun:
         """
         read_fn = read_fn or (lambda files: ray.data.read_parquet(files))
         done = self.completed()
-        summary = {"completed_prior": len(done), "ran": 0, "rows_out": 0}
+        summary = {"completed_prior": 0, "ran": 0, "rows_out": 0}
         for pid, files in enumerate(partitions):
-            if pid in done:
+            if not files:  # stable-hash planning can leave a bucket empty
+                continue
+            # a manifest is only trusted if it covers EXACTLY this
+            # partition's current input files — an appended/changed corpus
+            # invalidates affected partitions, never silently keeps them
+            if pid in done and done[pid].get("input_ref") == files:
+                summary["completed_prior"] += 1
                 continue
             out_dir = self._out_dir(pid)
             tmp_dir = out_dir + ".tmp"

@@ -63,13 +63,14 @@ def test_resume_after_partition_failure(corpus_path, tmp_path_factory):
         CheckpointedRun(out_b).run(parts, flaky)
 
     run_b = CheckpointedRun(out_b)
-    assert len(run_b.completed()) == 1  # only partition 0 manifested
+    assert len(run_b.completed()) == 1  # only the first partition manifested
 
-    # resume: skips partition 0, completes the rest
+    # resume: skips the completed partition, completes the rest
+    n_nonempty = sum(1 for p in parts if p)
     summary = run_b.run(parts, _pipeline)
     assert summary["completed_prior"] == 1
-    assert summary["ran"] == 2
-    assert summary["completed_total"] == 3
+    assert summary["ran"] == n_nonempty - 1
+    assert summary["completed_total"] == n_nonempty
     assert _triples(out_b) == expected
 
 
@@ -103,3 +104,28 @@ def test_untrusted_output_without_manifest_is_redone(corpus_path, tmp_path_facto
     summary = run.run(parts, _pipeline)
     assert summary["ran"] == 1
     assert _triples(out) == expected
+
+
+def test_incremental_append_only_new_partitions_run(corpus_path, tmp_path_factory):
+    """Appending input files re-runs ONLY the partitions whose file set
+    changed (stable-hash planning) — never silently keeps stale output."""
+    files = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+    first, extra = files[:-1], files[-1:]
+    out = str(tmp_path_factory.mktemp("incr"))
+    run = CheckpointedRun(out)
+
+    parts_a = plan_partitions(first, 4)
+    run.run(parts_a, _pipeline)
+
+    parts_b = plan_partitions(first + extra, 4)
+    # partitions not containing the new file keep identical file sets
+    unchanged = sum(1 for a, b in zip(parts_a, parts_b) if a == b)
+    assert unchanged >= 1
+    summary = run.run(parts_b, _pipeline)
+    assert summary["completed_prior"] == unchanged
+    assert summary["ran"] == len(parts_b) - unchanged
+
+    # final output covers the full corpus exactly (vs single-shot)
+    out_full = str(tmp_path_factory.mktemp("full"))
+    CheckpointedRun(out_full).run(parts_b, _pipeline)
+    assert _triples(out) == _triples(out_full)
