@@ -112,6 +112,7 @@ class PipelineConfig:
     ner_batch_size: int = 256
     ner_concurrency: int | tuple[int, int] = 4
     ner_num_cpus: float = 1.0  # fraction <1 lets small clusters pipeline
+    ner_num_gpus: float = 0.0  # set >0 on GPU clusters (real GLiNER backend)
     ner_blocks: int | None = None  # repartition before NER: actor-pool
     # parallelism is bounded by BLOCK count (one block per actor task), so
     # size this to >= pool size x 2; None keeps upstream blocking

@@ -68,6 +68,7 @@ def entities_dataset(
         batch_size=cfg.ner_batch_size,
         concurrency=cfg.ner_concurrency,
         num_cpus=cfg.ner_num_cpus,
+        **({"num_gpus": cfg.ner_num_gpus} if cfg.ner_num_gpus else {}),
     )
     return ds
 
