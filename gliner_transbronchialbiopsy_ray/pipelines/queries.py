@@ -105,9 +105,15 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q02_filtered_revenue(sf_dir: str) -> pd.DataFrame:
-    ds = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"])
+    """Filter + computed column with the predicate PUSHED INTO THE READ
+    (row-group pruning at the source — only matching row groups leave
+    storage), plus a residual in-batch filter for exactness."""
     cutoff = dt.datetime(1996, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") < cutoff),
+    )
 
     def fr(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(cutoff)))
