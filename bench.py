@@ -63,9 +63,9 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    import ray.data
+    from gliner_transbronchialbiopsy_ray.config import configure_data_context
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
     from gliner_transbronchialbiopsy_ray.pipelines.queries import QUERIES, _btb_corpus_for
 
@@ -113,11 +113,12 @@ def run_scaling_job() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    import ray.data
+    from gliner_transbronchialbiopsy_ray.config import (
+        PipelineConfig,
+        configure_data_context,
+    )
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
-
-    from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+    configure_data_context()
     from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
     from gliner_transbronchialbiopsy_ray.pipelines.btb import triples_dataset
 

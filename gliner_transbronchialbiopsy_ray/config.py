@@ -97,6 +97,27 @@ ALLOWED_FILE_TYPES: tuple[str, ...] = ("pdf", "txt")
 OVERLAP_MERGE_THRESHOLD: float = 0.5  # IoU for span merge (keep max score)
 
 
+def configure_data_context(
+    target_max_block_mb: int = 128,
+    preserve_order: bool = False,
+    progress_bars: bool = False,
+) -> None:
+    """Apply the engine's recommended Ray Data execution knobs.
+
+    - block size: 128 MiB default; LOWER it for corpora with huge media
+      payloads per row so a batch × pool concurrency fits worker heaps
+      (media stay refs in this engine, so the default is fine);
+    - preserve_order stays False (span order is IN-ROW, never inter-block —
+      ordered execution would only cost pipelining);
+    - progress bars off for clean driver/bench logs."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = target_max_block_mb << 20
+    ctx.execution_options.preserve_order = preserve_order
+    ctx.enable_progress_bars = progress_bars
+
+
 @dataclass
 class PipelineConfig:
     """Per-run knobs for the KG-construction pipeline.

@@ -48,9 +48,9 @@ def main(argv: list[str] | None = None) -> int:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    import ray.data
+    from .config import configure_data_context
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
     from .config import LABELS, PipelineConfig
     from .pipelines.btb import triples_dataset
