@@ -58,22 +58,32 @@ _SPANS = st.lists(
 @settings(max_examples=200, deadline=None)
 @given(_SPANS)
 def test_merge_overlapping_invariants(raw):
+    """Properties of the reference's GREEDY single-pass merge
+    (entity_processor.py:137-192).  Note: hypothesis found that the
+    reference algorithm is NOT idempotent (a chain merge can leave a
+    >0.5-IoU pair behind, e.g. spans (0,12),(0,6),(1,8)) — we reproduce the
+    reference faithfully rather than 'fixing' it, so the invariants below
+    are the ones the reference actually guarantees."""
     ents = [
         {"text": "t", "label": "l", "score": round(sc, 3),
          "start": s, "end": s + ln}
         for s, ln, sc in raw
     ]
     merged = merge_overlapping(ents)
-    # idempotent
-    assert merge_overlapping(merged) == merged
+    # deterministic
+    assert merge_overlapping(ents) == merged
     # survivors are a subset of inputs
     key = lambda e: (e["start"], e["end"], e["score"])
     assert {key(e) for e in merged} <= {key(e) for e in ents}
-    # no adjacent pair above the IoU threshold survives
-    for a, b in zip(merged, merged[1:]):
-        inter = min(a["end"], b["end"]) - max(a["start"], b["start"])
-        union = max(a["end"], b["end"]) - min(a["start"], b["start"])
-        assert union <= 0 or inter / union <= 0.5
+    # never empty for non-empty input; output stays (start, -end)-sorted
+    if ents:
+        assert merged
+        keys = [(e["start"], -e["end"]) for e in merged]
+        assert keys == sorted(keys)
+    # each CONSUMED span lost to a higher-or-equal-scoring survivor chain:
+    # the max input score always survives
+    if ents:
+        assert max(e["score"] for e in merged) == max(e["score"] for e in ents)
 
 
 @settings(max_examples=150, deadline=None)
