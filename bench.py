@@ -179,8 +179,14 @@ def run_scaling() -> dict:
     # which caps ANY job's 8->32 efficiency at ~0.70; 4->16 is clean.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo = _run_child(lo)
-    r_hi = _run_child(hi)
+    # this VM's per-core speed fluctuates with cloud steal (bench_hw_probe
+    # run-to-run variance ~15-25%); repeat each leg and take the min — the
+    # standard noise-robust estimator for same-input benchmark pairs
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    runs_lo = [_run_child(lo) for _ in range(repeats)]
+    runs_hi = [_run_child(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -191,6 +197,8 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
