@@ -1001,8 +1001,14 @@ def q34_native_join(sf_dir: str) -> pd.DataFrame:
         return q30_orders_lineitem_join(sf_dir)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    # partition count sized to the cluster: each partition spawns aggregator
+    # actors, so 16 partitions on a 4-CPU driver run is pure overhead
+    try:
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    except Exception:
+        n_parts = 8
     joined = items.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -1104,6 +1110,96 @@ def q38_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     return ds.select_columns(["doc_id", "n_fingerprints"]).to_pandas()
 
 
+def q40_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT-join semantics: order count per customer INCLUDING zero-order
+    customers.  Ray side: grouped counts on the big side (combiner), then a
+    left merge onto the (small) customer table."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    counts = _preagg(orders, ["o_custkey"], {"n_orders": ("o_orderkey", "count")})
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    out = cust.merge(counts, left_on="c_custkey", right_on="o_custkey", how="left")
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    return out[["c_custkey", "n_orders"]]
+
+
+Q40_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q41_string_kernels(sf_dir: str):
+    """Scalar string functions as pure pyarrow.compute kernels (upper,
+    slice, element-wise concat) — zero Python in the batch body."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"]
+        src = batch["source"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_uc": pc.utf8_upper(lang),
+                "src_id": pc.utf8_slice_codeunits(src, 3),
+                "combo": pc.binary_join_element_wise(lang, src, "-"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q41_SQL = """
+SELECT doc_id, upper(lang) AS lang_uc, substr(source, 4) AS src_id,
+       lang || '-' || source AS combo
+FROM documents
+"""
+
+
+def q42_conditional_agg(sf_dir: str) -> pd.DataFrame:
+    """Conditional aggregation (CASE WHEN analog via pc.if_else): revenue
+    split into high/low-discount buckets per return flag."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        hi = pc.greater_equal(batch["l_discount"], pa.scalar(0.05))
+        zero = pa.scalar(0.0)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "rev_hi_disc": pc.if_else(hi, rev, zero),
+                "rev_lo_disc": pc.if_else(hi, zero, rev),
+            }
+        ).to_pandas()
+
+    out = _preagg(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"rev_hi_disc": ("rev_hi_disc", "sum"),
+         "rev_lo_disc": ("rev_lo_disc", "sum"),
+         "n": ("rev_hi_disc", "count")},
+    )
+    out["rev_hi_disc"] = out["rev_hi_disc"].round(2)
+    out["rev_lo_disc"] = out["rev_lo_disc"].round(2)
+    return out
+
+
+Q42_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount >= 0.05
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS rev_hi_disc,
+       round(sum(CASE WHEN l_discount >= 0.05
+                      THEN 0 ELSE l_extendedprice * (1 - l_discount) END), 2)
+         AS rev_lo_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 _BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
@@ -1201,5 +1297,8 @@ QUERIES: dict[str, tuple] = {
     "q37_kmeans_embeddings": (q37_kmeans_embeddings, None),
     "q38_winnow_fingerprints": (q38_winnow_fingerprints, None),
     "q39_bpe_token_count": (q39_bpe_token_count, Q39_SQL),
+    "q40_customer_order_counts": (q40_customer_order_counts, Q40_SQL),
+    "q41_string_kernels": (q41_string_kernels, Q41_SQL),
+    "q42_conditional_agg": (q42_conditional_agg, Q42_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
 }
