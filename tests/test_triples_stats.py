@@ -78,3 +78,31 @@ def test_truncation_parity_mode():
     for row in ents.select_columns(["conclusion", "entities"]).iter_rows():
         for e in row["entities"]:
             assert e["end"] <= 512  # no span beyond the truncation cap
+
+
+def test_surface_form_stats_extreme_hot_key():
+    """Salted two-phase aggregation must stay exact when one canonical value
+    dominates (power-law hot key, e.g. 'A0' at 90%+ frequency)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 50_000
+    objs = np.where(rng.rand(n) < 0.92, "A0", rng.choice(["A1", "A2", "A3"], n))
+    df = pd.DataFrame(
+        {
+            "subj": [f"doc-{i}" for i in range(n)],
+            "pred": "has_grade_a",
+            "obj": objs,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = surface_form_stats(ds).to_pandas()
+    expected = (
+        df.groupby(["pred", "obj"])
+        .agg(n=("subj", "size"), n_docs=("subj", "nunique"))
+        .reset_index()
+    )
+    got = got[["pred", "obj", "n", "n_docs"]].sort_values("obj").reset_index(drop=True)
+    expected = expected.sort_values("obj").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    assert got.loc[got["obj"] == "A0", "n"].iloc[0] > 40_000  # genuinely hot
