@@ -1200,6 +1200,31 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q43_deterministic_sample(sf_dir: str) -> pd.DataFrame:
+    """Reproducible hash-based sampling (the scalable alternative to seeded
+    random_sample: membership depends only on the row key, so the sample is
+    stable across block layouts, reruns and engines).  Keep rows whose
+    md5(doc_id) hex prefix < '1a' (~10.2%)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        keep = df["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2] < "1a"
+        )
+        return df[keep]
+
+    return ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+
+
+Q43_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
 _BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
@@ -1300,5 +1325,6 @@ QUERIES: dict[str, tuple] = {
     "q40_customer_order_counts": (q40_customer_order_counts, Q40_SQL),
     "q41_string_kernels": (q41_string_kernels, Q41_SQL),
     "q42_conditional_agg": (q42_conditional_agg, Q42_SQL),
+    "q43_deterministic_sample": (q43_deterministic_sample, Q43_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
 }
