@@ -142,3 +142,17 @@ class PipelineConfig:
     model_backend: str = "lexicon"  # "lexicon" | "gliner"
     model_path: str | None = None
     work_factor: int = 1  # lexicon-backend compute emulation (bench only)
+
+    def validate(self) -> None:
+        """Config self-validation (reference config.py:177-190 analog):
+        fail fast at pipeline build time, not in a worker at first batch."""
+        if not self.labels:
+            raise ValueError("labels must be non-empty")
+        if not 0.0 <= self.threshold <= 1.0:
+            raise ValueError(f"threshold {self.threshold} outside [0, 1]")
+        if self.ner_batch_size <= 0:
+            raise ValueError("ner_batch_size must be positive")
+        if self.truncate_chars is not None and self.truncate_chars <= 0:
+            raise ValueError("truncate_chars must be positive or None")
+        if self.model_backend not in ("lexicon", "gliner"):
+            raise ValueError(f"unknown model_backend {self.model_backend!r}")

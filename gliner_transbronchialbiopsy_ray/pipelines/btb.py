@@ -44,6 +44,7 @@ def entities_dataset(
 ) -> ray.data.Dataset:
     """documents -> (doc_id, spans, conclusion, status, entities)."""
     cfg = cfg or PipelineConfig()
+    cfg.validate()
     ds = docs.map_batches(
         assemble_text, batch_format="pyarrow", batch_size=cfg.text_batch_size
     )

@@ -69,3 +69,23 @@ def test_gliner_backend_gated():
 
     with pytest.raises(NotImplementedError):
         GlinerBackend("any/path")
+
+
+def test_config_validation():
+    import pytest as _pytest
+
+    from gliner_transbronchialbiopsy_ray.config import PipelineConfig
+
+    PipelineConfig().validate()  # defaults valid
+    with _pytest.raises(ValueError):
+        PipelineConfig(threshold=1.5).validate()
+    with _pytest.raises(ValueError):
+        PipelineConfig(labels=[]).validate()
+    with _pytest.raises(ValueError):
+        PipelineConfig(model_backend="nope").validate()
+    # validation runs at pipeline build time
+    docs = ray.data.from_arrow(
+        pa.Table.from_pylist([], schema=DOCUMENTS_SCHEMA)
+    )
+    with _pytest.raises(ValueError):
+        entities_dataset(docs, PipelineConfig(threshold=-1))
