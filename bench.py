@@ -205,9 +205,32 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """--stats: per-operator breakdown (ds.stats()) of the flagship KG
+    pipeline at sf0.1 scale — the feedback loop for stage-level tuning."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from gliner_transbronchialbiopsy_ray.config import configure_data_context
+
+    configure_data_context()
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import QUERIES
+
+    tri = QUERIES["btb_triples"][0](SF_DIR)
+    n = 0
+    for b in tri.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    print(f"rows={n}")
+    print(tri.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if os.environ.get("GRAFT_SCALING_CHILD"):
         print(json.dumps(run_scaling_job()))
+    elif "--stats" in sys.argv:
+        run_stats()
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
