@@ -5,9 +5,11 @@ Baseline: brute-force cosine top-k — the query matrix is broadcast once
 partials are merged driver-side (k × n_queries rows — tiny).  This is the
 exact-search scale path: it streams the corpus once, no shuffle at all.
 
-Scale variant: `lsh_topk` restricts each query to its sign-pattern LSH
-bucket (see dedup.embedding_neardup_pairs) — approximate, one bucket scan
-instead of a full pass.
+Scale variants: `ivf_topk` (coarse-quantizer probing — cost divided by
+n_clusters/n_probe) here, and sign-pattern LSH bucketing in
+`dedup.embedding_neardup_pairs` for the pairwise near-dup case.
+`kmeans_dataset` is the iterative-algorithm pattern (broadcast state +
+per-batch partials per round).
 """
 
 from __future__ import annotations
