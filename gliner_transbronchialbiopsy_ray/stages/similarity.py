@@ -35,12 +35,14 @@ def _topk_batch(batch: pa.Table, queries_ref, k: int, id_col: str,
     out_q, out_n, out_s = [], [], []
     k = min(k, len(ids))
     for qi, qid in enumerate(query_ids):
-        col = sims[:, qi]
-        top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
-        for t in top:
+        # select on the ROUNDED score with a neighbor-id tie-break so the
+        # k-th boundary is identical to SQL's ORDER BY round(score) DESC, id
+        col = np.round(sims[:, qi], 6)
+        order = np.lexsort((ids, -col))[:k]
+        for t in order:
             out_q.append(qid)
             out_n.append(ids[t])
-            out_s.append(round(float(col[t]), 6))
+            out_s.append(float(col[t]))
     return pa.table(
         {
             "query_id": pa.array(out_q),
