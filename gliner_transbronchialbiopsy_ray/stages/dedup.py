@@ -413,7 +413,25 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 class SimHasher:
     """Actor stage: 64-bit SimHash over whitespace tokens (deterministic
-    md5 token hashes, so signatures are portable across processes)."""
+    md5 token hashes, so signatures are portable across processes).
+
+    Vectorized: each token's ±1 bit row is computed once per actor
+    (token->row cache, hot vocab amortizes across batches); a document's
+    signature is one (counts @ bit_matrix[token_rows]) matmul."""
+
+    def __init__(self, cache_size: int = 200_000):
+        self._bits: dict[str, np.ndarray] = {}
+        self._cache_size = cache_size
+
+    def _token_bits(self, w: str) -> np.ndarray:
+        b = self._bits.get(w)
+        if b is None:
+            h = _hash64(w.encode("utf-8"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            b = np.where(bits.astype(bool), 1, -1).astype(np.int64)
+            if len(self._bits) < self._cache_size:
+                self._bits[w] = b
+        return b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -423,12 +441,9 @@ class SimHasher:
             toks = (t or "").split()
             if not toks:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
             vals, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            for w, c in zip(vals, counts):
-                h = _hash64(str(w).encode("utf-8"))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), c, -c)
+            mat = np.stack([self._token_bits(str(w)) for w in vals])
+            acc = counts @ mat  # (V,) @ (V, 64) -> signed bit sums
             out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
         return pa.table(
             {"doc_id": pa.array(doc_ids), "simhash": pa.array(out)}
