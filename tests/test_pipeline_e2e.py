@@ -109,3 +109,46 @@ def test_score_provenance_matches_lexicon(corpus):
     row = tri.take(1)[0]
     assert 0.5 <= row["score"] < 1.0
     assert 0 <= row["part_id"] < 1024
+
+
+def test_spans_stored_out_of_order_still_assemble_by_offset():
+    """The order invariant derives from the `offset` FIELD, not list
+    position: a row whose spans list is stored shuffled must assemble and
+    extract identically."""
+    import random as _random
+
+    from gliner_transbronchialbiopsy_ray.schema import DOCUMENTS_SCHEMA
+    from gliner_transbronchialbiopsy_ray.stages.assemble import (
+        assemble_text,
+        span_sequence,
+    )
+
+    body = (
+        "CONCLUSION :\nI- Biopsies transbronchiques (LID) : 7 fragments "
+        "biopsiques dont 5 alvéolés. A0 B0.\nII- Lavage broncho-alvéolaire : ok.\n"
+    )
+    third = len(body) // 3
+    spans = [
+        {"kind": "text", "text": body[:third], "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "media://x/1", "offset": 1},
+        {"kind": "text", "text": body[third : 2 * third], "media_ref": "", "offset": 2},
+        {"kind": "text", "text": body[2 * third :], "media_ref": "", "offset": 3},
+    ]
+    shuffled = list(spans)
+    _random.Random(3).shuffle(shuffled)
+    assert [s["offset"] for s in shuffled] != [0, 1, 2, 3]
+
+    t_sorted = pa.Table.from_pylist(
+        [{"doc_id": "d", "spans": spans}], schema=DOCUMENTS_SCHEMA
+    )
+    t_shuf = pa.Table.from_pylist(
+        [{"doc_id": "d", "spans": shuffled}], schema=DOCUMENTS_SCHEMA
+    )
+    assert (
+        assemble_text(t_sorted).column("text").to_pylist()
+        == assemble_text(t_shuf).column("text").to_pylist()
+        == [body]
+    )
+    assert span_sequence(t_sorted).column("seq").to_pylist() == (
+        span_sequence(t_shuf).column("seq").to_pylist()
+    )
