@@ -1225,6 +1225,42 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def q44_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct counts via per-batch set partials + driver union
+    (distinct values bounded; the unbounded path is the HLL sketch, q45)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"users": [df["user_id"].unique().tolist()],
+             "types": [df["event_type"].unique().tolist()]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    users = set().union(*[set(u) for u in parts["users"]])
+    types = set().union(*[set(t) for t in parts["types"]])
+    return pd.DataFrame({"n_users": [len(users)], "n_types": [len(types)]})
+
+
+Q44_SQL = """
+SELECT count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types
+FROM events
+"""
+
+
+def q45_approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct users (mergeable 4 KiB sketches per
+    batch, no shuffle — the 100 TB path).  Deterministic (md5 hashing) but
+    approximate -> rows-only; accuracy vs exact asserted in pytest."""
+    from ..functions.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_n_users": [round(est)]})
+
+
 _BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
@@ -1326,5 +1362,7 @@ QUERIES: dict[str, tuple] = {
     "q41_string_kernels": (q41_string_kernels, Q41_SQL),
     "q42_conditional_agg": (q42_conditional_agg, Q42_SQL),
     "q43_deterministic_sample": (q43_deterministic_sample, Q43_SQL),
+    "q44_distinct_counts": (q44_distinct_counts, Q44_SQL),
+    "q45_approx_distinct_hll": (q45_approx_distinct_hll, None),
     "btb_score_histogram": (btb_score_histogram, None),
 }

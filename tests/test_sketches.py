@@ -22,3 +22,14 @@ def test_approx_distinct_dataset():
     ).repartition(8)
     est = approx_distinct(ds, "k")
     assert abs(est - 2500) / 2500 < 0.05
+
+
+def test_hll_query_close_to_exact():
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import (
+        q44_distinct_counts,
+        q45_approx_distinct_hll,
+    )
+
+    exact = q44_distinct_counts("/root/testdata/sf0.001")["n_users"].iloc[0]
+    approx = q45_approx_distinct_hll("/root/testdata/sf0.001")["approx_n_users"].iloc[0]
+    assert abs(approx - exact) / exact < 0.1
