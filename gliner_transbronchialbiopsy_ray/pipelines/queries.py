@@ -1261,6 +1261,47 @@ def q45_approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_n_users": [round(est)]})
 
 
+def q46_median_per_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed median (discrete quantile) without a global sort:
+    per-batch (value -> count) histograms per group (values are 2-decimal
+    discrete, so the histogram is bounded), merged, then the value at index
+    floor((n-1)/2) of the expanded sorted sequence — quantile_disc
+    semantics, matching DuckDB exactly."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (
+            df.groupby(["event_type", "value"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "value"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    out = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("value", kind="stable")
+        total = int(g["n"].sum())
+        k = (total - 1) // 2
+        cum = g["n"].cumsum()
+        med = g.loc[cum > k, "value"].iloc[0]
+        out.append({"event_type": et, "median_value": med, "n": total})
+    return pd.DataFrame(out)
+
+
+Q46_SQL = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 _BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
@@ -1364,5 +1405,6 @@ QUERIES: dict[str, tuple] = {
     "q43_deterministic_sample": (q43_deterministic_sample, Q43_SQL),
     "q44_distinct_counts": (q44_distinct_counts, Q44_SQL),
     "q45_approx_distinct_hll": (q45_approx_distinct_hll, None),
+    "q46_median_per_type": (q46_median_per_type, Q46_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
 }
