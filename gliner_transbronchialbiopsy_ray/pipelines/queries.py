@@ -1302,6 +1302,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q47_having_filter(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate + post-aggregation predicate (HAVING analog)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    out = _preagg(ds, ["l_partkey"],
+                  {"total_qty": ("l_quantity", "sum"),
+                   "n": ("l_quantity", "count")})
+    out = out[out["n"] >= 20].reset_index(drop=True)
+    out["total_qty"] = out["total_qty"].round(2)
+    return out
+
+
+Q47_SQL = """
+SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+"""
+
+
+def q48_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI-join: event users with no customer record (the
+    exact-key-set counterpart of the Bloom pre-filter in functions/bloom.py).
+    The big side streams; the key set is broadcast once."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    keys = set()
+    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b.column("c_custkey").to_pylist())
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        df = batch.to_pandas()
+        return df[~df["user_id"].isin(ks)].drop_duplicates()
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    out = ev.map_batches(anti, batch_format="pyarrow").to_pandas()
+    n = len(out.drop_duplicates()) if len(out) else 0
+    # scalar result keeps the schema stable even when every key matches
+    # (empty filtered Datasets lose their schema; same pattern as q14)
+    return pd.DataFrame({"n_unmatched_users": [n]})
+
+
+Q48_SQL = """
+SELECT count(DISTINCT user_id) AS n_unmatched_users FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 _BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
@@ -1406,5 +1452,7 @@ QUERIES: dict[str, tuple] = {
     "q44_distinct_counts": (q44_distinct_counts, Q44_SQL),
     "q45_approx_distinct_hll": (q45_approx_distinct_hll, None),
     "q46_median_per_type": (q46_median_per_type, Q46_SQL),
+    "q47_having_filter": (q47_having_filter, Q47_SQL),
+    "q48_anti_join": (q48_anti_join, Q48_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
 }
