@@ -84,3 +84,23 @@ def test_linker_exact_and_similarity_and_numeric():
     assert objs[1] == "LID" and cids[1] == "SITE_LID"
     assert objs[2] == "7" and cids[2] == ""
     assert cids[3] == "" and objs[3] == "zzz inconnu"
+
+
+def test_site_codes_respect_word_boundaries():
+    # "LID" must not fire inside "VALIDE"; accented words bound correctly
+    ents = LexiconBackend().predict(
+        ["Résultat VALIDE sans LID ni LSDx, mais LM oui."], ["Site"], 0.5
+    )[0]
+    texts = [e["text"] for e in ents]
+    assert "LM" in texts
+    assert texts.count("LID") == 1  # the standalone one only
+    assert all(t != "LSD" for t in texts)  # LSDx is not LSD
+
+
+def test_plus_grade_notation_reformat():
+    from gliner_transbronchialbiopsy_ray.stages.normalize import (
+        format_grade_notations,
+    )
+
+    assert format_grade_notations("A+B+") == "A+ B+"
+    assert format_grade_notations("grade b2") == "Grade b2"
