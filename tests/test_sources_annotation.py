@@ -121,3 +121,15 @@ def test_training_stats():
     assert stats["n_examples"] == 2
     assert stats["total_tokens"] > 0
     assert set(stats["labels"]) == {"site", "nombre_total_de_fragments"}
+
+
+def test_encoding_chain_latin1_catches_everything():
+    """Reference-faithful quirk: latin1 is attempt #2 and can decode ANY
+    byte string, so later encodings in the chain (cp1252 etc.) are
+    unreachable — e.g. a cp1252 euro sign (0x80) decodes as latin1 U+0080,
+    exactly as the reference's chain would."""
+    data = "prix: 100€".encode("cp1252")
+    txt, enc = decode_with_fallback(data)
+    assert enc == "latin1"
+    assert txt.startswith("prix: 100")
+    assert txt[-1] == "\x80"  # latin1's (mis)reading — reference behavior
