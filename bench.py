@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q16_quality",            # vectorized text features
     "q18_ann_topk",           # similarity search
     "q22_minhash_neardup",    # MinHash-LSH near-dup
+    "q33_verified_neardups",  # LSH + distributed exact-Jaccard verify
+    "btb_wide",               # per-doc label pivot (no shuffle)
 ]
 
 

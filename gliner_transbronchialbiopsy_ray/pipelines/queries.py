@@ -282,12 +282,24 @@ FROM events GROUP BY hour, event_type
 
 
 def q09_top_users(sf_dir: str) -> pd.DataFrame:
+    """Top-k over an UNBOUNDED key (user_id grows with scale): full
+    per-user totals via Ray-merged two-phase aggregation (a partial top-k
+    before full aggregation would be wrong — a user outside one batch's
+    top-k can still be global top), then per-batch top-k combiner over the
+    aggregated rows so only k rows per block reach the driver."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = _preagg(ds, ["user_id"], {"total": ("value", "sum")})
-    agg["total"] = agg["total"].round(2)
-    agg = agg.sort_values(["total", "user_id"], ascending=[False, True],
-                          kind="stable").head(10)
-    return agg.reset_index(drop=True)
+    agg = _preagg(ds, ["user_id"], {"total": ("value", "sum")}, merge="ray")
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["total"] = df["total"].round(2)
+        return df.sort_values(["total", "user_id"], ascending=[False, True],
+                              kind="stable").head(10)
+
+    parts = agg.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["total", "user_id"], ascending=[False, True],
+                            kind="stable").head(10)
+    return out.reset_index(drop=True)
 
 
 Q09_SQL = """
@@ -363,7 +375,7 @@ def q12_lang_stats(sf_dir: str) -> pd.DataFrame:
 
 Q12_SQL = """
 SELECT lang, count(*) AS n,
-       (1000000 * sum(n_chars)) // count(*) AS avg_chars_ppm
+       CAST((1000000 * sum(n_chars)) // count(*) AS BIGINT) AS avg_chars_ppm
 FROM documents GROUP BY lang
 """
 
@@ -683,7 +695,7 @@ def q28_part_stats(sf_dir: str) -> pd.DataFrame:
 
 Q28_SQL = """
 SELECT p_brand, round(sum(p_retailprice), 2) AS total_price, count(*) AS n,
-       (1000000 * sum(p_size)) // count(*) AS avg_size_ppm
+       CAST((1000000 * sum(p_size)) // count(*) AS BIGINT) AS avg_size_ppm
 FROM part GROUP BY p_brand
 """
 
@@ -1209,12 +1221,16 @@ def q43_deterministic_sample(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    def sample(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        keep = df["doc_id"].map(
-            lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2] < "1a"
+    def sample(batch: pa.Table) -> pa.Table:
+        # md5 itself has no vectorized kernel (DuckDB-parity requires md5),
+        # but everything around it is: arrow cast, bytes-level compare
+        # (digest()[0] < 0x1a == hexdigest()[:2] < "1a"), zero-copy filter.
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        keep = np.fromiter(
+            (hashlib.md5(s.encode()).digest()[0] < 0x1A for s in ids),
+            dtype=bool, count=len(ids),
         )
-        return df[keep]
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(sample, batch_format="pyarrow").to_pandas()
 
@@ -1226,21 +1242,34 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 
 
 def q44_distinct_counts(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct counts via per-batch set partials + driver union
-    (distinct values bounded; the unbounded path is the HLL sketch, q45)."""
+    """Exact distinct counts.  user_id is an UNBOUNDED key space (grows
+    with the corpus): per-batch `pc.unique` partials shrink each block to
+    its distinct ids, then a Ray hash-shuffle groupby counts the groups —
+    distributed memory, never a driver-side set union of O(distinct)
+    values.  event_type is a bounded enum, so a driver union of tiny
+    per-batch sets is the right (shuffle-free) plan there.  The
+    approximate no-shuffle path for unbounded keys is the HLL sketch
+    (q45)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        return pd.DataFrame(
-            {"users": [df["user_id"].unique().tolist()],
-             "types": [df["event_type"].unique().tolist()]}
-        )
+    def upartial(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    users = set().union(*[set(u) for u in parts["users"]])
-    types = set().union(*[set(t) for t in parts["types"]])
-    return pd.DataFrame({"n_users": [len(users)], "n_types": [len(types)]})
+    n_users = (
+        ds.map_batches(upartial, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .count()
+    )
+
+    def tpartial(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pc.unique(batch.column("event_type"))})
+
+    types = set(
+        ds.map_batches(tpartial, batch_format="pyarrow")
+        .to_pandas()["event_type"]
+    )
+    return pd.DataFrame({"n_users": [n_users], "n_types": [len(types)]})
 
 
 Q44_SQL = """
@@ -1305,12 +1334,21 @@ FROM events GROUP BY event_type
 def q47_having_filter(sf_dir: str) -> pd.DataFrame:
     """Grouped aggregate + post-aggregation predicate (HAVING analog)."""
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    out = _preagg(ds, ["l_partkey"],
+    # l_partkey is unbounded (grows with scale) -> Ray-merged two-phase
+    # aggregation; the HAVING filter + rounding run distributed over the
+    # aggregated blocks, so only qualifying rows ever leave the cluster.
+    agg = _preagg(ds, ["l_partkey"],
                   {"total_qty": ("l_quantity", "sum"),
-                   "n": ("l_quantity", "count")})
-    out = out[out["n"] >= 20].reset_index(drop=True)
-    out["total_qty"] = out["total_qty"].round(2)
-    return out
+                   "n": ("l_quantity", "count")},
+                  merge="ray")
+
+    def having(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["n"] >= 20].copy()
+        df["total_qty"] = df["total_qty"].round(2)
+        return df
+
+    return agg.map_batches(having, batch_format="pyarrow")
 
 
 Q47_SQL = """

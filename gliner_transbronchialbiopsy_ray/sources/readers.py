@@ -6,9 +6,11 @@
 - File validation as a gatekeeper *filter stage* that KEEPS rows and emits
   an `error` column (the reference drops invalid files with a UI warning,
   file_handler.py:45-90; an engine never drops silently).
-- PDF extraction is import-gated (pdfplumber is not in this sandbox): the
-  stage contract (bytes -> page texts joined by newline) is real, the
-  kernel raises NotImplementedError without the library.
+- PDF extraction uses pdfplumber when importable; without it (this
+  sandbox) a pure-Python fallback parses uncompressed/FlateDecode content
+  streams and the Tj/TJ/'/" text-showing operators — the common
+  digitally-born-report case.  Contract: bytes -> page texts joined by
+  newline (text_processor.py:29-49).
 """
 
 from __future__ import annotations
@@ -40,18 +42,177 @@ def sniff_type(data: bytes, name: str) -> str:
     return ext or "unknown"
 
 
-def extract_pdf_text(data: bytes) -> str:  # pragma: no cover - no pdfplumber
-    """Page-loop text extraction ('\\n'.join of page texts).  Import-gated."""
+def extract_pdf_text(data: bytes) -> str:
+    """Page-loop text extraction ('\\n'.join of page texts).
+
+    Uses pdfplumber when available (full fidelity, mirrors the reference's
+    text_processor.py:29-49 page loop); otherwise falls back to the
+    pure-Python extractor below, which handles the common digitally-born
+    case (uncompressed / FlateDecode content streams, literal + hex
+    strings under Tj/TJ/'/\" operators with simple single-byte fonts).
+    Scanned or CID-keyed-font PDFs yield '' under the fallback."""
     try:
         import pdfplumber  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF extraction requires pdfplumber; not available in this sandbox"
-        ) from e
-    import io
+    except ImportError:
+        return _extract_pdf_text_minimal(data)
+    import io  # pragma: no cover - pdfplumber absent in this sandbox
 
-    with pdfplumber.open(io.BytesIO(data)) as pdf:
+    with pdfplumber.open(io.BytesIO(data)) as pdf:  # pragma: no cover
         return "\n".join(page.extract_text() or "" for page in pdf.pages)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python PDF content-stream text extraction (fallback kernel).
+
+_STREAM_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _pdf_streams(data: bytes):
+    """Yield decoded candidate content streams: bytes between stream /
+    endstream keywords, zlib-inflated when FlateDecode'd (inflate is tried
+    unconditionally; non-Flate binary streams that fail stay raw)."""
+    import re
+    import zlib
+
+    global _STREAM_RE
+    if _STREAM_RE is None:
+        _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+    for m in _STREAM_RE.finditer(data):
+        raw = m.group(1)
+        try:
+            yield zlib.decompress(raw)
+        except zlib.error:
+            yield raw
+
+
+def _pdf_literal_string(content: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at the '(' at index i; returns
+    (decoded bytes, index past the closing ')').  Handles nesting and the
+    \\-escapes of the PDF spec (incl. octal and line continuations)."""
+    assert content[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(content)
+    esc = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+           ord("b"): b"\b", ord("f"): b"\f", ord("("): b"(",
+           ord(")"): b")", ord("\\"): b"\\"}
+    while i < n and depth:
+        c = content[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = content[i]
+            if c2 in esc:
+                out += esc[c2]
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # octal \ddd (1-3 digits)
+                j = i
+                while j < min(i + 3, n) and 0x30 <= content[j] <= 0x37:
+                    j += 1
+                out.append(int(content[i:j], 8) & 0xFF)
+                i = j
+            elif c2 in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if c2 == 0x0D and i < n and content[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: keep the char
+                out.append(c2)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _pdf_hex_string(content: bytes, i: int) -> tuple[bytes, int]:
+    """Parse <hex...> starting at '<'; odd digit count pads with 0."""
+    j = content.find(b">", i)
+    if j < 0:
+        return b"", len(content)
+    hx = bytes(c for c in content[i + 1 : j]
+               if c in b"0123456789abcdefABCDEF")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+_DELIMS = b"()<>[]{}/%"
+_WS = b"\x00\t\n\x0c\r "
+
+
+def _content_stream_text(content: bytes) -> str:
+    """Tiny interpreter over a decoded content stream: collect strings and
+    emit them when a text-showing operator (Tj, ', \", TJ) consumes them;
+    text-positioning ops (Td, TD, T*) and ET become newlines."""
+    out: list[str] = []
+    pending: list[bytes] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:  # ( literal string
+            s, i = _pdf_literal_string(content, i)
+            pending.append(s)
+        elif c == 0x3C:  # < hex string or << dict
+            if content[i : i + 2] == b"<<":
+                i += 2
+            else:
+                s, i = _pdf_hex_string(content, i)
+                pending.append(s)
+        elif c in _DELIMS:  # [, ], >, /name, {, }
+            if c == 0x2F:  # /Name token
+                i += 1
+                while i < n and content[i] not in _WS and content[i] not in _DELIMS:
+                    i += 1
+            else:
+                i += 1
+        else:  # number or operator token
+            j = i
+            while j < n and content[j] not in _WS and content[j] not in _DELIMS:
+                j += 1
+            tok = content[i:j]
+            i = j
+            if tok in (b"Tj", b"'", b'"', b"TJ"):
+                for s in pending:
+                    out.append(s.decode("latin-1"))
+                pending.clear()
+                if tok in (b"'", b'"'):
+                    out.append("\n")
+            elif tok in (b"Td", b"TD", b"T*", b"ET"):
+                pending.clear()
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+            elif tok in (b"BT",):
+                pending.clear()
+    return "".join(out)
+
+
+def _extract_pdf_text_minimal(data: bytes) -> str:
+    """Pure-Python fallback: text of every content stream containing a
+    BT/ET text block, file order, pages joined by newline."""
+    pages = []
+    for stream in _pdf_streams(data):
+        if b"BT" not in stream:
+            continue  # font programs / images / xref streams
+        txt = _content_stream_text(stream).strip("\n")
+        if txt:
+            pages.append(txt)
+    return "\n".join(pages)
 
 
 def validate_and_decode(batch: pa.Table) -> pa.Table:
@@ -81,10 +242,10 @@ def validate_and_decode(batch: pa.Table) -> pa.Table:
                 texts.append(extract_pdf_text(b))
                 encodings.append("pdf")
                 errors.append(None)
-            except NotImplementedError:
+            except Exception as e:  # malformed file: keep row + error
                 texts.append(None)
                 encodings.append(None)
-                errors.append("pdf_backend_unavailable")
+                errors.append(f"pdf_extract_failed:{type(e).__name__}")
             continue
         txt, enc = decode_with_fallback(b)
         texts.append(txt)

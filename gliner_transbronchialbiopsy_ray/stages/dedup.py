@@ -219,7 +219,8 @@ def minhash_candidate_pairs(
                         continue
                     # keep the pair only in the first band where the two
                     # signatures collide (dedup without a second shuffle)
-                    if _first_shared_band(sig[i], sig[j], len(sig[i])) == band:
+                    if _first_shared_band(sig[i], sig[j], len(sig[i]),
+                                          bands=bands) == band:
                         out.append((ids[i], ids[j], round(est, 6)))
         return pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard"])
 
@@ -240,27 +241,98 @@ def _first_shared_band(sig_a: np.ndarray, sig_b: np.ndarray, num_perm: int,
     return -1
 
 
+class _JaccardVerifier:
+    """Actor stage: exact n-gram Jaccard verification of candidate pairs.
+
+    Per-actor state in __init__: the broadcast id->text lookup (ray.get of
+    a shared ObjectRef — zero-copy read from the local object store, never
+    re-shipped per batch) plus a shingle-set cache so a doc appearing in
+    many candidate pairs is shingled once per actor, not once per pair."""
+
+    def __init__(self, lookup_ref, jaccard_threshold: float, shingle_k: int):
+        self.lookup = ray.get(lookup_ref)
+        self.threshold = jaccard_threshold
+        self.k = shingle_k
+        self._shingles: dict = {}
+
+    def _sh(self, doc_id) -> np.ndarray:
+        s = self._shingles.get(doc_id)
+        if s is None:
+            s = _shingle_set(self.lookup.get(doc_id, ""), self.k)
+            self._shingles[doc_id] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for left, right, est in zip(
+            batch["left_id"], batch["right_id"], batch["est_jaccard"]
+        ):
+            a, b = self._sh(left), self._sh(right)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / union if union else 0.0
+            if j >= self.threshold:
+                out.append((left, right, est, round(j, 6)))
+        df = pd.DataFrame(
+            out, columns=["left_id", "right_id", "est_jaccard", "jaccard"]
+        )
+        if not len(df):  # keep empty-batch schema dtype-stable
+            df = df.astype({"left_id": batch["left_id"].dtype,
+                            "right_id": batch["right_id"].dtype,
+                            "est_jaccard": "float64", "jaccard": "float64"})
+        return df
+
+
 def verified_near_dups(
     docs: ray.data.Dataset,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
+    verify_concurrency: int | tuple[int, int] = 4,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
-    """MinHash-LSH candidates -> EXACT n-gram Jaccard verification.
+    """MinHash-LSH candidates -> EXACT n-gram Jaccard verification,
+    verified DISTRIBUTED (actor-pool map_batches over the candidate-pair
+    dataset — no driver-side pair loop, the candidate set is never
+    to_pandas()'d).
 
-    Verification needs the two texts side by side: candidate pairs (tiny
-    relative to the corpus) are re-joined to texts via a broadcast
-    id->text map built from only the doc_ids that appear in candidates
-    (semi-join pushdown: the map is bounded by candidate count, not corpus
-    size).  Output: (left_id, right_id, est_jaccard, jaccard)."""
+    Verification needs the two texts side by side: texts are re-joined to
+    pairs via a broadcast id->text map built from only the doc_ids that
+    appear in candidates (semi-join pushdown: the map is bounded by
+    candidate count, not corpus size), ray.put once and read per ACTOR in
+    __init__ (zero-copy from the local store, not re-shipped per batch).
+    Each verifier actor memoizes shingle sets per doc_id so hub documents
+    are shingled once.  Output: (left_id, right_id, est_jaccard, jaccard).
+
+    Partitioning assumption: the candidate-pair set (post-LSH gate) and
+    hence the semi-joined text map fit in the object store; for corpora
+    where even candidates are too large, lower the LSH pre-gate threshold
+    or shard by bucket before verification."""
     import ray as _ray
 
+    # materialize() pins the (small, LSH-gated) candidate blocks in the
+    # object store so the minhash pass runs once, feeding both the
+    # wanted-id scan and the verification stage — NOT a driver pull.
     cands = minhash_candidate_pairs(
         docs, jaccard_threshold=jaccard_threshold * 0.8, **minhash_kwargs
-    ).to_pandas()
-    if not len(cands):
-        return ray.data.from_items([]).limit(0)
-    wanted = set(cands["left_id"]) | set(cands["right_id"])
+    ).materialize()
+    if cands.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=["left_id", "right_id", "est_jaccard", "jaccard"]))
+
+    # distinct candidate doc_ids: per-batch set union partials (each partial
+    # is a deduped id list, bounded by candidate count) -> driver union of
+    # the small partials to build the broadcast map.
+    def _ids(batch: pa.Table) -> pd.DataFrame:
+        u = pd.unique(
+            pd.concat([batch.column("left_id").to_pandas(),
+                       batch.column("right_id").to_pandas()])
+        )
+        return pd.DataFrame({"doc_id": u})
+
+    wanted = set(
+        cands.map_batches(_ids, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+    )
     wanted_ref = _ray.put(wanted)
 
     def project(batch: pa.Table) -> pd.DataFrame:
@@ -269,16 +341,18 @@ def verified_near_dups(
         return df[df["doc_id"].isin(w)]
 
     texts = docs.map_batches(project, batch_format="pyarrow").to_pandas()
-    lookup = dict(zip(texts["doc_id"], texts["text"]))
-    out = []
-    for _, r in cands.iterrows():
-        j = exact_jaccard(lookup.get(r["left_id"], ""),
-                          lookup.get(r["right_id"], ""), k=shingle_k)
-        if j >= jaccard_threshold:
-            out.append((r["left_id"], r["right_id"],
-                        r["est_jaccard"], round(j, 6)))
-    return ray.data.from_pandas(
-        pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard", "jaccard"])
+    lookup_ref = _ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    return cands.map_batches(
+        _JaccardVerifier,
+        fn_constructor_kwargs={
+            "lookup_ref": lookup_ref,
+            "jaccard_threshold": jaccard_threshold,
+            "shingle_k": shingle_k,
+        },
+        batch_format="pandas",
+        concurrency=verify_concurrency,
+        num_cpus=0.5,
     )
 
 
@@ -474,13 +548,21 @@ def embedding_neardup_pairs(
 
     class Bucketize:
         def __init__(self):
-            rng = np.random.RandomState(777)
-            self.planes = rng.randn(64, n_planes)
+            self.planes = None  # sized lazily from the first batch's dim
+
+        def _planes_for(self, dim: int) -> np.ndarray:
+            # deterministic per-dim hyperplanes (same seed on every actor),
+            # sized from the data rather than a hardcoded cap so >64-dim
+            # embeddings bucket instead of raising a matmul shape error
+            if self.planes is None or self.planes.shape[0] != dim:
+                rng = np.random.RandomState(777)
+                self.planes = rng.randn(dim, n_planes)
+            return self.planes
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_pylist()
             vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            signs = (vecs @ self.planes[: vecs.shape[1]] > 0).astype(np.uint8)
+            signs = (vecs @ self._planes_for(vecs.shape[1]) > 0).astype(np.uint8)
             bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0]
             return pa.table(
                 {

@@ -219,12 +219,27 @@ def kmeans_dataset(
         )
 
     assigned = embeddings.map_batches(final_assign, batch_format="pyarrow")
-    stats_df = assigned.to_pandas()
+
+    # stats via the same per-batch partial-sum pattern as the Lloyd loop:
+    # each batch emits k (cluster, n, inertia) rows; the driver merges
+    # k x n_batches tiny partials — never the full per-row assignment.
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        assign = batch.column("cluster").to_numpy()
+        sq = batch.column("sq_dist").to_numpy()
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.float64)
+        np.add.at(counts, assign, 1)
+        np.add.at(inertia, assign, sq)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int32)),
+                         "n": pa.array(counts), "inertia": pa.array(inertia)})
+
     stats = (
-        stats_df.groupby("cluster")
-        .agg(n=("cluster", "size"), inertia=("sq_dist", "sum"))
-        .reset_index()
+        assigned.map_batches(stat_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster", as_index=False)
+        .agg(n=("n", "sum"), inertia=("inertia", "sum"))
     )
+    stats = stats[stats["n"] > 0].reset_index(drop=True)
     stats["inertia"] = stats["inertia"].round(4)
     return assigned, stats
 

@@ -116,11 +116,14 @@ class _PartialCount:
             .agg(n=("subj", "size"), n_docs=("subj", "nunique"))
             .reset_index()
         )
-        # salt by hash of the partial row so hot keys spread over reducers
-        part["salt"] = [
-            zlib.crc32(f"{p}|{o}".encode()) % self.salt
-            for p, o in zip(part["pred"], part["obj"])
-        ]
+        # Salt must be INDEPENDENT of the group key or the salted groupby
+        # has exactly the same groups as the unsalted one (a hot key would
+        # NOT spread).  Derive it from the batch's content (subject sample)
+        # so the same hot (pred, obj) arriving in different batches lands
+        # in different salt buckets; the final phase merges across salts,
+        # so the result is invariant to the salt assignment.
+        h = zlib.crc32("\x00".join(map(str, df["subj"].head(64))).encode("utf-8"))
+        part["salt"] = np.int32(h % self.salt)
         return pa.Table.from_pandas(part, preserve_index=False)
 
 

@@ -59,6 +59,23 @@ def test_query_matches_oracle(name, con):
     )
     assert len(got) == len(exp), f"{name} row count {len(got)} vs {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    # Driver's value-hash is dtype-sensitive (int 278928571 vs float
+    # 278928571.0 hash differently) — mirror that by comparing the repr
+    # of every cell, which distinguishes int/float/str even when values
+    # compare equal numerically.
+    def _cell_repr(v):
+        # numpy scalar -> python native first, so int32 vs int64 (which the
+        # driver's hash treats as equal) doesn't false-alarm, while
+        # int-vs-float (which it doesn't) is caught.
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    got_repr = got.map(_cell_repr)
+    exp_repr = exp.map(_cell_repr)
+    mism = (got_repr != exp_repr)
+    assert not mism.to_numpy().any(), (
+        f"{name} value-repr mismatch (dtype drift?): "
+        f"{[(c, got_repr[c][mism[c]].head(3).tolist(), exp_repr[c][mism[c]].head(3).tolist()) for c in got.columns if mism[c].any()]}"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)

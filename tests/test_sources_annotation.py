@@ -40,7 +40,9 @@ def test_sniff_and_validate():
     errs = out.column("error").to_pylist()
     texts = out.column("text").to_pylist()
     assert errs[0] is None and texts[0] == "bonjour"
-    assert errs[1] == "pdf_backend_unavailable"  # import-gated PDF kernel
+    # PDF magic routes through the extractor; a bare header has no text
+    # objects -> empty text, no error (image-only PDFs behave the same)
+    assert errs[1] is None and texts[1] == ""
     assert errs[2].startswith("unsupported_type")
     assert errs[3].startswith("file_too_large")
     # rows are kept, never dropped

@@ -106,3 +106,29 @@ def test_surface_form_stats_extreme_hot_key():
     expected = expected.sort_values("obj").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
     assert got.loc[got["obj"] == "A0", "n"].iloc[0] > 40_000  # genuinely hot
+
+
+def test_hot_key_salt_actually_spreads():
+    """The salt must be independent of (pred, obj): a hot key arriving in
+    many batches must land in MANY salt buckets (the round-1 key-derived
+    salt put every partial of a key in the same bucket — a no-op)."""
+    import numpy as np
+    from gliner_transbronchialbiopsy_ray.stages.triples import _PartialCount
+
+    n = 20_000
+    df = pd.DataFrame(
+        {"subj": [f"doc-{i}" for i in range(n)], "pred": "has_grade_a",
+         "obj": "A0"}  # 100% hot: every row is the same (pred, obj)
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    partials = ds.map_batches(
+        _PartialCount(salt_buckets=16), batch_format="pyarrow"
+    ).to_pandas()
+    hot = partials[(partials["pred"] == "has_grade_a") & (partials["obj"] == "A0")]
+    assert len(hot) > 1  # multiple batches produced partials
+    assert hot["salt"].nunique() > 1, (
+        "hot-key partials all share one salt bucket -- salting is a no-op"
+    )
+    # and no single (salt, pred, obj) group holds more partials than the
+    # batch count in its share of buckets would allow with real spreading
+    assert hot.groupby("salt").size().max() < len(hot)
