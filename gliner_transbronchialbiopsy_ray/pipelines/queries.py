@@ -38,22 +38,36 @@ def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     final sum happens driver-side in pandas, avoiding Ray's all-to-all
     Aggregate machinery (~5 s fixed cost regardless of data size).
     merge="ray": Ray groupby over the partials — use when the key space
-    itself is huge (the partials wouldn't fit one node)."""
+    itself is huge (the partials wouldn't fit one node).
+
+    spec `how` values: sum | count | max | min.  Partials combine with the
+    matching fn (count partials combine by sum)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         agg = {}
         for out, (col, how) in spec.items():
-            agg[out] = (col, "sum" if how == "sum" else "size")
+            agg[out] = (col, "size" if how == "count" else how)
         return df.groupby(keys, sort=False, dropna=False).agg(**agg).reset_index()
 
+    combine = {
+        out: ("sum" if how in ("sum", "count") else how)
+        for out, (_, how) in spec.items()
+    }
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if merge == "ray":
+        from ray.data.aggregate import Max, Min
+
+        cls = {"sum": Sum, "max": Max, "min": Min}
         return partials.groupby(keys).aggregate(
-            *[Sum(out, alias_name=out) for out in spec]
+            *[cls[combine[out]](out, alias_name=out) for out in spec]
         )
     pdf = partials.to_pandas()
-    return pdf.groupby(keys, sort=False, dropna=False).sum().reset_index()
+    return (
+        pdf.groupby(keys, sort=False, dropna=False)
+        .agg(**{out: (out, combine[out]) for out in spec})
+        .reset_index()
+    )
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -1428,6 +1442,193 @@ def q37_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return stats
 
 
+
+# --------------------------------------------------------------------------
+# temporal joins / window-scan suite (stages/joins.py, stages/window.py)
+
+
+def q49_asof_join(sf_dir: str):
+    """Point-in-time (as-of) join: each event picks the user's most recent
+    order at or before the event time.  Orders are pre-deduped per
+    (custkey, orderdate) keeping max orderkey so the as-of match is
+    deterministic on both engines."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    o_uniq = _preagg(orders, ["o_custkey", "o_orderdate"],
+                     {"o_orderkey": ("o_orderkey", "max")}, merge="ray")
+    joined = asof_join(
+        events, o_uniq,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_payload=["o_orderdate", "o_orderkey"], n_buckets=16,
+    )
+
+    def fin(batch: pa.Table) -> pd.DataFrame:
+        # union-with-None tagging leaves pay columns object-dtyped; pin
+        # the oracle dtypes after the (inner) join
+        df = batch.to_pandas()
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+        df["o_orderkey"] = df["o_orderkey"].astype("int64")
+        return df
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+Q49_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q50_range_join_count(sf_dir: str):
+    """Range join: per order, how many of that customer's events fall in
+    [o_orderdate, o_orderdate + 7 days).  Left rows kept at count 0."""
+    from ..stages.joins import range_join_count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+    return range_join_count(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_time="o_orderdate", right_time="ts",
+        window=pd.Timedelta(days=7),
+        out_cols=["o_orderkey"], n_buckets=16,
+    ).select_columns(["o_orderkey", "n_in_window"])
+
+
+Q50_SQL = """
+SELECT o.o_orderkey, count(e.user_id) AS n_in_window
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+def q51_running_total(sf_dir: str):
+    """Per-user cumulative sum in (ts, event_id) order — the PARTITION BY
+    running aggregate (stages/window.py keyed_running_agg).  The order is
+    total (event_id tie-break) so float accumulation order — and thus the
+    rounded result — is engine-independent."""
+    from ..stages.window import keyed_running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = keyed_running_agg(
+        ds, key="user_id", order_by=["ts", "event_id"], value="value",
+        out_col="running_total", agg="sum", n_buckets=16,
+    )
+
+    def fin(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["running_total"] = df["running_total"].round(2)
+        return df[["event_id", "user_id", "running_total"]]
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q51_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM events
+"""
+
+
+def q52_watermark_late_flags(sf_dir: str):
+    """Streaming-style lateness audit: treating event_id as the ARRIVAL
+    sequence and ts as event time, flag events whose timestamp is more
+    than 10 minutes behind the watermark (max event time seen over all
+    earlier arrivals).  Distributed two-phase prefix scan
+    (stages/window.py global_prefix_scan) — per-block partials + driver
+    prefix-combine + per-block finish; only O(blocks) driver state."""
+    from ..stages.window import global_prefix_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    scanned = global_prefix_scan(ds, order_by="event_id", value="ts",
+                                 out_col="wm", inclusive=False)
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        late = df["ts"] < (df["wm"] - pd.Timedelta(minutes=10))
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "is_late": late.astype("int64"),
+        })
+
+    return scanned.map_batches(flag, batch_format="pyarrow")
+
+
+Q52_SQL = """
+SELECT event_id,
+       CASE WHEN ts < max(ts) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - INTERVAL 10 MINUTE
+            THEN 1 ELSE 0 END AS is_late
+FROM events
+"""
+
+
+def q53_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p25/p50/p90 per event_type WITHOUT a global sort: per-batch
+    value histograms (combiner) -> merged per-type histogram -> discrete
+    quantile off the cumulative counts (same exact-histogram method as
+    q46, generalized to a quantile vector)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (
+            df.groupby(["event_type", "value"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "value"], sort=False)["n"].sum().reset_index()
+    )
+    out = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("value", kind="stable")
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        row = {"event_type": et, "n": total}
+        # quantile_disc rank = ceil(q*n), 1-indexed (verified vs DuckDB);
+        # integer ceil keeps it exact
+        for pct, col in ((25, "p25"), (50, "p50"), (90, "p90")):
+            k = -((-pct * total) // 100)
+            row[col] = g.loc[cum >= k, "value"].iloc[0]
+        out.append(row)
+    return pd.DataFrame(out)[["event_type", "p25", "p50", "p90", "n"]]
+
+
+Q53_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q54_simhash_neardups(sf_dir: str):
+    """SimHash hamming-ball near-dup pairs (banded pigeonhole LSH,
+    stages/dedup.py simhash_neardup_pairs).  Deterministic (md5 token
+    hashes) -> golden-hash pinned; no SQL oracle (64-bit simhash needs
+    engine-identical hashing)."""
+    from ..stages.dedup import simhash_neardup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=4, concurrency=2)
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1493,4 +1694,10 @@ QUERIES: dict[str, tuple] = {
     "q47_having_filter": (q47_having_filter, Q47_SQL),
     "q48_anti_join": (q48_anti_join, Q48_SQL),
     "btb_score_histogram": (btb_score_histogram, None),
+    "q49_asof_join": (q49_asof_join, Q49_SQL),
+    "q50_range_join_count": (q50_range_join_count, Q50_SQL),
+    "q51_running_total": (q51_running_total, Q51_SQL),
+    "q52_watermark_late_flags": (q52_watermark_late_flags, Q52_SQL),
+    "q53_grouped_quantiles": (q53_grouped_quantiles, Q53_SQL),
+    "q54_simhash_neardups": (q54_simhash_neardups, None),
 }

@@ -597,3 +597,86 @@ def embedding_neardup_pairs(
     return bucketed.repartition(8).groupby("bucket").map_groups(
         pairs, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate PAIRS (banded hamming-ball search)
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-table lookup)."""
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """Near-duplicates by SimHash hamming distance: split the 64-bit
+    fingerprint into `bands` sub-keys; by pigeonhole, any pair with
+    hamming <= max_hamming agrees on >= 1 band when bands > max_hamming.
+    Explode each doc to its band keys, groupby a coarse bucket of
+    (band, band_key), verify exact hamming vectorized inside the bucket,
+    and keep a pair only in its FIRST shared band (dedup without a second
+    shuffle — same trick as minhash_candidate_pairs).
+
+    Output: (left_id, right_id, hamming)."""
+    assert 64 % bands == 0 and bands > max_hamming
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    sigs = simhash_signatures(docs, concurrency=concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sim = batch.column("simhash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        rep_sim = np.repeat(sim, bands)
+        shift = (band_idx * width).astype(np.uint64)
+        keys = (rep_sim >> shift) & mask
+        # coarse shuffle key: bounded group count like the minhash path
+        bucket = ((keys ^ (band_idx.astype(np.uint64) << np.uint64(48)))
+                  % np.uint64(512)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(np.array(ids, dtype=object), bands).tolist()),
+                "band": pa.array(band_idx),
+                "band_key": pa.array(keys),
+                "simhash": pa.array(rep_sim),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        g = g[g.duplicated(["band", "band_key"], keep=False)]
+        for (band, _bk), grp in g.groupby(["band", "band_key"], sort=False):
+            grp = grp.sort_values("doc_id", kind="stable")
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["simhash"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sims[iu] ^ sims[ju])
+            ok = ham <= max_hamming
+            for i, j, h in zip(iu[ok], ju[ok], ham[ok]):
+                if ids[i] == ids[j]:
+                    continue
+                x = sims[i] ^ sims[j]
+                first = next(
+                    b for b in range(bands)
+                    if (x >> np.uint64(b * width)) & mask == 0
+                )
+                if first == band:
+                    out.append((ids[i], ids[j], int(h)))
+        return pd.DataFrame(out, columns=["left_id", "right_id", "hamming"])
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

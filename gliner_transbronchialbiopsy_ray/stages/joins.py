@@ -1,0 +1,172 @@
+"""Temporal joins Ray Data lacks natively: as-of join and range join.
+
+Both are expressed as the version-portable co-partition pattern (same shape
+as queries.q30's hash join): tag each side, align columns, union, hash the
+join key into a bounded bucket space, `groupby(bucket).map_groups`, and run
+the vectorized pandas/numpy kernel inside the bucket.
+
+Partitioning assumption (documented per the task's custom-operator rule):
+a single bucket — i.e. all rows of ~1/n_buckets of the key space from BOTH
+sides — fits in one task's memory.  At 100 TB raise `n_buckets` (the
+shuffle is one all-to-all regardless of bucket count) and/or pre-filter
+the sides; skewed single keys can further be split by time range.
+
+The reference has no temporal joins (its merges are exact-key pandas
+merges, e.g. dashboard annotation<->text alignment); these operators are
+part of the training-data-pipeline surface this engine adds.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_of(series: pd.Series, n: int) -> pd.Series:
+    # crc32 of the decimal key: stable across engines/runs, spreads
+    # sequential int keys (a plain modulo would co-locate hot ranges)
+    return series.map(lambda k: zlib.crc32(str(k).encode()) % n).astype("int32")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """For every left row, attach the single right row with the greatest
+    `right_time` <= `left_time` for the same key (backward as-of, exact
+    matches allowed) — the classic point-in-time join (trades as-of quotes,
+    events as-of the user's latest order).
+
+    Inner semantics: left rows with no qualifying right row are dropped.
+    Determinism: callers must ensure (right_key, right_time) is unique on
+    the right side (pre-aggregate ties first) — pandas merge_asof picks an
+    arbitrary row among exact ties otherwise.
+    """
+    l_cols = [c for c in left.schema().names]
+    pay = list(right_payload)
+
+    def tag_left(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_key"] = df[left_key]
+        df["_t"] = df[left_time]
+        df["_bucket"] = _bucket_of(df["_key"], n_buckets)
+        df["_side"] = np.int8(0)
+        for c in pay:
+            df[c] = None
+        return df[["_bucket", "_side", "_key", "_t"] + l_cols + pay]
+
+    def tag_right(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_key"] = df[right_key]
+        df["_t"] = df[right_time]
+        df["_bucket"] = _bucket_of(df["_key"], n_buckets)
+        df["_side"] = np.int8(1)
+        for c in l_cols:
+            df[c] = None
+        return df[["_bucket", "_side", "_key", "_t"] + l_cols + pay]
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][["_key", "_t"] + l_cols].sort_values(
+            "_t", kind="stable"
+        )
+        r = g[g["_side"] == 1][["_key", "_t"] + pay].sort_values(
+            "_t", kind="stable"
+        )
+        if not len(l) or not len(r):
+            return l.iloc[0:0][l_cols].assign(**{c: None for c in pay})
+        j = pd.merge_asof(
+            l, r, on="_t", by="_key", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_r"),
+        )
+        j = j.dropna(subset=[pay[0]])  # inner semantics
+        return j[l_cols + pay]
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    window: pd.Timedelta,
+    out_cols: list[str],
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per left row, COUNT of right rows with the same key and
+    `left_time` <= right_time < `left_time` + window (e.g. events within 7
+    days after each order).  Left rows with zero matches are kept (count 0).
+
+    Kernel: within a bucket, right times are sorted per key once; each
+    key's left bounds are answered by two vectorized `np.searchsorted`
+    calls — no per-row Python work, loop only over distinct keys in the
+    bucket."""
+    l_cols = [c for c in left.schema().names]
+
+    def tag_left(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_key"] = df[left_key]
+        df["_t"] = df[left_time]
+        df["_bucket"] = _bucket_of(df["_key"], n_buckets)
+        df["_side"] = np.int8(0)
+        return df[["_bucket", "_side", "_key", "_t"] + l_cols]
+
+    def tag_right(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = pd.DataFrame(
+            {
+                "_key": df[right_key],
+                "_t": df[right_time],
+            }
+        )
+        df["_bucket"] = _bucket_of(df["_key"], n_buckets)
+        df["_side"] = np.int8(1)
+        for c in l_cols:
+            df[c] = None
+        return df[["_bucket", "_side", "_key", "_t"] + l_cols]
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1]
+        out = l[l_cols].copy().reset_index(drop=True)
+        counts = np.zeros(len(out), dtype=np.int64)
+        if len(r):
+            r_by_key = {
+                k: np.sort(sub["_t"].to_numpy())
+                for k, sub in r.groupby("_key", sort=False)
+            }
+            lk = l["_key"].to_numpy()
+            lt = l["_t"].to_numpy()
+            for k in pd.unique(lk):
+                ts = r_by_key.get(k)
+                if ts is None:
+                    continue
+                mask = lk == k
+                starts = lt[mask]
+                lo = np.searchsorted(ts, starts, side="left")
+                hi = np.searchsorted(ts, starts + window, side="left")
+                counts[mask] = hi - lo
+        out["n_in_window"] = counts
+        return out
+
+    return both.groupby("_bucket").map_groups(count_bucket, batch_format="pandas")

@@ -1,0 +1,164 @@
+"""Window / prefix-scan operators (ordered analytics Ray Data lacks).
+
+Two scale shapes:
+
+1. `keyed_running_agg` — running (cumulative) aggregates PARTITIONED BY a
+   key: hash-bucket the key (one all-to-all), sort within the bucket, and
+   cumsum/cummax vectorized per key.  The per-key history never crosses
+   buckets, so this scales with the widest single key, not the corpus.
+
+2. `global_prefix_scan` — a running aggregate over ONE global order (no
+   partition key), e.g. watermark lateness flags over an arrival sequence.
+   Classic two-phase distributed scan: sort by the order key, pass 1
+   collects per-block summaries (tiny: one row per block), the driver
+   prefix-combines them (cheap: O(blocks)), pass 2 broadcasts the per-block
+   carry-in and finishes the scan inside each block vectorized.  The only
+   driver-side state is the block-summary list.
+
+The reference computes nothing windowed (its corrections fold is
+last-writer-wins, SURVEY §2 A3); these are engine additions for
+training-data pipelines (arrival-order watermarking, per-user running
+state).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def keyed_running_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list[str],
+    value: str,
+    out_col: str = "running_total",
+    agg: str = "sum",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key cumulative aggregate in `order_by` order (SQL:
+    `agg(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)`).  order_by must make the order total (include a
+    tie-breaker column) or float results are engine-dependent."""
+    assert agg in ("sum", "max", "min", "count")
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_bucket"] = df[key].map(
+            lambda k: zlib.crc32(str(k).encode()) % n_buckets
+        ).astype("int32")
+        return df
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="stable")
+        grp = g.groupby(key, sort=False)[value]
+        if agg == "sum":
+            g[out_col] = grp.cumsum()
+        elif agg == "max":
+            g[out_col] = grp.cummax()
+        elif agg == "min":
+            g[out_col] = grp.cummin()
+        else:
+            g[out_col] = grp.cumcount() + 1
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+def global_prefix_scan(
+    ds: ray.data.Dataset,
+    order_by: str,
+    value: str,
+    out_col: str = "prefix_max",
+    inclusive: bool = False,
+) -> ray.data.Dataset:
+    """Running MAX of `value` over the global `order_by` order.
+
+    inclusive=False gives the strict prefix (max over rows BEFORE this
+    one; first row gets the type's minimum) — what watermark-lateness
+    checks need.
+
+    Two-phase: sort -> per-block (min order key, max value) partials ->
+    driver prefix over the partial list -> broadcast carry-ins -> finish
+    within blocks.  Partitioning assumption: the number of BLOCKS (not
+    rows) fits driver memory — always true (blocks are ~128 MB each).
+    `order_by` values must be unique (carry-ins are keyed by each block's
+    first order value)."""
+    s = ds.sort(order_by).materialize()  # two passes over the sorted data
+
+    def _norm(v) -> int | float:
+        """Hash-stable scalar for dict keying across numpy/pandas types."""
+        a = np.asarray(v)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return int(a.astype("datetime64[us]").astype("int64"))
+        if np.issubdtype(a.dtype, np.integer):
+            return int(a)
+        return float(a)
+
+    # batch_size=None = one batch per block, so pass 2 sees the SAME
+    # batch boundaries as pass 1 (the carry map is keyed per block)
+    def block_summary(batch: pa.Table) -> pd.DataFrame:
+        order = batch.column(order_by).to_numpy(zero_copy_only=False)
+        vals = batch.column(value).to_numpy(zero_copy_only=False)
+        if len(order) == 0:
+            return pd.DataFrame({"block_min": [], "block_max_val": []})
+        return pd.DataFrame(
+            {"block_min": [_norm(order.min())], "block_max_val": [vals.max()]}
+        )
+
+    partials = s.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("block_min", kind="stable")
+
+    carry: dict = {}
+    running = None
+    for bmin, bmax in zip(partials["block_min"], partials["block_max_val"]):
+        carry[bmin] = running
+        running = bmax if running is None else max(running, bmax)
+    carry_ref = ray.put(carry)
+
+    def _dtype_min(vals: np.ndarray):
+        if np.issubdtype(vals.dtype, np.datetime64):
+            # ns-safe sentinel with arithmetic headroom (Timestamp.min
+            # overflows as soon as downstream code subtracts from it)
+            return np.datetime64("1700-01-01").astype(vals.dtype)
+        if np.issubdtype(vals.dtype, np.integer):
+            return np.iinfo(vals.dtype).min
+        return -np.inf
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df):
+            df[out_col] = []
+            return df
+        cm = ray.get(carry_ref)
+        vals = df[value].to_numpy()
+        order = df[order_by].to_numpy()
+        inc = np.maximum.accumulate(vals)
+        carry_in = cm.get(_norm(order[0]))
+        if carry_in is not None:
+            # partials travel as pandas scalars (e.g. Timestamp); pin to
+            # the value dtype so np.maximum stays vectorized, not object
+            carry_in = np.asarray(carry_in).astype(vals.dtype)
+        if inclusive:
+            out = inc if carry_in is None else np.maximum(inc, carry_in)
+        else:
+            # strict prefix: shift the inclusive scan right by one
+            out = np.empty_like(inc)
+            out[1:] = inc[:-1]
+            out[0] = _dtype_min(vals)
+            if carry_in is not None:
+                out = np.maximum(out, carry_in)
+        df[out_col] = out
+        return df
+
+    return s.map_batches(finish, batch_format="pyarrow", batch_size=None)

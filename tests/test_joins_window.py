@@ -1,0 +1,114 @@
+"""Temporal joins (stages/joins.py) and window scans (stages/window.py):
+semantics beyond the DuckDB oracle — boundary conditions, empty sides,
+non-sum aggregates, int dtypes — on tiny synthetic inputs."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from gliner_transbronchialbiopsy_ray.stages.joins import asof_join, range_join_count
+from gliner_transbronchialbiopsy_ray.stages.window import (
+    global_prefix_scan,
+    keyed_running_agg,
+)
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_semantics():
+    left = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": [_ts("2024-01-10"), _ts("2024-01-20"), _ts("2024-01-05"),
+               _ts("2024-01-10")],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "o_custkey": [7, 7, 8],
+        "o_orderdate": [_ts("2024-01-10"), _ts("2024-01-15"),
+                        _ts("2024-01-01")],
+        "o_orderkey": [100, 200, 300],
+    }))
+    out = asof_join(
+        left, right, left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_payload=["o_orderdate", "o_orderkey"], n_buckets=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1: exact match on 01-10 allowed -> order 100
+    # event 2: latest <= 01-20 -> order 200
+    # event 3: before any order -> dropped (inner)
+    # event 4: user 9 has no orders -> dropped
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["o_orderkey"].tolist() == [100, 200]
+
+
+def test_range_join_count_boundaries_and_zero():
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_custkey": [5, 6],
+        "o_orderdate": [_ts("2024-01-01"), _ts("2024-01-01")],
+    }))
+    events = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [5, 5, 5, 5],
+        "ts": [_ts("2024-01-01"),            # inclusive start
+               _ts("2024-01-07 23:59:59"),   # inside
+               _ts("2024-01-08"),            # exclusive end (start + 7d)
+               _ts("2023-12-31")],           # before
+    }))
+    out = range_join_count(
+        orders, events, left_key="o_custkey", right_key="user_id",
+        left_time="o_orderdate", right_time="ts",
+        window=pd.Timedelta(days=7), out_cols=["o_orderkey"], n_buckets=4,
+    ).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert out.loc[out["o_orderkey"] == 1, "n_in_window"].iloc[0] == 2
+    # zero-match left row KEPT with count 0
+    assert out.loc[out["o_orderkey"] == 2, "n_in_window"].iloc[0] == 0
+
+
+def test_keyed_running_agg_max():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2], "o": [1, 2, 3, 1], "v": [5.0, 3.0, 9.0, 4.0],
+    }))
+    out = keyed_running_agg(
+        ds, key="k", order_by=["o"], value="v", out_col="rm", agg="max",
+        n_buckets=2,
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    assert out["rm"].tolist() == [5.0, 5.0, 9.0, 4.0]
+
+
+def test_global_prefix_scan_int_strict_and_inclusive():
+    df = pd.DataFrame({"seq": list(range(10)),
+                       "v": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]})
+    ds = ray.data.from_pandas(df).repartition(4)  # force multiple blocks
+    strict = global_prefix_scan(ds, "seq", "v", out_col="pm",
+                                inclusive=False).to_pandas().sort_values("seq")
+    exp = df["v"].cummax().shift(1)
+    assert strict["pm"].tolist()[1:] == exp[1:].astype(int).tolist()
+    assert strict["pm"].iloc[0] == np.iinfo(np.int64).min
+
+    incl = global_prefix_scan(ds, "seq", "v", out_col="pm",
+                              inclusive=True).to_pandas().sort_values("seq")
+    assert incl["pm"].tolist() == df["v"].cummax().tolist()
+
+
+def test_simhash_neardup_pairs_planted():
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)  # one token of ~180 changed
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": "completely unrelated legal boilerplate " * 30},
+    ]
+    out = simhash_neardup_pairs(
+        ray.data.from_items(rows), max_hamming=3, bands=4, concurrency=1
+    ).to_pandas()
+    pairs = set(zip(out["left_id"], out["right_id"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    h = out[(out["left_id"] == 1) & (out["right_id"] == 2)]["hamming"].iloc[0]
+    assert 0 <= h <= 3
