@@ -1629,6 +1629,49 @@ def q54_simhash_neardups(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_neardup_pairs(docs, max_hamming=3, bands=4, concurrency=2)
 
+
+def q55_dedup_pipeline(sf_dir: str):
+    """Flagship corpus-dedup COMPOSITION (the standard crawl-cleaning
+    chain): verdict-preserving exact dedup -> MinHash-LSH candidates ->
+    exact-Jaccard verify (distributed) -> connected components ->
+    canonical doc per cluster (min doc_id).  Returns a per-doc verdict
+    DATASET — (doc_id, cluster, status in {canonical, near_dup,
+    exact_dup}) — streaming end to end: the only driver-side state is the
+    candidate-pair component map (bounded by the LSH gate, NOT corpus
+    size).  Deterministic -> golden-hash pinned."""
+    from ..stages.dedup import (
+        connected_components,
+        exact_dedup_flags,
+        verified_near_dups,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize: flagged rows feed BOTH the near-dup scan (keepers only)
+    # and the final verdict pass — one shuffle, two consumers
+    flags = exact_dedup_flags(docs).materialize()
+    kept = flags.map_batches(
+        lambda b: b.filter(b.column("keeper")), batch_format="pyarrow"
+    )
+
+    cands = verified_near_dups(kept, jaccard_threshold=0.7, concurrency=2)
+    comps = connected_components(cands).to_pandas()  # bounded: LSH-gated
+    comp_ref = ray.put(dict(zip(comps["node"], comps["component"])))
+
+    def verdict(batch: pa.Table) -> pd.DataFrame:
+        cm = ray.get(comp_ref)
+        df = batch.select(["doc_id", "keeper"]).to_pandas()
+        cluster = df["doc_id"].map(lambda d: cm.get(d, d)).astype("int64")
+        cluster[~df["keeper"]] = -1
+        status = np.where(
+            ~df["keeper"], "exact_dup",
+            np.where(cluster == df["doc_id"], "canonical", "near_dup"),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "cluster": cluster,
+                             "status": status})
+
+    return flags.map_batches(verdict, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1700,4 +1743,5 @@ QUERIES: dict[str, tuple] = {
     "q52_watermark_late_flags": (q52_watermark_late_flags, Q52_SQL),
     "q53_grouped_quantiles": (q53_grouped_quantiles, Q53_SQL),
     "q54_simhash_neardups": (q54_simhash_neardups, None),
+    "q55_dedup_pipeline": (q55_dedup_pipeline, None),
 }

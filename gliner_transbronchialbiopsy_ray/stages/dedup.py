@@ -74,6 +74,26 @@ def exact_dedup(docs: ray.data.Dataset, key_col: str = "text",
     return out.drop_columns(["content_hash", "bucket"])
 
 
+def exact_dedup_flags(docs: ray.data.Dataset, key_col: str = "text",
+                      shuffle_blocks: int = 8) -> ray.data.Dataset:
+    """Verdict-preserving exact dedup: ALL rows kept, + `keeper` (is this
+    the min-doc_id row of its content group) and `keeper_id` columns.
+    Lets a composition pipeline label dropped rows without a corpus-sized
+    broadcast of the kept-id set (the verdict travels WITH the row)."""
+    hashed = docs.map_batches(
+        lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
+    ).repartition(shuffle_blocks)
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        g["keeper_id"] = g.groupby("content_hash", sort=False)["doc_id"].transform("min")
+        g["keeper"] = g["doc_id"] == g["keeper_id"]
+        return g
+
+    out = hashed.groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
+    return out.drop_columns(["content_hash", "bucket"])
+
+
 def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:
     """(left_id, right_id) for every exact-duplicate pair (left < right)."""
     hashed = docs.select_columns(["doc_id", key_col]).map_batches(

@@ -98,3 +98,38 @@ def test_brute_force_topk_exact():
         assert got == expect
         ranks = out[out["query_id"] == qid].sort_values("rank")["score"].to_numpy()
         assert (np.diff(ranks) <= 0).all()
+
+
+def test_q55_dedup_pipeline_verdicts():
+    """Composition semantics with planted duplicates: exact dup -> dropped,
+    near dup -> clustered to canonical, unique doc -> canonical."""
+    import pandas as pd
+    import ray
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        connected_components,
+        exact_dedup_flags,
+        verified_near_dups,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5)
+    near = base.replace("gamma", "gamma2")
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},        # exact dup of 1
+        {"doc_id": 3, "text": near},        # near dup of 1
+        {"doc_id": 4, "text": "unrelated entirely different content " * 8},
+    ])
+    flags = exact_dedup_flags(docs).materialize()
+    kept = flags.map_batches(
+        lambda b: b.filter(b.column("keeper")), batch_format="pyarrow"
+    )
+    cands = verified_near_dups(kept, jaccard_threshold=0.6, concurrency=1)
+    comps = connected_components(cands).to_pandas()
+    comp_of = dict(zip(comps["node"], comps["component"]))
+
+    f = flags.to_pandas().set_index("doc_id")
+    assert bool(f.loc[1, "keeper"]) and not bool(f.loc[2, "keeper"])
+    assert f.loc[2, "keeper_id"] == 1
+    assert comp_of.get(3) == 1          # near dup clusters to canonical 1
+    assert comp_of.get(4, 4) == 4       # unique stays its own cluster
