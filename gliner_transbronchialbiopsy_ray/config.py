@@ -137,7 +137,7 @@ class PipelineConfig:
     ner_blocks: int | None = None  # repartition before NER: actor-pool
     # parallelism is bounded by BLOCK count (one block per actor task), so
     # size this to >= pool size x 2; None keeps upstream blocking
-    text_batch_size: int = 4096
+    text_batch_size: int | None = 4096
     salt_buckets: int = 16
     model_backend: str = "lexicon"  # "lexicon" | "gliner"
     model_path: str | None = None

@@ -865,6 +865,14 @@ def _auto_btb_cfg(work_factor: int = 1):
         ner_num_cpus=0.5,
         ner_batch_size=128,
         model_backend="lexicon",
+        # NER actor-task granularity = block count (~n_rows/4096 after the
+        # text-stage bundling).  Measured at sf0.1/32cpu: adding a
+        # repartition (ner_blocks) or un-bundling the text stages costs
+        # MORE than the parallelism it buys with the cheap lexicon kernel
+        # (5.4s baseline vs 6.0-6.9s tuned) — per-task overhead dominates.
+        # With a real model backend (>=50ms/doc), set ner_blocks >= pool
+        # and a small ner_batch_size instead, as bench.py's scaling job
+        # does via override_num_blocks.
     ), work_factor
 
 
@@ -1672,6 +1680,77 @@ def q55_dedup_pipeline(sf_dir: str):
     return flags.map_batches(verdict, batch_format="pyarrow")
 
 
+
+def q56_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (ROLLUP): one streamed combiner pass over the
+    fact table; the two coarser levels re-aggregate the tiny merged
+    partials driver-side — the input is read ONCE for all three levels."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = _preagg(ds, ["l_returnflag", "l_linestatus"],
+                   {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")})
+    mid = (fine.groupby("l_returnflag", as_index=False)
+           .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+    mid["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "sum_qty": [fine["sum_qty"].sum()], "n": [fine["n"].sum()],
+    })
+    out = pd.concat([fine, mid, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
+
+
+Q56_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q57_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: 5 rows per event_type chosen by
+    md5(event_id) hash order (stable across engines, reruns and block
+    layouts — the scalable alternative to seeded per-group sampling).
+    Per-batch top-5-per-type combiner -> driver merge of the bounded
+    (types x 5 x blocks) partials."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_h"] = [hashlib.md5(str(e).encode()).hexdigest()
+                    for e in df["event_id"]]
+        df = df.sort_values(["_h", "event_id"], kind="stable")
+        return df.groupby("event_type", sort=False).head(5)
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["_h", "event_id"], kind="stable")
+    out = parts.groupby("event_type", sort=False).head(5)
+    return out[["event_id", "event_type"]].reset_index(drop=True)
+
+
+Q57_SQL = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS rn
+  FROM events) t WHERE rn <= 5
+"""
+
+
+def q58_connected_components_distributed(sf_dir: str):
+    """Dedup-cluster assignment with the DISTRIBUTED fixpoint (Dataset
+    joins + grouped Min per round) — the huge-candidate-graph path of
+    stages/dedup.py connected_components, registered so the driver
+    exercises it; must agree with the driver-side variant (golden)."""
+    from ..stages.dedup import connected_components, minhash_candidate_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, jaccard_threshold=0.6, concurrency=2)
+    return connected_components(pairs, distributed=True)
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1744,4 +1823,7 @@ QUERIES: dict[str, tuple] = {
     "q53_grouped_quantiles": (q53_grouped_quantiles, Q53_SQL),
     "q54_simhash_neardups": (q54_simhash_neardups, None),
     "q55_dedup_pipeline": (q55_dedup_pipeline, None),
+    "q56_rollup": (q56_rollup, Q56_SQL),
+    "q57_stratified_sample": (q57_stratified_sample, Q57_SQL),
+    "q58_cc_distributed": (q58_connected_components_distributed, None),
 }

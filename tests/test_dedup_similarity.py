@@ -133,3 +133,22 @@ def test_q55_dedup_pipeline_verdicts():
     assert f.loc[2, "keeper_id"] == 1
     assert comp_of.get(3) == 1          # near dup clusters to canonical 1
     assert comp_of.get(4, 4) == 4       # unique stays its own cluster
+
+
+def test_distributed_cc_agrees_with_driver_cc():
+    import ray
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        connected_components,
+    )
+
+    pairs = ray.data.from_items([
+        {"left_id": 1, "right_id": 2},
+        {"left_id": 2, "right_id": 3},
+        {"left_id": 7, "right_id": 9},
+    ])
+    a = connected_components(pairs, distributed=False).to_pandas()
+    b = connected_components(pairs, distributed=True).to_pandas()
+    norm = lambda df: df.sort_values("node").reset_index(drop=True).astype("int64")
+    import pandas as pd
+    pd.testing.assert_frame_equal(norm(a), norm(b), check_dtype=False)
