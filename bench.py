@@ -106,15 +106,24 @@ SCALING_NDOCS = int(os.environ.get("GRAFT_SCALING_NDOCS", "40000"))
 SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "256"))
 
 
+SCALING_JOB = os.environ.get("GRAFT_SCALING_JOB", "kg")  # kg | dedup
+
+
 def run_scaling_job() -> dict:
-    """One compute-bound run of the flagship KG pipeline (fresh process):
-    40k-doc skewed corpus, lexicon backend with work_factor emulating
-    transformer-model per-doc cost (LexiconBackend docstring), NER actor
-    pool sized to the cluster.  Prints docs/sec."""
+    """One run of the scaling job (fresh process) over the 40k-doc skewed
+    corpus.  GRAFT_SCALING_JOB selects the workload shape:
+      kg    (default) — compute-bound: full KG pipeline, lexicon backend
+            with work_factor emulating transformer per-doc cost
+      dedup — SHUFFLE-bound: MinHash-LSH near-dup candidates (actor-pool
+            signatures -> banded explode -> all-to-all bucket groupby),
+            evidence that the exchange path scales, not just the maps
+    Prints docs/sec."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    if SCALING_JOB == "dedup":
+        return _run_scaling_job_dedup()
     from gliner_transbronchialbiopsy_ray.config import (
         PipelineConfig,
         configure_data_context,
@@ -150,6 +159,49 @@ def run_scaling_job() -> dict:
         "rows": rows, "docs": SCALING_NDOCS,
         "docs_per_sec": round(SCALING_NDOCS / sec, 1),
         "num_cpus": NUM_CPUS, "work_factor": SCALING_WORK_FACTOR,
+    }
+    ray.shutdown()
+    return out
+
+
+def _run_scaling_job_dedup() -> dict:
+    """Shuffle-bound leg: MinHash-LSH candidate pairs over the fixture
+    corpus (ray already initialized by run_scaling_job)."""
+    import ray
+
+    from gliner_transbronchialbiopsy_ray.config import configure_data_context
+    from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    configure_data_context()
+    path = write_corpus(SCALING_NDOCS, seed=42, shards=64)
+    t0 = time.perf_counter()
+    from gliner_transbronchialbiopsy_ray.stages.assemble import assemble_text
+
+    docs = ray.data.read_parquet(
+        f"{path}/documents", override_num_blocks=NUM_CPUS * 4
+    ).map_batches(  # span rows -> (doc_id, text): give the hasher real text
+        assemble_text, batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.select(["doc_id", "text"]).filter(
+            b.column("text").is_valid()),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_candidate_pairs(
+        docs, jaccard_threshold=0.5, concurrency=(2, NUM_CPUS),
+        shuffle_blocks=NUM_CPUS * 2,
+    )
+    rows = 0
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rows += b.num_rows
+    sec = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "scaling_job_dedup", "value": sec, "unit": "sec",
+        "rows": rows, "docs": SCALING_NDOCS,
+        "docs_per_sec": round(SCALING_NDOCS / sec, 1),
+        "num_cpus": NUM_CPUS,
     }
     ray.shutdown()
     return out
@@ -192,7 +244,7 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_kg_pipeline",
+        "metric": f"scaling_efficiency_{SCALING_JOB}_pipeline",
         "docs": SCALING_NDOCS,
         "work_factor": SCALING_WORK_FACTOR,
         "cpus_lo": lo,

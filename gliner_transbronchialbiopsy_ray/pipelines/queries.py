@@ -1751,6 +1751,37 @@ def q58_connected_components_distributed(sf_dir: str):
     pairs = minhash_candidate_pairs(docs, jaccard_threshold=0.6, concurrency=2)
     return connected_components(pairs, distributed=True)
 
+
+def q59_semi_join_bloom(sf_dir: str) -> pd.DataFrame:
+    """Exact SEMI join via Bloom pre-filter + exact confirm: distinct event
+    users that DO have a customer record.  The Bloom pass (no false
+    negatives) drops most non-matching rows without a shuffle; the exact
+    key-set check runs only on the small survivor set, so the result is
+    EXACT despite the probabilistic pre-filter — the scale recipe when
+    the key set is too big to broadcast raw (functions/bloom.py)."""
+    from ..functions.bloom import bloom_semi_join
+
+    events = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    survivors = bloom_semi_join(events, cust, key_col="user_id",
+                                right_key_col="c_custkey", fp_rate=0.01)
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    cand = survivors.map_batches(distinct, batch_format="pyarrow").to_pandas()
+    cand = pd.DataFrame({"user_id": pd.unique(cand["user_id"])})
+    exact = set(cust.to_pandas()["c_custkey"])  # small dimension side
+    out = cand[cand["user_id"].isin(exact)].sort_values("user_id")
+    return out.reset_index(drop=True)
+
+
+Q59_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer)
+ORDER BY user_id
+"""
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1826,4 +1857,5 @@ QUERIES: dict[str, tuple] = {
     "q56_rollup": (q56_rollup, Q56_SQL),
     "q57_stratified_sample": (q57_stratified_sample, Q57_SQL),
     "q58_cc_distributed": (q58_connected_components_distributed, None),
+    "q59_semi_join_bloom": (q59_semi_join_bloom, Q59_SQL),
 }

@@ -206,6 +206,8 @@ def minhash_candidate_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     concurrency: int | tuple[int, int] = 4,
+    star_cap: int = 256,
+    shuffle_blocks: int = 8,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate detection.
 
@@ -213,7 +215,21 @@ def minhash_candidate_pairs(
     doc) rows -> groupby LSH bucket -> emit pairs sharing a bucket with
     estimated Jaccard (signature agreement) >= threshold.  Pairs are
     deduplicated by keeping each pair only in its FIRST shared band — no
-    global dedup shuffle needed."""
+    global dedup shuffle needed.
+
+    Skew guard (`star_cap`): an LSH bucket of k near-identical docs emits
+    O(k^2) pairs — one 15k-doc template cluster is 100M+ pair evals, a
+    single-task hot spot no shuffle can fix.  Buckets larger than
+    `star_cap` are STAR-linked instead: every member pairs with the
+    bucket's min doc_id (O(k)).  Connected components — i.e. dedup
+    CLUSTERS — are preserved exactly; only the redundant within-cluster
+    pair list is thinned, and est_jaccard still gates every emitted pair.
+    Set star_cap=None for the exhaustive pair list.
+
+    `shuffle_blocks` coalesces the exploded (doc, band) rows before the
+    bucket groupby — it is ALSO the parallelism of the pair-emission
+    stage, so size it to the cluster for large corpora (the 8 default
+    fits the small-sf tests)."""
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
@@ -221,33 +237,70 @@ def minhash_candidate_pairs(
         concurrency=concurrency,
         num_cpus=0.5,
     )
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         # drop LSH buckets of size 1 vectorized, then scan real buckets
         g = g[g.duplicated(["band", "band_hash"], keep=False)]
         for (band, _bh), grp in g.groupby(["band", "band_hash"], sort=False):
             grp = grp.sort_values("doc_id", kind="stable")
-            ids = grp["doc_id"].tolist()
-            sig = [np.frombuffer(s, dtype=np.uint64) for s in grp["signature"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    est = float(np.mean(sig[i] == sig[j]))
-                    if est < jaccard_threshold:
-                        continue
-                    # keep the pair only in the first band where the two
-                    # signatures collide (dedup without a second shuffle)
-                    if _first_shared_band(sig[i], sig[j], len(sig[i]),
-                                          bands=bands) == band:
-                        out.append((ids[i], ids[j], round(est, 6)))
-        return pd.DataFrame(out, columns=["left_id", "right_id", "est_jaccard"])
+            grp = grp[~grp["doc_id"].duplicated()]
+            ids = grp["doc_id"].to_numpy()
+            k = len(ids)
+            if k < 2:
+                continue
+            sig = np.stack([np.frombuffer(s, dtype=np.uint64)
+                            for s in grp["signature"]])  # (k, num_perm)
+            rows_per_band = sig.shape[1] // bands
+            sig3 = sig.reshape(k, bands, rows_per_band)
+            if star_cap is not None and k > star_cap:
+                # star link: hub = min doc_id (row 0 after the sort)
+                eq = sig[0][None, :] == sig[1:]            # (k-1, num_perm)
+                est = eq.mean(axis=1)
+                ok = est >= jaccard_threshold
+                # first shared band of (hub, other), vectorized
+                band_eq = (sig3[0][None] == sig3[1:]).all(axis=2)  # (k-1, bands)
+                fsb = np.where(band_eq.any(axis=1),
+                               band_eq.argmax(axis=1), -1)
+                keep = ok & (fsb == band)
+                if keep.any():
+                    out.append(pd.DataFrame({
+                        "left_id": np.repeat(ids[0], int(keep.sum())),
+                        "right_id": ids[1:][keep],
+                        "est_jaccard": np.round(est[keep], 6),
+                    }))
+                continue
+            # exhaustive: vectorized pairwise signature agreement, chunked
+            # so star_cap=None on a giant bucket stays memory-bounded
+            iu_all, ju_all = np.triu_indices(k, k=1)
+            for c0 in range(0, len(iu_all), 2_000_000):
+                iu = iu_all[c0 : c0 + 2_000_000]
+                ju = ju_all[c0 : c0 + 2_000_000]
+                eq = sig[iu] == sig[ju]                    # (P, num_perm)
+                est = eq.mean(axis=1)
+                ok = est >= jaccard_threshold
+                if not ok.any():
+                    continue
+                iu, ju, est = iu[ok], ju[ok], est[ok]
+                band_eq = (sig3[iu] == sig3[ju]).all(axis=2)  # (P', bands)
+                fsb = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), -1)
+                keep = fsb == band
+                if keep.any():
+                    out.append(pd.DataFrame({
+                        "left_id": ids[iu[keep]],
+                        "right_id": ids[ju[keep]],
+                        "est_jaccard": np.round(est[keep], 6),
+                    }))
+        if not out:
+            return pd.DataFrame(
+                {"left_id": pd.Series(dtype=g["doc_id"].dtype),
+                 "right_id": pd.Series(dtype=g["doc_id"].dtype),
+                 "est_jaccard": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
 
     # shuffle key = coarse bucket (band_hash % 512): bounded group count,
     # per-LSH-bucket work vectorized/pandas inside; coalesce first (sort-
     # shuffle cost scales with block count)
-    return sigs.repartition(8).groupby("bucket").map_groups(
+    return sigs.repartition(shuffle_blocks).groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
 

@@ -226,3 +226,41 @@ class NerStage:
             "entities", pa.array(preds, type=pa.list_(ENTITY_STRUCT))
         )
         return out
+
+
+def validate_entities_batch(batch: pa.Table, labels: list[str] | None = None) -> pa.Table:
+    """Standalone entity-prediction validator (M6; reference
+    entity_processor.py:194-233): per-row list of validation-error strings
+    — invalid label (not in the vocabulary), score outside [0, 1], span
+    bounds outside the conclusion, start > end.  Required-field presence
+    is schema-enforced here (ENTITY_STRUCT), so the reference's
+    missing-field branch cannot trigger; the remaining checks mirror its
+    error-string style.  Rows are kept; `validation_errors` is [] when
+    clean (engine rule: no silent drops)."""
+    from ..config import LABELS
+
+    allowed = set(labels if labels is not None else LABELS)
+    ents_col = batch.column("entities").to_pylist()
+    concl = (batch.column("conclusion").to_pylist()
+             if "conclusion" in batch.column_names else [None] * batch.num_rows)
+    all_errors = []
+    for ents, text in zip(ents_col, concl):
+        errors = []
+        n = len(text) if isinstance(text, str) else None
+        for e in ents or []:
+            if e["label"] not in allowed:
+                errors.append(f"Invalid label: {e['label']}")
+            s = e["score"]
+            if s is None or not 0 <= s <= 1:
+                errors.append(f"Invalid score: {s}")
+            if e["start"] is not None and e["end"] is not None:
+                if e["start"] > e["end"]:
+                    errors.append(
+                        f"Invalid span order: {e['start']}>{e['end']}")
+                elif n is not None and (e["start"] < 0 or e["end"] > n):
+                    errors.append(
+                        f"Span out of bounds: [{e['start']},{e['end']})/{n}")
+        all_errors.append(errors)
+    return batch.append_column(
+        "validation_errors", pa.array(all_errors, type=pa.list_(pa.string()))
+    )

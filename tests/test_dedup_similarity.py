@@ -152,3 +152,39 @@ def test_distributed_cc_agrees_with_driver_cc():
     norm = lambda df: df.sort_values("node").reset_index(drop=True).astype("int64")
     import pandas as pd
     pd.testing.assert_frame_equal(norm(a), norm(b), check_dtype=False)
+
+
+def test_minhash_star_cap_preserves_clusters():
+    """Skew guard: a big near-identical cluster must produce the SAME
+    connected components with star-linking as with exhaustive pairing,
+    with O(k) instead of O(k^2) pairs."""
+    import ray
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    base = "the common template sentence repeated for every document " * 6
+    rows = [{"doc_id": i, "text": base + f" tail{i % 3}"} for i in range(40)]
+    rows.append({"doc_id": 99, "text": "totally different content " * 20})
+    ds = ray.data.from_items(rows)
+
+    exhaustive = minhash_candidate_pairs(
+        ds, jaccard_threshold=0.5, concurrency=1, star_cap=None
+    ).to_pandas()
+    starred = minhash_candidate_pairs(
+        ds, jaccard_threshold=0.5, concurrency=1, star_cap=8
+    ).to_pandas()
+    assert len(starred) < len(exhaustive)  # the pair list is thinned
+
+    def comps(pairs):
+        c = connected_components(
+            ray.data.from_pandas(pairs[["left_id", "right_id"]])
+        ).to_pandas()
+        m = dict(zip(c["node"], c["component"]))
+        # every clustered doc maps to the same canonical representative
+        return {n: m[n] for n in sorted(m)}
+
+    assert comps(exhaustive) == comps(starred)
+    assert 99 not in comps(starred)  # the outlier never enters a cluster

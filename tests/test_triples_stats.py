@@ -132,3 +132,34 @@ def test_hot_key_salt_actually_spreads():
     # and no single (salt, pred, obj) group holds more partials than the
     # batch count in its share of buckets would allow with real spreading
     assert hot.groupby("salt").size().max() < len(hot)
+
+
+def test_validate_entities_batch():
+    """M6 standalone validator (reference entity_processor.py:194-233):
+    bad label / score / span each produce an error string; clean rows
+    give []; rows are never dropped."""
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.schema import ENTITY_STRUCT
+    from gliner_transbronchialbiopsy_ray.stages.ner import (
+        validate_entities_batch,
+    )
+
+    ents = [
+        [{"text": "A2", "label": "Grade A", "score": 0.9, "start": 0, "end": 2}],
+        [{"text": "x", "label": "NotALabel", "score": 1.5, "start": 5, "end": 3}],
+        [],
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3"]),
+        "conclusion": pa.array(["A2 grade", "tiny", None]),
+        "entities": pa.array(ents, type=pa.list_(ENTITY_STRUCT)),
+    })
+    out = validate_entities_batch(batch)
+    errs = out.column("validation_errors").to_pylist()
+    assert errs[0] == []
+    assert any("Invalid label" in e for e in errs[1])
+    assert any("Invalid score" in e for e in errs[1])
+    assert any("span" in e.lower() for e in errs[1])
+    assert errs[2] == []
+    assert out.num_rows == 3
