@@ -70,3 +70,114 @@ def approx_distinct(
         other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
         acc.merge(other)
     return acc.estimate()
+
+
+class QuantileSketch:
+    """Mergeable weighted-sample quantile sketch (bounded size, any value
+    domain — the complement to the exact-histogram quantiles of
+    q46/q53, which need bounded value cardinality).
+
+    Compression keeps K evenly-spaced order statistics of the sorted
+    (value, weight) stream — a deterministic GK-style epsilon-approximate
+    summary: rank error is bounded by total_weight / K.  Per-batch
+    sketches are a few KB and merge by weighted-union + re-compress, so
+    the distributed plan is the HLL shape: map_batches partials -> tiny
+    driver fold, no shuffle."""
+
+    def __init__(self, k: int = 512):
+        self.k = k
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add_many(self, values) -> "QuantileSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.values = np.concatenate([self.values, v])
+        self.weights = np.concatenate([self.weights, np.ones(len(v))])
+        self._compress()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        self.values = np.concatenate([self.values, other.values])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.values) <= self.k:
+            order = np.argsort(self.values, kind="stable")
+            self.values, self.weights = self.values[order], self.weights[order]
+            return
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        # K evenly spaced target ranks; each keeps the first value whose
+        # cumulative weight reaches the target (deterministic)
+        targets = (np.arange(1, self.k + 1) / self.k) * total
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.clip(idx, 0, len(v) - 1)
+        keep, first = np.unique(idx, return_index=True)
+        new_v = v[keep]
+        # weight of each kept value = weight mass since the previous kept
+        prev = np.concatenate([[0.0], cum[keep][:-1]])
+        new_w = cum[keep] - prev
+        self.values, self.weights = new_v, new_w
+
+    def quantile(self, q: float) -> float:
+        if not len(self.values):
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.values, self.weights]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, k: int = 512) -> "QuantileSketch":
+        arr = np.frombuffer(blob, dtype=np.float64)
+        s = cls(k)
+        half = len(arr) // 2
+        s.values = arr[:half].copy()
+        s.weights = arr[half:].copy()
+        return s
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float], k: int = 512
+) -> list[float]:
+    """Approximate quantiles of `col` via per-batch QuantileSketch
+    partials merged driver-side — one streamed pass, no shuffle, bounded
+    memory regardless of value cardinality (rank error <= n/k)."""
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        s = QuantileSketch(k).add_many(
+            batch.column(col).to_numpy(zero_copy_only=False)
+        )
+        return pd.DataFrame({"sketch": [s.to_bytes()]})
+
+    partials = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pyarrow", batch_size=None  # one sketch/block
+    ).to_pandas()
+    # Ray can deliver blocks in completion order, which varies run to run;
+    # an iterative merge (compress after each) would make the answer
+    # depend on that order.  Fold order-invariantly instead: concatenate
+    # every partial, sort by (value, weight) with a deterministic
+    # tie-break, compress ONCE.
+    acc = QuantileSketch(k)
+    if "sketch" not in partials.columns:  # fully-empty input dataset
+        return [acc.quantile(q) for q in qs]
+    vs, ws = [], []
+    for blob in partials["sketch"]:
+        part = QuantileSketch.from_bytes(blob, k)
+        vs.append(part.values)
+        ws.append(part.weights)
+    if vs:
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        order = np.lexsort((w, v))
+        acc.values, acc.weights = v[order], w[order]
+        acc._compress()
+    return [acc.quantile(q) for q in qs]

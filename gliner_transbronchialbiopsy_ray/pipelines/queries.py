@@ -1782,6 +1782,26 @@ WHERE user_id IN (SELECT c_custkey FROM customer)
 ORDER BY user_id
 """
 
+
+def q60_approx_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-sketch approximate quantiles of event value (one streamed
+    pass, per-batch QuantileSketch partials, driver fold — bounded memory
+    for ANY value cardinality; rank error <= n/k).  The exact counterpart
+    is q53 (histogram method, needs bounded distinct values).
+    Deterministic -> golden-pinned; accuracy vs exact asserted in
+    tests/test_sketches.py."""
+    from ..functions.sketches import approx_quantiles
+
+    # sketch contents depend on batch composition -> pin the block layout
+    # (fixed block count) so the query is reproducible run to run; the
+    # rank-error bound holds under ANY layout (accuracy test), this just
+    # pins WHICH epsilon-approximate answer is returned
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"],
+                         override_num_blocks=8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = approx_quantiles(ds, "value", qs, k=512)
+    return pd.DataFrame({"q": qs, "value": [round(v, 6) for v in vals]})
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1858,4 +1878,5 @@ QUERIES: dict[str, tuple] = {
     "q57_stratified_sample": (q57_stratified_sample, Q57_SQL),
     "q58_cc_distributed": (q58_connected_components_distributed, None),
     "q59_semi_join_bloom": (q59_semi_join_bloom, Q59_SQL),
+    "q60_approx_quantiles": (q60_approx_quantiles, None),
 }

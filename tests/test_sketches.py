@@ -33,3 +33,47 @@ def test_hll_query_close_to_exact():
     exact = q44_distinct_counts("/root/testdata/sf0.001")["n_users"].iloc[0]
     approx = q45_approx_distinct_hll("/root/testdata/sf0.001")["approx_n_users"].iloc[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_quantile_sketch_accuracy_vs_exact():
+    """Mergeable quantile sketch: rank error bounded by n/k — on 50k
+    lognormal values with k=512, each approx quantile must land within
+    1% rank of the exact one, across a 16-way partitioned dataset."""
+    import numpy as np
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        QuantileSketch,
+        approx_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(0, 1.5, size=50_000)
+    ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = approx_quantiles(ds, "v", qs, k=512)
+    svals = np.sort(vals)
+    for q, a in zip(qs, approx):
+        # rank of the approx answer in the exact order
+        rank = np.searchsorted(svals, a) / len(svals)
+        assert abs(rank - q) < 0.01, (q, a, rank)
+
+
+def test_quantile_sketch_merge_equals_single():
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        QuantileSketch,
+    )
+
+    rng = np.random.RandomState(4)
+    a, b = rng.randn(3000), rng.randn(4000)
+    merged = QuantileSketch(256).add_many(a).merge(
+        QuantileSketch(256).add_many(b))
+    allv = np.sort(np.concatenate([a, b]))
+    for q in (0.25, 0.5, 0.75):
+        rank = np.searchsorted(allv, merged.quantile(q)) / len(allv)
+        assert abs(rank - q) < 0.02
+    # round-trips through bytes
+    rt = QuantileSketch.from_bytes(merged.to_bytes(), 256)
+    assert rt.quantile(0.5) == merged.quantile(0.5)
