@@ -63,6 +63,12 @@ def _preagg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
             *[cls[combine[out]](out, alias_name=out) for out in spec]
         )
     pdf = partials.to_pandas()
+    # Ray can deliver partial blocks in COMPLETION order (varies run to
+    # run); float sums are order-sensitive at the ulp level, which a
+    # dtype-sensitive value hash can see after rounding.  Sort partials
+    # into a canonical order before the merge so the fold is
+    # deterministic regardless of scheduling.
+    pdf = pdf.sort_values(keys + list(spec), kind="stable").reset_index(drop=True)
     return (
         pdf.groupby(keys, sort=False, dropna=False)
         .agg(**{out: (out, combine[out]) for out in spec})

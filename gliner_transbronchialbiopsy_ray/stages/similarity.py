@@ -194,6 +194,11 @@ def kmeans_dataset(
             )
 
         agg = embeddings.map_batches(partials, batch_format="pyarrow").to_pandas()
+        # canonical partial order: blocks can arrive in completion order,
+        # and float accumulation is order-sensitive — sort so centroid
+        # updates are bit-deterministic across runs
+        agg["_k"] = agg["sum"].map(lambda v: np.asarray(v).tobytes())
+        agg = agg.sort_values(["cluster", "n", "_k"], kind="stable")
         sums = np.zeros_like(centers)
         counts = np.zeros(k, dtype=np.int64)
         for _, row in agg.iterrows():
@@ -236,6 +241,7 @@ def kmeans_dataset(
     stats = (
         assigned.map_batches(stat_partials, batch_format="pyarrow")
         .to_pandas()
+        .sort_values(["cluster", "n", "inertia"], kind="stable")  # order-stable float fold
         .groupby("cluster", as_index=False)
         .agg(n=("n", "sum"), inertia=("inertia", "sum"))
     )
