@@ -64,6 +64,8 @@ def approx_distinct(
     partials = ds.select_columns([col]).map_batches(
         sketch, batch_format="pyarrow"
     ).to_pandas()
+    if "registers" not in partials.columns:  # empty input -> no partial blocks
+        return 0.0
     acc = HyperLogLog(p)
     for blob in partials["registers"]:
         other = HyperLogLog(p)

@@ -92,6 +92,8 @@ def ivf_topk(
     degenerates to exact search)."""
     sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:  # empty input: nothing to quantize or probe
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "score", "rank"])
     sn = np.linalg.norm(sample, axis=1, keepdims=True)
     sn[sn == 0] = 1.0
     centers = _kmeans_lite(sample / sn, n_clusters)
@@ -171,6 +173,11 @@ def kmeans_dataset(
     (cluster, n, inertia rounded)).  Seeded deterministic."""
     sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:  # empty input: no centroids to fit, no rows to assign
+        stats = pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                              "n": pd.Series(dtype="int64"),
+                              "inertia": pd.Series(dtype="float64")})
+        return embeddings, stats
     centers = _kmeans_lite(sample, k, iters=0)  # farthest-point init only
 
     for _ in range(iters):
@@ -271,7 +278,8 @@ def brute_force_topk(
         lambda b: _topk_batch(b, ref, kk, id_col, vec_col),
         batch_format="pyarrow",
     ).to_pandas()  # k * n_queries * n_batches rows — small by construction
-
+    if "query_id" not in partials.columns:  # empty input -> no partial blocks
+        partials = pd.DataFrame(columns=["query_id", "neighbor_id", "score"])
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(

@@ -163,5 +163,8 @@ def word_frequencies(docs: ray.data.Dataset, top_k: int = 20) -> pd.DataFrame:
     groupby(word).sum -> driver-side top-k (result is tiny)."""
     partials = docs.map_batches(_word_partials, batch_format="pyarrow")
     agg = partials.groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    if "n" not in agg.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
     agg = agg.sort_values(["n", "word"], ascending=[False, True], kind="stable")
     return agg.head(top_k).reset_index(drop=True)

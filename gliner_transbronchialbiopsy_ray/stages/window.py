@@ -117,7 +117,10 @@ def global_prefix_scan(
 
     partials = s.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("block_min", kind="stable")
+    ).to_pandas()
+    if "block_min" not in partials.columns:  # empty input -> no partial blocks
+        partials = pd.DataFrame({"block_min": [], "block_max_val": []})
+    partials = partials.sort_values("block_min", kind="stable")
 
     carry: dict = {}
     running = None

@@ -1,0 +1,92 @@
+"""Empty-input robustness: every partial-collecting operator must return
+a clean empty result, not KeyError, when the input dataset has zero rows
+(at 100 TB a partition-pruned read legitimately yields empty shards).
+
+The hazard: `ds.map_batches(f).to_pandas()` on an empty dataset produces
+a DataFrame with NO columns (no partial blocks were ever emitted), so any
+downstream column access crashes unless guarded."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.functions.sketches import (
+    approx_distinct,
+    approx_quantiles,
+)
+from gliner_transbronchialbiopsy_ray.stages.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash_signatures,
+    verified_near_dups,
+)
+from gliner_transbronchialbiopsy_ray.stages.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_dataset,
+)
+from gliner_transbronchialbiopsy_ray.stages.text_analysis import word_frequencies
+from gliner_transbronchialbiopsy_ray.stages.window import (
+    global_prefix_scan,
+    keyed_running_agg,
+)
+
+
+def _empty_docs():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+
+
+def _empty_emb():
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+
+
+def _empty_events():
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("ns")),
+        "value": pa.array([], pa.float64()),
+    }))
+
+
+def test_sketches_empty(ray_session):
+    assert approx_distinct(_empty_docs(), "doc_id") == 0.0
+    qs = approx_quantiles(_empty_events(), "value", [0.5])
+    assert len(qs) == 1 and np.isnan(qs[0])
+
+
+def test_window_empty(ray_session):
+    ev = _empty_events()
+    assert len(global_prefix_scan(ev, order_by="ts", value="value").to_pandas()) == 0
+    assert len(keyed_running_agg(ev, key="user_id", order_by="ts",
+                                 value="value").to_pandas()) == 0
+
+
+def test_similarity_empty(ray_session):
+    q = {1: np.ones(8, dtype=np.float32)}
+    bf = brute_force_topk(_empty_emb(), q, k=3)
+    assert len(bf) == 0 and "rank" in bf.columns
+    ivf = ivf_topk(_empty_emb(), q, k=3)
+    assert len(ivf) == 0 and list(ivf.columns) == [
+        "query_id", "neighbor_id", "score", "rank"]
+    assigned, stats = kmeans_dataset(_empty_emb(), k=2, iters=2)
+    assert len(stats) == 0
+    assert list(stats.columns) == ["cluster", "n", "inertia"]
+
+
+def test_dedup_empty(ray_session):
+    docs = _empty_docs()
+    assert len(exact_dedup(docs).to_pandas()) == 0
+    assert len(minhash_candidate_pairs(docs).to_pandas()) == 0
+    assert len(verified_near_dups(docs).to_pandas()) == 0
+    assert len(simhash_signatures(docs).to_pandas()) == 0
+
+
+def test_text_analysis_empty(ray_session):
+    wf = word_frequencies(_empty_docs(), top_k=5)
+    assert len(wf) == 0 and list(wf.columns) == ["word", "n"]
