@@ -356,11 +356,67 @@ class _JaccardVerifier:
         return df
 
 
+def _verify_pairs_shuffle(
+    docs: ray.data.Dataset,
+    cands: ray.data.Dataset,
+    jaccard_threshold: float,
+    shingle_k: int,
+    join_partitions: int,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification via two native hash joins: pairs gain
+    left_text then right_text, then a stateless vectorized map verifies.
+    No broadcast state — scales past object-store-sized candidate sets."""
+    texts = docs.select_columns(["doc_id", "text"])
+    j1 = cands.join(
+        texts, join_type="inner", num_partitions=join_partitions,
+        on=("left_id",), right_on=("doc_id",),
+        left_suffix="", right_suffix="_l",
+    )
+    # the join drops the right-side key, leaving the text column as "text";
+    # rename before join 2 so the second text doesn't collide
+    j1 = j1.rename_columns({"text": "left_text"})
+    j2 = j1.join(
+        texts, join_type="inner", num_partitions=join_partitions,
+        on=("right_id",), right_on=("doc_id",),
+        left_suffix="", right_suffix="_r",
+    ).rename_columns({"text": "right_text"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        cache: dict = {}  # batches are join-partitioned, hubs repeat
+        for left, right, est, lt, rt in zip(
+            batch["left_id"], batch["right_id"], batch["est_jaccard"],
+            batch["left_text"], batch["right_text"],
+        ):
+            a = cache.get(left)
+            if a is None:
+                a = cache[left] = _shingle_set(lt, shingle_k)
+            b = cache.get(right)
+            if b is None:
+                b = cache[right] = _shingle_set(rt, shingle_k)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / union if union else 0.0
+            if j >= jaccard_threshold:
+                out.append((left, right, est, round(j, 6)))
+        df = pd.DataFrame(
+            out, columns=["left_id", "right_id", "est_jaccard", "jaccard"])
+        if not len(df):
+            df = df.astype({"left_id": batch["left_id"].dtype,
+                            "right_id": batch["right_id"].dtype,
+                            "est_jaccard": "float64", "jaccard": "float64"})
+        return df
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def verified_near_dups(
     docs: ray.data.Dataset,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
     verify_concurrency: int | tuple[int, int] = 4,
+    strategy: str = "broadcast",
+    join_partitions: int = 8,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates -> EXACT n-gram Jaccard verification,
@@ -368,18 +424,23 @@ def verified_near_dups(
     dataset — no driver-side pair loop, the candidate set is never
     to_pandas()'d).
 
-    Verification needs the two texts side by side: texts are re-joined to
-    pairs via a broadcast id->text map built from only the doc_ids that
-    appear in candidates (semi-join pushdown: the map is bounded by
-    candidate count, not corpus size), ray.put once and read per ACTOR in
-    __init__ (zero-copy from the local store, not re-shipped per batch).
-    Each verifier actor memoizes shingle sets per doc_id so hub documents
-    are shingled once.  Output: (left_id, right_id, est_jaccard, jaccard).
+    strategy="broadcast" (default): texts are re-joined to pairs via a
+    broadcast id->text map built from only the doc_ids that appear in
+    candidates (semi-join pushdown: the map is bounded by candidate
+    count, not corpus size), ray.put once and read per ACTOR in __init__
+    (zero-copy from the local store, not re-shipped per batch).  Each
+    verifier actor memoizes shingle sets per doc_id so hub documents are
+    shingled once.  Partitioning assumption: the candidate-set text map
+    fits in the object store.
 
-    Partitioning assumption: the candidate-pair set (post-LSH gate) and
-    hence the semi-joined text map fit in the object store; for corpora
-    where even candidates are too large, lower the LSH pre-gate threshold
-    or shard by bucket before verification."""
+    strategy="shuffle": the 100 TB escape hatch when even candidates
+    outgrow the store — two native hash joins ship each pair its own
+    (left_text, right_text); no broadcast state at all, memory per
+    aggregator bounded by partition size (`join_partitions`, size to the
+    cluster).  Costs two shuffles of the candidate set; texts move only
+    for docs that appear in pairs (semi-join via the join itself).
+
+    Output: (left_id, right_id, est_jaccard, jaccard) either way."""
     import ray as _ray
 
     # materialize() pins the (small, LSH-gated) candidate blocks in the
@@ -391,6 +452,10 @@ def verified_near_dups(
     if cands.count() == 0:
         return ray.data.from_pandas(pd.DataFrame(
             columns=["left_id", "right_id", "est_jaccard", "jaccard"]))
+
+    if strategy == "shuffle":
+        return _verify_pairs_shuffle(
+            docs, cands, jaccard_threshold, shingle_k, join_partitions)
 
     # distinct candidate doc_ids: per-batch set union partials (each partial
     # is a deduped id list, bounded by candidate count) -> driver union of

@@ -59,6 +59,27 @@ def test_verified_near_dups():
     assert 0.6 <= row["jaccard"] <= 1.0  # exact Jaccard attached
 
 
+def test_verified_near_dups_shuffle_strategy_matches_broadcast():
+    """strategy="shuffle" (native hash joins ship texts to pairs; no
+    broadcast state) must produce byte-identical results to the default
+    broadcast-map verification."""
+    import pandas as pd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5)
+    items = [{"doc_id": 1, "text": base},
+             {"doc_id": 2, "text": base.replace("gamma", "gamma2")},
+             {"doc_id": 3, "text": "totally different words here " * 8},
+             {"doc_id": 4, "text": base.replace("zeta", "zeta9")}]
+    ds = ray.data.from_items(items)
+    a = (verified_near_dups(ds, jaccard_threshold=0.6, concurrency=1)
+         .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    b = (verified_near_dups(ds, jaccard_threshold=0.6, concurrency=1,
+                            strategy="shuffle", join_partitions=2)
+         .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
 def test_connected_components():
     import ray.data
 
