@@ -1808,6 +1808,75 @@ def q60_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     vals = approx_quantiles(ds, "value", qs, k=512)
     return pd.DataFrame({"q": qs, "value": [round(v, 6) for v in vals]})
 
+def q61_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality rules (stages/text_analysis.py
+    repetition_stats): duplicate-word and top-word ppm per doc, integer
+    arithmetic end to end so the oracle reproduces every value exactly.
+    One streamed map_batches pass, no shuffle."""
+    from ..stages.text_analysis import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(repetition_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q61_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, count(*) AS n FROM ex GROUP BY doc_id, word),
+m AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS total_words,
+         CAST(count(*) AS BIGINT) AS distinct_words,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, total_words, distinct_words,
+  CAST((1000000 * (total_words - distinct_words)) // total_words AS BIGINT)
+    AS dup_word_ppm,
+  CAST((1000000 * max_n) // total_words AS BIGINT) AS top_word_ppm,
+  ((1000000 * (total_words - distinct_words)) // total_words < 300000)
+    AND ((1000000 * max_n) // total_words < 200000) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q62_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (stages/decontaminate.py): docs from
+    source 'src0' act as the eval set; every other doc is flagged with
+    the count of its distinct 8-grams that appear in the eval set.
+    Eval-gram set is broadcast (small side); the corpus is one streamed
+    actor-pool pass — no shuffle.  Output: contaminated docs only."""
+    from ..stages.decontaminate import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    corpus = docs.filter(expr="source != 'src0'")
+    out = decontaminate(corpus, bench, n=8).to_pandas()
+    out = out[out["contaminated"]][["doc_id", "hit_grams"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q62_SQL = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(w[i:i+7], ' ')
+                 for i in generate_series(1, len(w) - 7)]) AS g
+  FROM words
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+SELECT corpus.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+FROM corpus JOIN bench ON corpus.g = bench.g
+GROUP BY corpus.doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1885,4 +1954,6 @@ QUERIES: dict[str, tuple] = {
     "q58_cc_distributed": (q58_connected_components_distributed, None),
     "q59_semi_join_bloom": (q59_semi_join_bloom, Q59_SQL),
     "q60_approx_quantiles": (q60_approx_quantiles, None),
+    "q61_repetition_filter": (q61_repetition_filter, Q61_SQL),
+    "q62_decontaminate": (q62_decontaminate, Q62_SQL),
 }

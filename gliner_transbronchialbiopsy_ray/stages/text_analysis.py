@@ -95,6 +95,41 @@ class LangId:
         )
 
 
+def repetition_stats(
+    batch: pa.Table,
+    dup_ppm_max: int = 300_000,
+    top_ppm_max: int = 200_000,
+) -> pa.Table:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    flag documents dominated by repeated words.  Integer ppm arithmetic
+    so the values are exactly SQL-reproducible (no float rounding mode).
+
+    Per doc: total words, distinct words, duplicate-word ppm
+    (1 - distinct/total), top-word ppm (most frequent word's share);
+    `keep` = both below threshold.  Vectorized: one explode +
+    two grouped folds per batch, no per-row Python loop."""
+    s = pd.Series(batch.column("text").to_pylist(), dtype="object").fillna("")
+    s.index = pd.RangeIndex(len(s))
+    words = s.str.split(" ")
+    total = words.str.len().to_numpy(dtype=np.int64)
+    ex = words.explode()
+    counts = ex.groupby(level=0).value_counts()
+    distinct = counts.groupby(level=0).size().to_numpy(dtype=np.int64)
+    top = counts.groupby(level=0).max().to_numpy(dtype=np.int64)
+    dup_ppm = (1_000_000 * (total - distinct)) // total
+    top_ppm = (1_000_000 * top) // total
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "total_words": pa.array(total),
+            "distinct_words": pa.array(distinct),
+            "dup_word_ppm": pa.array(dup_ppm),
+            "top_word_ppm": pa.array(top_ppm),
+            "keep": pa.array((dup_ppm < dup_ppm_max) & (top_ppm < top_ppm_max)),
+        }
+    )
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Deterministic md5 content fingerprint (matches DuckDB md5())."""
     texts = batch.column("text").to_pylist()

@@ -1,0 +1,75 @@
+"""Gopher-style repetition stats + benchmark n-gram decontamination
+(the train/test-overlap hygiene ops of a training-data pipeline)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.decontaminate import (
+    benchmark_ngram_set,
+    decontaminate,
+)
+from gliner_transbronchialbiopsy_ray.stages.text_analysis import repetition_stats
+
+
+def test_repetition_stats_values(ray_session):
+    batch = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a a a a b",            # 5 words, 2 distinct, top 'a' x4
+            "one two three four",   # all distinct
+            "x x x x x x x x x x",  # fully repeated
+        ],
+    })
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "total_words"] == 5
+    assert out.loc[1, "distinct_words"] == 2
+    assert out.loc[1, "dup_word_ppm"] == (1_000_000 * 3) // 5
+    assert out.loc[1, "top_word_ppm"] == (1_000_000 * 4) // 5
+    assert not out.loc[1, "keep"]
+    assert out.loc[2, "dup_word_ppm"] == 0
+    assert out.loc[2, "top_word_ppm"] == 250_000  # 1/4 > default 200k cap
+    assert out.loc[3, "dup_word_ppm"] == 900_000
+    assert not out.loc[3, "keep"]
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    bench = rd.from_items([
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog tonight"},
+    ])
+    corpus = rd.from_items([
+        # contains the benchmark's first 8-gram verbatim
+        {"doc_id": 1, "text": "prefix the quick brown fox jumps over the lazy suffix"},
+        # no shared 8-gram (only shorter overlaps)
+        {"doc_id": 2, "text": "the quick brown fox sat still"},
+        # shorter than 8 words -> zero grams, never contaminated
+        {"doc_id": 3, "text": "too short"},
+    ])
+    out = decontaminate(corpus, bench, n=8, concurrency=1).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[1, "contaminated"] and out.loc[1, "hit_grams"] == 1
+    assert not out.loc[2, "contaminated"]
+    assert not out.loc[3, "contaminated"]
+    assert len(out) == 3  # no rows dropped
+
+
+def test_decontaminate_hashed_matches_exact(ray_session):
+    bench = rd.from_items([
+        {"doc_id": 100, "text": "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"},
+    ])
+    corpus = rd.from_items([
+        {"doc_id": i, "text": f"pad{i} w2 w3 w4 w5 w6 w7 w8 w9 tail{i}"}
+        for i in range(6)
+    ])
+    exact = decontaminate(corpus, bench, n=8, concurrency=1).to_pandas()
+    hashed = decontaminate(corpus, bench, n=8, hashed=True,
+                           concurrency=1).to_pandas()
+    key = exact.sort_values("doc_id").reset_index(drop=True)
+    assert key.equals(hashed.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_benchmark_ngram_set_empty(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert benchmark_ngram_set(empty) == set()
