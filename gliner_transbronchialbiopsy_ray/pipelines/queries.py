@@ -1877,6 +1877,133 @@ ORDER BY doc_id
 """
 
 
+def q63_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Corpus TF-IDF, top-3 terms per doc.  Two passes: (1) document
+    frequency via per-batch distinct-(doc,word) partials -> small
+    groupby(word) shuffle (vocab-bounded); (2) broadcast the df map
+    (`ray.put` once) and score each doc in one streamed pass — tf and
+    top-k are row-local, so no second shuffle.  Ranking uses ROUNDED
+    scores with an alphabetical tie-break so the order is float-exact
+    across engines.  Partitioning assumption: the vocabulary fits the
+    object store (use a min-df cutoff to prune the long tail at 100 TB
+    scale)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch.column("text").to_pylist(), dtype="object").fillna("")
+        s.index = pd.RangeIndex(len(s))
+        ex = s.str.split(" ").explode()
+        dw = pd.DataFrame({"row": ex.index, "word": ex.to_numpy()}).drop_duplicates()
+        c = dw.groupby("word", sort=False).size()
+        return pd.DataFrame({"word": c.index, "df": c.to_numpy(np.int64)})
+
+    dfp = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = docs.count()
+    df_ref = ray.put(dict(zip(dfp["word"], dfp["df"])))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        s = pd.Series(batch.column("text").to_pylist(), dtype="object").fillna("")
+        s.index = pd.RangeIndex(len(s))
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        ex = s.str.split(" ").explode()
+        tf = (
+            pd.DataFrame({"i": ex.index.to_numpy(), "word": ex.to_numpy()})
+            .groupby(["i", "word"], sort=False).size().reset_index(name="tf")
+        )
+        dfv = tf["word"].map(dfm).to_numpy(np.float64)
+        tf["tfidf"] = np.round(
+            tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv), 6)
+        tf["doc_id"] = ids[tf["i"].to_numpy()]
+        tf = tf.sort_values(["doc_id", "tfidf", "word"],
+                            ascending=[True, False, True], kind="stable")
+        top = tf.groupby("doc_id", sort=False).head(3).copy()
+        top["rank"] = (top.groupby("doc_id", sort=False).cumcount() + 1).astype("int64")
+        return top[["doc_id", "word", "tfidf", "rank"]]
+
+    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+Q63_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ex GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q64_mixture_resample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based source-mixture resampling (the data-mixing step
+    of LLM corpus prep): flatten the language distribution by keeping
+    each doc with probability sqrt(min_lang_count / lang_count),
+    decided by a DETERMINISTIC per-doc hash draw (md5 lower 64 bits mod
+    1e6 — stable across reruns, block layouts and engines; DuckDB's
+    md5_number_lower is the same little-endian lower-half read).  Lang
+    counts are a bounded enum -> per-batch combiner + driver merge, then
+    the keep-ppm map broadcasts into one streamed filter pass."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = _preagg(docs, ["lang"], {"n": ("doc_id", "count")})
+    mn = float(counts["n"].min())
+    keep_ppm = {
+        lang: int(np.floor(1_000_000 * np.sqrt(mn / n)))
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    ppm_ref = ray.put(keep_ppm)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ppm = ray.get(ppm_ref)
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+             % 1_000_000 < ppm[lg] for s, lg in zip(ids, langs)),
+            dtype=bool, count=len(ids),
+        )
+        return batch.filter(pa.array(keep))
+
+    out = docs.map_batches(sample, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q64_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+mn AS (SELECT min(n) AS mn FROM counts),
+th AS (
+  SELECT lang,
+         CAST(trunc(1000000 * sqrt(CAST(mn.mn AS DOUBLE) / n)) AS BIGINT)
+           AS keep_ppm
+  FROM counts CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < th.keep_ppm
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1956,4 +2083,6 @@ QUERIES: dict[str, tuple] = {
     "q60_approx_quantiles": (q60_approx_quantiles, None),
     "q61_repetition_filter": (q61_repetition_filter, Q61_SQL),
     "q62_decontaminate": (q62_decontaminate, Q62_SQL),
+    "q63_tfidf_topk": (q63_tfidf_topk, Q63_SQL),
+    "q64_mixture_resample": (q64_mixture_resample, Q64_SQL),
 }
