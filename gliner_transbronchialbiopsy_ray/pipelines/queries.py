@@ -2004,6 +2004,64 @@ ORDER BY doc_id
 """
 
 
+def q65_pack_sequences(sf_dir: str, cap: int = 256) -> pd.DataFrame:
+    """Context-window sequence packing (concat-and-chop, the GPT-style
+    pretraining layout): docs in doc_id order are conceptually
+    concatenated and chopped into `cap`-token windows; each doc belongs
+    to the window where its FIRST token lands.  The global token offset
+    comes from `stages/window.py:global_prefix_sum` (two-phase
+    distributed scan — driver state is O(blocks)); the per-window
+    rollup uses a ray-merged aggregate because window count grows with
+    the corpus (unbounded key)."""
+    from ..stages.window import global_prefix_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    t = docs.map_batches(toks, batch_format="pyarrow")
+    scanned = global_prefix_sum(t, order_by="doc_id", value="n_tokens",
+                                out_col="cum_before", inclusive=False)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cum = batch.column("cum_before").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seq_id": pa.array(cum // cap, type=pa.int64()),
+            "n_tokens": batch.column("n_tokens"),
+        })
+
+    out = _preagg(
+        scanned.map_batches(assign, batch_format="pyarrow"),
+        ["seq_id"],
+        {"n_docs": ("n_tokens", "count"),
+         "total_tokens": ("n_tokens", "sum")},
+        merge="ray",
+    ).to_pandas()
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
+Q65_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT CAST(cum_before // 256 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM c GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2085,4 +2143,5 @@ QUERIES: dict[str, tuple] = {
     "q62_decontaminate": (q62_decontaminate, Q62_SQL),
     "q63_tfidf_topk": (q63_tfidf_topk, Q63_SQL),
     "q64_mixture_resample": (q64_mixture_resample, Q64_SQL),
+    "q65_pack_sequences": (q65_pack_sequences, Q65_SQL),
 }

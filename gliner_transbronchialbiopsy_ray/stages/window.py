@@ -74,6 +74,71 @@ def keyed_running_agg(
     )
 
 
+def _norm_key(v) -> int | float:
+    """Hash-stable scalar for dict keying across numpy/pandas types."""
+    a = np.asarray(v)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return int(a.astype("datetime64[us]").astype("int64"))
+    if np.issubdtype(a.dtype, np.integer):
+        return int(a)
+    return float(a)
+
+
+def global_prefix_sum(
+    ds: ray.data.Dataset,
+    order_by: str,
+    value: str,
+    out_col: str = "prefix_sum",
+    inclusive: bool = True,
+) -> ray.data.Dataset:
+    """Running SUM of `value` over the global `order_by` order — the same
+    two-phase distributed scan as `global_prefix_scan` (per-block totals ->
+    driver prefix over O(blocks) rows -> broadcast carry-ins -> vectorized
+    cumsum inside blocks).  `order_by` values must be unique (carry-ins
+    are keyed by each block's first order value)."""
+    s = ds.sort(order_by).materialize()  # two passes over the sorted data
+
+    # batch_size=None = one batch per block, so pass 2 sees the SAME
+    # batch boundaries as pass 1 (the carry map is keyed per block)
+    def block_summary(batch: pa.Table) -> pd.DataFrame:
+        order = batch.column(order_by).to_numpy(zero_copy_only=False)
+        vals = batch.column(value).to_numpy(zero_copy_only=False)
+        if len(order) == 0:
+            return pd.DataFrame({"block_min": [], "block_sum": []})
+        return pd.DataFrame(
+            {"block_min": [_norm_key(order.min())], "block_sum": [vals.sum()]}
+        )
+
+    partials = s.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if "block_min" not in partials.columns:  # empty input -> no partial blocks
+        partials = pd.DataFrame({"block_min": [], "block_sum": []})
+    partials = partials.sort_values("block_min", kind="stable")
+
+    carry: dict = {}
+    running = 0
+    for bmin, bsum in zip(partials["block_min"], partials["block_sum"]):
+        carry[bmin] = running
+        running = running + bsum
+    carry_ref = ray.put(carry)
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df):
+            df[out_col] = []
+            return df
+        cm = ray.get(carry_ref)
+        vals = df[value].to_numpy()
+        inc = np.cumsum(vals)
+        carry_in = cm.get(_norm_key(df[order_by].to_numpy()[0]), 0)
+        out = inc if inclusive else inc - vals
+        df[out_col] = out + carry_in
+        return df
+
+    return s.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def global_prefix_scan(
     ds: ray.data.Dataset,
     order_by: str,

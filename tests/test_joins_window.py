@@ -92,6 +92,23 @@ def test_global_prefix_scan_int_strict_and_inclusive():
     assert incl["pm"].tolist() == df["v"].cummax().tolist()
 
 
+def test_global_prefix_sum_matches_pandas_cumsum():
+    from gliner_transbronchialbiopsy_ray.stages.window import global_prefix_sum
+
+    df = pd.DataFrame({"seq": list(range(11)),
+                       "v": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 7]})
+    ds = ray.data.from_pandas(df).repartition(4)  # carry must cross blocks
+    incl = (global_prefix_sum(ds, "seq", "v", out_col="ps", inclusive=True)
+            .to_pandas().sort_values("seq"))
+    assert incl["ps"].tolist() == df["v"].cumsum().tolist()
+    excl = (global_prefix_sum(ds, "seq", "v", out_col="ps", inclusive=False)
+            .to_pandas().sort_values("seq"))
+    assert excl["ps"].tolist() == (df["v"].cumsum() - df["v"]).tolist()
+    # empty input -> clean empty result
+    empty = ray.data.from_pandas(df.iloc[:0])
+    assert len(global_prefix_sum(empty, "seq", "v").to_pandas()) == 0
+
+
 def test_simhash_neardup_pairs_planted():
     from gliner_transbronchialbiopsy_ray.stages.dedup import (
         simhash_neardup_pairs,
