@@ -2062,6 +2062,55 @@ FROM c GROUP BY seq_id ORDER BY seq_id
 """
 
 
+def q66_bipartite_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Iterative PageRank on the user<->event_type bipartite graph
+    (stages/graph.py): ranks stay in datasets co-partitioned with the
+    edges via native hash joins — no rank vector is ever broadcast or
+    collected, so node count is unbounded.  Returns the bounded
+    (event_type) side.  Oracle: the same power iteration unrolled into
+    DuckDB CTEs."""
+    from ..stages.graph import bipartite_pagerank
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    # join partition count sized to the data: every partition spawns
+    # aggregator actors, pure overhead at small sf (size up on a cluster)
+    out_r, _ranks_l = bipartite_pagerank(ev, iters=2, num_partitions=2)
+    return out_r.rename(columns={"rank": "pr"})
+
+
+def _pagerank_sql(iters: int = 2, d: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring bipartite_pagerank."""
+    parts = [
+        """WITH e AS (SELECT DISTINCT user_id AS l, event_type AS r FROM events),
+dl AS (SELECT l, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY l),
+dr AS (SELECT r, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY r),
+nl AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dr),
+l0 AS (SELECT l, 1.0/nl.n AS pr FROM dl CROSS JOIN nl)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i} AS (
+  SELECT e.r, (1-{d})/nr.n + {d}*sum(l{i}.pr / dl.dg) AS pr
+  FROM e JOIN l{i} ON e.l = l{i}.l JOIN dl ON e.l = dl.l CROSS JOIN nr
+  GROUP BY e.r, nr.n)"""
+        )
+        parts.append(
+            f"""l{i + 1} AS (
+  SELECT e.l, (1-{d})/nl.n + {d}*sum(r{i}.pr / dr.dg) AS pr
+  FROM e JOIN r{i} ON e.r = r{i}.r JOIN dr ON e.r = dr.r CROSS JOIN nl
+  GROUP BY e.l, nl.n)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT r AS event_type, round(pr, 6) AS pr FROM r{iters - 1}"
+        + " ORDER BY event_type"
+    )
+
+
+Q66_SQL = _pagerank_sql(iters=2)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2144,4 +2193,5 @@ QUERIES: dict[str, tuple] = {
     "q63_tfidf_topk": (q63_tfidf_topk, Q63_SQL),
     "q64_mixture_resample": (q64_mixture_resample, Q64_SQL),
     "q65_pack_sequences": (q65_pack_sequences, Q65_SQL),
+    "q66_bipartite_pagerank": (q66_bipartite_pagerank, Q66_SQL),
 }
