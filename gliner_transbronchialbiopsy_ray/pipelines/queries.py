@@ -2111,6 +2111,50 @@ l0 AS (SELECT l, 1.0/nl.n AS pr FROM dl CROSS JOIN nl)"""
 Q66_SQL = _pagerank_sql(iters=2)
 
 
+def q67_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids (class centroids for embedding-based
+    classification): per-batch (label, vector-sum, n) partials — labels
+    are a bounded enum, so each partial is k x dim floats — folded
+    driver-side in canonical order, then divided and exploded to
+    (label, i, c) rows.  One streamed pass, no shuffle; the same partial
+    shape as the kmeans Lloyd step (stages/similarity.py)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        m = np.array(df["embedding"].to_list(), dtype=np.float64)
+        rows = []
+        for lb, idx in df.groupby("label").indices.items():
+            rows.append({"label": lb, "vsum": m[idx].sum(0), "n": len(idx)})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # canonical fold order (completion order varies run to run)
+    parts["_k"] = parts["vsum"].map(lambda v: np.asarray(v).tobytes())
+    parts = parts.sort_values(["label", "n", "_k"], kind="stable")
+    out = []
+    for lb, grp in parts.groupby("label", sort=True):
+        s = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
+        c = np.round(s / grp["n"].sum(), 6)
+        out.append(pd.DataFrame({
+            "label": np.repeat(lb, len(c)),
+            "i": np.arange(1, len(c) + 1, dtype=np.int64),
+            "c": c,
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+Q67_SQL = """
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS c
+FROM ex GROUP BY label, i ORDER BY label, i
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2194,4 +2238,5 @@ QUERIES: dict[str, tuple] = {
     "q64_mixture_resample": (q64_mixture_resample, Q64_SQL),
     "q65_pack_sequences": (q65_pack_sequences, Q65_SQL),
     "q66_bipartite_pagerank": (q66_bipartite_pagerank, Q66_SQL),
+    "q67_label_centroids": (q67_label_centroids, Q67_SQL),
 }
