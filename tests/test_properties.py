@@ -123,3 +123,27 @@ def test_pipeline_output_invariant_under_input_shuffle():
         }
 
     assert run(False) == run(True)
+
+
+def test_global_prefix_sum_invariant_under_block_layout():
+    """The two-phase scan must give the same running sums no matter how
+    the input is sharded (carry map keyed by each block's first order
+    value) — including 1 block (no carry) and many tiny blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.window import global_prefix_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "seq": np.arange(200),
+        "v": rng.integers(-50, 50, size=200),
+    })
+    expected = df["v"].cumsum().tolist()
+    for parts in (1, 3, 16):
+        ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=parts)
+                                  ).repartition(parts)
+        got = (global_prefix_sum(ds, "seq", "v", out_col="ps")
+               .to_pandas().sort_values("seq"))
+        assert got["ps"].tolist() == expected, f"layout {parts} diverged"
