@@ -2155,6 +2155,43 @@ FROM ex GROUP BY label, i ORDER BY label, i
 """
 
 
+def btb_raw_media(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal kernel path (no stub): a deterministic raw-RGB888
+    payload table (media-store analog — raw tensors stored next to
+    compressed originals) runs decode -> channel-stat features -> exact
+    block-mean resize through the actor-pool stage
+    (stages/multimodal.py:RawImageStage).  One malformed payload is
+    planted to pin the keep-row-with-status error path.  Deterministic
+    -> golden-pinned (rows-only; media bytes aren't SQL-expressible)."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import raw_media_features
+
+    rng = np.random.RandomState(1234)
+    refs, payloads = [], []
+    for i in range(64):
+        img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        refs.append(f"raw://{i:03d}")
+        payloads.append(img.tobytes())
+    refs.append("raw://bad")
+    payloads.append(b"truncated")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([8] * len(refs), type=pa.int32()),
+        "height": pa.array([8] * len(refs), type=pa.int32()),
+    }))
+    ds = raw_media_features(media, out_w=4, out_h=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    # bytes column -> stable hex digest so the result frame is text-only
+    df["resized_md5"] = df["resized_payload"].map(
+        lambda b: None if b is None else _hashlib.md5(b).hexdigest())
+    df = df.drop(columns=["resized_payload"])
+    return df.sort_values("media_ref").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2239,4 +2276,5 @@ QUERIES: dict[str, tuple] = {
     "q65_pack_sequences": (q65_pack_sequences, Q65_SQL),
     "q66_bipartite_pagerank": (q66_bipartite_pagerank, Q66_SQL),
     "q67_label_centroids": (q67_label_centroids, Q67_SQL),
+    "btb_raw_media": (btb_raw_media, None),
 }
