@@ -9,6 +9,8 @@ sketch per batch and merge them — sketches are designed to be mergeable").
 from __future__ import annotations
 
 import hashlib
+import json
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -183,3 +185,95 @@ def approx_quantiles(
         acc.values, acc.weights = v[order], w[order]
         acc._compress()
     return [acc.quantile(q) for q in qs]
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): a
+    (depth x width) counter table; each key increments one counter per
+    row (chosen by per-row hashes), estimate = min over rows — always an
+    OVERestimate, error <= total_count * e/width with prob 1-e^-depth.
+
+    Mergeable by elementwise ADD (order-invariant, so the distributed
+    fold needs no canonical ordering), a few KB per sketch: the HLL
+    plan shape — map_batches partials -> tiny driver fold, no shuffle."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _row_idx(self, key: str, row: int) -> int:
+        return zlib.crc32(f"{row}:{key}".encode("utf-8")) % self.width
+
+    def add_counts(self, keys, counts) -> "CountMinSketch":
+        for key, c in zip(keys, counts):
+            c = int(c)
+            for r in range(self.depth):
+                self.table[r, self._row_idx(str(key), r)] += c
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def estimate(self, key) -> int:
+        return int(min(self.table[r, self._row_idx(str(key), r)]
+                       for r in range(self.depth)))
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, width: int = 2048,
+                   depth: int = 4) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.table = np.frombuffer(blob, dtype=np.int64).reshape(
+            depth, width).copy()
+        return s
+
+
+def approx_heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    candidates_per_batch: int = 32,
+    width: int = 2048,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k most frequent values of `col`: per-batch
+    (CMS partial + local top-m candidate list) -> driver fold (CMS adds
+    are order-invariant; candidates union) -> global top-k by estimated
+    count with a lexical tie-break.  One streamed pass, no shuffle,
+    memory bounded by depth*width + candidate count regardless of key
+    cardinality.  A true heavy hitter is always among the candidates as
+    long as it is a local top-m in at least one batch (guaranteed for
+    skewed distributions; widen candidates_per_batch for flat ones)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = (
+            pd.Series(batch.column(col).to_pylist())
+            .value_counts()
+        )
+        cms = CountMinSketch(width, depth).add_counts(
+            vc.index.astype(str), vc.to_numpy())
+        cand = vc.head(candidates_per_batch).index.astype(str).tolist()
+        return pd.DataFrame({"cms": [cms.to_bytes()],
+                             "cands": [json.dumps(sorted(cand))]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    acc = CountMinSketch(width, depth)
+    cands: set = set()
+    if "cms" not in parts.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"value": pd.Series(dtype=object),
+                             "est_count": pd.Series(dtype="int64")})
+    for blob, cl in zip(parts["cms"], parts["cands"]):
+        acc.merge(CountMinSketch.from_bytes(blob, width, depth))
+        cands.update(json.loads(cl))
+    out = pd.DataFrame({
+        "value": sorted(cands),
+    })
+    out["est_count"] = out["value"].map(acc.estimate).astype("int64")
+    out = out.sort_values(["est_count", "value"],
+                          ascending=[False, True], kind="stable")
+    return out.head(k).reset_index(drop=True)

@@ -2192,6 +2192,20 @@ def btb_raw_media(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_ref").reset_index(drop=True)
 
 
+def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-10 event users via Count-Min sketch + candidate
+    union (functions/sketches.py) — the no-shuffle scale path for heavy
+    hitters over unbounded key spaces (exact counterpart: q09).  CMS
+    folds are elementwise adds (order-invariant); the candidate set
+    depends on batch composition, so the block layout is pinned like
+    q60's for reproducibility."""
+    from ..functions.sketches import approx_heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"],
+                         override_num_blocks=8)
+    return approx_heavy_hitters(ds, "user_id", k=10)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2277,4 +2291,5 @@ QUERIES: dict[str, tuple] = {
     "q66_bipartite_pagerank": (q66_bipartite_pagerank, Q66_SQL),
     "q67_label_centroids": (q67_label_centroids, Q67_SQL),
     "btb_raw_media": (btb_raw_media, None),
+    "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
 }

@@ -77,3 +77,40 @@ def test_quantile_sketch_merge_equals_single():
     # round-trips through bytes
     rt = QuantileSketch.from_bytes(merged.to_bytes(), 256)
     assert rt.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_cms_overestimates_and_is_accurate(ray_session):
+    """CMS estimates are never below the true count, and with
+    width >> distinct keys they are exact; approx_heavy_hitters must
+    recover the true top-k on a skewed distribution."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        CountMinSketch,
+        approx_heavy_hitters,
+    )
+
+    # direct sketch semantics
+    cms = CountMinSketch(width=1024, depth=4)
+    cms.add_counts(["a", "b", "a"], [5, 2, 3])
+    assert cms.estimate("a") >= 8
+    assert cms.estimate("b") >= 2
+    # merge = elementwise add
+    other = CountMinSketch(width=1024, depth=4).add_counts(["a"], [10])
+    assert cms.merge(other).estimate("a") >= 18
+
+    # skewed corpus: zipf-ish, top key 4x the next
+    rng = np.random.default_rng(3)
+    keys = (["hot"] * 400 + ["warm"] * 100 + ["mild"] * 50
+            + [f"cold{i}" for i in rng.integers(0, 200, size=300)])
+    df = pd.DataFrame({"k": keys})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = approx_heavy_hitters(ds, "k", k=3, width=4096)
+    true = df["k"].value_counts()
+    assert out["value"].tolist()[:2] == ["hot", "warm"]
+    for _, row in out.iterrows():
+        assert row["est_count"] >= true[row["value"]]  # overestimate-only
+        # width >> keys -> few collisions: estimate within 5%
+        assert row["est_count"] <= true[row["value"]] * 1.05 + 3
