@@ -2206,6 +2206,38 @@ def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
     return approx_heavy_hitters(ds, "user_id", k=10)
 
 
+def q69_grouped_moments(sf_dir: str) -> pd.DataFrame:
+    """Statistical aggregates (stddev_samp / covar_samp / corr) per
+    return flag via mergeable second-moment partials
+    (functions/moments.py, Chan-Golub-LeVeque parallel merge — the
+    numerically stable form, matching streaming engines to float
+    precision).  Rounding: corr is dimensionless -> 6 dp; the
+    scale-carrying stats round to 2 dp so last-ulp algorithm differences
+    can't flip a rounding boundary."""
+    from ..functions.moments import grouped_moments
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_moments(ds, ["l_returnflag"], "l_quantity",
+                          "l_extendedprice")
+    out["std_x"] = out["std_x"].round(6)
+    out["std_y"] = out["std_y"].round(2)
+    out["covar"] = out["covar"].round(2)
+    out["corr"] = out["corr"].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q69_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(stddev_samp(l_quantity), 6) AS std_x,
+       round(stddev_samp(l_extendedprice), 2) AS std_y,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2292,4 +2324,5 @@ QUERIES: dict[str, tuple] = {
     "q67_label_centroids": (q67_label_centroids, Q67_SQL),
     "btb_raw_media": (btb_raw_media, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
+    "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
 }

@@ -114,3 +114,34 @@ def test_cms_overestimates_and_is_accurate(ray_session):
         assert row["est_count"] >= true[row["value"]]  # overestimate-only
         # width >> keys -> few collisions: estimate within 5%
         assert row["est_count"] <= true[row["value"]] * 1.05 + 3
+
+
+def test_grouped_moments_matches_numpy_and_is_layout_invariant(ray_session):
+    """Chan-merge moments must equal dense numpy (ddof=1) stats and be
+    invariant to block layout; empty input returns a clean empty frame."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.functions.moments import grouped_moments
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 500),
+        "x": rng.normal(10, 3, 1000),
+    })
+    df["y"] = 2.5 * df["x"] + rng.normal(0, 1, 1000)
+    results = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = grouped_moments(ds, ["g"], "x", "y").set_index("g")
+        results.append(out)
+        for g in ("a", "b"):
+            sub = df[df["g"] == g]
+            assert abs(out.loc[g, "std_x"] - sub["x"].std(ddof=1)) < 1e-9
+            assert abs(out.loc[g, "covar"] - sub["x"].cov(sub["y"])) < 1e-7
+            assert abs(out.loc[g, "corr"] - sub["x"].corr(sub["y"])) < 1e-12
+    pd.testing.assert_frame_equal(results[0].round(9), results[1].round(9))
+
+    empty = ray.data.from_pandas(df.iloc[:0])
+    assert len(grouped_moments(empty, ["g"], "x", "y")) == 0
