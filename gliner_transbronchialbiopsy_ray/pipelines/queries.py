@@ -473,12 +473,47 @@ FROM documents
 
 
 def q17_langid(sf_dir: str):
-    """Heuristic language ID — model-style op, no SQL oracle (rows-only)."""
+    """Heuristic language ID (stopword-profile argmax, first-wins ties).
+    Model-style actor-pool op; on ASCII corpora the heuristic is exactly
+    SQL-expressible (token join against the profile table + ranked
+    argmax), so it carries an oracle — a real model backend would drop
+    back to rows-only."""
     from ..stages.text_analysis import LangId
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5
     )
+
+
+def _langid_sql() -> str:
+    """Mirror of text_analysis._LANG_PROFILES with first-wins priority."""
+    from ..stages.text_analysis import _LANG_PROFILES
+
+    vals = []
+    for prio, (lang, words) in enumerate(_LANG_PROFILES.items(), start=1):
+        for w in sorted(words):
+            vals.append(f"('{lang}', '{w}', {prio})")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+prof(lang, w, prio) AS (VALUES {", ".join(vals)}),
+hits AS (
+  SELECT t.doc_id, p.lang, p.prio, count(*) AS h
+  FROM toks t JOIN prof p ON t.w = p.w
+  GROUP BY t.doc_id, p.lang, p.prio
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, prio) AS rn
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
 
 
 def q18_ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -2259,7 +2294,7 @@ QUERIES: dict[str, tuple] = {
     "q14_duplicate_pairs": (q14_duplicate_pairs, Q14_SQL),
     "q15_fingerprint": (q15_fingerprint, Q15_SQL),
     "q16_quality": (q16_quality, Q16_SQL),
-    "q17_langid": (q17_langid, None),
+    "q17_langid": (q17_langid, _langid_sql()),
     "q18_ann_topk": (q18_ann_topk, Q18_SQL),
     "q19_embedding_norms": (q19_embedding_norms, Q19_SQL),
     "q20_emb_neardup_exact": (q20_emb_neardup_exact, Q20_SQL),
