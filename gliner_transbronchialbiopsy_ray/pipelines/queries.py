@@ -2273,6 +2273,23 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q70_verified_neardups_shuffle(sf_dir: str) -> pd.DataFrame:
+    """q33's verification through the SHUFFLE strategy (two native hash
+    joins ship each pair its own texts; no broadcast state — the path
+    for candidate sets that outgrow the object store).  Must produce
+    byte-identical pairs to q33; registered so the driver exercises the
+    join-based verifier, and the equality is pinned by golden hash +
+    tests/test_ivf_neardups.py."""
+    from ..stages.dedup import verified_near_dups
+
+    out = verified_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        jaccard_threshold=0.5, concurrency=2,
+        strategy="shuffle", join_partitions=4,
+    ).to_pandas()
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2360,4 +2377,5 @@ QUERIES: dict[str, tuple] = {
     "btb_raw_media": (btb_raw_media, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
+    "q70_verified_neardups_shuffle": (q70_verified_neardups_shuffle, None),
 }
