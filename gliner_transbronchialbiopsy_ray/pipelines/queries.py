@@ -2290,6 +2290,37 @@ def q70_verified_neardups_shuffle(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+def q71_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping character chunking for RAG/pretraining
+    (text_analysis.chunk_documents): 200-char windows every 150 chars,
+    one streamed flat-map pass.  Chunk content is pinned by md5 so the
+    oracle (substr + generate_series) verifies the exact text of every
+    window, not just counts."""
+    from ..stages.text_analysis import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(chunk_documents, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+Q71_SQL = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest([i for i in generate_series(0, greatest(len(text) - 1, 0), 150)])
+           AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+            AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(substr(text, start + 1, 200)) AS BIGINT) AS chunk_chars,
+       md5(substr(text, start + 1, 200)) AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2378,4 +2409,5 @@ QUERIES: dict[str, tuple] = {
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
     "q70_verified_neardups_shuffle": (q70_verified_neardups_shuffle, None),
+    "q71_chunk_documents": (q71_chunk_documents, Q71_SQL),
 }

@@ -130,6 +130,42 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    batch: pa.Table,
+    size: int = 200,
+    stride: int = 150,
+) -> pa.Table:
+    """Overlapping character chunking (the RAG / pretraining chunker):
+    windows of `size` chars every `stride` chars; start offsets are
+    0, stride, ... up to the last offset < max(len, 1), so an empty doc
+    still yields one (empty) chunk and no text is ever dropped.  Pure
+    flat-map: rows explode independently, no shuffle; chunk identity is
+    (doc_id, chunk_idx) and content is pinned by md5."""
+    import hashlib as _hashlib
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_id, o_idx, o_start, o_len, o_md5 = [], [], [], [], []
+    for did, t in zip(ids, texts):
+        t = t or ""
+        for idx, start in enumerate(range(0, max(len(t) - 1, 0) + 1, stride)):
+            chunk = t[start : start + size]
+            o_id.append(did)
+            o_idx.append(idx)
+            o_start.append(start)
+            o_len.append(len(chunk))
+            o_md5.append(_hashlib.md5(chunk.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id),
+            "chunk_idx": pa.array(o_idx, type=pa.int64()),
+            "start": pa.array(o_start, type=pa.int64()),
+            "chunk_chars": pa.array(o_len, type=pa.int64()),
+            "chunk_md5": pa.array(o_md5, type=pa.string()),
+        }
+    )
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Deterministic md5 content fingerprint (matches DuckDB md5())."""
     texts = batch.column("text").to_pylist()

@@ -73,3 +73,31 @@ def test_benchmark_ngram_set_empty(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert benchmark_ngram_set(empty) == set()
+
+
+def test_chunk_documents_edges(ray_session):
+    """Chunker invariants: empty doc -> one empty chunk; short doc -> one
+    chunk; overlap reconstructs the doc exactly (stride < size)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        chunk_documents,
+    )
+
+    text = "abcdefghij" * 45  # 450 chars -> starts 0,150,300 (size 200)
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": [text, "tiny", ""]})
+    out = chunk_documents(batch).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start"].tolist() == [0, 150, 300]
+    assert d1["chunk_chars"].tolist() == [200, 200, 150]
+    # chunk content is the real substring (md5-pinned)
+    assert (d1["chunk_md5"].iloc[1]
+            == hashlib.md5(text[150:350].encode()).hexdigest())
+    # stride overlap covers every char: stitching chunk starts covers len
+    assert d1["start"].iloc[-1] + d1["chunk_chars"].iloc[-1] == len(text)
+    assert out[out["doc_id"] == 2]["chunk_chars"].tolist() == [4]
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and d3["chunk_chars"].iloc[0] == 0  # row never dropped
