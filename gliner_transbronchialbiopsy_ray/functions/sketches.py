@@ -277,3 +277,39 @@ def approx_heavy_hitters(
     out = out.sort_values(["est_count", "value"],
                           ascending=[False, True], kind="stable")
     return out.head(k).reset_index(drop=True)
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: int = 12,
+) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT col): one HLL per (batch,
+    group) partial -> per-group register-max driver fold (order-invariant,
+    like all HLL merges).  Keys must be bounded-cardinality (driver holds
+    groups x batches sketches of 2^p bytes); for unbounded keys route the
+    partials through a Ray groupby instead."""
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([key, col]).to_pandas()
+        rows = []
+        for kv, g in df.groupby(key, sort=False, dropna=False):
+            h = HyperLogLog(p)
+            h.add_many(g[col].tolist())
+            rows.append({key: kv, "registers": h.registers.tobytes()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    if "registers" not in parts.columns:  # empty input
+        return pd.DataFrame({key: pd.Series(dtype=object),
+                             "approx_distinct": pd.Series(dtype="float64")})
+    out = []
+    for kv, g in parts.groupby(key, sort=True, dropna=False):
+        acc = HyperLogLog(p)
+        for blob in g["registers"]:
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            acc.merge(other)
+        out.append({key: kv, "approx_distinct": acc.estimate()})
+    return pd.DataFrame(out)

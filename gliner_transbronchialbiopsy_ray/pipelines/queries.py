@@ -2321,6 +2321,21 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q72_grouped_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type approximate distinct users via per-group HLL
+    sketches (functions/sketches.py:grouped_approx_distinct) — the
+    grouped, no-shuffle companion to q45's global HLL; exact grouped
+    counterpart would be a count(DISTINCT) GROUP BY.  Deterministic
+    (register maxes are order-invariant) -> golden-pinned; accuracy-vs-
+    exact asserted in tests/test_sketches.py."""
+    from ..functions.sketches import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_approx_distinct(ds, "event_type", "user_id")
+    out["approx_distinct"] = out["approx_distinct"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2410,4 +2425,5 @@ QUERIES: dict[str, tuple] = {
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
     "q70_verified_neardups_shuffle": (q70_verified_neardups_shuffle, None),
     "q71_chunk_documents": (q71_chunk_documents, Q71_SQL),
+    "q72_grouped_approx_distinct": (q72_grouped_approx_distinct, None),
 }

@@ -145,3 +145,32 @@ def test_grouped_moments_matches_numpy_and_is_layout_invariant(ray_session):
 
     empty = ray.data.from_pandas(df.iloc[:0])
     assert len(grouped_moments(empty, ["g"], "x", "y")) == 0
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    """Per-group HLL estimates within the standard ~2% band of the exact
+    per-group distinct counts, invariant to block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        grouped_approx_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], 4000),
+        "v": np.concatenate([
+            rng.integers(0, 3000, 4000),      # ~2560 distinct
+            rng.integers(0, 300, 4000),       # ~300 distinct
+            np.arange(4000),                  # 4000 distinct
+        ]),
+    })
+    exact = df.groupby("g")["v"].nunique()
+    for parts in (2, 8):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = grouped_approx_distinct(ds, "g", "v").set_index("g")
+        for g in ("a", "b", "c"):
+            rel = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
+            assert rel < 0.05, (g, rel)
