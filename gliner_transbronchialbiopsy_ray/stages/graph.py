@@ -46,6 +46,7 @@ def bipartite_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     num_partitions: int = 8,
+    update_left_last: bool = True,
 ) -> tuple[pd.DataFrame, ray.data.Dataset]:
     """PageRank on the bipartite graph defined by distinct (left, right)
     edge pairs, alternating left->right and right->left updates:
@@ -89,7 +90,7 @@ def bipartite_pagerank(
     base_r = (1.0 - damping) / n_r
     base_l = (1.0 - damping) / n_l
     ranks_r = None
-    for _ in range(iters):
+    for it in range(iters):
         # left -> right
         contrib = e_l.join(ranks_l, join_type="inner",
                            num_partitions=num_partitions,
@@ -112,7 +113,11 @@ def bipartite_pagerank(
             ).materialize()
         )
 
-        # right -> left
+        # right -> left.  The LAST left update feeds nothing unless the
+        # caller wants final left ranks (it is not an input to any
+        # returned right rank) — skip the full join+shuffle round then.
+        if it == iters - 1 and not update_left_last:
+            break
         contrib2 = e_r.join(ranks_r, join_type="inner",
                             num_partitions=num_partitions,
                             on=(right,), right_on=(right,))

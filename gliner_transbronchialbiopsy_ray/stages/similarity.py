@@ -177,7 +177,17 @@ def kmeans_dataset(
         stats = pd.DataFrame({"cluster": pd.Series(dtype="int32"),
                               "n": pd.Series(dtype="int64"),
                               "inertia": pd.Series(dtype="float64")})
-        return embeddings, stats
+        # empty assignment with the NORMAL output schema (id, cluster,
+        # sq_dist) so callers selecting those columns don't crash on the
+        # empty-shard case; id dtype taken from the input schema
+        sch = embeddings.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        assigned = ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "cluster": pa.array([], type=pa.int32()),
+            "sq_dist": pa.array([], type=pa.float64()),
+        }))
+        return assigned, stats
     centers = _kmeans_lite(sample, k, iters=0)  # farthest-point init only
 
     for _ in range(iters):

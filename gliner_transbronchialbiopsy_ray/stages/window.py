@@ -74,13 +74,16 @@ def keyed_running_agg(
     )
 
 
-def _norm_key(v) -> int | float:
-    """Hash-stable scalar for dict keying across numpy/pandas types."""
+def _norm_key(v) -> int | float | str:
+    """Hash-stable scalar for dict keying across numpy/pandas types
+    (numeric, datetime, or string order keys)."""
     a = np.asarray(v)
     if np.issubdtype(a.dtype, np.datetime64):
         return int(a.astype("datetime64[us]").astype("int64"))
     if np.issubdtype(a.dtype, np.integer):
         return int(a)
+    if a.dtype.kind in ("U", "S", "O"):
+        return str(v)
     return float(a)
 
 
@@ -160,15 +163,6 @@ def global_prefix_scan(
     first order value)."""
     s = ds.sort(order_by).materialize()  # two passes over the sorted data
 
-    def _norm(v) -> int | float:
-        """Hash-stable scalar for dict keying across numpy/pandas types."""
-        a = np.asarray(v)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return int(a.astype("datetime64[us]").astype("int64"))
-        if np.issubdtype(a.dtype, np.integer):
-            return int(a)
-        return float(a)
-
     # batch_size=None = one batch per block, so pass 2 sees the SAME
     # batch boundaries as pass 1 (the carry map is keyed per block)
     def block_summary(batch: pa.Table) -> pd.DataFrame:
@@ -177,7 +171,7 @@ def global_prefix_scan(
         if len(order) == 0:
             return pd.DataFrame({"block_min": [], "block_max_val": []})
         return pd.DataFrame(
-            {"block_min": [_norm(order.min())], "block_max_val": [vals.max()]}
+            {"block_min": [_norm_key(order.min())], "block_max_val": [vals.max()]}
         )
 
     partials = s.map_batches(
@@ -212,7 +206,7 @@ def global_prefix_scan(
         vals = df[value].to_numpy()
         order = df[order_by].to_numpy()
         inc = np.maximum.accumulate(vals)
-        carry_in = cm.get(_norm(order[0]))
+        carry_in = cm.get(_norm_key(order[0]))
         if carry_in is not None:
             # partials travel as pandas scalars (e.g. Timestamp); pin to
             # the value dtype so np.maximum stays vectorized, not object

@@ -77,6 +77,11 @@ def test_similarity_empty(ray_session):
     assigned, stats = kmeans_dataset(_empty_emb(), k=2, iters=2)
     assert len(stats) == 0
     assert list(stats.columns) == ["cluster", "n", "inertia"]
+    # the empty assignment keeps the NORMAL output schema (note:
+    # Dataset.to_pandas() drops columns on zero-row data — the schema on
+    # the Dataset is the contract)
+    assert assigned.schema().names == ["vec_id", "cluster", "sq_dist"]
+    assert assigned.count() == 0
 
 
 def test_dedup_empty(ray_session):

@@ -107,6 +107,13 @@ def test_global_prefix_sum_matches_pandas_cumsum():
     # empty input -> clean empty result
     empty = ray.data.from_pandas(df.iloc[:0])
     assert len(global_prefix_sum(empty, "seq", "v").to_pandas()) == 0
+    # STRING order keys work too (carry map keyed by str)
+    sdf = pd.DataFrame({"seq": [f"k{i:03d}" for i in range(11)],
+                        "v": df["v"]})
+    got = (global_prefix_sum(ray.data.from_pandas(sdf).repartition(3),
+                             "seq", "v", out_col="ps")
+           .to_pandas().sort_values("seq"))
+    assert got["ps"].tolist() == sdf["v"].cumsum().tolist()
 
 
 def test_simhash_neardup_pairs_planted():
