@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -202,14 +201,31 @@ class CountMinSketch:
         self.depth = depth
         self.table = np.zeros((depth, width), dtype=np.int64)
 
-    def _row_idx(self, key: str, row: int) -> int:
-        return zlib.crc32(f"{row}:{key}".encode("utf-8")) % self.width
+    def _indices(self, keys) -> np.ndarray:
+        """(depth, n) counter indices, fully vectorized: one deterministic
+        64-bit base hash per key (pandas hash_array, fixed internal key),
+        then a splitmix64 finalizer per row.  The full avalanche matters:
+        a LINEAR per-row mix (base*odd + c) modulo a power-of-two width
+        makes every row a function of the same low bits — keys colliding
+        in one row collide in ALL rows and the min-over-rows bound
+        collapses.  No per-key Python loop: O(distinct keys) numpy work."""
+        base = pd.util.hash_array(
+            np.asarray([str(k) for k in keys], dtype=object))
+        rows = np.arange(1, self.depth + 1, dtype=np.uint64)[:, None]
+        z = base[None, :] + rows * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return (z % np.uint64(self.width)).astype(np.int64)
 
     def add_counts(self, keys, counts) -> "CountMinSketch":
-        for key, c in zip(keys, counts):
-            c = int(c)
-            for r in range(self.depth):
-                self.table[r, self._row_idx(str(key), r)] += c
+        keys = list(keys)
+        if not keys:
+            return self
+        idx = self._indices(keys)
+        c = np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            np.add.at(self.table[r], idx[r], c)
         return self
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
@@ -217,8 +233,8 @@ class CountMinSketch:
         return self
 
     def estimate(self, key) -> int:
-        return int(min(self.table[r, self._row_idx(str(key), r)]
-                       for r in range(self.depth)))
+        idx = self._indices([key])
+        return int(min(self.table[r, idx[r, 0]] for r in range(self.depth)))
 
     def to_bytes(self) -> bytes:
         return self.table.tobytes()

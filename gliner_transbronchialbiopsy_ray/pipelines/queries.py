@@ -1912,16 +1912,18 @@ ORDER BY doc_id
 """
 
 
-def q63_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+def q63_tfidf_topk(sf_dir: str, min_df: int = 1) -> pd.DataFrame:
     """Corpus TF-IDF, top-3 terms per doc.  Two passes: (1) document
     frequency via per-batch distinct-(doc,word) partials -> small
     groupby(word) shuffle (vocab-bounded); (2) broadcast the df map
     (`ray.put` once) and score each doc in one streamed pass — tf and
     top-k are row-local, so no second shuffle.  Ranking uses ROUNDED
     scores with an alphabetical tie-break so the order is float-exact
-    across engines.  Partitioning assumption: the vocabulary fits the
-    object store (use a min-df cutoff to prune the long tail at 100 TB
-    scale)."""
+    across engines.  Partitioning assumption: the BROADCAST vocabulary
+    fits the object store — `min_df` is the scale lever (hapax
+    legomena are >40% of a web-scale vocab; min_df=2+ prunes them
+    before the broadcast, and pruned words are skipped in scoring).
+    The default min_df=1 keeps the exact-oracle semantics."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def df_partial(batch: pa.Table) -> pd.DataFrame:
@@ -1942,6 +1944,8 @@ def q63_tfidf_topk(sf_dir: str) -> pd.DataFrame:
                              "word": pd.Series(dtype=object),
                              "tfidf": pd.Series(dtype="float64"),
                              "rank": pd.Series(dtype="int64")})
+    if min_df > 1:  # prune the long tail BEFORE the broadcast
+        dfp = dfp[dfp["df"] >= min_df]
     n_docs = docs.count()
     df_ref = ray.put(dict(zip(dfp["word"], dfp["df"])))
 
@@ -1956,6 +1960,8 @@ def q63_tfidf_topk(sf_dir: str) -> pd.DataFrame:
             .groupby(["i", "word"], sort=False).size().reset_index(name="tf")
         )
         dfv = tf["word"].map(dfm).to_numpy(np.float64)
+        keep = ~np.isnan(dfv)  # words pruned by min_df are skipped
+        tf, dfv = tf[keep], dfv[keep]
         tf["tfidf"] = np.round(
             tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv), 6)
         tf["doc_id"] = ids[tf["i"].to_numpy()]

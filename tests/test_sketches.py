@@ -174,3 +174,32 @@ def test_grouped_approx_distinct_accuracy(ray_session):
         for g in ("a", "b", "c"):
             rel = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
             assert rel < 0.05, (g, rel)
+
+
+def test_cms_hash_rows_are_independent():
+    """Regression for the correlated-rows hazard: with a power-of-two
+    width, a linear per-row mix makes every row a function of the same
+    low bits of the base hash — keys that collide in one row then
+    collide in ALL rows and min-over-rows stops helping.  With a proper
+    avalanche, all-row collisions are (1/width)^depth — effectively 0."""
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.functions.sketches import CountMinSketch
+
+    cms = CountMinSketch(width=128, depth=4)
+    idx = cms._indices([f"key{i}" for i in range(2000)])
+    # pairs colliding in row 0
+    row0 = idx[0]
+    order = np.argsort(row0, kind="stable")
+    same0 = 0
+    all_rows = 0
+    for a in range(len(row0)):
+        for b in range(a + 1, min(a + 50, len(row0))):  # local sample
+            ia, ib = order[a], order[b]
+            if row0[ia] != row0[ib]:
+                break
+            same0 += 1
+            if (idx[:, ia] == idx[:, ib]).all():
+                all_rows += 1
+    assert same0 > 50          # collisions in one row are common at w=128
+    assert all_rows == 0       # but never in all four rows
