@@ -2354,6 +2354,101 @@ def q72_grouped_approx_distinct(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q73_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: wide lineitem measure columns to long
+    (orderkey, linenumber, measure, value) rows — a pure row-local
+    reshape (one streamed pass, rows explode x3, no shuffle), then a
+    small grouped rollup per measure so the result is compact.  Values
+    are integer-scaled (cents / hundredths) to keep the fold exact."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def melt(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = []
+        for m in measures:
+            # integer-scale: quantities are whole, price/discount 2dp
+            v = np.round(df[m].to_numpy(np.float64) * 100).astype(np.int64)
+            rows.append(pd.DataFrame({"measure": m, "value_c": v}))
+        long = pd.concat(rows, ignore_index=True)
+        return (long.groupby("measure", sort=False)
+                .agg(n=("value_c", "size"), total_c=("value_c", "sum"))
+                .reset_index())
+
+    out = (
+        ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+        .sort_values(["measure", "n", "total_c"], kind="stable")
+        .groupby("measure", as_index=False)
+        .agg(n=("n", "sum"), total_c=("total_c", "sum"))
+    )
+    return out.sort_values("measure").reset_index(drop=True)
+
+
+Q73_SQL = """
+WITH long AS (
+  SELECT measure, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM (
+    UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+    ON l_quantity, l_extendedprice, l_discount
+    INTO NAME measure VALUE value
+  )
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value_c) AS BIGINT) AS total_c
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def q74_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG: each event's value delta to the user's previous
+    event in (ts, event_id) order — the keyed-shift window op.  Same
+    scale shape as keyed_running_agg (stages/window.py): hash-bucket the
+    key (one all-to-all), sort within the bucket, vectorized groupby
+    shift; per-key history never crosses buckets.  Deltas are
+    integer-scaled to keep the compare exact."""
+    import zlib as _zlib
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_bucket"] = df["user_id"].map(
+            lambda k: _zlib.crc32(str(k).encode()) % 16).astype("int32")
+        return df
+
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v_c = np.round(g["value"].to_numpy(np.float64) * 1_000_000)
+        g["value_c"] = v_c.astype(np.int64)
+        prev = g.groupby("user_id", sort=False)["value_c"].shift(1)
+        # float64 with NaN for each user's first event — matching how a
+        # nullable BIGINT lag column materializes in pandas
+        g["delta_c"] = g["value_c"].astype(np.float64) - prev
+        return g[["user_id", "event_id", "delta_c"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(shift_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+Q74_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1000000) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT user_id, event_id,
+       value_c - lag(value_c) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS delta_c
+FROM c ORDER BY user_id, event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2444,4 +2539,6 @@ QUERIES: dict[str, tuple] = {
     "q70_verified_neardups_shuffle": (q70_verified_neardups_shuffle, None),
     "q71_chunk_documents": (q71_chunk_documents, Q71_SQL),
     "q72_grouped_approx_distinct": (q72_grouped_approx_distinct, None),
+    "q73_unpivot": (q73_unpivot, Q73_SQL),
+    "q74_lag_delta": (q74_lag_delta, Q74_SQL),
 }
