@@ -2449,6 +2449,76 @@ FROM c ORDER BY user_id, event_id
 """
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Standard Wagner-Fischer edit distance (unit costs, no
+    transposition) — matches DuckDB's levenshtein()."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q75_fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
+    """Fuzzy string join (alias detection): edit-distance pairs among the
+    DISTINCT part names, blocked by first token so the pairwise DP runs
+    only within blocks — the standard blocking-key fuzzy-join shape
+    (never all-pairs on the corpus; distinct-name vocabulary is the
+    bounded side).  Distinct names: per-batch unique partials -> one
+    grouped pass; pairing: groupby(block).map_groups with the
+    Wagner-Fischer kernel."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_name": pc.unique(batch.column("p_name"))})
+
+    names = (
+        ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby("p_name").count().drop_columns(["count()"])
+    )
+
+    def add_block(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["blk"] = df["p_name"].str.split(" ").str[0]
+        return df
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["p_name"].unique())
+        out = []
+        for i, a in enumerate(vals):
+            for b in vals[i + 1:]:
+                d = _levenshtein(a, b)
+                if d <= max_dist:
+                    out.append((a, b, d))
+        return pd.DataFrame(out, columns=["left_name", "right_name", "dist"]
+                            ).astype({"dist": "int64"} if out else {})
+
+    out = (
+        names.map_batches(add_block, batch_format="pyarrow")
+        .groupby("blk").map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["left_name", "right_name"]).reset_index(drop=True)
+
+
+Q75_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+p AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names)
+SELECT a.p_name AS left_name, b.p_name AS right_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY left_name, right_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2541,4 +2611,5 @@ QUERIES: dict[str, tuple] = {
     "q72_grouped_approx_distinct": (q72_grouped_approx_distinct, None),
     "q73_unpivot": (q73_unpivot, Q73_SQL),
     "q74_lag_delta": (q74_lag_delta, Q74_SQL),
+    "q75_fuzzy_name_pairs": (q75_fuzzy_name_pairs, Q75_SQL),
 }

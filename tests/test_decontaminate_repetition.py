@@ -101,3 +101,16 @@ def test_chunk_documents_edges(ray_session):
     assert out[out["doc_id"] == 2]["chunk_chars"].tolist() == [4]
     d3 = out[out["doc_id"] == 3]
     assert len(d3) == 1 and d3["chunk_chars"].iloc[0] == 0  # row never dropped
+
+
+def test_levenshtein_kernel():
+    """Wagner-Fischer kernel matches known distances (and DuckDB's
+    levenshtein, asserted cell-by-cell in the q75 oracle test)."""
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import _levenshtein
+
+    assert _levenshtein("", "") == 0
+    assert _levenshtein("abc", "abc") == 0
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("flaw", "lawn") == 2
+    assert _levenshtein("", "xyz") == 3
+    assert _levenshtein("ab", "ba") == 2  # no transposition shortcut
