@@ -2519,6 +2519,48 @@ ORDER BY left_name, right_name
 """
 
 
+def q76_ntile_rank(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Rank windows per partition: NTILE(4) and percent_rank over
+    (value, event_id) order within each event_type — the position-based
+    rank family (complement to q74's offset windows).  Scale shape: the
+    PARTITION key is the shuffle key, so each group lands whole in one
+    task and ranks are exact with no global pass; NTILE sizing follows
+    the SQL rule (first n%k buckets get one extra row)."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], kind="stable")
+        n = len(g)
+        rank0 = np.arange(n, dtype=np.int64)
+        base, rem = divmod(n, k)
+        big = rem * (base + 1)
+        tile = np.where(
+            rank0 < big,
+            rank0 // (base + 1),
+            rem + (rank0 - big) // max(base, 1),
+        ) + 1
+        g["tile"] = tile.astype(np.int64)
+        g["pct_rank"] = np.round(
+            rank0 / (n - 1) if n > 1 else np.zeros(n), 6)
+        return g[["event_type", "event_id", "tile", "pct_rank"]]
+
+    out = (
+        ds.groupby("event_type").map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+Q76_SQL = """
+SELECT event_type, event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_type, event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2612,4 +2654,5 @@ QUERIES: dict[str, tuple] = {
     "q73_unpivot": (q73_unpivot, Q73_SQL),
     "q74_lag_delta": (q74_lag_delta, Q74_SQL),
     "q75_fuzzy_name_pairs": (q75_fuzzy_name_pairs, Q75_SQL),
+    "q76_ntile_rank": (q76_ntile_rank, Q76_SQL),
 }
