@@ -136,3 +136,29 @@ def test_simhash_neardup_pairs_planted():
     assert not any(3 in p for p in pairs)
     h = out[(out["left_id"] == 1) & (out["right_id"] == 2)]["hamming"].iloc[0]
     assert 0 <= h <= 3
+
+
+def test_ntile_tiny_groups_match_sql_rule(ray_session):
+    """NTILE with fewer rows than buckets: each row gets its own tile
+    (1..n), never an empty-bucket division error; percent_rank of a
+    single-row group is 0."""
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import q76_ntile_rank
+    import duckdb
+    import tempfile, os
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "event_id": [1, 2, 3],
+        "value": [5.0, 1.0, 9.0],
+    })
+    d = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    got = q76_ntile_rank(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import Q76_SQL
+    want = con.execute(Q76_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    assert got[got["event_type"] == "b"]["pct_rank"].iloc[0] == 0.0
