@@ -1960,8 +1960,9 @@ def q63_tfidf_topk(sf_dir: str, min_df: int = 1) -> pd.DataFrame:
             .groupby(["i", "word"], sort=False).size().reset_index(name="tf")
         )
         dfv = tf["word"].map(dfm).to_numpy(np.float64)
-        keep = ~np.isnan(dfv)  # words pruned by min_df are skipped
-        tf, dfv = tf[keep], dfv[keep]
+        if min_df > 1:  # words pruned from the broadcast map are skipped
+            keep = ~np.isnan(dfv)
+            tf, dfv = tf[keep], dfv[keep]
         tf["tfidf"] = np.round(
             tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv), 6)
         tf["doc_id"] = ids[tf["i"].to_numpy()]
@@ -2376,12 +2377,14 @@ def q73_unpivot(sf_dir: str) -> pd.DataFrame:
                 .agg(n=("value_c", "size"), total_c=("value_c", "sum"))
                 .reset_index())
 
-    out = (
-        ds.map_batches(melt, batch_format="pyarrow").to_pandas()
-        .sort_values(["measure", "n", "total_c"], kind="stable")
-        .groupby("measure", as_index=False)
-        .agg(n=("n", "sum"), total_c=("total_c", "sum"))
-    )
+    parts = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    if "measure" not in parts.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"measure": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "total_c": pd.Series(dtype="int64")})
+    # no canonical pre-sort needed: integer sums are order-invariant
+    out = (parts.groupby("measure", as_index=False)
+           .agg(n=("n", "sum"), total_c=("total_c", "sum")))
     return out.sort_values("measure").reset_index(drop=True)
 
 
@@ -2402,37 +2405,33 @@ FROM long GROUP BY measure ORDER BY measure
 
 def q74_lag_delta(sf_dir: str) -> pd.DataFrame:
     """Per-user LAG: each event's value delta to the user's previous
-    event in (ts, event_id) order — the keyed-shift window op.  Same
-    scale shape as keyed_running_agg (stages/window.py): hash-bucket the
-    key (one all-to-all), sort within the bucket, vectorized groupby
-    shift; per-key history never crosses buckets.  Deltas are
-    integer-scaled to keep the compare exact."""
-    import zlib as _zlib
+    event in (ts, event_id) order — the keyed-shift window op on the
+    shared hash-bucket scaffold (stages/window.py:
+    hash_bucketed_map_groups): one all-to-all on the key, sort within
+    the bucket, vectorized groupby shift; per-key history never crosses
+    buckets.  Deltas are integer-scaled to keep the compare exact."""
+    from ..stages.window import hash_bucketed_map_groups
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def tag(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        df["_bucket"] = df["user_id"].map(
-            lambda k: _zlib.crc32(str(k).encode()) % 16).astype("int32")
-        return df
-
     def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        v_c = np.round(g["value"].to_numpy(np.float64) * 1_000_000)
-        g["value_c"] = v_c.astype(np.int64)
+        # stay in float64 so a NULL value propagates as NaN (an int64
+        # cast of NaN is INT64_MIN garbage); the values are integral
+        # after the round, so float arithmetic below is exact
+        g["value_c"] = np.round(g["value"].to_numpy(np.float64) * 1_000_000)
         prev = g.groupby("user_id", sort=False)["value_c"].shift(1)
         # float64 with NaN for each user's first event — matching how a
         # nullable BIGINT lag column materializes in pandas
-        g["delta_c"] = g["value_c"].astype(np.float64) - prev
+        g["delta_c"] = g["value_c"] - prev
         return g[["user_id", "event_id", "delta_c"]]
 
-    out = (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(shift_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    out = hash_bucketed_map_groups(
+        ds, "user_id", shift_bucket, n_buckets=16).to_pandas()
+    if "user_id" not in out.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "delta_c": pd.Series(dtype="float64")})
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
@@ -2473,7 +2472,8 @@ def q75_fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
     (never all-pairs on the corpus; distinct-name vocabulary is the
     bounded side).  Distinct names: per-batch unique partials -> one
     grouped pass; pairing: groupby(block).map_groups with the
-    Wagner-Fischer kernel."""
+    Wagner-Fischer kernel.  The registered oracle hardcodes the default
+    max_dist=3 — non-default values diverge from Q75_SQL."""
     ds = _read(sf_dir, "part", ["p_name"])
 
     def uniq(batch: pa.Table) -> pa.Table:
@@ -2494,6 +2494,8 @@ def q75_fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
         out = []
         for i, a in enumerate(vals):
             for b in vals[i + 1:]:
+                if abs(len(a) - len(b)) > max_dist:
+                    continue  # length gap alone already exceeds the bound
                 d = _levenshtein(a, b)
                 if d <= max_dist:
                     out.append((a, b, d))
@@ -2505,6 +2507,10 @@ def q75_fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
         .groupby("blk").map_groups(block_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if "left_name" not in out.columns:  # no block produced any pair
+        return pd.DataFrame({"left_name": pd.Series(dtype=object),
+                             "right_name": pd.Series(dtype=object),
+                             "dist": pd.Series(dtype="int64")})
     return out.sort_values(["left_name", "right_name"]).reset_index(drop=True)
 
 
@@ -2525,7 +2531,9 @@ def q76_ntile_rank(sf_dir: str, k: int = 4) -> pd.DataFrame:
     rank family (complement to q74's offset windows).  Scale shape: the
     PARTITION key is the shuffle key, so each group lands whole in one
     task and ranks are exact with no global pass; NTILE sizing follows
-    the SQL rule (first n%k buckets get one extra row)."""
+    the SQL rule (first n%k buckets get one extra row).  The registered
+    oracle hardcodes the default k=4 — non-default values diverge from
+    Q76_SQL."""
     ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -2548,6 +2556,11 @@ def q76_ntile_rank(sf_dir: str, k: int = 4) -> pd.DataFrame:
         ds.groupby("event_type").map_groups(rank_group, batch_format="pandas")
         .to_pandas()
     )
+    if "event_type" not in out.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "event_id": pd.Series(dtype="int64"),
+                             "tile": pd.Series(dtype="int64"),
+                             "pct_rank": pd.Series(dtype="float64")})
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 

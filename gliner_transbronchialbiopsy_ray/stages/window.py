@@ -32,6 +32,35 @@ import ray
 import ray.data
 
 
+def hash_bucketed_map_groups(
+    ds: ray.data.Dataset,
+    key: str,
+    fn,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """The keyed-window scaffold: hash-bucket `key` (ONE all-to-all),
+    then apply `fn` to each bucket's rows (every key's full history is
+    inside one bucket).  `fn` receives the bucket DataFrame WITH the
+    `_bucket` column dropped.  All keyed window ops (running aggregates,
+    lag/shift, per-key ranks) share this shape."""
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["_bucket"] = df[key].map(
+            lambda k: zlib.crc32(str(k).encode()) % n_buckets
+        ).astype("int32")
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def keyed_running_agg(
     ds: ray.data.Dataset,
     key: str,
@@ -47,13 +76,6 @@ def keyed_running_agg(
     tie-breaker column) or float results are engine-dependent."""
     assert agg in ("sum", "max", "min", "count")
 
-    def tag(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        df["_bucket"] = df[key].map(
-            lambda k: zlib.crc32(str(k).encode()) % n_buckets
-        ).astype("int32")
-        return df
-
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_by, kind="stable")
         grp = g.groupby(key, sort=False)[value]
@@ -65,13 +87,9 @@ def keyed_running_agg(
             g[out_col] = grp.cummin()
         else:
             g[out_col] = grp.cumcount() + 1
-        return g.drop(columns=["_bucket"])
+        return g
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
-    )
+    return hash_bucketed_map_groups(ds, key, scan_bucket, n_buckets)
 
 
 def _norm_key(v) -> int | float | str:
