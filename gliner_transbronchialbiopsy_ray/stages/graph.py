@@ -47,6 +47,7 @@ def bipartite_pagerank(
     damping: float = 0.85,
     num_partitions: int = 8,
     update_left_last: bool = True,
+    strategy: str = "collapse",
 ) -> tuple[pd.DataFrame, ray.data.Dataset]:
     """PageRank on the bipartite graph defined by distinct (left, right)
     edge pairs, alternating left->right and right->left updates:
@@ -57,8 +58,38 @@ def bipartite_pagerank(
     Returns (right-side ranks as a small DataFrame, left-side ranks as a
     Dataset — left nodes are unbounded, so they stay distributed).
 
-    All graph state flows through joins/groupbys over the edge set; the
-    only driver-side values are the two node counts."""
+    Strategies (each exploits progressively more structure):
+
+    - "join" — fully join-based power iteration; the general path when
+      BOTH node sets are unbounded.  Per iteration: 2 hash joins +
+      2 grouped sums over the edge set.
+    - "broadcast" — right node set is a BOUNDED enum (event types,
+      labels — the repo's usual broadcast-small-side contract): right
+      ranks are folded from per-batch partials and broadcast into the
+      next update, and the per-left degree is re-derived inside the
+      r->l grouped fold.  1 hash join per iteration.
+    - "collapse" (default) — bounded right side with <= 64 distinct
+      values: every left node is reduced to its neighbor-set BITMASK
+      (one groupby(left) summing 1<<r_index over distinct edges), and
+      left nodes collapse into equivalence classes per mask — degree
+      and adjacency are functions of the mask alone.  The whole power
+      iteration then runs on the (n_classes x n_right) class matrix on
+      the driver: ZERO joins, arbitrary iteration count for free.
+      Falls back to "broadcast" when more than 64 right values exist.
+
+    All unbounded graph state flows through joins/groupbys over the edge
+    set; driver-side values are the node counts plus (bounded paths
+    only) the right-side rank vector / class-count table."""
+    if strategy == "collapse":
+        return _pagerank_collapse_right(
+            edges, left, right, iters, damping, num_partitions,
+            update_left_last)
+    if strategy == "broadcast":
+        return _pagerank_broadcast_right(
+            edges, left, right, iters, damping, num_partitions,
+            update_left_last)
+    if strategy != "join":
+        raise ValueError(f"unknown pagerank strategy: {strategy!r}")
     e = _distinct_edges(edges, left, right).materialize()
 
     deg_l = e.groupby(left).count()
@@ -142,4 +173,191 @@ def bipartite_pagerank(
     out_r = ranks_r.to_pandas()  # right side is the bounded enum — tiny
     out_r["rank"] = out_r["rank"].round(6)
     out_r = out_r.sort_values(right).reset_index(drop=True)
+    return out_r, ranks_l
+
+
+def _pagerank_collapse_right(
+    edges: ray.data.Dataset,
+    left: str,
+    right: str,
+    iters: int,
+    damping: float,
+    num_partitions: int,
+    update_left_last: bool,
+) -> tuple[pd.DataFrame, ray.data.Dataset]:
+    """Neighbor-bitmask equivalence-class collapse (right side <= 64
+    values).  A left node's contribution to every rank is a function of
+    ONLY its distinct-neighbor set, so left nodes with the same set are
+    interchangeable.  Distributed part: distinct edges, right-side
+    degrees, one groupby(left) summing 1 << r_index into a mask (each
+    bit appears once — edges are distinct), then a per-batch mask
+    histogram folded on the driver (integer counts: order-safe).  The
+    power iteration is numpy over the (n_masks, n_right) 0/1 matrix
+    weighted by class counts — no joins, iterations are free."""
+    e = _distinct_edges(edges, left, right).materialize()
+
+    deg_r = e.groupby(right).count().to_pandas().sort_values(right)
+    n_r = len(deg_r)
+    if n_r > 64:
+        return _pagerank_broadcast_right(
+            edges, left, right, iters, damping, num_partitions,
+            update_left_last)
+    r_vals = list(deg_r[right])
+    r_idx = {v: i for i, v in enumerate(r_vals)}
+    inv_r = 1.0 / deg_r["count()"].to_numpy(dtype=float)
+
+    def to_bits(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({
+            left: df[left],
+            "bit": np.left_shift(
+                np.int64(1), df[right].map(r_idx).to_numpy(dtype=np.int64)),
+        })
+
+    masks = (
+        e.map_batches(to_bits, batch_format="pyarrow")
+        .groupby(left).aggregate(Sum("bit", alias_name="mask"))
+        .materialize()
+    )
+
+    def mask_hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("mask").size()
+        return pd.DataFrame({"mask": g.index, "cnt": g.values})
+
+    hist = masks.map_batches(
+        mask_hist, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("mask", as_index=False)["cnt"].sum()
+    hist = hist.sort_values("mask").reset_index(drop=True)
+
+    mask_vals = hist["mask"].to_numpy(dtype=np.int64)
+    cnt = hist["cnt"].to_numpy(dtype=float)
+    # (n_masks, n_r) 0/1 adjacency of each equivalence class
+    P = ((mask_vals[:, None] >> np.arange(n_r)[None, :]) & 1).astype(float)
+    deg_cls = P.sum(axis=1)
+    n_l = float(cnt.sum())
+
+    base_r = (1.0 - damping) / n_r
+    base_l = (1.0 - damping) / n_l
+    rank_cls = np.full(len(cnt), 1.0 / n_l)  # per-class left rank
+    rank_r = None
+    for it in range(iters):
+        contrib = cnt * rank_cls / deg_cls
+        rank_r = base_r + damping * (P.T @ contrib)
+        if it == iters - 1 and not update_left_last:
+            break
+        rank_cls = base_l + damping * (P @ (rank_r * inv_r))
+
+    out_r = pd.DataFrame({right: r_vals, "rank": rank_r.round(6)})
+    out_r = out_r.sort_values(right).reset_index(drop=True)
+
+    # left ranks: broadcast the tiny {mask: class rank} table
+    cls_rank = dict(zip(mask_vals.tolist(), rank_cls.tolist()))
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({left: df[left],
+                             "rank": df["mask"].map(cls_rank)})
+
+    ranks_l = masks.map_batches(expand, batch_format="pyarrow")
+    return out_r, ranks_l
+
+
+def _pagerank_broadcast_right(
+    edges: ray.data.Dataset,
+    left: str,
+    right: str,
+    iters: int,
+    damping: float,
+    num_partitions: int,
+    update_left_last: bool,
+) -> tuple[pd.DataFrame, ray.data.Dataset]:
+    """Bounded-right-side power iteration: right ranks live on the
+    driver (tiny), left state stays a Dataset.  Per iteration:
+
+      l->r: ONE hash join (edges x left-state) -> per-batch partial sums
+            over the bounded right key -> order-canonical driver fold
+            (partials sorted before summing; float addition is
+            order-sensitive and Ray delivers blocks in completion order).
+      r->l: broadcast {r: rank_r/deg_r} lookup over the raw edge set ->
+            groupby(left) folding Sum(c) AND Count() in one pass — the
+            count over distinct edges IS deg(l), so the left state
+            (rank, inv_deg) rebuilds with no second join.
+    """
+    from ray.data.aggregate import Count
+
+    e = _distinct_edges(edges, left, right).materialize()
+
+    deg_l = e.groupby(left).count()
+    n_l = deg_l.count()
+    # bounded side: degrees collect to a tiny driver frame
+    deg_r = e.groupby(right).count().to_pandas()
+    n_r = len(deg_r)
+    inv_r = {k: 1.0 / c for k, c in
+             zip(deg_r[right], deg_r["count()"])}
+
+    def init_state(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({
+            left: df[left],
+            "rank": np.full(len(df), 1.0 / n_l),
+            "inv_deg_l": 1.0 / df["count()"],
+        })
+
+    state_l = deg_l.map_batches(
+        init_state, batch_format="pyarrow").materialize()
+
+    base_r = (1.0 - damping) / n_r
+    base_l = (1.0 - damping) / n_l
+    rank_r = None
+    for it in range(iters):
+        # left -> right: join attaches (rank, inv_deg_l) to each edge
+        joined = e.join(state_l, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=(left,), right_on=(left,))
+
+        def partial_r(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            if not len(df):
+                return pd.DataFrame({right: pd.Series(dtype=object),
+                                     "c": pd.Series(dtype=float)})
+            g = (df["rank"] * df["inv_deg_l"]).groupby(df[right]).sum()
+            return pd.DataFrame({right: g.index, "c": g.values})
+
+        parts = joined.map_batches(
+            partial_r, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values([right, "c"], kind="mergesort")
+        rank_r = base_r + damping * parts.groupby(right)["c"].sum()
+
+        # right -> left (skippable last round: it feeds nothing returned)
+        if it == iters - 1 and not update_left_last:
+            break
+        w = {k: rank_r[k] * inv_r[k] for k in rank_r.index}
+
+        def contrib_l(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            return pd.DataFrame({left: df[left],
+                                 "c": df[right].map(w)})
+
+        folded = (
+            e.map_batches(contrib_l, batch_format="pyarrow")
+            .groupby(left)
+            .aggregate(Sum("c", alias_name="c"), Count())
+        )
+
+        def upd(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            return pd.DataFrame({
+                left: df[left],
+                "rank": base_l + damping * df["c"],
+                "inv_deg_l": 1.0 / df["count()"],
+            })
+
+        state_l = folded.map_batches(
+            upd, batch_format="pyarrow").materialize()
+
+    out_r = pd.DataFrame({right: rank_r.index,
+                          "rank": rank_r.values.round(6)})
+    out_r = out_r.sort_values(right).reset_index(drop=True)
+    ranks_l = state_l.drop_columns(["inv_deg_l"])
     return out_r, ranks_l

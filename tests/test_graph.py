@@ -3,6 +3,7 @@ iteration must match a dense NumPy reference on a small known graph."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from gliner_transbronchialbiopsy_ray.stages.graph import bipartite_pagerank
@@ -25,11 +26,13 @@ def _numpy_reference(edges, iters, d=0.85):
     return {r: rank_r[ri[r]] for r in rs}
 
 
-def test_bipartite_pagerank_matches_numpy(ray_session):
+@pytest.mark.parametrize("strategy", ["collapse", "broadcast", "join"])
+def test_bipartite_pagerank_matches_numpy(ray_session, strategy):
     edges = [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (3, "c"), (4, "c"),
              (1, "a")]  # duplicate edge must not double-count
     ds = rd.from_items([{"user_id": l, "event_type": r} for l, r in edges])
-    out_r, ranks_l = bipartite_pagerank(ds, iters=2, num_partitions=2)
+    out_r, ranks_l = bipartite_pagerank(ds, iters=2, num_partitions=2,
+                                        strategy=strategy)
     ref = _numpy_reference(set(edges), iters=2)
     for _, row in out_r.iterrows():
         assert abs(row["rank"] - ref[row["event_type"]]) < 1e-6
