@@ -2574,6 +2574,339 @@ ORDER BY event_type, event_id
 """
 
 
+def q77_string_agg_per_order(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-group string_agg at unbounded group count — the
+    distributed form of the reference's per-document ';'.join wide cells
+    (entity_processor.py:74-77), here with a SQL oracle: per order, the
+    return flags concatenated in line-number order.  Uses
+    window.grouped_ordered_concat (sort + boundary-stitch: driver state
+    is O(blocks), never O(groups))."""
+    from ..stages.window import grouped_ordered_concat
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag"])
+    out = grouped_ordered_concat(
+        ds, key="l_orderkey", order="l_linenumber", val="l_returnflag")
+    return out.rename(columns={"concat": "flags", "n": "n_items"})
+
+
+Q77_SQL = """
+SELECT l_orderkey,
+       string_agg(l_returnflag, ';' ORDER BY l_linenumber) AS flags,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q78_mode_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Per-nation modal market segment (grouped MODE with lexicographic
+    tie-break): bounded (nation x segment) key space -> per-batch count
+    combiner + canonical driver fold; nation names attach from the
+    broadcast-small dimension table (no shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    counts = _preagg(cust, ["c_nationkey", "c_mktsegment"],
+                     {"n": ("c_mktsegment", "count")})
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    counts = counts.merge(nat, left_on="c_nationkey",
+                          right_on="n_nationkey")
+    counts = counts.sort_values(["n_name", "n", "c_mktsegment"],
+                                ascending=[True, False, True],
+                                kind="stable")
+    out = counts.groupby("n_name", sort=False).head(1)
+    out = out.rename(columns={"c_mktsegment": "mode_segment"})
+    return (out[["n_name", "mode_segment", "n"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+Q78_SQL = """
+SELECT n_name, mode_segment, n FROM (
+  SELECT n.n_name, c.c_mktsegment AS mode_segment, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY n.n_name
+           ORDER BY count(*) DESC, c.c_mktsegment) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_mktsegment
+) WHERE rn = 1 ORDER BY n_name
+"""
+
+
+def q79_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (status, priority): ONE streamed combiner pass at
+    the finest grouping; the three coarser levels re-aggregate the tiny
+    merged partials driver-side (bounded keys), so the fact table is
+    read once for all four levels (same shape as q56's ROLLUP, plus the
+    priority-only slice)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    fine = _preagg(ds, ["o_orderstatus", "o_orderpriority"],
+                   {"total": ("o_totalprice", "sum"),
+                    "n": ("o_totalprice", "count")})
+
+    def level(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            lv = (fine.groupby(keys, as_index=False)
+                  .agg(total=("total", "sum"), n=("n", "sum")))
+        else:
+            lv = pd.DataFrame({"total": [fine["total"].sum()],
+                               "n": [fine["n"].sum()]})
+        for col in ("o_orderstatus", "o_orderpriority"):
+            if col not in lv.columns:
+                lv[col] = None
+        return lv
+
+    out = pd.concat(
+        [fine, level(["o_orderstatus"]), level(["o_orderpriority"]),
+         level([])],
+        ignore_index=True)
+    out["total"] = out["total"].round(2)
+    return out[["o_orderstatus", "o_orderpriority", "total", "n"]]
+
+
+Q79_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q80_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT via tag-counting: both key sets
+    union into one (key, side-bit) stream with per-batch dedup, a single
+    groupby(key) ORs the bits, and a bounded histogram over the three
+    bit patterns folds per batch -> driver.  One shuffle total, no
+    membership list ever materializes."""
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    bldg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'")
+
+    def tag(bit: int, col: str):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            keys = df[col].drop_duplicates()
+            return pd.DataFrame({
+                "key": keys,
+                "b1": np.full(len(keys), bit & 1, dtype=np.int64),
+                "b2": np.full(len(keys), (bit >> 1) & 1, dtype=np.int64),
+            })
+        return f
+
+    tagged = (
+        orders.map_batches(tag(1, "o_custkey"), batch_format="pyarrow")
+        .union(bldg.map_batches(tag(2, "c_custkey"),
+                                batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Max("b1", alias_name="b1"), Max("b2", alias_name="b2"))
+    )
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        pat = df["b1"] * 1 + df["b2"] * 2
+        g = pat.groupby(pat).size()
+        return pd.DataFrame({"pat": g.index.astype(np.int64),
+                             "n": g.values.astype(np.int64)})
+
+    parts = tagged.map_batches(hist, batch_format="pyarrow").to_pandas()
+    names = {1: "orders_only", 2: "building_only", 3: "intersect"}
+    if not len(parts):
+        counts = {}
+    else:
+        counts = parts.groupby("pat")["n"].sum().to_dict()
+    out = pd.DataFrame(
+        {"op": [names[p] for p in (3, 1, 2)],
+         "n": [int(counts.get(p, 0)) for p in (3, 1, 2)]})
+    return out.sort_values("op").reset_index(drop=True)
+
+
+Q80_SQL = """
+WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     b AS (SELECT c_custkey AS k FROM customer
+           WHERE c_mktsegment = 'BUILDING')
+SELECT op, n FROM (
+  SELECT 'intersect' AS op,
+         (SELECT count(*) FROM (SELECT k FROM o INTERSECT
+                                SELECT k FROM b)) AS n
+  UNION ALL
+  SELECT 'orders_only',
+         (SELECT count(*) FROM (SELECT k FROM o EXCEPT SELECT k FROM b))
+  UNION ALL
+  SELECT 'building_only',
+         (SELECT count(*) FROM (SELECT k FROM b EXCEPT SELECT k FROM o))
+) ORDER BY op
+"""
+
+
+def q81_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Column profiling (per-column null count / exact distinct count /
+    min / max as text) in the melted shape: one pass melts the profiled
+    columns to (col, val) with per-batch distinct+null combiners, a
+    groupby(col, val) dedups globally, and the per-column stats fold
+    from per-batch partials over the deduped stream — distinct counting
+    never holds a value list on the driver."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def melt(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        frames = []
+        for c in cols:
+            s = df[c]
+            nn = s.dropna().drop_duplicates()
+            frames.append(pd.DataFrame({
+                "col": c, "val": nn.astype(str),
+                "nulls": np.int64(0)}))
+            n_null = np.int64(s.isna().sum())
+            if n_null:
+                frames.append(pd.DataFrame(
+                    {"col": [c], "val": [None], "nulls": [n_null]}))
+        return pd.concat(frames, ignore_index=True)
+
+    melted = (
+        ds.map_batches(melt, batch_format="pyarrow")
+        .groupby(["col", "val"]).aggregate(Sum("nulls", alias_name="nulls"))
+    )
+
+    def colstats(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        nulls = df.groupby("col", as_index=False).agg(
+            n_nulls=("nulls", "sum"))
+        df = df[df["val"].notna()]
+        if not len(df):
+            stats = pd.DataFrame({"col": pd.Series(dtype=object),
+                                  "n_distinct": pd.Series(dtype="int64"),
+                                  "min_s": pd.Series(dtype=object),
+                                  "max_s": pd.Series(dtype=object)})
+        else:
+            g = df.groupby("col")["val"]
+            stats = pd.DataFrame(
+                {"col": g.size().index,
+                 "n_distinct": g.size().values.astype(np.int64),
+                 "min_s": g.min().values,
+                 "max_s": g.max().values})
+        # one partial frame carries both the value stats and the null
+        # counts so the melted stream is consumed exactly once
+        return stats.merge(nulls, on="col", how="outer")
+
+    parts = melted.map_batches(
+        colstats, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["col", "min_s"], kind="stable")
+    out = (parts.groupby("col", as_index=False)
+           .agg(n_distinct=("n_distinct", "sum"),
+                min_s=("min_s", "min"), max_s=("max_s", "max"),
+                n_nulls=("n_nulls", "sum")))
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return (out[["col", "n_nulls", "n_distinct", "min_s", "max_s"]]
+            .sort_values("col").reset_index(drop=True))
+
+
+Q81_SQL = """
+SELECT col, n_nulls, n_distinct, min_s, max_s FROM (
+  SELECT 'o_orderstatus' AS col,
+         count(*) - count(o_orderstatus) AS n_nulls,
+         count(DISTINCT o_orderstatus) AS n_distinct,
+         min(CAST(o_orderstatus AS VARCHAR)) AS min_s,
+         max(CAST(o_orderstatus AS VARCHAR)) AS max_s FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         min(CAST(o_orderpriority AS VARCHAR)),
+         max(CAST(o_orderpriority AS VARCHAR)) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*) - count(o_custkey),
+         count(DISTINCT o_custkey),
+         min(CAST(o_custkey AS VARCHAR)),
+         max(CAST(o_custkey AS VARCHAR)) FROM orders
+) ORDER BY col
+"""
+
+
+def q82_percentile_cont(sf_dir: str) -> pd.DataFrame:
+    """INTERPOLATED per-group percentiles (quantile_cont — complement to
+    q53's discrete ranks): same exact merged value-count histogram, then
+    linear interpolation between the two bracketing order statistics at
+    rank q*(n-1).  No global sort; histogram width = distinct values per
+    group."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (df.groupby(["event_type", "value"], sort=False)
+                .size().rename("n").reset_index())
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "value"], sort=False)["n"]
+        .sum().reset_index()
+    )
+    out = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("value", kind="stable")
+        vals = g["value"].to_numpy()
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for q, cname in ((0.5, "p50"), (0.9, "p90")):
+            pos = q * (n - 1)          # DuckDB quantile_cont rank rule
+            k0 = int(np.floor(pos))
+            v0 = vals[np.searchsorted(cum, k0 + 1)]
+            v1 = vals[np.searchsorted(cum, min(k0 + 2, n))]
+            row[cname] = round(float(v0 + (pos - k0) * (v1 - v0)), 6)
+        row["n"] = n
+        out.append(row)
+    return pd.DataFrame(out)[["event_type", "p50", "p90", "n"]]
+
+
+Q82_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q83_degree_histogram(sf_dir: str) -> pd.DataFrame:
+    """Bipartite degree distribution (user -> #distinct event types):
+    per-batch (user, type) dedup combiner, global distinct groupby, a
+    second groupby counts per-user degree, and the bounded degree domain
+    folds to a histogram from per-batch partials — the degree table
+    itself never reaches the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def local_distinct(batch: pa.Table) -> pd.DataFrame:
+        return (batch.to_pandas()[["user_id", "event_type"]]
+                .drop_duplicates())
+
+    deg = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"]).count()
+        .groupby("user_id").count()
+    )
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("count()").size()
+        return pd.DataFrame({"degree": g.index.astype(np.int64),
+                             "n_users": g.values.astype(np.int64)})
+
+    parts = deg.map_batches(hist, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("degree", as_index=False)
+           .agg(n_users=("n_users", "sum")))
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+Q83_SQL = """
+SELECT degree, count(*) AS n_users FROM (
+  SELECT user_id, count(DISTINCT event_type) AS degree
+  FROM events GROUP BY user_id
+) GROUP BY degree ORDER BY degree
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2668,4 +3001,11 @@ QUERIES: dict[str, tuple] = {
     "q74_lag_delta": (q74_lag_delta, Q74_SQL),
     "q75_fuzzy_name_pairs": (q75_fuzzy_name_pairs, Q75_SQL),
     "q76_ntile_rank": (q76_ntile_rank, Q76_SQL),
+    "q77_string_agg_per_order": (q77_string_agg_per_order, Q77_SQL),
+    "q78_mode_per_nation": (q78_mode_per_nation, Q78_SQL),
+    "q79_cube_orders": (q79_cube_orders, Q79_SQL),
+    "q80_set_ops": (q80_set_ops, Q80_SQL),
+    "q81_profile_orders": (q81_profile_orders, Q81_SQL),
+    "q82_percentile_cont": (q82_percentile_cont, Q82_SQL),
+    "q83_degree_histogram": (q83_degree_histogram, Q83_SQL),
 }

@@ -242,3 +242,74 @@ def global_prefix_scan(
         return df
 
     return s.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_ordered_concat(
+    ds,
+    key: str,
+    order: str,
+    val: str,
+    sep: str = ";",
+):
+    """ORDER-sensitive per-group string concatenation at UNBOUNDED group
+    count (the distributed form of SQL `string_agg(val, sep ORDER BY
+    order)` and of the reference's per-document `';'.join(texts)` wide
+    cells, entity_processor.py:74-77 — those were bounded per doc; this
+    scales to any number of groups).
+
+    Scale shape: one global sort by (key, order) range-partitions every
+    group into ADJACENT blocks.  Each block assembles its groups
+    vectorized; only its FIRST and LAST group can straddle a block
+    boundary, so those are emitted as fragments and stitched driver-side
+    ordered by each fragment's minimum order value.  Driver state is
+    O(2 x blocks), never O(groups).
+
+    `order` must be unique within a group (SQL's requirement for a
+    deterministic string_agg order); `val` must be a string column.
+
+    Returns a pandas DataFrame (key, concat, n) — materialized because
+    the stitched boundary rows re-enter from the driver; callers needing
+    a Dataset can `ray.data.from_pandas` it.
+    """
+    import ray.data  # noqa: F401  (ds is a Dataset)
+
+    s = ds.sort([key, order])
+
+    def assemble(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "concat": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "mn": pd.Series(dtype=object),
+                                 "frag": pd.Series(dtype=bool)})
+        agg = (
+            df.groupby(key, sort=False)
+            .agg(concat=(val, sep.join), n=(val, "size"), mn=(order, "min"))
+            .reset_index()
+        )
+        agg["n"] = agg["n"].astype("int64")
+        # in a sorted block only the edge groups can be split across
+        # blocks; everything interior is complete by construction
+        frag = np.zeros(len(agg), dtype=bool)
+        frag[0] = frag[-1] = True
+        agg["frag"] = frag
+        return agg
+
+    parts = s.map_batches(
+        assemble, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({key: pd.Series(dtype=object),
+                             "concat": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    interior = parts[~parts["frag"]]
+    stitched = (
+        parts[parts["frag"]]
+        .sort_values([key, "mn"], kind="stable")
+        .groupby(key, sort=False)
+        .agg(concat=("concat", sep.join), n=("n", "sum"))
+        .reset_index()
+    )
+    out = pd.concat(
+        [interior[[key, "concat", "n"]], stitched], ignore_index=True)
+    return out.sort_values(key, kind="stable").reset_index(drop=True)

@@ -162,3 +162,35 @@ def test_ntile_tiny_groups_match_sql_rule(ray_session):
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
     assert got[got["event_type"] == "b"]["pct_rank"].iloc[0] == 0.0
+
+
+def test_grouped_ordered_concat_stitches_groups_spanning_blocks(ray_session):
+    """Boundary-stitch contract: with many tiny blocks, a single group's
+    rows land in several adjacent sorted blocks; the stitched result must
+    equal the single-partition answer — order within the group derived
+    from the order column, never from block layout."""
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.window import (
+        grouped_ordered_concat,
+    )
+
+    rows = []
+    # group 'g0' is huge (spans many blocks); others are small
+    for i in range(40):
+        rows.append({"k": "g0", "o": i, "v": chr(65 + i % 26)})
+    for g in range(1, 6):
+        for i in range(3):
+            rows.append({"k": f"g{g}", "o": i, "v": str(i)})
+    ds = rd.from_items(rows).repartition(12)
+    out = grouped_ordered_concat(ds, key="k", order="o", val="v")
+
+    expect_g0 = ";".join(chr(65 + i % 26) for i in range(40))
+    got = out.set_index("k")
+    assert got.loc["g0", "concat"] == expect_g0
+    assert int(got.loc["g0", "n"]) == 40
+    for g in range(1, 6):
+        assert got.loc[f"g{g}", "concat"] == "0;1;2"
+    # scrambled input order must not change the result
+    ds2 = rd.from_items(rows[::-1]).repartition(7)
+    out2 = grouped_ordered_concat(ds2, key="k", order="o", val="v")
+    pd.testing.assert_frame_equal(out, out2)
