@@ -2246,6 +2246,63 @@ def btb_raw_media(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_ref").reset_index(drop=True)
 
 
+def btb_raw_audio(sf_dir: str) -> pd.DataFrame:
+    """REAL audio kernel path (no stub, no audio libs): deterministic
+    RIFF/WAVE PCM payloads (stdlib `wave` writer) run through the
+    actor-pool WAV decode stage (stages/multimodal.py:RawAudioStage) ->
+    scalar features + windowed RMS envelope.  Covers 16-bit mono, 8-bit
+    mono, 16-bit stereo, and a malformed payload pinning the
+    keep-row-with-status error path.  Deterministic -> golden-pinned
+    (rows-only; audio bytes aren't SQL-expressible)."""
+    import io
+    import wave as _wave
+
+    from ..stages.multimodal import wav_audio_features
+
+    def make_wav(freq: float, rate: int, secs: float, width: int,
+                 nch: int, amp: float) -> bytes:
+        t = np.arange(int(rate * secs)) / rate
+        x = amp * np.sin(2 * np.pi * freq * t)
+        if nch == 2:  # right channel at half amplitude
+            x = np.stack([x, 0.5 * x], axis=1)
+        else:
+            x = x[:, None]
+        if width == 1:
+            data = (x * 127 + 128).astype(np.uint8).tobytes()
+        else:
+            data = (x * 32767).astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(data)
+        return buf.getvalue()
+
+    refs, payloads = [], []
+    for i, (freq, width, nch, amp) in enumerate(
+            [(440.0, 2, 1, 0.8), (220.0, 2, 1, 0.3), (880.0, 1, 1, 0.5),
+             (440.0, 2, 2, 0.6), (55.0, 2, 1, 1.0)] * 8):
+        refs.append(f"wav://{i:03d}")
+        payloads.append(make_wav(freq, 8000, 0.25 + 0.01 * (i % 5),
+                                 width, nch, amp))
+    refs.append("wav://bad")
+    payloads.append(b"RIFFgarbage-not-a-wave")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    ds = wav_audio_features(media, n_windows=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    for col in ("feature", "rms_envelope"):
+        df[col] = df[col].map(
+            lambda v: None if v is None
+            else str([round(float(f), 5) for f in v]))
+    return df.sort_values("media_ref").reset_index(drop=True)
+
+
 def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
     """Approximate top-10 event users via Count-Min sketch + candidate
     union (functions/sketches.py) — the no-shuffle scale path for heavy
@@ -3001,6 +3058,7 @@ QUERIES: dict[str, tuple] = {
     "q74_lag_delta": (q74_lag_delta, Q74_SQL),
     "q75_fuzzy_name_pairs": (q75_fuzzy_name_pairs, Q75_SQL),
     "q76_ntile_rank": (q76_ntile_rank, Q76_SQL),
+    "btb_raw_audio": (btb_raw_audio, None),
     "q77_string_agg_per_order": (q77_string_agg_per_order, Q77_SQL),
     "q78_mode_per_nation": (q78_mode_per_nation, Q78_SQL),
     "q79_cube_orders": (q79_cube_orders, Q79_SQL),

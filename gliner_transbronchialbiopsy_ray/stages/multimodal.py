@@ -259,3 +259,115 @@ def raw_media_features(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode with zero external deps: standard RIFF/WAVE PCM
+    (8/16/32-bit int) via the stdlib `wave` module -> (samples, rate)
+    where samples is float32 (n_frames, n_channels) scaled to [-1, 1].
+    Raises wave.Error/ValueError on malformed payloads — the stage keeps
+    the row and records decode_status (never drops)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # 8-bit PCM is unsigned
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    return x.reshape(-1, nch), rate
+
+
+class RawAudioStage:
+    """Actor stage over an audio-payload dataset (media_ref, payload):
+    REAL WAV decode -> scalar features + a fixed-length windowed RMS
+    envelope (the audio analog of FrameSampler: n_windows equal slices,
+    vectorized block RMS).  Failed rows keep their row with
+    decode_status set.
+
+    Feature layout (float32): [duration_s, sample_rate, n_channels,
+    rms, peak, zero_crossing_rate]; envelope is list<float32> of
+    `n_windows` per-slice RMS values."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import wave
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        feats, envs, status = [], [], []
+        for p in payloads:
+            try:
+                x, rate = decode_wav(p)
+            except (wave.Error, ValueError, EOFError) as exc:
+                feats.append(None)
+                envs.append(None)
+                status.append(f"decode_error: {exc}")
+                continue
+            mono = x.mean(axis=1)
+            n = len(mono)
+            if n == 0:
+                feats.append(None)
+                envs.append(None)
+                status.append("decode_error: empty stream")
+                continue
+            rms = float(np.sqrt(np.mean(mono ** 2)))
+            peak = float(np.abs(mono).max())
+            zcr = float(np.count_nonzero(
+                np.signbit(mono[1:]) != np.signbit(mono[:-1])) / n)
+            feats.append(np.array(
+                [n / rate, rate, x.shape[1], rms, peak, zcr],
+                dtype=np.float32).tolist())
+            # equal-slice RMS envelope: truncate to a multiple of
+            # n_windows, then one vectorized reshape-mean
+            k = self.n_windows
+            m = (n // k) * k
+            if m == 0:
+                env = np.zeros(k, dtype=np.float32)
+                env[0] = rms
+            else:
+                env = np.sqrt(
+                    (mono[:m].reshape(k, m // k) ** 2).mean(axis=1))
+            envs.append(env.astype(np.float32).tolist())
+            status.append("ok")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+                "rms_envelope": pa.array(envs, type=pa.list_(pa.float32())),
+                "decode_status": pa.array(status, type=pa.string()),
+            }
+        )
+
+
+def wav_audio_features(
+    media: ray.data.Dataset,
+    n_windows: int = 8,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Audio-payload dataset -> decoded WAV features + RMS envelope.
+
+    Same sizing contract as raw_media_features: small batches because
+    payload rows carry real audio bytes (1 s of 16-bit 16 kHz mono is
+    ~32 KB/row), actor pool so any heavier decoder loads once per
+    actor."""
+    return media.map_batches(
+        RawAudioStage,
+        fn_constructor_kwargs={"n_windows": n_windows},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -113,3 +113,50 @@ def test_raw_image_stage_real_kernel():
 
     # round-trip of the decoder itself
     assert np.array_equal(decode_raw_rgb(blocks.tobytes(), 4, 4), blocks)
+
+
+def test_wav_decode_features_analytic(ray_session):
+    """RawAudioStage on synthetic sines: RMS = amp/sqrt(2), ZCR = 2f/rate,
+    duration/rate/channels exact; malformed payload keeps its row with a
+    decode_error status."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        wav_audio_features,
+    )
+
+    rate, secs, amp, freq = 8000, 0.5, 0.8, 440.0
+    t = np.arange(int(rate * secs)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["wav://sine", "wav://bad"]),
+        "payload": pa.array([buf.getvalue(), b"not-a-wav"],
+                            type=pa.binary()),
+    }))
+    ds = wav_audio_features(media, n_windows=4, concurrency=1)
+    out = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow"))
+    ).to_pandas()
+    out = out.set_index("media_ref")
+    assert out.loc["wav://bad", "decode_status"].startswith("decode_error")
+    assert out.loc["wav://bad", "feature"] is None
+    f = out.loc["wav://sine", "feature"]
+    dur, sr, nch, rms, peak, zcr = f
+    assert abs(dur - secs) < 1e-3
+    assert sr == rate and nch == 1
+    assert abs(rms - amp / np.sqrt(2)) < 0.01
+    assert abs(peak - amp) < 0.01
+    assert abs(zcr - 2 * freq / rate) < 0.01
+    env = out.loc["wav://sine", "rms_envelope"]
+    assert len(env) == 4
+    # constant-amplitude sine -> flat envelope at the global RMS
+    assert all(abs(e - rms) < 0.02 for e in env)
