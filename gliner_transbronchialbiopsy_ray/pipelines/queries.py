@@ -2964,6 +2964,79 @@ SELECT degree, count(*) AS n_users FROM (
 """
 
 
+def q84_bigram_lm(sf_dir: str, topk: int = 20) -> pd.DataFrame:
+    """N-gram language-model statistics: global top-k bigrams with
+    conditional probability ppm = 1e6 * c(w1,w2) // c(w1,·) (integer
+    arithmetic on both sides; denominator = bigram-START count of w1, so
+    it derives from the same grouped table with no second corpus pass).
+    Scale shape: vectorized per-batch bigram counting (token arrays
+    concatenated once, doc boundaries masked — no per-doc Python loop),
+    then ONE hash-bucket shuffle on w1 (window.hash_bucketed_map_groups):
+    each bucket merges partial counts, attaches the per-w1 denominator
+    via a grouped transform, and emits only its local top-k, so the
+    driver folds O(k x buckets) rows."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        empty = pd.DataFrame({"w1": pd.Series(dtype=object),
+                              "w2": pd.Series(dtype=object),
+                              "n": pd.Series(dtype="int64")})
+        if not texts:
+            return empty
+        toks = [t.split(" ") for t in texts]  # matches string_split
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        words = np.array([w for t in toks for w in t], dtype=object)
+        if len(words) < 2:
+            return empty
+        # pair i = (words[i], words[i+1]); drop pairs crossing a doc
+        # boundary (i is a doc's last token)
+        last_idx = np.cumsum(lens) - 1
+        mask = np.ones(len(words) - 1, dtype=bool)
+        mask[last_idx[last_idx < len(words) - 1]] = False
+        df = pd.DataFrame({"w1": words[:-1][mask], "w2": words[1:][mask]})
+        g = df.groupby(["w1", "w2"], sort=False).size().rename("n")
+        return g.reset_index()
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        cw1 = m.groupby("w1")["n"].transform("sum")
+        m["cond_ppm"] = (1_000_000 * m["n"]) // cw1
+        m = m.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True], kind="stable")
+        return m.head(topk)
+
+    parts = hash_bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key="w1", fn=bucket_topk).to_pandas()
+    out = parts.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(topk)
+    out["n"] = out["n"].astype("int64")
+    out["cond_ppm"] = out["cond_ppm"].astype("int64")
+    return out[["w1", "w2", "n", "cond_ppm"]].reset_index(drop=True)
+
+
+Q84_SQL = """
+WITH toks AS (
+  SELECT doc_id, g.w, g.o FROM documents,
+  LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS o) g
+),
+big AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n,
+       CAST((1000000 * n) // sum(n) OVER (PARTITION BY w1) AS BIGINT)
+         AS cond_ppm
+FROM big ORDER BY n DESC, w1, w2 LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3066,4 +3139,5 @@ QUERIES: dict[str, tuple] = {
     "q81_profile_orders": (q81_profile_orders, Q81_SQL),
     "q82_percentile_cont": (q82_percentile_cont, Q82_SQL),
     "q83_degree_histogram": (q83_degree_histogram, Q83_SQL),
+    "q84_bigram_lm": (q84_bigram_lm, Q84_SQL),
 }
