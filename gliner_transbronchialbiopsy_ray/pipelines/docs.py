@@ -7,26 +7,25 @@ Used by `__ray_entry__.entry()` over the driver's sf0.001 documents table.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data
 
 
 def analyze_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """One streamed pass adding per-doc features; a second tiny pass marks
-    exact duplicates via a broadcast hash->min(doc_id) map built from a
-    grouped aggregate of content hashes (small: one row per distinct text)."""
+    """One streamed pass adding per-doc features, then exact-duplicate
+    marking via the bucketed shuffle (stages/dedup.py:exact_dedup_flags):
+    the keep/drop verdict travels WITH each row, so no hash->canonical
+    map is ever built on the driver — distinct-text count is O(corpus)
+    on a low-duplication corpus, which made the earlier broadcast-map
+    variant a scale-killer."""
     from ..stages.text_analysis import _STOP_RE
 
     def features(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         text = df["text"].fillna("")
-        df["content_hash"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in text
-        ]
+        # content_hash comes from exact_dedup_flags(keep_hash=True)
+        # below — same md5-hexdigest definition, computed once
         df["n_chars"] = text.str.len().astype("int64")
         df["n_tokens"] = (text.str.count(" ") + 1).astype("int64")
         df["stop_ratio"] = text.str.count(_STOP_RE) / df["n_tokens"]
@@ -34,39 +33,13 @@ def analyze_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     feat = docs.map_batches(features, batch_format="pyarrow")
 
-    # distinct hash -> canonical doc_id: per-batch combiner (min per hash
-    # within batch) then driver merge — output is one row per distinct
-    # text, small enough to broadcast
-    def partial_min(batch: pa.Table) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup_flags
+
+    flagged = exact_dedup_flags(feat, key_col="text", keep_hash=True)
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        return (
-            df.groupby("content_hash", sort=False)["doc_id"]
-            .min()
-            .rename("canonical_doc")
-            .reset_index()
-        )
+        df["is_duplicate"] = df["doc_id"] != df["keeper_id"]
+        return df.drop(columns=["keeper", "keeper_id"])
 
-    canon = (
-        feat.select_columns(["content_hash", "doc_id"])
-        .map_batches(partial_min, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("content_hash", sort=False)["canonical_doc"]
-        .min()
-        .reset_index()
-    )
-    canon_ref = ray.put(dict(zip(canon["content_hash"], canon["canonical_doc"])))
-
-    class MarkDup:
-        def __init__(self):
-            self.canon = ray.get(canon_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            df = batch.to_pandas()
-            df["is_duplicate"] = [
-                self.canon.get(h) != d
-                for h, d in zip(df["content_hash"], df["doc_id"])
-            ]
-            return df
-
-    return feat.map_batches(MarkDup, batch_format="pyarrow",
-                            concurrency=2, num_cpus=0.5)
+    return flagged.map_batches(finish, batch_format="pyarrow")

@@ -2644,7 +2644,7 @@ def q77_string_agg_per_order(sf_dir: str) -> pd.DataFrame:
                ["l_orderkey", "l_linenumber", "l_returnflag"])
     out = grouped_ordered_concat(
         ds, key="l_orderkey", order="l_linenumber", val="l_returnflag")
-    return out.rename(columns={"concat": "flags", "n": "n_items"})
+    return out.rename_columns({"concat": "flags", "n": "n_items"})
 
 
 Q77_SQL = """

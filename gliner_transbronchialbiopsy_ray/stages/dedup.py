@@ -75,11 +75,15 @@ def exact_dedup(docs: ray.data.Dataset, key_col: str = "text",
 
 
 def exact_dedup_flags(docs: ray.data.Dataset, key_col: str = "text",
-                      shuffle_blocks: int = 8) -> ray.data.Dataset:
+                      shuffle_blocks: int = 8,
+                      keep_hash: bool = False) -> ray.data.Dataset:
     """Verdict-preserving exact dedup: ALL rows kept, + `keeper` (is this
     the min-doc_id row of its content group) and `keeper_id` columns.
     Lets a composition pipeline label dropped rows without a corpus-sized
-    broadcast of the kept-id set (the verdict travels WITH the row)."""
+    broadcast of the kept-id set (the verdict travels WITH the row).
+    `keep_hash=True` leaves the computed `content_hash` column on the
+    rows (callers that want it avoid hashing twice); the input must not
+    already carry a column of that name."""
     hashed = docs.map_batches(
         lambda b: _add_hash_bucket(b, key_col), batch_format="pyarrow"
     ).repartition(shuffle_blocks)
@@ -91,7 +95,8 @@ def exact_dedup_flags(docs: ray.data.Dataset, key_col: str = "text",
         return g
 
     out = hashed.groupby("bucket").map_groups(flag_bucket, batch_format="pandas")
-    return out.drop_columns(["content_hash", "bucket"])
+    drop = ["bucket"] if keep_hash else ["content_hash", "bucket"]
+    return out.drop_columns(drop)
 
 
 def duplicate_pairs(docs: ray.data.Dataset, key_col: str = "text") -> ray.data.Dataset:

@@ -231,9 +231,20 @@ def _word_partials(batch: pa.Table) -> pa.Table:
 
 def word_frequencies(docs: ray.data.Dataset, top_k: int = 20) -> pd.DataFrame:
     """Corpus-level top-k word frequencies: partial counts per batch ->
-    groupby(word).sum -> driver-side top-k (result is tiny)."""
+    groupby(word).sum.  After the groupby every word's count is FINAL
+    (one group per word), so each output block keeps only its local
+    top-k before the driver fold — the driver sees O(k x blocks) rows,
+    never the vocabulary."""
     partials = docs.map_batches(_word_partials, batch_format="pyarrow")
-    agg = partials.groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    merged = partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "word"], ascending=[False, True],
+                            kind="stable")
+        return df.head(top_k)
+
+    agg = merged.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     if "n" not in agg.columns:  # empty input -> no partial blocks
         return pd.DataFrame({"word": pd.Series(dtype=object),
                              "n": pd.Series(dtype="int64")})

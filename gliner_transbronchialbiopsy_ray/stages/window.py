@@ -267,11 +267,11 @@ def grouped_ordered_concat(
     `order` must be unique within a group (SQL's requirement for a
     deterministic string_agg order); `val` must be a string column.
 
-    Returns a pandas DataFrame (key, concat, n) — materialized because
-    the stitched boundary rows re-enter from the driver; callers needing
-    a Dataset can `ray.data.from_pandas` it.
+    Returns a DATASET (key, concat, n): interior groups never leave the
+    cluster; only the stitched fragment rows (O(blocks)) round-trip the
+    driver and re-enter as one small block union'd onto the stream.
     """
-    import ray.data  # noqa: F401  (ds is a Dataset)
+    import ray.data as rd
 
     s = ds.sort([key, order])
 
@@ -297,19 +297,23 @@ def grouped_ordered_concat(
         return agg
 
     parts = s.map_batches(
-        assemble, batch_format="pyarrow", batch_size=None).to_pandas()
-    if not len(parts):
-        return pd.DataFrame({key: pd.Series(dtype=object),
-                             "concat": pd.Series(dtype=object),
-                             "n": pd.Series(dtype="int64")})
-    interior = parts[~parts["frag"]]
+        assemble, batch_format="pyarrow", batch_size=None).materialize()
+    interior = (
+        parts.filter(expr="frag == False")
+        .drop_columns(["mn", "frag"])
+    )
+    frags = parts.filter(expr="frag == True").to_pandas()  # 2 per block
+    if not len(frags):
+        return interior
     stitched = (
-        parts[parts["frag"]]
-        .sort_values([key, "mn"], kind="stable")
+        frags.sort_values([key, "mn"], kind="stable")
         .groupby(key, sort=False)
         .agg(concat=("concat", sep.join), n=("n", "sum"))
         .reset_index()
     )
-    out = pd.concat(
-        [interior[[key, "concat", "n"]], stitched], ignore_index=True)
-    return out.sort_values(key, kind="stable").reset_index(drop=True)
+    stitched["n"] = stitched["n"].astype("int64")
+    # arrow block (not from_pandas) so the union'd stream has ONE block
+    # format — downstream ops like rename_columns assume homogeneity
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(stitched[[key, "concat", "n"]],
+                             preserve_index=False)))

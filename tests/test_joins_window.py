@@ -182,7 +182,8 @@ def test_grouped_ordered_concat_stitches_groups_spanning_blocks(ray_session):
         for i in range(3):
             rows.append({"k": f"g{g}", "o": i, "v": str(i)})
     ds = rd.from_items(rows).repartition(12)
-    out = grouped_ordered_concat(ds, key="k", order="o", val="v")
+    out = (grouped_ordered_concat(ds, key="k", order="o", val="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
 
     expect_g0 = ";".join(chr(65 + i % 26) for i in range(40))
     got = out.set_index("k")
@@ -192,5 +193,6 @@ def test_grouped_ordered_concat_stitches_groups_spanning_blocks(ray_session):
         assert got.loc[f"g{g}", "concat"] == "0;1;2"
     # scrambled input order must not change the result
     ds2 = rd.from_items(rows[::-1]).repartition(7)
-    out2 = grouped_ordered_concat(ds2, key="k", order="o", val="v")
+    out2 = (grouped_ordered_concat(ds2, key="k", order="o", val="v")
+            .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
