@@ -3019,6 +3019,20 @@ def q84_bigram_lm(sf_dir: str, topk: int = 20) -> pd.DataFrame:
     return out[["w1", "w2", "n", "cond_ppm"]].reset_index(drop=True)
 
 
+def q85_pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA projection (stages/similarity.py:pca_embeddings):
+    one moment-partial pass (driver folds O(batches x d^2) floats, never
+    the data), driver-side d x d eigh with a fixed sign convention, one
+    broadcast projection pass.  Eigenvectors aren't SQL-expressible ->
+    rows-only, golden-pinned; the analytic pytest is the semantic
+    check."""
+    from ..stages.similarity import pca_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    proj, _summary = pca_embeddings(ds, k=2)
+    return proj.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 Q84_SQL = """
 WITH toks AS (
   SELECT doc_id, g.w, g.o FROM documents,
@@ -3140,4 +3154,5 @@ QUERIES: dict[str, tuple] = {
     "q82_percentile_cont": (q82_percentile_cont, Q82_SQL),
     "q83_degree_histogram": (q83_degree_histogram, Q83_SQL),
     "q84_bigram_lm": (q84_bigram_lm, Q84_SQL),
+    "q85_pca_embeddings": (q85_pca_embeddings, None),
 }

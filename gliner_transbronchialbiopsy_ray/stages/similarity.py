@@ -300,3 +300,91 @@ def brute_force_topk(
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+def pca_embeddings(
+    embeddings: ray.data.Dataset,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed PCA: ONE streamed pass computes per-batch moment
+    partials (n, sum-vector, sum-of-outer-products) — each partial is a
+    single (1 + d + d*d)-float row, so driver state is O(batches x d^2)
+    regardless of corpus size; the d x d covariance eigendecomposition
+    runs driver-side (d is the embedding dim, small by contract), and a
+    second streamed pass projects every vector onto the broadcast top-k
+    components.
+
+    Determinism: partials are folded in canonical (sorted) order before
+    the eigh, and each component's sign is fixed so its
+    largest-magnitude coordinate is positive.
+
+    Returns (projection Dataset (id, pc1..pck), summary DataFrame
+    (component, explained_var_ratio))."""
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        vecs = np.array(batch.column(vec_col).to_pylist(),
+                        dtype=np.float64)
+        if vecs.size == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "moments": pd.Series(dtype=object)})
+        s = vecs.sum(axis=0)
+        ss = vecs.T @ vecs
+        return pd.DataFrame({
+            "n": [np.int64(len(vecs))],
+            "moments": [np.concatenate([s, ss.ravel()]).tolist()],
+        })
+
+    parts = embeddings.select_columns([vec_col]).map_batches(
+        moments, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["n"] > 0]
+    if not len(parts):
+        proj = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             **{f"pc{i+1}": pd.Series(dtype="float64")
+                                for i in range(k)}})
+        summary = pd.DataFrame({"component": pd.Series(dtype="int64"),
+                                "explained_var_ratio":
+                                    pd.Series(dtype="float64")})
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(proj, preserve_index=False)), summary
+
+    # canonical fold order: float sums are order-sensitive at ulp level
+    parts = parts.assign(_k=parts["moments"].map(lambda m: m[0]))
+    parts = parts.sort_values(["n", "_k"], kind="stable")
+    n = int(parts["n"].sum())
+    acc = np.sum(np.stack(parts["moments"].to_numpy()), axis=0)
+    d = int((-1 + np.sqrt(1 + 4 * len(acc))) / 2)
+    s, ss = acc[:d], acc[d:].reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T          # (k, d)
+    evals = np.maximum(evals[order], 0.0)
+    # sign convention: largest-|coordinate| positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = max(float(np.trace(cov)), 1e-300)
+    summary = pd.DataFrame({
+        "component": np.arange(1, len(order) + 1, dtype=np.int64),
+        "explained_var_ratio": np.round(evals / total_var, 6),
+    })
+
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        m, c = ray.get(ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(),
+                        dtype=np.float64)
+        out = pd.DataFrame({id_col: batch.column(id_col).to_pandas()})
+        scores = (vecs - m) @ c.T if vecs.size else np.zeros((0, len(c)))
+        for i in range(len(c)):
+            out[f"pc{i+1}"] = np.round(scores[:, i], 6)
+        return out
+
+    proj = embeddings.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow")
+    return proj, summary

@@ -40,3 +40,46 @@ def test_kmeans_clusters_separated_data():
         assert labels.nunique() == 1
     assert stats["n"].sum() == 150
     assert (stats["inertia"] >= 0).all()
+
+
+def test_pca_matches_dense_reference_and_block_layout_invariant(ray_session):
+    """Distributed moment-partial PCA must match numpy eigh on the same
+    data (variance ratios + |projections|), hold the sign convention,
+    and be invariant to block layout (partials fold in canonical
+    order)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.similarity import (
+        pca_embeddings,
+    )
+
+    rng = np.random.RandomState(11)
+    X = (rng.randn(300, 1) @ np.array([[4.0, 1.0, 0.5, 0.0]])
+         + 0.05 * rng.randn(300, 4)).astype(np.float64)
+    tbl = pa.table({"vec_id": np.arange(300),
+                    "embedding": list(X.astype(np.float32))})
+
+    proj, summary = pca_embeddings(rd.from_arrow(tbl), k=2)
+    p = proj.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    Xd = X.astype(np.float32).astype(np.float64)
+    evals, evecs = np.linalg.eigh(np.cov(Xd.T))
+    order = np.argsort(evals)[::-1]
+    ratio_ref = evals[order[0]] / evals.sum()
+    assert abs(summary["explained_var_ratio"].iloc[0] - ratio_ref) < 1e-4
+    assert (summary["explained_var_ratio"].diff().dropna() <= 0).all()
+
+    # projections match the dense reference up to the fixed sign
+    ref1 = (Xd - Xd.mean(0)) @ evecs[:, order[0]]
+    got1 = p["pc1"].to_numpy()
+    assert np.allclose(np.abs(got1), np.abs(ref1), atol=1e-3)
+
+    # block-layout invariance
+    proj2, summary2 = pca_embeddings(
+        rd.from_arrow(tbl).repartition(7), k=2)
+    p2 = proj2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p, p2)
+    pd.testing.assert_frame_equal(summary, summary2)
