@@ -3051,6 +3051,103 @@ FROM big ORDER BY n DESC, w1, w2 LIMIT 20
 """
 
 
+def q86_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequence-pattern (funnel) matching: how many users have a
+    view -> click -> purchase SUBSEQUENCE in time order (greedy
+    earliest-match, the standard funnel semantic).  Scale shape: one
+    hash-bucket shuffle on user_id; inside each bucket the three stages
+    resolve with vectorized grouped mins + merges (no per-user Python
+    loop), and only the three counters leave the bucket."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+             .rename("t_v").reset_index())
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t_v"]].groupby("user_id")["ts"].min()
+             .rename("t_c").reset_index())
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = p[p["ts"] > p["t_c"]]
+        return pd.DataFrame({
+            "n_view": [np.int64(len(v))],
+            "n_view_click": [np.int64(len(c))],
+            "n_full_funnel": [np.int64(p["user_id"].nunique())],
+        })
+
+    parts = hash_bucketed_map_groups(
+        ds, key="user_id", fn=funnel_bucket).to_pandas()
+    out = pd.DataFrame({
+        "n_view": [parts["n_view"].sum()],
+        "n_view_click": [parts["n_view_click"].sum()],
+        "n_full_funnel": [parts["n_full_funnel"].sum()],
+    }).astype("int64")
+    return out
+
+
+Q86_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT DISTINCT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase')
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def q87_full_outer_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join (the one join type the registry lacked): every
+    customer with their order count, customers without orders kept with
+    n_orders = 0, orphan order keys kept with null acctbal.  Ray side:
+    ray-merged per-key combiner aggregate -> native hash full_outer
+    join.  Ray's join DROPS the right_on key column, so the right side
+    carries a duplicate key to coalesce from (the documented
+    workaround)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_ord = _preagg(orders, ["o_custkey"],
+                    {"n_orders": ("o_custkey", "count")}, merge="ray")
+
+    def dup_key(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["okey"] = df["o_custkey"]
+        return df
+
+    n_ord = n_ord.map_batches(dup_key, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    joined = cust.join(n_ord, join_type="full_outer", num_partitions=4,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        key = df["c_custkey"].astype("float64").fillna(df["okey"])
+        return pd.DataFrame({
+            "custkey": key.astype("int64"),
+            "n_orders": df["n_orders"].fillna(0).astype("int64"),
+            "acctbal": df["c_acctbal"].round(2),
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+Q87_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(o.n, 0) AS n_orders,
+       round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n
+                 FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3155,4 +3252,6 @@ QUERIES: dict[str, tuple] = {
     "q83_degree_histogram": (q83_degree_histogram, Q83_SQL),
     "q84_bigram_lm": (q84_bigram_lm, Q84_SQL),
     "q85_pca_embeddings": (q85_pca_embeddings, None),
+    "q86_funnel": (q86_funnel, Q86_SQL),
+    "q87_full_outer_join": (q87_full_outer_join, Q87_SQL),
 }
