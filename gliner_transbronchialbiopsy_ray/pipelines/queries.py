@@ -946,6 +946,20 @@ def btb_wide(sf_dir: str):
     return ents.map_batches(pivot_wide, batch_format="pyarrow")
 
 
+def btb_highlighted(sf_dir: str):
+    """M9 highlight_entities (reference dashboard_v1.py:54-73) as an
+    offset-correct presentation stage: entities dataset -> per-doc HTML
+    with each span wrapped in the reference's span/tooltip markup."""
+    from ..stages.highlight import highlight_batch
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    cfg, _ = _auto_btb_cfg()
+    ents = entities_dataset(docs, cfg)
+    return ents.map_batches(highlight_batch, batch_format="pyarrow")
+
+
 def btb_label_stats(sf_dir: str) -> pd.DataFrame:
     from ..config import PipelineConfig
     from ..stages.stats import label_statistics
@@ -3186,6 +3200,7 @@ QUERIES: dict[str, tuple] = {
     "q31_training_records": (q31_training_records, None),
     "btb_triples": (btb_triples, None),
     "btb_wide": (btb_wide, None),
+    "btb_highlighted": (btb_highlighted, None),
     "btb_label_stats": (btb_label_stats, None),
     "btb_surface_forms": (btb_surface_forms, None),
     "btb_media_features": (btb_media_features, None),
