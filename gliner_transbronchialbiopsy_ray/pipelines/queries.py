@@ -3162,6 +3162,81 @@ ORDER BY custkey
 """
 
 
+def q88_json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    `props` column and aggregate per event_type.  Ray side: vectorized
+    regex extraction (`Series.str.extract` on the known key) with a
+    row-exact `json.loads` fallback for any row the fast path misses —
+    the standard two-tier JSON scan.  Aggregation is the per-batch
+    combiner + bounded-key driver merge."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        miss = k.isna()
+        if miss.any():  # non-integer / reordered JSON: exact parse
+            k[miss] = df.loc[miss, "props"].map(
+                lambda s: _json.loads(s).get("k"))
+        df["k"] = k.astype("int64")
+        df["k_gt50"] = (df["k"] > 50).astype("int64")
+        return df[["event_type", "k", "k_gt50"]]
+
+    out = _preagg(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {
+            "n": ("k", "count"),
+            "k_sum": ("k", "sum"),
+            "n_k_gt50": ("k_gt50", "sum"),
+            "k_max": ("k", "max"),
+        },
+    )
+    out["avg_k_ppm"] = (1_000_000 * out["k_sum"]) // out["n"]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q88_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50,
+       max(k) AS k_max,
+       CAST((1000000 * sum(k)) // count(*) AS BIGINT) AS avg_k_ppm
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q89_cross_join(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN (completes the join matrix: inner/left/semi/anti/asof/
+    range/full-outer/cross).  Scale shape: the small side is read once on
+    the driver and broadcast via the task closure; the big side expands
+    per batch with a pandas `how="cross"` merge — no shuffle at all, and
+    the expansion streams block by block."""
+    region = _read(sf_dir, "region", ["r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_name"])
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().merge(region, how="cross")
+        df["pair"] = df["n_name"] + "-" + df["r_name"]
+        return df[["n_name", "r_name", "pair"]]
+
+    out = nation.map_batches(expand, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["n_name", "r_name"]).reset_index(drop=True)
+
+
+Q89_SQL = """
+SELECT n_name, r_name, n_name || '-' || r_name AS pair
+FROM nation CROSS JOIN region
+ORDER BY n_name, r_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3269,4 +3344,6 @@ QUERIES: dict[str, tuple] = {
     "q85_pca_embeddings": (q85_pca_embeddings, None),
     "q86_funnel": (q86_funnel, Q86_SQL),
     "q87_full_outer_join": (q87_full_outer_join, Q87_SQL),
+    "q88_json_props_stats": (q88_json_props_stats, Q88_SQL),
+    "q89_cross_join": (q89_cross_join, Q89_SQL),
 }
