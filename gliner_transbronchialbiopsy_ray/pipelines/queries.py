@@ -3237,6 +3237,58 @@ ORDER BY n_name, r_name
 """
 
 
+def q90_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts: per-user (prev_event_type ->
+    event_type) bigrams in (ts, event_id) order, with the number of
+    distinct users carrying each transition.  Scale shape: ONE hash
+    shuffle on user_id; inside each bucket the sequence resolves with a
+    vectorized grouped shift and collapses to a (|types|^2)-row partial
+    — n_users partials sum exactly because a user's whole history lives
+    in one bucket.  Only tiny partials reach the driver."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["prev"] = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        g = g[g["prev"].notna()]
+        return (
+            g.groupby(["prev", "event_type"], sort=False)
+            .agg(n=("user_id", "size"), n_users=("user_id", "nunique"))
+            .reset_index()
+        )
+
+    parts = hash_bucketed_map_groups(
+        ds, "user_id", pairs_bucket, n_buckets=16).to_pandas()
+    if "prev" not in parts.columns:  # empty input -> no partial blocks
+        return pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                             "to_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (
+        parts.groupby(["prev", "event_type"], sort=False)[["n", "n_users"]]
+        .sum().reset_index()
+        .rename(columns={"prev": "from_type", "event_type": "to_type"})
+    )
+    out[["n", "n_users"]] = out[["n", "n_users"]].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+Q90_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM o WHERE prev IS NOT NULL
+GROUP BY prev, event_type ORDER BY from_type, to_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3346,4 +3398,5 @@ QUERIES: dict[str, tuple] = {
     "q87_full_outer_join": (q87_full_outer_join, Q87_SQL),
     "q88_json_props_stats": (q88_json_props_stats, Q88_SQL),
     "q89_cross_join": (q89_cross_join, Q89_SQL),
+    "q90_transition_matrix": (q90_transition_matrix, Q90_SQL),
 }
