@@ -960,6 +960,29 @@ def btb_highlighted(sf_dir: str):
     return ents.map_batches(highlight_batch, batch_format="pyarrow")
 
 
+def btb_kfold_metrics(sf_dir: str) -> pd.DataFrame:
+    """G9 k-fold metric aggregate: entity-level P/R/F1 per fold over the
+    fixture corpus (pred = lexicon NER, gold = planted mentions), then
+    the cross-fold mean/std summary — the reference's cross-validation
+    metric aggregation re-expressed as a distributed evaluation operator
+    (functions/evaluate.py)."""
+    from ..functions.evaluate import (
+        entity_prf_by_fold,
+        explode_mentions,
+        kfold_summary,
+    )
+    from .btb import entities_dataset
+
+    path = _btb_corpus_for(sf_dir)
+    docs = rd.read_parquet(f"{path}/documents")
+    cfg, _ = _auto_btb_cfg()
+    pred = explode_mentions(entities_dataset(docs, cfg))
+    gold = rd.read_parquet(f"{path}/gold_entities.parquet",
+                           columns=["doc_id", "label", "text"])
+    per_fold = entity_prf_by_fold(pred, gold, k=5)
+    return kfold_summary(per_fold)
+
+
 def btb_label_stats(sf_dir: str) -> pd.DataFrame:
     from ..config import PipelineConfig
     from ..stages.stats import label_statistics
@@ -3328,6 +3351,7 @@ QUERIES: dict[str, tuple] = {
     "btb_triples": (btb_triples, None),
     "btb_wide": (btb_wide, None),
     "btb_highlighted": (btb_highlighted, None),
+    "btb_kfold_metrics": (btb_kfold_metrics, None),
     "btb_label_stats": (btb_label_stats, None),
     "btb_surface_forms": (btb_surface_forms, None),
     "btb_media_features": (btb_media_features, None),
