@@ -2283,6 +2283,39 @@ def btb_raw_media(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_ref").reset_index(drop=True)
 
 
+def btb_video_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame-sampling path: deterministic RAWV clips (a
+    seekable raw-RGB container, stages/multimodal.py) run through the
+    actor-pool sampler which reads the header, decodes ONLY the sampled
+    frames by byte offset, and emits per-frame channel features plus a
+    motion score.  A moving-gradient pattern makes motion nontrivial;
+    one truncated payload pins the keep-row-with-status error path.
+    Deterministic -> golden-pinned (rows-only)."""
+    from ..stages.multimodal import encode_raw_video, raw_video_frames
+
+    rng = np.random.RandomState(4321)
+    refs, payloads = [], []
+    for i in range(16):
+        n, h, w = 12, 8, 8
+        base = rng.randint(0, 200, size=(h, w, 3)).astype(np.uint8)
+        frames = np.stack([np.roll(base, shift=t, axis=1) + (t * 3)
+                           for t in range(n)]).astype(np.uint8)
+        refs.append(f"rawv://{i:03d}")
+        payloads.append(encode_raw_video(frames, fps=25))
+    refs.append("rawv://bad")
+    payloads.append(payloads[0][:40])  # truncated mid-header/body
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    ds = raw_video_frames(media, n_frames=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    return (df.sort_values(["media_ref", "frame_index"])
+            .reset_index(drop=True))
+
+
 def btb_raw_audio(sf_dir: str) -> pd.DataFrame:
     """REAL audio kernel path (no stub, no audio libs): deterministic
     RIFF/WAVE PCM payloads (stdlib `wave` writer) run through the
@@ -3399,6 +3432,7 @@ QUERIES: dict[str, tuple] = {
     "q66_bipartite_pagerank": (q66_bipartite_pagerank, Q66_SQL),
     "q67_label_centroids": (q67_label_centroids, Q67_SQL),
     "btb_raw_media": (btb_raw_media, None),
+    "btb_video_frames": (btb_video_frames, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
     "q70_verified_neardups_shuffle": (q70_verified_neardups_shuffle, None),

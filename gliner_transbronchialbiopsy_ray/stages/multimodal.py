@@ -16,6 +16,7 @@ stay bounded.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -366,6 +367,131 @@ def wav_audio_features(
     return media.map_batches(
         RawAudioStage,
         fn_constructor_kwargs={"n_windows": n_windows},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw video container ("RAWV"): the video analog of decode_raw_rgb /
+# decode_wav — a real, seekable kernel with no external codec.  Layout:
+#   header  <4s magic "RAWV"> <u16 width> <u16 height> <u32 n_frames>
+#           <u16 fps>                                  (little-endian, 14 B)
+#   body    n_frames raw RGB888 frames, each width*height*3 bytes
+# The point of the format is the SCALE property real frame sampling
+# relies on: any frame is addressable by byte offset, so a sampler
+# touches O(sampled) bytes, never O(video).
+
+_RAWV_MAGIC = b"RAWV"
+_RAWV_HEADER = struct.Struct("<4sHHIH")
+
+
+def encode_raw_video(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 -> RAWV payload."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError(f"expected RGB frames, got {c} channels")
+    return _RAWV_HEADER.pack(_RAWV_MAGIC, w, h, n, fps) + frames.tobytes()
+
+
+def raw_video_header(payload: bytes) -> tuple[int, int, int, int]:
+    """-> (width, height, n_frames, fps); validates magic and length."""
+    if len(payload) < _RAWV_HEADER.size:
+        raise ValueError("payload shorter than RAWV header")
+    magic, w, h, n, fps = _RAWV_HEADER.unpack_from(payload, 0)
+    if magic != _RAWV_MAGIC:
+        raise ValueError("bad RAWV magic")
+    if len(payload) < _RAWV_HEADER.size + n * w * h * 3:
+        raise ValueError("RAWV payload truncated")
+    return w, h, n, fps
+
+
+def decode_raw_video_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Random-access single-frame decode: a byte-offset slice +
+    frombuffer — O(frame), independent of video length."""
+    w, h, n, _fps = raw_video_header(payload)
+    if not 0 <= idx < n:
+        raise ValueError(f"frame {idx} out of range [0,{n})")
+    fsz = w * h * 3
+    off = _RAWV_HEADER.size + idx * fsz
+    return np.frombuffer(payload, dtype=np.uint8,
+                         count=fsz, offset=off).reshape(h, w, 3)
+
+
+class RawVideoStage:
+    """Actor stage over (media_ref, payload): REAL frame sampling —
+    read the header, pick `n_frames` evenly-spaced frame indices, decode
+    ONLY those frames by offset, emit one row per sampled frame with
+    channel-mean+luma features and a motion score (mean |diff| against
+    the previously sampled frame; null for the first).  Failed payloads
+    keep ONE row with decode_status set (no silent drops)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_ts, o_feat, o_motion, o_status = [], [], [], [], [], []
+        for r, p in zip(refs, payloads):
+            try:
+                w, h, n, fps = raw_video_header(p)
+            except (ValueError, TypeError) as exc:
+                o_ref.append(r)
+                o_idx.append(None)
+                o_ts.append(None)
+                o_feat.append(None)
+                o_motion.append(None)
+                o_status.append(f"decode_error: {exc}")
+                continue
+            take = np.unique(np.linspace(
+                0, n - 1, num=min(self.n, n), dtype=np.int64))
+            prev = None
+            for i in take:
+                img = decode_raw_video_frame(p, int(i)).astype(np.float32)
+                mean = img.mean(axis=(0, 1))
+                luma = 0.299 * mean[0] + 0.587 * mean[1] + 0.114 * mean[2]
+                o_ref.append(r)
+                o_idx.append(int(i))
+                o_ts.append(int(i) * 1000 // max(fps, 1))
+                o_feat.append(np.concatenate([mean, [luma]])
+                              .astype(np.float32).tolist())
+                o_motion.append(
+                    None if prev is None
+                    else float(np.abs(img - prev).mean()))
+                o_status.append("ok")
+                prev = img
+        return pa.table(
+            {
+                "media_ref": pa.array(o_ref, type=pa.string()),
+                "frame_index": pa.array(o_idx, type=pa.int32()),
+                "ts_ms": pa.array(o_ts, type=pa.int64()),
+                "feature": pa.array(o_feat, type=pa.list_(pa.float32())),
+                "motion": pa.array(o_motion, type=pa.float32()),
+                "decode_status": pa.array(o_status, type=pa.string()),
+            }
+        )
+
+
+def raw_video_frames(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 4,
+) -> ray.data.Dataset:
+    """Video-payload dataset -> per-sampled-frame feature rows.
+
+    batch_size defaults SMALLEST of the media stages (4): a video row is
+    n_frames x w x h x 3 bytes (a 100-frame 224p clip is ~15 MB), so
+    batch x concurrency must stay within a worker heap; a real
+    deployment passes refs and range-reads from the store instead of
+    shipping payloads through the object store."""
+    return media.map_batches(
+        RawVideoStage,
+        fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1,7 +1,9 @@
 """Multimodal plumbing: feature extraction, resize, frame sampling —
 stubbed kernels, real Ray actor-pool stages over the media inventory."""
 
+import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from gliner_transbronchialbiopsy_ray import fixtures
@@ -160,3 +162,69 @@ def test_wav_decode_features_analytic(ray_session):
     assert len(env) == 4
     # constant-amplitude sine -> flat envelope at the global RMS
     assert all(abs(e - rms) < 0.02 for e in env)
+
+
+def test_rawv_roundtrip_and_offset_decode():
+    """RAWV container: header fields survive; frame decode by offset is
+    byte-exact without touching other frames."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        decode_raw_video_frame,
+        encode_raw_video,
+        raw_video_header,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(5, 4, 6, 3)).astype(np.uint8)
+    payload = encode_raw_video(frames, fps=30)
+    assert raw_video_header(payload) == (6, 4, 5, 30)
+    for i in (0, 2, 4):
+        np.testing.assert_array_equal(
+            decode_raw_video_frame(payload, i), frames[i])
+    with pytest.raises(ValueError):
+        decode_raw_video_frame(payload, 5)
+    with pytest.raises(ValueError):
+        raw_video_header(payload[:-1])  # truncated body
+    with pytest.raises(ValueError):
+        raw_video_header(b"NOPE" + payload[4:])  # bad magic
+
+
+def test_raw_video_stage_sampling_and_motion(ray_session):
+    """Sampler decodes exactly n evenly-spaced frames; motion is 0 for a
+    static clip, positive for a moving one, null on each clip's first
+    sampled frame; bad payloads keep one row with decode_status."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        encode_raw_video,
+        raw_video_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    static = np.repeat(
+        rng.randint(0, 256, size=(1, 8, 8, 3)), 10, axis=0).astype(np.uint8)
+    base = rng.randint(0, 200, size=(8, 8, 3)).astype(np.uint8)
+    moving = np.stack(
+        [np.roll(base, t, axis=1) for t in range(10)]).astype(np.uint8)
+    media = ray.data.from_arrow(pa.table({
+        "media_ref": ["v://static", "v://moving", "v://bad"],
+        "payload": pa.array(
+            [encode_raw_video(static, 25), encode_raw_video(moving, 25),
+             b"RAWVgarbage"], type=pa.binary()),
+    }))
+    ds = raw_video_frames(media, n_frames=4, concurrency=2)
+    # concat Arrow batches ourselves: Ray's to_pandas TensorArray cast
+    # rejects a list column that mixes nulls (bad row) with fixed-length
+    # lists
+    df = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow"))
+    ).to_pandas()
+    ok = df[df["decode_status"] == "ok"]
+    assert sorted(ok[ok["media_ref"] == "v://static"]["frame_index"]) == [0, 3, 6, 9]
+    # ts from fps: frame 9 at 25 fps -> 360 ms
+    assert ok[(ok["media_ref"] == "v://static")
+              & (ok["frame_index"] == 9)]["ts_ms"].iloc[0] == 360
+    for ref, expect_zero in (("v://static", True), ("v://moving", False)):
+        sub = ok[ok["media_ref"] == ref].sort_values("frame_index")
+        assert np.isnan(sub["motion"].iloc[0])  # first sampled frame
+        rest = sub["motion"].iloc[1:]
+        assert (rest == 0).all() if expect_zero else (rest > 0).all()
+    bad = df[df["media_ref"] == "v://bad"]
+    assert len(bad) == 1 and bad["decode_status"].iloc[0].startswith("decode_error")
