@@ -3345,6 +3345,53 @@ GROUP BY prev, event_type ORDER BY from_type, to_type
 """
 
 
+def q91_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame window (the one frame type the registry lacked —
+    q35 is a RANGE/time frame, q51 an unbounded running frame): per-user
+    3-event moving average of value in (ts, event_id) order.  Same
+    keyed-window scaffold as q74: one user_id hash shuffle, vectorized
+    grouped `rolling` inside the bucket.  Values are integer-scaled and
+    the average is ppm integer division so the compare is exact."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def mavg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["value_c"] = np.round(
+            g["value"].to_numpy(np.float64) * 100).astype("int64")
+        grp = g.groupby("user_id", sort=False)["value_c"]
+        roll = grp.rolling(3, min_periods=1)
+        g["w_sum"] = roll.sum().reset_index(level=0, drop=True).astype("int64")
+        g["w_cnt"] = roll.count().reset_index(level=0, drop=True).astype("int64")
+        g["mavg_ppm"] = (1_000_000 * g["w_sum"]) // (100 * g["w_cnt"])
+        return g[["user_id", "event_id", "mavg_ppm"]]
+
+    out = hash_bucketed_map_groups(
+        ds, "user_id", mavg_bucket, n_buckets=16).to_pandas()
+    if "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "mavg_ppm": pd.Series(dtype="int64")})
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+Q91_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST((1000000 * sum(value_c) OVER w) //
+            (100 * count(*) OVER w) AS BIGINT) AS mavg_ppm
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3457,4 +3504,5 @@ QUERIES: dict[str, tuple] = {
     "q88_json_props_stats": (q88_json_props_stats, Q88_SQL),
     "q89_cross_join": (q89_cross_join, Q89_SQL),
     "q90_transition_matrix": (q90_transition_matrix, Q90_SQL),
+    "q91_moving_avg": (q91_moving_avg, Q91_SQL),
 }
