@@ -32,6 +32,25 @@ def _bucket_of(series: pd.Series, n: int) -> pd.Series:
     return series.map(lambda k: zlib.crc32(str(k).encode()) % n).astype("int32")
 
 
+def _pandas_dtypes(schema: pa.Schema) -> dict:
+    """Arrow schema -> {col: pandas dtype} for sentinel padding."""
+    return dict(pa.schema(zip(schema.names, schema.types))
+                .empty_table().to_pandas().dtypes)
+
+
+def _sentinel_series(dtype, n: int) -> pd.Series:
+    """A typed all-placeholder column.  The other side of a tagged union
+    must pad missing columns with TYPED values (never None): an
+    object-dtype column through the shuffle serializes per element and
+    degrades every downstream kernel to object math.  Values are never
+    read (the off-side rows are dropped inside the bucket kernel)."""
+    if np.issubdtype(dtype, np.datetime64):
+        return pd.Series([pd.NaT] * n, dtype=dtype)
+    if np.issubdtype(dtype, np.number):
+        return pd.Series(np.zeros(n, dtype=dtype))
+    return pd.Series([None] * n, dtype=dtype)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -54,6 +73,8 @@ def asof_join(
     """
     l_cols = [c for c in left.schema().names]
     pay = list(right_payload)
+    l_dtypes = _pandas_dtypes(left.schema())
+    r_dtypes = _pandas_dtypes(right.schema())
 
     def tag_left(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -62,7 +83,7 @@ def asof_join(
         df["_bucket"] = _bucket_of(df["_key"], n_buckets)
         df["_side"] = np.int8(0)
         for c in pay:
-            df[c] = None
+            df[c] = _sentinel_series(r_dtypes[c], len(df))
         return df[["_bucket", "_side", "_key", "_t"] + l_cols + pay]
 
     def tag_right(batch: pa.Table) -> pd.DataFrame:
@@ -72,7 +93,7 @@ def asof_join(
         df["_bucket"] = _bucket_of(df["_key"], n_buckets)
         df["_side"] = np.int8(1)
         for c in l_cols:
-            df[c] = None
+            df[c] = _sentinel_series(l_dtypes[c], len(df))
         return df[["_bucket", "_side", "_key", "_t"] + l_cols + pay]
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
@@ -117,7 +138,8 @@ def range_join_count(
     key's left bounds are answered by two vectorized `np.searchsorted`
     calls — no per-row Python work, loop only over distinct keys in the
     bucket."""
-    l_cols = [c for c in left.schema().names]
+    l_cols = list(left.schema().names)
+    l_dtypes = _pandas_dtypes(left.schema())
 
     def tag_left(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -138,7 +160,7 @@ def range_join_count(
         df["_bucket"] = _bucket_of(df["_key"], n_buckets)
         df["_side"] = np.int8(1)
         for c in l_cols:
-            df[c] = None
+            df[c] = _sentinel_series(l_dtypes[c], len(df))
         return df[["_bucket", "_side", "_key", "_t"] + l_cols]
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
