@@ -3392,6 +3392,119 @@ ORDER BY user_id, event_id
 """
 
 
+def q92_lm_doc_score(sf_dir: str, min_count: int = 2,
+                     keep_ppm: int = 35_000) -> pd.DataFrame:
+    """CCNet-style LM quality filtering: score every document by the
+    average conditional probability (ppm) of its bigrams under the
+    corpus bigram LM, and flag keeps above a threshold.  Two passes:
+    (1) build the bigram table with q84's vectorized counting + one w1
+    hash shuffle, PRUNE to n >= min_count (the broadcast-bound lever —
+    a real deployment prunes/quantizes the LM exactly like CCNet), then
+    broadcast it via ray.put; (2) one streamed pass re-counting each
+    doc's bigrams (docs are row-local, so per-batch doc scores are
+    final), vectorized merge against the broadcast table with unseen
+    bigrams scored 0.  Integer ppm arithmetic end to end."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _doc_bigrams(doc_ids, texts):
+        toks = [t.split(" ") for t in texts]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        words = np.array([w for t in toks for w in t], dtype=object)
+        if len(words) < 2:
+            return pd.DataFrame({"doc_id": [], "w1": [], "w2": []})
+        last_idx = np.cumsum(lens) - 1
+        mask = np.ones(len(words) - 1, dtype=bool)
+        mask[last_idx[last_idx < len(words) - 1]] = False
+        own = np.repeat(np.asarray(doc_ids, dtype=object), lens)
+        return pd.DataFrame({"doc_id": own[:-1][mask],
+                             "w1": words[:-1][mask],
+                             "w2": words[1:][mask]})
+
+    def lm_partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        bi = _doc_bigrams([""] * len(texts), texts)
+        if not len(bi):
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        return (bi.groupby(["w1", "w2"], sort=False).size()
+                .rename("n").reset_index())
+
+    def lm_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        cw1 = m.groupby("w1")["n"].transform("sum")
+        # denominator over ALL bigrams, prune AFTER (matches the oracle)
+        m["cond_ppm"] = ((1_000_000 * m["n"]) // cw1).astype("int64")
+        return m[m["n"] >= min_count][["w1", "w2", "cond_ppm"]]
+
+    lm = hash_bucketed_map_groups(
+        ds.map_batches(lm_partial, batch_format="pyarrow"),
+        key="w1", fn=lm_bucket).to_pandas()
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        table = ray.get(lm_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        bi = _doc_bigrams(doc_ids, texts)
+        if len(bi):
+            j = bi.merge(table, on=["w1", "w2"], how="left")
+            j["cond_ppm"] = j["cond_ppm"].fillna(0).astype("int64")
+            agg = (j.groupby("doc_id", sort=False)
+                   .agg(n_bigrams=("cond_ppm", "size"),
+                        s=("cond_ppm", "sum")).reset_index())
+        else:
+            agg = pd.DataFrame({"doc_id": [], "n_bigrams": [], "s": []})
+        out = pd.DataFrame({"doc_id": doc_ids}).merge(
+            agg, on="doc_id", how="left")
+        out["n_bigrams"] = out["n_bigrams"].fillna(0).astype("int64")
+        out["avg_cond_ppm"] = (
+            out["s"].fillna(0).astype("int64")
+            // out["n_bigrams"].clip(lower=1)).astype("int64")
+        out["keep"] = (out["avg_cond_ppm"] >= keep_ppm).astype("int64")
+        return out[["doc_id", "n_bigrams", "avg_cond_ppm", "keep"]]
+
+    res = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+Q92_SQL = """
+WITH toks AS (
+  SELECT doc_id, g.w, g.o FROM documents,
+  LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS o) g
+),
+bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+),
+lm AS (
+  SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2
+),
+lmp AS (
+  SELECT w1, w2,
+         CAST((1000000 * n) // sum(n) OVER (PARTITION BY w1) AS BIGINT)
+           AS cond_ppm
+  FROM lm QUALIFY n >= 2
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(COALESCE(l.cond_ppm, 0)) AS s
+  FROM bi b LEFT JOIN lmp l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc.s // sc.n_bigrams, 0) AS BIGINT) AS avg_cond_ppm,
+       CAST(CASE WHEN COALESCE(sc.s // sc.n_bigrams, 0) >= 35000
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3505,4 +3618,5 @@ QUERIES: dict[str, tuple] = {
     "q89_cross_join": (q89_cross_join, Q89_SQL),
     "q90_transition_matrix": (q90_transition_matrix, Q90_SQL),
     "q91_moving_avg": (q91_moving_avg, Q91_SQL),
+    "q92_lm_doc_score": (q92_lm_doc_score, Q92_SQL),
 }
