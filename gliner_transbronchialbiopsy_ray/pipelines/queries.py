@@ -563,7 +563,7 @@ def q19_embedding_norms(sf_dir: str) -> pd.DataFrame:
 
 
 Q19_SQL = """
-SELECT label, count(*) AS n,
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
 FROM embeddings GROUP BY label
 """
@@ -1653,10 +1653,10 @@ def q52_watermark_late_flags(sf_dir: str):
 
 Q52_SQL = """
 SELECT event_id,
-       CASE WHEN ts < max(ts) OVER (ORDER BY event_id
+       CAST(CASE WHEN ts < max(ts) OVER (ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  - INTERVAL 10 MINUTE
-            THEN 1 ELSE 0 END AS is_late
+            THEN 1 ELSE 0 END AS BIGINT) AS is_late
 FROM events
 """
 
@@ -2241,7 +2241,8 @@ WITH ex AS (
          unnest(embedding) AS v
   FROM embeddings
 )
-SELECT label, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS c
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+       round(avg(v), 6) AS c
 FROM ex GROUP BY label, i ORDER BY label, i
 """
 
