@@ -983,6 +983,21 @@ def btb_kfold_metrics(sf_dir: str) -> pd.DataFrame:
     return kfold_summary(per_fold)
 
 
+def btb_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The composite training-data curation funnel (pipelines/docs.py:
+    curate_corpus): quality -> repetition -> exact dedup ->
+    decontamination over the documents table (source 'src0' as the eval
+    set, matching q62), ending in kept-corpus context-window sizing.
+    One shuffle total; funnel counted in a single combiner aggregate.
+    Deterministic -> golden-pinned."""
+    from .docs import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    corpus = docs.filter(expr="source != 'src0'")
+    return curate_corpus(corpus, bench)
+
+
 def btb_label_stats(sf_dir: str) -> pd.DataFrame:
     from ..config import PipelineConfig
     from ..stages.stats import label_statistics
@@ -3546,6 +3561,7 @@ QUERIES: dict[str, tuple] = {
     "btb_wide": (btb_wide, None),
     "btb_highlighted": (btb_highlighted, None),
     "btb_kfold_metrics": (btb_kfold_metrics, None),
+    "btb_curation_pipeline": (btb_curation_pipeline, None),
     "btb_label_stats": (btb_label_stats, None),
     "btb_surface_forms": (btb_surface_forms, None),
     "btb_media_features": (btb_media_features, None),

@@ -73,13 +73,10 @@ class _Decontaminator:
             if self.hashed:
                 g = {_hash_gram(x) for x in g}
             hits[i] = len(g & self.grams)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "hit_grams": pa.array(hits),
-                "contaminated": pa.array(hits > 0),
-            }
-        )
+        # append (pass-through) rather than project: composition
+        # pipelines keep their carried flags without a re-join
+        batch = batch.append_column("hit_grams", pa.array(hits))
+        return batch.append_column("contaminated", pa.array(hits > 0))
 
 
 def decontaminate(

@@ -114,3 +114,38 @@ def test_levenshtein_kernel():
     assert _levenshtein("flaw", "lawn") == 2
     assert _levenshtein("", "xyz") == 3
     assert _levenshtein("ab", "ba") == 2  # no transposition shortcut
+
+
+def test_curate_corpus_funnel_each_gate(ray_session):
+    """Composite curation: one crafted doc fails each gate, survivors are
+    counted and packed; the funnel is monotone nonincreasing."""
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.pipelines.docs import curate_corpus
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        {"doc_id": "d1", "text": good},                        # keeper
+        {"doc_id": "d2", "text": "tiny doc"},                  # fails min_tokens
+        {"doc_id": "d3", "text": " ".join(["spam"] * 10)},     # fails repetition
+        {"doc_id": "d4", "text": good},                        # exact dup of d1
+        {"doc_id": "d5", "text": good.replace("india juliet",
+                                              "kilo lima")},   # contaminated
+    ]
+    # shares an 8-gram with d5 ("bravo ... kilo") but none with d1/d4
+    # (the leading "xray" breaks d1's only candidate gram)
+    bench = ray.data.from_items(
+        [{"doc_id": "b1",
+          "text": "xray bravo charlie delta echo foxtrot golf hotel "
+                  "kilo lima zulu"}])
+    out = curate_corpus(ray.data.from_items(rows), bench,
+                        min_tokens=10, dup_ppm_max=300_000,
+                        decontam_n=8, pack_cap=8)
+    row = out.iloc[0]
+    assert row["n_total"] == 5
+    assert row["n_after_quality"] == 4       # d2 out
+    assert row["n_after_repetition"] == 3    # d3 out
+    assert row["n_after_dedup"] == 2         # d4 out (d1 kept: min doc_id)
+    assert row["n_kept"] == 1                # d5 out (8-gram hit vs bench)
+    assert row["kept_tokens"] == 10 and row["n_windows"] == 2
+    assert all(str(t) == "int64" for t in out.dtypes)
