@@ -52,3 +52,31 @@ def write_excel(ds: ray.data.Dataset, path: str,
     from .xlsx import results_to_xlsx
 
     return results_to_xlsx(ds, path, sheet_name=sheet_name)
+
+
+def write_triples_partitioned(
+    ds: ray.data.Dataset, path: str,
+    partition_cols: list[str] | None = None, **kwargs,
+) -> None:
+    """SPO-index analog: hive-partitioned parquet (`pred=.../...parquet`
+    by default).  Two scale properties fall out of the layout: (1) a
+    per-predicate query prunes at the READ — only that directory's files
+    are listed/fetched; (2) output is resumable — a re-run can skip
+    predicate directories that already exist (the key-partitioned
+    counterpart of state/checkpoint.py's input-shard partitioning).
+    Predicates are a bounded vocabulary here (config label set), so the
+    directory fan-out is bounded; for an unbounded partition key, bucket
+    the key first."""
+    ds.write_parquet(path, partition_cols=partition_cols or ["pred"],
+                     **kwargs)
+
+
+def read_triples_predicate(
+    path: str, pred: str, partition_col: str = "pred", **kwargs,
+) -> ray.data.Dataset:
+    """Partition-pruned read of ONE predicate from a
+    `write_triples_partitioned` store: lists only `pred=<value>/`, never
+    touching other predicates' files.  Ray's hive partitioning re-infers
+    the partition value from the path and attaches it as a column."""
+    sub = f"{path.rstrip('/')}/{partition_col}={pred}"
+    return ray.data.read_parquet(sub, **kwargs)

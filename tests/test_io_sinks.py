@@ -45,3 +45,31 @@ def test_csv_and_json_sinks(tmp_path):
     assert glob.glob(str(tmp_path / "json" / "*"))
     back = ray.data.read_csv(str(tmp_path / "csv")).to_pandas()
     assert sorted(back["a"].tolist()) == [1, 2]
+
+
+def test_partitioned_triple_store_roundtrip_and_pruning(ray_session, tmp_path):
+    """K4 partitioned layout: hive dirs per predicate; single-predicate
+    read lists ONLY that directory and re-attaches the partition col."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.sources.io import (
+        read_triples_predicate,
+        write_triples_partitioned,
+    )
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["d1", "d2", "d3", "d4"],
+        "pred": ["grade", "grade", "site", "infection"],
+        "obj": ["A2", "A1", "LSD", "CMV"],
+    }))
+    store = str(tmp_path / "tri_store")
+    write_triples_partitioned(tri, store)
+    assert sorted(os.listdir(store)) == [
+        "pred=grade", "pred=infection", "pred=site"]
+    back = read_triples_predicate(store, "grade").to_pandas()
+    assert sorted(back["obj"]) == ["A1", "A2"]
+    assert set(back["pred"]) == {"grade"}
+    assert sorted(back.columns) == ["obj", "pred", "subj"]
