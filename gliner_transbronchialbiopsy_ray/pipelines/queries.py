@@ -3486,6 +3486,66 @@ def q92_lm_doc_score(sf_dir: str, min_count: int = 2,
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q93_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Interval-weighted aggregation: per-user time-weighted mean of
+    `value`, each event's value held until the user's next event (the
+    last event carries no interval) — the sensor/metrics rollup
+    semantic.  One user_id hash shuffle; inside the bucket a vectorized
+    grouped lead gives microsecond durations; integer ppm arithmetic
+    end to end (cents x us products stay far below int64 range at
+    per-user cardinalities)."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["vc"] = np.round(
+            g["value"].to_numpy(np.float64) * 100).astype("int64")
+        nxt = g.groupby("user_id", sort=False)["ts"].shift(-1)
+        mask = nxt.notna()
+        g = g[mask]
+        dur = ((nxt[mask].to_numpy("datetime64[us]")
+                - g["ts"].to_numpy("datetime64[us]"))
+               .astype("timedelta64[us]").astype(np.int64))
+        g = g.assign(wv=g["vc"].to_numpy() * dur, dur=dur)
+        out = (g.groupby("user_id", sort=False)[["wv", "dur"]]
+               .sum().reset_index())
+        # 1e6 * sum(vc*dur) exceeds int64 (the oracle sums in HUGEINT);
+        # the per-user rows are bucket-local and few, so exact Python-int
+        # math here is free
+        out["twa_ppm"] = (
+            (out["wv"].astype(object) * 1_000_000)
+            // (out["dur"].astype(object) * 100)).astype("int64")
+        return out[["user_id", "twa_ppm"]]
+
+    out = hash_bucketed_map_groups(
+        ds, "user_id", twa_bucket, n_buckets=16).to_pandas()
+    if "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "twa_ppm": pd.Series(dtype="int64")})
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q93_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+d AS (
+  SELECT user_id, vc, CAST(epoch_us(nxt - ts) AS BIGINT) AS dur
+  FROM c WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST((1000000 * sum(vc * dur)) // (100 * sum(dur)) AS BIGINT)
+         AS twa_ppm
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 Q92_SQL = """
 WITH toks AS (
   SELECT doc_id, g.w, g.o FROM documents,
@@ -3636,4 +3696,5 @@ QUERIES: dict[str, tuple] = {
     "q90_transition_matrix": (q90_transition_matrix, Q90_SQL),
     "q91_moving_avg": (q91_moving_avg, Q91_SQL),
     "q92_lm_doc_score": (q92_lm_doc_score, Q92_SQL),
+    "q93_time_weighted_avg": (q93_time_weighted_avg, Q93_SQL),
 }
