@@ -3486,6 +3486,46 @@ def q92_lm_doc_score(sf_dir: str, min_count: int = 2,
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q94_gapfill_hourly(sf_dir: str) -> pd.DataFrame:
+    """Date-spine gap filling: hourly event counts with EVERY hour of
+    the observed range present, zero-filled where no events landed (the
+    time-series densification pattern q08 deliberately omits).  Scale
+    shape: the combiner aggregate yields one bounded partial per
+    (hour x batch); the spine is derived from the tiny aggregate result
+    itself (its min/max hour), so no second pass over the data and no
+    unbounded driver state — spine length is hours-of-range, not rows."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def hour(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({"hour": df["ts"].dt.floor("h")})
+
+    agg = _preagg(
+        ds.map_batches(hour, batch_format="pyarrow"),
+        ["hour"], {"n": ("hour", "count")},
+    )
+    spine = pd.DataFrame({
+        "hour": pd.date_range(agg["hour"].min(), agg["hour"].max(),
+                              freq="h")})
+    out = spine.merge(agg, on="hour", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["hour"] = out["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+Q94_SQL = """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM events GROUP BY 1),
+spine AS (SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                        (SELECT max(hour) FROM h),
+                                        INTERVAL 1 HOUR)) AS hour)
+SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(h.n, 0) AS n
+FROM spine s LEFT JOIN h ON s.hour = h.hour
+ORDER BY hour
+"""
+
+
 def q93_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
     """Interval-weighted aggregation: per-user time-weighted mean of
     `value`, each event's value held until the user's next event (the
@@ -3697,4 +3737,5 @@ QUERIES: dict[str, tuple] = {
     "q91_moving_avg": (q91_moving_avg, Q91_SQL),
     "q92_lm_doc_score": (q92_lm_doc_score, Q92_SQL),
     "q93_time_weighted_avg": (q93_time_weighted_avg, Q93_SQL),
+    "q94_gapfill_hourly": (q94_gapfill_hourly, Q94_SQL),
 }
