@@ -3621,6 +3621,186 @@ ORDER BY d.doc_id
 """
 
 
+def q95_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by the Monday-start week of
+    their FIRST event (the cohort), counting distinct active users per
+    (cohort_week, week_offset) — the classic product-analytics rollup.
+    Scale shape: ONE user_id hash shuffle; inside each bucket the per-user
+    first week and distinct (user, week) activity pairs are both
+    bucket-local (a user's whole history lives in one bucket), so the
+    per-bucket (cohort, offset) distinct-user counts are disjoint partials
+    that SUM exactly — same trick as q90's transition matrix.  The final
+    merge is over (weeks x offsets) rows, bounded by the calendar, not the
+    corpus."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["ts"].dt.normalize()
+        week = d - pd.to_timedelta(d.dt.weekday, unit="D")  # Monday floor
+        act = pd.DataFrame({"user_id": g["user_id"], "week": week})
+        act = act.drop_duplicates()
+        cohort = act.groupby("user_id", sort=False)["week"].min()
+        act["cohort_week"] = act["user_id"].map(cohort)
+        act["week_offset"] = (
+            (act["week"] - act["cohort_week"]).dt.days // 7).astype("int64")
+        out = (act.groupby(["cohort_week", "week_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        return out
+
+    parts = hash_bucketed_map_groups(ds, "user_id", bucket,
+                                     n_buckets=16).to_pandas()
+    if "cohort_week" not in parts.columns:
+        return pd.DataFrame({"cohort_week": pd.Series(dtype=object),
+                             "week_offset": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (parts.groupby(["cohort_week", "week_offset"], sort=False)
+           ["n_users"].sum().reset_index())
+    out["cohort_week"] = out["cohort_week"].dt.strftime("%Y-%m-%d")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+Q95_SQL = """
+WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q96_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report: each nation's share (ppm) of global order revenue
+    plus its revenue rank — the percent-of-total window pattern the
+    rollup/cube queries don't cover.  Scale shape: the customer->nation
+    dimension is broadcast once via ray.put (q04's pattern); revenue sums
+    are per-batch combiner partials merged driver-side over the 25-nation
+    bounded key; the global total is derived from that tiny aggregate, so
+    no second pass.  Share math uses Python-int objects: 1e6 x global
+    cents exceeds int64 at warehouse scale (the oracle sums in HUGEINT)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(c2n)
+        df = batch.to_pandas()
+        return pd.DataFrame({
+            "nationkey": df["o_custkey"].map(m).astype("int64"),
+            "cents": (df["o_totalprice"] * 100).round().astype("int64"),
+        })
+
+    agg = _preagg(ds.map_batches(tag, batch_format="pyarrow"),
+                  ["nationkey"], {"rev_cents": ("cents", "sum")})
+    agg = agg.merge(nat.rename(columns={"n_nationkey": "nationkey"}),
+                    on="nationkey")
+    total = int(agg["rev_cents"].sum())
+    agg["share_ppm"] = (
+        (agg["rev_cents"].astype(object) * 1_000_000) // total
+    ).astype("int64")
+    agg = agg.sort_values(["rev_cents", "n_name"],
+                          ascending=[False, True], kind="stable")
+    agg["rn"] = np.arange(1, len(agg) + 1, dtype="int64")
+    agg["rev_cents"] = agg["rev_cents"].astype("int64")
+    return agg[["n_name", "rev_cents", "share_ppm", "rn"]].reset_index(
+        drop=True)
+
+
+Q96_SQL = """
+WITH r AS (
+  SELECT n.n_name,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1)
+SELECT n_name,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST((1000000 * rev_cents) // (SELECT sum(rev_cents) FROM r)
+            AS BIGINT) AS share_ppm,
+       CAST(row_number() OVER (ORDER BY rev_cents DESC, n_name)
+            AS BIGINT) AS rn
+FROM r
+ORDER BY rn
+"""
+
+
+def q97_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Weighted median (lower variant: smallest value whose cumulative
+    weight reaches half the total) of extended price weighted by quantity,
+    per return flag.  Scale shape: histogram-reduce — a distributed
+    groupby compresses rows to a (flag, price_cents)->weight histogram
+    (merge="ray": the key space scales with distinct prices, NOT bounded),
+    then a per-flag bucket scan completes the histogram merge, sorts it
+    and takes the first row with 2*cumw >= total.  ONE all-to-all: the
+    per-batch partials are already (flag, price_c)->w compressed, so the
+    bucket merge is a pandas groupby over partial-histogram rows, never
+    raw rows.  (If per-flag distinct-value counts outgrow a bucket, chain
+    _preagg(merge="ray") in front — same scan, pre-merged input.)"""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def cents_hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        h = pd.DataFrame({
+            "flag": df["l_returnflag"],
+            "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+            "w": df["l_quantity"].round().astype("int64"),
+        })
+        return (h.groupby(["flag", "price_c"], sort=False)["w"]
+                .sum().reset_index())
+
+    hist = ds.map_batches(cents_hist, batch_format="pyarrow")
+
+    def median_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["flag", "price_c"], sort=False)["w"]
+             .sum().reset_index())
+        rows = []
+        for flag, sub in g.groupby("flag", sort=False):
+            sub = sub.sort_values("price_c", kind="stable")
+            cw = sub["w"].cumsum()
+            tw = int(sub["w"].sum())
+            hit = sub.loc[2 * cw >= tw, "price_c"]
+            rows.append({"flag": flag, "wmedian_cents": int(hit.iloc[0])})
+        return pd.DataFrame(rows)
+
+    out = hash_bucketed_map_groups(hist, "flag", median_scan,
+                                   n_buckets=4).to_pandas()
+    if "flag" not in out.columns:
+        return pd.DataFrame({"flag": pd.Series(dtype=object),
+                             "wmedian_cents": pd.Series(dtype="int64")})
+    out["wmedian_cents"] = out["wmedian_cents"].astype("int64")
+    return out.sort_values("flag").reset_index(drop=True)
+
+
+Q97_SQL = """
+WITH c AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_quantity) AS BIGINT) AS w
+           FROM lineitem),
+t AS (SELECT flag, price_c, sum(w) AS w FROM c GROUP BY 1, 2),
+cum AS (SELECT flag, price_c,
+               sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM t)
+SELECT flag, CAST(min(price_c) AS BIGINT) AS wmedian_cents
+FROM cum WHERE 2 * cw >= tw
+GROUP BY flag
+ORDER BY flag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3738,4 +3918,7 @@ QUERIES: dict[str, tuple] = {
     "q92_lm_doc_score": (q92_lm_doc_score, Q92_SQL),
     "q93_time_weighted_avg": (q93_time_weighted_avg, Q93_SQL),
     "q94_gapfill_hourly": (q94_gapfill_hourly, Q94_SQL),
+    "q95_cohort_retention": (q95_cohort_retention, Q95_SQL),
+    "q96_revenue_share": (q96_revenue_share, Q96_SQL),
+    "q97_weighted_median": (q97_weighted_median, Q97_SQL),
 }
