@@ -3801,6 +3801,131 @@ ORDER BY flag
 """
 
 
+def q98_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (p_size min, p_retailprice min); ties on both axes are mutually
+    non-dominating and all kept, matching the NOT-EXISTS oracle.  Scale
+    shape: the LOCAL skyline is a combiner — each batch emits only its
+    own frontier (output is frontier-sized, not batch-sized), and the
+    global skyline over the union of local frontiers is computed on the
+    driver, valid because dominance is transitive: any point dominated
+    globally is dominated by some point that survives its own batch's
+    local skyline.  The sweep is a vectorized sort + per-size group-min
+    + prefix-min over strictly-smaller sizes, no pairwise loop."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_size", "price_c", "p_partkey"],
+                            kind="stable")
+        grp_min = df.groupby("p_size", sort=True)["price_c"].min()
+        # min price over STRICTLY smaller sizes (shifted prefix-min)
+        strict = grp_min.cummin().shift(1)
+        dom_strict = df["p_size"].map(strict)
+        keep = (df["price_c"] == df["p_size"].map(grp_min)) & (
+            dom_strict.isna() | (df["price_c"] < dom_strict))
+        return df[keep]
+
+    def local_skyline(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["price_c"] = (df["p_retailprice"] * 100).round().astype("int64")
+        return skyline(df[["p_partkey", "p_size", "price_c"]])
+
+    parts = ds.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_size": pd.Series(dtype="int64"),
+                             "price_c": pd.Series(dtype="int64")})
+    out = skyline(parts)
+    out["p_size"] = out["p_size"].astype("int64")
+    return (out.sort_values(["p_size", "price_c", "p_partkey"])
+            .reset_index(drop=True))
+
+
+Q98_SQL = """
+WITH c AS (SELECT p_partkey, p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+           FROM part)
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, price_c
+FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.p_size <= a.p_size AND b.price_c <= a.price_c
+    AND (b.p_size < a.p_size OR b.price_c < a.price_c))
+ORDER BY p_size, price_c, p_partkey
+"""
+
+
+def q99_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per return flag (robust spread), both
+    quantiles under DuckDB's quantile_disc rank rule (element at
+    ceil(q*n), 1-indexed).  Scale shape: q97's single-shuffle
+    histogram-reduce, but BOTH statistics come out of the same per-flag
+    value histogram — the deviation histogram is derived from it in the
+    bucket (|price - med| re-binning of counts), so the MAD costs no
+    second pass over the data."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents_hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        h = pd.DataFrame({
+            "flag": df["l_returnflag"],
+            "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+        })
+        return (h.groupby(["flag", "price_c"], sort=False)
+                .size().rename("n").reset_index())
+
+    hist = ds.map_batches(cents_hist, batch_format="pyarrow")
+
+    def _disc_quantile(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # vals sorted ascending; rank rule: element at ceil(0.5*n)
+        cum = np.cumsum(cnts)
+        target = -(-cum[-1] // 2)  # ceil(n/2)
+        return int(vals[np.searchsorted(cum, target)])
+
+    def mad_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["flag", "price_c"], sort=False)["n"]
+             .sum().reset_index())
+        rows = []
+        for flag, sub in g.groupby("flag", sort=False):
+            sub = sub.sort_values("price_c", kind="stable")
+            med = _disc_quantile(sub["price_c"].to_numpy(),
+                                 sub["n"].to_numpy())
+            dev = (sub.assign(d=(sub["price_c"] - med).abs())
+                   .groupby("d")["n"].sum().reset_index()
+                   .sort_values("d", kind="stable"))
+            mad = _disc_quantile(dev["d"].to_numpy(), dev["n"].to_numpy())
+            rows.append({"flag": flag, "median_cents": med,
+                         "mad_cents": mad})
+        return pd.DataFrame(rows)
+
+    out = hash_bucketed_map_groups(hist, "flag", mad_scan,
+                                   n_buckets=4).to_pandas()
+    if "flag" not in out.columns:
+        return pd.DataFrame({"flag": pd.Series(dtype=object),
+                             "median_cents": pd.Series(dtype="int64"),
+                             "mad_cents": pd.Series(dtype="int64")})
+    out["median_cents"] = out["median_cents"].astype("int64")
+    out["mad_cents"] = out["mad_cents"].astype("int64")
+    return out.sort_values("flag").reset_index(drop=True)
+
+
+Q99_SQL = """
+WITH c AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+           FROM lineitem),
+m AS (SELECT flag, quantile_disc(price_c, 0.5) AS med FROM c GROUP BY 1)
+SELECT c.flag,
+       CAST(any_value(m.med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.price_c - m.med), 0.5) AS BIGINT)
+         AS mad_cents
+FROM c JOIN m ON c.flag = m.flag
+GROUP BY c.flag
+ORDER BY c.flag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3921,4 +4046,6 @@ QUERIES: dict[str, tuple] = {
     "q95_cohort_retention": (q95_cohort_retention, Q95_SQL),
     "q96_revenue_share": (q96_revenue_share, Q96_SQL),
     "q97_weighted_median": (q97_weighted_median, Q97_SQL),
+    "q98_skyline": (q98_skyline, Q98_SQL),
+    "q99_mad": (q99_mad, Q99_SQL),
 }
