@@ -3926,6 +3926,67 @@ ORDER BY c.flag
 """
 
 
+def q100_trend_slope(sf_dir: str) -> pd.DataFrame:
+    """Grouped OLS trend: least-squares slope of value (cents) against
+    event day, per event type — regression via SUFFICIENT STATISTICS
+    (n, Sx, Sy, Sxx, Sxy), the canonical mergeable-aggregate pattern:
+    per-batch integer partials sum exactly, the closed-form slope is
+    computed once per group from the merged stats.  Day offsets from a
+    fixed epoch keep per-batch int64 sums far from overflow; the final
+    n*Sxy - Sx*Sy products use Python-int objects (the oracle computes
+    them in HUGEINT).  Integer ppm output; slopes can be NEGATIVE and
+    DuckDB's // TRUNCATES toward zero (-7//2 = -3) while Python's
+    floors (-4), so the division is sign-aware truncating."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    epoch = pd.Timestamp("2020-01-01")
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        x = ((df["ts"] - epoch).dt.days).astype("int64")
+        y = (df["value"] * 100).round().astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y})
+        return (g.groupby("event_type", sort=False)
+                .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                     sxx=("xx", "sum"), sxy=("xy", "sum")).reset_index())
+
+    agg = _preagg(ds.map_batches(stats, batch_format="pyarrow"),
+                  ["event_type"],
+                  {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                   "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+                   "sxy": ("sxy", "sum")})
+    n = agg["n"].astype(object)
+    num = n * agg["sxy"].astype(object) - agg["sx"].astype(object) * agg[
+        "sy"].astype(object)
+    den = n * agg["sxx"].astype(object) - agg["sx"].astype(object) ** 2
+    def _trunc_div(a: int, b: int) -> int:
+        q = (1_000_000 * abs(a)) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    agg["slope_ppm"] = pd.Series(
+        [_trunc_div(a, b) for a, b in zip(num, den)],
+        index=agg.index).astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["event_type", "n", "slope_ppm"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q100_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(date_diff('day', TIMESTAMP '2020-01-01', ts)
+                       AS BIGINT) AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM c GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_ppm
+FROM s ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4048,4 +4109,5 @@ QUERIES: dict[str, tuple] = {
     "q97_weighted_median": (q97_weighted_median, Q97_SQL),
     "q98_skyline": (q98_skyline, Q98_SQL),
     "q99_mad": (q99_mad, Q99_SQL),
+    "q100_trend_slope": (q100_trend_slope, Q100_SQL),
 }
