@@ -3801,6 +3801,29 @@ ORDER BY flag
 """
 
 
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Minimizing 2-D skyline sweep over (p_size, price_c); keeps ALL
+    mutually-tied points (dominance needs one strict inequality).
+    Vectorized: per-size group-min + prefix-min over strictly smaller
+    sizes."""
+    df = df.sort_values(["p_size", "price_c", "p_partkey"], kind="stable")
+    grp_min = df.groupby("p_size", sort=True)["price_c"].min()
+    # min price over STRICTLY smaller sizes (shifted prefix-min)
+    strict = grp_min.cummin().shift(1)
+    dom_strict = df["p_size"].map(strict)
+    keep = (df["price_c"] == df["p_size"].map(grp_min)) & (
+        dom_strict.isna() | (df["price_c"] < dom_strict))
+    return df[keep]
+
+
+def _disc_quantile(vals, cnts) -> int:
+    """DuckDB quantile_disc(x, 0.5) rank rule over a (sorted values,
+    counts) histogram: the element at 1-indexed rank ceil(n/2)."""
+    cum = np.cumsum(cnts)
+    target = -(-cum[-1] // 2)  # ceil(n/2)
+    return int(vals[np.searchsorted(cum, target)])
+
+
 def q98_skyline(sf_dir: str) -> pd.DataFrame:
     """2-D skyline (Pareto frontier): parts not dominated on
     (p_size min, p_retailprice min); ties on both axes are mutually
@@ -3814,28 +3837,17 @@ def q98_skyline(sf_dir: str) -> pd.DataFrame:
     + prefix-min over strictly-smaller sizes, no pairwise loop."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
 
-    def skyline(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["p_size", "price_c", "p_partkey"],
-                            kind="stable")
-        grp_min = df.groupby("p_size", sort=True)["price_c"].min()
-        # min price over STRICTLY smaller sizes (shifted prefix-min)
-        strict = grp_min.cummin().shift(1)
-        dom_strict = df["p_size"].map(strict)
-        keep = (df["price_c"] == df["p_size"].map(grp_min)) & (
-            dom_strict.isna() | (df["price_c"] < dom_strict))
-        return df[keep]
-
     def local_skyline(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         df["price_c"] = (df["p_retailprice"] * 100).round().astype("int64")
-        return skyline(df[["p_partkey", "p_size", "price_c"]])
+        return _skyline_2d(df[["p_partkey", "p_size", "price_c"]])
 
     parts = ds.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
     if not len(parts):
         return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
                              "p_size": pd.Series(dtype="int64"),
                              "price_c": pd.Series(dtype="int64")})
-    out = skyline(parts)
+    out = _skyline_2d(parts)
     out["p_size"] = out["p_size"].astype("int64")
     return (out.sort_values(["p_size", "price_c", "p_partkey"])
             .reset_index(drop=True))
@@ -3877,12 +3889,6 @@ def q99_mad(sf_dir: str) -> pd.DataFrame:
                 .size().rename("n").reset_index())
 
     hist = ds.map_batches(cents_hist, batch_format="pyarrow")
-
-    def _disc_quantile(vals: np.ndarray, cnts: np.ndarray) -> int:
-        # vals sorted ascending; rank rule: element at ceil(0.5*n)
-        cum = np.cumsum(cnts)
-        target = -(-cum[-1] // 2)  # ceil(n/2)
-        return int(vals[np.searchsorted(cum, target)])
 
     def mad_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.groupby(["flag", "price_c"], sort=False)["n"]

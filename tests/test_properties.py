@@ -147,3 +147,48 @@ def test_global_prefix_sum_invariant_under_block_layout():
         got = (global_prefix_sum(ds, "seq", "v", out_col="ps")
                .to_pandas().sort_values("seq"))
         assert got["ps"].tolist() == expected, f"layout {parts} diverged"
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=80),
+       st.integers(1, 6))
+@settings(max_examples=60, deadline=None)
+def test_skyline_local_combiner_invariant(pts, nparts):
+    """q98's distributed shape: skyline(union of per-shard local
+    skylines) must equal the brute-force O(n^2) skyline of all points,
+    for ANY sharding — dominance transitivity is what makes the local
+    skyline a valid combiner.  Ties on both axes are kept."""
+    import pandas as pd
+
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import _skyline_2d
+
+    df = pd.DataFrame({"p_partkey": range(len(pts)),
+                       "p_size": [a for a, _ in pts],
+                       "price_c": [b for _, b in pts]})
+    brute = set()
+    for i, (s, p) in enumerate(pts):
+        if not any((s2 <= s and p2 <= p and (s2 < s or p2 < p))
+                   for s2, p2 in pts):
+            brute.add(i)
+    local = pd.concat([_skyline_2d(g) for _, g in
+                       df.groupby(df.index % nparts)])
+    got = set(_skyline_2d(local)["p_partkey"])
+    assert got == brute
+
+
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_disc_quantile_matches_duckdb_rank_rule(xs):
+    """q99's histogram median must follow DuckDB's quantile_disc rank
+    rule (1-indexed element at ceil(n/2)) for any multiset."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from gliner_transbronchialbiopsy_ray.pipelines.queries import _disc_quantile
+
+    hist = pd.Series(xs).value_counts().sort_index()
+    got = _disc_quantile(hist.index.to_numpy(), hist.to_numpy())
+    df = pd.DataFrame({"x": xs})
+    exp = duckdb.sql("SELECT quantile_disc(x, 0.5) FROM df").fetchone()[0]
+    assert got == exp
