@@ -178,6 +178,73 @@ def decode_raw_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) payload."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _pnm_header_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read `n` ASCII integer tokens from a netpbm header starting at
+    byte `start`, skipping whitespace and `#` comments (which run to end
+    of line, per the spec).  Returns (tokens, offset past the single
+    whitespace byte that terminates the last token)."""
+    toks: list[int] = []
+    i = start
+    while len(toks) < n:
+        if i >= len(payload):
+            raise ValueError("pnm header truncated")
+        c = payload[i:i + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("pnm header truncated in comment")
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tok = payload[i:j]
+            if not tok.isdigit():
+                raise ValueError(f"bad pnm header token {tok!r}")
+            toks.append(int(tok))
+            i = j
+    # exactly ONE whitespace byte separates the header from raster data
+    if i >= len(payload) or not payload[i:i + 1].isspace():
+        raise ValueError("pnm header not terminated by whitespace")
+    return toks, i + 1
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """REAL image decode with zero external deps: binary netpbm — P6
+    (RGB) and P5 (grayscale, expanded to 3 channels) -> (h, w, 3) uint8.
+    Full header handling per the spec: `#` comments, arbitrary
+    whitespace between tokens, single whitespace byte before the raster.
+    Only maxval <= 255 (8-bit) payloads are supported; 16-bit rasters
+    raise with a clear message.  Raises ValueError on truncation — the
+    stage keeps the row and records decode_status."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported pnm magic {magic!r}")
+    (w, h, maxval), off = _pnm_header_tokens(payload, 3, 2)
+    if maxval == 0 or maxval > 255:
+        raise ValueError(f"unsupported pnm maxval {maxval} (8-bit only)")
+    ch = 3 if magic == b"P6" else 1
+    expect = w * h * ch
+    raster = payload[off:off + expect]
+    if len(raster) != expect:
+        raise ValueError(
+            f"pnm raster is {len(raster)} bytes, expected {expect}")
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    if maxval != 255:
+        img = ((img.astype(np.uint16) * 255) // maxval).astype(np.uint8)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-average downsample when the scale divides evenly (exact block
     mean), nearest-neighbor otherwise — both pure strided NumPy."""
@@ -201,7 +268,14 @@ class RawImageStage:
     external codec; failed rows keep their row with decode_status set.
 
     Feature layout (float32): [mean_r, mean_g, mean_b, std_r, std_g,
-    std_b, mean_luma] (ITU-R 601 luma)."""
+    std_b, mean_luma] (ITU-R 601 luma).
+
+    Payloads are format-sniffed per row: a payload whose size exactly
+    matches the row's width*height*3 metadata is headerless raw RGB888
+    (raw pixels can legitimately START with the bytes "P6", so the
+    metadata match outranks the magic); otherwise a netpbm P5/P6 magic
+    routes to `decode_pnm` (self-describing header — rows carrying PNM
+    files don't need width/height metadata at all)."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8):
         self.out_w, self.out_h = out_w, out_h
@@ -214,7 +288,12 @@ class RawImageStage:
         feats, resized, status = [], [], []
         for r, p, w, h in zip(refs, payloads, ws, hs):
             try:
-                img = decode_raw_rgb(p, w, h).astype(np.float32)
+                raw_size = (w or 0) * (h or 0) * 3
+                if p is not None and len(p) != raw_size and p[:2] in (
+                        b"P5", b"P6"):
+                    img = decode_pnm(p).astype(np.float32)
+                else:
+                    img = decode_raw_rgb(p, w, h).astype(np.float32)
             except (ValueError, TypeError) as exc:
                 feats.append(None)
                 resized.append(None)

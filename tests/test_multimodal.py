@@ -228,3 +228,69 @@ def test_raw_video_stage_sampling_and_motion(ray_session):
         assert (rest == 0).all() if expect_zero else (rest > 0).all()
     bad = df[df["media_ref"] == "v://bad"]
     assert len(bad) == 1 and bad["decode_status"].iloc[0].startswith("decode_error")
+
+
+def test_pnm_decode_and_stage_routing(ray_session):
+    """decode_pnm is a REAL standard-format kernel: binary P6/P5 with
+    comments and arbitrary header whitespace decode exactly; sub-255
+    maxval rescales; the stage routes PNM payloads by magic WITHOUT
+    width/height metadata, keeps raw-RGB routing when the size matches
+    the metadata, and records errors for truncated/16-bit payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        decode_pnm,
+        encode_ppm,
+        raw_media_features,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+
+    # canonical encode -> decode round trip
+    assert np.array_equal(decode_pnm(encode_ppm(img)), img)
+
+    # comments + arbitrary whitespace in the header, per the netpbm spec
+    fancy = (b"P6 # magic comment\n#another\n  4\t6 # dims\n 255 "
+             + img.tobytes())
+    assert np.array_equal(decode_pnm(fancy), img)
+
+    # P5 grayscale expands to 3 identical channels
+    gray = rng.integers(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    p5 = b"P5\n5 3\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_pnm(p5), np.repeat(gray, 3, axis=2))
+
+    # maxval < 255 rescales to full range
+    half = np.full((2, 2, 3), 100, dtype=np.uint8)
+    scaled = decode_pnm(b"P6\n2 2\n200\n" + half.tobytes())
+    assert scaled[0, 0, 0] == (100 * 255) // 200
+
+    # error paths: truncation, 16-bit maxval, bad magic
+    for bad in (encode_ppm(img)[:-1], b"P6\n2 2\n65535\n" + b"\0" * 24,
+                b"P7\nrest"):
+        try:
+            decode_pnm(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    # stage-level routing: PNM row (no metadata), raw row, garbage row
+    raw = np.full((4, 4, 3), 7, dtype=np.uint8)
+    media = ray.data.from_arrow(pa.table({
+        "media_ref": ["pnm", "raw", "bad"],
+        "payload": [encode_ppm(img), raw.tobytes(), b"P6 garbage"],
+        "width": [0, 4, 0],
+        "height": [0, 4, 0],
+    }))
+    tbl = pa.concat_tables(list(
+        raw_media_features(media, out_w=2, out_h=2, concurrency=1)
+        .iter_batches(batch_size=64, batch_format="pyarrow")))
+    out = tbl.to_pandas().set_index("media_ref")
+    assert out.loc["pnm", "decode_status"] == "ok"
+    assert np.allclose(np.asarray(out.loc["pnm", "feature"])[:3],
+                       img.reshape(-1, 3).mean(axis=0), atol=1e-3)
+    assert out.loc["raw", "decode_status"] == "ok"
+    assert np.asarray(out.loc["raw", "feature"])[:3].tolist() == [7, 7, 7]
+    assert out.loc["bad", "decode_status"].startswith("decode_error")
