@@ -3993,6 +3993,85 @@ FROM s ORDER BY event_type
 """
 
 
+def q101_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier detection per event type: rows outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the DERIVED-THRESHOLD two-phase
+    pattern: pass 1 builds per-type value histograms (per-batch
+    combiner, driver merge over the bounded type x distinct-cents key)
+    and takes Q1/Q3 under the quantile_disc rank rule; the tiny fence
+    table is broadcast via ray.put; pass 2 streams the data once more,
+    counting fence violations with per-batch partials.  All fence math
+    is doubled-integer (2*v vs 2*q1 - 3*iqr) so the 1.5 factor never
+    leaves integer arithmetic."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        h = pd.DataFrame({
+            "event_type": df["event_type"],
+            "vc": (df["value"] * 100).round().astype("int64"),
+        })
+        return (h.groupby(["event_type", "vc"], sort=False)
+                .size().rename("n").reset_index())
+
+    merged = (ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+              .groupby(["event_type", "vc"], sort=False)["n"]
+              .sum().reset_index())
+    fences = {}
+    qrows = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("vc", kind="stable")
+        cum = g["n"].cumsum()
+        total = int(cum.iloc[-1])
+        q1 = int(g.loc[cum >= -((-25 * total) // 100), "vc"].iloc[0])
+        q3 = int(g.loc[cum >= -((-75 * total) // 100), "vc"].iloc[0])
+        iqr = q3 - q1
+        fences[et] = (2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr)
+        qrows.append({"event_type": et, "q1_cents": q1, "q3_cents": q3})
+    fence_ref = ray.put(fences)
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        f = ray.get(fence_ref)
+        df = batch.to_pandas()
+        vc2 = 2 * (df["value"] * 100).round().astype("int64")
+        lo = df["event_type"].map(lambda t: f[t][0])
+        hi = df["event_type"].map(lambda t: f[t][1])
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "out": ((vc2 < lo) | (vc2 > hi)).astype("int64"),
+        })
+
+    agg = _preagg(ds.map_batches(flag, batch_format="pyarrow"),
+                  ["event_type"],
+                  {"n": ("out", "count"), "n_outliers": ("out", "sum")})
+    out = agg.merge(pd.DataFrame(qrows), on="event_type")
+    for c in ("n", "n_outliers", "q1_cents", "q3_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_type", "n", "n_outliers", "q1_cents", "q3_cents"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q101_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc
+           FROM events),
+q AS (SELECT event_type,
+             quantile_disc(vc, 0.25) AS q1,
+             quantile_disc(vc, 0.75) AS q3
+      FROM c GROUP BY 1)
+SELECT c.event_type,
+       count(*) AS n,
+       CAST(count(*) FILTER (WHERE 2 * vc < 2 * q1 - 3 * (q3 - q1)
+                                OR 2 * vc > 2 * q3 + 3 * (q3 - q1))
+            AS BIGINT) AS n_outliers,
+       CAST(any_value(q1) AS BIGINT) AS q1_cents,
+       CAST(any_value(q3) AS BIGINT) AS q3_cents
+FROM c JOIN q ON c.event_type = q.event_type
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4116,4 +4195,5 @@ QUERIES: dict[str, tuple] = {
     "q98_skyline": (q98_skyline, Q98_SQL),
     "q99_mad": (q99_mad, Q99_SQL),
     "q100_trend_slope": (q100_trend_slope, Q100_SQL),
+    "q101_iqr_outliers": (q101_iqr_outliers, Q101_SQL),
 }
