@@ -129,3 +129,67 @@ def test_incremental_append_only_new_partitions_run(corpus_path, tmp_path_factor
     out_full = str(tmp_path_factory.mktemp("full"))
     CheckpointedRun(out_full).run(parts_b, _pipeline)
     assert _triples(out) == _triples(out_full)
+
+
+def test_incremental_aggregate_maintenance(corpus_path, tmp_path_factory):
+    """IncrementalAggregate recomputes ONLY partials whose partition
+    content changed: first refresh computes all, an unchanged re-run
+    reuses all, an appended corpus recomputes exactly the partitions the
+    new files hash into — and every refresh equals a from-scratch
+    aggregate of the full output."""
+    import pandas as pd
+
+    from gliner_transbronchialbiopsy_ray.state.incremental import (
+        IncrementalAggregate,
+    )
+
+    files = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+    parts = plan_partitions(files, 3)
+    out = str(tmp_path_factory.mktemp("incr"))
+    run = CheckpointedRun(out)
+    run.run(parts, _pipeline)
+
+    def partial(ds):
+        return (ds.select_columns(["pred"]).to_pandas()
+                .groupby("pred").size().rename("n").reset_index())
+
+    def fold(p):
+        return (p.groupby("pred", as_index=False)["n"].sum()
+                .sort_values("pred").reset_index(drop=True))
+
+    agg = IncrementalAggregate(out, "pred_counts", partial, fold)
+    res1, st1 = agg.refresh()
+    assert st1["recomputed"] == len(run.completed()) and st1["reused"] == 0
+
+    def expected():
+        t = read_checkpointed_output(out).select_columns(["pred"]).to_pandas()
+        return (t.groupby("pred").size().rename("n").reset_index()
+                .sort_values("pred").reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(res1, expected())
+
+    # unchanged output -> every partial reused, same result
+    res2, st2 = agg.refresh()
+    assert st2["recomputed"] == 0 and st2["reused"] == st1["recomputed"]
+    pd.testing.assert_frame_equal(res2, res1)
+
+    # append a new shard: stable-hash planning keeps untouched partitions'
+    # manifests valid, so only affected partitions re-run AND re-partial
+    extra = fixtures.write_corpus(40, seed=99, shards=1)
+    extra_file = sorted(glob.glob(f"{extra}/documents/*.parquet"))[0]
+    new_name = os.path.join(corpus_path, "documents", "zzz-extra.parquet")
+    shutil.copy(extra_file, new_name)
+    try:
+        files2 = sorted(glob.glob(f"{corpus_path}/documents/*.parquet"))
+        parts2 = plan_partitions(files2, 3)
+        changed = sum(1 for a, b in zip(parts, parts2) if a != b)
+        summary = run.run(parts2, _pipeline)
+        assert summary["ran"] == changed  # untouched partitions skipped
+
+        res3, st3 = agg.refresh()
+        assert st3["recomputed"] == changed
+        assert st3["reused"] == len(run.completed()) - changed
+        pd.testing.assert_frame_equal(res3, expected())
+        assert int(res3["n"].sum()) > int(res1["n"].sum())
+    finally:
+        os.remove(new_name)
