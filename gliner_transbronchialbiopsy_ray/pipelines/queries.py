@@ -4083,6 +4083,56 @@ ORDER BY c.event_type
 """
 
 
+def q102_dup_windows(sf_dir: str):
+    """Substring-window dedup (Lee et al. 2022 chunk-level relative):
+    40-char tiling windows duplicated across >= 2 distinct docs.  One
+    bucketed shuffle keyed on the window hash; per-batch (doc, window)
+    dedup combiner."""
+    from ..stages.substring import duplicated_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_windows(docs, window=40, stride=40, min_docs=2)
+
+
+Q102_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substring(text, s, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - 38, 40)) AS s
+        FROM documents)
+)
+SELECT win, count(*) AS ndocs FROM w GROUP BY win HAVING count(*) >= 2
+"""
+
+
+def q103_doc_dup_window_stats(sf_dir: str):
+    """Per-doc duplicated-chunk fraction (integer ppm) over the doc's
+    distinct 40-char windows — the substring-dedup FILTER signal.  Two
+    bounded shuffles (window bucket, then doc_id partial merge); the
+    duplicate-window set never transits the driver."""
+    from ..stages.substring import doc_dup_window_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_dup_window_stats(docs, window=40, stride=40, min_docs=2)
+
+
+Q103_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substring(text, s, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - 38, 40)) AS s
+        FROM documents)
+),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(d.win) AS n_dup,
+       CAST((1000000 * count(d.win)) // count(*) AS BIGINT) AS dup_ppm
+FROM w LEFT JOIN d ON w.win = d.win
+GROUP BY w.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4207,4 +4257,6 @@ QUERIES: dict[str, tuple] = {
     "q99_mad": (q99_mad, Q99_SQL),
     "q100_trend_slope": (q100_trend_slope, Q100_SQL),
     "q101_iqr_outliers": (q101_iqr_outliers, Q101_SQL),
+    "q102_dup_windows": (q102_dup_windows, Q102_SQL),
+    "q103_doc_dup_window_stats": (q103_doc_dup_window_stats, Q103_SQL),
 }

@@ -1,0 +1,97 @@
+"""Substring-window dedup (stages/substring.py): planted duplicated
+chunks across otherwise-distinct documents."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from gliner_transbronchialbiopsy_ray.stages.substring import (
+    doc_dup_window_stats,
+    duplicated_windows,
+    emit_windows,
+)
+
+BLOCK = "X" * 15 + "SHARED-LICENSE-BOILERPLATE" + "Y" * 19  # exactly 60 chars
+assert len(BLOCK) == 60
+
+
+def _mk_docs():
+    # docs 1 and 2 start with the same 60-char block (windows 0 and 40
+    # differ in tail, window 0..40 identical); doc 3 unique; doc 4 short.
+    rows = [
+        {"doc_id": 1, "text": BLOCK + "unique tail one " * 8},
+        {"doc_id": 2, "text": BLOCK + "another ending entirely " * 6},
+        {"doc_id": 3, "text": "totally different content here " * 8},
+        {"doc_id": 4, "text": "too short"},  # < window -> no windows
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_emit_windows_full_windows_only_and_deduped():
+    text = "".join(chr(ord("a") + i % 26) for i in range(90))  # aperiodic-ish
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": [text]})
+    out = emit_windows(t, 40, 40)
+    df = out.to_pandas()
+    assert len(df) == 2  # offsets 0 and 40 (50-char tail window would be
+    # partial -> excluded)
+    assert all(df["win"].str.len() == 40)
+    assert set(df["win"]) == {text[0:40], text[40:80]}
+    # both windows of 'ababab...' at even offsets are identical -> after
+    # per-doc dedup a repeated in-doc window counts once
+    t2 = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                   "text": ["ab" * 60]})  # windows at 0, 40, 80: identical
+    assert emit_windows(t2, 40, 40).num_rows == 1
+
+
+def test_emit_windows_empty_and_short():
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    assert emit_windows(empty, 40, 40).num_rows == 0
+    short = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                      "text": ["tiny"]})
+    assert emit_windows(short, 40, 40).num_rows == 0
+
+
+def test_duplicated_windows_finds_shared_block():
+    dups = duplicated_windows(_mk_docs(), window=40, stride=40).to_pandas()
+    # only the first window (chars 0..40, inside the shared 60-char block)
+    # is byte-identical across docs 1 and 2
+    assert len(dups) == 1
+    assert dups["ndocs"].iloc[0] == 2
+    assert dups["win"].iloc[0] == BLOCK[:40]
+
+
+def test_doc_dup_window_stats_ppm():
+    stats = (doc_dup_window_stats(_mk_docs(), window=40, stride=40)
+             .to_pandas().set_index("doc_id").sort_index())
+    # doc 4 emits no windows -> absent
+    assert list(stats.index) == [1, 2, 3]
+    assert stats.loc[3, "n_dup"] == 0 and stats.loc[3, "dup_ppm"] == 0
+    for d in (1, 2):
+        assert stats.loc[d, "n_dup"] == 1
+        assert stats.loc[d, "dup_ppm"] == 1_000_000 // stats.loc[d, "n_windows"]
+    assert (stats["n_windows"] > 0).all()
+
+
+def test_stride_smaller_than_window_catches_offset_phase():
+    # the shared block sits at offset 0 in doc 1 but offset 20 in doc 2:
+    # tiling windows (stride=40) miss it; stride=20 hits the common phase.
+    rows = [
+        {"doc_id": 1, "text": BLOCK + "unique tail one two three four "},
+        {"doc_id": 2, "text": "Z" * 20 + BLOCK + "other ending here also "},
+    ]
+    docs = ray.data.from_items(rows)
+    tiled = duplicated_windows(docs, window=40, stride=40).to_pandas()
+    assert len(tiled) == 0
+    overlapped = duplicated_windows(docs, window=40, stride=20).to_pandas()
+    assert BLOCK[:40] in set(overlapped["win"])
+
+
+def test_window_determinism_across_runs():
+    a = duplicated_windows(_mk_docs(), 40, 40).to_pandas()
+    b = duplicated_windows(_mk_docs(), 40, 40).to_pandas()
+    key = ["win", "ndocs"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
