@@ -4133,6 +4133,63 @@ GROUP BY w.doc_id
 """
 
 
+def q104_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs (the dedup-family member between
+    exact hashing and MinHash): candidates blocked on shared 40-char
+    tiling windows, scored with EXACT distinct char-3-gram Jaccard as
+    integer ppm — deterministic and fully SQL-expressible, so this one
+    carries an oracle (unlike the LSH-gated q33)."""
+    from ..stages.substring import window_blocked_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=600_000)
+
+
+Q104_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substring(text, s, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - 38, 40)) AS s
+        FROM documents)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 3)
+                        for i in generate_series(1, len(text) - 2)]) AS grams
+  FROM documents
+)
+SELECT p.id_a, p.id_b,
+       CAST((1000000 * len(list_intersect(ga.grams, gb.grams))) //
+            (len(ga.grams) + len(gb.grams)
+             - len(list_intersect(ga.grams, gb.grams))) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN g ga ON ga.doc_id = p.id_a
+JOIN g gb ON gb.doc_id = p.id_b
+WHERE (1000000 * len(list_intersect(ga.grams, gb.grams))) //
+      (len(ga.grams) + len(gb.grams)
+       - len(list_intersect(ga.grams, gb.grams))) >= 600000
+"""
+
+
+def q105_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clustering of the embedding
+    column, then greedy cosine near-dup marking WITHIN each cluster —
+    the quadratic pass confined to one cluster at a time.  Deterministic
+    (bit-stable k-means fold, id-ordered greedy scan) but iterative +
+    model-state-driven, so rows-only: pinned by the sf0.001 golden hash
+    instead of a SQL oracle."""
+    from ..stages.similarity import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, k=8, threshold_ppm=970_000)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4259,4 +4316,6 @@ QUERIES: dict[str, tuple] = {
     "q101_iqr_outliers": (q101_iqr_outliers, Q101_SQL),
     "q102_dup_windows": (q102_dup_windows, Q102_SQL),
     "q103_doc_dup_window_stats": (q103_doc_dup_window_stats, Q103_SQL),
+    "q104_ngram_jaccard_pairs": (q104_ngram_jaccard_pairs, Q104_SQL),
+    "q105_semdedup": (q105_semdedup, None),
 }

@@ -92,6 +92,12 @@ def ivf_topk(
     degenerates to exact search)."""
     sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    if sample.size:
+        # canonical row order: take_all() returns blocks in an order that
+        # can vary run to run, and the farthest-point init is order-
+        # sensitive — sort rows lexicographically so the fitted quantizer
+        # is a pure function of the sample SET
+        sample = sample[np.lexsort(sample.T[::-1])]
     if sample.size == 0:  # empty input: nothing to quantize or probe
         return pd.DataFrame(columns=["query_id", "neighbor_id", "score", "rank"])
     sn = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -161,6 +167,7 @@ def kmeans_dataset(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 2048,
+    keep_vec: bool = False,
 ):
     """Distributed Lloyd's k-means (iterative algorithm on Ray Data).
 
@@ -173,6 +180,12 @@ def kmeans_dataset(
     (cluster, n, inertia rounded)).  Seeded deterministic."""
     sample_rows = embeddings.select_columns([vec_col]).limit(sample_size).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    if sample.size:
+        # canonical row order: take_all() returns blocks in an order that
+        # can vary run to run, and the farthest-point init is order-
+        # sensitive — sort rows lexicographically so the fitted quantizer
+        # is a pure function of the sample SET
+        sample = sample[np.lexsort(sample.T[::-1])]
     if sample.size == 0:  # empty input: no centroids to fit, no rows to assign
         stats = pd.DataFrame({"cluster": pd.Series(dtype="int32"),
                               "n": pd.Series(dtype="int64"),
@@ -181,12 +194,15 @@ def kmeans_dataset(
         # sq_dist) so callers selecting those columns don't crash on the
         # empty-shard case; id dtype taken from the input schema
         sch = embeddings.schema()
-        id_type = dict(zip(sch.names, sch.types))[id_col]
-        assigned = ray.data.from_arrow(pa.table({
-            id_col: pa.array([], type=id_type),
+        types = dict(zip(sch.names, sch.types))
+        cols = {
+            id_col: pa.array([], type=types[id_col]),
             "cluster": pa.array([], type=pa.int32()),
             "sq_dist": pa.array([], type=pa.float64()),
-        }))
+        }
+        if keep_vec:
+            cols[vec_col] = pa.array([], type=types[vec_col])
+        assigned = ray.data.from_arrow(pa.table(cols))
         return assigned, stats
     centers = _kmeans_lite(sample, k, iters=0)  # farthest-point init only
 
@@ -210,7 +226,12 @@ def kmeans_dataset(
                 }
             )
 
-        agg = embeddings.map_batches(partials, batch_format="pyarrow").to_pandas()
+        # batch_size=None -> one batch per BLOCK: partial boundaries are a
+        # pure function of the input blocks, not of arrival-order bundling,
+        # so the (sorted) float fold is bit-deterministic run to run
+        agg = embeddings.map_batches(
+            partials, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
         # canonical partial order: blocks can arrive in completion order,
         # and float accumulation is order-sensitive — sort so centroid
         # updates are bit-deterministic across runs
@@ -232,15 +253,17 @@ def kmeans_dataset(
         m = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
-        return pa.table(
-            {
-                id_col: ids,
-                "cluster": pa.array(assign.astype(np.int32)),
-                "sq_dist": pa.array(d.min(1)),
-            }
-        )
+        cols = {
+            id_col: ids,
+            "cluster": pa.array(assign.astype(np.int32)),
+            "sq_dist": pa.array(d.min(1)),
+        }
+        if keep_vec:  # carried through for cluster-local passes (semdedup)
+            cols[vec_col] = batch.column(vec_col)
+        return pa.table(cols)
 
-    assigned = embeddings.map_batches(final_assign, batch_format="pyarrow")
+    assigned = embeddings.map_batches(
+        final_assign, batch_format="pyarrow", batch_size=None)
 
     # stats via the same per-batch partial-sum pattern as the Lloyd loop:
     # each batch emits k (cluster, n, inertia) rows; the driver merges
@@ -256,7 +279,8 @@ def kmeans_dataset(
                          "n": pa.array(counts), "inertia": pa.array(inertia)})
 
     stats = (
-        assigned.map_batches(stat_partials, batch_format="pyarrow")
+        assigned.map_batches(stat_partials, batch_format="pyarrow",
+                             batch_size=None)
         .to_pandas()
         .sort_values(["cluster", "n", "inertia"], kind="stable")  # order-stable float fold
         .groupby("cluster", as_index=False)
@@ -388,3 +412,71 @@ def pca_embeddings(
     proj = embeddings.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow")
     return proj, summary
+
+
+def semdedup(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    threshold_ppm: int = 970_000,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then mark
+    near-duplicates WITHIN each cluster by pairwise cosine similarity —
+    the quadratic pass is confined to one cluster at a time, never the
+    corpus (the paper's trick for web scale; k is the knob that bounds
+    cluster size).
+
+    Keep rule (deterministic): within a cluster, scan ids ascending and
+    greedily keep a vector unless its cosine similarity to an
+    already-kept vector reaches ``threshold_ppm`` (integer parts-per-
+    million of the rounded cosine — stable across runs because the
+    k-means fold is bit-deterministic and the scan order is total).
+
+    Scale design: one shuffle (``groupby(cluster)``) after the streamed
+    k-means passes; each ``map_groups`` holds one cluster's vectors —
+    the same partitioning assumption the paper makes.  Similarities are
+    computed as ONE chunked matmul per cluster, not a Python pair loop.
+
+    Output: (vec_id, cluster, keep, nn_sim_ppm) where nn_sim_ppm is the
+    max similarity to an earlier KEPT vector (-1 for the first / an
+    all-kept isolate).  Filter keep==True for the deduped corpus.
+    """
+    assigned, _ = kmeans_dataset(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        keep_vec=True,
+    )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        m = np.array(g[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        n = len(g)
+        keep_idx: list[int] = []
+        keep = np.zeros(n, dtype=bool)
+        nn_ppm = np.full(n, -1, dtype=np.int64)
+        for i in range(n):  # greedy leader scan; sims vs kept = one matvec
+            if keep_idx:
+                sims = mn[keep_idx] @ mn[i]
+                # nearest-int ppm (np.rint), NOT trunc of round(x,6)*1e6 —
+                # truncation turns a 0.469962 cosine into 469961 via the
+                # x.99999... float representation
+                best = int(np.rint(1_000_000 * sims.max()))
+                nn_ppm[i] = best
+                if best >= threshold_ppm:
+                    continue
+            keep[i] = True
+            keep_idx.append(i)
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64"),
+            "cluster": g["cluster"].astype("int32"),
+            "keep": keep,
+            "nn_sim_ppm": nn_ppm,
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas")

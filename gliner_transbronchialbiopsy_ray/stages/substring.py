@@ -159,3 +159,147 @@ def doc_dup_window_stats(docs: ray.data.Dataset, window: int = 40,
         return df
 
     return merged.map_batches(fin, batch_format="pyarrow")
+
+# --------------------------------------------------------------------------
+# window-blocked n-gram Jaccard pairs
+
+
+def _char_gram_set(text: str, k: int) -> set:
+    """DISTINCT character k-grams — the exact-string analogue of DuckDB's
+    ``list_distinct([substring(text, i, k) for i in generate_series(1,
+    len(text)-k+1)])``.  Kept as real strings (not hashed) so the integer
+    ppm Jaccard matches the SQL oracle bit-for-bit."""
+    if text is None or len(text) < k:
+        return set()
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+class _GramJaccardScorer:
+    """Actor stage: exact char-k-gram Jaccard (integer ppm) over candidate
+    pairs.  Per-actor state in __init__: broadcast id->text map (ray.get of
+    a shared ObjectRef — zero-copy local-store read, not re-shipped per
+    batch) and a per-actor gram-set cache so hub docs are grammed once."""
+
+    def __init__(self, lookup_ref, gram_k: int, threshold_ppm: int):
+        self.lookup = ray.get(lookup_ref)
+        self.k = gram_k
+        self.threshold = threshold_ppm
+        self._grams: dict = {}
+
+    def _g(self, doc_id) -> set:
+        s = self._grams.get(doc_id)
+        if s is None:
+            s = _char_gram_set(self.lookup.get(doc_id, ""), self.k)
+            self._grams[doc_id] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            ga, gb = self._g(a), self._g(b)
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            if union == 0:
+                continue
+            ppm = (1_000_000 * inter) // union  # non-negative: trunc == floor
+            if ppm >= self.threshold:
+                out.append((a, b, ppm))
+        df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_ppm"])
+        if not len(df):
+            df = df.astype({"id_a": "int64", "id_b": "int64",
+                            "jaccard_ppm": "int64"})
+        return df
+
+
+def window_blocked_jaccard_pairs(
+    docs: ray.data.Dataset,
+    window: int = 40,
+    stride: int = 40,
+    gram_k: int = 3,
+    threshold_ppm: int = 600_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """n-gram Jaccard near-dup pairs over WINDOW-BLOCKED candidates.
+
+    The dedup-family member between exact hashing and MinHash estimation:
+    candidate pairs are docs sharing at least one duplicated ``window``-char
+    tiling chunk (the ``duplicated_windows`` blocking key — deterministic,
+    no probabilistic signatures), scored with EXACT distinct char-k-gram
+    Jaccard as integer ppm.  Fully SQL-expressible, so unlike the
+    LSH-gated ``dedup.verified_near_dups`` this entry carries a DuckDB
+    oracle.
+
+    Scale design:
+    - blocking reuses the one bucketed window shuffle of
+      ``duplicated_windows`` (bucket is a pure function of the window, so
+      per-bucket pair generation is globally complete);
+    - pair generation is EXACT (all pairs per duplicated window — required
+      for oracle parity).  Partitioning assumption: no single window is
+      shared by an unbounded number of docs (boilerplate chunks should be
+      stripped first or handled by ``dedup.minhash_candidate_pairs``'s
+      star-capped variant, which trades exactness for linear emission);
+    - a pair sharing windows in several buckets is deduped by a second
+      bounded shuffle on a coarse pair-hash bucket;
+    - scoring is an actor pool with a broadcast semi-join text map
+      (bounded by candidate count, ray.put once, read per actor).
+
+    Output: (id_a, id_b, jaccard_ppm), id_a < id_b, ppm >= threshold_ppm.
+    """
+    wins = _windows_dataset(docs, window, stride, text_col, id_col)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("win", keep=False)]
+        if not len(g):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "pbucket": pd.Series(dtype="int32")})
+        j = g.merge(g, on="win", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        out = (j[["doc_id_a", "doc_id_b"]]
+               .drop_duplicates()
+               .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}))
+        h = pd.util.hash_pandas_object(
+            out["id_a"] * np.int64(1_000_003) + out["id_b"], index=False)
+        out["pbucket"] = (h % N_HASH_BUCKETS).astype("int32")
+        return out
+
+    cands = (wins.groupby("bucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas")
+             .groupby("pbucket")
+             .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]),
+                         batch_format="pandas")
+             .drop_columns(["pbucket"])
+             .materialize())  # small (window-gated); feeds id scan + scorer
+    if cands.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "jaccard_ppm": pd.Series(dtype="int64")}))
+
+    def _ids(batch: pa.Table) -> pd.DataFrame:
+        u = pd.unique(pd.concat([batch.column("id_a").to_pandas(),
+                                 batch.column("id_b").to_pandas()]))
+        return pd.DataFrame({id_col: u})
+
+    wanted = set(cands.map_batches(_ids, batch_format="pyarrow")
+                 .to_pandas()[id_col])
+    wanted_ref = ray.put(wanted)
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        w = ray.get(wanted_ref)
+        df = batch.select([id_col, text_col]).to_pandas()
+        return df[df[id_col].isin(w)]
+
+    texts = docs.map_batches(project, batch_format="pyarrow").to_pandas()
+    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    return cands.map_batches(
+        _GramJaccardScorer,
+        fn_constructor_kwargs={"lookup_ref": lookup_ref, "gram_k": gram_k,
+                               "threshold_ppm": threshold_ppm},
+        batch_format="pandas",
+        concurrency=score_concurrency,
+        num_cpus=0.5,
+    )

@@ -95,3 +95,52 @@ def test_window_determinism_across_runs():
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+# --------------------------------------------------------------------------
+# window-blocked n-gram Jaccard pairs
+
+
+def test_window_blocked_jaccard_pairs_scores_and_filters():
+    from gliner_transbronchialbiopsy_ray.stages.substring import (
+        _char_gram_set,
+        window_blocked_jaccard_pairs,
+    )
+
+    docs = _mk_docs()
+    out = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0
+    ).to_pandas()
+    # only docs 1 and 2 share a window -> exactly one candidate pair
+    assert len(out) == 1
+    assert (out["id_a"].iloc[0], out["id_b"].iloc[0]) == (1, 2)
+    # ppm matches a direct distinct-3-gram computation
+    rows = {r["doc_id"]: r["text"] for r in _mk_docs().take_all()}
+    ga, gb = _char_gram_set(rows[1], 3), _char_gram_set(rows[2], 3)
+    inter = len(ga & gb)
+    expect = (1_000_000 * inter) // (len(ga) + len(gb) - inter)
+    assert out["jaccard_ppm"].iloc[0] == expect
+    assert str(out["jaccard_ppm"].dtype) == "int64"
+    # a threshold above the pair's ppm filters it out (empty, schema-stable;
+    # to_pandas() on an all-empty dataset drops columns, so assert via the
+    # dataset schema)
+    hi = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=expect + 1
+    )
+    assert hi.count() == 0
+    sch = hi.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))["jaccard_ppm"] == "int64"
+
+
+def test_window_blocked_jaccard_pairs_no_candidates():
+    from gliner_transbronchialbiopsy_ray.stages.substring import (
+        window_blocked_jaccard_pairs,
+    )
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "alpha " * 20},
+        {"doc_id": 2, "text": "omega " * 20},
+    ])
+    out = window_blocked_jaccard_pairs(docs, window=40, stride=40)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "jaccard_ppm"]

@@ -83,3 +83,58 @@ def test_pca_matches_dense_reference_and_block_layout_invariant(ray_session):
     p2 = proj2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(p, p2)
     pd.testing.assert_frame_equal(summary, summary2)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup
+
+
+def test_semdedup_marks_within_cluster_near_dups():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    # two well-separated base directions; per base: one anchor + two
+    # near-copies (cos > 0.999) + one distinct-direction member
+    for base in (np.array([10.0, 0.0, 0.0, 0.0]),
+                 np.array([0.0, 10.0, 0.0, 0.0])):
+        anchor = base + rng.normal(0, 0.01, 4)
+        for v in (anchor, anchor * 1.5, anchor + rng.normal(0, 0.001, 4)):
+            rows.append({"vec_id": vid, "embedding": [float(x) for x in v]})
+            vid += 1
+        ortho = base + np.roll(base, 2) * 0.8  # same cluster, ~45 deg away
+        rows.append({"vec_id": vid, "embedding": [float(x) for x in ortho]})
+        vid += 1
+    ds = ray.data.from_items(rows)
+    out = semdedup(ds, k=2, threshold_ppm=990_000).to_pandas()
+    assert len(out) == 8
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    # anchors (first id per cluster group) kept; scaled + jittered copies
+    # dropped; the off-direction member kept
+    assert out["keep"].tolist() == [True, False, False, True] * 2
+    # dropped rows record their similarity to the kept anchor
+    assert (out.loc[~out["keep"], "nn_sim_ppm"] >= 990_000).all()
+    assert str(out["nn_sim_ppm"].dtype) == "int64"
+    # deterministic across runs
+    again = semdedup(ds, k=2, threshold_ppm=990_000).to_pandas()
+    pd.testing.assert_frame_equal(
+        out, again.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_semdedup_all_distinct_keeps_everything():
+    import ray.data
+
+    from gliner_transbronchialbiopsy_ray.stages.similarity import semdedup
+
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": [1.0 * (i == j) for j in range(4)]}
+        for i in range(4)
+    ])
+    out = semdedup(ds, k=2, threshold_ppm=900_000).to_pandas()
+    assert out["keep"].all()
+    assert len(out) == 4
