@@ -371,6 +371,12 @@ def _verify_pairs_shuffle(
     """Exact-Jaccard verification via two native hash joins: pairs gain
     left_text then right_text, then a stateless vectorized map verifies.
     No broadcast state — scales past object-store-sized candidate sets."""
+    from gliner_transbronchialbiopsy_ray.stages.joins import coalesce_for_join
+
+    # LSH candidates come out of map_groups and can carry empty blocks,
+    # which Ray's native join rejects (ArrowInvalid on the key FieldRef);
+    # rebuild even non-empty blocks first
+    cands = coalesce_for_join(cands, join_partitions)
     texts = docs.select_columns(["doc_id", "text"])
     j1 = cands.join(
         texts, join_type="inner", num_partitions=join_partitions,

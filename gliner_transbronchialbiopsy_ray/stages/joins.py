@@ -26,6 +26,25 @@ import pyarrow as pa
 import ray.data
 
 
+def coalesce_for_join(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """Workaround for a Ray Data (2.49) native-join quirk: the hash-shuffle
+    join fails with ``ArrowInvalid: No match or multiple matches for key
+    field reference ...`` when an input dataset contains EMPTY blocks —
+    which ``groupby().map_groups`` stages routinely emit for groups that
+    produce no rows.  Empty *shuffle partitions* are fine; empty *input
+    blocks* are not (verified empirically: a one-row dataset joins fine at
+    num_partitions=4, but the same row plus two empty sibling blocks
+    raises).  An even row-count repartition rebuilds blocks so no empty
+    block survives (callers guard the count()==0 case separately).
+
+    Call this on a join input that went through map_groups/filter; keep it
+    OFF raw reads (the extra pass is wasted there).  `ds.count()` is cheap
+    when the caller already materialized/counted `ds` (every current call
+    site does, for its own empty-input guard)."""
+    n = max(1, min(num_partitions, ds.count()))
+    return ds.repartition(n)
+
+
 def _bucket_of(series: pd.Series, n: int) -> pd.Series:
     # crc32 of the decimal key: stable across engines/runs, spreads
     # sequential int keys (a plain modulo would co-locate hot ranges)

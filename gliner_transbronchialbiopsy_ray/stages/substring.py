@@ -211,6 +211,69 @@ class _GramJaccardScorer:
         return df
 
 
+def _score_pairs_shuffle(
+    docs: ray.data.Dataset,
+    cands: ray.data.Dataset,
+    gram_k: int,
+    threshold_ppm: int,
+    text_col: str,
+    id_col: str,
+    join_partitions: int,
+) -> ray.data.Dataset:
+    """Shuffle-strategy scoring: two native hash joins ship each candidate
+    pair its own (text_a, text_b) — no broadcast state, so it scales past
+    object-store-sized candidate sets.  Same pattern as
+    ``dedup._verify_pairs_shuffle`` (Ray's join drops the right-side key
+    column, so the right text lands under ``text_col`` and is renamed
+    between the joins)."""
+    from gliner_transbronchialbiopsy_ray.stages.joins import coalesce_for_join
+
+    # cands came through two map_groups stages -> may carry empty blocks,
+    # which Ray's native join chokes on; rebuild even non-empty blocks
+    cands = coalesce_for_join(cands, join_partitions)
+    texts = docs.select_columns([id_col, text_col])
+    j1 = cands.join(
+        texts, join_type="inner", num_partitions=join_partitions,
+        on=("id_a",), right_on=(id_col,),
+        left_suffix="", right_suffix="_l",
+    ).rename_columns({text_col: "text_a"})
+    j2 = j1.join(
+        texts, join_type="inner", num_partitions=join_partitions,
+        on=("id_b",), right_on=(id_col,),
+        left_suffix="", right_suffix="_r",
+    ).rename_columns({text_col: "text_b"})
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch gram memo: a hub doc's text repeats across its pairs
+        memo: dict = {}
+
+        def g(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = _char_gram_set(text, gram_k)
+                memo[doc_id] = s
+            return s
+
+        out = []
+        for a, b, ta, tb in zip(batch["id_a"], batch["id_b"],
+                                batch["text_a"], batch["text_b"]):
+            ga, gb = g(a, ta), g(b, tb)
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            if union == 0:
+                continue
+            ppm = (1_000_000 * inter) // union
+            if ppm >= threshold_ppm:
+                out.append((a, b, ppm))
+        df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_ppm"])
+        if not len(df):
+            df = df.astype({"id_a": "int64", "id_b": "int64",
+                            "jaccard_ppm": "int64"})
+        return df
+
+    return j2.map_batches(score, batch_format="pandas")
+
+
 def window_blocked_jaccard_pairs(
     docs: ray.data.Dataset,
     window: int = 40,
@@ -220,6 +283,9 @@ def window_blocked_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_concurrency: int | tuple[int, int] = 4,
+    strategy: str = "broadcast",
+    join_partitions: int = 8,
+    max_docs_per_window: int | None = None,
 ) -> ray.data.Dataset:
     """n-gram Jaccard near-dup pairs over WINDOW-BLOCKED candidates.
 
@@ -235,15 +301,22 @@ def window_blocked_jaccard_pairs(
     - blocking reuses the one bucketed window shuffle of
       ``duplicated_windows`` (bucket is a pure function of the window, so
       per-bucket pair generation is globally complete);
-    - pair generation is EXACT (all pairs per duplicated window — required
-      for oracle parity).  Partitioning assumption: no single window is
-      shared by an unbounded number of docs (boilerplate chunks should be
-      stripped first or handled by ``dedup.minhash_candidate_pairs``'s
-      star-capped variant, which trades exactness for linear emission);
+    - pair generation is EXACT by default (all pairs per duplicated
+      window — required for oracle parity).  Partitioning assumption: no
+      single window is shared by an unbounded number of docs.  On a
+      boilerplate-heavy corpus set ``max_docs_per_window``: a window
+      shared by more docs emits STAR pairs (every doc paired with the
+      group's min id) instead of all pairs — linear emission, connected-
+      component structure preserved, but pair RECALL becomes approximate
+      (same trade as ``dedup.minhash_candidate_pairs``'s star_cap);
     - a pair sharing windows in several buckets is deduped by a second
       bounded shuffle on a coarse pair-hash bucket;
-    - scoring is an actor pool with a broadcast semi-join text map
-      (bounded by candidate count, ray.put once, read per actor).
+    - ``strategy="broadcast"`` (default): scoring is an actor pool with a
+      broadcast semi-join text map (bounded by candidate count, ray.put
+      once, read per actor).  ``strategy="shuffle"`` is the escape hatch
+      for candidate sets that outgrow the object store: two native hash
+      joins ship each pair its own texts — no broadcast state, memory
+      per aggregator bounded by ``join_partitions`` sizing.
 
     Output: (id_a, id_b, jaccard_ppm), id_a < id_b, ppm >= threshold_ppm.
     """
@@ -255,9 +328,29 @@ def window_blocked_jaccard_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "pbucket": pd.Series(dtype="int32")})
+        if max_docs_per_window is not None:
+            # star-link oversized windows: hub = min doc_id of the group
+            sizes = g.groupby("win", sort=False)[
+                "doc_id"].transform("nunique")
+            big = g[sizes > max_docs_per_window]
+            g = g[sizes <= max_docs_per_window]
+            hubs = (big.groupby("win", sort=False)["doc_id"]
+                    .min().rename("hub"))
+            star = big.merge(hubs, left_on="win", right_index=True)
+            star = star[star["doc_id"] != star["hub"]]
+            star_pairs = pd.DataFrame({
+                "doc_id_a": np.minimum(star["doc_id"], star["hub"]),
+                "doc_id_b": np.maximum(star["doc_id"], star["hub"]),
+            })
+        else:
+            star_pairs = None
         j = g.merge(g, on="win", suffixes=("_a", "_b"))
         j = j[j["doc_id_a"] < j["doc_id_b"]]
-        out = (j[["doc_id_a", "doc_id_b"]]
+        all_pairs = j[["doc_id_a", "doc_id_b"]]
+        if star_pairs is not None and len(star_pairs):
+            all_pairs = pd.concat([all_pairs, star_pairs],
+                                  ignore_index=True)
+        out = (all_pairs
                .drop_duplicates()
                .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}))
         h = pd.util.hash_pandas_object(
@@ -277,6 +370,10 @@ def window_blocked_jaccard_pairs(
             "id_a": pd.Series(dtype="int64"),
             "id_b": pd.Series(dtype="int64"),
             "jaccard_ppm": pd.Series(dtype="int64")}))
+
+    if strategy == "shuffle":
+        return _score_pairs_shuffle(docs, cands, gram_k, threshold_ppm,
+                                    text_col, id_col, join_partitions)
 
     def _ids(batch: pa.Table) -> pd.DataFrame:
         u = pd.unique(pd.concat([batch.column("id_a").to_pandas(),
@@ -303,3 +400,142 @@ def window_blocked_jaccard_pairs(
         concurrency=score_concurrency,
         num_cpus=0.5,
     )
+
+# --------------------------------------------------------------------------
+# chunk-level dedup REWRITE (remove duplicated chunks, keep one canonical
+# occurrence) — the actual transformation of Lee et al. 2022, not just the
+# detection signal of `duplicated_windows`/`doc_dup_window_stats`
+
+
+def _emit_tiling_chunks(batch: pa.Table, window: int,
+                        text_col: str, id_col: str) -> pa.Table:
+    """(doc_id, s, win, is_tail) rows: the doc's TILING partition — full
+    ``window``-char chunks at offsets 0, window, 2*window, ... plus ONE
+    tail row holding the remainder (possibly empty), so every doc can be
+    rebuilt by concatenating its rows in offset order.  Unlike
+    ``emit_windows`` this keeps offsets and in-doc repeats (both needed
+    for the rewrite) and never dedups.  Vectorized: one slice kernel per
+    offset (bounded by max-doc-length / window), one per distinct tail
+    phase — never a Python loop over rows."""
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "s": pa.array([], type=pa.int64()),
+        "win": pa.array([], type=pa.string()),
+        "is_tail": pa.array([], type=pa.bool_()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    text = pc.fill_null(batch.column(text_col), "")
+    doc = batch.column(id_col)
+    lens = pc.utf8_length(text)
+    maxlen = pc.max(lens).as_py() or 0
+    doc_p, s_p, win_p, tail_p = [], [], [], []
+    for off in range(0, max(maxlen - window + 1, 0), window):
+        keep = pc.greater_equal(lens, off + window)
+        sl = pc.utf8_slice_codeunits(text, off, off + window)
+        kept_doc = pc.filter(doc, keep)
+        doc_p.append(kept_doc.to_pandas())
+        s_p.append(np.full(len(kept_doc), off, dtype=np.int64))
+        win_p.append(pc.filter(sl, keep).to_pandas())
+        tail_p.append(np.zeros(len(kept_doc), dtype=bool))
+    # tail rows: remainder starts at (len // window) * window; slice start
+    # must be a scalar, so emit one kernel call per distinct chunk count
+    nwin = pc.cast(pc.floor(pc.divide(pc.cast(lens, pa.float64()),
+                                      float(window))), pa.int64())
+    nwin_pd = nwin.to_pandas()
+    for nw in np.unique(nwin_pd):
+        mask = pa.array(nwin_pd == nw)
+        kept_doc = pc.filter(doc, mask)
+        tail = pc.utf8_slice_codeunits(
+            pc.filter(text, mask), int(nw) * window)
+        doc_p.append(kept_doc.to_pandas())
+        s_p.append(np.full(len(kept_doc), int(nw) * window, dtype=np.int64))
+        win_p.append(tail.to_pandas())
+        tail_p.append(np.ones(len(kept_doc), dtype=bool))
+    out = pa.table({
+        "doc_id": pa.array(pd.concat(doc_p, ignore_index=True),
+                           type=pa.int64()),
+        "s": pa.array(np.concatenate(s_p), type=pa.int64()),
+        "win": pa.array(pd.concat(win_p, ignore_index=True),
+                        type=pa.string()),
+        "is_tail": pa.array(np.concatenate(tail_p), type=pa.bool_()),
+    })
+    return out.append_column("bucket", _window_bucket(out.column("win")))
+
+
+def dedup_rewrite_docs(
+    docs: ray.data.Dataset,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_buckets: int = 64,
+    digest: bool = True,
+) -> ray.data.Dataset:
+    """Chunk-level exact-substring dedup REWRITE (Lee et al. 2022,
+    arXiv:2107.06499): every duplicated ``window``-char tiling chunk is
+    REMOVED from every document except its one canonical occurrence (the
+    smallest (doc_id, offset) corpus-wide), and each document's text is
+    rebuilt from its surviving chunks + tail remainder.
+
+    Output: (doc_id, text_md5 | new_text, new_len, n_removed) — one row
+    per input doc (``digest=True`` ships the md5 of the rebuilt text, the
+    audit/verification shape; ``digest=False`` ships the text itself).
+
+    Scale design — two bounded shuffles, nothing driver-side:
+    1. chunk emission is the vectorized tiling pass (plus a tail row per
+       doc so rebuild needs no second look at the source text);
+    2. shuffle 1 groups by a coarse window-hash bucket: all occurrences
+       of a chunk land together, so per-bucket occurrence counts and the
+       canonical (min doc_id, min offset) pick are GLOBAL; tail rows pass
+       through untouched (their length < window, so they never collide
+       with a body chunk);
+    3. shuffle 2 re-keys by a doc_id hash bucket and rebuilds each doc by
+       offset-ordered concat.  Removed rows travel only as (doc_id, s,
+       keep) — their chunk text is dropped at the decide stage.
+    """
+    chunks = docs.map_batches(
+        lambda b: _emit_tiling_chunks(b, window, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g[g["is_tail"]]
+        body = g[~g["is_tail"]].sort_values(
+            ["win", "doc_id", "s"], kind="mergesort")
+        cnt = body.groupby("win", sort=False)["win"].transform("size")
+        first = ~body["win"].duplicated()
+        body = body.assign(keep=(cnt.to_numpy() == 1) | first.to_numpy())
+        # drop the chunk text of removed rows NOW: they travel to the
+        # rebuild shuffle only for the n_removed count
+        body.loc[~body["keep"], "win"] = ""
+        tails = tails.assign(keep=True)
+        out = pd.concat([body, tails], ignore_index=True)
+        out["dbucket"] = (pd.util.hash_array(
+            out["doc_id"].to_numpy()) % doc_buckets).astype("int32")
+        return out[["doc_id", "s", "win", "keep", "dbucket"]]
+
+    decided = chunks.groupby("bucket").map_groups(
+        decide, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        g = g.sort_values(["doc_id", "s"], kind="mergesort")
+        kept = g[g["keep"]]
+        body = kept.groupby("doc_id", sort=False)["win"].agg("".join)
+        removed = (~g["keep"]).groupby(
+            g["doc_id"], sort=False).sum().astype("int64")
+        out = pd.DataFrame({
+            "doc_id": body.index.to_numpy(),
+            "n_removed": removed.reindex(body.index).to_numpy(),
+            "new_len": body.str.len().to_numpy().astype("int64"),
+        })
+        if digest:
+            out["text_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                               for t in body.to_numpy()]
+        else:
+            out["new_text"] = body.to_numpy()
+        return out
+
+    return decided.groupby("dbucket").map_groups(
+        rebuild, batch_format="pandas")

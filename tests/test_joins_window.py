@@ -196,3 +196,22 @@ def test_grouped_ordered_concat_stitches_groups_spanning_blocks(ray_session):
     out2 = (grouped_ordered_concat(ds2, key="k", order="o", val="v")
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_coalesce_for_join_empty_block_workaround(ray_session):
+    """Ray 2.49's native join raises ArrowInvalid when an input dataset
+    carries EMPTY blocks (map_groups emits them for empty groups);
+    coalesce_for_join rebuilds even, non-empty blocks so the join runs."""
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.stages.joins import coalesce_for_join
+
+    empty = pa.table({"k": pa.array([], type=pa.int64())})
+    full = pa.table({"k": pa.array([1], type=pa.int64())})
+    left = ray.data.from_arrow([empty, full, empty])
+    right = ray.data.from_items([{"kk": 1, "v": "x"}])
+    fixed = coalesce_for_join(left, 4)
+    j = fixed.join(right, join_type="inner", num_partitions=4,
+                   on=("k",), right_on=("kk",),
+                   left_suffix="", right_suffix="_r")
+    assert j.to_pandas().to_dict("records") == [{"k": 1, "v": "x"}]

@@ -132,6 +132,59 @@ def test_window_blocked_jaccard_pairs_scores_and_filters():
     assert dict(zip(sch.names, [str(t) for t in sch.types]))["jaccard_ppm"] == "int64"
 
 
+def test_window_blocked_jaccard_pairs_shuffle_strategy_identical():
+    from gliner_transbronchialbiopsy_ray.stages.substring import (
+        window_blocked_jaccard_pairs,
+    )
+
+    docs = _mk_docs()
+    key = ["id_a", "id_b"]
+    bc = (window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0,
+        strategy="broadcast").to_pandas()
+        .sort_values(key).reset_index(drop=True))
+    sh = (window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0,
+        strategy="shuffle", join_partitions=2).to_pandas()
+        .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc[sorted(bc.columns)], sh[sorted(sh.columns)])
+    assert len(sh) == 1  # non-vacuous
+
+
+def test_window_blocked_jaccard_pairs_star_cap():
+    from gliner_transbronchialbiopsy_ray.stages.substring import (
+        window_blocked_jaccard_pairs,
+    )
+
+    # 5 docs share the same leading 40-char boilerplate window
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": BLOCK[:40] + f"distinct tail number {i} " * 6}
+        for i in range(1, 6)
+    ])
+    full = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, threshold_ppm=0).to_pandas()
+    assert len(full) == 10  # C(5,2): exact all-pairs
+    star = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, threshold_ppm=0,
+        max_docs_per_window=3).to_pandas()
+    # oversized window emits star pairs only: every doc paired with the hub
+    # (min doc_id) -> linear in group size, connectivity preserved
+    assert len(star) == 4
+    assert set(star["id_a"]) == {1}
+    assert set(star["id_b"]) == {2, 3, 4, 5}
+    # scores match the corresponding exact pairs
+    merged = star.merge(full, on=["id_a", "id_b"], suffixes=("_s", "_f"))
+    assert (merged["jaccard_ppm_s"] == merged["jaccard_ppm_f"]).all()
+    # windows under the cap stay exact: cap >= group size -> identical output
+    uncapped = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, threshold_ppm=0,
+        max_docs_per_window=5).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        uncapped.sort_values(key).reset_index(drop=True))
+
+
 def test_window_blocked_jaccard_pairs_no_candidates():
     from gliner_transbronchialbiopsy_ray.stages.substring import (
         window_blocked_jaccard_pairs,
