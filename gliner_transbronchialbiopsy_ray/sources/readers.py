@@ -239,13 +239,23 @@ def validate_and_decode(batch: pa.Table) -> pa.Table:
             continue
         if t == "pdf":
             try:
-                texts.append(extract_pdf_text(b))
-                encodings.append("pdf")
-                errors.append(None)
+                txt = extract_pdf_text(b)
             except Exception as e:  # malformed file: keep row + error
                 texts.append(None)
                 encodings.append(None)
                 errors.append(f"pdf_extract_failed:{type(e).__name__}")
+                continue
+            if txt:
+                texts.append(txt)
+                encodings.append("pdf")
+                errors.append(None)
+            else:
+                # reference parity (text_processor.py:45): empty extraction
+                # -> None, flagged — a garbage/imageless PDF is not a
+                # silently-empty document
+                texts.append(None)
+                encodings.append(None)
+                errors.append("pdf_no_text")
             continue
         txt, enc = decode_with_fallback(b)
         texts.append(txt)

@@ -94,9 +94,22 @@ def test_validate_and_decode_extracts_pdf_rows():
     assert out.column("file_type").to_pylist() == ["pdf"]
 
 
-def test_image_only_pdf_yields_empty_text_without_error():
+def test_image_only_pdf_flagged_no_text():
+    """An image-only scan extracts no text; reference parity maps that to
+    text=None + pdf_no_text (pdfplumber's ``text.strip() if text else
+    None``, text_processor.py:45), not a silently-empty document."""
     pdf = _make_pdf(b"q 612 0 0 792 0 0 cm /Im0 Do Q", compress=False)
     batch = pa.table({"path": ["scan.pdf"], "bytes": [pdf]})
     out = validate_and_decode(batch)
-    assert out.column("error").to_pylist() == [None]
-    assert out.column("text").to_pylist() == [""]
+    assert out.column("error").to_pylist() == ["pdf_no_text"]
+    assert out.column("text").to_pylist() == [None]
+
+
+def test_pdf_with_no_text_flagged_not_silently_empty():
+    """Reference parity (text_processor.py:45): a PDF whose extraction
+    yields nothing maps to text=None + an explicit error flag."""
+    t = pa.table({"path": ["x.pdf"],
+                  "bytes": [b"%PDF-1.4 garbage no streams"]})
+    out = validate_and_decode(t).to_pylist()[0]
+    assert out["text"] is None
+    assert out["error"] == "pdf_no_text"

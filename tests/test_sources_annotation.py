@@ -41,8 +41,9 @@ def test_sniff_and_validate():
     texts = out.column("text").to_pylist()
     assert errs[0] is None and texts[0] == "bonjour"
     # PDF magic routes through the extractor; a bare header has no text
-    # objects -> empty text, no error (image-only PDFs behave the same)
-    assert errs[1] is None and texts[1] == ""
+    # objects -> flagged, text=None (reference parity: pdfplumber's
+    # `text.strip() if text else None`, text_processor.py:45)
+    assert errs[1] == "pdf_no_text" and texts[1] is None
     assert errs[2].startswith("unsupported_type")
     assert errs[3].startswith("file_too_large")
     # rows are kept, never dropped
