@@ -4190,6 +4190,79 @@ def q105_semdedup(sf_dir: str):
     return semdedup(emb, k=8, threshold_ppm=970_000)
 
 
+def q106_dedup_rewrite(sf_dir: str):
+    """Chunk-level exact-substring dedup REWRITE (Lee et al. 2022): every
+    duplicated 40-char tiling chunk is removed from every doc except its
+    canonical (min doc_id, min offset) occurrence, and each doc's text is
+    rebuilt — the actual transformation, where q102/q103 only flag.  Two
+    bounded shuffles; compared by rebuilt-text md5."""
+    from ..stages.substring import dedup_rewrite_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_rewrite_docs(docs, window=40)
+
+
+Q106_SQL = """
+WITH c AS (
+  SELECT doc_id, s, substring(text, s, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - 38, 40)) AS s
+        FROM documents)
+),
+k AS (
+  SELECT doc_id, s, win,
+         count(*) OVER (PARTITION BY win) AS cnt,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn
+  FROM c
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(win, '' ORDER BY s) FILTER (WHERE cnt = 1 OR rn = 1)
+           AS body,
+         count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_removed
+  FROM k GROUP BY doc_id
+),
+tails AS (
+  SELECT doc_id, substring(text, (len(text) // 40) * 40 + 1) AS tail
+  FROM documents
+)
+SELECT t.doc_id,
+       md5(coalesce(a.body, '') || t.tail) AS text_md5,
+       CAST(len(coalesce(a.body, '')) + len(t.tail) AS BIGINT) AS new_len,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM tails t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+def q107_pii_redact(sf_dir: str):
+    """Pattern redaction (the PII-scrub shape): RE2 regexes applied in
+    order via Arrow compute kernels — the same regex engine DuckDB binds,
+    so the nested regexp_replace oracle is engine-exact.  The registry
+    instance scrubs two corpus-hitting patterns (the synthetic corpus has
+    no real PII; `stages.redact.DEFAULT_PII_PATTERNS` is the production
+    set); compared by redacted-text md5 + per-doc hit count."""
+    from ..stages.redact import redact_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return redact_text(docs, patterns=[
+        (r"\bcustomer\b", "[CUST]"),
+        (r"\b(spark|hash)\b", "[TOOL]"),
+    ])
+
+
+Q107_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\bcustomer\\b'))
+            + len(regexp_extract_all(
+                regexp_replace(text, '\\bcustomer\\b', '[CUST]', 'g'),
+                '\\b(spark|hash)\\b')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(
+             regexp_replace(text, '\\bcustomer\\b', '[CUST]', 'g'),
+             '\\b(spark|hash)\\b', '[TOOL]', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4318,4 +4391,6 @@ QUERIES: dict[str, tuple] = {
     "q103_doc_dup_window_stats": (q103_doc_dup_window_stats, Q103_SQL),
     "q104_ngram_jaccard_pairs": (q104_ngram_jaccard_pairs, Q104_SQL),
     "q105_semdedup": (q105_semdedup, None),
+    "q106_dedup_rewrite": (q106_dedup_rewrite, Q106_SQL),
+    "q107_pii_redact": (q107_pii_redact, Q107_SQL),
 }
