@@ -4263,6 +4263,46 @@ FROM documents
 """
 
 
+def q108_inverted_index(sf_dir: str):
+    """Corpus inverted index: (token, df, capped ascending postings) in
+    ONE bounded token-hash shuffle — df exact, postings capped at 10 so
+    stopword hub tokens emit bounded rows.  Tokenization = the q25
+    contract (split on single space, empties kept)."""
+    from ..stages.text_analysis import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(docs, postings_cap=10)
+
+
+Q108_SQL = """
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+r AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM t
+)
+SELECT token, CAST(max(df) AS BIGINT) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) FILTER (WHERE rn <= 10)
+         AS postings
+FROM r GROUP BY token
+"""
+
+
+def q109_compression_signal(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal (integer ppm) — the
+    dependency-free boilerplate/noise detector of web-corpus filters.
+    zlib output has no SQL equivalent, so rows-only: pinned by the
+    sf0.001 golden hash + a direct-zlib parity test."""
+    from ..stages.text_analysis import compression_signal
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return compression_signal(docs)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4393,4 +4433,6 @@ QUERIES: dict[str, tuple] = {
     "q105_semdedup": (q105_semdedup, None),
     "q106_dedup_rewrite": (q106_dedup_rewrite, Q106_SQL),
     "q107_pii_redact": (q107_pii_redact, Q107_SQL),
+    "q108_inverted_index": (q108_inverted_index, Q108_SQL),
+    "q109_compression_signal": (q109_compression_signal, None),
 }

@@ -250,3 +250,105 @@ def word_frequencies(docs: ray.data.Dataset, top_k: int = 20) -> pd.DataFrame:
                              "n": pd.Series(dtype="int64")})
     agg = agg.sort_values(["n", "word"], ascending=[False, True], kind="stable")
     return agg.head(top_k).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# inverted index + compression-ratio quality signal
+
+
+def inverted_index(
+    docs: ray.data.Dataset,
+    postings_cap: int = 10,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Corpus inverted index: (token, df, postings) — df = number of docs
+    containing the token, postings = the first ``postings_cap`` doc_ids
+    ascending, comma-joined (capped so hub tokens like stopwords emit a
+    bounded row; df stays exact).
+
+    Tokenization is the q25 contract: plain split on a single space
+    (``string_split(text, ' ')``), empty tokens kept — byte-parity with
+    the DuckDB oracle.
+
+    Scale design: one bounded shuffle.  Per-batch emission explodes
+    (token, doc_id) pairs vectorized and dedups them (exact: each doc is
+    one input row, so within-batch dedup is global dedup); the shuffle
+    key is a coarse token-hash bucket; inside a bucket every token's rows
+    are complete, so df and the capped ascending postings list are final
+    with no second pass.  Vocabulary never transits the driver.
+    """
+    from .dedup import N_HASH_BUCKETS
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([id_col, text_col]).to_pandas()
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "token": pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="int32")})
+        toks = df[text_col].fillna("").str.split(" ")
+        ex = (df[[id_col]].assign(token=toks)
+              .explode("token")
+              .drop_duplicates())
+        h = pd.util.hash_array(ex["token"].to_numpy(dtype=object),
+                               categorize=False)
+        ex["bucket"] = (h % N_HASH_BUCKETS).astype("int32")
+        return ex
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grp = g.groupby("token", sort=False)[id_col]
+        dfreq = grp.size()  # pairs are distinct -> size == doc count
+        head = g.groupby("token", sort=False).head(postings_cap)
+        postings = (head.groupby("token", sort=False)[id_col]
+                    .agg(lambda s: ",".join(map(str, s))))
+        out = pd.DataFrame({
+            "token": dfreq.index.to_numpy(),
+            "df": dfreq.to_numpy().astype("int64"),
+            "postings": postings.reindex(dfreq.index).to_numpy(),
+        })
+        return out[out["df"] >= min_df]
+
+    pairs = docs.map_batches(emit, batch_format="pyarrow")
+    return pairs.groupby("bucket").map_groups(build, batch_format="pandas")
+
+
+def compression_signal(
+    docs: ray.data.Dataset,
+    level: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc zlib compression ratio — the dependency-free quality signal
+    used by web-corpus filters (highly repetitive/boilerplate text
+    compresses far below prose; random noise doesn't compress at all).
+
+    Output: (doc_id, orig_bytes, comp_bytes, ratio_ppm) with ratio_ppm =
+    1_000_000 * comp // orig (integer, truncating == floor on
+    non-negatives; 0 for empty docs by convention).  Streaming single
+    pass, no shuffle; zlib runs at C speed per row (no vectorized kernel
+    exists, and the work is compression-bound, not loop-bound).
+    """
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        orig, comp = [], []
+        for t in texts.to_pylist():
+            raw = t.encode("utf-8")
+            orig.append(len(raw))
+            comp.append(len(zlib.compress(raw, level)))
+        orig_a = np.asarray(orig, dtype=np.int64)
+        comp_a = np.asarray(comp, dtype=np.int64)
+        ratio = np.where(orig_a > 0, (1_000_000 * comp_a) // np.maximum(orig_a, 1), 0)
+        return pa.table({
+            id_col: ids,
+            "orig_bytes": pa.array(orig_a, type=pa.int64()),
+            "comp_bytes": pa.array(comp_a, type=pa.int64()),
+            "ratio_ppm": pa.array(ratio, type=pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

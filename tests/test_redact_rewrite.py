@@ -110,3 +110,61 @@ def test_q107_non_vacuous_on_fixture_corpus():
 
     out = q107_pii_redact("/root/testdata/sf0.001").to_pandas()
     assert (out["n_redactions"] > 0).any()
+
+
+def test_inverted_index_df_exact_postings_capped():
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        inverted_index,
+    )
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "common word" if i <= 12 else "rare word"}
+         for i in range(1, 15)])
+    out = (inverted_index(docs, postings_cap=10).to_pandas()
+           .set_index("token").sort_index())
+    assert out.loc["common", "df"] == 12
+    # capped at 10 ascending ids even though df=12
+    assert out.loc["common", "postings"] == ",".join(map(str, range(1, 11)))
+    assert out.loc["rare", "df"] == 2
+    assert out.loc["rare", "postings"] == "13,14"
+    assert out.loc["word", "df"] == 14
+    assert str(out["df"].dtype) == "int64"
+
+
+def test_inverted_index_empty_token_parity():
+    # 'a  b' splits to ['a', '', 'b'] under the q25 single-space contract;
+    # the empty token is a real index entry (DuckDB string_split parity)
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        inverted_index,
+    )
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "a  b"},
+                                {"doc_id": 2, "text": ""}])
+    out = (inverted_index(docs).to_pandas()
+           .set_index("token").sort_index())
+    assert out.loc["", "df"] == 2
+    assert out.loc["", "postings"] == "1,2"
+
+
+def test_compression_signal_matches_direct_zlib():
+    import zlib
+
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        compression_signal,
+    )
+
+    rows = [{"doc_id": 1, "text": "abc " * 200},       # repetitive
+            {"doc_id": 2, "text": "k9$Qz!7w@Xp#4"},    # short, incompressible
+            {"doc_id": 3, "text": ""}]                  # empty
+    out = (compression_signal(ray.data.from_items(rows)).to_pandas()
+           .set_index("doc_id").sort_index())
+    for r in rows:
+        raw = r["text"].encode()
+        comp = len(zlib.compress(raw, 6))
+        d = r["doc_id"]
+        assert out.loc[d, "orig_bytes"] == len(raw)
+        assert out.loc[d, "comp_bytes"] == comp
+        expect = (1_000_000 * comp) // len(raw) if raw else 0
+        assert out.loc[d, "ratio_ppm"] == expect
+    # the repetitive doc compresses far better than the noise doc
+    assert out.loc[1, "ratio_ppm"] < out.loc[2, "ratio_ppm"]
