@@ -4292,6 +4292,51 @@ FROM r GROUP BY token
 """
 
 
+def q110_containment_pairs(sf_dir: str):
+    """Max-containment near-dup pairs (inter/min instead of Jaccard's
+    inter/union): catches SUBSET duplication Jaccard dilutes — a licence
+    block or boilerplate snippet embedded verbatim inside a much larger
+    doc scores ~1.0 containment but near-zero Jaccard.  Same window-
+    blocked candidate generation as q104; only the scoring metric (and
+    threshold semantics) differ."""
+    from ..stages.substring import window_blocked_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=600_000,
+        metric="containment")
+
+
+Q110_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, substring(text, s, 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - 38, 40)) AS s
+        FROM documents)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 3)
+                        for i in generate_series(1, len(text) - 2)]) AS grams
+  FROM documents
+)
+SELECT p.id_a, p.id_b,
+       CAST((1000000 * len(list_intersect(ga.grams, gb.grams))) //
+            least(len(ga.grams), len(gb.grams)) AS BIGINT)
+         AS containment_ppm
+FROM pairs p
+JOIN g ga ON ga.doc_id = p.id_a
+JOIN g gb ON gb.doc_id = p.id_b
+WHERE least(len(ga.grams), len(gb.grams)) > 0
+  AND (1000000 * len(list_intersect(ga.grams, gb.grams))) //
+      least(len(ga.grams), len(gb.grams)) >= 600000
+"""
+
+
 def q109_compression_signal(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal (integer ppm) — the
     dependency-free boilerplate/noise detector of web-corpus filters.
@@ -4435,4 +4480,5 @@ QUERIES: dict[str, tuple] = {
     "q107_pii_redact": (q107_pii_redact, Q107_SQL),
     "q108_inverted_index": (q108_inverted_index, Q108_SQL),
     "q109_compression_signal": (q109_compression_signal, None),
+    "q110_containment_pairs": (q110_containment_pairs, Q110_SQL),
 }

@@ -174,16 +174,40 @@ def _char_gram_set(text: str, k: int) -> set:
     return {text[i:i + k] for i in range(len(text) - k + 1)}
 
 
-class _GramJaccardScorer:
-    """Actor stage: exact char-k-gram Jaccard (integer ppm) over candidate
-    pairs.  Per-actor state in __init__: broadcast id->text map (ray.get of
-    a shared ObjectRef — zero-copy local-store read, not re-shipped per
-    batch) and a per-actor gram-set cache so hub docs are grammed once."""
+def _pair_ppm(ga: set, gb: set, metric: str) -> int | None:
+    """Integer-ppm similarity of two gram sets under ``metric``:
+    ``jaccard`` = inter/union; ``containment`` = inter/min(|A|,|B|)
+    (max-containment — symmetric, so it is well defined on unordered
+    id_a<id_b pairs, and it catches SUBSET duplication that Jaccard
+    dilutes: a licence block embedded in a 100x larger doc scores ~1.0
+    containment but ~0.01 Jaccard).  Non-negative, so truncating //
+    equals floor on both engines.  None = undefined (empty denominator)."""
+    inter = len(ga & gb)
+    if metric == "containment":
+        denom = min(len(ga), len(gb))
+    else:
+        denom = len(ga) + len(gb) - inter
+    if denom == 0:
+        return None
+    return (1_000_000 * inter) // denom
 
-    def __init__(self, lookup_ref, gram_k: int, threshold_ppm: int):
+
+_METRIC_COL = {"jaccard": "jaccard_ppm", "containment": "containment_ppm"}
+
+
+class _GramJaccardScorer:
+    """Actor stage: exact char-k-gram similarity (integer ppm; Jaccard or
+    max-containment) over candidate pairs.  Per-actor state in __init__:
+    broadcast id->text map (ray.get of a shared ObjectRef — zero-copy
+    local-store read, not re-shipped per batch) and a per-actor gram-set
+    cache so hub docs are grammed once."""
+
+    def __init__(self, lookup_ref, gram_k: int, threshold_ppm: int,
+                 metric: str = "jaccard"):
         self.lookup = ray.get(lookup_ref)
         self.k = gram_k
         self.threshold = threshold_ppm
+        self.metric = metric
         self._grams: dict = {}
 
     def _g(self, doc_id) -> set:
@@ -194,20 +218,16 @@ class _GramJaccardScorer:
         return s
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        col = _METRIC_COL[self.metric]
         out = []
         for a, b in zip(batch["id_a"], batch["id_b"]):
-            ga, gb = self._g(a), self._g(b)
-            inter = len(ga & gb)
-            union = len(ga) + len(gb) - inter
-            if union == 0:
-                continue
-            ppm = (1_000_000 * inter) // union  # non-negative: trunc == floor
-            if ppm >= self.threshold:
+            ppm = _pair_ppm(self._g(a), self._g(b), self.metric)
+            if ppm is not None and ppm >= self.threshold:
                 out.append((a, b, ppm))
-        df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_ppm"])
+        df = pd.DataFrame(out, columns=["id_a", "id_b", col])
         if not len(df):
             df = df.astype({"id_a": "int64", "id_b": "int64",
-                            "jaccard_ppm": "int64"})
+                            col: "int64"})
         return df
 
 
@@ -219,6 +239,7 @@ def _score_pairs_shuffle(
     text_col: str,
     id_col: str,
     join_partitions: int,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Shuffle-strategy scoring: two native hash joins ship each candidate
     pair its own (text_a, text_b) — no broadcast state, so it scales past
@@ -254,21 +275,17 @@ def _score_pairs_shuffle(
                 memo[doc_id] = s
             return s
 
+        col = _METRIC_COL[metric]
         out = []
         for a, b, ta, tb in zip(batch["id_a"], batch["id_b"],
                                 batch["text_a"], batch["text_b"]):
-            ga, gb = g(a, ta), g(b, tb)
-            inter = len(ga & gb)
-            union = len(ga) + len(gb) - inter
-            if union == 0:
-                continue
-            ppm = (1_000_000 * inter) // union
-            if ppm >= threshold_ppm:
+            ppm = _pair_ppm(g(a, ta), g(b, tb), metric)
+            if ppm is not None and ppm >= threshold_ppm:
                 out.append((a, b, ppm))
-        df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_ppm"])
+        df = pd.DataFrame(out, columns=["id_a", "id_b", col])
         if not len(df):
             df = df.astype({"id_a": "int64", "id_b": "int64",
-                            "jaccard_ppm": "int64"})
+                            col: "int64"})
         return df
 
     return j2.map_batches(score, batch_format="pandas")
@@ -286,8 +303,9 @@ def window_blocked_jaccard_pairs(
     strategy: str = "broadcast",
     join_partitions: int = 8,
     max_docs_per_window: int | None = None,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
-    """n-gram Jaccard near-dup pairs over WINDOW-BLOCKED candidates.
+    """n-gram similarity near-dup pairs over WINDOW-BLOCKED candidates.
 
     The dedup-family member between exact hashing and MinHash estimation:
     candidate pairs are docs sharing at least one duplicated ``window``-char
@@ -318,8 +336,14 @@ def window_blocked_jaccard_pairs(
       joins ship each pair its own texts — no broadcast state, memory
       per aggregator bounded by ``join_partitions`` sizing.
 
-    Output: (id_a, id_b, jaccard_ppm), id_a < id_b, ppm >= threshold_ppm.
+    ``metric``: ``"jaccard"`` (inter/union, default) or ``"containment"``
+    (inter/min — see ``_pair_ppm``; flags subset duplication Jaccard
+    dilutes, e.g. a doc embedded verbatim inside a much larger one).
+
+    Output: (id_a, id_b, <metric>_ppm), id_a < id_b, ppm >= threshold_ppm.
     """
+    if metric not in _METRIC_COL:
+        raise ValueError(f"metric must be one of {sorted(_METRIC_COL)}")
     wins = _windows_dataset(docs, window, stride, text_col, id_col)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -369,11 +393,12 @@ def window_blocked_jaccard_pairs(
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series(dtype="int64"),
             "id_b": pd.Series(dtype="int64"),
-            "jaccard_ppm": pd.Series(dtype="int64")}))
+            _METRIC_COL[metric]: pd.Series(dtype="int64")}))
 
     if strategy == "shuffle":
         return _score_pairs_shuffle(docs, cands, gram_k, threshold_ppm,
-                                    text_col, id_col, join_partitions)
+                                    text_col, id_col, join_partitions,
+                                    metric)
 
     def _ids(batch: pa.Table) -> pd.DataFrame:
         u = pd.unique(pd.concat([batch.column("id_a").to_pandas(),
@@ -395,7 +420,8 @@ def window_blocked_jaccard_pairs(
     return cands.map_batches(
         _GramJaccardScorer,
         fn_constructor_kwargs={"lookup_ref": lookup_ref, "gram_k": gram_k,
-                               "threshold_ppm": threshold_ppm},
+                               "threshold_ppm": threshold_ppm,
+                               "metric": metric},
         batch_format="pandas",
         concurrency=score_concurrency,
         num_cpus=0.5,

@@ -185,6 +185,48 @@ def test_window_blocked_jaccard_pairs_star_cap():
         uncapped.sort_values(key).reset_index(drop=True))
 
 
+def test_window_blocked_containment_metric():
+    from gliner_transbronchialbiopsy_ray.stages.substring import (
+        _char_gram_set,
+        window_blocked_jaccard_pairs,
+    )
+
+    # doc 2 is a verbatim SUBSET of doc 1 (its whole text is doc 1's
+    # prefix): containment = 1.0 while Jaccard is diluted by doc 1's tail.
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": BLOCK + "a long unique tail section " * 10},
+        {"doc_id": 2, "text": BLOCK},
+    ])
+    cont = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0,
+        metric="containment").to_pandas()
+    assert len(cont) == 1
+    assert list(cont.columns) == ["id_a", "id_b", "containment_ppm"]
+    assert cont["containment_ppm"].iloc[0] == 1_000_000  # full subset
+    assert str(cont["containment_ppm"].dtype) == "int64"
+    jac = window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0).to_pandas()
+    # Jaccard dilutes the subset below the 600k near-dup threshold that
+    # containment clears at 1.0 — the metric's whole point
+    assert jac["jaccard_ppm"].iloc[0] < 600_000
+    # direct-computation parity: inter/min on distinct 3-gram sets
+    rows = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    ga, gb = _char_gram_set(rows[1], 3), _char_gram_set(rows[2], 3)
+    expect = (1_000_000 * len(ga & gb)) // min(len(ga), len(gb))
+    assert cont["containment_ppm"].iloc[0] == expect
+    # shuffle strategy produces the identical result
+    sh = (window_blocked_jaccard_pairs(
+        docs, window=40, stride=40, gram_k=3, threshold_ppm=0,
+        metric="containment", strategy="shuffle", join_partitions=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        cont.sort_values(["id_a", "id_b"]).reset_index(drop=True), sh)
+    # unknown metric rejected
+    import pytest
+    with pytest.raises(ValueError, match="metric"):
+        window_blocked_jaccard_pairs(docs, metric="dice")
+
+
 def test_window_blocked_jaccard_pairs_no_candidates():
     from gliner_transbronchialbiopsy_ray.stages.substring import (
         window_blocked_jaccard_pairs,
