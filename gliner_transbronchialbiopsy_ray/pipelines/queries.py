@@ -4337,6 +4337,53 @@ WHERE least(len(ga.grams), len(gb.grams)) > 0
 """
 
 
+def q111_incremental_dedup(sf_dir: str):
+    """Incremental snapshot-over-state exact dedup: even-doc_id docs play
+    the already-accepted corpus (committed as the bootstrap snapshot into
+    a fresh bucketed state dir), odd-doc_id docs the arriving snapshot.
+    Output = the new snapshot's verdict table (status: dup_of_state /
+    unique / dup_in_snapshot, keeper_id).  Shuffle cost is O(snapshot) —
+    the state is read pre-bucketed from disk, never reshuffled."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.snapshot_dedup import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow")
+    snap = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 1)),
+        batch_format="pyarrow")
+    state_dir = tempfile.mkdtemp(prefix="snapdedup_", dir="/tmp")
+    incremental_exact_dedup(base, state_dir, snapshot_id="base")
+    return incremental_exact_dedup(snap, state_dir, snapshot_id="day1")
+
+
+Q111_SQL = """
+WITH seen AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+new AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+),
+m AS (
+  SELECT n.doc_id, s.keeper AS state_keeper,
+         min(n.doc_id) OVER (PARTITION BY n.h) AS snap_min
+  FROM new n LEFT JOIN seen s ON n.h = s.h
+)
+SELECT doc_id,
+       CASE WHEN state_keeper IS NOT NULL THEN 'dup_of_state'
+            WHEN doc_id = snap_min THEN 'unique'
+            ELSE 'dup_in_snapshot' END AS status,
+       CAST(coalesce(state_keeper, snap_min) AS BIGINT) AS keeper_id
+FROM m
+"""
+
+
 def q109_compression_signal(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal (integer ppm) — the
     dependency-free boilerplate/noise detector of web-corpus filters.
@@ -4481,4 +4528,5 @@ QUERIES: dict[str, tuple] = {
     "q108_inverted_index": (q108_inverted_index, Q108_SQL),
     "q109_compression_signal": (q109_compression_signal, None),
     "q110_containment_pairs": (q110_containment_pairs, Q110_SQL),
+    "q111_incremental_dedup": (q111_incremental_dedup, Q111_SQL),
 }
