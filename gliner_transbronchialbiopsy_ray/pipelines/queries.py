@@ -4384,6 +4384,31 @@ FROM m
 """
 
 
+def q112_incremental_lsh(sf_dir: str):
+    """Incremental MinHash-LSH NEAR-dup dedup against persisted band-
+    bucket state — q111's near-dup sibling: even-doc_id docs bootstrap
+    the accepted-corpus LSH state, odd-doc_id docs arrive as the day-1
+    snapshot; output = the snapshot's verdict table.  State is read
+    pre-bucketed from disk (never reshuffled); rows-only (MinHash has no
+    SQL equivalent), pinned by the sf0.001 golden hash."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.snapshot_dedup import incremental_lsh_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow")
+    snap = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 1)),
+        batch_format="pyarrow")
+    state_dir = tempfile.mkdtemp(prefix="snaplsh_", dir="/tmp")
+    incremental_lsh_dedup(base, state_dir, snapshot_id="base")
+    return incremental_lsh_dedup(snap, state_dir, snapshot_id="day1")
+
+
 def q109_compression_signal(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal (integer ppm) — the
     dependency-free boilerplate/noise detector of web-corpus filters.
@@ -4529,4 +4554,5 @@ QUERIES: dict[str, tuple] = {
     "q109_compression_signal": (q109_compression_signal, None),
     "q110_containment_pairs": (q110_containment_pairs, Q110_SQL),
     "q111_incremental_dedup": (q111_incremental_dedup, Q111_SQL),
+    "q112_incremental_lsh": (q112_incremental_lsh, None),
 }

@@ -90,3 +90,70 @@ def test_first_snapshot_against_empty_state(tmp_path):
         _docs([(1, "a"), (2, "a"), (3, "b")]), state, "s0"))
     assert v["status"].tolist() == ["unique", "dup_in_snapshot", "unique"]
     assert v["keeper_id"].tolist() == [1, 1, 3]
+
+
+# --------------------------------------------------------------------------
+# incremental MinHash-LSH near-dup state (incremental_lsh_dedup)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the quiet hills and the river keeps flowing north "
+) * 3
+NEAR = BASE.replace("quiet hills", "silent hills")
+OTHER = (
+    "completely different content about distributed data processing "
+    "engines with arrow batches actors and shuffles everywhere "
+) * 3
+
+
+def _lsh(tmp, rows, sid, **kw):
+    from gliner_transbronchialbiopsy_ray.state.snapshot_dedup import (
+        incremental_lsh_dedup,
+    )
+    return (incremental_lsh_dedup(_docs(rows), str(tmp / "state"), sid,
+                                  threshold_ppm=500_000, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_lsh_verdicts_across_and_within_snapshot(tmp_path):
+    # bootstrap: BASE accepted (doc 2), its exact dup 4 flagged in-snapshot
+    v0 = _lsh(tmp_path, [(2, BASE), (4, BASE), (6, OTHER)], "base")
+    assert v0["status"].tolist() == ["unique", "dup_in_snapshot", "unique"]
+    assert v0["keeper_id"].tolist() == [2, 2, 6]
+    assert v0["est_ppm"].tolist()[:2] == [1_000_000, 1_000_000]
+    # day1: exact dup of state, NEAR dup of state, fresh doc
+    v1 = _lsh(tmp_path, [(1, BASE), (3, NEAR), (7, "fresh " * 40)], "day1")
+    assert v1["status"].tolist() == ["dup_of_state", "dup_of_state", "unique"]
+    assert v1["keeper_id"].tolist() == [2, 2, 7]
+    assert v1.loc[0, "est_ppm"] == 1_000_000       # exact dup: all perms agree
+    assert 500_000 <= v1.loc[1, "est_ppm"] < 1_000_000  # near dup: most agree
+    # day2 sees day1's accepted fresh doc as state
+    v2 = _lsh(tmp_path, [(9, "fresh " * 40)], "day2")
+    assert v2["status"].tolist() == ["dup_of_state"]
+    assert v2["keeper_id"].tolist() == [7]
+
+
+def test_lsh_commit_idempotent_and_empty_snapshot(tmp_path):
+    from gliner_transbronchialbiopsy_ray.state.snapshot_dedup import (
+        _committed_snapshots,
+    )
+    _lsh(tmp_path, [(2, BASE)], "base")
+    # all-dup snapshot commits an (empty) marker-only snapshot dir
+    v = _lsh(tmp_path, [(5, BASE)], "day1")
+    assert v["status"].tolist() == ["dup_of_state"]
+    assert _committed_snapshots(str(tmp_path / "state"), "lsh") == [
+        "snap=base", "snap=day1"]
+    # rerunning a committed snapshot id: commit is a no-op, verdicts flip
+    # to dup_of_state (content now in state) — same contract as exact
+    _lsh(tmp_path, [(2, BASE)], "base")
+    assert _committed_snapshots(str(tmp_path / "state"), "lsh") == [
+        "snap=base", "snap=day1"]
+
+
+def test_lsh_exact_and_lsh_state_dirs_coexist(tmp_path):
+    # both operators share one state_dir without clashing (seen/ vs lsh/)
+    state = str(tmp_path / "state")
+    incremental_exact_dedup(_docs([(2, BASE)]), state, "base")
+    _lsh(tmp_path, [(2, BASE)], "base")
+    assert os.path.isdir(os.path.join(state, "seen"))
+    assert os.path.isdir(os.path.join(state, "lsh"))
