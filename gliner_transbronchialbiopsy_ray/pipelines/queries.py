@@ -4409,6 +4409,36 @@ def q112_incremental_lsh(sf_dir: str):
     return incremental_lsh_dedup(snap, state_dir, snapshot_id="day1")
 
 
+def q113_range_store(sf_dir: str):
+    """Clustered-storage round trip: events written range-partitioned by
+    ts (sources/range_store.py — sampled boundaries, no global sort,
+    manifest written last), then a 10-day window read back PRUNED (only
+    overlapping range_id dirs are listed) + exact residual filter, and
+    counted per event_type.  The oracle is the plain SQL window count —
+    boundary placement affects pruning efficiency only, never rows."""
+    import tempfile
+
+    from ..sources.range_store import read_key_range, write_range_partitioned
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    store = tempfile.mkdtemp(prefix="rangestore_", dir="/tmp")
+    write_range_partitioned(ev, store, key="ts", num_ranges=8)
+    win = read_key_range(store, "2024-01-10", "2024-01-20",
+                         columns=["event_type"])
+    out = _preagg(win, ["event_type"], {"n": ("event_type", "count")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q113_SQL = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q109_compression_signal(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal (integer ppm) — the
     dependency-free boilerplate/noise detector of web-corpus filters.
@@ -4555,4 +4585,5 @@ QUERIES: dict[str, tuple] = {
     "q110_containment_pairs": (q110_containment_pairs, Q110_SQL),
     "q111_incremental_dedup": (q111_incremental_dedup, Q111_SQL),
     "q112_incremental_lsh": (q112_incremental_lsh, None),
+    "q113_range_store": (q113_range_store, Q113_SQL),
 }

@@ -1,0 +1,90 @@
+"""Range-partitioned clustered store (sources/range_store.py): boundary
+sampling, pruned reads, exact residual filtering, timestamp precision."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from gliner_transbronchialbiopsy_ray.sources.range_store import (
+    compute_range_boundaries,
+    read_key_range,
+    write_range_partitioned,
+)
+
+
+def _int_ds(n=1000):
+    return ray.data.from_pandas(pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "payload": [f"row-{i}" for i in range(n)],
+    }))
+
+
+def test_roundtrip_int_key_exact_window(tmp_path):
+    store = str(tmp_path / "store")
+    m = write_range_partitioned(_int_ds(), store, key="k", num_ranges=8)
+    assert m["num_ranges"] >= 2  # sampled boundaries actually split
+    got = read_key_range(store, 250, 750).to_pandas()
+    assert sorted(got["k"]) == list(range(250, 750))  # lo incl, hi excl
+    assert set(got.columns) == {"k", "payload"}  # range_id dropped
+    # manifest written and readable
+    with open(os.path.join(store, "_range_manifest.json")) as f:
+        assert json.load(f)["key"] == "k"
+
+
+def test_pruned_read_skips_ranges(tmp_path):
+    store = str(tmp_path / "store")
+    write_range_partitioned(_int_ds(), store, key="k", num_ranges=8)
+    n_dirs = len([d for d in os.listdir(store) if d.startswith("range_id=")])
+    assert n_dirs >= 4
+    # a narrow window must not touch most range dirs: verify via the
+    # manifest arithmetic the reader uses
+    with open(os.path.join(store, "_range_manifest.json")) as f:
+        b = json.load(f)["boundaries"]
+    first = int(np.searchsorted(b, 10, side="right"))
+    last = int(np.searchsorted(b, 20, side="left"))
+    assert (last - first + 1) <= 2 < n_dirs
+    got = read_key_range(store, 10, 20).to_pandas()
+    assert sorted(got["k"]) == list(range(10, 20))
+
+
+def test_timestamp_key_microsecond_exact(tmp_path):
+    # microsecond-adjacent timestamps at the 2024 epoch — a float64 path
+    # would merge them (~256us mantissa granularity); int64 must not
+    base = pd.Timestamp("2024-06-01 12:00:00.000001")
+    ts = [base + pd.Timedelta(microseconds=i) for i in range(10)]
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts, "i": range(10)}))
+    store = str(tmp_path / "tstore")
+    m = write_range_partitioned(ds, store, key="ts", num_ranges=4)
+    assert m["kind"] == "timestamp"
+    got = read_key_range(store, ts[3], ts[7]).to_pandas()
+    assert sorted(got["i"]) == [3, 4, 5, 6]  # exactly [lo, hi)
+
+
+def test_column_pruned_read_and_empty_window(tmp_path):
+    store = str(tmp_path / "store")
+    write_range_partitioned(_int_ds(100), store, key="k", num_ranges=4)
+    got = read_key_range(store, 5, 8, columns=["payload"]).to_pandas()
+    assert list(got.columns) == ["payload"]
+    assert sorted(got["payload"]) == ["row-5", "row-6", "row-7"]
+    # window beyond the data: overlapping last range exists but residual
+    # filters everything
+    empty = read_key_range(store, 10_000, 20_000)
+    assert empty.count() == 0
+
+
+def test_skewed_boundaries_still_exact(tmp_path):
+    # 90% of keys identical (hot key): ranges collapse under ties but the
+    # residual keeps the result exact
+    vals = np.concatenate([np.full(900, 42, dtype="int64"),
+                           np.arange(100, dtype="int64")])
+    ds = ray.data.from_pandas(pd.DataFrame({"k": vals}))
+    store = str(tmp_path / "skew")
+    write_range_partitioned(ds, store, key="k", num_ranges=8)
+    got = read_key_range(store, 40, 50).to_pandas()
+    assert len(got) == 901 + 9  # 42 x901 (hot + arange) plus 40,41,43..49
+    bounds = compute_range_boundaries(ds, "k", num_ranges=8)
+    assert len(bounds) == len(set(bounds))  # ties deduped, never repeated
