@@ -157,3 +157,25 @@ def test_lsh_exact_and_lsh_state_dirs_coexist(tmp_path):
     _lsh(tmp_path, [(2, BASE)], "base")
     assert os.path.isdir(os.path.join(state, "seen"))
     assert os.path.isdir(os.path.join(state, "lsh"))
+
+
+def test_incremental_equals_batch_exact_dedup(tmp_path):
+    """Equivalence invariant: processing id-ordered snapshot splits
+    incrementally accepts EXACTLY the ids batch exact_dedup keeps on the
+    union (first-arrival == min-id when ids grow across snapshots)."""
+    import random
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import exact_dedup
+
+    rng = random.Random(7)
+    pool = [f"text variant {i} " * 3 for i in range(8)]  # dup-heavy
+    rows = [(i, rng.choice(pool)) for i in range(30)]
+    state = str(tmp_path / "state")
+    accepted = []
+    for s, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        v = _verdicts_df(incremental_exact_dedup(
+            _docs(rows[lo:hi]), state, f"snap{s}"))
+        assert len(v) == hi - lo  # every row gets a verdict
+        accepted += v.loc[v["status"] == "unique", "doc_id"].tolist()
+    batch = exact_dedup(_docs(rows)).to_pandas()
+    assert sorted(accepted) == sorted(batch["doc_id"].tolist())
