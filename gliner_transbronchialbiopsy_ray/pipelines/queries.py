@@ -4439,6 +4439,54 @@ ORDER BY event_type
 """
 
 
+def q114_k_hop_reachability(sf_dir: str):
+    """Min-hop BFS within 3 hops over the part<->supplier co-supply
+    graph (signed bipartite node encoding: part p -> p, supplier s ->
+    -s), seeded at parts with l_partkey % 100 = 0 — the iterative
+    semi-naive traversal (recursive-CTE equivalent) Ray Data has no
+    primitive for.  Per hop only the FRONTIER joins the edges; no node
+    set is broadcast or collected.  Oracle: DuckDB WITH RECURSIVE."""
+    from ..stages.graph import k_hop_reachability
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()  # per-batch combiner
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = k_hop_reachability(edges, seeds, k=3).to_pandas()
+    out["hops"] = out["hops"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q114_SQL = """
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, -s AS dst FROM e
+          UNION ALL SELECT -s, p FROM e),
+reach(node, hops) AS (
+  SELECT DISTINCT l_partkey, 0 FROM lineitem WHERE l_partkey % 100 = 0
+  UNION
+  SELECT ed.dst, r.hops + 1
+  FROM reach r JOIN edges ed ON ed.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def q109_compression_signal(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal (integer ppm) — the
     dependency-free boilerplate/noise detector of web-corpus filters.
@@ -4586,4 +4634,5 @@ QUERIES: dict[str, tuple] = {
     "q111_incremental_dedup": (q111_incremental_dedup, Q111_SQL),
     "q112_incremental_lsh": (q112_incremental_lsh, None),
     "q113_range_store": (q113_range_store, Q113_SQL),
+    "q114_k_hop_reachability": (q114_k_hop_reachability, Q114_SQL),
 }

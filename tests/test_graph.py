@@ -43,3 +43,33 @@ def test_bipartite_pagerank_matches_numpy(ray_session, strategy):
     lp = ranks_l.to_pandas()
     assert sorted(lp["user_id"]) == [1, 2, 3, 4]
     assert np.isclose(lp["rank"].sum() + out_r["rank"].sum(), 2.0, atol=0.31)
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability (semi-naive BFS)
+
+
+def test_k_hop_reachability_min_hops_and_early_exit():
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_hop_reachability
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (chain), plus shortcut 1 -> 3 and cycle 3 -> 1
+    edges = rd.from_items([
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 3, "dst": 4},
+        {"src": 4, "dst": 5}, {"src": 1, "dst": 3}, {"src": 3, "dst": 1},
+        {"src": 9, "dst": 10},  # disconnected
+    ])
+    seeds = rd.from_items([{"node": 1}, {"node": 1}])  # dup seed rows
+    out = (k_hop_reachability(edges, seeds, k=3, num_partitions=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    got = dict(zip(out["node"], out["hops"]))
+    # min-hop: 3 reached via the shortcut (1 hop), not the chain (2)
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    # k caps the radius
+    out1 = (k_hop_reachability(edges, seeds, k=1, num_partitions=2)
+            .to_pandas())
+    assert dict(zip(out1["node"], out1["hops"])) == {1: 0, 2: 1, 3: 1}
+    # frontier drains before k on a short component -> early exit, no error
+    far = rd.from_items([{"node": 9}])
+    out9 = (k_hop_reachability(edges, far, k=5, num_partitions=2)
+            .to_pandas())
+    assert dict(zip(out9["node"], out9["hops"])) == {9: 0, 10: 1}
