@@ -4498,6 +4498,296 @@ def q109_compression_signal(sf_dir: str):
     return compression_signal(docs)
 
 
+def q115_copurchase_triangles(sf_dir: str):
+    """Triangle census over the part co-purchase KG (edges: part pairs
+    sharing >= 2 distinct orders): per-node triangle counts — the
+    community-structure primitive of KG construction.  Edge build is the
+    in-group pair generator (no self-join, stages/graph.py
+    cooccurrence_edges); closure is wedge-gen + ONE two-key native hash
+    join (stages/graph.py triangle_counts)."""
+    from ..stages.graph import cooccurrence_edges, triangle_counts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    out = triangle_counts(edges, src="a", dst="b").to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["triangles"] = out["triangles"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q115_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+tri AS (
+  SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+  FROM e e1
+  JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+  JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
+def q116_supplier_jaccard_topk(sf_dir: str, k: int = 50):
+    """Entity-similarity scoring for KG alignment: top-k supplier pairs by
+    neighborhood Jaccard (shared-part overlap / union), as integer ppm so
+    both engines agree bit-for-bit.  Co-counts come from the in-group
+    pair generator; degrees from one grouped count; degrees attach via
+    two native hash joins (suppliers are unbounded in principle — no
+    broadcast of the degree table); top-k is a per-batch combiner +
+    driver merge on bounded k.  Ties break on (ppm desc, s1, s2)."""
+    from ..stages.graph import _tag_int_bucket, cooccurrence_edges
+    from ..stages.joins import coalesce_for_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    co = cooccurrence_edges(li, "l_partkey", "l_suppkey", min_count=1)
+
+    # degree = distinct parts per supplier: local distinct combiner ->
+    # one supplier-bucketed shuffle finishing distinct + count (coarse
+    # buckets, not a group per supplier)
+    def dloc(b: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(
+            b.to_pandas().drop_duplicates(), "l_suppkey", 32)
+
+    def dcount(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_partkey", "l_suppkey"]].drop_duplicates()
+        out = (d.groupby("l_suppkey", sort=False).size()
+               .reset_index(name="d"))
+        out.columns = ["s", "d"]
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    deg = (li.map_batches(dloc, batch_format="pyarrow")
+           .groupby("_bucket").map_groups(dcount, batch_format="pandas"))
+
+    try:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        nparts = 2
+    deg = coalesce_for_join(deg, nparts)
+    j1 = coalesce_for_join(co, nparts).join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=("a",), right_on=("s",),
+    ).rename_columns({"d": "d1"})
+    j2 = coalesce_for_join(j1, nparts).join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=("b",), right_on=("s",),
+    ).rename_columns({"d": "d2"})
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        inter = df["n"].to_numpy("int64")
+        union = df["d1"].to_numpy("int64") + df["d2"].to_numpy("int64") - inter
+        df["jaccard_ppm"] = (1_000_000 * inter) // union
+        df = df.sort_values(["jaccard_ppm", "a", "b"],
+                            ascending=[False, True, True], kind="stable")
+        return df[["a", "b", "jaccard_ppm"]].head(k).rename(
+            columns={"a": "s1", "b": "s2"})
+
+    parts = j2.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["jaccard_ppm", "s1", "s2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+    for c in ("s1", "s2", "jaccard_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q116_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+deg AS (SELECT s, count(*) AS d FROM ps GROUP BY s),
+co AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS n
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT co.s1, co.s2,
+       CAST((1000000 * co.n) // (d1.d + d2.d - co.n) AS BIGINT) AS jaccard_ppm
+FROM co JOIN deg d1 ON d1.s = co.s1 JOIN deg d2 ON d2.s = co.s2
+ORDER BY jaccard_ppm DESC, co.s1, co.s2
+LIMIT 50
+"""
+
+
+def q117_ontology_entail(sf_dir: str):
+    """RDFS subClassOf entailment materialization (rdfs9): the part
+    catalog's brand -> manufacturer -> 'ALL' hierarchy is closed
+    driver-side (ontology = bounded schema side), broadcast once, and
+    every instance-type assertion expands to its entailed ancestors in a
+    streaming map_batches — instances unbounded, zero shuffle for the
+    entailment itself.  Output: per entailed class, distinct-instance
+    count (two-phase grouped distinct, cf. q44).  The manufacturer level
+    is derived from the brand code (Brand#1-5 -> Manufacturer#1, ...,
+    the TPC-H brand/mfgr relation) since the table carries only the
+    brand.  Oracle: recursive CTE over the same hierarchy."""
+    from ..stages.graph import entail_types
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def subedges(batch: pa.Table) -> pd.DataFrame:
+        brands = pd.Series(pd.unique(batch.column("p_brand").to_pandas()))
+        mfgr = ("Manufacturer#"
+                + ((brands.str[6:].astype(int) - 1) // 5 + 1).astype(str))
+        e1 = pd.DataFrame({"child": brands, "parent": mfgr})
+        e2 = pd.DataFrame({"child": mfgr.drop_duplicates()})
+        e2["parent"] = "ALL"
+        return pd.concat([e1, e2], ignore_index=True)
+
+    sub = (part.map_batches(subedges, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())  # bounded ontology side
+
+    inst = part.map_batches(
+        lambda b: b.select(["p_partkey", "p_brand"]).rename_columns(
+            ["inst", "cls"]),
+        batch_format="pyarrow")
+    entailed = entail_types(inst, sub)
+
+    # distinct (cls, inst) then count per cls — instances unbounded, so
+    # the distinct pass is a Ray grouped fold, not a driver set
+    dist = entailed.groupby(["cls", "inst"]).count().drop_columns(["count()"])
+    out = dist.groupby("cls").count().to_pandas()
+    out.columns = ["class", "n_instances"]
+    out["n_instances"] = out["n_instances"].astype("int64")
+    return out.sort_values("class").reset_index(drop=True)
+
+
+Q117_SQL = """
+WITH RECURSIVE bm AS (
+  SELECT DISTINCT p_brand,
+         'Manufacturer#' ||
+         CAST((CAST(substr(p_brand, 7) AS INT) - 1) // 5 + 1 AS VARCHAR)
+         AS p_mfgr
+  FROM part
+),
+sub AS (
+  SELECT p_brand AS child, p_mfgr AS parent FROM bm
+  UNION
+  SELECT DISTINCT p_mfgr, 'ALL' FROM bm
+),
+clos(child, anc) AS (
+  SELECT child, child FROM (SELECT DISTINCT child FROM sub)
+  UNION
+  SELECT c.child, s.parent FROM clos c JOIN sub s ON s.child = c.anc
+)
+SELECT c.anc AS class,
+       CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_instances
+FROM part p JOIN clos c ON c.child = p.p_brand
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q118_reciprocal_best_match(sf_dir: str):
+    """Entity-alignment by mutual best match: keep (part, supplier) pairs
+    where the supplier is the part's top supplier by total shipped
+    quantity AND the part is that supplier's top part — the reciprocal-
+    nearest-neighbor rule of alignment pipelines.  Weights: one grouped
+    sum over (part, supplier) [unbounded keys -> Ray merge]; each side's
+    argmax is a per-batch best-row combiner + grouped fold (max is
+    associative on the packed (qty, -key) order); mutuality is an inner
+    join of the two winner sets on the pair.  Shuffle plan: part-bucketed
+    sum pass that ALSO emits the per-part winners (one exchange does
+    both), one supplier-bucketed argmax pass, one native join — coarse
+    buckets throughout (no per-key map_groups)."""
+    from ..stages.graph import _tag_int_bucket
+    from ..stages.joins import coalesce_for_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        # quantities are integral; int64 sums make the argmax exact (no
+        # float fold-order ulp divergence vs the oracle)
+        df["l_quantity"] = df["l_quantity"].astype("int64")
+        out = (df.groupby(["l_partkey", "l_suppkey"], sort=False)
+               .agg(qty=("l_quantity", "sum")).reset_index())
+        return _tag_int_bucket(out, "l_partkey", 32)
+
+    def _argmax(df: pd.DataFrame, by: str, other: str) -> pd.DataFrame:
+        # max qty, ties -> min counterpart key
+        df = df.sort_values([by, "qty", other],
+                            ascending=[True, False, True], kind="stable")
+        return df.drop_duplicates(subset=[by], keep="first")
+
+    def fold_and_best_p(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"]
+             .sum().reset_index())
+        # marker rows: _kind=0 full sums (feed the supplier-side argmax),
+        # _kind=1 the per-part winners — one shuffle serves both outputs
+        bp = _argmax(w, "l_partkey", "l_suppkey").assign(_kind=1)
+        return pd.concat([w.assign(_kind=0), bp], ignore_index=True)
+
+    both = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold_and_best_p, batch_format="pandas")
+            .materialize())
+
+    def split(kind: int):
+        return both.map_batches(
+            lambda b, _k=kind: b.filter(pc.equal(b.column("_kind"), _k))
+            .drop_columns(["_kind"]),
+            batch_format="pyarrow")
+
+    def tag_s(b: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(b.to_pandas(), "l_suppkey", 32)
+
+    best_p_per_s = (split(0).map_batches(tag_s, batch_format="pyarrow")
+                    .groupby("_bucket")
+                    .map_groups(lambda g: _argmax(
+                        g, "l_suppkey", "l_partkey"), batch_format="pandas")
+                    .drop_columns(["_bucket", "qty"]))
+    best_s_per_p = split(1).drop_columns(["qty"])
+
+    try:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        nparts = 2
+    mutual = coalesce_for_join(best_s_per_p, nparts).join(
+        coalesce_for_join(best_p_per_s, nparts),
+        join_type="inner", num_partitions=nparts,
+        on=("l_partkey", "l_suppkey"),
+    )
+    out = mutual.to_pandas()
+    out = out[["l_partkey", "l_suppkey"]].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+Q118_SQL = """
+WITH w AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+bp AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY qty DESC, l_suppkey) AS rn
+    FROM w) WHERE rn = 1
+),
+bs AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY qty DESC, l_partkey) AS rn
+    FROM w) WHERE rn = 1
+)
+SELECT bp.l_partkey, bp.l_suppkey
+FROM bp JOIN bs ON bp.l_partkey = bs.l_partkey
+               AND bp.l_suppkey = bs.l_suppkey
+ORDER BY bp.l_partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4635,4 +4925,8 @@ QUERIES: dict[str, tuple] = {
     "q112_incremental_lsh": (q112_incremental_lsh, None),
     "q113_range_store": (q113_range_store, Q113_SQL),
     "q114_k_hop_reachability": (q114_k_hop_reachability, Q114_SQL),
+    "q115_copurchase_triangles": (q115_copurchase_triangles, Q115_SQL),
+    "q116_supplier_jaccard_topk": (q116_supplier_jaccard_topk, Q116_SQL),
+    "q117_ontology_entail": (q117_ontology_entail, Q117_SQL),
+    "q118_reciprocal_best_match": (q118_reciprocal_best_match, Q118_SQL),
 }

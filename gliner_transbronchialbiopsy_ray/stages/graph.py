@@ -450,3 +450,241 @@ def k_hop_reachability(
         if frontier.count() == 0:
             break
     return visited
+
+
+def _default_join_partitions() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        return 2
+
+
+def _tag_int_bucket(df: pd.DataFrame, key: str, n_buckets: int,
+                    col: str = "_bucket") -> pd.DataFrame:
+    """Vectorized coarse shuffle-key for int columns: `n_buckets` Ray
+    groups instead of one group PER KEY — groupby().map_groups pays
+    ~10 ms of slicing overhead per group, so thousands of tiny key
+    groups turn into minutes while 32 coarse buckets with a vectorized
+    pandas kernel inside cost one all-to-all (the stages/dedup.py
+    N_HASH_BUCKETS discipline, int-key fast path)."""
+    df[col] = (df[key].to_numpy("int64") % n_buckets).astype("int32")
+    return df
+
+
+def _group_slices(sorted_keys: np.ndarray):
+    """(start, end) index pairs of equal-key runs in a sorted array."""
+    starts = np.flatnonzero(
+        np.r_[True, sorted_keys[1:] != sorted_keys[:-1]])
+    return zip(starts, np.r_[starts[1:], len(sorted_keys)])
+
+
+def cooccurrence_edges(
+    items: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_items_per_group: int | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Co-occurrence KG edge construction ("frequently bought together"):
+    undirected edges (a, b, n) between items appearing in >= `min_count`
+    common groups, with a < b canonical orientation.
+
+    Shape: per-batch local (group, item) distinct combiner -> ONE
+    group-bucketed shuffle whose in-bucket kernel finishes the distinct
+    AND emits each group's C(d, 2) pairs pre-counted per bucket (no
+    self-join: the d^2 row blowup happens inside a vectorized kernel,
+    not the exchange) -> ONE pair-bucketed shuffle summing the partial
+    counts.  Two coarse all-to-alls total, n_buckets groups each.
+
+    A group with d items emits d*(d-1)/2 pairs — the classic hub blowup
+    (a crawl page listing 10k products).  `max_items_per_group` drops
+    groups above the cap (the standard market-basket mitigation: a group
+    that large carries no signal); None keeps everything.
+    """
+
+    def distinct_local(batch: pa.Table) -> pd.DataFrame:
+        df = (batch.select([group_col, item_col]).to_pandas()
+              .drop_duplicates())
+        return _tag_int_bucket(df, group_col, n_buckets)
+
+    tagged = items.map_batches(distinct_local, batch_format="pyarrow")
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g[[group_col, item_col]].drop_duplicates()
+              .sort_values([group_col, item_col], kind="stable"))
+        grp = df[group_col].to_numpy("int64")
+        it = df[item_col].to_numpy("int64")
+        aa, bb = [], []
+        for s, e in _group_slices(grp):
+            d = e - s
+            if d < 2 or (max_items_per_group is not None
+                         and d > max_items_per_group):
+                continue
+            iu = np.triu_indices(d, k=1)
+            aa.append(it[s:e][iu[0]])
+            bb.append(it[s:e][iu[1]])
+        if not aa:
+            return pd.DataFrame({"a": np.empty(0, "int64"),
+                                 "b": np.empty(0, "int64"),
+                                 "n": np.empty(0, "int64")})
+        out = pd.DataFrame({"a": np.concatenate(aa),
+                            "b": np.concatenate(bb)})
+        # pre-count within the bucket: shuffle volume = distinct pairs
+        out = (out.groupby(["a", "b"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return _tag_int_bucket(out, "a", n_buckets)
+
+    partials = tagged.groupby("_bucket").map_groups(
+        gen_pairs, batch_format="pandas")
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], sort=False)["n"].sum()
+               .reset_index())
+        if min_count > 1:
+            out = out[out["n"] >= min_count]
+        return out
+
+    return partials.groupby("_bucket").map_groups(
+        sum_pairs, batch_format="pandas")
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node triangle counts over an undirected edge set with a < b
+    canonical orientation (distinct pairs) — the KG/community-structure
+    primitive Ray Data has no operator for.
+
+    Wedge-closure plan: a src-bucketed shuffle (coarse `_bucket`, not one
+    group per node) whose kernel emits each pivot's higher-neighbor pairs
+    (w1 < w2, the wedge legs), then ONE native two-key hash join against
+    the edge set closes the wedge ((w1, w2) IN edges <=> triangle).  Each
+    triangle (x < y < z) is found exactly once (pivot = x).  Per-node
+    counts: every closed wedge emits its three corners, pre-counted per
+    batch, into a node-bucketed grouped sum.
+
+    Cost: wedges per pivot = C(higher-degree, 2) — the id-ordered variant
+    of the standard degree-ordered algorithm; at production scale swap the
+    canonical order for a degree order (relabel nodes by degree rank
+    first) so hubs pivot last and emit no wedges.  The join is the
+    irreducible all-to-all.
+    """
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    n_buckets = 32
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(batch.to_pandas(), src, n_buckets)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values([src, dst], kind="stable")
+        sa = df[src].to_numpy("int64")
+        da = df[dst].to_numpy("int64")
+        w1, w2, pv = [], [], []
+        for s, e in _group_slices(sa):
+            d = e - s
+            if d < 2:
+                continue
+            iu = np.triu_indices(d, k=1)
+            w1.append(da[s:e][iu[0]])
+            w2.append(da[s:e][iu[1]])
+            pv.append(np.full(len(iu[0]), sa[s], "int64"))
+        if not w1:
+            return pd.DataFrame({"w1": np.empty(0, "int64"),
+                                 "w2": np.empty(0, "int64"),
+                                 "pivot": np.empty(0, "int64")})
+        return pd.DataFrame({"w1": np.concatenate(w1),
+                             "w2": np.concatenate(w2),
+                             "pivot": np.concatenate(pv)})
+
+    w = (edges.map_batches(tag, batch_format="pyarrow")
+         .groupby("_bucket").map_groups(wedges, batch_format="pandas"))
+    e = coalesce_for_join(edges.select_columns([src, dst]), num_partitions)
+    closed = coalesce_for_join(w, num_partitions).join(
+        e, join_type="inner", num_partitions=num_partitions,
+        on=("w1", "w2"), right_on=(src, dst),
+    )
+
+    def corner_partials(batch: pa.Table) -> pd.DataFrame:
+        w1 = batch.column("w1").to_numpy()
+        w2 = batch.column("w2").to_numpy()
+        pv = batch.column("pivot").to_numpy()
+        node, cnt = np.unique(
+            np.concatenate([pv, w1, w2]).astype("int64"),
+            return_counts=True)
+        return _tag_int_bucket(
+            pd.DataFrame({"node": node, "triangles": cnt.astype("int64")}),
+            "node", n_buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("node", sort=False)["triangles"].sum()
+                .reset_index())
+
+    return (closed.map_batches(corner_partials, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(fold, batch_format="pandas"))
+
+
+def subclass_closure(sub: pd.DataFrame, child: str = "child",
+                     parent: str = "parent") -> pd.DataFrame:
+    """Reflexive-transitive closure of a SMALL subClassOf DAG (the
+    ontology side of RDFS entailment — bounded by the schema, not the
+    corpus, so it closes driver-side and broadcasts).  Returns
+    (child, anc) including (c, c).  Raises on a cycle."""
+    parents: dict = {}
+    for c, p in zip(sub[child], sub[parent]):
+        parents.setdefault(c, set()).add(p)
+    out_child, out_anc = [], []
+    for c in sorted(parents):
+        seen, frontier = {c}, {c}
+        while frontier:
+            raw = set()
+            for n in frontier:
+                raw |= parents.get(n, set())
+            if c in raw:
+                raise ValueError(f"subclass cycle reachable from {c!r}")
+            frontier = raw - seen
+            seen |= frontier
+        for a in sorted(seen):
+            out_child.append(c)
+            out_anc.append(a)
+    return pd.DataFrame({"child": out_child, "anc": out_anc})
+
+
+def entail_types(
+    instance_types: ray.data.Dataset,
+    sub: pd.DataFrame,
+    inst_col: str = "inst",
+    cls_col: str = "cls",
+) -> ray.data.Dataset:
+    """RDFS subClassOf entailment materialization: every (instance, class)
+    assertion is expanded to (instance, ancestor) for each ancestor in
+    the closed hierarchy (rdfs9: a type C, C subClassOf* D => a type D).
+
+    The ontology is the broadcast-small side (`ray.put` once, merged
+    against each batch vectorized); instances stream unbounded.  Classes
+    absent from the hierarchy entail only themselves.  Output may repeat
+    (inst, anc) when an instance has multiple direct types sharing an
+    ancestor — dedupe downstream if set semantics are needed."""
+    clos = subclass_closure(sub)
+    known = set(clos["child"])
+    ref = ray.put(clos)
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        closure = ray.get(ref)
+        df = batch.select([inst_col, cls_col]).to_pandas()
+        hit = df.merge(closure, left_on=cls_col, right_on="child")
+        out = hit[[inst_col, "anc"]].rename(columns={"anc": cls_col})
+        miss = df[~df[cls_col].isin(known)]
+        if len(miss):
+            out = pd.concat([out, miss[[inst_col, cls_col]]],
+                            ignore_index=True)
+        return out
+
+    return instance_types.map_batches(expand, batch_format="pyarrow")

@@ -73,3 +73,73 @@ def test_k_hop_reachability_min_hops_and_early_exit():
     out9 = (k_hop_reachability(edges, far, k=5, num_partitions=2)
             .to_pandas())
     assert dict(zip(out9["node"], out9["hops"])) == {9: 0, 10: 1}
+
+
+# --------------------------------------------------------------------------
+# co-occurrence edges / triangle counts / ontology entailment
+
+
+def test_cooccurrence_edges_counts_and_cap():
+    from gliner_transbronchialbiopsy_ray.stages.graph import cooccurrence_edges
+
+    # groups: g1={1,2,3}, g2={1,2}, g3={1,2,3,4} (dup rows must not inflate)
+    rows = []
+    for g, items in [(1, [1, 2, 3]), (2, [1, 2]), (3, [1, 2, 3, 4]),
+                     (3, [1, 2])]:  # g3 repeated rows
+        rows += [{"g": g, "i": i} for i in items]
+    ds = rd.from_items(rows)
+    out = (cooccurrence_edges(ds, "g", "i", min_count=2)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    got = {(a, b): n for a, b, n in zip(out["a"], out["b"], out["n"])}
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
+    # cap drops the 4-item group entirely: (1,2) loses one co-occurrence
+    capped = (cooccurrence_edges(ds, "g", "i", min_count=1,
+                                 max_items_per_group=3).to_pandas())
+    gc = {(a, b): n for a, b, n in zip(capped["a"], capped["b"], capped["n"])}
+    assert gc == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_triangle_counts_known_graph():
+    from gliner_transbronchialbiopsy_ray.stages.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in 3 triangles) plus pendant 4-5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    out = triangle_counts(ds).to_pandas()
+    got = dict(zip(out["node"], out["triangles"]))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 is in no triangle -> absent
+
+
+def test_subclass_closure_dag_and_cycle():
+    import pytest
+    from gliner_transbronchialbiopsy_ray.stages.graph import subclass_closure
+
+    sub = pd.DataFrame({"child": ["a", "b", "b", "c"],
+                        "parent": ["top", "a", "x", "b"]})  # DAG: b has 2 parents
+    clos = subclass_closure(sub)
+    anc = {c: set(g["anc"]) for c, g in clos.groupby("child")}
+    assert anc["c"] == {"c", "b", "a", "x", "top"}
+    assert anc["b"] == {"b", "a", "x", "top"}
+    assert anc["a"] == {"a", "top"}
+    with pytest.raises(ValueError, match="cycle"):
+        subclass_closure(pd.DataFrame({"child": ["p", "q"],
+                                       "parent": ["q", "p"]}))
+
+
+def test_entail_types_expands_and_keeps_unknown_classes():
+    from gliner_transbronchialbiopsy_ray.stages.graph import entail_types
+
+    sub = pd.DataFrame({"child": ["dog", "cat", "mammal"],
+                        "parent": ["mammal", "mammal", "animal"]})
+    inst = rd.from_items([
+        {"inst": 1, "cls": "dog"},
+        {"inst": 2, "cls": "cat"},
+        {"inst": 3, "cls": "rock"},  # class absent from the ontology
+    ])
+    out = entail_types(inst, sub).to_pandas()
+    got = {(i, c) for i, c in zip(out["inst"], out["cls"])}
+    assert got == {
+        (1, "dog"), (1, "mammal"), (1, "animal"),
+        (2, "cat"), (2, "mammal"), (2, "animal"),
+        (3, "rock"),
+    }
