@@ -4788,6 +4788,93 @@ ORDER BY bp.l_partkey
 """
 
 
+def q119_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution: multi-pass blocking (two independent
+    blocking keys) -> star edges -> connected components -> canonical
+    entity id per record.  Star topology (each record links to its block's
+    min id) keeps edge count LINEAR in records — never the C(d,2)
+    all-pairs blowup — and chains across blocks exactly like pairwise
+    edges would (same components).  Blocks come from one coarse-bucketed
+    shuffle per key (32 Ray groups, vectorized per-block min inside);
+    components use stages/dedup.py connected_components (driver fixpoint
+    here — edges are O(records); at cluster scale flip distributed=True,
+    the q58 path); singletons keep their own id via a grouped-min union
+    fold, not a driver fill.  Oracle: recursive-CTE reachability with
+    min-id components."""
+    import zlib
+
+    from ..stages.dedup import connected_components
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"])
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        k1 = (df["c_nationkey"].astype(str) + "|" + df["c_mktsegment"])
+        k2 = "bal|" + pd.Series(
+            np.floor(df["c_acctbal"].to_numpy("float64") / 10)
+            .astype("int64")).astype(str)
+        out = pd.concat([
+            pd.DataFrame({"key": k1, "id": df["c_custkey"]}),
+            pd.DataFrame({"key": k2, "id": df["c_custkey"]}),
+        ], ignore_index=True)
+        out["_bucket"] = out["key"].map(
+            lambda k: zlib.crc32(k.encode()) % 32).astype("int32")
+        return out
+
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["key", "id"], kind="stable")
+        m = df.groupby("key", sort=False)["id"].transform("min")
+        e = df[df["id"] > m]
+        return pd.DataFrame({"left_id": m[df["id"] > m].to_numpy("int64"),
+                             "right_id": e["id"].to_numpy("int64")})
+
+    edges = (cust.map_batches(keyed, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(star_edges,
+                                            batch_format="pandas"))
+    labels = connected_components(edges, max_iterations=30)
+    labels_arrow = labels.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "entity_id": b.column("component")
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    selfrows = cust.map_batches(
+        lambda b: pa.table({"node": b.column("c_custkey").cast(pa.int64()),
+                            "entity_id": b.column("c_custkey")
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = (labels_arrow.union(selfrows).groupby("node").min("entity_id")
+           .to_pandas())
+    out.columns = ["c_custkey", "entity_id"]
+    out = out.astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q119_SQL = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey,
+         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS k1,
+         'bal|' || CAST(CAST(floor(c_acctbal / 10) AS BIGINT) AS VARCHAR)
+         AS k2
+  FROM customer
+),
+e1 AS (SELECT min(c_custkey) OVER (PARTITION BY k1) AS a, c_custkey AS b
+       FROM c),
+e2 AS (SELECT min(c_custkey) OVER (PARTITION BY k2) AS a, c_custkey AS b
+       FROM c),
+e AS (SELECT a, b FROM e1 WHERE a < b
+      UNION SELECT a, b FROM e2 WHERE a < b),
+ud AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+reach(s, t) AS (
+  SELECT c_custkey, c_custkey FROM c
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN ud u ON u.s = r.t
+)
+SELECT s AS c_custkey, CAST(min(t) AS BIGINT) AS entity_id
+FROM reach GROUP BY s ORDER BY s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4929,4 +5016,5 @@ QUERIES: dict[str, tuple] = {
     "q116_supplier_jaccard_topk": (q116_supplier_jaccard_topk, Q116_SQL),
     "q117_ontology_entail": (q117_ontology_entail, Q117_SQL),
     "q118_reciprocal_best_match": (q118_reciprocal_best_match, Q118_SQL),
+    "q119_entity_resolution": (q119_entity_resolution, Q119_SQL),
 }

@@ -555,6 +555,7 @@ def triangle_counts(
     src: str = "a",
     dst: str = "b",
     num_partitions: int | None = None,
+    order: str = "id",
 ) -> ray.data.Dataset:
     """Per-node triangle counts over an undirected edge set with a < b
     canonical orientation (distinct pairs) — the KG/community-structure
@@ -568,11 +569,16 @@ def triangle_counts(
     counts: every closed wedge emits its three corners, pre-counted per
     batch, into a node-bucketed grouped sum.
 
-    Cost: wedges per pivot = C(higher-degree, 2) — the id-ordered variant
-    of the standard degree-ordered algorithm; at production scale swap the
-    canonical order for a degree order (relabel nodes by degree rank
-    first) so hubs pivot last and emit no wedges.  The join is the
-    irreducible all-to-all.
+    Cost: wedges per pivot = C(out-degree, 2).  `order="id"` orients
+    edges by node id (matches the SQL oracle's shape); `order="degree"`
+    re-orients every edge from the lower-degree endpoint to the higher
+    (ties by id) — the Cohen/GAP trick that caps out-degree at
+    O(sqrt(edges)), so a hub with a million neighbors pivots last and
+    emits NO wedges instead of 10^12.  Triangle counts are orientation-
+    invariant (each triangle still found exactly once), so both orders
+    return identical output — degree order is the 100 TB default, id
+    order keeps the oracle comparable.  The join is the irreducible
+    all-to-all; degree ordering costs one extra degree fold + broadcast.
     """
     from .joins import coalesce_for_join
 
@@ -580,11 +586,25 @@ def triangle_counts(
         num_partitions = _default_join_partitions()
     n_buckets = 32
 
+    if order == "degree":
+        edges = _orient_by_degree(edges, src, dst, n_buckets)
+    elif order != "id":
+        raise ValueError(f"unknown order {order!r}")
+    # two consumers below (wedge gen + closure join): pin the edge set so
+    # lazy lineage doesn't re-run the upstream edge pipeline twice
+    edges = edges.materialize()
+
+    has_ord = order == "degree"
+
     def tag(batch: pa.Table) -> pd.DataFrame:
         return _tag_int_bucket(batch.to_pandas(), src, n_buckets)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.sort_values([src, dst], kind="stable")
+        # out-neighbors sorted by the SAME total order that oriented the
+        # edges ((degree, id) or plain id), so every wedge pair (w1, w2)
+        # matches the closing edge's (src, dst) orientation exactly
+        sort_cols = [src, "_ord", dst] if has_ord else [src, dst]
+        df = g.sort_values(sort_cols, kind="stable")
         sa = df[src].to_numpy("int64")
         da = df[dst].to_numpy("int64")
         w1, w2, pv = [], [], []
@@ -629,6 +649,56 @@ def triangle_counts(
 
     return (closed.map_batches(corner_partials, batch_format="pyarrow")
             .groupby("_bucket").map_groups(fold, batch_format="pandas"))
+
+
+def _orient_by_degree(edges: ray.data.Dataset, src: str, dst: str,
+                      n_buckets: int) -> ray.data.Dataset:
+    """Re-orient each undirected edge from its lower-(degree, id) endpoint
+    to the higher — acyclic orientation with out-degree capped at
+    O(sqrt(|E|)), the hub defense for wedge generation.  Output carries
+    `_ord` = degree of the new dst (the neighbor sort key).  One degree
+    fold + two native hash joins."""
+    from .joins import coalesce_for_join
+
+    nparts = _default_join_partitions()
+
+    def ends(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column(src).to_numpy()
+        v = batch.column(dst).to_numpy()
+        node, cnt = np.unique(np.concatenate([u, v]).astype("int64"),
+                              return_counts=True)
+        return _tag_int_bucket(
+            pd.DataFrame({"node": node, "deg": cnt.astype("int64")}),
+            "node", n_buckets)
+
+    deg = (edges.map_batches(ends, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(lambda g: g.groupby("node", sort=False)["deg"]
+                       .sum().reset_index(), batch_format="pandas"))
+    deg = coalesce_for_join(deg, nparts)
+    e1 = coalesce_for_join(edges.select_columns([src, dst]), nparts).join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=(src,), right_on=("node",),
+    ).rename_columns({"deg": "_sdeg"})
+    e2 = coalesce_for_join(e1, nparts).join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=(dst,), right_on=("node",),
+    ).rename_columns({"deg": "_ddeg"})
+
+    def orient(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        u = df[src].to_numpy("int64")
+        v = df[dst].to_numpy("int64")
+        du = df["_sdeg"].to_numpy("int64")
+        dv = df["_ddeg"].to_numpy("int64")
+        swap = (dv < du) | ((dv == du) & (v < u))
+        return pd.DataFrame({
+            src: np.where(swap, v, u),
+            dst: np.where(swap, u, v),
+            "_ord": np.where(swap, du, dv),  # degree of the new dst
+        })
+
+    return e2.map_batches(orient, batch_format="pyarrow")
 
 
 def subclass_closure(sub: pd.DataFrame, child: str = "child",

@@ -143,3 +143,24 @@ def test_entail_types_expands_and_keeps_unknown_classes():
         (2, "cat"), (2, "mammal"), (2, "animal"),
         (3, "rock"),
     }
+
+
+def test_triangle_counts_degree_order_matches_id_order():
+    from gliner_transbronchialbiopsy_ray.stages.graph import triangle_counts
+
+    # hub graph: node 100 connects to 1..12; ring 1-2, 2-3, 3-4 closes
+    # triangles through the hub; plus K4 on {20,21,22,23}
+    edges = [(i, 100) for i in range(1, 13)]
+    edges += [(1, 2), (2, 3), (3, 4)]
+    edges += [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+    ds = rd.from_items([{"a": min(a, b), "b": max(a, b)} for a, b in edges])
+    by_id = (triangle_counts(ds, order="id").to_pandas()
+             .sort_values("node").reset_index(drop=True))
+    by_deg = (triangle_counts(rd.from_items(
+        [{"a": min(a, b), "b": max(a, b)} for a, b in edges]),
+        order="degree").to_pandas()
+        .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(by_id, by_deg)
+    got = dict(zip(by_id["node"], by_id["triangles"]))
+    # hub sits in 3 triangles (1-2-100, 2-3-100, 3-4-100)
+    assert got[100] == 3 and got[2] == 2 and got[20] == 3
