@@ -4875,6 +4875,74 @@ FROM reach GROUP BY s ORDER BY s
 """
 
 
+def q120_min_cost_reach(sf_dir: str):
+    """Weighted min-cost reachability within 3 hops (bounded Bellman-Ford)
+    over the signed part<->supplier graph of q114, edge weight = lineitem
+    count per (part, supplier) pair — the cheapest-path generalization of
+    BFS (stages/graph.py:k_hop_min_cost: semi-naive, improvement-only
+    frontier, one join + one grouped-min fold per hop).  Oracle: the
+    min-fold unrolled per hop in plain CTEs (r1/r2/r3), which is exactly
+    round-bounded Bellman-Ford — no recursive path enumeration, so no
+    state explosion."""
+    from ..stages.graph import k_hop_min_cost
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def wedges(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = (df.groupby(["l_partkey", "l_suppkey"], sort=False)
+               .size().reset_index(name="w"))
+        p = out["l_partkey"].to_numpy("int64")
+        s = -out["l_suppkey"].to_numpy("int64")
+        w = out["w"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p]),
+                             "w": np.concatenate([w, w])})
+
+    # per-batch partial counts -> one grouped sum = exact pair weights
+    edges = (li.map_batches(wedges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).sum("w")
+             .map_batches(lambda b: b.rename_columns(["src", "dst", "w"]),
+                          batch_format="pyarrow"))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = k_hop_min_cost(edges, seeds, k=3).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q120_SQL = """
+WITH e0 AS (
+  SELECT l_partkey AS p, l_suppkey AS s, count(*) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+edges AS (SELECT p AS src, -s AS dst, w FROM e0
+          UNION ALL SELECT -s, p, w FROM e0),
+s0 AS (SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS cost
+       FROM lineitem WHERE l_partkey % 100 = 0),
+r1 AS (SELECT node, min(cost) AS cost FROM (
+         SELECT node, cost FROM s0
+         UNION ALL
+         SELECT e.dst, s0.cost + e.w FROM s0 JOIN edges e ON e.src = s0.node
+       ) GROUP BY node),
+r2 AS (SELECT node, min(cost) AS cost FROM (
+         SELECT node, cost FROM r1
+         UNION ALL
+         SELECT e.dst, r1.cost + e.w FROM r1 JOIN edges e ON e.src = r1.node
+       ) GROUP BY node),
+r3 AS (SELECT node, min(cost) AS cost FROM (
+         SELECT node, cost FROM r2
+         UNION ALL
+         SELECT e.dst, r2.cost + e.w FROM r2 JOIN edges e ON e.src = r2.node
+       ) GROUP BY node)
+SELECT node, CAST(cost AS BIGINT) AS cost FROM r3 ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5017,4 +5085,5 @@ QUERIES: dict[str, tuple] = {
     "q117_ontology_entail": (q117_ontology_entail, Q117_SQL),
     "q118_reciprocal_best_match": (q118_reciprocal_best_match, Q118_SQL),
     "q119_entity_resolution": (q119_entity_resolution, Q119_SQL),
+    "q120_min_cost_reach": (q120_min_cost_reach, Q120_SQL),
 }

@@ -758,3 +758,89 @@ def entail_types(
         return out
 
     return instance_types.map_batches(expand, batch_format="pyarrow")
+
+
+def k_hop_min_cost(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-hop Bellman-Ford: (node, cost) = cheapest weighted path
+    from any seed within `k` edges — the weighted generalization of
+    `k_hop_reachability` (same semi-naive discipline: only nodes whose
+    best cost IMPROVED last round join the edge table next round).
+
+    Per hop: ONE native hash join (frontier x edges) relaxes the
+    frontier's out-edges, then ONE union + grouped-min fold computes the
+    new best per node AND detects improvement without a second join —
+    existing rows carry `old` = their cost, candidate rows carry
+    `old` = +inf sentinel; after min-folding both columns, cost < old
+    <=> the node improved, so the frontier falls out of the same pass.
+    State is narrow (node, cost) rows, materialized per hop (lazy
+    lineage would re-run the edge pipeline every round); no node set is
+    broadcast or collected.  Weights must be non-negative (Bellman-Ford
+    correctness under bounded rounds); int64 costs keep the fold exact.
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    BIG = np.int64(2**62)
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas())
+        z = np.zeros(len(ids), "int64")
+        return pa.table({"node": pa.array(ids.astype("int64")),
+                         "cost": pa.array(z), "old": pa.array(z)})
+
+    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        folded = ds.groupby("node").aggregate(
+            Min("cost", alias_name="cost"), Min("old", alias_name="old"))
+        return folded
+
+    best = _fold(
+        seeds.map_batches(as_seed, batch_format="pyarrow")).materialize()
+    frontier = best
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst, weight]), num_partitions
+    ).materialize()
+
+    for hop in range(k):
+        expand = coalesce_for_join(
+            frontier.select_columns(["node", "cost"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            c = (batch.column("cost").to_numpy()
+                 + batch.column(weight).to_numpy()).astype("int64")
+            return pa.table({
+                "node": batch.column(dst).cast(pa.int64()),
+                "cost": pa.array(c),
+                "old": pa.array(np.full(len(c), BIG, "int64")),
+            })
+
+        cand = expand.map_batches(relax, batch_format="pyarrow")
+        # prior best rows: old = current cost (improvement sentinel)
+        prior = best.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "cost": b.column("cost"),
+                                "old": b.column("cost")}),
+            batch_format="pyarrow")
+        best = _fold(prior.union(cand)).materialize()
+        if hop == k - 1:
+            break  # final best computed; next frontier would go unused
+        frontier = best.map_batches(
+            lambda b: b.filter(pc.less(b.column("cost"), b.column("old"))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return best.select_columns(["node", "cost"])

@@ -164,3 +164,24 @@ def test_triangle_counts_degree_order_matches_id_order():
     got = dict(zip(by_id["node"], by_id["triangles"]))
     # hub sits in 3 triangles (1-2-100, 2-3-100, 3-4-100)
     assert got[100] == 3 and got[2] == 2 and got[20] == 3
+
+
+def test_k_hop_min_cost_cheapest_path_beats_fewest_hops():
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_hop_min_cost
+
+    # 1 -> 2 costs 10 direct, but 1 -> 3 -> 2 costs 2 + 3 = 5;
+    # 2 -> 4 extends the cheap path within the hop budget
+    edges = rd.from_items([
+        {"src": 1, "dst": 2, "w": 10}, {"src": 1, "dst": 3, "w": 2},
+        {"src": 3, "dst": 2, "w": 3}, {"src": 2, "dst": 4, "w": 1},
+        {"src": 8, "dst": 9, "w": 7},  # unreachable from seed
+    ])
+    seeds = rd.from_items([{"node": 1}])
+    out = (k_hop_min_cost(edges, seeds, k=3, num_partitions=2)
+           .to_pandas())
+    got = dict(zip(out["node"], out["cost"]))
+    assert got == {1: 0, 2: 5, 3: 2, 4: 6}
+    # hop budget of 1 can't take the detour: direct edge wins
+    out1 = (k_hop_min_cost(edges, seeds, k=1, num_partitions=2)
+            .to_pandas())
+    assert dict(zip(out1["node"], out1["cost"])) == {1: 0, 2: 10, 3: 2}
