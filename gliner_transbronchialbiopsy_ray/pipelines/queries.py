@@ -4943,6 +4943,50 @@ SELECT node, CAST(cost AS BIGINT) AS cost FROM r3 ORDER BY node
 """
 
 
+def q121_negative_sampling(sf_dir: str):
+    """KG-embedding training-set negative sampling over the customer->
+    order positive pairs: 3 deterministic modular corruptions per
+    positive, accidental true pairs removed by a SHUFFLE anti-join (the
+    true-pair set is O(corpus) — never broadcast;
+    stages/graph.py:negative_sample_pairs).  Output: negative count per
+    s % 97 residue (bounded 97 keys -> combiner + driver merge), which
+    pins the full multiset without shipping it."""
+    from ..stages.graph import negative_sample_pairs
+
+    pos = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    neg = negative_sample_pairs(pos, "o_custkey", "o_orderkey", k=3)
+
+    def modcount(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("s").to_numpy().astype("int64") % 97
+        mod, cnt = np.unique(s, return_counts=True)
+        return pd.DataFrame({"s_mod": mod,
+                             "n_negatives": cnt.astype("int64")})
+
+    parts = neg.map_batches(modcount, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["s_mod", "n_negatives"],
+                              kind="stable").reset_index(drop=True)
+    out = (parts.groupby("s_mod", sort=False)["n_negatives"].sum()
+           .reset_index())
+    out = out.astype("int64")
+    return out.sort_values("s_mod").reset_index(drop=True)
+
+
+Q121_SQL = """
+WITH pos AS (SELECT o_custkey AS s, o_orderkey AS o FROM orders),
+m AS (SELECT max(o) + 1 AS mo FROM pos),
+cand AS (
+  SELECT s, (o + j * 2654435761) % mo AS o2
+  FROM pos, m, (VALUES (1), (2), (3)) AS t(j)
+),
+neg AS (
+  SELECT c.s, c.o2 FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.s = c.s AND p.o = c.o2)
+)
+SELECT s % 97 AS s_mod, CAST(count(*) AS BIGINT) AS n_negatives
+FROM neg GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5086,4 +5130,5 @@ QUERIES: dict[str, tuple] = {
     "q118_reciprocal_best_match": (q118_reciprocal_best_match, Q118_SQL),
     "q119_entity_resolution": (q119_entity_resolution, Q119_SQL),
     "q120_min_cost_reach": (q120_min_cost_reach, Q120_SQL),
+    "q121_negative_sampling": (q121_negative_sampling, Q121_SQL),
 }

@@ -844,3 +844,53 @@ def k_hop_min_cost(
         if frontier.count() == 0:
             break
     return best.select_columns(["node", "cost"])
+
+
+def negative_sample_pairs(
+    pos: ray.data.Dataset,
+    s_col: str,
+    o_col: str,
+    k: int = 3,
+    modulus: int | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """KG-embedding negative sampling: for every positive pair (s, o) emit
+    `k` corrupted pairs (s, o') with deterministic modular corruption
+    o' = (o + j * 2654435761) % modulus, then drop ACCIDENTAL positives
+    (corruptions that hit a true pair) with a SHUFFLE anti-join — the
+    true-pair set is O(corpus), so it is never broadcast (contrast
+    q48's broadcast anti-join for bounded key sets): positives and
+    candidates ride the SAME coarse-bucketed exchange (bucket on the
+    (s, o') pair) and the anti filter is one vectorized merge per
+    bucket.  Deterministic end to end — the oracle replays the identical
+    arithmetic.  Output: the negative pairs (s, o_neg), a multiset
+    (collisions between different j are two distinct samples, kept)."""
+    if modulus is None:
+        modulus = int(pos.max(o_col)) + 1
+    mult = 2654435761
+
+    def gen(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column(s_col).to_numpy().astype("int64")
+        o = batch.column(o_col).to_numpy().astype("int64")
+        frames = [pd.DataFrame({"s": s, "key": o,
+                                "kind": np.zeros(len(s), "int8")})]
+        for j in range(1, k + 1):
+            o2 = (o + np.int64(j) * np.int64(mult)) % np.int64(modulus)
+            frames.append(pd.DataFrame({
+                "s": s, "key": o2, "kind": np.ones(len(s), "int8")}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_bucket"] = ((out["s"].to_numpy("int64") * 1000003
+                           + out["key"].to_numpy("int64"))
+                          % n_buckets).astype("int32")
+        return out
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        pos_k = g[g["kind"] == 0][["s", "key"]].drop_duplicates()
+        cand = g[g["kind"] == 1][["s", "key"]]
+        m = cand.merge(pos_k, on=["s", "key"], how="left", indicator=True)
+        neg = m[m["_merge"] == "left_only"]
+        return pd.DataFrame({"s": neg["s"].to_numpy("int64"),
+                             "o_neg": neg["key"].to_numpy("int64")})
+
+    return (pos.map_batches(gen, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(anti, batch_format="pandas"))

@@ -185,3 +185,22 @@ def test_k_hop_min_cost_cheapest_path_beats_fewest_hops():
     out1 = (k_hop_min_cost(edges, seeds, k=1, num_partitions=2)
             .to_pandas())
     assert dict(zip(out1["node"], out1["cost"])) == {1: 0, 2: 10, 3: 2}
+
+
+def test_negative_sample_pairs_drops_accidental_positives():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        negative_sample_pairs)
+
+    # modulus 10: 2654435761 % 10 == 1, so corruption j shifts o by +j.
+    # s=1 holds o={0,1}: corrupting o=0 with j=1 lands on the TRUE pair
+    # (1,1) and must be dropped; everything else survives.
+    pos = rd.from_items([{"s": 1, "o": 0}, {"s": 1, "o": 1},
+                         {"s": 2, "o": 5}])
+    out = (negative_sample_pairs(pos, "s", "o", k=3, modulus=10)
+           .to_pandas())
+    got = sorted(map(tuple, out[["s", "o_neg"]].to_numpy()))
+    assert got == sorted([
+        (1, 2), (1, 3),            # from (1,0): j=1 -> (1,1) dropped
+        (1, 2), (1, 3), (1, 4),    # from (1,1)
+        (2, 6), (2, 7), (2, 8),    # from (2,5)
+    ])
