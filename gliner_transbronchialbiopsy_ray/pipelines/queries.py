@@ -4987,6 +4987,127 @@ FROM neg GROUP BY 1 ORDER BY 1
 """
 
 
+def q122_pathsim_topk(sf_dir: str, k: int = 40):
+    """Metapath similarity (PathSim, Sun et al. 2011) over the
+    part-supplier-part metapath with lineitem counts as edge
+    multiplicities: sim(a, b) = 2*paths(a,b) / (paths(a,a)+paths(b,b))
+    where paths(a, b) = sum_s n_as * n_bs — i.e. one row-pair block of
+    the sparse A@A^T product.  The inner product is computed INSIDE the
+    supplier-bucketed shuffle (each supplier's parts multiply locally,
+    partial products summed in a pair-bucketed second pass — the
+    cooccurrence_edges shape with a product payload); self-path norms
+    paths(a,a) ride the same first pass.  Integer ppm; top-k by
+    (ppm desc, a, b) via per-batch combiner + driver merge."""
+    from ..stages.graph import _group_slices, _tag_int_bucket
+    from ..stages.joins import coalesce_for_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    n_buckets = 32
+
+    def pair_counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = (df.groupby(["l_suppkey", "l_partkey"], sort=False)
+               .size().reset_index(name="n"))
+        return _tag_int_bucket(out, "l_suppkey", n_buckets)
+
+    def products(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the (supplier, part) count fold, then emit per-supplier
+        # cross products n_as * n_bs for a <= b (a == b rows are the
+        # self-path norms)
+        w = (g.groupby(["l_suppkey", "l_partkey"], sort=False)["n"]
+             .sum().reset_index()
+             .sort_values(["l_suppkey", "l_partkey"], kind="stable"))
+        sk = w["l_suppkey"].to_numpy("int64")
+        pk = w["l_partkey"].to_numpy("int64")
+        n = w["n"].to_numpy("int64")
+        aa, bb, pp = [], [], []
+        for s, e in _group_slices(sk):
+            d = e - s
+            iu = np.triu_indices(d, k=0)  # k=0 keeps the diagonal (norms)
+            aa.append(pk[s:e][iu[0]])
+            bb.append(pk[s:e][iu[1]])
+            pp.append(n[s:e][iu[0]] * n[s:e][iu[1]])
+        out = pd.DataFrame({"a": np.concatenate(aa),
+                            "b": np.concatenate(bb),
+                            "p": np.concatenate(pp)})
+        out = (out.groupby(["a", "b"], sort=False)["p"].sum()
+               .reset_index())
+        return _tag_int_bucket(out, "a", n_buckets)
+
+    def sum_products(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["a", "b"], sort=False)["p"].sum()
+                .reset_index())
+
+    paths = (li.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(products, batch_format="pandas")
+             .groupby("_bucket").map_groups(sum_products,
+                                            batch_format="pandas")
+             .materialize())  # two consumers below (norms + pairs)
+
+    def norms_only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("a"), b.column("b"))
+        t = b.filter(m)
+        return pa.table({"node": t.column("a"), "norm": t.column("p")})
+
+    def pairs_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("a"), b.column("b")))
+
+    norms = paths.map_batches(norms_only, batch_format="pyarrow")
+    pairs = paths.map_batches(pairs_only, batch_format="pyarrow")
+
+    try:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        nparts = 2
+    norms = coalesce_for_join(norms, nparts)
+    j1 = coalesce_for_join(pairs, nparts).join(
+        norms, join_type="inner", num_partitions=nparts,
+        on=("a",), right_on=("node",),
+    ).rename_columns({"norm": "na"})
+    j2 = coalesce_for_join(j1, nparts).join(
+        norms, join_type="inner", num_partitions=nparts,
+        on=("b",), right_on=("node",),
+    ).rename_columns({"norm": "nb"})
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["pathsim_ppm"] = (2_000_000 * df["p"].to_numpy("int64")) // (
+            df["na"].to_numpy("int64") + df["nb"].to_numpy("int64"))
+        df = df.sort_values(["pathsim_ppm", "a", "b"],
+                            ascending=[False, True, True], kind="stable")
+        return df[["a", "b", "pathsim_ppm"]].head(k)
+
+    parts = j2.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["pathsim_ppm", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+    out = out.astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q122_SQL = """
+WITH w AS (
+  SELECT l_suppkey AS s, l_partkey AS p, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+paths AS (
+  SELECT x.p AS a, y.p AS b, sum(x.n * y.n) AS pw
+  FROM w x JOIN w y ON x.s = y.s AND x.p <= y.p
+  GROUP BY 1, 2
+),
+norms AS (SELECT a AS node, pw AS norm FROM paths WHERE a = b)
+SELECT pr.a, pr.b,
+       CAST((2000000 * pr.pw) // (na.norm + nb.norm) AS BIGINT)
+       AS pathsim_ppm
+FROM paths pr
+JOIN norms na ON na.node = pr.a
+JOIN norms nb ON nb.node = pr.b
+WHERE pr.a < pr.b
+ORDER BY pathsim_ppm DESC, pr.a, pr.b
+LIMIT 40
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5131,4 +5252,5 @@ QUERIES: dict[str, tuple] = {
     "q119_entity_resolution": (q119_entity_resolution, Q119_SQL),
     "q120_min_cost_reach": (q120_min_cost_reach, Q120_SQL),
     "q121_negative_sampling": (q121_negative_sampling, Q121_SQL),
+    "q122_pathsim_topk": (q122_pathsim_topk, Q122_SQL),
 }
