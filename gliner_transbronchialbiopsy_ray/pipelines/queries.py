@@ -5108,6 +5108,64 @@ LIMIT 40
 """
 
 
+def q123_walk_corpus(sf_dir: str):
+    """Graph-embedding walk corpus: 3-step deterministic walks from parts
+    with l_partkey % 20 = 0 over the signed part<->supplier graph
+    (stages/graph.py:deterministic_walks — hash-argmin next hop, pure
+    int64 arithmetic both engines replay; per step one frontier join +
+    one walk-bucketed argmin fold).  Oracle: three unrolled
+    row_number()-argmin joins."""
+    from ..stages.graph import deterministic_walks
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 20 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = deterministic_walks(edges, seeds, length=3).to_pandas()
+    out = out[["n0", "n1", "n2", "n3"]].astype("int64")
+    return out.sort_values("n0").reset_index(drop=True)
+
+
+Q123_SQL = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, -s AS dst FROM e UNION ALL SELECT -s, p FROM e),
+w0 AS (SELECT DISTINCT l_partkey AS n0 FROM lineitem
+       WHERE l_partkey % 20 = 0),
+s1 AS (SELECT n0, dst AS n1 FROM (
+  SELECT w0.n0, ed.dst,
+         row_number() OVER (PARTITION BY w0.n0 ORDER BY
+           abs(ed.dst * 2654435761 + w0.n0 * 8191 + 1 * 524287)
+           % 1000000007, ed.dst) AS rn
+  FROM w0 JOIN edges ed ON ed.src = w0.n0) WHERE rn = 1),
+s2 AS (SELECT n0, n1, dst AS n2 FROM (
+  SELECT s1.n0, s1.n1, ed.dst,
+         row_number() OVER (PARTITION BY s1.n0 ORDER BY
+           abs(ed.dst * 2654435761 + s1.n1 * 8191 + 2 * 524287)
+           % 1000000007, ed.dst) AS rn
+  FROM s1 JOIN edges ed ON ed.src = s1.n1) WHERE rn = 1),
+s3 AS (SELECT n0, n1, n2, dst AS n3 FROM (
+  SELECT s2.n0, s2.n1, s2.n2, ed.dst,
+         row_number() OVER (PARTITION BY s2.n0 ORDER BY
+           abs(ed.dst * 2654435761 + s2.n2 * 8191 + 3 * 524287)
+           % 1000000007, ed.dst) AS rn
+  FROM s2 JOIN edges ed ON ed.src = s2.n2) WHERE rn = 1)
+SELECT n0, n1, n2, n3 FROM s3 ORDER BY n0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5253,4 +5311,5 @@ QUERIES: dict[str, tuple] = {
     "q120_min_cost_reach": (q120_min_cost_reach, Q120_SQL),
     "q121_negative_sampling": (q121_negative_sampling, Q121_SQL),
     "q122_pathsim_topk": (q122_pathsim_topk, Q122_SQL),
+    "q123_walk_corpus": (q123_walk_corpus, Q123_SQL),
 }

@@ -894,3 +894,67 @@ def negative_sample_pairs(
 
     return (pos.map_batches(gen, batch_format="pyarrow")
             .groupby("_bucket").map_groups(anti, batch_format="pandas"))
+
+
+def deterministic_walks(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    length: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Walk-corpus generation for graph-embedding training (the
+    node2vec/DeepWalk input), made DETERMINISTIC so an oracle can replay
+    it: from every seed, `length` steps where the next hop is the
+    neighbor minimizing h = abs(dst*2654435761 + cur*8191 + step*524287)
+    % 1000000007 (ties by dst) — pure int64 arithmetic with abs() before
+    the modulo so SQL's sign-of-dividend %% and numpy's sign-of-divisor
+    %% agree.  Per step: ONE native hash join (walk frontier x edges)
+    + ONE walk-bucketed argmin fold; walks stay distributed, columns
+    n0..n{length} accumulate on the walk rows.  Walks die at dead-end
+    nodes (inner join drops them) — feed a symmetrized edge set if every
+    walk must complete."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def as_walk(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas()).astype("int64")
+        return pa.table({"n0": pa.array(ids)})
+
+    walks = seeds.map_batches(as_walk, batch_format="pyarrow").materialize()
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst]), num_partitions).materialize()
+
+    for step in range(1, length + 1):
+        cur = f"n{step - 1}"
+        nxt = f"n{step}"
+        expand = coalesce_for_join(walks, num_partitions).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=(cur,), right_on=(src,),
+        )
+
+        def score(batch: pa.Table, _cur=cur, _step=step) -> pd.DataFrame:
+            df = batch.to_pandas()
+            d = df[dst].to_numpy("int64")
+            c = df[_cur].to_numpy("int64")
+            h = np.abs(d * np.int64(2654435761) + c * np.int64(8191)
+                       + np.int64(_step) * np.int64(524287)) \
+                % np.int64(1000000007)
+            df["_h"] = h
+            return _tag_int_bucket(df, "n0", n_buckets)
+
+        def pick(g: pd.DataFrame, _nxt=nxt) -> pd.DataFrame:
+            gg = g.sort_values(["n0", "_h", dst], kind="stable")
+            best = gg.drop_duplicates(subset=["n0"], keep="first")
+            out = best.drop(columns=["_h", "_bucket"]).rename(
+                columns={dst: _nxt})
+            return out.reset_index(drop=True)
+
+        walks = (expand.map_batches(score, batch_format="pyarrow")
+                 .groupby("_bucket").map_groups(pick, batch_format="pandas")
+                 .materialize())
+    return walks

@@ -204,3 +204,31 @@ def test_negative_sample_pairs_drops_accidental_positives():
         (1, 2), (1, 3), (1, 4),    # from (1,1)
         (2, 6), (2, 7), (2, 8),    # from (2,5)
     ])
+
+
+def test_deterministic_walks_reproducible_and_dead_ends_drop():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        deterministic_walks)
+
+    # 1 has neighbors {2, 3}; 2 -> {4}; 3 -> {4}; 4 is a DEAD END.
+    # 9 -> 10 -> (dead end before step 3): walk from 9 must vanish.
+    edges_rows = [
+        {"src": 1, "dst": 2}, {"src": 1, "dst": 3},
+        {"src": 2, "dst": 4}, {"src": 3, "dst": 4},
+        {"src": 4, "dst": 5}, {"src": 5, "dst": 6},
+        {"src": 9, "dst": 10},
+    ]
+    seeds = rd.from_items([{"node": 1}, {"node": 9}])
+    out1 = (deterministic_walks(rd.from_items(edges_rows), seeds, length=3,
+                                num_partitions=2)
+            .to_pandas().sort_values("n0").reset_index(drop=True))
+    out2 = (deterministic_walks(rd.from_items(edges_rows),
+                                rd.from_items([{"node": 1}, {"node": 9}]),
+                                length=3, num_partitions=2)
+            .to_pandas().sort_values("n0").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out2)  # run-to-run deterministic
+    assert list(out1["n0"]) == [1]             # 9's walk died at step 2
+    # step 1 picked whichever of {2, 3} minimizes the hash — pin the
+    # whole walk so any hash change is caught
+    row = out1.iloc[0]
+    assert row["n1"] in (2, 3) and row["n2"] == 4 and row["n3"] == 5
