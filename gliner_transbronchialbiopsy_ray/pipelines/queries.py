@@ -5166,6 +5166,115 @@ SELECT n0, n1, n2, n3 FROM s3 ORDER BY n0
 """
 
 
+def q124_skipgram_pairs(sf_dir: str):
+    """Skip-gram training pairs from the q123 walk corpus: every ordered
+    (center, context) pair within window 2 over walk positions — the
+    corpus -> training-examples step of embedding pipelines.  Pair
+    emission is a per-batch vectorized unpivot (zero extra shuffle on
+    top of the walk build); output = pair-count aggregate grouped by
+    hop distance so the result stays bounded.  Oracle: UNION ALL of the
+    position pairs over the same unrolled-walk CTEs."""
+    walks = q123_walk_corpus(sf_dir)  # small driver df (seeded subset)
+    ds = rd.from_pandas(walks)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        cols = ["n0", "n1", "n2", "n3"]
+        frames = []
+        for i in range(4):
+            for j in range(4):
+                if i != j and abs(i - j) <= 2:
+                    frames.append(pd.DataFrame({
+                        "center": df[cols[i]].to_numpy("int64"),
+                        "context": df[cols[j]].to_numpy("int64"),
+                        "dist": np.full(len(df), abs(i - j), "int64")}))
+        out = pd.concat(frames, ignore_index=True)
+        return (out.groupby(["dist"], sort=False)
+                .agg(n_pairs=("center", "size"),
+                     sum_center=("center", "sum"),
+                     sum_context=("context", "sum")).reset_index())
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist", "n_pairs", "sum_center"],
+                              kind="stable")
+    out = (parts.groupby("dist", sort=False)
+           .agg(n_pairs=("n_pairs", "sum"),
+                sum_center=("sum_center", "sum"),
+                sum_context=("sum_context", "sum")).reset_index())
+    out = out.astype("int64")
+    return out.sort_values("dist").reset_index(drop=True)
+
+
+Q124_SQL = Q123_SQL.replace(
+    "SELECT n0, n1, n2, n3 FROM s3 ORDER BY n0",
+    """, pairs AS (
+  SELECT n0 AS center, n1 AS context, 1 AS dist FROM s3
+  UNION ALL SELECT n1, n0, 1 FROM s3
+  UNION ALL SELECT n1, n2, 1 FROM s3
+  UNION ALL SELECT n2, n1, 1 FROM s3
+  UNION ALL SELECT n2, n3, 1 FROM s3
+  UNION ALL SELECT n3, n2, 1 FROM s3
+  UNION ALL SELECT n0, n2, 2 FROM s3
+  UNION ALL SELECT n2, n0, 2 FROM s3
+  UNION ALL SELECT n1, n3, 2 FROM s3
+  UNION ALL SELECT n3, n1, 2 FROM s3
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(center) AS BIGINT) AS sum_center,
+       CAST(sum(context) AS BIGINT) AS sum_context
+FROM pairs GROUP BY dist ORDER BY dist""")
+
+
+def q125_snapshot_diff(sf_dir: str):
+    """KG snapshot diff (CDC added/removed) between two sliding-window
+    triple sets — (custkey, orderstatus) pairs observed in 1996-1998 vs
+    1997-1999: rows in exactly one snapshot come back tagged
+    added/removed via stages/joins.py:dataset_diff (both sides on ONE
+    coarse-bucketed exchange, vectorized outer-merge kernel — no
+    broadcast, no EXCEPT-style double shuffle).  Output: pair counts per
+    (status, change)."""
+    from ..stages.joins import dataset_diff
+
+    def snap(lo: str, hi: str):
+        ds = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_orderdate"])
+        return ds.map_batches(
+            lambda b, _lo=lo, _hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b.column("o_orderdate"),
+                                 pa.scalar(pd.Timestamp(_lo))),
+                pc.less(b.column("o_orderdate"),
+                        pa.scalar(pd.Timestamp(_hi)))))
+            .select(["o_custkey", "o_orderstatus"]),
+            batch_format="pyarrow")
+
+    a = snap("1996-01-01", "1999-01-01")
+    b = snap("1997-01-01", "2000-01-01")
+    d = dataset_diff(a, b, ["o_custkey", "o_orderstatus"])
+    out = _preagg(d, ["o_orderstatus", "change"],
+                  {"n_pairs": ("o_custkey", "count")})
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return (out.sort_values(["o_orderstatus", "change"])
+            .reset_index(drop=True))
+
+
+Q125_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01'),
+b AS (SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '2000-01-01'),
+added AS (SELECT *, 'added' AS change FROM
+          (SELECT * FROM b EXCEPT SELECT * FROM a)),
+removed AS (SELECT *, 'removed' AS change FROM
+            (SELECT * FROM a EXCEPT SELECT * FROM b))
+SELECT o_orderstatus, change, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM added UNION ALL SELECT * FROM removed)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5312,4 +5421,6 @@ QUERIES: dict[str, tuple] = {
     "q121_negative_sampling": (q121_negative_sampling, Q121_SQL),
     "q122_pathsim_topk": (q122_pathsim_topk, Q122_SQL),
     "q123_walk_corpus": (q123_walk_corpus, Q123_SQL),
+    "q124_skipgram_pairs": (q124_skipgram_pairs, Q124_SQL),
+    "q125_snapshot_diff": (q125_snapshot_diff, Q125_SQL),
 }

@@ -215,3 +215,21 @@ def test_coalesce_for_join_empty_block_workaround(ray_session):
                    on=("k",), right_on=("kk",),
                    left_suffix="", right_suffix="_r")
     assert j.to_pandas().to_dict("records") == [{"k": 1, "v": "x"}]
+
+
+def test_dataset_diff_symmetric_difference():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.joins import dataset_diff
+
+    a = rd.from_items([{"k": 1, "v": "x"}, {"k": 2, "v": "y"},
+                       {"k": 2, "v": "y"},  # dup rows collapse
+                       {"k": 3, "v": "z"}])
+    b = rd.from_items([{"k": 2, "v": "y"}, {"k": 3, "v": "ZZ"},
+                       {"k": 4, "v": "w"}])
+    out = dataset_diff(a, b, ["k", "v"]).to_pandas()
+    got = sorted(map(tuple, out[["k", "v", "change"]].to_numpy()))
+    assert got == [
+        (1, "x", "removed"),
+        (3, "ZZ", "added"), (3, "z", "removed"),  # value change = both
+        (4, "w", "added"),
+    ]
