@@ -5275,6 +5275,119 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q126_node_features(sf_dir: str):
+    """KG node-feature assembly (the feature-engineering capstone over
+    the co-purchase graph): per part its degree, triangle count and
+    connected-component id, assembled WITHOUT joins — the three feature
+    datasets ride one node-bucketed exchange (kind marker) and a
+    vectorized in-bucket pivot fills triangles=0 for triangle-free
+    nodes.  Edge set materialized once, consumed by all three feature
+    passes.  Oracle: degree/triangle CTEs + recursive-CTE components,
+    COALESCE for the fill."""
+    from ..stages.dedup import connected_components
+    from ..stages.graph import (_tag_int_bucket, cooccurrence_edges,
+                                triangle_counts)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               min_count=2).materialize()
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column("a").to_numpy()
+        v = batch.column("b").to_numpy()
+        node, cnt = np.unique(np.concatenate([u, v]).astype("int64"),
+                              return_counts=True)
+        return pd.DataFrame({"node": node, "val": cnt.astype("int64"),
+                             "kind": np.zeros(len(node), "int8")})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow")
+    tri = triangle_counts(edges).map_batches(
+        lambda b: pd.DataFrame({
+            "node": b.column("node").to_numpy().astype("int64"),
+            "val": b.column("triangles").to_numpy().astype("int64"),
+            "kind": np.ones(b.num_rows, "int8")}),
+        batch_format="pyarrow")
+    comp = connected_components(
+        edges, max_iterations=40, left_col="a", right_col="b"
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "node": b.column("node").to_numpy().astype("int64"),
+            "val": b.column("component").to_numpy().astype("int64"),
+            "kind": np.full(b.num_rows, 2, "int8")}),
+        batch_format="pyarrow")
+
+    def tagb(batch: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(batch.to_pandas(), "node", 32)
+
+    allf = (deg.union(tri).union(comp)
+            .map_batches(tagb, batch_format="pyarrow"))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # deg partials need a final sum (per-batch uniques can split);
+        # tri/comp rows are already one per node
+        d = (g[g["kind"] == 0].groupby("node", sort=False)["val"].sum()
+             .reset_index().rename(columns={"val": "degree"}))
+        t = (g[g["kind"] == 1].groupby("node", sort=False)["val"].sum()
+             .reset_index().rename(columns={"val": "triangles"}))
+        c = (g[g["kind"] == 2][["node", "val"]]
+             .rename(columns={"val": "component"}))
+        out = d.merge(t, on="node", how="left").merge(c, on="node",
+                                                      how="left")
+        out["triangles"] = out["triangles"].fillna(0).astype("int64")
+        out["component"] = out["component"].astype("int64")
+        return out
+
+    out = (allf.groupby("_bucket").map_groups(assemble,
+                                              batch_format="pandas")
+           .to_pandas().astype("int64"))
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q126_SQL = """
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+ud AS (SELECT p1 AS s, p2 AS t FROM e UNION SELECT p2, p1 FROM e),
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM ud GROUP BY s),
+tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT e1.p1 AS node FROM e e1
+      JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+      JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+    UNION ALL
+    SELECT e1.p2 FROM e e1
+      JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+      JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+    UNION ALL
+    SELECT e2.p2 FROM e e1
+      JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+      JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+  ) GROUP BY node
+),
+nodes AS (SELECT DISTINCT s FROM ud),
+reach(s, t) AS (
+  SELECT s, s FROM nodes
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN ud u ON u.s = r.t
+),
+comp AS (SELECT s AS node, CAST(min(t) AS BIGINT) AS component
+         FROM reach GROUP BY s)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+       comp.component
+FROM deg
+LEFT JOIN tri ON tri.node = deg.node
+JOIN comp ON comp.node = deg.node
+ORDER BY deg.node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5423,4 +5536,5 @@ QUERIES: dict[str, tuple] = {
     "q123_walk_corpus": (q123_walk_corpus, Q123_SQL),
     "q124_skipgram_pairs": (q124_skipgram_pairs, Q124_SQL),
     "q125_snapshot_diff": (q125_snapshot_diff, Q125_SQL),
+    "q126_node_features": (q126_node_features, Q126_SQL),
 }
