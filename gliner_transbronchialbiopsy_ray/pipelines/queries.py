@@ -5388,6 +5388,53 @@ ORDER BY deg.node
 """
 
 
+def q127_kcore(sf_dir: str, k: int = 3, rounds: int = 4):
+    """Bounded-round k-core peeling (k=3, 4 rounds) over the co-purchase
+    graph — community-core extraction with fixed-round semantics both
+    engines replay exactly (stages/graph.py:k_core_peel: per round one
+    degree fold + two bucketed semi-join alive filters, alive set never
+    broadcast).  Output: surviving (node, degree).  The registered
+    oracle hardcodes k=3 / rounds=4."""
+    from ..stages.graph import cooccurrence_edges, k_core_peel
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    out = k_core_peel(edges, k=k, rounds=rounds).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q127_sql(k: int = 3, rounds: int = 4) -> str:
+    head = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+)"""
+    parts = [head]
+    prev = "e0"
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (SELECT node, count(*) AS deg FROM (
+  SELECT p1 AS node FROM {prev} UNION ALL SELECT p2 FROM {prev})
+  GROUP BY node),
+a{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS (SELECT e.p1, e.p2 FROM {prev} e
+  JOIN a{r} x ON x.node = e.p1 JOIN a{r} y ON y.node = e.p2)""")
+        prev = f"e{r + 1}"
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT p1 AS node FROM {prev} UNION ALL SELECT p2 FROM {prev})
+GROUP BY node ORDER BY node""")
+    return "".join(parts)
+
+
+Q127_SQL = _q127_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5537,4 +5584,5 @@ QUERIES: dict[str, tuple] = {
     "q124_skipgram_pairs": (q124_skipgram_pairs, Q124_SQL),
     "q125_snapshot_diff": (q125_snapshot_diff, Q125_SQL),
     "q126_node_features": (q126_node_features, Q126_SQL),
+    "q127_kcore": (q127_kcore, Q127_SQL),
 }

@@ -958,3 +958,71 @@ def deterministic_walks(
                  .groupby("_bucket").map_groups(pick, batch_format="pandas")
                  .materialize())
     return walks
+
+
+def k_core_peel(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Bounded-round k-core peeling over an undirected (a < b canonical)
+    edge set: each round drops nodes with degree < k and the edges
+    touching them; after `rounds` rounds returns (node, degree) of the
+    survivors.  Fixed round count makes the semantics REPLAYABLE by an
+    unrolled SQL oracle (true k-core = run until a round removes
+    nothing; the peel count per round is exposed by the returned degrees
+    so callers can iterate to fixpoint).
+
+    Per round: one degree fold (node-bucketed) and two native hash
+    joins against the alive node set (alive is one unique row per node,
+    so inner join == semi-join; no broadcast of the O(nodes) set).
+    Edge state is materialized between rounds (iterative lineage rule).
+    A union+sort bucketed semi-join variant was tried first and stalls
+    the streaming executor with a pathological driver-memory estimate —
+    native joins with coalesced inputs are the stable shape."""
+    from .joins import coalesce_for_join
+
+    nparts = _default_join_partitions()
+
+    def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+        def dpart(batch: pa.Table) -> pd.DataFrame:
+            u = batch.column(src).to_numpy()
+            v = batch.column(dst).to_numpy()
+            node, cnt = np.unique(np.concatenate([u, v]).astype("int64"),
+                                  return_counts=True)
+            return _tag_int_bucket(
+                pd.DataFrame({"node": node, "deg": cnt.astype("int64")}),
+                "node", n_buckets)
+
+        return (e.map_batches(dpart, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(lambda g: g.groupby("node", sort=False)["deg"]
+                            .sum().reset_index(), batch_format="pandas"))
+
+    def semi_filter(e: ray.data.Dataset, alive: ray.data.Dataset,
+                    col: str) -> ray.data.Dataset:
+        j = coalesce_for_join(e, nparts).join(
+            coalesce_for_join(alive, nparts), join_type="inner",
+            num_partitions=nparts, on=(col,), right_on=("node",),
+        )
+        return j.select_columns([src, dst]).materialize()
+
+    e = edges.select_columns([src, dst]).materialize()
+    for _ in range(rounds):
+        deg = degrees(e)
+        alive = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("deg"), k))
+            .select(["node"]),
+            batch_format="pyarrow").materialize()
+        if alive.count() == 0:
+            return ray.data.from_pandas(pd.DataFrame(
+                {"node": np.empty(0, "int64"),
+                 "deg": np.empty(0, "int64")}))
+        e = semi_filter(semi_filter(e, alive, src), alive, dst)
+        if e.count() == 0:
+            break
+    return degrees(e).map_batches(
+        lambda b: b.select(["node", "deg"]), batch_format="pyarrow")

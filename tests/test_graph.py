@@ -232,3 +232,18 @@ def test_deterministic_walks_reproducible_and_dead_ends_drop():
     # whole walk so any hash change is caught
     row = out1.iloc[0]
     assert row["n1"] in (2, 3) and row["n2"] == 4 and row["n3"] == 5
+
+
+def test_k_core_peel_extracts_core_and_empties():
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_core_peel
+
+    # K4 on {1,2,3,4} + pendant chain 4-5-6: the 3-core is exactly the K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (5, 6)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    out = (k_core_peel(ds, k=3, rounds=3).to_pandas()
+           .sort_values("node"))
+    assert dict(zip(out["node"], out["deg"])) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=4 peels everything away within the round budget
+    ds2 = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    assert len(k_core_peel(ds2, k=4, rounds=3).to_pandas()) == 0
