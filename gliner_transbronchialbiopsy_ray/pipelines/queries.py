@@ -5435,6 +5435,87 @@ GROUP BY node ORDER BY node""")
 Q127_SQL = _q127_sql()
 
 
+def q128_scd2_intervals(sf_dir: str):
+    """SCD2 intervalization (gaps-and-islands): per user, consecutive
+    runs of the same event_type collapse into validity intervals
+    [valid_from, valid_to) with valid_to = next run's start (-1 sentinel
+    for the open interval) — the dimension-history builder of KG/warehouse
+    loads.  Per-key local computation on the keyed-window scaffold
+    (stages/window.py:hash_bucketed_map_groups: ONE user-bucketed
+    shuffle, vectorized shift/cumsum run collapse inside).  Timestamps
+    flow as int64 epoch-us end to end (float64 mantissa is ~256 us
+    coarse at this epoch — q113 lesson).  Users subset (% 50 = 0) keeps
+    the compared output bounded; the kernel is per-user local, so the
+    subset loses no generality."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    def subset(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        return b.filter(pa.array(uid % 50 == 0))
+
+    ev = ev.map_batches(subset, batch_format="pyarrow")
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            u = u.sort_values(["ts", "event_id"], kind="stable")
+            et = u["event_type"].to_numpy()
+            # pin the unit before the int cast: pandas may carry ns or us
+            ts = u["ts"].to_numpy("datetime64[us]").astype("int64")
+            chg = np.r_[True, et[1:] != et[:-1]]
+            starts = ts[chg]
+            types = et[chg]
+            ends = np.r_[starts[1:], np.int64(-1)]
+            out.append(pd.DataFrame({
+                "user_id": np.full(len(starts), uid, "int64"),
+                "event_type": types,
+                "valid_from": starts.astype("int64"),
+                "valid_to": ends.astype("int64")}))
+        if not out:
+            return pd.DataFrame({"user_id": np.empty(0, "int64"),
+                                 "event_type": np.empty(0, object),
+                                 "valid_from": np.empty(0, "int64"),
+                                 "valid_to": np.empty(0, "int64")})
+        return pd.concat(out, ignore_index=True)
+
+    res = hash_bucketed_map_groups(ev, "user_id", intervals).to_pandas()
+    for c in ("user_id", "valid_from", "valid_to"):
+        res[c] = res[c].astype("int64")
+    return (res.sort_values(["user_id", "valid_from"])
+            .reset_index(drop=True))
+
+
+Q128_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tsu
+  FROM events WHERE user_id % 50 = 0
+),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+iv AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(tsu) AS valid_from
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from), -1)
+       AS valid_to
+FROM iv ORDER BY user_id, valid_from
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5585,4 +5666,5 @@ QUERIES: dict[str, tuple] = {
     "q125_snapshot_diff": (q125_snapshot_diff, Q125_SQL),
     "q126_node_features": (q126_node_features, Q126_SQL),
     "q127_kcore": (q127_kcore, Q127_SQL),
+    "q128_scd2_intervals": (q128_scd2_intervals, Q128_SQL),
 }
