@@ -5516,6 +5516,65 @@ FROM iv ORDER BY user_id, valid_from
 """
 
 
+def q129_embedding_quantize(sf_dir: str):
+    """Scalar (int8-range) embedding quantization with EXACT cross-engine
+    arithmetic — the vector-compression step of embedding stores: each
+    float32 component is fixed-pointed (floor(x * 1e6) in float64, which
+    numpy and SQL compute bit-identically), then min-max quantized to
+    0..255 in pure integer math; per vector we report the quantization
+    range, total absolute reconstruction error and a position-weighted
+    code checksum (pins every code without shipping them).  Entirely
+    row-local: one map_batches over 2-D numpy, ZERO shuffle.  Oracle:
+    zipped unnest + the same integer expressions."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pd.DataFrame:
+        vid = batch.column("vec_id").to_numpy()
+        emb = np.stack(batch.column("embedding").to_pandas().to_numpy())
+        fp = np.floor(emb.astype("float64") * 1_000_000.0).astype("int64")
+        mn = fp.min(axis=1)
+        mx = fp.max(axis=1)
+        d = mx - mn
+        safe = np.where(d == 0, 1, d)
+        q = ((fp - mn[:, None]) * 255) // safe[:, None]
+        q = np.where(d[:, None] == 0, 0, q)
+        recon = mn[:, None] + (q * d[:, None]) // 255
+        err = np.abs(fp - recon).sum(axis=1)
+        idx = np.arange(1, fp.shape[1] + 1, dtype="int64")
+        checksum = (q * idx[None, :]).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": vid.astype("int64"),
+            "qmin": mn, "qmax": mx,
+            "sum_abs_err": err.astype("int64"),
+            "q_checksum": checksum.astype("int64")})
+
+    out = ds.map_batches(quant, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q129_SQL = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS fp,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+rng AS (SELECT vec_id, min(fp) AS mn, max(fp) AS mx FROM el GROUP BY 1),
+qq AS (
+  SELECT el.vec_id, el.fp, el.i, rng.mn, rng.mx,
+         CASE WHEN rng.mx = rng.mn THEN 0
+              ELSE ((el.fp - rng.mn) * 255) // (rng.mx - rng.mn) END AS q
+  FROM el JOIN rng ON rng.vec_id = el.vec_id
+)
+SELECT vec_id, mn AS qmin, mx AS qmax,
+       CAST(sum(abs(fp - (mn + (q * (mx - mn)) // 255))) AS BIGINT)
+       AS sum_abs_err,
+       CAST(sum(q * i) AS BIGINT) AS q_checksum
+FROM qq GROUP BY vec_id, mn, mx ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5667,4 +5726,5 @@ QUERIES: dict[str, tuple] = {
     "q126_node_features": (q126_node_features, Q126_SQL),
     "q127_kcore": (q127_kcore, Q127_SQL),
     "q128_scd2_intervals": (q128_scd2_intervals, Q128_SQL),
+    "q129_embedding_quantize": (q129_embedding_quantize, Q129_SQL),
 }
