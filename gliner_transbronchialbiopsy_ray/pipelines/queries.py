@@ -5575,6 +5575,71 @@ FROM qq GROUP BY vec_id, mn, mx ORDER BY vec_id
 """
 
 
+def q130_trailing_time_window(sf_dir: str):
+    """Time-RANGE trailing window (the frame q91's ROWS window can't
+    express): per user, the 1-hour trailing sum of value (integer cents)
+    at each event — SQL `RANGE BETWEEN <1h> PRECEDING AND CURRENT ROW`
+    semantics including the equal-timestamp peer rule (every row with
+    the same order key joins the frame, even later-sorted ones).  Ray
+    side: keyed-window scaffold + a vectorized two-pointer kernel
+    (prefix sums + searchsorted on int64 epoch-us bounds) — O(n) per
+    user, no per-row loop.  User subset (% 50 = 0) bounds the compared
+    output; the kernel is per-user local."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    HOUR_US = 3_600_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def subset(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        return b.filter(pa.array(uid % 50 == 0))
+
+    ev = ev.map_batches(subset, batch_format="pyarrow")
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            u = u.sort_values(["ts", "event_id"], kind="stable")
+            ts = u["ts"].to_numpy("datetime64[us]").astype("int64")
+            v = np.floor(u["value"].to_numpy("float64") * 100
+                         ).astype("int64")
+            csum = np.r_[np.int64(0), np.cumsum(v)]
+            left = np.searchsorted(ts, ts - HOUR_US, side="left")
+            right = np.searchsorted(ts, ts, side="right")
+            out.append(pd.DataFrame({
+                "user_id": np.full(len(u), uid, "int64"),
+                "event_id": u["event_id"].to_numpy("int64"),
+                "trailing_cents": (csum[right] - csum[left])
+                .astype("int64")}))
+        if not out:
+            return pd.DataFrame({"user_id": np.empty(0, "int64"),
+                                 "event_id": np.empty(0, "int64"),
+                                 "trailing_cents": np.empty(0, "int64")})
+        return pd.concat(out, ignore_index=True)
+
+    res = hash_bucketed_map_groups(ev, "user_id", trailing).to_pandas()
+    res = res.astype("int64")
+    return (res.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+Q130_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id % 50 = 0
+)
+SELECT user_id, event_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
+                             RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+       AS trailing_cents
+FROM e ORDER BY user_id, event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5727,4 +5792,5 @@ QUERIES: dict[str, tuple] = {
     "q127_kcore": (q127_kcore, Q127_SQL),
     "q128_scd2_intervals": (q128_scd2_intervals, Q128_SQL),
     "q129_embedding_quantize": (q129_embedding_quantize, Q129_SQL),
+    "q130_trailing_time_window": (q130_trailing_time_window, Q130_SQL),
 }
