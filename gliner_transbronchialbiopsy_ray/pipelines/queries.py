@@ -5640,6 +5640,59 @@ FROM e ORDER BY user_id, event_id
 """
 
 
+def q131_bgp_match(sf_dir: str):
+    """SPARQL-style basic-graph-pattern query over a triplified relational
+    KG (stages/bgp.py:match_bgp — each pattern a filtered projection,
+    shared-variable native joins, SELECT DISTINCT semantics): open
+    orders placed by customers in nation 7, as bindings (?o, ?c) of
+
+        (?o, by_customer, ?c) (?c, in_nation, 7) (?o, has_status_open, 1)
+
+    Triples are built streaming from orders/customer (zero shuffle);
+    the BGP compiler does the rest.  Oracle: the equivalent SQL joins."""
+    from ..stages.bgp import match_bgp
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        t1 = pd.DataFrame({"s": df["o_orderkey"].astype("int64"),
+                           "p": "by_customer",
+                           "o": df["o_custkey"].astype("int64")})
+        op = df[df["o_orderstatus"] == "O"]
+        t2 = pd.DataFrame({"s": op["o_orderkey"].astype("int64"),
+                           "p": "has_status_open",
+                           "o": np.ones(len(op), "int64")})
+        return pd.concat([t1, t2], ignore_index=True)
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64")})
+
+    triples = (orders.map_batches(order_triples, batch_format="pyarrow")
+               .union(cust.map_batches(cust_triples,
+                                       batch_format="pyarrow")))
+    out = match_bgp(triples, [
+        ("?o", "by_customer", "?c"),
+        ("?c", "in_nation", 7),
+        ("?o", "has_status_open", 1),
+    ]).to_pandas()
+    out = out[["o", "c"]].astype("int64")
+    return out.sort_values(["o", "c"]).reset_index(drop=True)
+
+
+Q131_SQL = """
+SELECT DISTINCT o.o_orderkey AS o, c.c_custkey AS c
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_nationkey = 7 AND o.o_orderstatus = 'O'
+ORDER BY o, c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5793,4 +5846,5 @@ QUERIES: dict[str, tuple] = {
     "q128_scd2_intervals": (q128_scd2_intervals, Q128_SQL),
     "q129_embedding_quantize": (q129_embedding_quantize, Q129_SQL),
     "q130_trailing_time_window": (q130_trailing_time_window, Q130_SQL),
+    "q131_bgp_match": (q131_bgp_match, Q131_SQL),
 }

@@ -1,0 +1,119 @@
+"""SPARQL-style basic-graph-pattern (BGP) matching over a distributed
+triple dataset — the KG query-side primitive: a list of (s, p, o)
+patterns with shared variables compiles into a chain of native Ray hash
+joins.
+
+Plan shape: each pattern becomes a filtered projection of the triple set
+(constants pushed into a vectorized Arrow filter, variables become the
+projection's column names); patterns then fold left-to-right, each step
+ONE native hash join on the variables shared with the bindings
+accumulated so far.  All-to-all cost is therefore |patterns| - 1 joins
+over pattern-filtered subsets — the selective patterns should come first
+(the caller controls order; a cost-based reorder is the production
+upgrade).  Patterns that share no variable with the accumulated bindings
+would be a cross join and are rejected.
+
+Variables are `?name` strings; subject/object constants are int64 node
+ids, predicate constants are strings.  Output: one column per distinct
+variable, deduplicated (set semantics, like SPARQL SELECT DISTINCT).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def match_bgp(
+    triples: ray.data.Dataset,
+    patterns: list[tuple],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Match `patterns` (list of (s, p, o) with `?var` strings for
+    variables) against the triple dataset; returns the distinct variable
+    bindings.  The triple set is materialized once (every pattern scans
+    it)."""
+    from .joins import coalesce_for_join
+
+    if not patterns:
+        raise ValueError("empty pattern list")
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    triples = triples.select_columns([s_col, p_col, o_col]).materialize()
+
+    def leg(pattern: tuple) -> tuple[ray.data.Dataset, list[str]]:
+        s, p, o = pattern
+        out_vars: list[str] = []
+        for term in (s, o):
+            if _is_var(term):
+                v = term[1:]
+                if v in out_vars:
+                    raise ValueError(
+                        f"pattern {pattern}: repeated variable in one "
+                        "pattern is unsupported")
+                out_vars.append(v)
+
+        def project(batch: pa.Table, _s=s, _p=p, _o=o) -> pa.Table:
+            mask = None
+            for term, col in ((_s, s_col), (_p, p_col), (_o, o_col)):
+                if not _is_var(term):
+                    cond = pc.equal(batch.column(col), term)
+                    mask = cond if mask is None else pc.and_(mask, cond)
+            t = batch if mask is None else batch.filter(mask)
+            cols, names = [], []
+            for term, col in ((_s, s_col), (_o, o_col)):
+                if _is_var(term):
+                    cols.append(t.column(col).cast(pa.int64()))
+                    names.append(term[1:])
+            if not cols:  # all-constant pattern: keep an existence marker
+                cols = [t.column(s_col).cast(pa.int64())]
+                names = ["_exists"]
+            return pa.table(dict(zip(names, cols)))
+
+        ds = triples.map_batches(project, batch_format="pyarrow")
+        return ds, (out_vars or ["_exists"])
+
+    def dedupe(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+        local = ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+        return (local.groupby(cols).count().drop_columns(["count()"]))
+
+    acc, acc_vars = leg(patterns[0])
+    acc = dedupe(acc, acc_vars).materialize()
+    for pattern in patterns[1:]:
+        nxt, nxt_vars = leg(pattern)
+        nxt = dedupe(nxt, nxt_vars).materialize()
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared and "_exists" not in nxt_vars:
+            raise ValueError(
+                f"pattern {pattern} shares no variable with prior "
+                "bindings (cross join rejected)")
+        if "_exists" in nxt_vars:
+            # existence check: keep bindings iff any matching triple
+            if nxt.count() == 0:
+                return acc.limit(0)
+            continue
+        acc = coalesce_for_join(acc, num_partitions).join(
+            coalesce_for_join(nxt, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=tuple(shared), right_on=tuple(shared),
+        )
+        acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+        acc = dedupe(acc, acc_vars).materialize()
+    return acc
