@@ -5693,6 +5693,116 @@ ORDER BY o, c
 """
 
 
+def _order_chain_triples(sf_dir: str):
+    """Triples for the BGP property-path queries: per-customer next-order
+    chain edges (keyed-window lead) + a sampled-customer marker + an
+    urgent-priority attribute (sparse: only '1-URGENT' orders carry it)."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, u in g.groupby("o_custkey", sort=False):
+            u = u.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+            a = u["o_orderkey"].to_numpy("int64")
+            if len(a) > 1:
+                out.append(pd.DataFrame({
+                    "s": a[:-1], "p": "next_order", "o": a[1:]}))
+        if not out:
+            return pd.DataFrame({"s": np.empty(0, "int64"),
+                                 "p": np.empty(0, object),
+                                 "o": np.empty(0, "int64")})
+        return pd.concat(out, ignore_index=True)
+
+    edges = hash_bucketed_map_groups(orders, "o_custkey", chain)
+
+    def attrs(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        samp = df[df["o_custkey"] % 20 == 0]
+        t1 = pd.DataFrame({"s": samp["o_orderkey"].astype("int64"),
+                           "p": "order_of_sampled_cust",
+                           "o": np.ones(len(samp), "int64")})
+        urg = df[df["o_orderpriority"] == "1-URGENT"]
+        t2 = pd.DataFrame({"s": urg["o_orderkey"].astype("int64"),
+                           "p": "is_urgent",
+                           "o": np.ones(len(urg), "int64")})
+        return pd.concat([t1, t2], ignore_index=True)
+
+    return edges.union(orders.map_batches(attrs, batch_format="pyarrow"))
+
+
+def q132_property_path(sf_dir: str):
+    """SPARQL property path `next_order+` (bounded transitive closure,
+    max 3 hops) over the per-customer order chain: all (a, b) order
+    pairs of sampled customers where b follows a within 3 successions —
+    the `p+` path operator of stages/bgp.py (per hop one native join +
+    distinct fold; the hop cap is part of the semantics).  Oracle:
+    recursive CTE with depth guard over the lead()-built chain."""
+    from ..stages.bgp import match_bgp
+
+    triples = _order_chain_triples(sf_dir)
+    out = match_bgp(triples, [
+        ("?a", "order_of_sampled_cust", 1),
+        ("?a", "next_order+", "?b"),
+    ], max_hops=3).to_pandas()
+    out = out[["a", "b"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q132_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+rr(a, b, d) AS (
+  SELECT a, b, 1 FROM e
+  UNION
+  SELECT rr.a, e.b, rr.d + 1 FROM rr JOIN e ON e.a = rr.b WHERE rr.d < 3
+),
+samp AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey % 20 = 0)
+SELECT DISTINCT rr.a, rr.b
+FROM rr JOIN samp s ON s.o_orderkey = rr.a
+ORDER BY a, b
+"""
+
+
+def q133_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the order KG: sampled customers' orders with
+    their urgency flag if present (-1 when the sparse `is_urgent` triple
+    is absent) — the left-outer-join pattern branch of
+    stages/bgp.py:match_bgp.  Oracle: LEFT JOIN + COALESCE."""
+    from ..stages.bgp import match_bgp
+
+    triples = _order_chain_triples(sf_dir)
+    out = match_bgp(
+        triples,
+        [("?a", "order_of_sampled_cust", 1)],
+        optional=[("?a", "is_urgent", "?u")],
+    ).to_pandas()
+    out["u"] = out["u"].fillna(-1)
+    out = out[["a", "u"]].astype("int64")
+    return out.sort_values(["a", "u"]).reset_index(drop=True)
+
+
+Q133_SQL = """
+WITH samp AS (SELECT DISTINCT o_orderkey FROM orders
+              WHERE o_custkey % 20 = 0),
+urg AS (SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT')
+SELECT s.o_orderkey AS a,
+       CAST(CASE WHEN u.o_orderkey IS NULL THEN -1 ELSE 1 END
+            AS BIGINT) AS u
+FROM samp s LEFT JOIN urg u ON u.o_orderkey = s.o_orderkey
+ORDER BY a, u
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5847,4 +5957,6 @@ QUERIES: dict[str, tuple] = {
     "q129_embedding_quantize": (q129_embedding_quantize, Q129_SQL),
     "q130_trailing_time_window": (q130_trailing_time_window, Q130_SQL),
     "q131_bgp_match": (q131_bgp_match, Q131_SQL),
+    "q132_property_path": (q132_property_path, Q132_SQL),
+    "q133_bgp_optional": (q133_bgp_optional, Q133_SQL),
 }

@@ -31,18 +31,68 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
+                     num_partitions: int) -> ray.data.Dataset:
+    """Distinct (src, dst) pairs connected by 1..max_hops directed edges —
+    the property-path `p+` expansion, bounded (an unbounded all-pairs
+    closure is quadratic in the worst case; the hop cap is part of the
+    operator's contract).  Semi-naive-ish: per hop one native join of
+    the previous hop's pairs with the edge set + a distinct fold;
+    cycles are harmless (the cap terminates, the distinct collapses)."""
+    from .joins import coalesce_for_join
+
+    def dd(ds):
+        local = ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+        return (local.groupby(["_ta", "_tb"]).count()
+                .drop_columns(["count()"]))
+
+    e = dd(edges).materialize()
+    acc = e
+    frontier = e
+    for _ in range(max_hops - 1):
+        step = coalesce_for_join(frontier, num_partitions).join(
+            coalesce_for_join(
+                e.rename_columns({"_ta": "_sa", "_tb": "_sb"}),
+                num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=("_tb",), right_on=("_sa",),
+        )
+        frontier = dd(step.map_batches(
+            lambda b: pa.table({"_ta": b.column("_ta"),
+                                "_tb": b.column("_sb")}),
+            batch_format="pyarrow")).materialize()
+        if frontier.count() == 0:
+            break
+        acc = acc.union(frontier)
+    return dd(acc).materialize()
+
+
 def match_bgp(
     triples: ray.data.Dataset,
     patterns: list[tuple],
+    optional: list[tuple] | None = None,
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    max_hops: int = 8,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Match `patterns` (list of (s, p, o) with `?var` strings for
     variables) against the triple dataset; returns the distinct variable
     bindings.  The triple set is materialized once (every pattern scans
-    it)."""
+    it).
+
+    Property paths: a predicate ending in `+` (e.g. "knows+") matches
+    pairs connected by 1..max_hops edges of the base predicate (bounded
+    transitive closure — the cap is part of the semantics).
+
+    `optional` patterns (SPARQL OPTIONAL) left-outer-join after the
+    required ones: bindings survive without a match, the optional
+    pattern's new variables come back null.  Results stay distinct
+    because both join inputs are distinct and optional vars extend the
+    row identity."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -68,24 +118,44 @@ def match_bgp(
                         "pattern is unsupported")
                 out_vars.append(v)
 
+        transitive = (isinstance(p, str) and not _is_var(p)
+                      and p.endswith("+"))
+        if transitive:
+            base = p[:-1]
+
+            def edge_proj(batch: pa.Table) -> pa.Table:
+                t = batch.filter(pc.equal(batch.column(p_col), base))
+                return pa.table({"_ta": t.column(s_col).cast(pa.int64()),
+                                 "_tb": t.column(o_col).cast(pa.int64())})
+
+            source = _bounded_closure(
+                triples.map_batches(edge_proj, batch_format="pyarrow"),
+                max_hops, num_partitions)
+            sc, oc, pred_col = "_ta", "_tb", None
+        else:
+            source, sc, oc, pred_col = triples, s_col, o_col, p_col
+
         def project(batch: pa.Table, _s=s, _p=p, _o=o) -> pa.Table:
             mask = None
-            for term, col in ((_s, s_col), (_p, p_col), (_o, o_col)):
+            checks = [(_s, sc), (_o, oc)]
+            if pred_col is not None:
+                checks.append((_p, pred_col))
+            for term, col in checks:
                 if not _is_var(term):
                     cond = pc.equal(batch.column(col), term)
                     mask = cond if mask is None else pc.and_(mask, cond)
             t = batch if mask is None else batch.filter(mask)
             cols, names = [], []
-            for term, col in ((_s, s_col), (_o, o_col)):
+            for term, col in ((_s, sc), (_o, oc)):
                 if _is_var(term):
                     cols.append(t.column(col).cast(pa.int64()))
                     names.append(term[1:])
             if not cols:  # all-constant pattern: keep an existence marker
-                cols = [t.column(s_col).cast(pa.int64())]
+                cols = [t.column(sc).cast(pa.int64())]
                 names = ["_exists"]
             return pa.table(dict(zip(names, cols)))
 
-        ds = triples.map_batches(project, batch_format="pyarrow")
+        ds = source.map_batches(project, batch_format="pyarrow")
         return ds, (out_vars or ["_exists"])
 
     def dedupe(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
@@ -116,4 +186,23 @@ def match_bgp(
         )
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
         acc = dedupe(acc, acc_vars).materialize()
+
+    for pattern in optional or []:
+        nxt, nxt_vars = leg(pattern)
+        if "_exists" in nxt_vars:
+            raise ValueError(
+                f"optional pattern {pattern} binds no variable")
+        nxt = dedupe(nxt, nxt_vars).materialize()
+        shared = [v for v in nxt_vars if v in acc_vars]
+        new = [v for v in nxt_vars if v not in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pattern} shares no variable with "
+                "prior bindings")
+        acc = coalesce_for_join(acc, num_partitions).join(
+            coalesce_for_join(nxt, num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=tuple(shared), right_on=tuple(shared),
+        ).materialize()
+        acc_vars = acc_vars + new
     return acc

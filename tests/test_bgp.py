@@ -54,3 +54,25 @@ def test_distinct_semantics_and_cross_join_rejected():
     with pytest.raises(ValueError, match="cross join"):
         match_bgp(_ds(), [("?x", "knows", "?y"), ("?a", "likes", "?b")],
                   num_partitions=2)
+
+
+def test_transitive_predicate_bounded_closure():
+    # chain 1->2->3->4 plus cycle 4->1: closure is hop-capped, cycles safe
+    rows = [{"s": a, "p": "next", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]]
+    out = match_bgp(rd.from_items(rows), [(1, "next+", "?y")],
+                    max_hops=2, num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [2, 3]  # 2 hops from 1
+    out3 = match_bgp(rd.from_items(rows), [(1, "next+", "?y")],
+                     max_hops=8, num_partitions=2).to_pandas()
+    assert sorted(out3["y"]) == [1, 2, 3, 4]  # cycle closes, distinct
+
+
+def test_optional_pattern_keeps_unmatched_with_null():
+    rows = TRIPLES + [{"s": 2, "p": "age", "o": 40}]
+    out = match_bgp(rd.from_items(rows), [("?x", "knows", "?y")],
+                    optional=[("?y", "age", "?a")],
+                    num_partitions=2).to_pandas()
+    got = {(x, y): a for x, y, a in zip(out["x"], out["y"],
+                                        out["a"].fillna(-1).astype(int))}
+    assert got == {(1, 2): 40, (2, 3): -1, (1, 3): -1}
