@@ -5803,6 +5803,30 @@ ORDER BY a, u
 """
 
 
+def btb_kg_query(sf_dir: str):
+    """BGP query over the FLAGSHIP extracted KG (string-node triple
+    store): biopsies showing an infection AND chronic rejection, with
+    their A-grade when present (OPTIONAL; 'NONE' sentinel) — i.e. the
+    reference's dashboard drill-down expressed as a SPARQL pattern over
+    stages/bgp.py (cast_nodes=False string joins).  Rows-only: the KG
+    itself comes from the NER pipeline (no SQL equivalent); pinned by
+    the sf0.001 golden hash."""
+    from ..stages.bgp import match_bgp
+
+    triples = QUERIES["btb_triples"][0](sf_dir)
+    out = match_bgp(
+        triples,
+        [("?doc", "has_infection", "?inf"),
+         ("?doc", "has_rejet_chronique", "?rej")],
+        optional=[("?doc", "has_grade_a", "?ga")],
+        s_col="subj", p_col="pred", o_col="obj", cast_nodes=False,
+    ).to_pandas()
+    out["ga"] = out["ga"].fillna("NONE")
+    out = out[["doc", "inf", "rej", "ga"]].astype(str)
+    return (out.sort_values(["doc", "inf", "rej", "ga"])
+            .reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5959,4 +5983,5 @@ QUERIES: dict[str, tuple] = {
     "q131_bgp_match": (q131_bgp_match, Q131_SQL),
     "q132_property_path": (q132_property_path, Q132_SQL),
     "q133_bgp_optional": (q133_bgp_optional, Q133_SQL),
+    "btb_kg_query": (btb_kg_query, None),
 }

@@ -77,6 +77,7 @@ def match_bgp(
     p_col: str = "p",
     o_col: str = "o",
     max_hops: int = 8,
+    cast_nodes: bool = True,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Match `patterns` (list of (s, p, o) with `?var` strings for
@@ -92,7 +93,11 @@ def match_bgp(
     required ones: bindings survive without a match, the optional
     pattern's new variables come back null.  Results stay distinct
     because both join inputs are distinct and optional vars extend the
-    row identity."""
+    row identity.
+
+    `cast_nodes=True` normalizes s/o to int64 (numeric-id KGs);
+    `cast_nodes=False` keeps the native node type — string-node KGs
+    (e.g. the BTB triple store) join on strings directly."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -125,8 +130,10 @@ def match_bgp(
 
             def edge_proj(batch: pa.Table) -> pa.Table:
                 t = batch.filter(pc.equal(batch.column(p_col), base))
-                return pa.table({"_ta": t.column(s_col).cast(pa.int64()),
-                                 "_tb": t.column(o_col).cast(pa.int64())})
+                ta, tb = t.column(s_col), t.column(o_col)
+                if cast_nodes:
+                    ta, tb = ta.cast(pa.int64()), tb.cast(pa.int64())
+                return pa.table({"_ta": ta, "_tb": tb})
 
             source = _bounded_closure(
                 triples.map_batches(edge_proj, batch_format="pyarrow"),
@@ -145,13 +152,18 @@ def match_bgp(
                     cond = pc.equal(batch.column(col), term)
                     mask = cond if mask is None else pc.and_(mask, cond)
             t = batch if mask is None else batch.filter(mask)
+
+            def node(col):
+                c = t.column(col)
+                return c.cast(pa.int64()) if cast_nodes else c
+
             cols, names = [], []
             for term, col in ((_s, sc), (_o, oc)):
                 if _is_var(term):
-                    cols.append(t.column(col).cast(pa.int64()))
+                    cols.append(node(col))
                     names.append(term[1:])
             if not cols:  # all-constant pattern: keep an existence marker
-                cols = [t.column(sc).cast(pa.int64())]
+                cols = [node(sc)]
                 names = ["_exists"]
             return pa.table(dict(zip(names, cols)))
 
