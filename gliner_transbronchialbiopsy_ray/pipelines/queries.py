@@ -5827,6 +5827,101 @@ def btb_kg_query(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q134_rule_materialize(sf_dir: str):
+    """Forward-chaining rule materialization (single Datalog-style rule)
+    over the order KG: (?o by_customer ?c) ^ (?c in_nation 7) ^
+    (?o has_status_open 1) => (?c active_n7_buyer 1) — new triples
+    derived and deduped via stages/bgp.py:apply_rule (match plan + one
+    vectorized head projection).  Output: the materialized head triples.
+    Oracle: SELECT DISTINCT with the rule body as joins."""
+    from ..stages.bgp import apply_rule
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        t1 = pd.DataFrame({"s": df["o_orderkey"].astype("int64"),
+                           "p": "by_customer",
+                           "o": df["o_custkey"].astype("int64")})
+        op = df[df["o_orderstatus"] == "O"]
+        t2 = pd.DataFrame({"s": op["o_orderkey"].astype("int64"),
+                           "p": "has_status_open",
+                           "o": np.ones(len(op), "int64")})
+        return pd.concat([t1, t2], ignore_index=True)
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64")})
+
+    triples = (orders.map_batches(order_triples, batch_format="pyarrow")
+               .union(cust.map_batches(cust_triples,
+                                       batch_format="pyarrow")))
+    out = apply_rule(
+        triples,
+        body=[("?o", "by_customer", "?c"), ("?c", "in_nation", 7),
+              ("?o", "has_status_open", 1)],
+        head=("?c", "active_n7_buyer", 1),
+    ).to_pandas()
+    out["s"] = out["s"].astype("int64")
+    out["o"] = out["o"].astype("int64")
+    out = out[["s", "p", "o"]]
+    return out.sort_values("s").reset_index(drop=True)
+
+
+Q134_SQL = """
+SELECT DISTINCT c.c_custkey AS s, 'active_n7_buyer' AS p,
+       CAST(1 AS BIGINT) AS o
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_nationkey = 7 AND o.o_orderstatus = 'O'
+ORDER BY s
+"""
+
+
+def q135_smart_join(sf_dir: str):
+    """Cost-based join strategy selection (stages/joins.py:smart_join):
+    per-nation open-order revenue via orders x customer — the planner
+    counts the dimension side and picks broadcast (here) or the native
+    shuffle join (pinned byte-identical by test either way).  Aggregate
+    in integer cents."""
+    from ..stages.joins import smart_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def open_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderstatus"), "O"))
+
+    orders = orders.map_batches(open_only, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = smart_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def cents(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy("float64") * 100).astype("int64")
+        return df[["c_nationkey", "cents"]]
+
+    out = _preagg(j.map_batches(cents, batch_format="pyarrow"),
+                  ["c_nationkey"], {"revenue_cents": ("cents", "sum")})
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q135_SQL = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5984,4 +6079,6 @@ QUERIES: dict[str, tuple] = {
     "q132_property_path": (q132_property_path, Q132_SQL),
     "q133_bgp_optional": (q133_bgp_optional, Q133_SQL),
     "btb_kg_query": (btb_kg_query, None),
+    "q134_rule_materialize": (q134_rule_materialize, Q134_SQL),
+    "q135_smart_join": (q135_smart_join, Q135_SQL),
 }

@@ -218,3 +218,43 @@ def match_bgp(
         ).materialize()
         acc_vars = acc_vars + new
     return acc
+
+
+def apply_rule(
+    triples: ray.data.Dataset,
+    body: list[tuple],
+    head: tuple,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """Forward-chaining rule application (single Datalog-style rule):
+    match the `body` patterns, project every distinct binding through the
+    `head` template (s, p, o — `?var` references body variables,
+    constants pass through) and return the MATERIALIZED new triples in
+    the same (s, p, o) layout as the input store.  One match_bgp plan +
+    one vectorized projection; dedupe rides on match_bgp's DISTINCT
+    semantics plus a final fold when the head drops variables."""
+    hs, hp, ho = head
+    if _is_var(hp):
+        raise ValueError("head predicate must be a constant")
+    bindings = match_bgp(triples, body, **match_kwargs)
+    need = [t[1:] for t in (hs, ho) if _is_var(t)]
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        n = len(df)
+
+        def term(t):
+            if _is_var(t):
+                return df[t[1:]].to_numpy()
+            return pd.Series([t] * n, dtype=object).to_numpy()
+
+        return pd.DataFrame({"s": term(hs), "p": [hp] * n,
+                             "o": term(ho)})
+
+    out = bindings.map_batches(emit, batch_format="pyarrow")
+    if len(need) < 2:  # head dropped a variable: bindings -> dup triples
+        out = (out.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+            .groupby(["s", "p", "o"]).count().drop_columns(["count()"]))
+    return out

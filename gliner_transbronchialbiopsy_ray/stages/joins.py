@@ -255,3 +255,55 @@ def dataset_diff(
         return out.drop(columns=["_merge"]).reset_index(drop=True)
 
     return both.groupby("_bucket").map_groups(diff, batch_format="pandas")
+
+
+def smart_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    broadcast_threshold: int = 200_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cost-based INNER join strategy selection — the planner decision the
+    repo otherwise makes by hand (q04 broadcasts, q34 shuffles): count
+    the right side (one cheap pass over its narrow projection) and pick
+
+    - BROADCAST (right rows <= threshold): `ray.put` the right table
+      once, vectorized pandas merge per left batch — ZERO shuffle, the
+      left side streams untouched.
+    - SHUFFLE otherwise: native hash join with coalesced inputs.
+
+    Both paths return identical rows (pinned by test).  The count() is
+    the planner statistic; for repeated joins against the same side,
+    count once and pass the right strategy directly."""
+    if right_on is None:
+        right_on = on
+    if num_partitions is None:
+        try:
+            import ray as _ray
+            num_partitions = max(
+                2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    right = right.materialize()  # counted, then joined: one execution
+    if right.count() <= broadcast_threshold:
+        import ray as _ray
+
+        rdf = right.to_pandas()
+        ref = _ray.put(rdf)
+
+        def merge(batch: pa.Table) -> pd.DataFrame:
+            rt = _ray.get(ref)
+            df = batch.to_pandas()
+            out = df.merge(rt, left_on=on, right_on=right_on, how="inner")
+            if right_on != on and right_on in out.columns:
+                out = out.drop(columns=[right_on])
+            return out
+
+        return left.map_batches(merge, batch_format="pyarrow")
+    return coalesce_for_join(left, num_partitions).join(
+        coalesce_for_join(right, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=(on,), right_on=(right_on,),
+    )

@@ -233,3 +233,25 @@ def test_dataset_diff_symmetric_difference():
         (3, "ZZ", "added"), (3, "z", "removed"),  # value change = both
         (4, "w", "added"),
     ]
+
+
+def test_smart_join_broadcast_and_shuffle_paths_agree():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.joins import smart_join
+
+    left = rd.from_items([{"k": i % 5, "v": i} for i in range(40)])
+    right = rd.from_items([{"rk": k, "name": f"n{k}"} for k in range(4)])
+
+    def run(threshold):
+        l2 = rd.from_items([{"k": i % 5, "v": i} for i in range(40)])
+        r2 = rd.from_items([{"rk": k, "name": f"n{k}"} for k in range(4)])
+        out = smart_join(l2, r2, on="k", right_on="rk",
+                         broadcast_threshold=threshold,
+                         num_partitions=2).to_pandas()
+        return (out[["k", "v", "name"]]
+                .sort_values(["k", "v"]).reset_index(drop=True))
+
+    bc = run(threshold=1000)   # broadcast path (right is tiny)
+    sh = run(threshold=0)      # forced shuffle path
+    pd.testing.assert_frame_equal(bc, sh)
+    assert len(bc) == 32  # k=4 left rows (8 of them) have no match
