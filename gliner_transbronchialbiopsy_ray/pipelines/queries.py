@@ -5922,6 +5922,78 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q136_datalog_saturation(sf_dir: str):
+    """Datalog saturation to FIXPOINT (stages/bgp.py:saturate) — the
+    unbounded-recursion counterpart of q132's hop-capped path: succession
+    closure over sampled customers' order chains via a doubling rule set
+    (copy rule + succ(x,y) ^ succ(y,z) => succ(x,z)), which converges in
+    O(log chain-length) rounds instead of one round per hop.  Output:
+    all derived succ pairs.  Oracle: recursive CTE without depth guard."""
+    from ..stages.bgp import saturate
+    from ..stages.window import hash_bucketed_map_groups
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sampled(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        return b.filter(pa.array(ck % 20 == 0))
+
+    orders = orders.map_batches(sampled, batch_format="pyarrow")
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, u in g.groupby("o_custkey", sort=False):
+            u = u.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+            a = u["o_orderkey"].to_numpy("int64")
+            if len(a) > 1:
+                out.append(pd.DataFrame({
+                    "s": a[:-1], "p": "next_order", "o": a[1:]}))
+        if not out:
+            return pd.DataFrame({"s": np.empty(0, "int64"),
+                                 "p": np.empty(0, object),
+                                 "o": np.empty(0, "int64")})
+        return pd.concat(out, ignore_index=True)
+
+    # chain buckets with no multi-order customer emit EMPTY schema-less
+    # blocks that poison downstream joins — rebuild blocks first
+    from ..stages.joins import coalesce_for_join
+
+    triples = coalesce_for_join(
+        hash_bucketed_map_groups(orders, "o_custkey", chain), 8)
+    closed = saturate(triples, rules=[
+        ([("?x", "next_order", "?y")], ("?x", "succ", "?y")),
+        ([("?x", "succ", "?y"), ("?y", "succ", "?z")],
+         ("?x", "succ", "?z")),
+    ])
+
+    def succ_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "succ"))
+        return pa.table({"a": t.column("s").cast(pa.int64()),
+                         "b": t.column("o").cast(pa.int64())})
+
+    out = closed.map_batches(succ_only, batch_format="pyarrow").to_pandas()
+    out = out.astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q136_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders WHERE o_custkey % 20 = 0
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+rr(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT rr.a, e.b FROM rr JOIN e ON e.a = rr.b
+)
+SELECT a, b FROM rr ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6081,4 +6153,5 @@ QUERIES: dict[str, tuple] = {
     "btb_kg_query": (btb_kg_query, None),
     "q134_rule_materialize": (q134_rule_materialize, Q134_SQL),
     "q135_smart_join": (q135_smart_join, Q135_SQL),
+    "q136_datalog_saturation": (q136_datalog_saturation, Q136_SQL),
 }

@@ -79,6 +79,9 @@ def match_bgp(
     max_hops: int = 8,
     cast_nodes: bool = True,
     num_partitions: int | None = None,
+    join_strategy: str = "hash",
+    broadcast_threshold: int = 2_000_000,
+    materialize_input: bool = True,
 ) -> ray.data.Dataset:
     """Match `patterns` (list of (s, p, o) with `?var` strings for
     variables) against the triple dataset; returns the distinct variable
@@ -97,11 +100,25 @@ def match_bgp(
 
     `cast_nodes=True` normalizes s/o to int64 (numeric-id KGs);
     `cast_nodes=False` keeps the native node type — string-node KGs
-    (e.g. the BTB triple store) join on strings directly."""
+    (e.g. the BTB triple store) join on strings directly.
+
+    `join_strategy="hash"` (default): every fold step is a native
+    distributed hash join — both sides can be arbitrarily large.
+    `join_strategy="broadcast"`: each NON-FIRST leg is collected to the
+    driver once, `ray.put`, and merged into the accumulated bindings with
+    a vectorized pandas merge per batch — ZERO shuffles and ZERO
+    intermediate materializations until the single final distinct fold.
+    The contract is that every non-first leg fits in memory
+    (`broadcast_threshold` rows, enforced); the FIRST (largest) leg still
+    streams.  This is the right plan for iterative callers (`saturate`)
+    where per-round fixed shuffle/actor-startup cost dominates, and for
+    selective patterns over huge stores (put the big pattern first)."""
     from .joins import coalesce_for_join
 
     if not patterns:
         raise ValueError("empty pattern list")
+    if join_strategy not in ("hash", "broadcast"):
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
     if num_partitions is None:
         try:
             num_partitions = max(
@@ -109,7 +126,11 @@ def match_bgp(
         except Exception:
             num_partitions = 2
 
-    triples = triples.select_columns([s_col, p_col, o_col]).materialize()
+    triples = triples.select_columns([s_col, p_col, o_col])
+    if materialize_input:
+        # every pattern scans the store; iterative callers that already
+        # hold a materialized store (saturate) opt out to save the copy
+        triples = triples.materialize()
 
     def leg(pattern: tuple) -> tuple[ray.data.Dataset, list[str]]:
         s, p, o = pattern
@@ -176,9 +197,15 @@ def match_bgp(
             batch_format="pyarrow")
         return (local.groupby(cols).count().drop_columns(["count()"]))
 
+    if join_strategy == "broadcast":
+        return _fold_broadcast(leg, dedupe, patterns, optional,
+                               broadcast_threshold)
+
     acc, acc_vars = leg(patterns[0])
     acc = dedupe(acc, acc_vars).materialize()
     for pattern in patterns[1:]:
+        if acc.count() == 0:
+            return acc  # no bindings can survive further patterns
         nxt, nxt_vars = leg(pattern)
         nxt = dedupe(nxt, nxt_vars).materialize()
         shared = [v for v in nxt_vars if v in acc_vars]
@@ -191,6 +218,10 @@ def match_bgp(
             if nxt.count() == 0:
                 return acc.limit(0)
             continue
+        if nxt.count() == 0:
+            # empty leg: no joined bindings (an empty join INPUT would
+            # also crash Ray's hash join on a schema-less block)
+            return acc.limit(0)
         acc = coalesce_for_join(acc, num_partitions).join(
             coalesce_for_join(nxt, num_partitions),
             join_type="inner", num_partitions=num_partitions,
@@ -200,6 +231,8 @@ def match_bgp(
         acc = dedupe(acc, acc_vars).materialize()
 
     for pattern in optional or []:
+        if acc.count() == 0:
+            return acc
         nxt, nxt_vars = leg(pattern)
         if "_exists" in nxt_vars:
             raise ValueError(
@@ -211,11 +244,118 @@ def match_bgp(
             raise ValueError(
                 f"optional pattern {pattern} shares no variable with "
                 "prior bindings")
+        if nxt.count() == 0:
+            # nothing to attach: every binding keeps nulls for the new
+            # vars (and an empty join input would crash the hash join)
+            def pad(batch: pa.Table, _new=tuple(new)) -> pa.Table:
+                t = batch
+                for v in _new:
+                    t = t.append_column(
+                        v, pa.nulls(t.num_rows, pa.int64()))
+                return t
+
+            acc = acc.map_batches(pad, batch_format="pyarrow")
+            acc_vars = acc_vars + new
+            continue
         acc = coalesce_for_join(acc, num_partitions).join(
             coalesce_for_join(nxt, num_partitions),
             join_type="left_outer", num_partitions=num_partitions,
             on=tuple(shared), right_on=tuple(shared),
         ).materialize()
+        acc_vars = acc_vars + new
+    return acc
+
+
+def _fold_broadcast(leg, dedupe, patterns, optional, threshold):
+    """Broadcast fold for `match_bgp(join_strategy="broadcast")`: the
+    first leg streams; every later leg is collected ONCE on the driver
+    (size-checked against `threshold`), `ray.put`, and merged into the
+    accumulated bindings with a vectorized pandas merge per batch.  The
+    only all-to-all is the single DISTINCT fold after the required
+    patterns — no native joins, no per-leg counts or materializations,
+    which is what makes iterative callers (saturate) cheap per round.
+    Returns a LAZY dataset (the hash path materializes)."""
+
+    def localdd(ds):
+        return ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+
+    def collect(ds, cols, pattern):
+        df = localdd(ds).to_pandas()
+        if len(df) == 0:  # may arrive schema-less (no columns)
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = df.drop_duplicates().reset_index(drop=True)
+        if len(df) > threshold:
+            raise ValueError(
+                f"broadcast leg for pattern {pattern} has {len(df)} rows "
+                f"> broadcast_threshold={threshold}; use "
+                "join_strategy='hash'")
+        return df[cols]
+
+    acc, acc_vars = leg(patterns[0])
+    acc = localdd(acc)
+    for pattern in patterns[1:]:
+        nxt, nxt_vars = leg(pattern)
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared and "_exists" not in nxt_vars:
+            raise ValueError(
+                f"pattern {pattern} shares no variable with prior "
+                "bindings (cross join rejected)")
+        ndf = collect(nxt, nxt_vars, pattern)
+        if "_exists" in nxt_vars:
+            if len(ndf) == 0:
+                return acc.limit(0)
+            continue
+        if len(ndf) == 0:
+            return acc.limit(0)
+        ref = ray.put(ndf)
+
+        def merge(batch: pa.Table, _ref=ref,
+                  _shared=tuple(shared)) -> pd.DataFrame:
+            rt = ray.get(_ref)
+            out = batch.to_pandas().merge(rt, on=list(_shared),
+                                          how="inner")
+            return out.drop_duplicates()
+
+        acc = acc.map_batches(merge, batch_format="pyarrow")
+        acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+
+    acc = dedupe(acc, acc_vars)  # the one global fold (DISTINCT)
+
+    for pattern in optional or []:
+        nxt, nxt_vars = leg(pattern)
+        if "_exists" in nxt_vars:
+            raise ValueError(
+                f"optional pattern {pattern} binds no variable")
+        shared = [v for v in nxt_vars if v in acc_vars]
+        new = [v for v in nxt_vars if v not in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pattern} shares no variable with "
+                "prior bindings")
+        ndf = collect(nxt, nxt_vars, pattern)
+        if len(ndf) == 0:
+            def pad(batch: pa.Table, _new=tuple(new)) -> pa.Table:
+                t = batch
+                for v in _new:
+                    t = t.append_column(
+                        v, pa.nulls(t.num_rows, pa.int64()))
+                return t
+
+            acc = acc.map_batches(pad, batch_format="pyarrow")
+            acc_vars = acc_vars + new
+            continue
+        oref = ray.put(ndf)
+
+        def lmerge(batch: pa.Table, _ref=oref,
+                   _shared=tuple(shared)) -> pd.DataFrame:
+            rt = ray.get(_ref)
+            return batch.to_pandas().merge(rt, on=list(_shared),
+                                           how="left")
+
+        acc = acc.map_batches(lmerge, batch_format="pyarrow")
         acc_vars = acc_vars + new
     return acc
 
@@ -258,3 +398,71 @@ def apply_rule(
             batch_format="pyarrow")
             .groupby(["s", "p", "o"]).count().drop_columns(["count()"]))
     return out
+
+
+def saturate(
+    triples: ray.data.Dataset,
+    rules: list[tuple],
+    max_rounds: int = 12,
+    num_partitions: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """Datalog saturation: apply `rules` (each a (body, head) pair as in
+    `apply_rule`) repeatedly until a round derives NOTHING NEW or
+    `max_rounds` is hit — the forward-chaining fixpoint that materializes
+    recursive rule sets (ancestors, reachability, RDFS schemas).
+
+    Round structure: every rule matches against the CURRENT store
+    (base + all derivations so far); new triples fold in through a
+    distinct union.  Convergence is detected by the store's distinct
+    count (monotone — derivations only grow), costing one count per
+    round.  The store is materialized per round (iterative lineage
+    rule).  Naive evaluation (whole store re-matched per round, not
+    semi-naive deltas): correct always, wasteful on deep recursions —
+    the semi-naive upgrade is a TODO documented here on purpose.
+
+    Per-round plan defaults to `join_strategy="broadcast"` +
+    `materialize_input=False`: rule bodies fold through driver-collected
+    broadcast legs over the already-materialized store, so a round costs
+    one leg-collect execution per join pattern plus ONE distinct fold —
+    not a native hash join (fresh aggregator actors) plus 4 shuffles.
+    The contract is that the saturated store's pattern legs stay
+    broadcast-sized; pass join_strategy="hash" for stores beyond that."""
+
+    match_kwargs.setdefault("join_strategy", "broadcast")
+    match_kwargs.setdefault("materialize_input", False)
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def dd(ds: ray.data.Dataset) -> ray.data.Dataset:
+        local = ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+        # bound the store's block count BEFORE the aggregate: the fold's
+        # output partition count tracks its input block count, and the
+        # per-round union (store + one branch per rule) would otherwise
+        # multiply blocks every round — an exponential task-count blowup
+        # (observed: ~4k map tasks by round 7 on a 4k-row store) that also
+        # inflates the shuffle's driver-memory estimate until backpressure
+        # stalls the plan.
+        local = local.repartition(num_partitions)
+        return (local.groupby(["s", "p", "o"]).count()
+                .drop_columns(["count()"]))
+
+    store = dd(triples.select_columns(["s", "p", "o"])).materialize()
+    n = store.count()
+    for _ in range(max_rounds):
+        derived = None
+        for body, head in rules:
+            new = apply_rule(store, body, head, **match_kwargs)
+            derived = new if derived is None else derived.union(new)
+        store = dd(store.union(derived)).materialize()
+        n2 = store.count()
+        if n2 == n:
+            break
+        n = n2
+    return store

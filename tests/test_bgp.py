@@ -76,3 +76,50 @@ def test_optional_pattern_keeps_unmatched_with_null():
     got = {(x, y): a for x, y, a in zip(out["x"], out["y"],
                                         out["a"].fillna(-1).astype(int))}
     assert got == {(1, 2): 40, (2, 3): -1, (1, 3): -1}
+
+
+def test_broadcast_strategy_matches_hash():
+    # same bindings from both fold strategies, incl. existence + optional
+    for patterns, optional in [
+        ([("?x", "knows", "?y"), ("?y", "knows", "?z")], None),
+        ([("?x", "knows", "?y"), (1, "is_admin", 1)], None),
+        ([("?x", "knows", "?y"), (5, "is_admin", 1)], None),
+        ([("?x", "knows", "?y")], [("?y", "age", "?a")]),
+        ([("?x", "knows", 3)], None),
+    ]:
+        rows = TRIPLES + [{"s": 2, "p": "age", "o": 40}]
+        h = match_bgp(rd.from_items(rows), patterns, optional=optional,
+                      num_partitions=2).to_pandas()
+        b = match_bgp(rd.from_items(rows), patterns, optional=optional,
+                      num_partitions=2,
+                      join_strategy="broadcast").to_pandas()
+        cols = sorted(h.columns)
+        assert sorted(b.columns) == cols
+        hv = sorted(map(tuple, h[cols].fillna(-1).to_numpy().tolist()))
+        bv = sorted(map(tuple, b[cols].fillna(-1).to_numpy().tolist()))
+        assert hv == bv, (patterns, optional)
+
+
+def test_broadcast_threshold_enforced():
+    with pytest.raises(ValueError, match="broadcast_threshold"):
+        match_bgp(_ds(), [("?x", "knows", "?y"), ("?y", "knows", "?z")],
+                  join_strategy="broadcast", broadcast_threshold=1,
+                  num_partitions=2).to_pandas()
+
+
+def test_saturate_transitive_fixpoint():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import saturate
+
+    # parent chain 1->2->3->4: ancestor closure = all 6 pairs
+    rows = [{"s": a, "p": "parent", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4)]]
+    out = saturate(rd.from_items(rows), rules=[
+        ([("?x", "parent", "?y")], ("?x", "anc", "?y")),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")],
+         ("?x", "anc", "?z")),
+    ]).to_pandas()
+    anc = out[out["p"] == "anc"]
+    got = sorted(map(tuple, anc[["s", "o"]].to_numpy().tolist()))
+    assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # base triples are preserved in the store
+    assert (out["p"] == "parent").sum() == 3
