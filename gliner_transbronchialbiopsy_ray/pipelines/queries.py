@@ -5922,14 +5922,10 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q136_datalog_saturation(sf_dir: str):
-    """Datalog saturation to FIXPOINT (stages/bgp.py:saturate) — the
-    unbounded-recursion counterpart of q132's hop-capped path: succession
-    closure over sampled customers' order chains via a doubling rule set
-    (copy rule + succ(x,y) ^ succ(y,z) => succ(x,z)), which converges in
-    O(log chain-length) rounds instead of one round per hop.  Output:
-    all derived succ pairs.  Oracle: recursive CTE without depth guard."""
-    from ..stages.bgp import saturate
+def _order_chain_triples(sf_dir: str):
+    """(s, 'next_order', o) triples linking each sampled customer's
+    orders in (date, key) succession — the shared edge set of the
+    recursive-rule queries (q136/q137)."""
     from ..stages.window import hash_bucketed_map_groups
 
     orders = _read(sf_dir, "orders",
@@ -5959,8 +5955,20 @@ def q136_datalog_saturation(sf_dir: str):
     # blocks that poison downstream joins — rebuild blocks first
     from ..stages.joins import coalesce_for_join
 
-    triples = coalesce_for_join(
+    return coalesce_for_join(
         hash_bucketed_map_groups(orders, "o_custkey", chain), 8)
+
+
+def q136_datalog_saturation(sf_dir: str):
+    """Datalog saturation to FIXPOINT (stages/bgp.py:saturate) — the
+    unbounded-recursion counterpart of q132's hop-capped path: succession
+    closure over sampled customers' order chains via a doubling rule set
+    (copy rule + succ(x,y) ^ succ(y,z) => succ(x,z)), which converges in
+    O(log chain-length) rounds instead of one round per hop.  Output:
+    all derived succ pairs.  Oracle: recursive CTE without depth guard."""
+    from ..stages.bgp import saturate
+
+    triples = _order_chain_triples(sf_dir)
     closed = saturate(triples, rules=[
         ([("?x", "next_order", "?y")], ("?x", "succ", "?y")),
         ([("?x", "succ", "?y"), ("?y", "succ", "?z")],
@@ -5991,6 +5999,51 @@ rr(a, b) AS (
   SELECT rr.a, e.b FROM rr JOIN e ON e.a = rr.b
 )
 SELECT a, b FROM rr ORDER BY a, b
+"""
+
+
+def q137_semi_naive_reachability(sf_dir: str):
+    """SEMI-NAIVE Datalog evaluation (stages/bgp.py:_saturate_semi_naive)
+    on a LINEAR rule set — reach(x,y) ^ next_order(y,z) => reach(x,z) —
+    capped at 5 rounds, i.e. succession pairs within 1..5 hops.  Each
+    round matches only variants touching the last round's DELTA (new
+    facts detected by the tag-min store fold), so per-round work tracks
+    the closure FRONT, not the whole store — the scale path for deep
+    recursions where q136's naive re-match of everything would be
+    quadratic.  Oracle: depth-guarded recursive CTE (d < 5)."""
+    from ..stages.bgp import saturate
+
+    triples = _order_chain_triples(sf_dir)
+    closed = saturate(triples, rules=[
+        ([("?x", "next_order", "?y")], ("?x", "reach", "?y")),
+        ([("?x", "reach", "?y"), ("?y", "next_order", "?z")],
+         ("?x", "reach", "?z")),
+    ], max_rounds=5, strategy="semi_naive")
+
+    def reach_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "reach"))
+        return pa.table({"a": t.column("s").cast(pa.int64()),
+                         "b": t.column("o").cast(pa.int64())})
+
+    out = closed.map_batches(reach_only, batch_format="pyarrow").to_pandas()
+    out = out.astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q137_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders WHERE o_custkey % 20 = 0
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+rr(a, b, d) AS (
+  SELECT a, b, 1 FROM e
+  UNION ALL
+  SELECT rr.a, e.b, rr.d + 1 FROM rr JOIN e ON e.a = rr.b WHERE rr.d < 5
+)
+SELECT DISTINCT a, b FROM rr ORDER BY a, b
 """
 
 
@@ -6154,4 +6207,6 @@ QUERIES: dict[str, tuple] = {
     "q134_rule_materialize": (q134_rule_materialize, Q134_SQL),
     "q135_smart_join": (q135_smart_join, Q135_SQL),
     "q136_datalog_saturation": (q136_datalog_saturation, Q136_SQL),
+    "q137_semi_naive_reachability": (q137_semi_naive_reachability,
+                                     Q137_SQL),
 }

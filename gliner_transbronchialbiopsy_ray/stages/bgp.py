@@ -20,6 +20,7 @@ variable, deduplicated (set semantics, like SPARQL SELECT DISTINCT).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -82,6 +83,8 @@ def match_bgp(
     join_strategy: str = "hash",
     broadcast_threshold: int = 2_000_000,
     materialize_input: bool = True,
+    pattern_sources: dict | None = None,
+    final_distinct: bool = True,
 ) -> ray.data.Dataset:
     """Match `patterns` (list of (s, p, o) with `?var` strings for
     variables) against the triple dataset; returns the distinct variable
@@ -112,7 +115,18 @@ def match_bgp(
     (`broadcast_threshold` rows, enforced); the FIRST (largest) leg still
     streams.  This is the right plan for iterative callers (`saturate`)
     where per-round fixed shuffle/actor-startup cost dominates, and for
-    selective patterns over huge stores (put the big pattern first)."""
+    selective patterns over huge stores (put the big pattern first).
+
+    `pattern_sources` maps a REQUIRED-pattern index to an alternative
+    triple dataset (same s/p/o columns) that pattern matches against
+    instead of `triples` — the hook semi-naive evaluation uses to
+    restrict one body atom to the last round's delta.  Alternative
+    sources are used as-is (the caller materializes them).
+
+    `final_distinct=False` (broadcast path only) skips the output's
+    global DISTINCT fold — for callers that fold the result themselves
+    anyway (saturate's per-round store fold); bindings may then repeat
+    across blocks."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -132,7 +146,11 @@ def match_bgp(
         # hold a materialized store (saturate) opt out to save the copy
         triples = triples.materialize()
 
-    def leg(pattern: tuple) -> tuple[ray.data.Dataset, list[str]]:
+    def leg(pattern: tuple,
+            alt: ray.data.Dataset | None = None,
+            ) -> tuple[ray.data.Dataset, list[str]]:
+        src = (triples if alt is None
+               else alt.select_columns([s_col, p_col, o_col]))
         s, p, o = pattern
         out_vars: list[str] = []
         for term in (s, o):
@@ -157,11 +175,11 @@ def match_bgp(
                 return pa.table({"_ta": ta, "_tb": tb})
 
             source = _bounded_closure(
-                triples.map_batches(edge_proj, batch_format="pyarrow"),
+                src.map_batches(edge_proj, batch_format="pyarrow"),
                 max_hops, num_partitions)
             sc, oc, pred_col = "_ta", "_tb", None
         else:
-            source, sc, oc, pred_col = triples, s_col, o_col, p_col
+            source, sc, oc, pred_col = src, s_col, o_col, p_col
 
         def project(batch: pa.Table, _s=s, _p=p, _o=o) -> pa.Table:
             mask = None
@@ -197,16 +215,19 @@ def match_bgp(
             batch_format="pyarrow")
         return (local.groupby(cols).count().drop_columns(["count()"]))
 
+    sources = pattern_sources or {}
+
     if join_strategy == "broadcast":
         return _fold_broadcast(leg, dedupe, patterns, optional,
-                               broadcast_threshold)
+                               broadcast_threshold, sources,
+                               final_distinct)
 
-    acc, acc_vars = leg(patterns[0])
+    acc, acc_vars = leg(patterns[0], sources.get(0))
     acc = dedupe(acc, acc_vars).materialize()
-    for pattern in patterns[1:]:
+    for idx, pattern in enumerate(patterns[1:], start=1):
         if acc.count() == 0:
             return acc  # no bindings can survive further patterns
-        nxt, nxt_vars = leg(pattern)
+        nxt, nxt_vars = leg(pattern, sources.get(idx))
         nxt = dedupe(nxt, nxt_vars).materialize()
         shared = [v for v in nxt_vars if v in acc_vars]
         if not shared and "_exists" not in nxt_vars:
@@ -266,7 +287,8 @@ def match_bgp(
     return acc
 
 
-def _fold_broadcast(leg, dedupe, patterns, optional, threshold):
+def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
+                    sources, final_distinct=True):
     """Broadcast fold for `match_bgp(join_strategy="broadcast")`: the
     first leg streams; every later leg is collected ONCE on the driver
     (size-checked against `threshold`), `ray.put`, and merged into the
@@ -294,10 +316,10 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold):
                 "join_strategy='hash'")
         return df[cols]
 
-    acc, acc_vars = leg(patterns[0])
+    acc, acc_vars = leg(patterns[0], sources.get(0))
     acc = localdd(acc)
-    for pattern in patterns[1:]:
-        nxt, nxt_vars = leg(pattern)
+    for idx, pattern in enumerate(patterns[1:], start=1):
+        nxt, nxt_vars = leg(pattern, sources.get(idx))
         shared = [v for v in nxt_vars if v in acc_vars]
         if not shared and "_exists" not in nxt_vars:
             raise ValueError(
@@ -322,7 +344,8 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold):
         acc = acc.map_batches(merge, batch_format="pyarrow")
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
 
-    acc = dedupe(acc, acc_vars)  # the one global fold (DISTINCT)
+    if final_distinct:
+        acc = dedupe(acc, acc_vars)  # the one global fold (DISTINCT)
 
     for pattern in optional or []:
         nxt, nxt_vars = leg(pattern)
@@ -400,11 +423,37 @@ def apply_rule(
     return out
 
 
+def _pattern_vars(pattern: tuple) -> set:
+    s, p, o = pattern
+    return {t[1:] for t in (s, o) if _is_var(t)}
+
+
+def _delta_order(body: list[tuple], i: int) -> tuple[list[tuple], int]:
+    """Reorder `body` so the delta-restricted atom `i` sits LAST (the
+    broadcast fold streams the first leg and collects the rest — the
+    delta is the small side, so it should be collected, and full-store
+    atoms should lead).  Falls back to the original order when the
+    rotation would break the shared-variable chain match_bgp requires."""
+    if len(body) == 1 or i == len(body) - 1:
+        return body, i
+    cand = [p for j, p in enumerate(body) if j != i] + [body[i]]
+    seen = _pattern_vars(cand[0])
+    if not seen:
+        return body, i  # all-constant first pattern: keep original
+    for p in cand[1:]:
+        v = _pattern_vars(p)
+        if v and not (v & seen):
+            return body, i
+        seen |= v
+    return cand, len(body) - 1
+
+
 def saturate(
     triples: ray.data.Dataset,
     rules: list[tuple],
     max_rounds: int = 12,
     num_partitions: int | None = None,
+    strategy: str = "naive",
     **match_kwargs,
 ) -> ray.data.Dataset:
     """Datalog saturation: apply `rules` (each a (body, head) pair as in
@@ -427,8 +476,21 @@ def saturate(
     one leg-collect execution per join pattern plus ONE distinct fold —
     not a native hash join (fresh aggregator actors) plus 4 shuffles.
     The contract is that the saturated store's pattern legs stay
-    broadcast-sized; pass join_strategy="hash" for stores beyond that."""
+    broadcast-sized; pass join_strategy="hash" for stores beyond that.
 
+    `strategy="semi_naive"` is the classic Datalog upgrade: every new
+    fact this round must use at least one fact derived LAST round, so
+    each rule body is expanded into one variant per atom with that atom
+    restricted to the delta (`pattern_sources`), the delta atom rotated
+    last (small side collected, full store streams).  The per-round
+    store fold doubles as delta detection: store rows tag 0, derivations
+    tag 1, groupby(s,p,o).min(tag) — min 1 means genuinely new.  Same
+    round semantics as naive (store_k identical round for round, pinned
+    by test); the win is matching O(delta x store) instead of
+    O(store x store) once the closure front narrows."""
+
+    if strategy not in ("naive", "semi_naive"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     match_kwargs.setdefault("join_strategy", "broadcast")
     match_kwargs.setdefault("materialize_input", False)
     if num_partitions is None:
@@ -453,6 +515,10 @@ def saturate(
         return (local.groupby(["s", "p", "o"]).count()
                 .drop_columns(["count()"]))
 
+    if strategy == "semi_naive":
+        return _saturate_semi_naive(triples, rules, max_rounds,
+                                    num_partitions, match_kwargs)
+
     store = dd(triples.select_columns(["s", "p", "o"])).materialize()
     n = store.count()
     for _ in range(max_rounds):
@@ -465,4 +531,56 @@ def saturate(
         if n2 == n:
             break
         n = n2
+    return store
+
+
+def _saturate_semi_naive(
+    triples: ray.data.Dataset,
+    rules: list[tuple],
+    max_rounds: int,
+    num_partitions: int,
+    match_kwargs: dict,
+) -> ray.data.Dataset:
+    """See `saturate(strategy="semi_naive")`.  Loop state (the folded
+    store) is materialized every round; the delta is a one-op filter
+    over that materialized fold, so lineage depth stays constant."""
+
+    def tag(t: int):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            d = batch.to_pandas().drop_duplicates()
+            d["_tag"] = np.int64(t)
+            return d
+        return f
+
+    def only_new(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("min(_tag)"), 1))
+        return t.drop_columns(["min(_tag)"])
+
+    base = (triples.select_columns(["s", "p", "o"])
+            .map_batches(tag(1), batch_format="pyarrow")
+            .repartition(num_partitions))
+    folded = base.groupby(["s", "p", "o"]).min("_tag").materialize()
+    store = folded.drop_columns(["min(_tag)"])
+    delta = folded.map_batches(only_new, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        derived = None
+        for body, head in rules:
+            for i in range(len(body)):
+                order, dpos = _delta_order(body, i)
+                new = apply_rule(store, order, head,
+                                 pattern_sources={dpos: delta},
+                                 final_distinct=False, **match_kwargs)
+                derived = new if derived is None else derived.union(new)
+        # one exchange yields BOTH the next store and the new-fact delta:
+        # store rows tag 0, derivations tag 1; min(tag)==1 <=> not seen
+        # before.  repartition first — see dd() in saturate for why.
+        u = (store.map_batches(tag(0), batch_format="pyarrow")
+             .union(derived.map_batches(tag(1), batch_format="pyarrow"))
+             .repartition(num_partitions))
+        folded = u.groupby(["s", "p", "o"]).min("_tag").materialize()
+        store = folded.drop_columns(["min(_tag)"])
+        delta = folded.map_batches(only_new, batch_format="pyarrow")
+        if delta.count() == 0:
+            break
     return store

@@ -123,3 +123,28 @@ def test_saturate_transitive_fixpoint():
     assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
     # base triples are preserved in the store
     assert (out["p"] == "parent").sum() == 3
+
+
+def test_semi_naive_matches_naive_round_for_round():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import saturate
+
+    # chain 1->2->3->4->5 plus a disjoint edge; linear rule set
+    rows = [{"s": a, "p": "parent", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]]
+    rules = [
+        ([("?x", "parent", "?y")], ("?x", "anc", "?y")),
+        ([("?x", "anc", "?y"), ("?y", "parent", "?z")],
+         ("?x", "anc", "?z")),
+    ]
+
+    def run(strategy, max_rounds):
+        out = saturate(rd.from_items(rows), rules, max_rounds=max_rounds,
+                       strategy=strategy, num_partitions=2).to_pandas()
+        return sorted(map(tuple, out[["s", "p", "o"]].to_numpy().tolist()))
+
+    # fixpoint: full ancestor closure (10 chain pairs + 1 + 5 base)
+    full_naive = run("naive", 12)
+    assert run("semi_naive", 12) == full_naive
+    assert len(full_naive) == 16
+    # capped rounds must agree too (same round semantics, store_k == store_k)
+    assert run("semi_naive", 3) == run("naive", 3)
