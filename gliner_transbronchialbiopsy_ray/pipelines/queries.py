@@ -6047,6 +6047,84 @@ SELECT DISTINCT a, b FROM rr ORDER BY a, b
 """
 
 
+def q138_incremental_entailment(sf_dir: str):
+    """INCREMENTAL saturation (stages/bgp.py:saturate_incremental): an
+    rdfs9-style type-entailment store — customer type nation, nation
+    subclass region, region subclass world — bootstrapped from even
+    custkeys and then MAINTAINED as the odd custkeys arrive: the
+    semi-naive loop is seeded with exactly the arriving facts, so the
+    second phase's work tracks the batch, not the accumulated store
+    (the q111/q112 incremental-state discipline applied to rule
+    derivation).  Output: every direct + entailed (entity, cls) pair.
+    Oracle: fixed-depth taxonomy = plain SQL unions, no recursion."""
+    from ..stages.bgp import saturate, saturate_incremental
+
+    RULES = [([("?x", "type", "?c"), ("?c", "subclass", "?d")],
+              ("?x", "type", "?d"))]
+    ENT, NAT, REG, WORLD = 10_000_000, 1000, 2000, 3000
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def type_facts(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ck = b.column("c_custkey").to_numpy()
+            t = b.filter(pa.array(ck % 2 == parity))
+            return pa.table({
+                "s": pc.add(t.column("c_custkey").cast(pa.int64()), ENT),
+                "p": pa.array(["type"] * t.num_rows),
+                "o": pc.add(t.column("c_nationkey").cast(pa.int64()),
+                            NAT)})
+        return f
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def taxonomy(b: pa.Table) -> pa.Table:
+        nk = pc.add(b.column("n_nationkey").cast(pa.int64()), NAT)
+        rk = pc.add(b.column("n_regionkey").cast(pa.int64()), REG)
+        # nation -> region edges, plus (dup-folded) region -> world
+        return pa.table({
+            "s": pa.concat_arrays([nk.combine_chunks(),
+                                   rk.combine_chunks()]),
+            "p": pa.array(["subclass"] * (2 * b.num_rows)),
+            "o": pa.concat_arrays([
+                rk.combine_chunks(),
+                pa.array([WORLD] * b.num_rows, type=pa.int64())])})
+
+    sub = nation.map_batches(taxonomy, batch_format="pyarrow")
+    boot = sub.union(cust.map_batches(type_facts(0),
+                                      batch_format="pyarrow"))
+    closed = saturate(boot, RULES, strategy="semi_naive").materialize()
+    arriving = cust.map_batches(type_facts(1), batch_format="pyarrow")
+    store = saturate_incremental(closed, arriving, RULES)
+
+    def types_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "type"))
+        return pa.table({"ent": t.column("s").cast(pa.int64()),
+                         "cls": t.column("o").cast(pa.int64())})
+
+    out = store.map_batches(types_only, batch_format="pyarrow").to_pandas()
+    out = out.astype("int64")
+    return out.sort_values(["ent", "cls"]).reset_index(drop=True)
+
+
+Q138_SQL = """
+WITH cust AS (
+  SELECT c_custkey + 10000000 AS ent, c_nationkey + 1000 AS nat
+  FROM customer
+),
+sub1 AS (SELECT n_nationkey + 1000 AS c, n_regionkey + 2000 AS d
+         FROM nation),
+types AS (
+  SELECT ent, nat AS cls FROM cust
+  UNION
+  SELECT ent, s1.d AS cls FROM cust JOIN sub1 s1 ON s1.c = cust.nat
+  UNION
+  SELECT ent, 3000 AS cls FROM cust
+)
+SELECT ent, CAST(cls AS BIGINT) AS cls FROM types ORDER BY ent, cls
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6209,4 +6287,6 @@ QUERIES: dict[str, tuple] = {
     "q136_datalog_saturation": (q136_datalog_saturation, Q136_SQL),
     "q137_semi_naive_reachability": (q137_semi_naive_reachability,
                                      Q137_SQL),
+    "q138_incremental_entailment": (q138_incremental_entailment,
+                                    Q138_SQL),
 }

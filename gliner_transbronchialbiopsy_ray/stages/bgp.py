@@ -534,16 +534,34 @@ def saturate(
     return store
 
 
+def _atom_cannot_match(atom: tuple, preds: set) -> bool:
+    """True when `atom`'s constant predicate can never appear in a
+    dataset whose rows all carry predicates from `preds` — the static
+    pruning that lets semi-naive skip delta variants outright (from
+    round 2 on, the delta only contains rule-HEAD predicates)."""
+    p = atom[1]
+    if _is_var(p):
+        return False
+    base = p[:-1] if p.endswith("+") else p
+    return base not in preds
+
+
 def _saturate_semi_naive(
     triples: ray.data.Dataset,
     rules: list[tuple],
     max_rounds: int,
     num_partitions: int,
     match_kwargs: dict,
+    base_store: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """See `saturate(strategy="semi_naive")`.  Loop state (the folded
     store) is materialized every round; the delta is a one-op filter
-    over that materialized fold, so lineage depth stays constant."""
+    over that materialized fold, so lineage depth stays constant.
+
+    With `base_store` (a store ALREADY closed under `rules`), this is
+    INCREMENTAL maintenance: `triples` are the arriving facts, the
+    initial delta is exactly the arriving facts not already known, and
+    the rounds only derive consequences that involve them."""
 
     def tag(t: int):
         def f(batch: pa.Table) -> pd.DataFrame:
@@ -557,21 +575,38 @@ def _saturate_semi_naive(
         return t.drop_columns(["min(_tag)"])
 
     base = (triples.select_columns(["s", "p", "o"])
-            .map_batches(tag(1), batch_format="pyarrow")
-            .repartition(num_partitions))
+            .map_batches(tag(1), batch_format="pyarrow"))
+    if base_store is not None:
+        base = base.union(
+            base_store.select_columns(["s", "p", "o"])
+            .map_batches(tag(0), batch_format="pyarrow"))
+    base = base.repartition(num_partitions)
     folded = base.groupby(["s", "p", "o"]).min("_tag").materialize()
     store = folded.drop_columns(["min(_tag)"])
     delta = folded.map_batches(only_new, batch_format="pyarrow")
+    if base_store is not None and delta.count() == 0:
+        return store  # nothing genuinely new arrived
+
+    # from round 2 on, every delta row was derived by some rule, so its
+    # predicate is a rule head — variants whose delta atom names any
+    # other constant predicate can be skipped without executing anything
+    head_preds = {head[1] for _, head in rules}
+    delta_preds: set | None = None  # None = unknown (round 1)
 
     for _ in range(max_rounds):
         derived = None
         for body, head in rules:
             for i in range(len(body)):
+                if (delta_preds is not None
+                        and _atom_cannot_match(body[i], delta_preds)):
+                    continue
                 order, dpos = _delta_order(body, i)
                 new = apply_rule(store, order, head,
                                  pattern_sources={dpos: delta},
                                  final_distinct=False, **match_kwargs)
                 derived = new if derived is None else derived.union(new)
+        if derived is None:
+            break  # no rule can touch the delta: fixpoint
         # one exchange yields BOTH the next store and the new-fact delta:
         # store rows tag 0, derivations tag 1; min(tag)==1 <=> not seen
         # before.  repartition first — see dd() in saturate for why.
@@ -581,6 +616,40 @@ def _saturate_semi_naive(
         folded = u.groupby(["s", "p", "o"]).min("_tag").materialize()
         store = folded.drop_columns(["min(_tag)"])
         delta = folded.map_batches(only_new, batch_format="pyarrow")
+        delta_preds = head_preds
         if delta.count() == 0:
             break
     return store
+
+
+def saturate_incremental(
+    saturated_store: ray.data.Dataset,
+    new_triples: ray.data.Dataset,
+    rules: list[tuple],
+    max_rounds: int = 12,
+    num_partitions: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """Maintain a rule-saturated store as new base facts arrive — the
+    incremental counterpart of re-running `saturate` over the unioned
+    base (equivalence pinned by test).  `saturated_store` must already
+    be closed under `rules`; the semi-naive loop is seeded with exactly
+    the arriving facts that are genuinely new, so the work per batch
+    tracks the CONSEQUENCES OF THE BATCH, not the accumulated store —
+    the "the KG grew, don't re-derive everything" answer, same state
+    discipline as the q111/q112 incremental dedup family.
+
+    Soundness/completeness: any fact derivable from store + new facts
+    but absent from the closed store has a derivation using at least one
+    new fact, which semi-naive's delta variants enumerate."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+    match_kwargs.setdefault("join_strategy", "broadcast")
+    match_kwargs.setdefault("materialize_input", False)
+    return _saturate_semi_naive(new_triples, rules, max_rounds,
+                                num_partitions, match_kwargs,
+                                base_store=saturated_store)

@@ -148,3 +148,35 @@ def test_semi_naive_matches_naive_round_for_round():
     assert len(full_naive) == 16
     # capped rounds must agree too (same round semantics, store_k == store_k)
     assert run("semi_naive", 3) == run("naive", 3)
+
+
+def test_incremental_saturation_matches_batch():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate, saturate_incremental)
+
+    rules = [
+        ([("?x", "next", "?y")], ("?x", "succ", "?y")),
+        ([("?x", "succ", "?y"), ("?y", "succ", "?z")],
+         ("?x", "succ", "?z")),
+    ]
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12)]
+    base_e = [e for e in edges if e[0] % 3 != 0]
+    new_e = [e for e in edges if e[0] % 3 == 0]
+    mk = lambda es: rd.from_items(
+        [{"s": a, "p": "next", "o": b} for a, b in es])
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["s", "p", "o"]].to_numpy().tolist()))
+
+    batch_all = canon(saturate(mk(edges), rules, strategy="semi_naive",
+                               num_partitions=2))
+    closed = saturate(mk(base_e), rules, strategy="semi_naive",
+                      num_partitions=2).materialize()
+    inc = canon(saturate_incremental(closed, mk(new_e), rules,
+                                     num_partitions=2))
+    assert inc == batch_all
+    # re-sending already-known facts is a no-op (delta empties out)
+    noop = canon(saturate_incremental(closed, mk(base_e[:2]), rules,
+                                      num_partitions=2))
+    assert noop == canon(closed)
