@@ -5922,10 +5922,13 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def _order_chain_triples(sf_dir: str):
-    """(s, 'next_order', o) triples linking each sampled customer's
+def _succession_edge_triples(sf_dir: str):
+    """(s, 'next_order', o) triples linking each SAMPLED customer's
     orders in (date, key) succession — the shared edge set of the
-    recursive-rule queries (q136/q137)."""
+    recursive-rule queries (q136/q137).  Distinct from
+    `_order_chain_triples` (q132/q133's richer KG: all-customer chains
+    plus sampled/urgent attribute triples) — a same-named second
+    definition once shadowed it and silently emptied q132/q133."""
     from ..stages.window import hash_bucketed_map_groups
 
     orders = _read(sf_dir, "orders",
@@ -5968,7 +5971,7 @@ def q136_datalog_saturation(sf_dir: str):
     all derived succ pairs.  Oracle: recursive CTE without depth guard."""
     from ..stages.bgp import saturate
 
-    triples = _order_chain_triples(sf_dir)
+    triples = _succession_edge_triples(sf_dir)
     closed = saturate(triples, rules=[
         ([("?x", "next_order", "?y")], ("?x", "succ", "?y")),
         ([("?x", "succ", "?y"), ("?y", "succ", "?z")],
@@ -6013,7 +6016,7 @@ def q137_semi_naive_reachability(sf_dir: str):
     quadratic.  Oracle: depth-guarded recursive CTE (d < 5)."""
     from ..stages.bgp import saturate
 
-    triples = _order_chain_triples(sf_dir)
+    triples = _succession_edge_triples(sf_dir)
     closed = saturate(triples, rules=[
         ([("?x", "next_order", "?y")], ("?x", "reach", "?y")),
         ([("?x", "reach", "?y"), ("?y", "next_order", "?z")],
@@ -6122,6 +6125,56 @@ types AS (
   SELECT ent, 3000 AS cls FROM cust
 )
 SELECT ent, CAST(cls AS BIGINT) AS cls FROM types ORDER BY ent, cls
+"""
+
+
+def q139_bgp_filter_minus(sf_dir: str):
+    """SPARQL FILTER + MINUS over the order KG (stages/bgp.py:match_bgp):
+    orders of customers in nations 0-4 (FILTER ?n < 5) that are NOT open
+    (MINUS (?o has_status_open ?f)) — the filter is one vectorized Arrow
+    pass over the joined bindings, the MINUS an anti semi-join on the
+    shared variable.  Oracle: the equivalent WHERE + NOT EXISTS SQL."""
+    from ..stages.bgp import match_bgp
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        t1 = pd.DataFrame({"s": df["o_orderkey"].astype("int64"),
+                           "p": "by_customer",
+                           "o": df["o_custkey"].astype("int64")})
+        op = df[df["o_orderstatus"] == "O"]
+        t2 = pd.DataFrame({"s": op["o_orderkey"].astype("int64"),
+                           "p": "has_status_open",
+                           "o": np.ones(len(op), "int64")})
+        return pd.concat([t1, t2], ignore_index=True)
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64")})
+
+    triples = (orders.map_batches(order_triples, batch_format="pyarrow")
+               .union(cust.map_batches(cust_triples,
+                                       batch_format="pyarrow")))
+    out = match_bgp(triples, [
+        ("?o", "by_customer", "?c"),
+        ("?c", "in_nation", "?n"),
+    ], filters=[("n", "<", 5)],
+       minus=[("?o", "has_status_open", "?f")]).to_pandas()
+    out = out[["o", "c", "n"]].astype("int64")
+    return out.sort_values(["o", "c", "n"]).reset_index(drop=True)
+
+
+Q139_SQL = """
+SELECT DISTINCT o.o_orderkey AS o, c.c_custkey AS c,
+       CAST(c.c_nationkey AS BIGINT) AS n
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_nationkey < 5 AND o.o_orderstatus <> 'O'
+ORDER BY o, c, n
 """
 
 
@@ -6289,4 +6342,5 @@ QUERIES: dict[str, tuple] = {
                                      Q137_SQL),
     "q138_incremental_entailment": (q138_incremental_entailment,
                                     Q138_SQL),
+    "q139_bgp_filter_minus": (q139_bgp_filter_minus, Q139_SQL),
 }

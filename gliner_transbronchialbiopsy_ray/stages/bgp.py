@@ -70,10 +70,38 @@ def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
     return dd(acc).materialize()
 
 
+_FILTER_OPS = {
+    "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _apply_binding_filters(ds: ray.data.Dataset, filters: list[tuple],
+                           acc_vars: list[str]) -> ray.data.Dataset:
+    """SPARQL FILTER over bindings: each (var, op, literal) becomes a
+    vectorized Arrow predicate; conjunction, applied in one map pass."""
+    for var, op, _ in filters:
+        if var not in acc_vars:
+            raise ValueError(f"FILTER references unbound variable {var!r}")
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unknown FILTER op {op!r}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = None
+        for var, op, val in filters:
+            cond = _FILTER_OPS[op](batch.column(var), val)
+            mask = cond if mask is None else pc.and_(mask, cond)
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def match_bgp(
     triples: ray.data.Dataset,
     patterns: list[tuple],
     optional: list[tuple] | None = None,
+    filters: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
@@ -126,7 +154,14 @@ def match_bgp(
     `final_distinct=False` (broadcast path only) skips the output's
     global DISTINCT fold — for callers that fold the result themselves
     anyway (saturate's per-round store fold); bindings may then repeat
-    across blocks."""
+    across blocks.
+
+    `filters` — SPARQL FILTER: (var, op, literal) conjunction over the
+    required patterns' bindings (op in ==, !=, <, <=, >, >=), applied
+    as one vectorized Arrow pass BEFORE optional/minus.
+    `minus` — SPARQL MINUS: each entry is a single pattern; bindings
+    sharing its variable values are removed (anti semi-join on the
+    shared variables; a pattern sharing no variable is rejected)."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -220,7 +255,7 @@ def match_bgp(
     if join_strategy == "broadcast":
         return _fold_broadcast(leg, dedupe, patterns, optional,
                                broadcast_threshold, sources,
-                               final_distinct)
+                               final_distinct, filters, minus)
 
     acc, acc_vars = leg(patterns[0], sources.get(0))
     acc = dedupe(acc, acc_vars).materialize()
@@ -250,6 +285,46 @@ def match_bgp(
         )
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
         acc = dedupe(acc, acc_vars).materialize()
+
+    if filters:
+        acc = _apply_binding_filters(acc, filters, acc_vars).materialize()
+
+    for pattern in minus or []:
+        if acc.count() == 0:
+            break
+        nxt, nxt_vars = leg(pattern)
+        if "_exists" in nxt_vars:
+            raise ValueError(f"minus pattern {pattern} binds no variable")
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"minus pattern {pattern} shares no variable with prior "
+                "bindings")
+
+        def proj_marker(batch: pa.Table,
+                        _shared=tuple(shared)) -> pa.Table:
+            t = batch.select(list(_shared))
+            return t.append_column(
+                "_m", pa.array([1] * t.num_rows, type=pa.int64()))
+
+        mk = dedupe(nxt.map_batches(
+            lambda b, _s=tuple(shared): b.select(list(_s)),
+            batch_format="pyarrow"), shared).materialize()
+        if mk.count() == 0:
+            continue
+        mk = mk.map_batches(proj_marker, batch_format="pyarrow")
+        acc = coalesce_for_join(acc, num_partitions).join(
+            coalesce_for_join(mk, num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=tuple(shared), right_on=tuple(shared),
+        )
+
+        def keep_unmatched(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_null(batch.column("_m")))
+            return t.drop_columns(["_m"])
+
+        acc = acc.map_batches(keep_unmatched,
+                              batch_format="pyarrow").materialize()
 
     for pattern in optional or []:
         if acc.count() == 0:
@@ -288,7 +363,8 @@ def match_bgp(
 
 
 def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
-                    sources, final_distinct=True):
+                    sources, final_distinct=True, filters=None,
+                    minus=None):
     """Broadcast fold for `match_bgp(join_strategy="broadcast")`: the
     first leg streams; every later leg is collected ONCE on the driver
     (size-checked against `threshold`), `ray.put`, and merged into the
@@ -296,7 +372,11 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
     only all-to-all is the single DISTINCT fold after the required
     patterns — no native joins, no per-leg counts or materializations,
     which is what makes iterative callers (saturate) cheap per round.
-    Returns a LAZY dataset (the hash path materializes)."""
+    FILTER rides the same streaming pass (applied BEFORE the distinct
+    fold — it commutes with DISTINCT and shrinks the shuffle); MINUS legs
+    are collected like any broadcast leg and removed with a vectorized
+    anti-merge per batch.  Returns a LAZY dataset (the hash path
+    materializes)."""
 
     def localdd(ds):
         return ds.map_batches(
@@ -344,8 +424,35 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
         acc = acc.map_batches(merge, batch_format="pyarrow")
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
 
+    if filters:
+        acc = _apply_binding_filters(acc, filters, acc_vars)
+
     if final_distinct:
         acc = dedupe(acc, acc_vars)  # the one global fold (DISTINCT)
+
+    for pattern in minus or []:
+        nxt, nxt_vars = leg(pattern)
+        if "_exists" in nxt_vars:
+            raise ValueError(f"minus pattern {pattern} binds no variable")
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"minus pattern {pattern} shares no variable with prior "
+                "bindings")
+        mdf = collect(nxt, nxt_vars, pattern)[shared].drop_duplicates()
+        if len(mdf) == 0:
+            continue
+        mref = ray.put(mdf)
+
+        def anti(batch: pa.Table, _ref=mref,
+                 _shared=tuple(shared)) -> pd.DataFrame:
+            rt = ray.get(_ref)
+            out = batch.to_pandas().merge(
+                rt, on=list(_shared), how="left", indicator="_m")
+            out = out[out["_m"] == "left_only"]
+            return out.drop(columns=["_m"])
+
+        acc = acc.map_batches(anti, batch_format="pyarrow")
 
     for pattern in optional or []:
         nxt, nxt_vars = leg(pattern)

@@ -100,6 +100,64 @@ def test_broadcast_strategy_matches_hash():
         assert hv == bv, (patterns, optional)
 
 
+def test_filter_restricts_bindings():
+    out = match_bgp(_ds(), [("?x", "knows", "?y")],
+                    filters=[("y", ">=", 3)],
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 3), (2, 3)]
+    # conjunction of two filters
+    out2 = match_bgp(_ds(), [("?x", "knows", "?y")],
+                     filters=[("y", ">=", 3), ("x", "==", 2)],
+                     num_partitions=2).to_pandas()
+    assert sorted(map(tuple, out2[["x", "y"]].to_numpy())) == [(2, 3)]
+
+
+def test_filter_unbound_var_rejected():
+    with pytest.raises(ValueError, match="unbound"):
+        match_bgp(_ds(), [("?x", "knows", "?y")],
+                  filters=[("z", "==", 1)], num_partitions=2)
+
+
+def test_minus_removes_matching_bindings():
+    # MINUS (?y likes ?w): drop bindings whose y has any `likes` triple
+    out = match_bgp(_ds(), [("?x", "knows", "?y")],
+                    minus=[("?y", "likes", "?w")],
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 3), (2, 3)]  # (1,2) removed: 2 likes 9
+    # MINUS pattern matching nothing leaves bindings intact
+    out2 = match_bgp(_ds(), [("?x", "knows", "?y")],
+                     minus=[("?y", "admired_by", "?w")],
+                     num_partitions=2).to_pandas()
+    assert len(out2) == 3
+
+
+def test_minus_no_shared_var_rejected():
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(_ds(), [("?x", "knows", "?y")],
+                  minus=[("?a", "likes", "?b")], num_partitions=2)
+
+
+def test_filter_minus_broadcast_matches_hash():
+    for filters, minus in [
+        ([("y", ">=", 3)], None),
+        (None, [("?y", "likes", "?w")]),
+        ([("x", "<", 2)], [("?y", "likes", "?w")]),
+        (None, [("?y", "admired_by", "?w")]),
+    ]:
+        h = match_bgp(_ds(), [("?x", "knows", "?y")],
+                      filters=filters, minus=minus,
+                      num_partitions=2).to_pandas()
+        b = match_bgp(_ds(), [("?x", "knows", "?y")],
+                      filters=filters, minus=minus, num_partitions=2,
+                      join_strategy="broadcast").to_pandas()
+        cols = sorted(h.columns)
+        hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
+        bv = sorted(map(tuple, b[cols].to_numpy().tolist()))
+        assert hv == bv, (filters, minus)
+
+
 def test_broadcast_threshold_enforced():
     with pytest.raises(ValueError, match="broadcast_threshold"):
         match_bgp(_ds(), [("?x", "knows", "?y"), ("?y", "knows", "?z")],
