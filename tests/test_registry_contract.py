@@ -36,3 +36,28 @@ def test_oracle_sql_parses_and_plans():
     for name, (_fn, sql) in QUERIES.items():
         if sql:
             con.execute(f"EXPLAIN {sql}")  # raises on invalid SQL
+
+
+def test_no_duplicate_toplevel_definitions():
+    """A second top-level def/class/constant with the same name silently
+    shadows the first (a duplicate `_order_chain_triples` once emptied
+    q132/q133) — reject duplicates across the whole package."""
+    import ast
+    import collections
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1]
+    files = list((pkg / "gliner_transbronchialbiopsy_ray").rglob("*.py"))
+    files += [pkg / "__ray_entry__.py", pkg / "bench.py"]
+    for f in files:
+        names = collections.Counter()
+        for node in ast.parse(f.read_text()).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                names[node.name] += 1
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names[t.id] += 1
+        dups = {n: c for n, c in names.items() if c > 1 and n != "_"}
+        assert not dups, f"{f}: duplicate top-level definitions {dups}"
