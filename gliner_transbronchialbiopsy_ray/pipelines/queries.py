@@ -6178,6 +6178,88 @@ ORDER BY o, c, n
 """
 
 
+def q140_bgp_aggregate(sf_dir: str):
+    """SPARQL aggregation (GROUP BY ?n, COUNT(?o)) over BGP bindings:
+    open orders per customer nation — match_bgp emits DISTINCT bindings,
+    so a plain groupby-count over them IS COUNT(DISTINCT): the binding
+    stream feeds Ray's native aggregate directly, no extra dedup pass.
+    Oracle: joins + COUNT(DISTINCT)."""
+    from ..stages.bgp import match_bgp
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        op = df[df["o_orderstatus"] == "O"]
+        return pd.DataFrame({"s": op["o_orderkey"].astype("int64"),
+                             "p": "open_order_of",
+                             "o": op["o_custkey"].astype("int64")})
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64")})
+
+    triples = (orders.map_batches(order_triples, batch_format="pyarrow")
+               .union(cust.map_batches(cust_triples,
+                                       batch_format="pyarrow")))
+    bindings = match_bgp(triples, [
+        ("?o", "open_order_of", "?c"),
+        ("?c", "in_nation", "?n"),
+    ])
+    agg = bindings.groupby("n").count().to_pandas()
+    agg = agg.rename(columns={"count()": "n_orders"})
+    agg["n"] = agg["n"].astype("int64")
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    return agg.sort_values("n").reset_index(drop=True)
+
+
+Q140_SQL = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS n,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1 ORDER BY n
+"""
+
+
+def q141_bgp_path_ops(sf_dir: str):
+    """SPARQL path operators over the order-chain KG: sampled-or-urgent
+    orders (?a, "order_of_sampled_cust|is_urgent", 1 — predicate
+    ALTERNATIVE) paired with the order exactly two successions later
+    (?a, "next_order/next_order", ?b — SEQUENCE path, intermediate
+    hidden).  Inverse (^pred) is covered by unit tests.  Oracle: two
+    self-joins of the lead()-built chain + the OR filter."""
+    from ..stages.bgp import match_bgp
+
+    triples = _order_chain_triples(sf_dir)
+    out = match_bgp(triples, [
+        ("?a", "order_of_sampled_cust|is_urgent", 1),
+        ("?a", "next_order/next_order", "?b"),
+    ]).to_pandas()
+    out = out[["a", "b"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q141_SQL = """
+WITH nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+m AS (SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_custkey % 20 = 0 OR o_orderpriority = '1-URGENT')
+SELECT DISTINCT m.o_orderkey AS a, e2.b AS b
+FROM m JOIN e e1 ON e1.a = m.o_orderkey JOIN e e2 ON e2.a = e1.b
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6343,4 +6425,6 @@ QUERIES: dict[str, tuple] = {
     "q138_incremental_entailment": (q138_incremental_entailment,
                                     Q138_SQL),
     "q139_bgp_filter_minus": (q139_bgp_filter_minus, Q139_SQL),
+    "q140_bgp_aggregate": (q140_bgp_aggregate, Q140_SQL),
+    "q141_bgp_path_ops": (q141_bgp_path_ops, Q141_SQL),
 }

@@ -96,6 +96,28 @@ def _apply_binding_filters(ds: ray.data.Dataset, filters: list[tuple],
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _expand_sequences(patterns: list[tuple]) -> list[tuple]:
+    """Rewrite sequence paths: (s, "p1/p2", o) becomes two chained
+    patterns through a fresh internal variable (?__seqN).  Internal
+    variables are projected OUT of the final bindings (SPARQL path
+    intermediates are invisible); each element may itself carry ^ / + /
+    alternatives."""
+    out, fresh = [], 0
+    for (s, p, o) in patterns:
+        if isinstance(p, str) and not _is_var(p) and "/" in p:
+            cur = s
+            parts = p.split("/")
+            for part in parts[:-1]:
+                mid = f"?__seq{fresh}"
+                fresh += 1
+                out.append((cur, part, mid))
+                cur = mid
+            out.append((cur, parts[-1], o))
+        else:
+            out.append((s, p, o))
+    return out
+
+
 def match_bgp(
     triples: ray.data.Dataset,
     patterns: list[tuple],
@@ -121,7 +143,14 @@ def match_bgp(
 
     Property paths: a predicate ending in `+` (e.g. "knows+") matches
     pairs connected by 1..max_hops edges of the base predicate (bounded
-    transitive closure — the cap is part of the semantics).
+    transitive closure — the cap is part of the semantics).  `^pred`
+    matches the INVERSE direction (subject/object roles swapped;
+    composes with `+` as `^pred+`).  `p1|p2` matches EITHER predicate
+    (one is_in filter — not valid inside a transitive path).  `p1/p2`
+    is a SEQUENCE: expanded into chained patterns through fresh internal
+    variables that are projected out of the result (each element may
+    itself carry ^ / + / |; sequences are required-pattern-only and
+    incompatible with pattern_sources).
 
     `optional` patterns (SPARQL OPTIONAL) left-outer-join after the
     required ones: bindings survive without a match, the optional
@@ -168,6 +197,19 @@ def match_bgp(
         raise ValueError("empty pattern list")
     if join_strategy not in ("hash", "broadcast"):
         raise ValueError(f"unknown join_strategy {join_strategy!r}")
+    for pat in (optional or []) + (minus or []):
+        p = pat[1]
+        if isinstance(p, str) and not _is_var(p) and "/" in p:
+            raise ValueError(
+                f"sequence path {p!r} only supported in required "
+                "patterns")
+    if pattern_sources and any(
+            isinstance(p[1], str) and not _is_var(p[1]) and "/" in p[1]
+            for p in patterns):
+        raise ValueError(
+            "sequence paths cannot be combined with pattern_sources "
+            "(expansion renumbers pattern indices)")
+    patterns = _expand_sequences(patterns)
     if num_partitions is None:
         try:
             num_partitions = max(
@@ -197,14 +239,27 @@ def match_bgp(
                         "pattern is unsupported")
                 out_vars.append(v)
 
-        transitive = (isinstance(p, str) and not _is_var(p)
-                      and p.endswith("+"))
+        inverse = (isinstance(p, str) and not _is_var(p)
+                   and p.startswith("^"))
+        pbase = p[1:] if inverse else p
+        transitive = (isinstance(pbase, str) and not _is_var(pbase)
+                      and pbase.endswith("+"))
+        alts = None
+        if (isinstance(pbase, str) and not _is_var(pbase)
+                and not transitive and "|" in pbase):
+            alts = pbase.split("|")
         if transitive:
-            base = p[:-1]
+            base = pbase[:-1]
+            if "|" in base:
+                raise ValueError(
+                    f"pattern {pattern}: alternatives inside a "
+                    "transitive path are unsupported")
 
             def edge_proj(batch: pa.Table) -> pa.Table:
                 t = batch.filter(pc.equal(batch.column(p_col), base))
                 ta, tb = t.column(s_col), t.column(o_col)
+                if inverse:
+                    ta, tb = tb, ta
                 if cast_nodes:
                     ta, tb = ta.cast(pa.int64()), tb.cast(pa.int64())
                 return pa.table({"_ta": ta, "_tb": tb})
@@ -215,11 +270,16 @@ def match_bgp(
             sc, oc, pred_col = "_ta", "_tb", None
         else:
             source, sc, oc, pred_col = src, s_col, o_col, p_col
+            if inverse:
+                sc, oc = oc, sc
 
-        def project(batch: pa.Table, _s=s, _p=p, _o=o) -> pa.Table:
+        def project(batch: pa.Table, _s=s, _p=pbase, _o=o) -> pa.Table:
             mask = None
             checks = [(_s, sc), (_o, oc)]
-            if pred_col is not None:
+            if pred_col is not None and alts is not None:
+                mask = pc.is_in(batch.column(pred_col),
+                                value_set=pa.array(alts))
+            elif pred_col is not None:
                 checks.append((_p, pred_col))
             for term, col in checks:
                 if not _is_var(term):
@@ -284,6 +344,16 @@ def match_bgp(
             on=tuple(shared), right_on=tuple(shared),
         )
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+        acc = dedupe(acc, acc_vars).materialize()
+
+    internal = [v for v in acc_vars if v.startswith("__seq")]
+    if internal and len(internal) < len(acc_vars):
+        # sequence-path intermediates are invisible in SPARQL: project
+        # them out, then re-distinct (several paths may share endpoints)
+        acc_vars = [v for v in acc_vars if not v.startswith("__seq")]
+        acc = acc.map_batches(
+            lambda b, _i=tuple(internal): b.drop_columns(list(_i)),
+            batch_format="pyarrow")
         acc = dedupe(acc, acc_vars).materialize()
 
     if filters:
@@ -423,6 +493,13 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
 
         acc = acc.map_batches(merge, batch_format="pyarrow")
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+
+    internal = [v for v in acc_vars if v.startswith("__seq")]
+    if internal and len(internal) < len(acc_vars):
+        acc_vars = [v for v in acc_vars if not v.startswith("__seq")]
+        acc = acc.map_batches(
+            lambda b, _i=tuple(internal): b.drop_columns(list(_i)),
+            batch_format="pyarrow")
 
     if filters:
         acc = _apply_binding_filters(acc, filters, acc_vars)

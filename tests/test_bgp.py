@@ -100,6 +100,61 @@ def test_broadcast_strategy_matches_hash():
         assert hv == bv, (patterns, optional)
 
 
+def test_inverse_predicate_swaps_roles():
+    out = match_bgp(_ds(), [("?y", "^knows", "?x")],
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # inverse transitive: who can reach 3 going backwards
+    out2 = match_bgp(_ds(), [(3, "^knows+", "?x")],
+                     num_partitions=2).to_pandas()
+    assert sorted(out2["x"]) == [1, 2]
+
+
+def test_alternative_predicates():
+    out = match_bgp(_ds(), [("?x", "likes|is_admin", "?v")],
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "v"]].to_numpy()))
+    assert got == [(1, 1), (2, 9)]
+    with pytest.raises(ValueError, match="alternatives inside"):
+        match_bgp(_ds(), [("?x", "likes|knows+", "?v")],
+                  num_partitions=2)
+
+
+def test_sequence_path_expands_and_hides_intermediate():
+    # knows/likes: x knows y, y likes z -> only 1 knows 2 likes 9
+    out = match_bgp(_ds(), [("?x", "knows/likes", "?z")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out.columns) == ["x", "z"]  # intermediate hidden
+    assert sorted(map(tuple, out[["x", "z"]].to_numpy())) == [(1, 9)]
+    # distinct endpoints even when multiple paths connect them
+    rows = TRIPLES + [{"s": 3, "p": "likes", "o": 9}]
+    out2 = match_bgp(rd.from_items(rows), [("?x", "knows/likes", "?z")],
+                     num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out2[["x", "z"]].to_numpy()))
+    assert got == [(1, 9), (2, 9)]  # 1->2->9 and 1->3->9 collapse
+    with pytest.raises(ValueError, match="required"):
+        match_bgp(_ds(), [("?x", "knows", "?y")],
+                  minus=[("?y", "knows/likes", "?z")], num_partitions=2)
+
+
+def test_path_operators_broadcast_matches_hash():
+    for patterns in [
+        [("?y", "^knows", "?x")],
+        [("?x", "likes|is_admin", "?v")],
+        [("?x", "knows/likes", "?z")],
+        [("?x", "knows/^knows", "?z")],
+    ]:
+        h = match_bgp(_ds(), patterns, num_partitions=2).to_pandas()
+        b = match_bgp(_ds(), patterns, num_partitions=2,
+                      join_strategy="broadcast").to_pandas()
+        cols = sorted(h.columns)
+        assert sorted(b.columns) == cols, patterns
+        hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
+        bv = sorted(map(tuple, b[cols].to_numpy().tolist()))
+        assert hv == bv, patterns
+
+
 def test_filter_restricts_bindings():
     out = match_bgp(_ds(), [("?x", "knows", "?y")],
                     filters=[("y", ">=", 3)],
