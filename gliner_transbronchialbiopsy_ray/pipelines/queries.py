@@ -6260,6 +6260,50 @@ ORDER BY a, b
 """
 
 
+def q142_declarative_triplify(sf_dir: str):
+    """R2RML-lite KG construction (stages/triplify.py): orders and
+    customer map DECLARATIVELY into one string-node triple store (subject
+    templates + predicate-object maps + a status row_filter), then the
+    q131 drill-down runs over it as a BGP — the construct-then-query
+    round trip with zero hand-written triple code.  Reads are pruned to
+    TripleMap.columns().  Oracle: the joins with 'prefix:'||key node
+    encoding inlined."""
+    from ..stages.bgp import match_bgp
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    omap = TripleMap(
+        subject=node("order", "o_orderkey"),
+        mappings=[
+            ("by_customer", node("cust", "o_custkey")),
+            ("is_open", const("1"),
+             row_filter("o_orderstatus", "==", "O")),
+        ])
+    cmap = TripleMap(
+        subject=node("cust", "c_custkey"),
+        mappings=[("in_nation", node("nation", "c_nationkey"))])
+
+    orders = _read(sf_dir, "orders", omap.columns())
+    cust = _read(sf_dir, "customer", cmap.columns())
+    store = triplify_tables([(orders, omap), (cust, cmap)])
+
+    out = match_bgp(store, [
+        ("?o", "by_customer", "?c"),
+        ("?c", "in_nation", "nation:7"),
+        ("?o", "is_open", "1"),
+    ], cast_nodes=False).to_pandas()
+    out = out[["o", "c"]].astype(str)
+    return out.sort_values(["o", "c"]).reset_index(drop=True)
+
+
+Q142_SQL = """
+SELECT DISTINCT 'order:' || o.o_orderkey AS o, 'cust:' || c.c_custkey AS c
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_nationkey = 7 AND o.o_orderstatus = 'O'
+ORDER BY o, c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6427,4 +6471,5 @@ QUERIES: dict[str, tuple] = {
     "q139_bgp_filter_minus": (q139_bgp_filter_minus, Q139_SQL),
     "q140_bgp_aggregate": (q140_bgp_aggregate, Q140_SQL),
     "q141_bgp_path_ops": (q141_bgp_path_ops, Q141_SQL),
+    "q142_declarative_triplify": (q142_declarative_triplify, Q142_SQL),
 }
