@@ -6304,6 +6304,71 @@ ORDER BY o, c
 """
 
 
+def q143_domain_range_entailment(sf_dir: str):
+    """rdfs2/rdfs3 domain-range entailment: the ontology declares
+    (placed domain Customer) (placed range Order) (in_nation domain
+    Customer) (in_nation range Nation); instance triples come from the
+    DECLARATIVE mapper; the rules join on a PREDICATE VARIABLE —
+    (?x ?pp ?y) ^ (?pp domain ?c) => (?x type ?c) and the range twin.
+    Plan: broadcast strategy with the full store as the streaming first
+    leg and the tiny ontology legs collected — no predicate-keyed
+    shuffle (predicate joins are maximally skewed: few keys, huge
+    groups).  Output: distinct (ent, cls).  Oracle: plain SQL unions."""
+    from ..stages.bgp import match_bgp
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    omap = TripleMap(subject=node("cust", "o_custkey"),
+                     mappings=[("placed", node("order", "o_orderkey"))])
+    cmap = TripleMap(
+        subject=node("cust", "c_custkey"),
+        mappings=[("in_nation", node("nation", "c_nationkey"))])
+    orders = _read(sf_dir, "orders", omap.columns())
+    cust = _read(sf_dir, "customer", cmap.columns())
+    onto = ray.data.from_items([
+        {"s": "placed", "p": "domain", "o": "Customer"},
+        {"s": "placed", "p": "range", "o": "Order"},
+        {"s": "in_nation", "p": "domain", "o": "Customer"},
+        {"s": "in_nation", "p": "range", "o": "Nation"},
+    ])
+    store = (triplify_tables([(orders, omap), (cust, cmap)])
+             .union(onto).materialize())
+
+    def ent_of(pos: str, rule_pred: str):
+        b = match_bgp(
+            store,
+            [("?x", "?pp", "?y"), ("?pp", rule_pred, "?c")],
+            cast_nodes=False, join_strategy="broadcast",
+            materialize_input=False)
+        src = "x" if pos == "s" else "y"
+        return b.map_batches(
+            lambda t, _src=src: pa.table(
+                {"ent": t.column(_src), "cls": t.column("c")}),
+            batch_format="pyarrow")
+
+    both = ent_of("s", "domain").union(ent_of("o", "range"))
+    types = (both.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+        .groupby(["ent", "cls"]).count().drop_columns(["count()"]))
+    out = types.to_pandas().astype(str)
+    return out.sort_values(["ent", "cls"]).reset_index(drop=True)
+
+
+Q143_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'cust:' || o_custkey AS ent, 'Customer' AS cls
+  FROM orders
+  UNION
+  SELECT DISTINCT 'order:' || o_orderkey, 'Order' FROM orders
+  UNION
+  SELECT DISTINCT 'cust:' || c_custkey, 'Customer' FROM customer
+  UNION
+  SELECT DISTINCT 'nation:' || c_nationkey, 'Nation' FROM customer
+)
+SELECT ent, cls FROM t ORDER BY ent, cls
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6472,4 +6537,6 @@ QUERIES: dict[str, tuple] = {
     "q140_bgp_aggregate": (q140_bgp_aggregate, Q140_SQL),
     "q141_bgp_path_ops": (q141_bgp_path_ops, Q141_SQL),
     "q142_declarative_triplify": (q142_declarative_triplify, Q142_SQL),
+    "q143_domain_range_entailment": (q143_domain_range_entailment,
+                                     Q143_SQL),
 }

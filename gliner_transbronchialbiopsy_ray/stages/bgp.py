@@ -14,8 +14,10 @@ upgrade).  Patterns that share no variable with the accumulated bindings
 would be a cross join and are rejected.
 
 Variables are `?name` strings; subject/object constants are int64 node
-ids, predicate constants are strings.  Output: one column per distinct
-variable, deduplicated (set semantics, like SPARQL SELECT DISTINCT).
+ids, predicate constants are strings.  A variable in PREDICATE position
+binds the predicate string (rdfs2/rdfs3-style rules join on it); it
+cannot carry path operators.  Output: one column per distinct variable,
+deduplicated (set semantics, like SPARQL SELECT DISTINCT).
 """
 
 from __future__ import annotations
@@ -230,7 +232,7 @@ def match_bgp(
                else alt.select_columns([s_col, p_col, o_col]))
         s, p, o = pattern
         out_vars: list[str] = []
-        for term in (s, o):
+        for term in (s, o, p):
             if _is_var(term):
                 v = term[1:]
                 if v in out_vars:
@@ -296,6 +298,12 @@ def match_bgp(
                 if _is_var(term):
                     cols.append(node(col))
                     names.append(term[1:])
+            if _is_var(_p):
+                # predicate variable binds as-is (predicates are strings
+                # regardless of cast_nodes) — enables rdfs2/rdfs3-style
+                # rules that join on the predicate itself
+                cols.append(t.column(pred_col))
+                names.append(_p[1:])
             if not cols:  # all-constant pattern: keep an existence marker
                 cols = [node(sc)]
                 names = ["_exists"]
@@ -609,7 +617,7 @@ def apply_rule(
 
 def _pattern_vars(pattern: tuple) -> set:
     s, p, o = pattern
-    return {t[1:] for t in (s, o) if _is_var(t)}
+    return {t[1:] for t in (s, o, p) if _is_var(t)}
 
 
 def _delta_order(body: list[tuple], i: int) -> tuple[list[tuple], int]:

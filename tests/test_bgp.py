@@ -100,6 +100,24 @@ def test_broadcast_strategy_matches_hash():
         assert hv == bv, (patterns, optional)
 
 
+def test_predicate_variable_binds():
+    out = match_bgp(_ds(), [("?x", "?p", 9)],
+                    num_partitions=2).to_pandas()
+    assert sorted(map(tuple, out[["x", "p"]].to_numpy())) == [(2, "likes")]
+    # joining ON the predicate variable: rdfs2-style domain entailment
+    rows = [
+        {"s": "placed", "p": "domain", "o": "Customer"},
+        {"s": "cust:1", "p": "placed", "o": "order:7"},
+        {"s": "cust:2", "p": "placed", "o": "order:8"},
+        {"s": "cust:2", "p": "untyped_pred", "o": "x"},
+    ]
+    out2 = match_bgp(rd.from_items(rows),
+                     [("?x", "?pp", "?y"), ("?pp", "domain", "?c")],
+                     cast_nodes=False, num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out2[["x", "c"]].to_numpy()))
+    assert got == [("cust:1", "Customer"), ("cust:2", "Customer")]
+
+
 def test_inverse_predicate_swaps_roles():
     out = match_bgp(_ds(), [("?y", "^knows", "?x")],
                     num_partitions=2).to_pandas()
