@@ -6369,6 +6369,74 @@ SELECT ent, cls FROM t ORDER BY ent, cls
 """
 
 
+def q144_shacl_validation(sf_dir: str):
+    """SHACL-lite KG validation (stages/shacl.py): the order KG is
+    built declaratively (triplify), then two shapes run — CustomerShape
+    (min_count placed>=1: customers with no orders; max_count
+    in_nation<=1; class_ref in_nation->Nation where only nations <20
+    are typed, so high-nation customers violate) and OrderShape
+    (in_set status in {O,F}: 'P' orders violate).  One subject-bucketed
+    exchange, vectorized in-bucket checks, referenced-class set
+    broadcast.  Oracle: NOT EXISTS / NOT IN equivalents."""
+    from ..stages.shacl import Shape, validate_shapes
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey"])
+
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[("type", const("Order")),
+                                     ("status", col("o_orderstatus"))])),
+        (orders, TripleMap(subject=node("cust", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("type", const("Customer")),
+                                   ("in_nation",
+                                    node("nation", "c_nationkey"))])),
+        (nation, TripleMap(subject=node("nation", "n_nationkey"),
+                           mappings=[("type", const("Nation"),
+                                      row_filter("n_nationkey",
+                                                 "<", 20))])),
+    ])
+    shapes = [
+        Shape("CustomerShape", "Customer", [
+            ("min_count", "placed", 1),
+            ("max_count", "in_nation", 1),
+            ("class_ref", "in_nation", "Nation"),
+        ]),
+        Shape("OrderShape", "Order", [
+            ("in_set", "status", {"O", "F"}),
+        ]),
+    ]
+    out = validate_shapes(store, shapes).to_pandas().astype(str)
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    return out[cols].sort_values(cols).reset_index(drop=True)
+
+
+Q144_SQL = """
+WITH v AS (
+  SELECT 'cust:' || c_custkey AS node, 'CustomerShape' AS shape,
+         'min_count' AS "constraint", 'placed' AS pred, '0' AS detail
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'CustomerShape', 'class_ref',
+         'in_nation', 'nation:' || c_nationkey
+  FROM customer WHERE c_nationkey >= 20
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'OrderShape', 'in_set', 'status',
+         o_orderstatus
+  FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+)
+SELECT * FROM v ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6539,4 +6607,5 @@ QUERIES: dict[str, tuple] = {
     "q142_declarative_triplify": (q142_declarative_triplify, Q142_SQL),
     "q143_domain_range_entailment": (q143_domain_range_entailment,
                                      Q143_SQL),
+    "q144_shacl_validation": (q144_shacl_validation, Q144_SQL),
 }

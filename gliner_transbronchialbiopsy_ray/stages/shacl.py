@@ -1,0 +1,182 @@
+"""SHACL-lite shape validation over a distributed triple store — the
+KG data-quality operator: shapes target a class (nodes carrying a
+(n, type, Class) triple) and declare per-node constraints; the validator
+returns a VIOLATIONS dataset (node, shape, constraint, pred, detail).
+
+Public-knowledge model: W3C SHACL's node shapes / property shapes
+(sh:targetClass, sh:minCount, sh:maxCount, sh:in, sh:pattern,
+sh:class), re-expressed as ONE subject-bucketed exchange + vectorized
+in-bucket checks:
+
+- every triple routes by subject hash into a coarse bucket (32 buckets,
+  the repo-wide map_groups discipline), so each node's full property
+  set is co-located — min/max cardinality, enum membership and regex
+  checks are then pandas-vectorized per bucket, never per node;
+- `class_ref` (sh:class: the object must itself be typed C) needs the
+  OTHER node's type, which lives in another bucket: the referenced
+  class's node set is collected once (threshold-enforced) and
+  broadcast via ray.put — the dimension-side broadcast pattern.  A
+  shuffle semi-join variant is the documented upgrade for classes too
+  big to broadcast.
+
+Constraints (all tuples, mirroring the declarative TripleMap style):
+    ("min_count", pred, n)   — node must have >= n triples of pred
+    ("max_count", pred, n)   — node must have <= n
+    ("in_set", pred, values) — every object of pred in the enum
+    ("pattern", pred, regex) — every object of pred matches (strings)
+    ("class_ref", pred, cls) — every object of pred is typed cls
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref"}
+
+
+@dataclass
+class Shape:
+    """One node shape: `target_class` picks the nodes (via their
+    (n, type_pred, target_class) triple), `constraints` the checks."""
+    name: str
+    target_class: str
+    constraints: list = field(default_factory=list)
+
+    def validate_spec(self):
+        for c in self.constraints:
+            if c[0] not in _KINDS:
+                raise ValueError(f"unknown constraint kind {c[0]!r}")
+            if c[0] in ("min_count", "max_count") and int(c[2]) < 0:
+                raise ValueError(f"{c[0]} must be >= 0")
+
+
+def validate_shapes(
+    triples: ray.data.Dataset,
+    shapes: list[Shape],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    type_pred: str = "type",
+    n_buckets: int = 32,
+    class_ref_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Validate `shapes` against the store; returns the violations
+    dataset with columns (node, shape, constraint, pred, detail) — all
+    strings, `detail` carrying the offending count/value.  Conforming
+    nodes emit nothing (at 100 TB the violation set is the small
+    output; a conformance report is `targets - violations`)."""
+    for sh in shapes:
+        sh.validate_spec()
+
+    # class_ref dimension sides: collect each referenced class's node
+    # set ONCE, broadcast via ray.put (threshold-enforced)
+    ref_classes = sorted({c[2] for sh in shapes
+                          for c in sh.constraints if c[0] == "class_ref"})
+    ref_sets = {}
+    for cls in ref_classes:
+        mem = triples.map_batches(
+            lambda b, _c=cls: b.filter(
+                pa.compute.and_(
+                    pa.compute.equal(b.column(p_col), type_pred),
+                    pa.compute.equal(
+                        b.column(o_col).cast(pa.string()), _c))),
+            batch_format="pyarrow").select_columns([s_col])
+        vals = mem.to_pandas()[s_col].astype(str).unique()
+        if len(vals) > class_ref_threshold:
+            raise ValueError(
+                f"class_ref {cls!r} has {len(vals)} members > "
+                f"class_ref_threshold={class_ref_threshold}; shuffle "
+                "semi-join variant needed at this scale")
+        ref_sets[cls] = set(vals)
+    ref_handle = ray.put(ref_sets) if ref_sets else None
+
+    shape_specs = [(sh.name, sh.target_class, list(sh.constraints))
+                   for sh in shapes]
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": batch.column(s_col).cast(pa.string()).to_pandas(),
+            "p": batch.column(p_col).cast(pa.string()).to_pandas(),
+            "o": batch.column(o_col).cast(pa.string()).to_pandas(),
+        })
+        df["_bucket"] = df["s"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+        return df
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in
+                             ("node", "shape", "constraint", "pred",
+                              "detail")})
+
+    def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        refs = ray.get(ref_handle) if ref_handle is not None else {}
+        out = []
+
+        types = g[g["p"] == type_pred]
+        for name, target, constraints in shape_specs:
+            targets = types.loc[types["o"] == target, "s"].unique()
+            if len(targets) == 0:
+                continue
+            tset = pd.Index(targets)
+            mine = g[g["s"].isin(tset)]
+            for c in constraints:
+                kind, pred = c[0], c[1]
+                rows = mine[mine["p"] == pred]
+                if kind in ("min_count", "max_count"):
+                    n = int(c[2])
+                    counts = (rows.groupby("s").size()
+                              .reindex(tset, fill_value=0))
+                    bad = (counts[counts < n] if kind == "min_count"
+                           else counts[counts > n])
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad.index.astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred,
+                            "detail": bad.to_numpy().astype(str)}))
+                elif kind == "in_set":
+                    allowed = set(map(str, c[2]))
+                    bad = rows[~rows["o"].isin(allowed)]
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+                elif kind == "pattern":
+                    rx = re.compile(c[2])
+                    ok = rows["o"].map(
+                        lambda v: bool(rx.fullmatch(str(v))))
+                    bad = rows[~ok] if len(rows) else rows
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+                elif kind == "class_ref":
+                    members = refs.get(str(c[2]), set())
+                    bad = rows[~rows["o"].isin(members)]
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+        if not out:
+            return empty_out()
+        res = pd.concat(out, ignore_index=True).drop_duplicates()
+        for col in res.columns:
+            res[col] = res[col].astype(object)
+        return res
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return check_bucket(g.drop(columns=["_bucket"]))
+
+    return (triples.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(run, batch_format="pandas"))

@@ -156,7 +156,9 @@ def triplify(
                 objs = objs.cast(pa.string())
             out.append(pa.table({
                 s_col: subs,
-                p_col: pa.array([pred] * len(subs)),
+                # explicit type: a zero-row part would infer null type
+                # and emit a schema-poisoning empty block
+                p_col: pa.array([pred] * len(subs), type=pa.string()),
                 o_col: objs}))
         return pa.concat_tables(out) if out else pa.table({})
 

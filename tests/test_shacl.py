@@ -1,0 +1,90 @@
+"""SHACL-lite validation (stages/shacl.py): cardinality, enum, regex
+and class-reference constraints over a subject-bucketed store."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.shacl import (
+    Shape, validate_shapes,
+)
+
+STORE = [
+    # customers: c1 conforms; c2 has no orders; c3 double nation + bad ref
+    ("c1", "type", "Customer"), ("c2", "type", "Customer"),
+    ("c3", "type", "Customer"),
+    ("c1", "in_nation", "n1"), ("c2", "in_nation", "n1"),
+    ("c3", "in_nation", "n1"), ("c3", "in_nation", "nX"),
+    ("c1", "placed", "o1"), ("c3", "placed", "o2"),
+    # orders: o1 ok, o2 bad status
+    ("o1", "type", "Order"), ("o2", "type", "Order"),
+    ("o1", "status", "O"), ("o2", "status", "Z"),
+    # nations: n1 typed; nX NOT typed Nation
+    ("n1", "type", "Nation"),
+]
+
+
+def _store():
+    return rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in STORE])
+
+
+CUSTOMER = Shape("CustomerShape", "Customer", [
+    ("min_count", "placed", 1),
+    ("max_count", "in_nation", 1),
+    ("class_ref", "in_nation", "Nation"),
+])
+ORDER = Shape("OrderShape", "Order", [
+    ("in_set", "status", {"O", "F", "P"}),
+    ("pattern", "status", r"[A-Z]"),
+])
+
+
+def test_violations_reported_per_constraint():
+    out = validate_shapes(_store(), [CUSTOMER, ORDER]).to_pandas()
+    got = set(map(tuple,
+                  out[["node", "constraint", "pred"]].to_numpy()))
+    assert got == {
+        ("c2", "min_count", "placed"),
+        ("c3", "max_count", "in_nation"),
+        ("c3", "class_ref", "in_nation"),
+        ("o2", "in_set", "status"),
+    }
+    # detail column carries the offending count/value
+    d = {(r.node, r.constraint): r.detail for r in out.itertuples()}
+    assert d[("c2", "min_count")] == "0"
+    assert d[("c3", "max_count")] == "2"
+    assert d[("o2", "in_set")] == "Z"
+
+
+def test_conforming_store_is_empty():
+    rows = [("c1", "type", "Customer"), ("c1", "placed", "o1"),
+            ("c1", "in_nation", "n1"), ("n1", "type", "Nation")]
+    out = validate_shapes(
+        rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows]),
+        [CUSTOMER]).to_pandas()
+    assert len(out) == 0
+
+
+def test_min_count_zero_and_bad_kind_rejected():
+    with pytest.raises(ValueError, match="unknown constraint"):
+        validate_shapes(_store(), [Shape("S", "Customer",
+                                         [("exactly", "p", 1)])])
+    with pytest.raises(ValueError, match=">= 0"):
+        validate_shapes(_store(), [Shape("S", "Customer",
+                                         [("min_count", "p", -1)])])
+
+
+def test_class_ref_threshold_enforced():
+    with pytest.raises(ValueError, match="class_ref_threshold"):
+        validate_shapes(_store(), [CUSTOMER],
+                        class_ref_threshold=0).to_pandas()
+
+
+def test_bucketing_invariant_to_n_buckets():
+    a = validate_shapes(_store(), [CUSTOMER, ORDER],
+                        n_buckets=1).to_pandas()
+    b = validate_shapes(_store(), [CUSTOMER, ORDER],
+                        n_buckets=32).to_pandas()
+    key = ["node", "shape", "constraint", "pred", "detail"]
+    assert (sorted(map(tuple, a[key].to_numpy()))
+            == sorted(map(tuple, b[key].to_numpy())))
