@@ -6437,6 +6437,61 @@ SELECT * FROM v ORDER BY node, shape, "constraint", pred, detail
 """
 
 
+def q145_sameas_fusion(sf_dir: str):
+    """KG fusion via owl:sameAs (stages/sameas.py): two id schemes —
+    order facts name customers custA:K, the customer dimension names
+    them custB:K — linked by sameAs pairs for EVEN custkeys only.
+    apply_sameas closes the links (connected components), broadcasts the
+    canonical map and rewrites the store in one streaming pass; the BGP
+    (?c placed ?o) ^ (?c in_nation ?n) is then answerable exactly for
+    the merged (even-key, has-order) customers.  Oracle: EXISTS with the
+    even-key filter and min-id (custA) canonical encoding."""
+    from ..stages.bgp import match_bgp
+    from ..stages.sameas import apply_sameas
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("custA", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("custB", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+
+    def links(b: pa.Table) -> pd.DataFrame:
+        ck = b.column("c_custkey").to_numpy()
+        even = ck[ck % 2 == 0].astype("int64")
+        return pd.DataFrame({"a": [f"custA:{k}" for k in even],
+                             "b": [f"custB:{k}" for k in even]})
+
+    fused = apply_sameas(
+        store, cust.map_batches(links, batch_format="pyarrow"))
+
+    bindings = match_bgp(fused, [
+        ("?c", "placed", "?o"),
+        ("?c", "in_nation", "?n"),
+    ], cast_nodes=False)
+    proj = bindings.map_batches(
+        lambda t: t.select(["c", "n"]).to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+    out = (proj.groupby(["c", "n"]).count().drop_columns(["count()"])
+           .to_pandas().astype(str))
+    return out.sort_values(["c", "n"]).reset_index(drop=True)
+
+
+Q145_SQL = """
+SELECT DISTINCT 'custA:' || c.c_custkey AS c,
+       'nation:' || c.c_nationkey AS n
+FROM customer c
+WHERE c.c_custkey % 2 = 0
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c, n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6608,4 +6663,5 @@ QUERIES: dict[str, tuple] = {
     "q143_domain_range_entailment": (q143_domain_range_entailment,
                                      Q143_SQL),
     "q144_shacl_validation": (q144_shacl_validation, Q144_SQL),
+    "q145_sameas_fusion": (q145_sameas_fusion, Q145_SQL),
 }

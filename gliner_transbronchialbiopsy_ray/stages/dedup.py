@@ -556,7 +556,13 @@ def _cc_distributed(pairs, max_iterations, left_col, right_col):
     """Min-label propagation as Dataset ops (hash joins + Min aggregate)."""
     from ray.data.aggregate import Min, Sum
 
+    from .joins import coalesce_for_join
+
     edges = pairs.select_columns([left_col, right_col]).materialize()
+    # join inputs must carry no empty blocks (coalesce_for_join quirk);
+    # a small edge set at num_partitions=8 otherwise leaves empties in
+    # the first join's output that poison the second
+    edges = coalesce_for_join(edges, 8).materialize()
 
     def init_labels(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -582,6 +588,7 @@ def _cc_distributed(pairs, max_iterations, left_col, right_col):
             ),
             batch_format="pyarrow",
         )
+        e1 = coalesce_for_join(e1.materialize(), 8)
         e2 = e1.join(labels, join_type="inner", num_partitions=8,
                      on=(right_col,), right_on=("node",))
 
