@@ -6492,6 +6492,54 @@ ORDER BY c, n
 """
 
 
+def q146_truth_discovery(sf_dir: str):
+    """Multi-source truth discovery (stages/fusion.py): three sources
+    assert each customer's nation — src1 is always right, src2 perturbs
+    keys divisible by 4 (+1 mod 25), src3 keys divisible by 6 (+2 mod
+    25).  Majority vote recovers the true nation except keys divisible
+    by 12 where all three disagree and the deterministic min-object
+    tie-break applies.  Combiner-first: batches pre-aggregate to
+    (s,p,o,votes,rank) partials before the single coarse-bucket
+    exchange.  Oracle: CASE over the divisibility classes."""
+    from ..stages.fusion import resolve_conflicts
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def assertions(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        k = df["c_custkey"].to_numpy("int64")
+        t = df["c_nationkey"].to_numpy("int64")
+        s = pd.Series([f"cust:{v}" for v in k], dtype=object)
+        o2 = np.where(k % 4 == 0, (t + 1) % 25, t)
+        o3 = np.where(k % 6 == 0, (t + 2) % 25, t)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "in_nation", "o": t,
+                          "source": "src1"}),
+            pd.DataFrame({"s": s, "p": "in_nation", "o": o2,
+                          "source": "src2"}),
+            pd.DataFrame({"s": s, "p": "in_nation", "o": o3,
+                          "source": "src3"}),
+        ], ignore_index=True)
+
+    triples = cust.map_batches(assertions, batch_format="pyarrow")
+    out = resolve_conflicts(triples, strategy="vote").to_pandas()
+    out = out[["s", "o"]].rename(columns={"s": "cust", "o": "nation"})
+    out["cust"] = out["cust"].astype(str)
+    out["nation"] = out["nation"].astype("int64")
+    return out.sort_values(["cust", "nation"]).reset_index(drop=True)
+
+
+Q146_SQL = """
+SELECT 'cust:' || c_custkey AS cust,
+       CAST(CASE WHEN c_custkey % 12 = 0
+                 THEN least(c_nationkey, (c_nationkey + 1) % 25,
+                            (c_nationkey + 2) % 25)
+                 ELSE c_nationkey END AS BIGINT) AS nation
+FROM customer
+ORDER BY cust, nation
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6664,4 +6712,5 @@ QUERIES: dict[str, tuple] = {
                                      Q143_SQL),
     "q144_shacl_validation": (q144_shacl_validation, Q144_SQL),
     "q145_sameas_fusion": (q145_sameas_fusion, Q145_SQL),
+    "q146_truth_discovery": (q146_truth_discovery, Q146_SQL),
 }
