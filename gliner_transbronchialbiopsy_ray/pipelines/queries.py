@@ -6540,6 +6540,179 @@ ORDER BY cust, nation
 """
 
 
+def q147_entity_dictionary(sf_dir: str):
+    """Dense entity-id dictionary (stages/kgprep.py:encode_entities)
+    over the declaratively triplified order KG: every distinct node
+    (subject or object) numbered 0..N-1 in sorted order via the
+    two-phase distributed prefix scan — the dictionary never
+    materializes on the driver.  Oracle: row_number() - 1 over the
+    distinct node union."""
+    from ..stages.kgprep import encode_entities
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("cust", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+    out = encode_entities(store).to_pandas()
+    out["node"] = out["node"].astype(str)
+    out["id"] = out["id"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q147_SQL = """
+WITH nodes AS (
+  SELECT 'cust:' || o_custkey AS n FROM orders
+  UNION SELECT 'order:' || o_orderkey FROM orders
+  UNION SELECT 'cust:' || c_custkey FROM customer
+  UNION SELECT 'nation:' || c_nationkey FROM customer
+)
+SELECT n AS node,
+       CAST(row_number() OVER (ORDER BY n) - 1 AS BIGINT) AS id
+FROM nodes ORDER BY node
+"""
+
+
+def q148_encoded_triples(sf_dir: str):
+    """(h, r, t) id-encoded training triples (stages/kgprep.py:
+    encode_triples): entity ids attach via TWO NATIVE HASH JOINS — the
+    entity dictionary is O(corpus) and is never broadcast — relation
+    ids via one broadcast map; input multiplicity preserved.  Oracle:
+    the same row_number dictionaries joined back in SQL."""
+    from ..stages.kgprep import encode_triples
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("cust", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+    out = encode_triples(store).to_pandas().astype("int64")
+    return out.sort_values(["h", "r", "t"]).reset_index(drop=True)
+
+
+Q148_SQL = """
+WITH tr AS (
+  SELECT 'cust:' || o_custkey AS s, 'placed' AS p,
+         'order:' || o_orderkey AS o FROM orders
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'in_nation', 'nation:' || c_nationkey
+  FROM customer
+),
+nodes AS (SELECT DISTINCT s AS n FROM tr
+          UNION SELECT DISTINCT o FROM tr),
+ids AS (SELECT n, row_number() OVER (ORDER BY n) - 1 AS id FROM nodes),
+rels AS (SELECT p, row_number() OVER (ORDER BY p) - 1 AS rid
+         FROM (SELECT DISTINCT p FROM tr))
+SELECT CAST(hi.id AS BIGINT) AS h, CAST(rels.rid AS BIGINT) AS r,
+       CAST(ti.id AS BIGINT) AS t
+FROM tr JOIN ids hi ON hi.n = tr.s JOIN ids ti ON ti.n = tr.o
+JOIN rels ON rels.p = tr.p
+ORDER BY h, r, t
+"""
+
+
+def q149_ntriples_roundtrip(sf_dir: str):
+    """N-Triples interchange round trip (sources/ntriples.py): the
+    supplier KG (IRI edges + typed acctbal literals) serializes to
+    part-*.nt files and is re-read with the streaming line parser; the
+    result aggregates per (predicate, object kind) with distinct-object
+    counts — proving lexical fidelity through the escape/strip cycle.
+    Oracle: the same counts straight from the relational source."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.ntriples import read_ntriples, write_ntriples
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        k = df["s_suppkey"].astype("int64")
+        iri = pd.DataFrame({
+            "s": [f"http://ex/sup/{v}" for v in k],
+            "p": "http://ex/in_nation",
+            "o": [f"http://ex/nation/{v}"
+                  for v in df["s_nationkey"].astype("int64")],
+            "o_kind": "iri", "o_datatype": None, "o_lang": None})
+        cents = (df["s_acctbal"] * 100).round().astype("int64")
+        lit = pd.DataFrame({
+            "s": [f"http://ex/sup/{v}" for v in k],
+            "p": "http://ex/acctbal_cents",
+            "o": cents.astype(str),
+            "o_kind": "literal",
+            "o_datatype": "http://www.w3.org/2001/XMLSchema#integer",
+            "o_lang": None})
+        return pd.concat([iri, lit], ignore_index=True)
+
+    out_dir = _os.path.join(
+        "/tmp", "gliner_nt_" + _hl.md5(sf_dir.encode()).hexdigest()[:12])
+    if _os.path.isdir(out_dir):
+        _sh.rmtree(out_dir)
+    write_ntriples(sup.map_batches(to_triples, batch_format="pyarrow"),
+                   out_dir)
+    files = sorted(_os.path.join(out_dir, f)
+                   for f in _os.listdir(out_dir) if f.endswith(".nt"))
+    back = read_ntriples(files)
+
+    # distinct objects need a fold: ship (p, kind, o) distinct rows,
+    # then count — object cardinality is bounded here (nations + cents)
+    proj = back.map_batches(
+        lambda b: b.to_pandas()[b.to_pandas()["error"].isna()]
+        [["p", "o_kind", "o"]],
+        batch_format="pyarrow")
+    counts = (back.map_batches(
+        lambda b: b.to_pandas()[lambda d: d["error"].isna()]
+        .groupby(["p", "o_kind"]).size().rename("n").reset_index(),
+        batch_format="pyarrow")
+        .groupby(["p", "o_kind"]).sum("n"))
+    dist = (proj.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+        .groupby(["p", "o_kind", "o"]).count().drop_columns(["count()"])
+        .map_batches(lambda b: b.to_pandas()
+                     .groupby(["p", "o_kind"]).size()
+                     .rename("nd").reset_index(),
+                     batch_format="pyarrow")
+        .groupby(["p", "o_kind"]).sum("nd"))
+    c = counts.to_pandas().rename(columns={"sum(n)": "n"})
+    d = dist.to_pandas().rename(columns={"sum(nd)": "n_distinct_o"})
+    out = c.merge(d, on=["p", "o_kind"])
+    out["p"] = out["p"].astype(str)
+    out["o_kind"] = out["o_kind"].astype(str)
+    out["n"] = out["n"].astype("int64")
+    out["n_distinct_o"] = out["n_distinct_o"].astype("int64")
+    return out.sort_values(["p", "o_kind"]).reset_index(drop=True)
+
+
+Q149_SQL = """
+WITH t AS (
+  SELECT 'http://ex/in_nation' AS p, 'iri' AS o_kind,
+         'http://ex/nation/' || s_nationkey AS o FROM supplier
+  UNION ALL
+  SELECT 'http://ex/acctbal_cents', 'literal',
+         CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+  FROM supplier
+)
+SELECT p, o_kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o) AS BIGINT) AS n_distinct_o
+FROM t GROUP BY p, o_kind ORDER BY p, o_kind
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6713,4 +6886,7 @@ QUERIES: dict[str, tuple] = {
     "q144_shacl_validation": (q144_shacl_validation, Q144_SQL),
     "q145_sameas_fusion": (q145_sameas_fusion, Q145_SQL),
     "q146_truth_discovery": (q146_truth_discovery, Q146_SQL),
+    "q147_entity_dictionary": (q147_entity_dictionary, Q147_SQL),
+    "q148_encoded_triples": (q148_encoded_triples, Q148_SQL),
+    "q149_ntriples_roundtrip": (q149_ntriples_roundtrip, Q149_SQL),
 }

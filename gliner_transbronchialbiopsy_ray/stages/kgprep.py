@@ -1,0 +1,141 @@
+"""KG-embedding training prep: dense integer dictionaries for entities
+and relations, and the (h, r, t) id-encoded triple stream TransE-style
+trainers consume.
+
+- `encode_entities`: every distinct node (subject or object) gets a
+  contiguous id 0..N-1 in SORTED node order — deterministic and
+  SQL-reproducible (row_number() OVER (ORDER BY node) - 1).  Plan:
+  one distinct fold over the projected node stream, then the repo's
+  two-phase distributed prefix scan (window.global_prefix_sum: per-block
+  totals -> O(blocks) driver prefix -> broadcast carry-ins) assigns ids
+  without ever materializing the dictionary on the driver.
+- `encode_relations`: same for predicates (bounded vocabulary — the
+  distinct fold output is tiny).
+- `encode_triples`: rewrites the store to (h, r, t) ids.  The entity
+  dictionary is O(corpus), so it is NEVER broadcast: two native hash
+  joins (subject, then object) ship each triple its ids; the relation
+  dictionary is broadcast (bounded).  Input multiplicity is preserved
+  (training triples are observations, not a set).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    local = ds.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+    return local.groupby(cols).count().drop_columns(["count()"])
+
+
+def encode_entities(
+    triples: ray.data.Dataset,
+    s_col: str = "s",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """(node, id) with ids 0..N-1 in sorted node order."""
+    from .window import global_prefix_sum
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column(s_col).cast(pa.string()).combine_chunks()
+        o = batch.column(o_col).cast(pa.string()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([s, o])})
+
+    uniq = _distinct(triples.map_batches(nodes, batch_format="pyarrow"),
+                     ["node"])
+    ones = uniq.map_batches(
+        lambda b: b.append_column(
+            "one", pa.array([1] * b.num_rows, type=pa.int64())),
+        batch_format="pyarrow")
+    numbered = global_prefix_sum(ones, order_by="node", value="one",
+                                 out_col="id", inclusive=True)
+    return numbered.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "id": pa.compute.subtract(
+                b.column("id").cast(pa.int64()),
+                pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow")
+
+
+def encode_relations(
+    triples: ray.data.Dataset,
+    p_col: str = "p",
+) -> pd.DataFrame:
+    """(rel, id) as a small driver-side frame (predicate vocabularies
+    are bounded); ids 0..R-1 in sorted predicate order."""
+    uniq = _distinct(
+        triples.map_batches(
+            lambda b: pa.table(
+                {"rel": b.column(p_col).cast(pa.string())}),
+            batch_format="pyarrow"),
+        ["rel"]).to_pandas()
+    uniq = uniq.sort_values("rel", kind="stable").reset_index(drop=True)
+    uniq["id"] = pd.RangeIndex(len(uniq)).astype("int64")
+    return uniq
+
+
+def encode_triples(
+    triples: ray.data.Dataset,
+    entity_ids: ray.data.Dataset | None = None,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(h, r, t) int64-encoded triples.  Entity ids attach via two
+    native hash joins (the dictionary scales with the corpus — never
+    broadcast); relation ids via one broadcast map."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+    if entity_ids is None:
+        entity_ids = encode_entities(triples, s_col=s_col, o_col=o_col)
+    entity_ids = entity_ids.materialize()
+
+    rels = encode_relations(triples, p_col=p_col)
+    rel_ref = ray.put(dict(zip(rels["rel"], rels["id"])))
+
+    def norm(batch: pa.Table) -> pd.DataFrame:
+        rm = ray.get(rel_ref)
+        return pd.DataFrame({
+            "_s": batch.column(s_col).cast(pa.string()).to_pandas(),
+            "r": batch.column(p_col).cast(pa.string()).to_pandas()
+                 .map(rm).astype("int64"),
+            "_o": batch.column(o_col).cast(pa.string()).to_pandas(),
+        })
+
+    t = triples.map_batches(norm, batch_format="pyarrow").materialize()
+    heads = entity_ids.map_batches(
+        lambda b: pa.table({"_s": b.column("node"),
+                            "h": b.column("id")}),
+        batch_format="pyarrow").materialize()
+    tails = entity_ids.map_batches(
+        lambda b: pa.table({"_o": b.column("node"),
+                            "t": b.column("id")}),
+        batch_format="pyarrow").materialize()
+
+    j1 = coalesce_for_join(t, num_partitions).join(
+        coalesce_for_join(heads, num_partitions),
+        join_type="inner", num_partitions=num_partitions,
+        on=("_s",), right_on=("_s",))
+    j2 = coalesce_for_join(j1.materialize(), num_partitions).join(
+        coalesce_for_join(tails, num_partitions),
+        join_type="inner", num_partitions=num_partitions,
+        on=("_o",), right_on=("_o",))
+    return j2.map_batches(
+        lambda b: pa.table({
+            "h": b.column("h").cast(pa.int64()),
+            "r": b.column("r").cast(pa.int64()),
+            "t": b.column("t").cast(pa.int64())}),
+        batch_format="pyarrow")

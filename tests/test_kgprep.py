@@ -1,0 +1,46 @@
+"""KG-embedding prep (stages/kgprep.py): dense id dictionaries and
+(h, r, t) encoding."""
+
+import pandas as pd
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+    encode_entities, encode_relations, encode_triples,
+)
+
+STORE = [
+    {"s": "b", "p": "knows", "o": "a"},
+    {"s": "a", "p": "knows", "o": "c"},
+    {"s": "c", "p": "likes", "o": "a"},
+    {"s": "c", "p": "likes", "o": "a"},  # multiplicity preserved
+]
+
+
+def test_entity_ids_dense_sorted():
+    ids = encode_entities(rd.from_items(STORE)).to_pandas()
+    got = dict(zip(ids["node"], ids["id"]))
+    assert got == {"a": 0, "b": 1, "c": 2}
+    assert ids["id"].dtype == "int64"
+
+
+def test_relation_ids_sorted():
+    rels = encode_relations(rd.from_items(STORE))
+    assert dict(zip(rels["rel"], rels["id"])) == {"knows": 0, "likes": 1}
+
+
+def test_encode_triples_preserves_multiplicity():
+    enc = encode_triples(rd.from_items(STORE),
+                         num_partitions=2).to_pandas()
+    got = sorted(map(tuple, enc[["h", "r", "t"]].to_numpy()))
+    # b-knows-a=(1,0,0), a-knows-c=(0,0,2), c-likes-a=(2,1,0) twice
+    assert got == [(0, 0, 2), (1, 0, 0), (2, 1, 0), (2, 1, 0)]
+    assert list(enc.dtypes) == [pd.Int64Dtype.type] * 0 or all(
+        str(t) == "int64" for t in enc.dtypes)
+
+
+def test_encoding_invariant_to_block_layout():
+    a = encode_entities(rd.from_items(STORE).repartition(1)).to_pandas()
+    b = encode_entities(rd.from_items(STORE).repartition(7)).to_pandas()
+    da = dict(zip(a["node"], a["id"]))
+    db = dict(zip(b["node"], b["id"]))
+    assert da == db
