@@ -6713,6 +6713,51 @@ FROM t GROUP BY p, o_kind ORDER BY p, o_kind
 """
 
 
+def q150_temporal_snapshot(sf_dir: str):
+    """Temporal KG time travel (stages/temporal_kg.py): each user's
+    event stream becomes (user, state, valid_from, valid_to) intervals
+    (gaps-and-islands run collapse, same-instant supersession by
+    event_id), then `snapshot_at` recovers every user's state as of
+    2024-01-15 with one streaming filter.  Timestamps are int64
+    epoch-us end to end.  Oracle: row_number() latest-event-at-T."""
+    from ..stages.temporal_kg import intervalize_facts, snapshot_at
+
+    T_US = int(pd.Timestamp("2024-01-15 00:00:00").value // 1000)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def facts(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ts = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "pred": "has_state",
+            "state": df["event_type"].astype(object),
+            "ts_us": ts,
+            "event_id": df["event_id"].astype("int64")})
+
+    iv = intervalize_facts(
+        ev.map_batches(facts, batch_format="pyarrow"),
+        key_cols=["user_id", "pred"], ts_col="ts_us",
+        value_col="state", tiebreak_col="event_id")
+    snap = snapshot_at(iv, T_US).to_pandas()
+    out = snap[["user_id", "state"]].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["state"] = out["state"].astype(str)
+    return (out.sort_values(["user_id", "state"])
+            .reset_index(drop=True))
+
+
+Q150_SQL = """
+SELECT user_id, event_type AS state FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+) WHERE rn = 1 ORDER BY user_id, state
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6889,4 +6934,5 @@ QUERIES: dict[str, tuple] = {
     "q147_entity_dictionary": (q147_entity_dictionary, Q147_SQL),
     "q148_encoded_triples": (q148_encoded_triples, Q148_SQL),
     "q149_ntriples_roundtrip": (q149_ntriples_roundtrip, Q149_SQL),
+    "q150_temporal_snapshot": (q150_temporal_snapshot, Q150_SQL),
 }
