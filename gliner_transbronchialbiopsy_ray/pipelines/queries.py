@@ -6758,6 +6758,95 @@ SELECT user_id, event_type AS state FROM (
 """
 
 
+def q151_reified_statements(sf_dir: str):
+    """RDF statement reification (stages/triplify.py:reify_statements,
+    Wikidata-qualifier style): supplier in_nation edges become
+    statement nodes with rdf_subject/rdf_predicate/rdf_object plus an
+    acctbal_cents qualifier; statement ids are content-derived md5 so
+    the oracle mints identical ids with DuckDB's md5().  Row-local,
+    shuffle-free.  Output: the reified store."""
+    from ..stages.triplify import reify_statements
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def base(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": [f"sup:{v}" for v in df["s_suppkey"].astype("int64")],
+            "p": "in_nation",
+            "o": [f"nation:{v}"
+                  for v in df["s_nationkey"].astype("int64")],
+            "acctbal_cents": (df["s_acctbal"] * 100).round()
+            .astype("int64")})
+
+    out = reify_statements(
+        sup.map_batches(base, batch_format="pyarrow"),
+        qualifiers=["acctbal_cents"]).to_pandas().astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q151_SQL = """
+WITH base AS (
+  SELECT 'sup:' || s_suppkey AS s, 'in_nation' AS p,
+         'nation:' || s_nationkey AS o,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS q
+  FROM supplier
+),
+st AS (SELECT 'stmt:' || md5(s || '|' || p || '|' || o) AS sid, *
+       FROM base)
+SELECT s, p, o FROM (
+  SELECT sid AS s, 'rdf_subject' AS p, st.s AS o FROM st
+  UNION ALL SELECT sid, 'rdf_predicate', st.p FROM st
+  UNION ALL SELECT sid, 'rdf_object', st.o FROM st
+  UNION ALL SELECT sid, 'acctbal_cents', CAST(st.q AS VARCHAR) FROM st
+) ORDER BY s, p, o
+"""
+
+
+def q152_predicate_profile(sf_dir: str):
+    """KG schema discovery (stages/kgprep.py:predicate_profile): per
+    predicate — triple count, distinct subjects/objects, and the
+    functionality flag (placed is functional: one order, one customer;
+    in_nation is functional per customer; the reverse placed_by view is
+    NOT).  Distinct folds key on (p, value) pairs, never the skewed
+    predicate alone; final counts merge driver-side on the bounded
+    predicate vocabulary.  Oracle: COUNT/COUNT DISTINCT per predicate."""
+    from ..stages.kgprep import predicate_profile
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[("placed_by",
+                                      node("cust", "o_custkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+    return predicate_profile(store)
+
+
+Q152_SQL = """
+WITH t AS (
+  SELECT 'placed_by' AS p, 'order:' || o_orderkey AS s,
+         'cust:' || o_custkey AS o FROM orders
+  UNION ALL
+  SELECT 'in_nation', 'cust:' || c_custkey, 'nation:' || c_nationkey
+  FROM customer
+)
+SELECT p, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT s) AS BIGINT) AS nd_s,
+       CAST(count(DISTINCT o) AS BIGINT) AS nd_o,
+       CAST(count(DISTINCT s || '|' || o) AS BIGINT) AS nd_so,
+       CAST(CASE WHEN count(DISTINCT s)
+                  = count(DISTINCT s || '|' || o)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_functional
+FROM t GROUP BY p ORDER BY p
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6935,4 +7024,6 @@ QUERIES: dict[str, tuple] = {
     "q148_encoded_triples": (q148_encoded_triples, Q148_SQL),
     "q149_ntriples_roundtrip": (q149_ntriples_roundtrip, Q149_SQL),
     "q150_temporal_snapshot": (q150_temporal_snapshot, Q150_SQL),
+    "q151_reified_statements": (q151_reified_statements, Q151_SQL),
+    "q152_predicate_profile": (q152_predicate_profile, Q152_SQL),
 }

@@ -80,6 +80,56 @@ def encode_relations(
     return uniq
 
 
+def predicate_profile(
+    triples: ray.data.Dataset,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> pd.DataFrame:
+    """Schema discovery: per-predicate profile — triple count, distinct
+    subjects/objects, and functionality (every subject has at most one
+    object).  Returns a driver frame (bounded by the predicate
+    vocabulary).  Plan: three distinct folds keyed on the full
+    (p, value) pair — NEVER on the predicate alone (maximal skew) —
+    then per-batch partial counts per predicate merged driver-side
+    (bounded key).  Counts: n, nd_s, nd_o, nd_so; is_functional =
+    (nd_s == nd_so)."""
+
+    def count_per_p(ds: ray.data.Dataset, out: str) -> pd.DataFrame:
+        partials = ds.map_batches(
+            lambda b: b.to_pandas().groupby("p").size()
+            .rename(out).reset_index(),
+            batch_format="pyarrow").to_pandas()
+        if "p" not in partials.columns:
+            return pd.DataFrame({"p": pd.Series(dtype=object),
+                                 out: pd.Series(dtype="int64")})
+        return (partials.groupby("p")[out].sum().reset_index()
+                .sort_values("p", kind="stable"))
+
+    base = triples.map_batches(
+        lambda b: pa.table({
+            "p": b.column(p_col).cast(pa.string()),
+            "s": b.column(s_col).cast(pa.string()),
+            "o": b.column(o_col).cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    n = count_per_p(base, "n")
+    nd_s = count_per_p(_distinct(
+        base.select_columns(["p", "s"]), ["p", "s"]), "nd_s")
+    nd_o = count_per_p(_distinct(
+        base.select_columns(["p", "o"]), ["p", "o"]), "nd_o")
+    nd_so = count_per_p(_distinct(base, ["p", "s", "o"]), "nd_so")
+
+    prof = (n.merge(nd_s, on="p").merge(nd_o, on="p")
+            .merge(nd_so, on="p"))
+    prof["is_functional"] = (
+        prof["nd_s"] == prof["nd_so"]).astype("int64")
+    for c in ("n", "nd_s", "nd_o", "nd_so"):
+        prof[c] = prof[c].astype("int64")
+    prof["p"] = prof["p"].astype(str)
+    return prof.sort_values("p", kind="stable").reset_index(drop=True)
+
+
 def encode_triples(
     triples: ray.data.Dataset,
     entity_ids: ray.data.Dataset | None = None,

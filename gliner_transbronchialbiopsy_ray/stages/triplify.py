@@ -165,6 +165,49 @@ def triplify(
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+def reify_statements(
+    triples: ray.data.Dataset,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    qualifiers: list[str] | None = None,
+    stmt_prefix: str = "stmt",
+) -> ray.data.Dataset:
+    """RDF standard reification (Wikidata-qualifier-style statements):
+    each input triple becomes a statement node carrying rdf_subject /
+    rdf_predicate / rdf_object triples plus one triple per qualifier
+    column.  Statement ids are content-derived (md5 of "s|p|o", the
+    SQL-reproducible choice — DuckDB's md5() yields the same hex), so
+    re-runs and retries mint identical ids; duplicate input triples
+    share a statement node by construction.  Row-local, shuffle-free;
+    every object serializes to string (statements mix node and literal
+    objects)."""
+    import hashlib
+
+    quals = qualifiers or []
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        s = df[s_col].astype(str)
+        p = df[p_col].astype(str)
+        o = df[o_col].astype(str)
+        sid = pd.Series(
+            [f"{stmt_prefix}:" + hashlib.md5(
+                f"{a}|{b}|{c}".encode()).hexdigest()
+             for a, b, c in zip(s, p, o)], index=df.index, dtype=object)
+        parts = [
+            pd.DataFrame({"s": sid, "p": "rdf_subject", "o": s}),
+            pd.DataFrame({"s": sid, "p": "rdf_predicate", "o": p}),
+            pd.DataFrame({"s": sid, "p": "rdf_object", "o": o}),
+        ]
+        for q in quals:
+            parts.append(pd.DataFrame(
+                {"s": sid, "p": q, "o": df[q].astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    return triples.map_batches(emit, batch_format="pyarrow")
+
+
 def triplify_tables(
     named: list[tuple],
     s_col: str = "s",

@@ -44,3 +44,23 @@ def test_encoding_invariant_to_block_layout():
     da = dict(zip(a["node"], a["id"]))
     db = dict(zip(b["node"], b["id"]))
     assert da == db
+
+
+def test_predicate_profile_counts_and_functionality():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        predicate_profile,
+    )
+    rows = [
+        # works_at: functional (each s one o)
+        {"s": "a", "p": "works_at", "o": "x"},
+        {"s": "b", "p": "works_at", "o": "x"},
+        # knows: NOT functional (a knows two people); dup row ignored
+        {"s": "a", "p": "knows", "o": "b"},
+        {"s": "a", "p": "knows", "o": "c"},
+        {"s": "a", "p": "knows", "o": "c"},
+    ]
+    prof = predicate_profile(rd.from_items(rows))
+    got = {r.p: (r.n, r.nd_s, r.nd_o, r.nd_so, r.is_functional)
+           for r in prof.itertuples()}
+    assert got == {"knows": (3, 1, 2, 2, 0),
+                   "works_at": (2, 2, 1, 2, 1)}

@@ -101,3 +101,26 @@ def test_multi_table_union_and_bgp_composition():
 def test_empty_mappings_rejected():
     with pytest.raises(ValueError, match="no mappings"):
         triplify(_orders(), TripleMap(subject=col("okey"), mappings=[]))
+
+
+def test_reify_statements_content_ids_and_qualifiers():
+    import hashlib
+
+    from gliner_transbronchialbiopsy_ray.stages.triplify import (
+        reify_statements,
+    )
+    rows = [{"s": "sup:1", "p": "in_nation", "o": "nation:7", "q": 42}]
+    out = reify_statements(rd.from_items(rows),
+                           qualifiers=["q"]).to_pandas()
+    sid = "stmt:" + hashlib.md5(b"sup:1|in_nation|nation:7").hexdigest()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == sorted([
+        (sid, "rdf_subject", "sup:1"),
+        (sid, "rdf_predicate", "in_nation"),
+        (sid, "rdf_object", "nation:7"),
+        (sid, "q", "42"),
+    ])
+    # duplicate input triples share the statement node
+    out2 = reify_statements(
+        rd.from_items(rows + rows)).to_pandas()
+    assert out2["s"].nunique() == 1
