@@ -6847,6 +6847,67 @@ FROM t GROUP BY p ORDER BY p
 """
 
 
+def q153_construct_template(sf_dir: str):
+    """SPARQL CONSTRUCT with a multi-triple template (stages/bgp.py:
+    construct): one body match — open orders of nation-7 customers —
+    fans out to three heads (forward edge, inverse edge, class marker)
+    with a single global distinct fold.  Oracle: three SELECT DISTINCT
+    unions over the same joins."""
+    from ..stages.bgp import construct
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        t1 = pd.DataFrame({"s": df["o_orderkey"].astype("int64"),
+                           "p": "by_customer",
+                           "o": df["o_custkey"].astype("int64")})
+        op = df[df["o_orderstatus"] == "O"]
+        t2 = pd.DataFrame({"s": op["o_orderkey"].astype("int64"),
+                           "p": "has_status_open",
+                           "o": np.ones(len(op), "int64")})
+        return pd.concat([t1, t2], ignore_index=True)
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64")})
+
+    store = (orders.map_batches(order_triples, batch_format="pyarrow")
+             .union(cust.map_batches(cust_triples,
+                                     batch_format="pyarrow")))
+    out = construct(store, [
+        ("?o", "by_customer", "?c"),
+        ("?c", "in_nation", 7),
+        ("?o", "has_status_open", 1),
+    ], heads=[
+        ("?c", "has_open_order", "?o"),
+        ("?o", "ordered_by", "?c"),
+        ("?c", "active_n7_buyer", 1),
+    ]).to_pandas()
+    out["s"] = out["s"].astype("int64")
+    out["p"] = out["p"].astype(str)
+    out["o"] = out["o"].astype("int64")
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q153_SQL = """
+WITH b AS (
+  SELECT o.o_orderkey AS ok, c.c_custkey AS ck
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey = 7 AND o.o_orderstatus = 'O'
+)
+SELECT s, p, o FROM (
+  SELECT DISTINCT ck AS s, 'has_open_order' AS p, ok AS o FROM b
+  UNION ALL SELECT DISTINCT ok, 'ordered_by', ck FROM b
+  UNION ALL SELECT DISTINCT ck, 'active_n7_buyer', 1 FROM b
+) ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7026,4 +7087,5 @@ QUERIES: dict[str, tuple] = {
     "q150_temporal_snapshot": (q150_temporal_snapshot, Q150_SQL),
     "q151_reified_statements": (q151_reified_statements, Q151_SQL),
     "q152_predicate_profile": (q152_predicate_profile, Q152_SQL),
+    "q153_construct_template": (q153_construct_template, Q153_SQL),
 }

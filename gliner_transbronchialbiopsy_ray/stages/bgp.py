@@ -575,6 +575,26 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
     return acc
 
 
+def _head_emitter(head: tuple):
+    hs, hp, ho = head
+    if _is_var(hp):
+        raise ValueError("head predicate must be a constant")
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        n = len(df)
+
+        def term(t):
+            if _is_var(t):
+                return df[t[1:]].to_numpy()
+            return pd.Series([t] * n, dtype=object).to_numpy()
+
+        return pd.DataFrame({"s": term(hs), "p": [hp] * n,
+                             "o": term(ho)})
+
+    return emit
+
+
 def apply_rule(
     triples: ray.data.Dataset,
     body: list[tuple],
@@ -589,30 +609,43 @@ def apply_rule(
     one vectorized projection; dedupe rides on match_bgp's DISTINCT
     semantics plus a final fold when the head drops variables."""
     hs, hp, ho = head
-    if _is_var(hp):
-        raise ValueError("head predicate must be a constant")
     bindings = match_bgp(triples, body, **match_kwargs)
     need = [t[1:] for t in (hs, ho) if _is_var(t)]
 
-    def emit(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        n = len(df)
-
-        def term(t):
-            if _is_var(t):
-                return df[t[1:]].to_numpy()
-            return pd.Series([t] * n, dtype=object).to_numpy()
-
-        return pd.DataFrame({"s": term(hs), "p": [hp] * n,
-                             "o": term(ho)})
-
-    out = bindings.map_batches(emit, batch_format="pyarrow")
+    out = bindings.map_batches(_head_emitter(head),
+                               batch_format="pyarrow")
     if len(need) < 2:  # head dropped a variable: bindings -> dup triples
         out = (out.map_batches(
             lambda b: b.to_pandas().drop_duplicates(),
             batch_format="pyarrow")
             .groupby(["s", "p", "o"]).count().drop_columns(["count()"]))
     return out
+
+
+def construct(
+    triples: ray.data.Dataset,
+    body: list[tuple],
+    heads: list[tuple],
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL CONSTRUCT with a multi-triple template: ONE body match
+    feeds every head projection (the bindings are materialized once and
+    fanned out), then a single global distinct fold — heads may overlap
+    or drop variables, duplicates collapse exactly once.  The
+    N-rule-sharing-one-body counterpart of `apply_rule`."""
+    if not heads:
+        raise ValueError("empty head template list")
+    bindings = match_bgp(triples, body, **match_kwargs).materialize()
+    out = None
+    for head in heads:
+        part = bindings.map_batches(_head_emitter(head),
+                                    batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    local = out.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+    return (local.groupby(["s", "p", "o"]).count()
+            .drop_columns(["count()"]))
 
 
 def _pattern_vars(pattern: tuple) -> set:

@@ -311,3 +311,21 @@ def test_incremental_saturation_matches_batch():
     noop = canon(saturate_incremental(closed, mk(base_e[:2]), rules,
                                       num_partitions=2))
     assert noop == canon(closed)
+
+
+def test_construct_multi_head_single_fold():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import construct
+
+    out = construct(_ds(), [("?x", "knows", "?y")], heads=[
+        ("?y", "known_by", "?x"),
+        ("?x", "social", 1),       # drops ?y: dedupes
+        ("?y", "known_by", "?x"),  # duplicate head: dedupes
+    ]).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == sorted([
+        (2, "known_by", 1), (3, "known_by", 2), (3, "known_by", 1),
+        (1, "social", 1), (2, "social", 1),
+    ])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty head"):
+        construct(_ds(), [("?x", "knows", "?y")], heads=[])
