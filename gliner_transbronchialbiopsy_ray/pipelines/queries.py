@@ -6908,6 +6908,40 @@ SELECT s, p, o FROM (
 """
 
 
+def q154_node_property_table(sf_dir: str):
+    """KG -> wide node feature table (stages/kgprep.py:
+    node_property_table): customers pivot to (node, in_nation, placed)
+    with MIN-object semantics for the non-functional `placed` and a '-'
+    fill for orderless customers.  Per-batch (s,p)-min combiner before
+    the one subject-bucket exchange.  Oracle: LEFT JOIN + min() +
+    coalesce."""
+    from ..stages.kgprep import node_property_table
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("cust", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+    out = node_property_table(
+        store, ["in_nation", "placed"]).to_pandas().astype(str)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q154_SQL = """
+SELECT 'cust:' || c.c_custkey AS node,
+       'nation:' || c.c_nationkey AS in_nation,
+       coalesce(min('order:' || o.o_orderkey), '-') AS placed
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7088,4 +7122,5 @@ QUERIES: dict[str, tuple] = {
     "q151_reified_statements": (q151_reified_statements, Q151_SQL),
     "q152_predicate_profile": (q152_predicate_profile, Q152_SQL),
     "q153_construct_template": (q153_construct_template, Q153_SQL),
+    "q154_node_property_table": (q154_node_property_table, Q154_SQL),
 }

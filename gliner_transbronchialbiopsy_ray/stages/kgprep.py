@@ -80,6 +80,62 @@ def encode_relations(
     return uniq
 
 
+def node_property_table(
+    triples: ray.data.Dataset,
+    predicates: list[str],
+    fill: str = "-",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """KG -> wide node feature table: one row per subject that carries
+    at least one of `predicates`, one column per predicate.  A
+    non-functional predicate contributes its MIN object (deterministic
+    and SQL-reproducible); missing predicates get `fill`.  One coarse
+    subject-bucket exchange + a vectorized in-bucket pivot — the
+    property-graph projection ML feature joins start from."""
+    import zlib
+
+    preds = list(predicates)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": batch.column(s_col).cast(pa.string()).to_pandas(),
+            "p": batch.column(p_col).cast(pa.string()).to_pandas(),
+            "o": batch.column(o_col).cast(pa.string()).to_pandas(),
+        })
+        df = df[df["p"].isin(preds)]
+        # per-batch combiner: min object per (s, p) before the shuffle
+        df = (df.groupby(["s", "p"], sort=False)["o"].min()
+              .reset_index())
+        df["_bucket"] = df["s"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets
+        ).astype("int32")
+        return df
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["s", "p"], sort=False)["o"].min()
+             .reset_index())
+        wide = g.pivot(index="s", columns="p", values="o")
+        for p in preds:
+            if p not in wide.columns:
+                wide[p] = None
+        wide = wide[preds].fillna(fill).reset_index()
+        wide = wide.rename(columns={"s": "node"})
+        wide.columns.name = None
+        for c in wide.columns:
+            wide[c] = wide[c].astype(object)
+        return wide
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return pivot(g.drop(columns=["_bucket"]))
+
+    return (triples.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(run, batch_format="pandas"))
+
+
 def predicate_profile(
     triples: ray.data.Dataset,
     s_col: str = "s",

@@ -64,3 +64,20 @@ def test_predicate_profile_counts_and_functionality():
            for r in prof.itertuples()}
     assert got == {"knows": (3, 1, 2, 2, 0),
                    "works_at": (2, 2, 1, 2, 1)}
+
+
+def test_node_property_table_pivot_min_and_fill():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        node_property_table,
+    )
+    rows = [
+        {"s": "c1", "p": "in_nation", "o": "n7"},
+        {"s": "c1", "p": "placed", "o": "o9"},
+        {"s": "c1", "p": "placed", "o": "o2"},   # min wins
+        {"s": "c2", "p": "in_nation", "o": "n3"},
+        {"s": "c3", "p": "other", "o": "x"},      # no requested pred
+    ]
+    out = node_property_table(
+        rd.from_items(rows), ["in_nation", "placed"]).to_pandas()
+    got = {r.node: (r.in_nation, r.placed) for r in out.itertuples()}
+    assert got == {"c1": ("n7", "o2"), "c2": ("n3", "-")}
