@@ -6942,6 +6942,58 @@ GROUP BY 1, 2 ORDER BY node
 """
 
 
+def q155_subproperty_entailment(sf_dir: str):
+    """rdfs7 subPropertyOf entailment: supplies and ships_to are both
+    declared subproperties of connected_to; the rule (?x ?pp ?y) ^
+    (?pp subprop ?qq) => (?x ?qq ?y) — a VARIABLE head predicate —
+    materializes the superproperty edges (stages/bgp.py:apply_rule,
+    broadcast fold, full store streaming first).  Output: distinct
+    connected_to pairs.  Oracle: UNION of both instance sets."""
+    from ..stages.bgp import apply_rule
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    onto = ray.data.from_items([
+        {"s": "supplies", "p": "subprop", "o": "connected_to"},
+        {"s": "ships_to", "p": "subprop", "o": "connected_to"},
+    ])
+    store = (triplify_tables([
+        (sup, TripleMap(subject=node("sup", "s_suppkey"),
+                        mappings=[("supplies",
+                                   node("nation", "s_nationkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("ships_to",
+                                    node("nation", "c_nationkey"))])),
+    ]).union(onto)).materialize()
+
+    derived = apply_rule(
+        store,
+        body=[("?x", "?pp", "?y"), ("?pp", "subprop", "?qq")],
+        head=("?x", "?qq", "?y"),
+        cast_nodes=False, join_strategy="broadcast",
+        materialize_input=False)
+
+    def conn(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "connected_to"))
+        return pa.table({"a": t.column("s"), "b": t.column("o")})
+
+    out = derived.map_batches(conn, batch_format="pyarrow").to_pandas()
+    out = out.astype(str)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q155_SQL = """
+SELECT a, b FROM (
+  SELECT DISTINCT 'sup:' || s_suppkey AS a,
+         'nation:' || s_nationkey AS b FROM supplier
+  UNION
+  SELECT DISTINCT 'cust:' || c_custkey, 'nation:' || c_nationkey
+  FROM customer
+) ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7123,4 +7175,6 @@ QUERIES: dict[str, tuple] = {
     "q152_predicate_profile": (q152_predicate_profile, Q152_SQL),
     "q153_construct_template": (q153_construct_template, Q153_SQL),
     "q154_node_property_table": (q154_node_property_table, Q154_SQL),
+    "q155_subproperty_entailment": (q155_subproperty_entailment,
+                                    Q155_SQL),
 }

@@ -577,8 +577,6 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
 
 def _head_emitter(head: tuple):
     hs, hp, ho = head
-    if _is_var(hp):
-        raise ValueError("head predicate must be a constant")
 
     def emit(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -589,7 +587,9 @@ def _head_emitter(head: tuple):
                 return df[t[1:]].to_numpy()
             return pd.Series([t] * n, dtype=object).to_numpy()
 
-        return pd.DataFrame({"s": term(hs), "p": [hp] * n,
+        # variable head PREDICATE is allowed (rdfs7's (?x ?q ?y) head):
+        # it projects the bound predicate string per row
+        return pd.DataFrame({"s": term(hs), "p": term(hp),
                              "o": term(ho)})
 
     return emit
@@ -610,11 +610,12 @@ def apply_rule(
     semantics plus a final fold when the head drops variables."""
     hs, hp, ho = head
     bindings = match_bgp(triples, body, **match_kwargs)
-    need = [t[1:] for t in (hs, ho) if _is_var(t)]
+    body_vars = set().union(*(_pattern_vars(p) for p in body))
+    need = {t[1:] for t in (hs, hp, ho) if _is_var(t)}
 
     out = bindings.map_batches(_head_emitter(head),
                                batch_format="pyarrow")
-    if len(need) < 2:  # head dropped a variable: bindings -> dup triples
+    if need != body_vars:  # head dropped a variable: bindings -> dups
         out = (out.map_batches(
             lambda b: b.to_pandas().drop_duplicates(),
             batch_format="pyarrow")
@@ -814,8 +815,11 @@ def _saturate_semi_naive(
 
     # from round 2 on, every delta row was derived by some rule, so its
     # predicate is a rule head — variants whose delta atom names any
-    # other constant predicate can be skipped without executing anything
+    # other constant predicate can be skipped without executing anything.
+    # A VARIABLE head predicate (rdfs7-style) can derive any predicate,
+    # which disables this pruning entirely.
     head_preds = {head[1] for _, head in rules}
+    pruning_ok = not any(_is_var(hp) for hp in head_preds)
     delta_preds: set | None = None  # None = unknown (round 1)
 
     for _ in range(max_rounds):
@@ -841,7 +845,7 @@ def _saturate_semi_naive(
         folded = u.groupby(["s", "p", "o"]).min("_tag").materialize()
         store = folded.drop_columns(["min(_tag)"])
         delta = folded.map_batches(only_new, batch_format="pyarrow")
-        delta_preds = head_preds
+        delta_preds = head_preds if pruning_ok else None
         if delta.count() == 0:
             break
     return store
