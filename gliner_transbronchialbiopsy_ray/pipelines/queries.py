@@ -6994,6 +6994,66 @@ SELECT a, b FROM (
 """
 
 
+def btb_kg_construct(sf_dir: str):
+    """FLAGSHIP KG-construction composition over the reference domain:
+    the NER-extracted biopsy triple store is (1) typed (every document
+    becomes a Biopsy node), (2) ENTAILED with an alternative-path rule —
+    has_infection|has_rejet_chronique => has_any_alert (stages/bgp.py
+    apply_rule on the string-node store), (3) SHACL-VALIDATED
+    (BiopsyShape: grade-A cardinality <= 1, alert enum) and (4)
+    PROFILED (stages/kgprep.py:predicate_profile).  Output: one
+    (metric, value) row per summary stat + per-predicate triple count —
+    deterministic, golden-hashed at sf0.001 (the KG comes from the NER
+    pipeline: no SQL equivalent)."""
+    from ..stages.bgp import apply_rule
+    from ..stages.kgprep import predicate_profile
+    from ..stages.shacl import Shape, validate_shapes
+
+    triples = (QUERIES["btb_triples"][0](sf_dir)
+               .select_columns(["subj", "pred", "obj"]).materialize())
+
+    def doc_types(b: pa.Table) -> pd.DataFrame:
+        d = b.to_pandas()[["subj"]].drop_duplicates()
+        return pd.DataFrame({"subj": d["subj"], "pred": "type",
+                             "obj": "Biopsy"})
+
+    types = (triples.map_batches(doc_types, batch_format="pyarrow")
+             .groupby(["subj", "pred", "obj"]).count()
+             .drop_columns(["count()"]))
+
+    entailed = apply_rule(
+        triples,
+        body=[("?d", "has_infection|has_rejet_chronique", "?v")],
+        head=("?d", "has_any_alert", "yes"),
+        cast_nodes=False, s_col="subj", p_col="pred", o_col="obj",
+    ).map_batches(
+        lambda b: b.rename_columns(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+
+    store = triples.union(types).union(entailed).materialize()
+
+    violations = validate_shapes(
+        store, [Shape("BiopsyShape", "Biopsy", [
+            ("max_count", "has_grade_a", 1),
+            ("in_set", "has_any_alert", {"yes"}),
+        ])], s_col="subj", p_col="pred", o_col="obj").to_pandas()
+
+    prof = predicate_profile(store, s_col="subj", p_col="pred",
+                             o_col="obj")
+    n_alert = int(prof.loc[prof["p"] == "has_any_alert", "n"].sum())
+    rows = [("stat:n_triples", int(prof["n"].sum())),
+            ("stat:n_docs",
+             int(prof.loc[prof["p"] == "type", "nd_s"].sum())),
+            ("stat:n_alert_docs", n_alert),
+            ("stat:n_violations", len(violations))]
+    rows += [(f"pred:{p}", int(n))
+             for p, n in zip(prof["p"], prof["n"])]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["metric"] = out["metric"].astype(str)
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values("metric").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7177,4 +7237,5 @@ QUERIES: dict[str, tuple] = {
     "q154_node_property_table": (q154_node_property_table, Q154_SQL),
     "q155_subproperty_entailment": (q155_subproperty_entailment,
                                     Q155_SQL),
+    "btb_kg_construct": (btb_kg_construct, None),
 }
