@@ -98,6 +98,26 @@ def _apply_binding_filters(ds: ray.data.Dataset, filters: list[tuple],
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _apply_values(ds: ray.data.Dataset, values: pd.DataFrame,
+                  acc_vars: list[str]) -> ray.data.Dataset:
+    """SPARQL VALUES as a broadcast semi-join: keep bindings whose
+    tuple over the VALUES columns appears in the (deduplicated) inline
+    table."""
+    cols = list(values.columns)
+    missing = [c for c in cols if c not in acc_vars]
+    if missing:
+        raise ValueError(
+            f"VALUES columns {missing} are not bound variables")
+    vref = ray.put(values.drop_duplicates().reset_index(drop=True))
+
+    def semi(batch: pa.Table, _ref=vref,
+             _cols=tuple(cols)) -> pd.DataFrame:
+        vt = ray.get(_ref)
+        return batch.to_pandas().merge(vt, on=list(_cols), how="inner")
+
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
 def _expand_sequences(patterns: list[tuple]) -> list[tuple]:
     """Rewrite sequence paths: (s, "p1/p2", o) becomes two chained
     patterns through a fresh internal variable (?__seqN).  Internal
@@ -126,6 +146,7 @@ def match_bgp(
     optional: list[tuple] | None = None,
     filters: list[tuple] | None = None,
     minus: list[tuple] | None = None,
+    values: pd.DataFrame | None = None,
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
@@ -192,7 +213,11 @@ def match_bgp(
     as one vectorized Arrow pass BEFORE optional/minus.
     `minus` — SPARQL MINUS: each entry is a single pattern; bindings
     sharing its variable values are removed (anti semi-join on the
-    shared variables; a pattern sharing no variable is rejected)."""
+    shared variables; a pattern sharing no variable is rejected).
+    `values` — SPARQL VALUES: a small DataFrame whose columns name
+    ALREADY-BOUND variables; bindings survive iff their tuple appears
+    (broadcast semi-join — VALUES blocks are inline constants, small by
+    definition).  Applied with `filters`, before minus/optional."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -323,7 +348,7 @@ def match_bgp(
     if join_strategy == "broadcast":
         return _fold_broadcast(leg, dedupe, patterns, optional,
                                broadcast_threshold, sources,
-                               final_distinct, filters, minus)
+                               final_distinct, filters, minus, values)
 
     acc, acc_vars = leg(patterns[0], sources.get(0))
     acc = dedupe(acc, acc_vars).materialize()
@@ -366,6 +391,9 @@ def match_bgp(
 
     if filters:
         acc = _apply_binding_filters(acc, filters, acc_vars).materialize()
+
+    if values is not None:
+        acc = _apply_values(acc, values, acc_vars).materialize()
 
     for pattern in minus or []:
         if acc.count() == 0:
@@ -442,7 +470,7 @@ def match_bgp(
 
 def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
                     sources, final_distinct=True, filters=None,
-                    minus=None):
+                    minus=None, values=None):
     """Broadcast fold for `match_bgp(join_strategy="broadcast")`: the
     first leg streams; every later leg is collected ONCE on the driver
     (size-checked against `threshold`), `ray.put`, and merged into the
@@ -511,6 +539,9 @@ def _fold_broadcast(leg, dedupe, patterns, optional, threshold,
 
     if filters:
         acc = _apply_binding_filters(acc, filters, acc_vars)
+
+    if values is not None:
+        acc = _apply_values(acc, values, acc_vars)
 
     if final_distinct:
         acc = dedupe(acc, acc_vars)  # the one global fold (DISTINCT)

@@ -329,3 +329,25 @@ def test_construct_multi_head_single_fold():
     import pytest as _pt
     with _pt.raises(ValueError, match="empty head"):
         construct(_ds(), [("?x", "knows", "?y")], heads=[])
+
+
+def test_values_inline_bindings():
+    vals = pd.DataFrame({"y": [3, 9]})
+    out = match_bgp(_ds(), [("?x", "knows", "?y")], values=vals,
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 3), (2, 3)]
+    # multi-column VALUES constrain tuples, not columns independently
+    vals2 = pd.DataFrame({"x": [1, 2], "y": [2, 3]})
+    out2 = match_bgp(_ds(), [("?x", "knows", "?y")], values=vals2,
+                     num_partitions=2).to_pandas()
+    assert sorted(map(tuple, out2[["x", "y"]].to_numpy())) == [(1, 2),
+                                                               (2, 3)]
+    with pytest.raises(ValueError, match="not bound"):
+        match_bgp(_ds(), [("?x", "knows", "?y")],
+                  values=pd.DataFrame({"z": [1]}), num_partitions=2)
+    # both strategies agree
+    b = match_bgp(_ds(), [("?x", "knows", "?y")], values=vals,
+                  join_strategy="broadcast",
+                  num_partitions=2).to_pandas()
+    assert (sorted(map(tuple, b[["x", "y"]].to_numpy())) == got)

@@ -69,3 +69,22 @@ def test_distributed_cc_matches_driver():
     ka = sorted(map(tuple, a[["node", "canon"]].to_numpy()))
     kb = sorted(map(tuple, b[["node", "canon"]].to_numpy()))
     assert ka == kb
+
+
+def test_shuffle_rewrite_matches_broadcast():
+    store = _store([
+        ("custA:2", "placed", "order:7"),
+        ("custB:2", "in_nation", "nation:1"),
+        ("order:7", "by", "custB:2"),
+        ("custA:3", "placed", "order:9"),
+        ("a", "knows", "q"), ("b", "knows", "q"),
+    ])
+    links = _links([("custA:2", "custB:2"), ("a", "b")])
+    bc = apply_sameas(store, links).to_pandas()
+    sh = apply_sameas(store, links, strategy="shuffle").to_pandas()
+    key = ["s", "p", "o"]
+    assert (sorted(map(tuple, bc[key].to_numpy()))
+            == sorted(map(tuple, sh[key].to_numpy())))
+    # empty link set: store unchanged
+    sh2 = apply_sameas(store, _links([]), strategy="shuffle").to_pandas()
+    assert len(sh2) == 6
