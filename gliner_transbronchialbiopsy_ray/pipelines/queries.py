@@ -7054,6 +7054,78 @@ def btb_kg_construct(sf_dir: str):
     return out.sort_values("metric").reset_index(drop=True)
 
 
+def q156_link_prediction_split(sf_dir: str):
+    """Filtered link-prediction split (stages/kgprep.py:
+    link_prediction_split) over the q148 encoded KG: deterministic
+    md5-draw assignment, then valid/test triples touching any entity
+    unseen in train reassign to train (FB15k-style filtering).  Output:
+    per-split triple counts.  Oracle: the same md5 ranges + NOT IN
+    reassignment in SQL."""
+    from ..stages.kgprep import encode_triples, link_prediction_split
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("cust", "o_custkey"),
+                           mappings=[("placed",
+                                      node("order", "o_orderkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("in_nation",
+                                    node("nation", "c_nationkey"))])),
+    ])
+    split = link_prediction_split(encode_triples(store))
+    counts = (split.map_batches(
+        lambda b: b.to_pandas().groupby("split").size()
+        .rename("n").reset_index(),
+        batch_format="pyarrow")
+        .groupby("split").sum("n").to_pandas())
+    counts = counts.rename(columns={"sum(n)": "n"})
+    counts["split"] = counts["split"].astype(str)
+    counts["n"] = counts["n"].astype("int64")
+    return counts.sort_values("split").reset_index(drop=True)
+
+
+Q156_SQL = """
+WITH tr AS (
+  SELECT 'cust:' || o_custkey AS s, 'placed' AS p,
+         'order:' || o_orderkey AS o FROM orders
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'in_nation', 'nation:' || c_nationkey
+  FROM customer
+),
+nodes AS (SELECT DISTINCT s AS n FROM tr
+          UNION SELECT DISTINCT o FROM tr),
+ids AS (SELECT n, row_number() OVER (ORDER BY n) - 1 AS id FROM nodes),
+rels AS (SELECT p, row_number() OVER (ORDER BY p) - 1 AS rid
+         FROM (SELECT DISTINCT p FROM tr)),
+enc AS (
+  SELECT hi.id AS h, rels.rid AS r, ti.id AS t
+  FROM tr JOIN ids hi ON hi.n = tr.s JOIN ids ti ON ti.n = tr.o
+  JOIN rels ON rels.p = tr.p
+),
+tagged AS (
+  SELECT h, r, t,
+         CASE WHEN substr(md5(h || '|' || r || '|' || t), 1, 2) < '0d'
+              THEN 'test'
+              WHEN substr(md5(h || '|' || r || '|' || t), 1, 2) < '1a'
+              THEN 'valid' ELSE 'train' END AS split
+  FROM enc
+),
+train_ents AS (SELECT h AS e FROM tagged WHERE split = 'train'
+               UNION SELECT t FROM tagged WHERE split = 'train'),
+final AS (
+  SELECT CASE WHEN split <> 'train'
+              AND (h NOT IN (SELECT e FROM train_ents)
+                   OR t NOT IN (SELECT e FROM train_ents))
+              THEN 'train' ELSE split END AS split
+  FROM tagged
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n
+FROM final GROUP BY split ORDER BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7238,4 +7310,6 @@ QUERIES: dict[str, tuple] = {
     "q155_subproperty_entailment": (q155_subproperty_entailment,
                                     Q155_SQL),
     "btb_kg_construct": (btb_kg_construct, None),
+    "q156_link_prediction_split": (q156_link_prediction_split,
+                                   Q156_SQL),
 }

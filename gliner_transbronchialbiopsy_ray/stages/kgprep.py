@@ -20,6 +20,7 @@ trainers consume.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -184,6 +185,69 @@ def predicate_profile(
         prof[c] = prof[c].astype("int64")
     prof["p"] = prof["p"].astype(str)
     return prof.sort_values("p", kind="stable").reset_index(drop=True)
+
+
+def link_prediction_split(
+    encoded: ray.data.Dataset,
+    test_hex: str = "0d",
+    valid_hex: str = "1a",
+    broadcast_threshold: int = 20_000_000,
+) -> ray.data.Dataset:
+    """FILTERED train/valid/test split of (h, r, t) triples for
+    link-prediction training (the FB15k-style protocol): assignment is
+    a deterministic md5 draw over "h|r|t" (hex-prefix ranges, so DuckDB
+    reproduces it exactly), then any valid/test triple whose head OR
+    tail entity never appears in train is REASSIGNED to train — eval
+    must not score unseen entities.  The train-entity set is collected
+    once and broadcast (threshold-enforced; a two-join shuffle variant
+    is the documented upgrade past it).  Output: (h, r, t, split)."""
+    import hashlib
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "h": batch.column("h").to_pandas().astype("int64"),
+            "r": batch.column("r").to_pandas().astype("int64"),
+            "t": batch.column("t").to_pandas().astype("int64")})
+        # md5 per row: DuckDB-parity requires md5 itself (same rule as
+        # q43's deterministic sample)
+        hx = [hashlib.md5(f"{h}|{r}|{t}".encode()).hexdigest()[:2]
+              for h, r, t in zip(df["h"], df["r"], df["t"])]
+        split = pd.Series(hx, index=df.index, dtype=object)
+        df["split"] = np.where(
+            split < test_hex, "test",
+            np.where(split < valid_hex, "valid", "train"))
+        return df
+
+    tagged = encoded.map_batches(tag,
+                                 batch_format="pyarrow").materialize()
+
+    def train_ents(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        tr = df[df["split"] == "train"]
+        ents = pd.unique(pd.concat([tr["h"], tr["t"]],
+                                   ignore_index=True))
+        return pd.DataFrame({"e": ents})
+
+    ents = (tagged.map_batches(train_ents, batch_format="pyarrow")
+            .to_pandas())
+    seen = (pd.unique(ents["e"]) if "e" in ents.columns
+            else pd.Index([], dtype="int64"))
+    if len(seen) > broadcast_threshold:
+        raise ValueError(
+            f"train entity set has {len(seen)} members > "
+            f"broadcast_threshold={broadcast_threshold}; two-join "
+            "shuffle reassignment needed at this scale")
+    ref = ray.put(set(int(v) for v in seen))
+
+    def reassign(batch: pa.Table, _ref=ref) -> pd.DataFrame:
+        known = ray.get(_ref)
+        df = batch.to_pandas()
+        eval_rows = df["split"] != "train"
+        unseen = (~df["h"].isin(known)) | (~df["t"].isin(known))
+        df.loc[eval_rows & unseen, "split"] = "train"
+        return df
+
+    return tagged.map_batches(reassign, batch_format="pyarrow")
 
 
 def encode_triples(

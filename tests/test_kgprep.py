@@ -81,3 +81,28 @@ def test_node_property_table_pivot_min_and_fill():
         rd.from_items(rows), ["in_nation", "placed"]).to_pandas()
     got = {r.node: (r.in_nation, r.placed) for r in out.itertuples()}
     assert got == {"c1": ("n7", "o2"), "c2": ("n3", "-")}
+
+
+def test_link_prediction_split_filtered_invariant():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        encode_triples, link_prediction_split,
+    )
+    rows = [{"s": f"e{i % 40}", "p": "r", "o": f"e{(i * 7) % 40 + 1}"}
+            for i in range(200)]
+    split = link_prediction_split(
+        encode_triples(rd.from_items(rows), num_partitions=2)
+    ).to_pandas()
+    assert set(split["split"]) <= {"train", "valid", "test"}
+    assert (split["split"] == "train").sum() > 0
+    tr = split[split["split"] == "train"]
+    seen = set(tr["h"]) | set(tr["t"])
+    ev = split[split["split"] != "train"]
+    # FILTERED protocol: no eval triple touches an unseen entity
+    assert ev["h"].isin(seen).all() and ev["t"].isin(seen).all()
+    # deterministic across block layouts
+    split2 = link_prediction_split(
+        encode_triples(rd.from_items(rows).repartition(7),
+                       num_partitions=2)).to_pandas()
+    k = ["h", "r", "t", "split"]
+    assert (sorted(map(tuple, split[k].to_numpy()))
+            == sorted(map(tuple, split2[k].to_numpy())))
