@@ -1,0 +1,80 @@
+"""Randomized BGP correctness sweep: match_bgp (both fold strategies)
+vs an independent pandas reference evaluator over seeded random graphs
+and random shared-variable pattern chains."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp
+
+
+def _ref_bgp(df: pd.DataFrame, patterns) -> pd.DataFrame:
+    """Reference evaluation: per-pattern filtered projection, inner
+    merges on shared variables, global distinct."""
+    acc = None
+    for (s, p, o) in patterns:
+        leg = df.copy()
+        proj = {}
+        for term, col in ((s, "s"), (p, "p"), (o, "o")):
+            if isinstance(term, str) and term.startswith("?"):
+                proj[col] = term[1:]
+            else:
+                leg = leg[leg[col] == term]
+        leg = leg[list(proj)].rename(columns=proj).drop_duplicates()
+        if acc is None:
+            acc = leg
+        else:
+            shared = [c for c in leg.columns if c in acc.columns]
+            acc = acc.merge(leg, on=shared, how="inner")
+        acc = acc.drop_duplicates()
+    return acc.reset_index(drop=True)
+
+
+def _rand_graph(rng) -> pd.DataFrame:
+    n = rng.integers(8, 25)
+    return pd.DataFrame({
+        "s": rng.integers(1, 7, n),
+        "p": rng.choice(["a", "b", "c"], n),
+        "o": rng.integers(1, 7, n),
+    }).drop_duplicates().reset_index(drop=True)
+
+
+def _rand_patterns(rng):
+    """2-3 patterns chained through shared variables."""
+    k = int(rng.integers(2, 4))
+    pats = [("?x0", str(rng.choice(["a", "b", "c"])), "?x1")]
+    for i in range(1, k):
+        prev = f"?x{i}"
+        nxt = f"?x{i + 1}"
+        pred = str(rng.choice(["a", "b", "c"]))
+        if rng.random() < 0.3:  # constant object sometimes
+            pats.append((prev, pred, int(rng.integers(1, 7))))
+        else:
+            pats.append((prev, pred, nxt))
+    return pats
+
+
+def test_random_graphs_match_reference():
+    rng = np.random.default_rng(20260818)
+    checked = 0
+    for trial in range(8):
+        df = _rand_graph(rng)
+        patterns = _rand_patterns(rng)
+        ref = _ref_bgp(df, patterns)
+        for strategy in ("hash", "broadcast"):
+            got = match_bgp(rd.from_pandas(df), patterns,
+                            num_partitions=2,
+                            join_strategy=strategy).to_pandas()
+            cols = sorted(ref.columns)
+            if len(ref) == 0:
+                assert len(got) == 0, (trial, strategy, patterns)
+                continue
+            assert sorted(got.columns) == cols, (trial, strategy)
+            gv = sorted(map(tuple, got[cols].to_numpy().tolist()))
+            rv = sorted(map(tuple,
+                            ref[cols].astype("int64")
+                            .to_numpy().tolist()))
+            assert gv == rv, (trial, strategy, patterns)
+            checked += 1
+    assert checked >= 8  # at least half the trials had matches
