@@ -7126,6 +7126,55 @@ FROM final GROUP BY split ORDER BY split
 """
 
 
+def q157_disjointness_check(sf_dir: str):
+    """owl:disjointWith consistency check expressed as a PURE BGP —
+    no new operator needed: (?x type ?c1) ^ (?x type ?c2) ^
+    (?c1 disjoint_with ?c2) finds every entity typed into two classes
+    the ontology declares disjoint.  Customers whose key is divisible
+    by 10 are (wrongly) also typed Order — those are the violations.
+    Oracle: the modular filter."""
+    from ..stages.bgp import match_bgp
+    from ..stages.triplify import (TripleMap, const, node,
+                                   triplify_tables)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    onto = ray.data.from_items([
+        {"s": "Customer", "p": "disjoint_with", "o": "Order"},
+    ])
+
+    # the planted inconsistency: every 10th customer also typed Order
+    def dual(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        d = df[df["c_custkey"] % 10 == 0]
+        return pd.DataFrame({
+            "s": [f"cust:{k}" for k in d["c_custkey"].astype("int64")],
+            "p": "type", "o": "Order"})
+
+    store = (triplify_tables([
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("type", const("Customer"))])),
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[("type", const("Order"))])),
+    ]).union(cust.map_batches(dual, batch_format="pyarrow"))
+        .union(onto))
+
+    out = match_bgp(store, [
+        ("?x", "type", "?c1"),
+        ("?x", "type", "?c2"),
+        ("?c1", "disjoint_with", "?c2"),
+    ], cast_nodes=False).to_pandas()
+    out = out[["x", "c1", "c2"]].astype(str)
+    return out.sort_values(["x", "c1", "c2"]).reset_index(drop=True)
+
+
+Q157_SQL = """
+SELECT 'cust:' || c_custkey AS x, 'Customer' AS c1, 'Order' AS c2
+FROM customer WHERE c_custkey % 10 = 0
+ORDER BY x, c1, c2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7312,4 +7361,5 @@ QUERIES: dict[str, tuple] = {
     "btb_kg_construct": (btb_kg_construct, None),
     "q156_link_prediction_split": (q156_link_prediction_split,
                                    Q156_SQL),
+    "q157_disjointness_check": (q157_disjointness_check, Q157_SQL),
 }
