@@ -7175,6 +7175,58 @@ ORDER BY x, c1, c2
 """
 
 
+def q158_named_graph_provenance(sf_dir: str):
+    """Named-graph (quad) provenance query (stages/bgp.py g_col): order
+    edges live in an 'urgent' or 'routine' graph by priority, customer
+    facts in 'crm'; the pattern binds the GRAPH VARIABLE ?src, so each
+    nation-7 order comes back with which graph asserted it — the
+    provenance surface of a multi-source KG.  Oracle: join + CASE."""
+    from ..stages.bgp import match_bgp
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_quads(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        g = np.where(df["o_orderpriority"] == "1-URGENT",
+                     "urgent", "routine")
+        return pd.DataFrame({"s": df["o_orderkey"].astype("int64"),
+                             "p": "placed_by",
+                             "o": df["o_custkey"].astype("int64"),
+                             "g": g})
+
+    def cust_quads(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["c_custkey"].astype("int64"),
+                             "p": "in_nation",
+                             "o": df["c_nationkey"].astype("int64"),
+                             "g": "crm"})
+
+    store = (orders.map_batches(order_quads, batch_format="pyarrow")
+             .union(cust.map_batches(cust_quads,
+                                     batch_format="pyarrow")))
+    out = match_bgp(store, [
+        ("?o", "placed_by", "?c", "?src"),
+        ("?c", "in_nation", 7, "crm"),
+    ], g_col="g").to_pandas()
+    out = out[["o", "c", "src"]]
+    out["o"] = out["o"].astype("int64")
+    out["c"] = out["c"].astype("int64")
+    out["src"] = out["src"].astype(str)
+    return out.sort_values(["o", "c", "src"]).reset_index(drop=True)
+
+
+Q158_SQL = """
+SELECT o.o_orderkey AS o, c.c_custkey AS c,
+       CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'urgent'
+            ELSE 'routine' END AS src
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_nationkey = 7
+ORDER BY o, c, src
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7362,4 +7414,6 @@ QUERIES: dict[str, tuple] = {
     "q156_link_prediction_split": (q156_link_prediction_split,
                                    Q156_SQL),
     "q157_disjointness_check": (q157_disjointness_check, Q157_SQL),
+    "q158_named_graph_provenance": (q158_named_graph_provenance,
+                                    Q158_SQL),
 }

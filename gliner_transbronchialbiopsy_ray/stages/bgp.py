@@ -125,18 +125,20 @@ def _expand_sequences(patterns: list[tuple]) -> list[tuple]:
     intermediates are invisible); each element may itself carry ^ / + /
     alternatives."""
     out, fresh = [], 0
-    for (s, p, o) in patterns:
+    for pattern in patterns:
+        s, p, o = pattern[:3]
+        rest = tuple(pattern[3:])  # graph term rides along per element
         if isinstance(p, str) and not _is_var(p) and "/" in p:
             cur = s
             parts = p.split("/")
             for part in parts[:-1]:
                 mid = f"?__seq{fresh}"
                 fresh += 1
-                out.append((cur, part, mid))
+                out.append((cur, part, mid) + rest)
                 cur = mid
-            out.append((cur, parts[-1], o))
+            out.append((cur, parts[-1], o) + rest)
         else:
-            out.append((s, p, o))
+            out.append(pattern)
     return out
 
 
@@ -150,6 +152,7 @@ def match_bgp(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    g_col: str | None = None,
     max_hops: int = 8,
     cast_nodes: bool = True,
     num_partitions: int | None = None,
@@ -217,7 +220,14 @@ def match_bgp(
     `values` — SPARQL VALUES: a small DataFrame whose columns name
     ALREADY-BOUND variables; bindings survive iff their tuple appears
     (broadcast semi-join — VALUES blocks are inline constants, small by
-    definition).  Applied with `filters`, before minus/optional."""
+    definition).  Applied with `filters`, before minus/optional.
+
+    NAMED GRAPHS (quads): with `g_col` set, any pattern may carry a
+    4th term — a constant graph name (scopes the pattern, GRAPH <g>),
+    a `?var` (binds the graph — provenance queries), or be omitted
+    (matches any graph; the graph does NOT join the binding identity,
+    so cross-graph duplicates collapse).  Transitive paths accept only
+    constant graph terms (hops may not cross graphs)."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -244,7 +254,8 @@ def match_bgp(
         except Exception:
             num_partitions = 2
 
-    triples = triples.select_columns([s_col, p_col, o_col])
+    store_cols = [s_col, p_col, o_col] + ([g_col] if g_col else [])
+    triples = triples.select_columns(store_cols)
     if materialize_input:
         # every pattern scans the store; iterative callers that already
         # hold a materialized store (saturate) opt out to save the copy
@@ -254,10 +265,15 @@ def match_bgp(
             alt: ray.data.Dataset | None = None,
             ) -> tuple[ray.data.Dataset, list[str]]:
         src = (triples if alt is None
-               else alt.select_columns([s_col, p_col, o_col]))
-        s, p, o = pattern
+               else alt.select_columns(store_cols))
+        s, p, o = pattern[:3]
+        g = pattern[3] if len(pattern) > 3 else None
+        if g is not None and g_col is None:
+            raise ValueError(
+                f"pattern {pattern} has a graph term but g_col is not "
+                "set")
         out_vars: list[str] = []
-        for term in (s, o, p):
+        for term in (s, o, p, g):
             if _is_var(term):
                 v = term[1:]
                 if v in out_vars:
@@ -281,9 +297,18 @@ def match_bgp(
                 raise ValueError(
                     f"pattern {pattern}: alternatives inside a "
                     "transitive path are unsupported")
+            if _is_var(g):
+                raise ValueError(
+                    f"pattern {pattern}: a graph VARIABLE on a "
+                    "transitive path is unsupported (hops may cross "
+                    "graphs); use a constant graph term")
 
             def edge_proj(batch: pa.Table) -> pa.Table:
-                t = batch.filter(pc.equal(batch.column(p_col), base))
+                cond = pc.equal(batch.column(p_col), base)
+                if g is not None:  # constant graph scopes the edges
+                    cond = pc.and_(cond,
+                                   pc.equal(batch.column(g_col), g))
+                t = batch.filter(cond)
                 ta, tb = t.column(s_col), t.column(o_col)
                 if inverse:
                     ta, tb = tb, ta
@@ -294,13 +319,15 @@ def match_bgp(
             source = _bounded_closure(
                 src.map_batches(edge_proj, batch_format="pyarrow"),
                 max_hops, num_partitions)
-            sc, oc, pred_col = "_ta", "_tb", None
+            sc, oc, pred_col, gc = "_ta", "_tb", None, None
         else:
             source, sc, oc, pred_col = src, s_col, o_col, p_col
+            gc = g_col if g is not None else None
             if inverse:
                 sc, oc = oc, sc
 
-        def project(batch: pa.Table, _s=s, _p=pbase, _o=o) -> pa.Table:
+        def project(batch: pa.Table, _s=s, _p=pbase, _o=o,
+                    _g=g) -> pa.Table:
             mask = None
             checks = [(_s, sc), (_o, oc)]
             if pred_col is not None and alts is not None:
@@ -308,6 +335,8 @@ def match_bgp(
                                 value_set=pa.array(alts))
             elif pred_col is not None:
                 checks.append((_p, pred_col))
+            if gc is not None:
+                checks.append((_g, gc))
             for term, col in checks:
                 if not _is_var(term):
                     cond = pc.equal(batch.column(col), term)
@@ -329,6 +358,9 @@ def match_bgp(
                 # rules that join on the predicate itself
                 cols.append(t.column(pred_col))
                 names.append(_p[1:])
+            if _is_var(_g) and gc is not None:
+                cols.append(t.column(gc))  # graph variable: provenance
+                names.append(_g[1:])
             if not cols:  # all-constant pattern: keep an existence marker
                 cols = [node(sc)]
                 names = ["_exists"]
@@ -681,8 +713,7 @@ def construct(
 
 
 def _pattern_vars(pattern: tuple) -> set:
-    s, p, o = pattern
-    return {t[1:] for t in (s, o, p) if _is_var(t)}
+    return {t[1:] for t in pattern if _is_var(t)}
 
 
 def _delta_order(body: list[tuple], i: int) -> tuple[list[tuple], int]:

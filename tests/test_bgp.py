@@ -351,3 +351,72 @@ def test_values_inline_bindings():
                   join_strategy="broadcast",
                   num_partitions=2).to_pandas()
     assert (sorted(map(tuple, b[["x", "y"]].to_numpy())) == got)
+
+
+QUADS = [
+    {"s": 1, "p": "knows", "o": 2, "g": "g1"},
+    {"s": 1, "p": "knows", "o": 2, "g": "g2"},  # same fact, other graph
+    {"s": 2, "p": "knows", "o": 3, "g": "g2"},
+    {"s": 1, "p": "flag", "o": 1, "g": "web"},
+    {"s": 2, "p": "flag", "o": 1, "g": "crm"},
+]
+
+
+def _qds():
+    return rd.from_items(QUADS)
+
+
+def test_named_graph_constant_scopes_pattern():
+    out = match_bgp(_qds(), [("?x", "knows", "?y", "g2")], g_col="g",
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 2), (2, 3)]
+    # no graph term: any graph, cross-graph duplicates collapse
+    out2 = match_bgp(_qds(), [("?x", "knows", "?y")], g_col="g",
+                     num_partitions=2).to_pandas()
+    assert len(out2) == 2
+
+
+def test_named_graph_variable_binds_provenance():
+    out = match_bgp(_qds(), [("?x", "flag", 1, "?src")], g_col="g",
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "src"]].to_numpy()))
+    assert got == [(1, "web"), (2, "crm")]
+
+
+def test_named_graph_cross_graph_join_and_errors():
+    out = match_bgp(_qds(), [
+        ("?x", "knows", "?y", "g1"),
+        ("?x", "flag", 1, "web"),
+    ], g_col="g", num_partitions=2).to_pandas()
+    assert sorted(map(tuple, out[["x", "y"]].to_numpy())) == [(1, 2)]
+    with pytest.raises(ValueError, match="g_col"):
+        match_bgp(_qds(), [("?x", "knows", "?y", "g1")],
+                  num_partitions=2)
+    with pytest.raises(ValueError, match="transitive"):
+        match_bgp(_qds(), [(1, "knows+", "?y", "?src")], g_col="g",
+                  num_partitions=2)
+    # constant graph DOES scope a transitive path
+    out3 = match_bgp(_qds(), [(1, "knows+", "?y", "g2")], g_col="g",
+                     max_hops=3, num_partitions=2).to_pandas()
+    assert sorted(out3["y"]) == [2, 3]
+    out4 = match_bgp(_qds(), [(1, "knows+", "?y", "g1")], g_col="g",
+                     max_hops=3, num_partitions=2).to_pandas()
+    assert sorted(out4["y"]) == [2]
+
+
+def test_named_graph_broadcast_matches_hash():
+    for patterns in [
+        [("?x", "knows", "?y", "g2")],
+        [("?x", "flag", 1, "?src")],
+        [("?x", "knows", "?y", "g1"), ("?x", "flag", 1, "web")],
+    ]:
+        h = match_bgp(_qds(), patterns, g_col="g",
+                      num_partitions=2).to_pandas()
+        b = match_bgp(_qds(), patterns, g_col="g", num_partitions=2,
+                      join_strategy="broadcast").to_pandas()
+        cols = sorted(h.columns)
+        assert sorted(b.columns) == cols, patterns
+        hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
+        bv = sorted(map(tuple, b[cols].to_numpy().tolist()))
+        assert hv == bv, patterns
