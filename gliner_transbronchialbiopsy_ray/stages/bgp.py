@@ -382,13 +382,21 @@ def match_bgp(
                                broadcast_threshold, sources,
                                final_distinct, filters, minus, values)
 
+    def local_dd(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+
     acc, acc_vars = leg(patterns[0], sources.get(0))
     acc = dedupe(acc, acc_vars).materialize()
     for idx, pattern in enumerate(patterns[1:], start=1):
         if acc.count() == 0:
             return acc  # no bindings can survive further patterns
         nxt, nxt_vars = leg(pattern, sources.get(idx))
-        nxt = dedupe(nxt, nxt_vars).materialize()
+        # LOCAL dedup only: the post-join global fold collapses any
+        # cross-block duplicates, so a global distinct here would be a
+        # wasted all-to-all (one saved shuffle per pattern)
+        nxt = local_dd(nxt).materialize()
         shared = [v for v in nxt_vars if v in acc_vars]
         if not shared and "_exists" not in nxt_vars:
             raise ValueError(
