@@ -7227,6 +7227,67 @@ ORDER BY o, c, src
 """
 
 
+def q159_image_header_probe(sf_dir: str):
+    """Container-header metadata extraction without pixel decode
+    (stages/multimodal.py:probe_image_header): each document gets a
+    REAL minimal PNG whose IHDR dimensions derive from its text length;
+    the probe parses the bytes back and aggregates (width-bucket, n,
+    sum_pixels) — if the parser mis-read a single header the sums
+    diverge.  Streaming, shuffle-free until the bounded-bucket fold.
+    Oracle: the same dims computed arithmetically from length(text)."""
+    import struct
+    import zlib as _z
+
+    from ..stages.multimodal import image_header_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_png(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ln = df["text"].str.len().fillna(0).astype("int64")
+        w = (ln % 64) + 1
+        h = (ln % 37) + 2
+        payloads = []
+        for wi, hi in zip(w, h):
+            ihdr = struct.pack(">II", int(wi), int(hi)) + bytes(
+                [8, 2, 0, 0, 0])
+            payloads.append(
+                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                + b"IHDR" + ihdr
+                + struct.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "payload": payloads})
+
+    probed = image_header_stats(
+        docs.map_batches(make_png, batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["bucket"] = (df["width"] % 8).astype("int64")
+        return (df.groupby("bucket")
+                .agg(n=("pixels", "size"), sum_pixels=("pixels", "sum"))
+                .reset_index())
+
+    agg = (probed.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").sum(["n", "sum_pixels"]).to_pandas())
+    agg = agg.rename(columns={"sum(n)": "n",
+                              "sum(sum_pixels)": "sum_pixels"})
+    for c in ("bucket", "n", "sum_pixels"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("bucket").reset_index(drop=True)
+
+
+Q159_SQL = """
+WITH d AS (
+  SELECT (length(text) % 64) + 1 AS w, (length(text) % 37) + 2 AS h
+  FROM documents
+)
+SELECT CAST(w % 8 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(w * h) AS BIGINT) AS sum_pixels
+FROM d GROUP BY 1 ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7416,4 +7477,5 @@ QUERIES: dict[str, tuple] = {
     "q157_disjointness_check": (q157_disjointness_check, Q157_SQL),
     "q158_named_graph_provenance": (q158_named_graph_provenance,
                                     Q158_SQL),
+    "q159_image_header_probe": (q159_image_header_probe, Q159_SQL),
 }

@@ -19,6 +19,7 @@ import hashlib
 import struct
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -576,3 +577,100 @@ def raw_video_frames(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# container-header metadata extraction (no decode)
+
+def probe_image_header(payload: bytes) -> dict:
+    """Extract (format, width, height, channels) from an image
+    container HEADER without decoding pixel data — the metadata pass a
+    100 TB media ingest runs before deciding what to decode at all.
+    Pure-stdlib parsers for the self-describing containers:
+
+    - PNG: IHDR chunk (width/height big-endian u32 at fixed offsets,
+      color type -> channel count) — public PNG spec.
+    - JPEG/JFIF: scan marker segments for the first SOF0-SOF15 frame
+      header (precision u8, height u16, width u16, components u8) —
+      public JPEG spec; entropy data is never touched.
+    - PNM (P5/P6): existing decode_pnm header rule, reused.
+
+    Unknown/truncated payloads return format="unknown" with -1 dims
+    (rows are kept; the error surfaces in the column, never a drop)."""
+    bad = {"format": "unknown", "width": -1, "height": -1,
+           "channels": -1}
+    if payload is None or len(payload) < 8:
+        return bad
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 33 or payload[12:16] != b"IHDR":
+            return bad
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, -1)
+        return {"format": "png", "width": w, "height": h,
+                "channels": channels}
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return bad
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > n:
+                return bad
+            seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                if i + 9 > n:
+                    return bad
+                h = int.from_bytes(payload[i + 5:i + 7], "big")
+                w = int.from_bytes(payload[i + 7:i + 9], "big")
+                comps = payload[i + 9]
+                return {"format": "jpeg", "width": w, "height": h,
+                        "channels": comps}
+            if marker == 0xDA:  # start of scan: no SOF seen before it
+                return bad
+            i += 2 + seglen
+        return bad
+    if payload[:2] in (b"P5", b"P6"):
+        try:
+            vals, _ = _pnm_header_tokens(payload, 3, 2)
+            return {"format": "pnm", "width": vals[0],
+                    "height": vals[1],
+                    "channels": 3 if payload[:2] == b"P6" else 1}
+        except Exception:
+            return bad
+    return bad
+
+
+def image_header_stats(
+    docs,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+):
+    """Per-row header metadata as a streaming vectorized-per-batch
+    pass: (id, format, width, height, channels, pixels).  No pixel
+    decode, no shuffle — the pre-filter stage ahead of any decode
+    actor pool."""
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        metas = [probe_image_header(v) for v in df[payload_col]]
+        out = pd.DataFrame({
+            id_col: df[id_col],
+            "format": [m["format"] for m in metas],
+            "width": np.array([m["width"] for m in metas], "int64"),
+            "height": np.array([m["height"] for m in metas], "int64"),
+            "channels": np.array([m["channels"] for m in metas],
+                                 "int64"),
+        })
+        out["pixels"] = np.where(
+            (out["width"] > 0) & (out["height"] > 0),
+            out["width"] * out["height"], np.int64(-1))
+        return out
+
+    return docs.map_batches(probe, batch_format="pyarrow")

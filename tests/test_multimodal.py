@@ -294,3 +294,58 @@ def test_pnm_decode_and_stage_routing(ray_session):
     assert out.loc["raw", "decode_status"] == "ok"
     assert np.asarray(out.loc["raw", "feature"])[:3].tolist() == [7, 7, 7]
     assert out.loc["bad", "decode_status"].startswith("decode_error")
+
+
+def test_probe_image_header_png_jpeg_pnm_and_garbage():
+    import struct
+    import zlib as _z
+
+    import ray.data as _rd
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        image_header_stats, probe_image_header,
+    )
+
+    # minimal PNG: signature + IHDR (120x80 RGBA)
+    ihdr = struct.pack(">II", 120, 80) + bytes([8, 6, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+    m = probe_image_header(png)
+    assert m == {"format": "png", "width": 120, "height": 80,
+                 "channels": 4}
+
+    # minimal JPEG: SOI + APP0 + DQT + SOF0 (64x48, 3 comps)
+    sof = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 48, 64) + b"\x03"
+           + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x00" * 64
+            + sof + b"\xff\xda" + struct.pack(">H", 2))
+    m2 = probe_image_header(jpeg)
+    assert m2 == {"format": "jpeg", "width": 64, "height": 48,
+                  "channels": 3}
+
+    # PNM P6 reuses the decode header rule
+    m3 = probe_image_header(b"P6\n3 2\n255\n" + b"\x00" * 18)
+    assert (m3["format"], m3["width"], m3["height"]) == ("pnm", 3, 2)
+
+    # garbage and truncation keep rows with unknown format
+    assert probe_image_header(b"nope")["format"] == "unknown"
+    assert probe_image_header(png[:20])["format"] == "unknown"
+    assert probe_image_header(b"\xff\xd8\xff\xda\x00\x02")["format"] \
+        == "unknown"
+
+    # dataset-level pass
+    ds = _rd.from_items([
+        {"doc_id": "a", "payload": png},
+        {"doc_id": "b", "payload": jpeg},
+        {"doc_id": "c", "payload": b"junk"},
+    ])
+    out = image_header_stats(ds).to_pandas()
+    got = {r.doc_id: (r.format, r.width, r.height, r.pixels)
+           for r in out.itertuples()}
+    assert got == {"a": ("png", 120, 80, 9600),
+                   "b": ("jpeg", 64, 48, 3072),
+                   "c": ("unknown", -1, -1, -1)}
