@@ -118,6 +118,65 @@ def _apply_values(ds: ray.data.Dataset, values: pd.DataFrame,
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def _predicate_histogram(triples: ray.data.Dataset,
+                         p_col: str) -> tuple[dict, int]:
+    """One cheap stats pass: triple count per constant predicate
+    (per-batch value_counts partials, driver merge over the bounded
+    predicate vocabulary) — the selectivity estimate reorder uses."""
+    parts = triples.map_batches(
+        lambda b: b.to_pandas()[p_col].value_counts()
+        .rename_axis("p").rename("n").reset_index(),
+        batch_format="pyarrow").to_pandas()
+    if "p" not in parts.columns:
+        return {}, 0
+    agg = parts.groupby("p")["n"].sum()
+    return dict(agg), int(agg.sum())
+
+
+def _reorder_by_stats(patterns: list[tuple], hist: dict,
+                      total: int, big_first: bool = False) -> list[tuple]:
+    """Greedy selectivity order: estimated leg size = predicate count
+    (whole store for variable predicates), divided by a constant factor
+    per bound subject/object/graph term; start with the smallest, then
+    repeatedly take the smallest leg sharing a variable with what's
+    bound so far (connectivity preserved — a reorder that would create
+    a cross join falls back to leaving that pattern for later)."""
+    def est(pattern):
+        s, p, o = pattern[:3]
+        base = total
+        if isinstance(p, str) and not _is_var(p):
+            pb = p[1:] if p.startswith("^") else p
+            pb = pb[:-1] if pb.endswith("+") else pb
+            alts = pb.split("|")
+            base = sum(hist.get(a, 0) for a in alts)
+        bound = sum(1 for t in (pattern[:1] + pattern[2:])
+                    if not _is_var(t))
+        return base / (50.0 ** bound)
+
+    remaining = sorted(range(len(patterns)),
+                       key=lambda i: (est(patterns[i]), i))
+    order: list[int] = []
+    seen: set = set()
+    if big_first and remaining:  # broadcast: the first leg streams
+        pick = max(remaining, key=lambda i: (est(patterns[i]), -i))
+        order.append(pick)
+        remaining.remove(pick)
+        seen |= _pattern_vars(patterns[pick])
+    while remaining:  # greedy smallest-connected-first
+        pick = None
+        for i in remaining:
+            v = _pattern_vars(patterns[i])
+            if not order or not v or (v & seen):
+                pick = i
+                break
+        if pick is None:  # nothing connects: keep estimate order
+            pick = remaining[0]
+        order.append(pick)
+        remaining.remove(pick)
+        seen |= _pattern_vars(patterns[pick])
+    return [patterns[i] for i in order]
+
+
 def _expand_sequences(patterns: list[tuple]) -> list[tuple]:
     """Rewrite sequence paths: (s, "p1/p2", o) becomes two chained
     patterns through a fresh internal variable (?__seqN).  Internal
@@ -161,6 +220,7 @@ def match_bgp(
     materialize_input: bool = True,
     pattern_sources: dict | None = None,
     final_distinct: bool = True,
+    reorder: str = "off",
 ) -> ray.data.Dataset:
     """Match `patterns` (list of (s, p, o) with `?var` strings for
     variables) against the triple dataset; returns the distinct variable
@@ -227,7 +287,16 @@ def match_bgp(
     a `?var` (binds the graph — provenance queries), or be omitted
     (matches any graph; the graph does NOT join the binding identity,
     so cross-graph duplicates collapse).  Transitive paths accept only
-    constant graph terms (hops may not cross graphs)."""
+    constant graph terms (hops may not cross graphs).
+
+    `reorder="stats"` — cost-based pattern ordering: ONE cheap
+    predicate-histogram pass over the store estimates each required
+    leg's size (constant terms tighten the estimate), then patterns
+    greedily order smallest-connected-first (hash fold) or
+    largest-first-then-smallest-connected (broadcast fold: the first
+    leg is the one that streams).  Results are order-invariant
+    (pinned by test); `pattern_sources` disables it (semi-naive's
+    delta rotation owns the order there)."""
     from .joins import coalesce_for_join
 
     if not patterns:
@@ -247,6 +316,12 @@ def match_bgp(
             "sequence paths cannot be combined with pattern_sources "
             "(expansion renumbers pattern indices)")
     patterns = _expand_sequences(patterns)
+    if reorder not in ("off", "stats"):
+        raise ValueError(f"unknown reorder {reorder!r}")
+    if reorder == "stats" and pattern_sources:
+        raise ValueError(
+            "reorder cannot be combined with pattern_sources "
+            "(reordering renumbers pattern indices)")
     if num_partitions is None:
         try:
             num_partitions = max(
@@ -260,6 +335,12 @@ def match_bgp(
         # every pattern scans the store; iterative callers that already
         # hold a materialized store (saturate) opt out to save the copy
         triples = triples.materialize()
+
+    if reorder == "stats" and len(patterns) > 1:
+        hist, total = _predicate_histogram(triples, p_col)
+        patterns = _reorder_by_stats(
+            patterns, hist, total,
+            big_first=(join_strategy == "broadcast"))
 
     def leg(pattern: tuple,
             alt: ray.data.Dataset | None = None,

@@ -420,3 +420,47 @@ def test_named_graph_broadcast_matches_hash():
         hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
         bv = sorted(map(tuple, b[cols].to_numpy().tolist()))
         assert hv == bv, patterns
+
+
+def test_reorder_stats_is_result_invariant():
+    # lopsided store: 'knows' dominates, 'is_admin' is rare — the
+    # optimizer should not change WHAT comes back, only the plan
+    rows = ([{"s": i % 9 + 1, "p": "knows", "o": (i * 3) % 9 + 1}
+             for i in range(60)]
+            + [{"s": 1, "p": "is_admin", "o": 1},
+               {"s": 2, "p": "is_admin", "o": 1}])
+    patterns = [("?x", "knows", "?y"), ("?x", "is_admin", 1)]
+    base = match_bgp(rd.from_items(rows), patterns,
+                     num_partitions=2).to_pandas()
+    for strategy in ("hash", "broadcast"):
+        opt = match_bgp(rd.from_items(rows), patterns,
+                        num_partitions=2, join_strategy=strategy,
+                        reorder="stats").to_pandas()
+        cols = sorted(base.columns)
+        assert sorted(opt.columns) == cols, strategy
+        bv = sorted(map(tuple, base[cols].to_numpy().tolist()))
+        ov = sorted(map(tuple, opt[cols].to_numpy().tolist()))
+        assert bv == ov, strategy
+    with pytest.raises(ValueError, match="unknown reorder"):
+        match_bgp(rd.from_items(rows), patterns, reorder="magic",
+                  num_partitions=2)
+
+
+def test_reorder_by_stats_unit():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        _reorder_by_stats,
+    )
+    hist = {"big": 1000, "small": 3}
+    pats = [("?a", "big", "?b"), ("?b", "small", "?c")]
+    # hash: smallest first
+    assert _reorder_by_stats(pats, hist, 1003)[0][1] == "small"
+    # broadcast: largest first (it streams)
+    assert _reorder_by_stats(pats, hist, 1003,
+                             big_first=True)[0][1] == "big"
+    # connectivity wins over raw size: a disconnected-smaller pattern
+    # must not jump ahead of a connected one
+    pats2 = [("?a", "big", "?b"), ("?x", "small", "?y"),
+             ("?b", "big", "?x")]
+    got = _reorder_by_stats(pats2, hist, 2003)
+    assert got[0][1] == "small"          # smallest starts
+    assert got[1] == ("?b", "big", "?x")  # shares ?x with it
