@@ -7288,6 +7288,76 @@ FROM d GROUP BY 1 ORDER BY bucket
 """
 
 
+def q160_turtle_ingest(sf_dir: str):
+    """Turtle ingest (sources/turtle.py): the supplier KG serializes to
+    prefixed .ttl part files (one per block: @prefix declarations,
+    ';'/',' continuation lists, typed acctbal literals), is re-read
+    with the per-file Turtle parser, and aggregates per (predicate,
+    object kind) — prefix resolution and continuation parsing verified
+    against the relational counts.  Oracle: straight SQL."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.turtle import read_turtle
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey", "s_acctbal"])
+    out_dir = _os.path.join(
+        "/tmp", "gliner_ttl_" + _hl.md5(sf_dir.encode()).hexdigest()[:12])
+    if _os.path.isdir(out_dir):
+        _sh.rmtree(out_dir)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def write_ttl(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"path": pd.Series(dtype=object)})
+        lines = ["@prefix ex: <http://ex/> .",
+                 "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."]
+        for k, nk, bal in zip(df["s_suppkey"].astype("int64"),
+                              df["s_nationkey"].astype("int64"),
+                              (df["s_acctbal"] * 100).round()
+                              .astype("int64")):
+            lines.append(
+                f"ex:sup{k} ex:in_nation ex:nation{nk} ;\n"
+                f"    ex:acctbal_cents \"{bal}\"^^xsd:integer .")
+        payload = "\n".join(lines) + "\n"
+        name = ("part-"
+                + _hl.md5(payload.encode()).hexdigest()[:16] + ".ttl")
+        path = _os.path.join(out_dir, name)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return pd.DataFrame({"path": [path]})
+
+    sup.map_batches(write_ttl, batch_format="pyarrow").materialize()
+    files = sorted(_os.path.join(out_dir, f)
+                   for f in _os.listdir(out_dir) if f.endswith(".ttl"))
+    back = read_turtle(files)
+
+    counts = (back.map_batches(
+        lambda b: b.to_pandas()[lambda d: d["error"].isna()]
+        .groupby(["p", "o_kind"]).size().rename("n").reset_index(),
+        batch_format="pyarrow")
+        .groupby(["p", "o_kind"]).sum("n").to_pandas())
+    counts = counts.rename(columns={"sum(n)": "n"})
+    counts["p"] = counts["p"].astype(str)
+    counts["o_kind"] = counts["o_kind"].astype(str)
+    counts["n"] = counts["n"].astype("int64")
+    return counts.sort_values(["p", "o_kind"]).reset_index(drop=True)
+
+
+Q160_SQL = """
+WITH t AS (
+  SELECT 'http://ex/in_nation' AS p, 'iri' AS o_kind FROM supplier
+  UNION ALL
+  SELECT 'http://ex/acctbal_cents', 'literal' FROM supplier
+)
+SELECT p, o_kind, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY p, o_kind ORDER BY p, o_kind
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7478,4 +7548,5 @@ QUERIES: dict[str, tuple] = {
     "q158_named_graph_provenance": (q158_named_graph_provenance,
                                     Q158_SQL),
     "q159_image_header_probe": (q159_image_header_probe, Q159_SQL),
+    "q160_turtle_ingest": (q160_turtle_ingest, Q160_SQL),
 }
