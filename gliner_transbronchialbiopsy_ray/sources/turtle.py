@@ -202,3 +202,93 @@ def read_turtle(paths) -> ray.data.Dataset:
         return pd.DataFrame(out)[cols].astype(object)
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def _compress(iri: str, prefixes: dict) -> str:
+    """Longest-prefix compression to prefixed-name form; falls back to
+    <iri>.  Locals containing Turtle-significant characters stay
+    uncompressed (the reader would mis-tokenize them)."""
+    best = None
+    for pre, ns in prefixes.items():
+        if iri.startswith(ns) and (best is None
+                                   or len(ns) > len(prefixes[best])):
+            best = pre
+    if best is not None:
+        local = iri[len(prefixes[best]):]
+        if re.fullmatch(r"[\w.%-]*", local):
+            return f"{best}:{local}"
+    return f"<{iri}>"
+
+
+def write_turtle(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    prefixes: dict | None = None,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    o_kind_col: str | None = "o_kind",
+) -> pd.DataFrame:
+    """Serialize to `part-<contenthash>.ttl` files, one per non-empty
+    block: @prefix header, subject-grouped `;` continuation lists,
+    IRIs compressed through `prefixes` (longest match).  Objects
+    serialize by `o_kind` (iri default; literals escaped with optional
+    o_datatype/o_lang columns).  Returns the (path, rows) manifest."""
+    import hashlib
+    import os
+
+    from .ntriples import _escape
+
+    os.makedirs(out_dir, exist_ok=True)
+    pfx = dict(prefixes or {})
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "rows": pd.Series(dtype="int64")})
+        df = batch.to_pandas()
+        kinds = (df[o_kind_col] if o_kind_col
+                 and o_kind_col in df.columns
+                 else pd.Series("iri", index=df.index))
+        dts = (df["o_datatype"] if "o_datatype" in df.columns
+               else pd.Series(None, index=df.index, dtype=object))
+        langs = (df["o_lang"] if "o_lang" in df.columns
+                 else pd.Series(None, index=df.index, dtype=object))
+
+        def oterm(o, k, dt, lang):
+            if k == "literal":
+                t = f'"{_escape(str(o))}"'
+                if isinstance(dt, str) and dt:
+                    t += f"^^{_compress(dt, pfx)}"
+                elif isinstance(lang, str) and lang:
+                    t += f"@{lang}"
+                return t
+            if k == "bnode" or str(o).startswith("_:"):
+                return str(o)
+            return _compress(str(o), pfx)
+
+        lines = [f"@prefix {p}: <{ns}> ." for p, ns in pfx.items()]
+        n_rows = 0
+        order = df.assign(_k=kinds.to_numpy(), _dt=dts.to_numpy(),
+                          _lang=langs.to_numpy())
+        for subj, grp in order.groupby(s_col, sort=True):
+            st = (str(subj) if str(subj).startswith("_:")
+                  else _compress(str(subj), pfx))
+            parts = []
+            for pv, ov, kv, dtv, lv in zip(grp[p_col], grp[o_col],
+                                           grp["_k"], grp["_dt"],
+                                           grp["_lang"]):
+                parts.append(f"{_compress(str(pv), pfx)} "
+                             f"{oterm(ov, kv, dtv, lv)}")
+                n_rows += 1
+            lines.append(f"{st} " + " ;\n    ".join(parts) + " .")
+        payload = "\n".join(lines) + "\n"
+        name = ("part-"
+                + hashlib.md5(payload.encode()).hexdigest()[:16]
+                + ".ttl")
+        path = os.path.join(out_dir, name)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return pd.DataFrame({"path": [path], "rows": [n_rows]})
+
+    return ds.map_batches(emit, batch_format="pyarrow").to_pandas()

@@ -72,3 +72,45 @@ def test_read_turtle_dataset(tmp_path):
     assert len(out) == 9
     assert set(out["o_kind"]) == {"iri", "bnode", "literal"}
     assert (out["path"] == out["path"].iloc[0]).all()
+
+
+def test_write_turtle_roundtrip(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.sources.turtle import (
+        write_turtle,
+    )
+
+    rows = [
+        {"s": "http://ex/a", "p": "http://ex/knows",
+         "o": "http://ex/b", "o_kind": "iri",
+         "o_datatype": None, "o_lang": None},
+        {"s": "http://ex/a", "p": "http://ex/name",
+         "o": 'weird "q"\nline', "o_kind": "literal",
+         "o_datatype": None, "o_lang": None},
+        {"s": "http://ex/a", "p": "http://ex/age", "o": "42",
+         "o_kind": "literal",
+         "o_datatype": "http://www.w3.org/2001/XMLSchema#integer",
+         "o_lang": None},
+        {"s": "_:n1", "p": "http://ex/label", "o": "salut",
+         "o_kind": "literal", "o_datatype": None, "o_lang": "fr"},
+        {"s": "http://other/x", "p": "http://ex/knows",
+         "o": "http://ex/a", "o_kind": "iri",
+         "o_datatype": None, "o_lang": None},  # uncompressible subject
+    ]
+    out_dir = os.path.join(str(tmp_path), "ttl")
+    manifest = write_turtle(
+        rd.from_items(rows), out_dir,
+        prefixes={"ex": "http://ex/",
+                  "xsd": "http://www.w3.org/2001/XMLSchema#"})
+    assert manifest["rows"].sum() == 5
+    files = sorted(os.path.join(out_dir, f)
+                   for f in os.listdir(out_dir) if f.endswith(".ttl"))
+    back = read_turtle(files).to_pandas()
+    assert back["error"].isna().all()
+    key = ["s", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    orig = pd.DataFrame(rows)[key].fillna("-")
+    got = back[key].fillna("-")
+    assert (sorted(map(tuple, orig.to_numpy()))
+            == sorted(map(tuple, got.to_numpy())))
