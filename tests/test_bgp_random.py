@@ -41,17 +41,20 @@ def _rand_graph(rng) -> pd.DataFrame:
 
 
 def _rand_patterns(rng):
-    """2-3 patterns chained through shared variables."""
+    """2-3 patterns chained through shared variables; a constant-object
+    pattern binds nothing new, so the chain continues from the last
+    BOUND variable."""
     k = int(rng.integers(2, 4))
     pats = [("?x0", str(rng.choice(["a", "b", "c"])), "?x1")]
-    for i in range(1, k):
-        prev = f"?x{i}"
-        nxt = f"?x{i + 1}"
+    last = 1
+    for _ in range(1, k):
+        prev = f"?x{last}"
         pred = str(rng.choice(["a", "b", "c"]))
         if rng.random() < 0.3:  # constant object sometimes
             pats.append((prev, pred, int(rng.integers(1, 7))))
         else:
-            pats.append((prev, pred, nxt))
+            last += 1
+            pats.append((prev, pred, f"?x{last}"))
     return pats
 
 
@@ -78,3 +81,54 @@ def test_random_graphs_match_reference():
             assert gv == rv, (trial, strategy, patterns)
             checked += 1
     assert checked >= 8  # at least half the trials had matches
+
+
+def _ref_minus(acc: pd.DataFrame, df: pd.DataFrame,
+               pattern) -> pd.DataFrame:
+    leg = df.copy()
+    proj = {}
+    for term, col in zip(pattern, ("s", "p", "o")):
+        if isinstance(term, str) and term.startswith("?"):
+            proj[col] = term[1:]
+        else:
+            leg = leg[leg[col] == term]
+    leg = leg[list(proj)].rename(columns=proj).drop_duplicates()
+    shared = [c for c in leg.columns if c in acc.columns]
+    m = acc.merge(leg[shared].drop_duplicates(), on=shared,
+                  how="left", indicator=True)
+    return (m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+            .reset_index(drop=True))
+
+
+def test_random_filter_minus_match_reference():
+    rng = np.random.default_rng(20260819)
+    checked = 0
+    for trial in range(6):
+        df = _rand_graph(rng)
+        patterns = _rand_patterns(rng)
+        filters = [("x1", str(rng.choice([">=", "<", "!="])),
+                    int(rng.integers(1, 7)))]
+        minus = [("?x0", str(rng.choice(["a", "b", "c"])),
+                  int(rng.integers(1, 7)))]
+        ref = _ref_bgp(df, patterns)
+        if len(ref) == 0:
+            continue
+        op = {">=": lambda a, b: a >= b, "<": lambda a, b: a < b,
+              "!=": lambda a, b: a != b}[filters[0][1]]
+        ref = ref[op(ref["x1"], filters[0][2])].reset_index(drop=True)
+        ref = _ref_minus(ref, df, minus[0])
+        for strategy in ("hash", "broadcast"):
+            got = match_bgp(rd.from_pandas(df), patterns,
+                            filters=filters, minus=minus,
+                            num_partitions=2,
+                            join_strategy=strategy).to_pandas()
+            cols = sorted(ref.columns)
+            if len(ref) == 0:
+                assert len(got) == 0, (trial, strategy)
+                continue
+            gv = sorted(map(tuple, got[cols].to_numpy().tolist()))
+            rv = sorted(map(tuple, ref[cols].astype("int64")
+                            .to_numpy().tolist()))
+            assert gv == rv, (trial, strategy, patterns, filters)
+            checked += 1
+    assert checked >= 3
