@@ -7358,6 +7358,50 @@ FROM t GROUP BY p, o_kind ORDER BY p, o_kind
 """
 
 
+def q161_inverseof_entailment(sf_dir: str):
+    """owl:inverseOf entailment as a PURE rule — no new operator:
+    (?p inverse_of ?q) ^ (?x ?p ?y) => (?y ?q ?x) swaps subject and
+    object through a variable head (ships_to declared inverse of
+    serves); apply_rule materializes the inverse edges.  Broadcast
+    fold, full store streaming first (predicate joins never shuffle).
+    Oracle: the swapped projection."""
+    from ..stages.bgp import apply_rule
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    onto = ray.data.from_items([
+        {"s": "ships_to", "p": "inverse_of", "o": "serves"},
+    ])
+    store = (triplify_tables([
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("ships_to",
+                                    node("nation", "c_nationkey"))])),
+    ]).union(onto)).materialize()
+
+    derived = apply_rule(
+        store,
+        body=[("?x", "?pp", "?y"), ("?pp", "inverse_of", "?qq")],
+        head=("?y", "?qq", "?x"),
+        cast_nodes=False, join_strategy="broadcast",
+        materialize_input=False)
+
+    def serves(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "serves"))
+        return pa.table({"nation": t.column("s"),
+                         "cust": t.column("o")})
+
+    out = derived.map_batches(serves, batch_format="pyarrow").to_pandas()
+    out = out.astype(str)
+    return out.sort_values(["nation", "cust"]).reset_index(drop=True)
+
+
+Q161_SQL = """
+SELECT DISTINCT 'nation:' || c_nationkey AS nation,
+       'cust:' || c_custkey AS cust
+FROM customer ORDER BY nation, cust
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7549,4 +7593,5 @@ QUERIES: dict[str, tuple] = {
                                     Q158_SQL),
     "q159_image_header_probe": (q159_image_header_probe, Q159_SQL),
     "q160_turtle_ingest": (q160_turtle_ingest, Q160_SQL),
+    "q161_inverseof_entailment": (q161_inverseof_entailment, Q161_SQL),
 }
