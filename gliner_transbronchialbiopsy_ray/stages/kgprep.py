@@ -76,6 +76,8 @@ def encode_relations(
                 {"rel": b.column(p_col).cast(pa.string())}),
             batch_format="pyarrow"),
         ["rel"]).to_pandas()
+    if "rel" not in uniq.columns:  # empty store: column-less frame
+        uniq = pd.DataFrame({"rel": pd.Series(dtype=object)})
     uniq = uniq.sort_values("rel", kind="stable").reset_index(drop=True)
     uniq["id"] = pd.RangeIndex(len(uniq)).astype("int64")
     return uniq
