@@ -7402,6 +7402,56 @@ FROM customer ORDER BY nation, cust
 """
 
 
+def q162_path_quantifiers(sf_dir: str):
+    """SPARQL path quantifiers `*` (zero-or-more) and `?` (zero-or-one)
+    over the sampled-customer order-succession chains — the zero-length
+    path (SPARQL 1.1 ZeroLengthPath) unioned with the bounded closure
+    (`*`, max 3 hops) or the direct edges (`?`).  With both endpoints
+    variable the zero-length component pairs every TERM of the scoped
+    store with itself.  One result set, `quant` marks the operator.
+    Oracle: terms-self-paired UNION depth-guarded recursive CTE."""
+    from ..stages.bgp import match_bgp
+
+    triples = _succession_edge_triples(sf_dir).materialize()
+    star = match_bgp(triples, [("?a", "next_order*", "?b")],
+                     max_hops=3).to_pandas()
+    star["quant"] = "*"
+    opt = match_bgp(triples, [("?a", "next_order?", "?b")]).to_pandas()
+    opt["quant"] = "?"
+    out = pd.concat([star, opt], ignore_index=True)
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return (out[["quant", "a", "b"]]
+            .sort_values(["quant", "a", "b"]).reset_index(drop=True))
+
+
+Q162_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders WHERE o_custkey % 20 = 0
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+terms AS (SELECT a AS t FROM e UNION SELECT b FROM e),
+rr(a, b, d) AS (
+  SELECT a, b, 1 FROM e
+  UNION
+  SELECT rr.a, e.b, rr.d + 1 FROM rr JOIN e ON e.a = rr.b WHERE rr.d < 3
+)
+SELECT quant, a, b FROM (
+  SELECT '*' AS quant, t AS a, t AS b FROM terms
+  UNION
+  SELECT '*' AS quant, a, b FROM rr
+  UNION
+  SELECT '?' AS quant, t AS a, t AS b FROM terms
+  UNION
+  SELECT '?' AS quant, a, b FROM e
+)
+ORDER BY quant, a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7594,4 +7644,5 @@ QUERIES: dict[str, tuple] = {
     "q159_image_header_probe": (q159_image_header_probe, Q159_SQL),
     "q160_turtle_ingest": (q160_turtle_ingest, Q160_SQL),
     "q161_inverseof_entailment": (q161_inverseof_entailment, Q161_SQL),
+    "q162_path_quantifiers": (q162_path_quantifiers, Q162_SQL),
 }

@@ -52,6 +52,9 @@ def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
                 .drop_columns(["count()"]))
 
     e = dd(edges).materialize()
+    if e.count() == 0:
+        return e  # empty edge set: joining empty blocks trips the
+        # ArrowInvalid FieldRef quirk — nothing to close anyway
     acc = e
     frontier = e
     for _ in range(max_hops - 1):
@@ -70,6 +73,45 @@ def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
             break
         acc = acc.union(frontier)
     return dd(acc).materialize()
+
+
+def _distinct_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (_ta, _tb) pairs: local pandas dedup (normalizes any
+    arrow/pandas block mix from a union) + one grouped fold."""
+    local = ds.map_batches(
+        lambda b: b.to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+    return (local.groupby(["_ta", "_tb"]).count()
+            .drop_columns(["count()"]))
+
+
+def _zero_length_pairs(src: ray.data.Dataset, s, o, g,
+                       s_col: str, o_col: str, g_col: str | None,
+                       cast_nodes: bool) -> ray.data.Dataset | None:
+    """The zero-length component of `p*` / `p?` paths (SPARQL 1.1
+    ZeroLengthPath): a constant endpoint matches ITSELF; two variables
+    match every graph TERM (any subject or object in the scoped store)
+    paired with itself; two constants match iff they are equal.
+    Returns None when the zero-length set is empty."""
+    if not _is_var(s) and not _is_var(o):
+        if s == o:
+            return ray.data.from_items([{"_ta": s, "_tb": s}])
+        return None
+    if _is_var(s) and _is_var(o):
+        def nodes(batch: pa.Table) -> pd.DataFrame:
+            t = batch
+            if g is not None:
+                t = t.filter(pc.equal(t.column(g_col), g))
+            a, b = t.column(s_col), t.column(o_col)
+            if cast_nodes:
+                a, b = a.cast(pa.int64()), b.cast(pa.int64())
+            n = pd.concat([a.to_pandas(), b.to_pandas()],
+                          ignore_index=True).drop_duplicates()
+            return pd.DataFrame({"_ta": n, "_tb": n})
+
+        return src.map_batches(nodes, batch_format="pyarrow")
+    c = s if not _is_var(s) else o
+    return ray.data.from_items([{"_ta": c, "_tb": c}])
 
 
 _FILTER_OPS = {
@@ -146,7 +188,7 @@ def _reorder_by_stats(patterns: list[tuple], hist: dict,
         base = total
         if isinstance(p, str) and not _is_var(p):
             pb = p[1:] if p.startswith("^") else p
-            pb = pb[:-1] if pb.endswith("+") else pb
+            pb = pb[:-1] if pb[-1:] in ("+", "*", "?") else pb
             alts = pb.split("|")
             base = sum(hist.get(a, 0) for a in alts)
         bound = sum(1 for t in (pattern[:1] + pattern[2:])
@@ -366,23 +408,27 @@ def match_bgp(
         inverse = (isinstance(p, str) and not _is_var(p)
                    and p.startswith("^"))
         pbase = p[1:] if inverse else p
-        transitive = (isinstance(pbase, str) and not _is_var(pbase)
-                      and pbase.endswith("+"))
+        quant = None  # path quantifier: + (one-or-more), * (zero-or-
+        # more), ? (zero-or-one)
+        if (isinstance(pbase, str) and not _is_var(pbase)
+                and pbase[-1:] in ("+", "*", "?")):
+            quant = pbase[-1]
         alts = None
         if (isinstance(pbase, str) and not _is_var(pbase)
-                and not transitive and "|" in pbase):
+                and quant is None and "|" in pbase):
             alts = pbase.split("|")
-        if transitive:
+        if quant is not None:
             base = pbase[:-1]
             if "|" in base:
                 raise ValueError(
                     f"pattern {pattern}: alternatives inside a "
-                    "transitive path are unsupported")
+                    "path quantifier are unsupported")
             if _is_var(g):
                 raise ValueError(
                     f"pattern {pattern}: a graph VARIABLE on a "
-                    "transitive path is unsupported (hops may cross "
-                    "graphs); use a constant graph term")
+                    "quantified path is unsupported (hops and the "
+                    "zero-length path have no single provenance); use "
+                    "a constant graph term")
 
             def edge_proj(batch: pa.Table) -> pa.Table:
                 cond = pc.equal(batch.column(p_col), base)
@@ -397,9 +443,20 @@ def match_bgp(
                     ta, tb = ta.cast(pa.int64()), tb.cast(pa.int64())
                 return pa.table({"_ta": ta, "_tb": tb})
 
-            source = _bounded_closure(
-                src.map_batches(edge_proj, batch_format="pyarrow"),
-                max_hops, num_partitions)
+            edges = src.map_batches(edge_proj, batch_format="pyarrow")
+            if quant == "+":
+                source = _bounded_closure(edges, max_hops,
+                                          num_partitions)
+            else:
+                # * / ?: the reachable pairs (bounded closure for *,
+                # the direct edges for ?) UNION the zero-length path
+                pairs = (edges if quant == "?" else _bounded_closure(
+                    edges, max_hops, num_partitions))
+                zero = _zero_length_pairs(src, s, o, g, s_col, o_col,
+                                          g_col, cast_nodes)
+                if zero is not None:
+                    pairs = pairs.union(zero)
+                source = _distinct_pairs(pairs).materialize()
             sc, oc, pred_col, gc = "_ta", "_tb", None, None
         else:
             source, sc, oc, pred_col = src, s_col, o_col, p_col
@@ -918,6 +975,10 @@ def _atom_cannot_match(atom: tuple, preds: set) -> bool:
     round 2 on, the delta only contains rule-HEAD predicates)."""
     p = atom[1]
     if _is_var(p):
+        return False
+    if p.endswith("*") or p.endswith("?"):
+        # zero-length component matches ANY delta regardless of its
+        # predicates — never prunable
         return False
     base = p[:-1] if p.endswith("+") else p
     return base not in preds

@@ -156,12 +156,62 @@ def test_sequence_path_expands_and_hides_intermediate():
                   minus=[("?y", "knows/likes", "?z")], num_partitions=2)
 
 
+def test_zero_or_more_path():
+    # chain 1->2->3->4: `next*` = zero-length pairs UNION bounded closure
+    rows = [{"s": a, "p": "next", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4)]]
+    out = match_bgp(rd.from_items(rows), [(1, "next*", "?y")],
+                    max_hops=2, num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [1, 2, 3]  # self + <=2 hops
+    # var-var: every term self-paired plus all reachable pairs
+    out2 = match_bgp(rd.from_items(rows), [("?x", "next*", "?y")],
+                     max_hops=8, num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out2[["x", "y"]].to_numpy()))
+    selfp = [(n, n) for n in (1, 2, 3, 4)]
+    hops = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert got == sorted(selfp + hops)
+    # constant-constant existence gate: zero-length matches iff equal
+    assert match_bgp(rd.from_items(rows), [("?x", "next", "?y"),
+                                           (9, "next*", 9)],
+                     num_partitions=2).count() == 3
+    assert match_bgp(rd.from_items(rows), [("?x", "next", "?y"),
+                                           (9, "next*", 5)],
+                     num_partitions=2).count() == 0
+
+
+def test_zero_or_one_path():
+    rows = [{"s": a, "p": "next", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4)]]
+    out = match_bgp(rd.from_items(rows), [(1, "next?", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [1, 2]  # self + the direct edge only
+    out2 = match_bgp(rd.from_items(rows), [("?x", "next?", "?y")],
+                     num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out2[["x", "y"]].to_numpy()))
+    assert got == sorted([(n, n) for n in (1, 2, 3, 4)]
+                         + [(1, 2), (2, 3), (3, 4)])
+
+
+def test_zero_length_path_scoped_by_constant_graph():
+    rows = [
+        {"s": 1, "p": "knows", "o": 2, "g": "g1"},
+        {"s": 3, "p": "knows", "o": 4, "g": "g2"},
+    ]
+    # var-var zero-length pairs come only from terms IN graph g2
+    out = match_bgp(rd.from_items(rows), [("?x", "likes*", "?y", "g2")],
+                    g_col="g", num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(3, 3), (4, 4)]  # no likes edges; g1 terms excluded
+
+
 def test_path_operators_broadcast_matches_hash():
     for patterns in [
         [("?y", "^knows", "?x")],
         [("?x", "likes|is_admin", "?v")],
         [("?x", "knows/likes", "?z")],
         [("?x", "knows/^knows", "?z")],
+        [("?x", "knows*", "?z")],
+        [(1, "knows?", "?z")],
     ]:
         h = match_bgp(_ds(), patterns, num_partitions=2).to_pandas()
         b = match_bgp(_ds(), patterns, num_partitions=2,
@@ -393,7 +443,7 @@ def test_named_graph_cross_graph_join_and_errors():
     with pytest.raises(ValueError, match="g_col"):
         match_bgp(_qds(), [("?x", "knows", "?y", "g1")],
                   num_partitions=2)
-    with pytest.raises(ValueError, match="transitive"):
+    with pytest.raises(ValueError, match="quantified"):
         match_bgp(_qds(), [(1, "knows+", "?y", "?src")], g_col="g",
                   num_partitions=2)
     # constant graph DOES scope a transitive path
