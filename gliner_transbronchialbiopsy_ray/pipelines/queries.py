@@ -7452,6 +7452,60 @@ ORDER BY quant, a, b
 """
 
 
+def q163_characteristic_sets(sf_dir: str):
+    """RDF characteristic sets (stages/kgprep.py:characteristic_sets,
+    Neumann & Moerkotte ICDE 2011): subjects grouped by their exact
+    distinct-predicate set — the KG shape/cardinality statistic query
+    optimizers build on.  Store: orders with two unconditional
+    predicates (placed_by, has_status) and two row-filter-guarded flags
+    (is_urgent, is_big), so four characteristic sets emerge.  One
+    subject-bucket exchange; driver merge bounded by the number of
+    distinct sets.  Oracle: string_agg(DISTINCT ... ORDER BY) per
+    subject, then grouped counts."""
+    from ..stages.kgprep import characteristic_sets
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority", "o_totalprice"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey")),
+            ("has_status", col("o_orderstatus")),
+            ("is_urgent", const(1),
+             row_filter("o_orderpriority", "==", "1-URGENT")),
+            ("is_big", const(1),
+             row_filter("o_totalprice", ">", 150000.0)),
+        ])),
+    ])
+    return characteristic_sets(store)
+
+
+Q163_SQL = """
+WITH t AS (
+  SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p FROM orders
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'has_status' FROM orders
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'is_urgent' FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'is_big' FROM orders
+  WHERE o_totalprice > 150000
+),
+per_s AS (
+  SELECT s, string_agg(DISTINCT p, ',' ORDER BY p) AS charset,
+         count(*) AS nt
+  FROM t GROUP BY s
+)
+SELECT charset, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples
+FROM per_s GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7645,4 +7699,5 @@ QUERIES: dict[str, tuple] = {
     "q160_turtle_ingest": (q160_turtle_ingest, Q160_SQL),
     "q161_inverseof_entailment": (q161_inverseof_entailment, Q161_SQL),
     "q162_path_quantifiers": (q162_path_quantifiers, Q162_SQL),
+    "q163_characteristic_sets": (q163_characteristic_sets, Q163_SQL),
 }

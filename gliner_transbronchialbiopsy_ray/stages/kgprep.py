@@ -311,3 +311,54 @@ def encode_triples(
             "r": b.column("r").cast(pa.int64()),
             "t": b.column("t").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def characteristic_sets(
+    triples: ray.data.Dataset,
+    s_col: str = "s",
+    p_col: str = "p",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """RDF structure summarization via CHARACTERISTIC SETS (Neumann &
+    Moerkotte, ICDE 2011): group subjects by their exact set of distinct
+    predicates; per set report how many subjects share it and how many
+    triples it covers — the standard KG cardinality/shape statistic.
+
+    Plan: project (s, p), ONE subject-hash-bucket exchange (coarse
+    buckets, never keyed on the skewed predicate), per bucket a
+    vectorized pandas pass builds each subject's sorted-distinct
+    predicate string + triple count and pre-aggregates to per-bucket
+    (charset, n_subjects, n_triples) partials; the driver merge is
+    bounded by the number of DISTINCT characteristic sets (a schema
+    property, not a corpus property).  Returns a driver frame sorted
+    by charset."""
+    from .window import hash_bucketed_map_groups
+
+    proj = triples.map_batches(
+        lambda b: pa.table({
+            "s": b.column(s_col).cast(pa.string()),
+            "p": b.column(p_col).cast(pa.string())}),
+        batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nt = g.groupby("s").size().rename("nt")
+        dd = g.drop_duplicates().sort_values(["s", "p"], kind="stable")
+        cs = dd.groupby("s")["p"].agg(",".join).rename("charset")
+        per_s = pd.concat([cs, nt], axis=1)
+        out = (per_s.groupby("charset")
+               .agg(n_subjects=("nt", "size"), n_triples=("nt", "sum"))
+               .reset_index())
+        return out
+
+    partials = hash_bucketed_map_groups(
+        proj, "s", per_bucket, n_buckets=n_buckets).to_pandas()
+    if "charset" not in partials.columns:
+        return pd.DataFrame({"charset": pd.Series(dtype=object),
+                             "n_subjects": pd.Series(dtype="int64"),
+                             "n_triples": pd.Series(dtype="int64")})
+    out = (partials.groupby("charset")[["n_subjects", "n_triples"]]
+           .sum().reset_index())
+    out["n_subjects"] = out["n_subjects"].astype("int64")
+    out["n_triples"] = out["n_triples"].astype("int64")
+    return (out.sort_values("charset", kind="stable")
+            .reset_index(drop=True))

@@ -106,3 +106,34 @@ def test_link_prediction_split_filtered_invariant():
     k = ["h", "r", "t", "split"]
     assert (sorted(map(tuple, split[k].to_numpy()))
             == sorted(map(tuple, split2[k].to_numpy())))
+
+
+def test_characteristic_sets_groups_by_predicate_set():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        characteristic_sets,
+    )
+    rows = [
+        {"s": "a", "p": "name", "o": "x"},
+        {"s": "a", "p": "age", "o": "1"},
+        {"s": "b", "p": "age", "o": "2"},
+        {"s": "b", "p": "name", "o": "y"},
+        {"s": "b", "p": "name", "o": "z"},   # duplicate pred: one set
+        {"s": "c", "p": "name", "o": "w"},
+    ]
+    out = characteristic_sets(rd.from_items(rows))
+    got = {r.charset: (r.n_subjects, r.n_triples)
+           for r in out.itertuples()}
+    # a and b share {age,name} (b has 3 triples); c is {name} alone
+    assert got == {"age,name": (2, 5), "name": (1, 1)}
+    assert list(out["charset"]) == sorted(out["charset"])
+
+
+def test_characteristic_sets_empty_input():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        characteristic_sets,
+    )
+    empty = rd.from_items([{"s": "a", "p": "q", "o": "x"}]).filter(
+        lambda r: False)
+    out = characteristic_sets(empty)
+    assert len(out) == 0
+    assert list(out.columns) == ["charset", "n_subjects", "n_triples"]
