@@ -7506,6 +7506,56 @@ FROM per_s GROUP BY 1 ORDER BY 1
 """
 
 
+def q164_transitive_property(sf_dir: str):
+    """owl:TransitiveProperty entailment driven by an in-store ontology
+    declaration (stages/bgp.py:entail_transitive, OWL 2 RL prp-trp):
+    located_in (customer -> nation -> region) is DECLARED transitive, so
+    its bounded closure materializes customer->region triples; the
+    undeclared serves predicate (supplier -> nation) must pass through
+    un-entailed — the rule fires per declaration, not per predicate.
+    Oracle: recursive CTE over the located_in edges only."""
+    from ..stages.bgp import entail_transitive
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    onto = ray.data.from_items([
+        {"s": "located_in", "p": "a", "o": "TransitiveProperty"},
+    ])
+    store = (triplify_tables([
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[("located_in",
+                                    node("nation", "c_nationkey"))])),
+        (nation, TripleMap(subject=node("nation", "n_nationkey"),
+                           mappings=[("located_in",
+                                      node("region", "n_regionkey"))])),
+        (supp, TripleMap(subject=node("supp", "s_suppkey"),
+                         mappings=[("serves",
+                                    node("nation", "s_nationkey"))])),
+    ]).union(onto)).materialize()
+
+    out = entail_transitive(store, max_hops=4).to_pandas()
+    out = out.astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q164_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'cust:' || c_custkey AS s, 'nation:' || c_nationkey AS o
+  FROM customer
+  UNION ALL
+  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+),
+rr(s, o) AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT rr.s, e.o FROM rr JOIN e ON e.s = rr.o
+)
+SELECT s, 'located_in' AS p, o FROM rr ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7700,4 +7750,5 @@ QUERIES: dict[str, tuple] = {
     "q161_inverseof_entailment": (q161_inverseof_entailment, Q161_SQL),
     "q162_path_quantifiers": (q162_path_quantifiers, Q162_SQL),
     "q163_characteristic_sets": (q163_characteristic_sets, Q163_SQL),
+    "q164_transitive_property": (q164_transitive_property, Q164_SQL),
 }

@@ -1094,3 +1094,71 @@ def saturate_incremental(
     return _saturate_semi_naive(new_triples, rules, max_rounds,
                                 num_partitions, match_kwargs,
                                 base_store=saturated_store)
+
+
+def entail_transitive(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    type_obj: str = "TransitiveProperty",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_hops: int = 8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """owl:TransitiveProperty entailment driven by ONTOLOGY DECLARATIONS
+    in the store itself: every predicate q declared transitive by a
+    (q, type_pred, type_obj) triple gets its bounded transitive closure
+    materialized as triples (s, q, o) in store layout — the
+    prp-trp rule of the OWL 2 RL profile, with the hop cap as the
+    recursion contract (same as `p+` paths).
+
+    The declaration set is collected to the driver (ontology vocabularies
+    are bounded); each declared predicate's edges run the shared
+    `_bounded_closure` (per hop one native join + distinct fold).
+    Returns the closure triples ONLY (1..max_hops, so the direct edges
+    reappear); callers union with the store and distinct-fold, or feed
+    a downstream match.  Node dtype passes through untouched."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    decl = store.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b.column(p_col).cast(pa.string()), type_pred),
+            pc.equal(b.column(o_col).cast(pa.string()), type_obj),
+        )).select([s_col]),
+        batch_format="pyarrow").take_all()
+    preds = sorted({str(r[s_col]) for r in decl})
+
+    out = None
+    for q in preds:
+        def edge_proj(batch: pa.Table, _q=q) -> pa.Table:
+            t = batch.filter(
+                pc.equal(batch.column(p_col).cast(pa.string()), _q))
+            return pa.table({"_ta": t.column(s_col),
+                             "_tb": t.column(o_col)})
+
+        closure = _bounded_closure(
+            store.map_batches(edge_proj, batch_format="pyarrow"),
+            max_hops, num_partitions)
+
+        def to_triples(b: pa.Table, _q=q) -> pd.DataFrame:
+            df = b.to_pandas()
+            return pd.DataFrame({s_col: df["_ta"],
+                                 p_col: _q,
+                                 o_col: df["_tb"]})
+
+        part = closure.map_batches(to_triples, batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    if out is None:
+        # no declared transitive predicates: empty TYPED store-layout
+        # table (an empty pandas frame drops its schema through Ray)
+        return ray.data.from_arrow(pa.table({
+            s_col: pa.array([], type=pa.string()),
+            p_col: pa.array([], type=pa.string()),
+            o_col: pa.array([], type=pa.string())}))
+    return out

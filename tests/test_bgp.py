@@ -514,3 +514,53 @@ def test_reorder_by_stats_unit():
     got = _reorder_by_stats(pats2, hist, 2003)
     assert got[0][1] == "small"          # smallest starts
     assert got[1] == ("?b", "big", "?x")  # shares ?x with it
+
+
+def test_entail_transitive_declaration_driven():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        entail_transitive,
+    )
+    rows = [
+        {"s": "a", "p": "part_of", "o": "b"},
+        {"s": "b", "p": "part_of", "o": "c"},
+        {"s": "x", "p": "serves", "o": "y"},
+        {"s": "y", "p": "serves", "o": "z"},
+        {"s": "part_of", "p": "a", "o": "TransitiveProperty"},
+    ]
+    out = entail_transitive(rd.from_items(rows),
+                            num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    # only the DECLARED predicate closes; serves is untouched
+    assert got == [("a", "part_of", "b"), ("a", "part_of", "c"),
+                   ("b", "part_of", "c")]
+    # no declarations at all -> empty dataset, store-layout SCHEMA
+    # intact (Ray's to_pandas drops columns on empty datasets — check
+    # the Dataset schema, which is what downstream unions consume)
+    out2 = entail_transitive(rd.from_items(rows[:4]),
+                             num_partitions=2)
+    assert out2.count() == 0
+    assert out2.schema().names == ["s", "p", "o"]
+
+
+def test_entail_transitive_hop_cap_and_multi_decl():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        entail_transitive,
+    )
+    chain = [{"s": f"n{i}", "p": "next", "o": f"n{i+1}"}
+             for i in range(4)]
+    rows = chain + [
+        {"s": "p", "p": "anc", "o": "q"},
+        {"s": "q", "p": "anc", "o": "r"},
+        {"s": "next", "p": "a", "o": "TransitiveProperty"},
+        {"s": "anc", "p": "a", "o": "TransitiveProperty"},
+    ]
+    out = entail_transitive(rd.from_items(rows), max_hops=2,
+                            num_partitions=2).to_pandas()
+    nxt = out[out["p"] == "next"]
+    anc = out[out["p"] == "anc"]
+    # hop cap bounds the closure: pairs at distance <= 2 only
+    assert sorted(map(tuple, nxt[["s", "o"]].to_numpy())) == [
+        ("n0", "n1"), ("n0", "n2"), ("n1", "n2"), ("n1", "n3"),
+        ("n2", "n3"), ("n2", "n4"), ("n3", "n4")]
+    assert sorted(map(tuple, anc[["s", "o"]].to_numpy())) == [
+        ("p", "q"), ("p", "r"), ("q", "r")]
