@@ -7556,6 +7556,83 @@ SELECT s, 'located_in' AS p, o FROM rr ORDER BY s, p, o
 """
 
 
+def q165_bgp_union(sf_dir: str):
+    """SPARQL `{A} UNION {B}` (stages/bgp.py:match_bgp_union): branch A
+    binds every order with its customer, branch B binds finished
+    ('F'-status) orders with the customer variable UNBOUND — branch
+    results align to the union of variables (unbound -> null) and fold
+    through one coarse-bucket distinct exchange.  Unbound padded as '-'
+    for the dtype-sensitive oracle hash.  Oracle: SQL UNION with a '-'
+    literal in the unbound column."""
+    from ..stages.bgp import match_bgp_union
+    from ..stages.triplify import TripleMap, col, node, triplify_tables
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey")),
+            ("has_status", col("o_orderstatus")),
+        ])),
+    ])
+    out = match_bgp_union(store, [
+        [("?o", "placed_by", "?c")],
+        [("?o", "has_status", "F")],
+    ], cast_nodes=False).to_pandas()
+    out["c"] = out["c"].fillna("-").astype(str)
+    out["o"] = out["o"].astype(str)
+    return (out[["c", "o"]].sort_values(["o", "c"])
+            .reset_index(drop=True))
+
+
+Q165_SQL = """
+SELECT c, o FROM (
+  SELECT 'cust:' || o_custkey AS c, 'order:' || o_orderkey AS o
+  FROM orders
+  UNION
+  SELECT '-', 'order:' || o_orderkey FROM orders
+  WHERE o_orderstatus = 'F'
+)
+ORDER BY o, c
+"""
+
+
+def q166_bgp_bind(sf_dir: str):
+    """SPARQL BIND (stages/bgp.py:bind_bindings): extend the
+    order-succession bindings (?a next_order ?b) with computed
+    variables — the key gap b - a and a chained reference gap * 3 —
+    in one row-local vectorized pass (no shuffle; deterministic
+    functions of bound columns preserve distinctness).  Oracle: the
+    same arithmetic over the lead()-built chain."""
+    from ..stages.bgp import bind_bindings, match_bgp
+
+    triples = _succession_edge_triples(sf_dir)
+    base = match_bgp(triples, [("?a", "next_order", "?b")])
+    out = bind_bindings(base, [
+        ("gap", "-", "b", "a"),
+        ("gap3", "*", "gap", 3),
+    ]).to_pandas()
+    for c in ("a", "b", "gap", "gap3"):
+        out[c] = out[c].astype("int64")
+    return (out[["a", "b", "gap", "gap3"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+Q166_SQL = """
+WITH nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders WHERE o_custkey % 20 = 0
+)
+SELECT a, b, CAST(b - a AS BIGINT) AS gap,
+       CAST((b - a) * 3 AS BIGINT) AS gap3
+FROM nxt WHERE b IS NOT NULL
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7751,4 +7828,6 @@ QUERIES: dict[str, tuple] = {
     "q162_path_quantifiers": (q162_path_quantifiers, Q162_SQL),
     "q163_characteristic_sets": (q163_characteristic_sets, Q163_SQL),
     "q164_transitive_property": (q164_transitive_property, Q164_SQL),
+    "q165_bgp_union": (q165_bgp_union, Q165_SQL),
+    "q166_bgp_bind": (q166_bgp_bind, Q166_SQL),
 }

@@ -1162,3 +1162,123 @@ def entail_transitive(
             p_col: pa.array([], type=pa.string()),
             o_col: pa.array([], type=pa.string())}))
     return out
+
+
+def match_bgp_union(
+    triples: ray.data.Dataset,
+    groups: list,
+    num_partitions: int | None = None,
+    n_buckets: int = 32,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL `{A} UNION {B}` over pattern groups: each element of
+    `groups` is a pattern list or a dict of per-branch match_bgp kwargs
+    (patterns/optional/filters/minus/values).  Branches evaluate
+    independently over ONE materialized store; results align to the
+    union of all variables (a variable unbound in a branch comes back
+    null, object dtype) and fold through one coarse-bucket distinct
+    exchange — SPARQL SELECT DISTINCT across branches, with
+    unbound == unbound (two branches emitting the same bound values and
+    the same unbound columns collapse to one row).
+
+    Scale shape: |branches| independent BGP plans + ONE bucketed dedup
+    exchange.  Branch outputs are evenly re-blocked before the union —
+    match_bgp's final fold emits empty/odd blocks that destabilize a
+    second groupby exchange (the q127 Sort-estimate quirk)."""
+    import zlib
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+    store = triples.materialize()
+    branches = []
+    for grp in groups:
+        kw = dict(grp) if isinstance(grp, dict) else {"patterns": grp}
+        pats = kw.pop("patterns")
+        branches.append(match_bgp(
+            store, pats, num_partitions=num_partitions,
+            materialize_input=False, **{**match_kwargs, **kw}))
+
+    all_vars = sorted({c for b in branches for c in b.schema().names})
+
+    def pad(df: pd.DataFrame, _cols=tuple(all_vars)) -> pd.DataFrame:
+        for c in _cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[list(_cols)]
+
+    padded = [coalesce_for_join(
+        b.map_batches(lambda t, _p=pad: _p(t.to_pandas()),
+                      batch_format="pyarrow"),
+        num_partitions) for b in branches]
+    u = padded[0]
+    for b in padded[1:]:
+        u = u.union(b)
+
+    def tag(batch: pa.Table, _cols=tuple(all_vars),
+            _n=n_buckets) -> pd.DataFrame:
+        df = batch.to_pandas()
+        key = None
+        for c in _cols:
+            s = df[c].astype(str)
+            key = s if key is None else key + "|" + s
+        df["_bucket"] = key.map(
+            lambda k: zlib.crc32(k.encode()) % _n).astype("int32")
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_bucket"]).drop_duplicates()
+
+    return (u.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(dedup, batch_format="pandas"))
+
+
+_BIND_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "//": lambda a, b: a // b,
+}
+
+
+def bind_bindings(
+    bindings: ray.data.Dataset,
+    bind: list[tuple],
+) -> ray.data.Dataset:
+    """SPARQL BIND (AS): extend a binding set with computed variables —
+    each (new_var, op, a, b) adds `new_var = a <op> b` where a/b are
+    bound variable names or numeric literals; later binds may reference
+    earlier ones.  Purely row-local (one vectorized map pass, no
+    shuffle); a deterministic function of bound columns preserves
+    distinctness, so this composes after match_bgp / match_bgp_union
+    without re-deduplication.  `//` floors like Python — the DuckDB
+    oracle divergence on NEGATIVE numerators (SQL truncates toward
+    zero) is the caller's contract to avoid, as with the ppm queries."""
+    ops = dict(_BIND_OPS)
+    for new_var, op, _, _ in bind:
+        if op not in ops:
+            raise ValueError(f"unknown BIND op {op!r}")
+
+    def f(batch: pa.Table, _bind=tuple(bind)) -> pd.DataFrame:
+        df = batch.to_pandas()
+        for new_var, op, a, b in _bind:
+            av = df[a] if isinstance(a, str) else a
+            bv = df[b] if isinstance(b, str) else b
+            df[new_var] = ops[op](av, bv)
+        return df
+
+    for _, _, a, b in bind:
+        for t in (a, b):
+            if isinstance(t, str) and t not in (
+                    bindings.schema().names):
+                # allow refs to vars created by EARLIER bind entries
+                if t not in [nv for nv, *_ in bind]:
+                    raise ValueError(
+                        f"BIND references unbound variable {t!r}")
+    return bindings.map_batches(f, batch_format="pyarrow")

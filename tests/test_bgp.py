@@ -564,3 +564,62 @@ def test_entail_transitive_hop_cap_and_multi_decl():
         ("n2", "n3"), ("n2", "n4"), ("n3", "n4")]
     assert sorted(map(tuple, anc[["s", "o"]].to_numpy())) == [
         ("p", "q"), ("p", "r"), ("q", "r")]
+
+
+def test_union_dedups_across_same_var_branches():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp_union
+    # both branches bind (?x ?y); (1,3) matches both -> one row
+    out = match_bgp_union(_ds(), [
+        [("?x", "knows", "?y")],
+        [("?x", "knows", 3), ("?x", "knows", "?y")],
+    ], num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "y"]].to_numpy()))
+    assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_union_pads_disjoint_vars_with_null():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp_union
+    out = match_bgp_union(_ds(), [
+        [("?x", "knows", "?y")],
+        [("?x", "likes", 9)],
+    ], num_partitions=2).to_pandas()
+    assert sorted(out.columns) == ["x", "y"]
+    with_y = out[out["y"].notna()]
+    no_y = out[out["y"].isna()]
+    assert sorted(map(tuple, with_y[["x", "y"]].to_numpy())) == [
+        (1, 2), (1, 3), (2, 3)]
+    assert sorted(no_y["x"]) == [2]  # only 2 likes 9; y unbound
+
+
+def test_union_branch_kwargs_and_unbound_identity():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp_union
+    # per-branch FILTER dict; two branches emitting the SAME row with
+    # the same unbound column collapse (unbound == unbound)
+    out = match_bgp_union(_ds(), [
+        {"patterns": [("?x", "knows", "?y")],
+         "filters": [("y", ">=", 3)]},
+        [("?x", "likes", 9)],
+        [("?x", "likes", "?z")],   # also binds z for x=2
+    ], num_partitions=2).to_pandas()
+    # branch 2 (x=2, y/z null) and branch 3 (x=2, z=9, y null) differ
+    rows = sorted(map(tuple, out.fillna(-1)[["x", "y", "z"]]
+                      .to_numpy().tolist()))
+    assert rows == [(1, 3, -1), (2, -1, -1), (2, -1, 9), (2, 3, -1)]
+
+
+def test_bind_computed_vars_and_validation():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        bind_bindings, match_bgp,
+    )
+    base = match_bgp(_ds(), [("?x", "knows", "?y")], num_partitions=2)
+    out = bind_bindings(base, [
+        ("sum", "+", "x", "y"),
+        ("double_sum", "*", "sum", 2),   # chained ref to earlier bind
+    ]).to_pandas()
+    got = sorted(map(tuple, out[["x", "y", "sum", "double_sum"]]
+                     .to_numpy()))
+    assert got == [(1, 2, 3, 6), (1, 3, 4, 8), (2, 3, 5, 10)]
+    with pytest.raises(ValueError, match="unbound"):
+        bind_bindings(base, [("q", "+", "nope", 1)])
+    with pytest.raises(ValueError, match="BIND op"):
+        bind_bindings(base, [("q", "**", "x", 2)])
