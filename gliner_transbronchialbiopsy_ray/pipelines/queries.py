@@ -7633,6 +7633,61 @@ ORDER BY a, b
 """
 
 
+def q167_clustering_coefficients(sf_dir: str):
+    """Local clustering coefficients over the part co-purchase KG (the
+    q115 graph: part pairs sharing >= 2 orders) — per node its degree,
+    triangle count and cc_ppm = floor(1e6 * 2T / (d(d-1))) in exact
+    integer arithmetic (stages/graph.py:clustering_coefficients; the
+    degree stream unions onto the triangle stream's node-bucket
+    exchange, join-free).  Oracle: the q115 triangle CTE left-joined to
+    an endpoint-count degree fold."""
+    from ..stages.graph import clustering_coefficients, cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    out = clustering_coefficients(edges, src="a", dst="b").to_pandas()
+    for c in ("node", "degree", "triangles", "cc_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out[["node", "degree", "triangles", "cc_ppm"]]
+            .sort_values("node").reset_index(drop=True))
+
+
+Q167_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+tri AS (
+  SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+  FROM e e1
+  JOIN e e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+  JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcount AS (SELECT node, count(*) AS t FROM corners GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+  ) GROUP BY node
+)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tcount.t, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.d >= 2
+            THEN (2000000 * COALESCE(tcount.t, 0))
+                 // (deg.d * (deg.d - 1))
+            ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+ORDER BY deg.node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7830,4 +7885,6 @@ QUERIES: dict[str, tuple] = {
     "q164_transitive_property": (q164_transitive_property, Q164_SQL),
     "q165_bgp_union": (q165_bgp_union, Q165_SQL),
     "q166_bgp_bind": (q166_bgp_bind, Q166_SQL),
+    "q167_clustering_coefficients": (q167_clustering_coefficients,
+                                     Q167_SQL),
 }

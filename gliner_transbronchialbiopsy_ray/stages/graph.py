@@ -1026,3 +1026,69 @@ def k_core_peel(
             break
     return degrees(e).map_batches(
         lambda b: b.select(["node", "deg"]), batch_format="pyarrow")
+
+
+def clustering_coefficients(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_partitions: int | None = None,
+    order: str = "id",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Local clustering coefficient per node over an undirected a < b
+    edge set, as EXACT integer ppm so the SQL oracle agrees bit-for-bit:
+    cc_ppm = floor(1e6 * 2*T(v) / (d(v) * (d(v)-1))) for degree >= 2,
+    else 0 (numerator non-negative, so floor == SQL truncation).
+
+    Plan: the triangle stream (`triangle_counts`, wedge-gen + one
+    two-key native join) and a per-batch degree-partial stream union
+    onto ONE node-bucketed exchange and fold in-bucket — the q126
+    join-free feature-assembly shape, no extra join for the degree
+    attach.  Both streams are evenly re-blocked before the union:
+    map_groups-produced blocks feeding a second groupby exchange trip
+    the Sort-estimate stall (q127 quirk)."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    edges = edges.materialize()  # two consumers: triangles + degrees
+    tri = triangle_counts(edges, src, dst, num_partitions, order)
+
+    def tri_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"node": df["node"].astype("int64"),
+                            "t": df["triangles"].astype("int64")})
+        out["d"] = np.int64(0)
+        return _tag_int_bucket(out, "node", n_buckets)
+
+    def deg_rows(batch: pa.Table) -> pd.DataFrame:
+        both = np.concatenate([batch.column(src).to_numpy(),
+                               batch.column(dst).to_numpy()])
+        node, cnt = np.unique(both.astype("int64"), return_counts=True)
+        out = pd.DataFrame({"node": node,
+                            "t": np.zeros(len(node), "int64"),
+                            "d": cnt.astype("int64")})
+        return _tag_int_bucket(out, "node", n_buckets)
+
+    u = coalesce_for_join(
+        tri.map_batches(tri_rows, batch_format="pyarrow"),
+        num_partitions,
+    ).union(coalesce_for_join(
+        edges.map_batches(deg_rows, batch_format="pyarrow"),
+        num_partitions))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("node", sort=False)[["t", "d"]].sum()
+               .reset_index())
+        d = agg["d"].to_numpy("int64")
+        t = agg["t"].to_numpy("int64")
+        denom = d * (d - 1)
+        cc = np.where(denom > 0,
+                      (2_000_000 * t) // np.maximum(denom, 1),
+                      np.int64(0))
+        return pd.DataFrame({"node": agg["node"].to_numpy("int64"),
+                             "degree": d, "triangles": t,
+                             "cc_ppm": cc.astype("int64")})
+
+    return (u.groupby("_bucket").map_groups(fold, batch_format="pandas"))

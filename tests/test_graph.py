@@ -247,3 +247,35 @@ def test_k_core_peel_extracts_core_and_empties():
     # k=4 peels everything away within the round budget
     ds2 = rd.from_items([{"a": a, "b": b} for a, b in edges])
     assert len(k_core_peel(ds2, k=4, rounds=3).to_pandas()) == 0
+
+
+def test_clustering_coefficients_exact_small_graph():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        clustering_coefficients,
+    )
+    # triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1.0, cc(3)=1/3, cc(4)=0
+    edges = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 2, "b": 3},
+        {"a": 3, "b": 4},
+    ])
+    out = clustering_coefficients(edges, num_partitions=2).to_pandas()
+    got = {int(r.node): (int(r.degree), int(r.triangles), int(r.cc_ppm))
+           for r in out.itertuples()}
+    assert got == {1: (2, 1, 1_000_000), 2: (2, 1, 1_000_000),
+                   3: (3, 1, 333_333), 4: (1, 0, 0)}
+
+
+def test_clustering_coefficients_order_invariant():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        clustering_coefficients,
+    )
+    edges = [{"a": i, "b": j} for i in range(1, 8)
+             for j in range(i + 1, 8) if (i * 7 + j) % 3 != 0]
+    a = clustering_coefficients(
+        rd.from_items(edges), num_partitions=2, order="id").to_pandas()
+    b = clustering_coefficients(
+        rd.from_items(edges), num_partitions=2,
+        order="degree").to_pandas()
+    k = ["node", "degree", "triangles", "cc_ppm"]
+    assert (sorted(map(tuple, a[k].to_numpy()))
+            == sorted(map(tuple, b[k].to_numpy())))
