@@ -7688,6 +7688,56 @@ ORDER BY deg.node
 """
 
 
+def q168_shacl_extended(sf_dir: str):
+    """SHACL sh:datatype and sh:lessThan constraint kinds
+    (stages/shacl.py): P-status orders carry a `prio` string that must
+    lexically parse as integer (all violate — the planted-violation
+    set), cust_ref must be numerically < key_ref per node (violations
+    where o_custkey >= o_orderkey), and an all-conforming integer check
+    contributes nothing.  Same single subject-bucket exchange as q144.
+    Oracle: the two violation predicates as plain SQL filters."""
+    from ..stages.shacl import Shape, validate_shapes
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("type", const("Order")),
+            ("cust_ref", col("o_custkey")),
+            ("key_ref", col("o_orderkey")),
+            ("prio", col("o_orderpriority"),
+             row_filter("o_orderstatus", "==", "P")),
+        ])),
+    ])
+    out = validate_shapes(store, [Shape("OrderShape", "Order", [
+        ("datatype", "prio", "integer"),
+        ("less_than", "cust_ref", "key_ref"),
+        ("datatype", "cust_ref", "integer"),   # conforms: no rows
+    ])]).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q168_SQL = """
+SELECT * FROM (
+  SELECT 'order:' || o_orderkey AS node, 'OrderShape' AS shape,
+         'datatype' AS "constraint", 'prio' AS pred,
+         o_orderpriority AS detail
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'OrderShape', 'less_than', 'cust_ref',
+         CAST(o_custkey AS VARCHAR)
+  FROM orders WHERE o_custkey >= o_orderkey
+)
+ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7887,4 +7937,5 @@ QUERIES: dict[str, tuple] = {
     "q166_bgp_bind": (q166_bgp_bind, Q166_SQL),
     "q167_clustering_coefficients": (q167_clustering_coefficients,
                                      Q167_SQL),
+    "q168_shacl_extended": (q168_shacl_extended, Q168_SQL),
 }

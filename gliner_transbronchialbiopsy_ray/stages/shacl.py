@@ -25,6 +25,14 @@ Constraints (all tuples, mirroring the declarative TripleMap style):
     ("in_set", pred, values) — every object of pred in the enum
     ("pattern", pred, regex) — every object of pred matches (strings)
     ("class_ref", pred, cls) — every object of pred is typed cls
+    ("datatype", pred, dt)   — every object of pred lexically parses as
+                               dt in {"integer", "decimal", "date"}
+                               (sh:datatype for the common XSD types)
+    ("less_than", pred, p2)  — every NUMERIC value of pred is < every
+                               numeric value of p2 on the same node
+                               (sh:lessThan; nodes lacking either
+                               property conform; an unparseable value
+                               on either side is itself a violation)
 """
 
 from __future__ import annotations
@@ -38,7 +46,14 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref"}
+_KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref",
+          "datatype", "less_than"}
+
+_DATATYPE_RX = {
+    "integer": r"[+-]?\d+",
+    "decimal": r"[+-]?\d+(\.\d+)?",
+    "date": r"\d{4}-\d{2}-\d{2}",
+}
 
 
 @dataclass
@@ -55,6 +70,10 @@ class Shape:
                 raise ValueError(f"unknown constraint kind {c[0]!r}")
             if c[0] in ("min_count", "max_count") and int(c[2]) < 0:
                 raise ValueError(f"{c[0]} must be >= 0")
+            if c[0] == "datatype" and c[2] not in _DATATYPE_RX:
+                raise ValueError(
+                    f"unknown datatype {c[2]!r}; known: "
+                    f"{sorted(_DATATYPE_RX)}")
 
 
 def validate_shapes(
@@ -167,6 +186,47 @@ def validate_shapes(
                             "node": bad["s"].astype(str),
                             "shape": name, "constraint": kind,
                             "pred": pred, "detail": bad["o"]}))
+                elif kind == "datatype":
+                    rx = re.compile(_DATATYPE_RX[c[2]])
+                    ok = rows["o"].astype(str).str.fullmatch(rx)
+                    bad = rows[~ok.fillna(False)] if len(rows) else rows
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+                elif kind == "less_than":
+                    other = mine[mine["p"] == str(c[2])]
+                    if not (len(rows) and len(other)):
+                        continue
+                    a = rows.assign(
+                        _v=pd.to_numeric(rows["o"], errors="coerce"))
+                    b = other.assign(
+                        _v=pd.to_numeric(other["o"], errors="coerce"))
+                    for side in (a, b):
+                        nn = side[side["_v"].isna()]
+                        if len(nn):
+                            out.append(pd.DataFrame({
+                                "node": nn["s"].astype(str),
+                                "shape": name, "constraint": kind,
+                                "pred": pred, "detail": nn["o"]}))
+                    # max(pred) must be < min(other) per node; detail is
+                    # the offending max value's ORIGINAL lexical form
+                    amax = (a.dropna(subset=["_v"])
+                            .sort_values(["s", "_v"], kind="stable")
+                            .groupby("s").last())
+                    bmin = (b.dropna(subset=["_v"])
+                            .sort_values(["s", "_v"], kind="stable")
+                            .groupby("s").first())
+                    both = amax.join(bmin, how="inner",
+                                     lsuffix="_a", rsuffix="_b")
+                    badlt = both[both["_v_a"] >= both["_v_b"]]
+                    if len(badlt):
+                        out.append(pd.DataFrame({
+                            "node": badlt.index.astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred,
+                            "detail": badlt["o_a"].astype(str)}))
         if not out:
             return empty_out()
         res = pd.concat(out, ignore_index=True).drop_duplicates()

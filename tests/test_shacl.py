@@ -88,3 +88,56 @@ def test_bucketing_invariant_to_n_buckets():
     key = ["node", "shape", "constraint", "pred", "detail"]
     assert (sorted(map(tuple, a[key].to_numpy()))
             == sorted(map(tuple, b[key].to_numpy())))
+
+
+def test_datatype_constraint_kinds():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes,
+    )
+    rows = [
+        {"s": "a", "p": "type", "o": "T"},
+        {"s": "a", "p": "n", "o": "42"},
+        {"s": "a", "p": "d", "o": "3.14"},
+        {"s": "a", "p": "when", "o": "2024-01-31"},
+        {"s": "b", "p": "type", "o": "T"},
+        {"s": "b", "p": "n", "o": "4.5"},          # not an integer
+        {"s": "b", "p": "d", "o": "abc"},          # not a decimal
+        {"s": "b", "p": "when", "o": "31/01/2024"},  # not ISO date
+    ]
+    out = validate_shapes(rd.from_items(rows), [Shape("S", "T", [
+        ("datatype", "n", "integer"),
+        ("datatype", "d", "decimal"),
+        ("datatype", "when", "date"),
+    ])]).to_pandas()
+    got = sorted(map(tuple,
+                     out[["node", "pred", "detail"]].to_numpy()))
+    assert got == [("b", "d", "abc"), ("b", "n", "4.5"),
+                   ("b", "when", "31/01/2024")]
+    with pytest.raises(ValueError, match="unknown datatype"):
+        validate_shapes(rd.from_items(rows), [Shape("S", "T", [
+            ("datatype", "n", "float128")])])
+
+
+def test_less_than_constraint():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes,
+    )
+    rows = [
+        {"s": "a", "p": "type", "o": "T"},
+        {"s": "a", "p": "lo", "o": "3"},
+        {"s": "a", "p": "hi", "o": "10"},     # 3 < 10: conforms
+        {"s": "b", "p": "type", "o": "T"},
+        {"s": "b", "p": "lo", "o": "7"},
+        {"s": "b", "p": "lo", "o": "12"},     # max(lo)=12 >= min(hi)=9
+        {"s": "b", "p": "hi", "o": "9"},
+        {"s": "c", "p": "type", "o": "T"},
+        {"s": "c", "p": "lo", "o": "5"},      # no hi: conforms
+        {"s": "d", "p": "type", "o": "T"},
+        {"s": "d", "p": "lo", "o": "oops"},   # unparseable: violation
+        {"s": "d", "p": "hi", "o": "1"},
+    ]
+    out = validate_shapes(rd.from_items(rows), [Shape("S", "T", [
+        ("less_than", "lo", "hi"),
+    ])]).to_pandas()
+    got = sorted(map(tuple, out[["node", "detail"]].to_numpy()))
+    assert got == [("b", "12"), ("d", "oops")]
