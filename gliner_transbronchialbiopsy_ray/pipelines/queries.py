@@ -7738,6 +7738,48 @@ ORDER BY node, shape, "constraint", pred, detail
 """
 
 
+def q169_negated_property_set(sf_dir: str):
+    """SPARQL negated property set `!p1|p2` (stages/bgp.py:match_bgp):
+    over the q165 order store, bindings reached by any predicate
+    EXCEPT placed_by — i.e. the has_status edges — joined back to the
+    placing customer.  The negation is one inverted vectorized is_in
+    in the leg projection (same single scan).  Oracle: predicate
+    NOT IN filter over the UNION ALL store."""
+    from ..stages.bgp import match_bgp
+    from ..stages.triplify import TripleMap, col, node, triplify_tables
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey")),
+            ("has_status", col("o_orderstatus")),
+        ])),
+    ])
+    out = match_bgp(store, [
+        ("?o", "!placed_by", "?st"),
+        ("?o", "placed_by", "?c"),
+    ], cast_nodes=False).to_pandas()
+    out = out[["o", "st", "c"]].astype(str)
+    return out.sort_values(["o", "st", "c"]).reset_index(drop=True)
+
+
+Q169_SQL = """
+WITH t AS (
+  SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p,
+         'cust:' || o_custkey AS o FROM orders
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'has_status', o_orderstatus
+  FROM orders
+)
+SELECT DISTINCT a.s AS o, a.o AS st, b.o AS c
+FROM t a JOIN t b ON b.s = a.s AND b.p = 'placed_by'
+WHERE a.p <> 'placed_by'
+ORDER BY o, st, c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7938,4 +7980,5 @@ QUERIES: dict[str, tuple] = {
     "q167_clustering_coefficients": (q167_clustering_coefficients,
                                      Q167_SQL),
     "q168_shacl_extended": (q168_shacl_extended, Q168_SQL),
+    "q169_negated_property_set": (q169_negated_property_set, Q169_SQL),
 }

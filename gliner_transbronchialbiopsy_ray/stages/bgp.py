@@ -188,9 +188,14 @@ def _reorder_by_stats(patterns: list[tuple], hist: dict,
         base = total
         if isinstance(p, str) and not _is_var(p):
             pb = p[1:] if p.startswith("^") else p
+            neg = pb.startswith("!")
+            if neg:
+                pb = pb[1:]
             pb = pb[:-1] if pb[-1:] in ("+", "*", "?") else pb
             alts = pb.split("|")
             base = sum(hist.get(a, 0) for a in alts)
+            if neg:
+                base = max(total - base, 0)
         bound = sum(1 for t in (pattern[:1] + pattern[2:])
                     if not _is_var(t))
         return base / (50.0 ** bound)
@@ -408,14 +413,25 @@ def match_bgp(
         inverse = (isinstance(p, str) and not _is_var(p)
                    and p.startswith("^"))
         pbase = p[1:] if inverse else p
+        negated = (isinstance(pbase, str) and not _is_var(pbase)
+                   and pbase.startswith("!"))
+        if negated:
+            # SPARQL negated property set !p1|p2 (^!... composes: the
+            # inverse strips first, so ^!p is "inverse of any predicate
+            # except p"); quantifiers don't combine with negation
+            pbase = pbase[1:]
+            if not pbase or pbase[-1:] in ("+", "*", "?"):
+                raise ValueError(
+                    f"pattern {pattern}: negated property sets take a "
+                    "plain predicate list (no quantifiers)")
         quant = None  # path quantifier: + (one-or-more), * (zero-or-
         # more), ? (zero-or-one)
-        if (isinstance(pbase, str) and not _is_var(pbase)
+        if (not negated and isinstance(pbase, str) and not _is_var(pbase)
                 and pbase[-1:] in ("+", "*", "?")):
             quant = pbase[-1]
         alts = None
         if (isinstance(pbase, str) and not _is_var(pbase)
-                and quant is None and "|" in pbase):
+                and quant is None and ("|" in pbase or negated)):
             alts = pbase.split("|")
         if quant is not None:
             base = pbase[:-1]
@@ -471,6 +487,8 @@ def match_bgp(
             if pred_col is not None and alts is not None:
                 mask = pc.is_in(batch.column(pred_col),
                                 value_set=pa.array(alts))
+                if negated:
+                    mask = pc.invert(mask)
             elif pred_col is not None:
                 checks.append((_p, pred_col))
             if gc is not None:
@@ -979,6 +997,10 @@ def _atom_cannot_match(atom: tuple, preds: set) -> bool:
     if p.endswith("*") or p.endswith("?"):
         # zero-length component matches ANY delta regardless of its
         # predicates — never prunable
+        return False
+    if p.startswith("!") or p.startswith("^!"):
+        # negated set: matches every predicate OUTSIDE the list — only
+        # prunable if the delta holds nothing else; stay conservative
         return False
     base = p[:-1] if p.endswith("+") else p
     return base not in preds

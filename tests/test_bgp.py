@@ -623,3 +623,38 @@ def test_bind_computed_vars_and_validation():
         bind_bindings(base, [("q", "+", "nope", 1)])
     with pytest.raises(ValueError, match="BIND op"):
         bind_bindings(base, [("q", "**", "x", 2)])
+
+
+def test_negated_property_set():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp
+    # !knows: every edge whose predicate is NOT knows
+    out = match_bgp(_ds(), [("?x", "!knows", "?v")],
+                    num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["x", "v"]].to_numpy()))
+    assert got == [(1, 1), (2, 9)]  # is_admin + likes rows
+    # negated set with two members
+    out2 = match_bgp(_ds(), [("?x", "!likes|is_admin", "?v")],
+                     num_partitions=2).to_pandas()
+    got2 = sorted(map(tuple, out2[["x", "v"]].to_numpy()))
+    assert got2 == [(1, 2), (1, 3), (2, 3)]  # only knows rows survive
+    # inverse composes: ^!knows swaps roles of the non-knows edges
+    out3 = match_bgp(_ds(), [("?v", "^!knows", "?x")],
+                     num_partitions=2).to_pandas()
+    got3 = sorted(map(tuple, out3[["x", "v"]].to_numpy()))
+    assert got3 == [(1, 1), (2, 9)]
+    with pytest.raises(ValueError, match="negated"):
+        match_bgp(_ds(), [("?x", "!knows+", "?v")], num_partitions=2)
+
+
+def test_negated_set_broadcast_and_reorder_parity():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp
+    pats = [("?x", "knows", "?y"), ("?y", "!knows", "?v")]
+    h = match_bgp(_ds(), pats, num_partitions=2).to_pandas()
+    b = match_bgp(_ds(), pats, num_partitions=2,
+                  join_strategy="broadcast").to_pandas()
+    r = match_bgp(_ds(), pats, num_partitions=2,
+                  reorder="stats").to_pandas()
+    cols = sorted(h.columns)
+    hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
+    assert hv == sorted(map(tuple, b[cols].to_numpy().tolist()))
+    assert hv == sorted(map(tuple, r[cols].to_numpy().tolist()))

@@ -19,6 +19,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 qs, sql = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:  # optional name-substring filters
+    pats = sys.argv[1:]
+    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
