@@ -7780,6 +7780,174 @@ ORDER BY o, st, c
 """
 
 
+def q170_sparql_group_aggregates(sf_dir: str):
+    """SPARQL GROUP BY + distributive aggregates over BGP bindings
+    (stages/solutions.py:aggregate_bindings): bindings (?c ordered ?o)
+    from a numeric-node order KG, grouped per customer — COUNT, SUM,
+    MIN, MAX and exact integer-ppm AVG.  All aggregates are
+    distributive, so rows pre-fold per batch (combiner-first) before
+    the ONE coarse-bucket exchange merges partials.  Oracle: plain
+    GROUP BY over the distinct bindings."""
+    from ..stages.bgp import match_bgp
+    from ..stages.solutions import aggregate_bindings
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    store = orders.map_batches(
+        lambda b: pa.table({
+            "s": b.column("o_custkey").cast(pa.int64()),
+            "p": pa.array(["ordered"] * b.num_rows),
+            "o": b.column("o_orderkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    bindings = match_bgp(store, [("?c", "ordered", "?o")])
+    out = aggregate_bindings(bindings, ["c"], [
+        ("n", "count", None),
+        ("total", "sum", "o"),
+        ("lo", "min", "o"),
+        ("hi", "max", "o"),
+        ("avg_ppm", "avg_ppm", "o"),
+    ]).to_pandas()
+    for col in ("c", "n", "total", "lo", "hi", "avg_ppm"):
+        out[col] = out[col].astype("int64")
+    return (out[["c", "n", "total", "lo", "hi", "avg_ppm"]]
+            .sort_values("c").reset_index(drop=True))
+
+
+Q170_SQL = """
+WITH b AS (SELECT DISTINCT o_custkey AS c, o_orderkey AS o FROM orders)
+SELECT c, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o) AS BIGINT) AS total,
+       CAST(min(o) AS BIGINT) AS lo,
+       CAST(max(o) AS BIGINT) AS hi,
+       CAST((1000000 * sum(o)) // count(*) AS BIGINT) AS avg_ppm
+FROM b GROUP BY c ORDER BY c
+"""
+
+
+def q171_sparql_holistic_aggregates(sf_dir: str):
+    """SPARQL holistic aggregates + HAVING
+    (stages/solutions.py:aggregate_bindings): the q165 string-node
+    order store, bindings (?o placed_by ?c)(?o has_status ?st) grouped
+    per customer — COUNT(DISTINCT status), deterministic GROUP_CONCAT
+    (values sorted), SAMPLE (= min), HAVING n >= 2.  Holistic
+    aggregates need the group's values co-located: one coarse-bucket
+    exchange, vectorized in-bucket fold.  Oracle: string_agg(... ORDER
+    BY) + count(DISTINCT) with a HAVING clause."""
+    from ..stages.bgp import match_bgp
+    from ..stages.solutions import aggregate_bindings
+    from ..stages.triplify import TripleMap, col, node, triplify_tables
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey")),
+            ("has_status", col("o_orderstatus")),
+        ])),
+    ])
+    bindings = match_bgp(store, [
+        ("?o", "placed_by", "?c"),
+        ("?o", "has_status", "?st"),
+    ], cast_nodes=False)
+    out = aggregate_bindings(bindings, ["c"], [
+        ("n", "count", None),
+        ("nd_st", "count_distinct", "st"),
+        ("statuses", "group_concat", "st", "|"),
+        ("first_o", "sample", "o"),
+    ], having=[("n", ">=", 2)]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["nd_st"] = out["nd_st"].astype("int64")
+    for col_ in ("c", "statuses", "first_o"):
+        out[col_] = out[col_].astype(str)
+    return (out[["c", "n", "nd_st", "statuses", "first_o"]]
+            .sort_values("c").reset_index(drop=True))
+
+
+Q171_SQL = """
+WITH b AS (
+  SELECT DISTINCT 'order:' || o_orderkey AS o,
+         'cust:' || o_custkey AS c, o_orderstatus AS st
+  FROM orders
+)
+SELECT c, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT st) AS BIGINT) AS nd_st,
+       string_agg(st, '|' ORDER BY st) AS statuses,
+       min(o) AS first_o
+FROM b GROUP BY c HAVING count(*) >= 2 ORDER BY c
+"""
+
+
+def q172_filter_not_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS / NOT EXISTS
+    (stages/solutions.py:filter_exists): over the numeric order KG with
+    urgency markers, customers-with-orders bindings filtered two ways —
+    EXISTS {?o urgent true} (customer has at least one binding whose
+    order is urgent... note EXISTS correlates on the BINDING row, so
+    the row's own ?o must be urgent) and NOT EXISTS on the same
+    pattern; both polarities distinct-folded and counted per status to
+    keep the output bounded.  Oracle: EXISTS / NOT EXISTS subqueries."""
+    from ..stages.bgp import match_bgp
+    from ..stages.solutions import aggregate_bindings, filter_exists
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        ok = b.column("o_orderkey").to_numpy()
+        ck = b.column("o_custkey").to_numpy()
+        urgent = np.asarray(
+            [p.startswith("1") for p in
+             b.column("o_orderpriority").to_pylist()])
+        base = pd.DataFrame({"s": ck, "p": "ordered", "o": ok})
+        mark = pd.DataFrame({"s": ok[urgent], "p": "urgent",
+                             "o": np.ones(int(urgent.sum()),
+                                          dtype=np.int64)})
+        return pd.concat([base, mark], ignore_index=True)
+
+    store = orders.map_batches(to_triples, batch_format="pyarrow")
+    bindings = match_bgp(store, [("?c", "ordered", "?o")])
+    rows = []
+    for negate, tag in ((False, "exists"), (True, "not_exists")):
+        kept = filter_exists(bindings, store, [("?o", "urgent", 1)],
+                             negate=negate)
+        agg = aggregate_bindings(kept, ["c"],
+                                 [("n", "count", None)]).to_pandas()
+        rows.append(pd.DataFrame({
+            "polarity": tag,
+            "n_customers": [int(len(agg))],
+            "n_bindings": [int(agg["n"].sum()) if len(agg) else 0]}))
+    out = pd.concat(rows, ignore_index=True)
+    out["polarity"] = out["polarity"].astype(str)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["n_bindings"] = out["n_bindings"].astype("int64")
+    return out.sort_values("polarity").reset_index(drop=True)
+
+
+Q172_SQL = """
+WITH b AS (
+  SELECT DISTINCT o_custkey AS c, o_orderkey AS o FROM orders
+),
+urgent AS (
+  SELECT DISTINCT o_orderkey AS o FROM orders
+  WHERE o_orderpriority LIKE '1%'
+),
+ex AS (SELECT * FROM b WHERE EXISTS
+        (SELECT 1 FROM urgent u WHERE u.o = b.o)),
+nex AS (SELECT * FROM b WHERE NOT EXISTS
+        (SELECT 1 FROM urgent u WHERE u.o = b.o))
+SELECT * FROM (
+  SELECT 'exists' AS polarity,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+         CAST(count(*) AS BIGINT) AS n_bindings FROM ex
+  UNION ALL
+  SELECT 'not_exists',
+         CAST(count(DISTINCT c) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM nex
+)
+ORDER BY polarity
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7981,4 +8149,9 @@ QUERIES: dict[str, tuple] = {
                                      Q167_SQL),
     "q168_shacl_extended": (q168_shacl_extended, Q168_SQL),
     "q169_negated_property_set": (q169_negated_property_set, Q169_SQL),
+    "q170_sparql_group_aggregates": (q170_sparql_group_aggregates,
+                                     Q170_SQL),
+    "q171_sparql_holistic_aggregates": (q171_sparql_holistic_aggregates,
+                                        Q171_SQL),
+    "q172_filter_not_exists": (q172_filter_not_exists, Q172_SQL),
 }

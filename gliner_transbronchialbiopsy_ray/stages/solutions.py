@@ -1,0 +1,299 @@
+"""SPARQL solution-sequence operators over bindings datasets: GROUP BY
+with aggregates (+ HAVING) and FILTER EXISTS / NOT EXISTS.
+
+A *bindings* dataset is what `stages.bgp.match_bgp` returns: one column
+per variable, one row per distinct solution.  SPARQL's aggregate layer
+(spec 18.5) groups those solutions and folds each group; its EXISTS
+filter (spec 17.4.1.4) keeps a solution iff a pattern group has (no)
+compatible match.  The reference app has no SPARQL layer — this module
+is part of the KG-construction surface this engine adds; the query
+semantics are the public W3C SPARQL 1.1 ones.
+
+Scale plan:
+- `aggregate_bindings` groups on arbitrary (possibly unbounded) keys, so
+  the result stays a Dataset.  When every aggregate is DISTRIBUTIVE
+  (count / sum / min / max / avg_ppm) the rows are pre-folded per batch
+  (combiner-first: shuffle volume is per-batch distinct groups, not
+  rows) before ONE coarse-bucket exchange merges partials.  A holistic
+  aggregate (count_distinct / group_concat / sample) needs the group's
+  values co-located, so those route the (projected) rows through the
+  same single exchange and fold vectorized in-bucket — the standard
+  engine plan for DISTINCT aggregates.
+- `filter_exists` evaluates the inner pattern ONCE against the store,
+  projects it to the shared variables, folds distinct, and semi-joins
+  (anti for NOT EXISTS) with the bindings via native hash joins — both
+  sides stream; nothing lands on the driver.  The no-shared-variable
+  degenerate case collapses to a single count().
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_DISTRIBUTIVE = {"count", "sum", "min", "max", "avg_ppm"}
+_HOLISTIC = {"count_distinct", "group_concat", "sample"}
+_FUNCS = _DISTRIBUTIVE | _HOLISTIC
+
+_HAVING_OPS = {
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
+
+
+def _trunc_div_series(num: pd.Series, den: pd.Series) -> pd.Series:
+    """DuckDB's integer `//` truncates toward zero; Python's floors.
+    Sign-aware truncating division over object-dtype Python ints keeps
+    ppm ratios exact and oracle-matching even for negative numerators
+    (the q100 lesson)."""
+    n = num.astype(object)
+    d = den.astype(object)
+    out = [
+        (0 if dd in (0, None) else
+         (abs(int(nn)) // abs(int(dd)))
+         * (1 if (int(nn) >= 0) == (int(dd) >= 0) else -1))
+        for nn, dd in zip(n, d)
+    ]
+    return pd.Series(out, index=num.index, dtype="int64")
+
+
+def _validate_aggs(aggs: list[tuple]) -> None:
+    for a in aggs:
+        if len(a) not in (3, 4) or a[1] not in _FUNCS:
+            raise ValueError(
+                f"bad aggregate spec {a!r}; want (out, func, var[, sep]) "
+                f"with func in {sorted(_FUNCS)}")
+        if a[1] != "group_concat" and len(a) == 4:
+            raise ValueError(f"separator only valid for group_concat: {a!r}")
+        if a[2] is None and a[1] != "count":
+            raise ValueError(f"var=None only valid for count: {a!r}")
+
+
+def _bucket_tag(df: pd.DataFrame, group_vars: list[str],
+                n_buckets: int) -> pd.DataFrame:
+    key = df[group_vars[0]].astype(str)
+    for g in group_vars[1:]:
+        key = key + "\x1f" + df[g].astype(str)
+    df["_bucket"] = key.map(
+        lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+    return df
+
+
+def _apply_having(out: pd.DataFrame, having) -> pd.DataFrame:
+    for col, op, lit in having or []:
+        out = out[_HAVING_OPS[op](out[col], lit)]
+    return out
+
+
+def aggregate_bindings(
+    bindings: ray.data.Dataset,
+    group_vars: list[str],
+    aggs: list[tuple],
+    having: list[tuple] | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SPARQL GROUP BY + aggregates over a bindings dataset.
+
+    `aggs`: list of (out_name, func, var) — func one of
+        count            — rows in the group (var=None) / non-null var
+        count_distinct   — COUNT(DISTINCT ?var)
+        sum / min / max  — the obvious folds
+        avg_ppm          — trunc(1e6 * sum(var) / count(var)): AVG kept
+                           exact in integer parts-per-million (matches
+                           DuckDB `(1000000*sum(x)) // count(x)`)
+        group_concat     — values sorted lexicographically then joined
+                           with `sep` (4th tuple element, default ",");
+                           SPARQL leaves GROUP_CONCAT order undefined —
+                           sorting makes it deterministic across runs
+                           and block orders
+        sample           — deterministic SAMPLE(?var): the MIN value
+                           (any group member is spec-legal)
+    `having`: list of (out_name, op, literal) filters applied to the
+    aggregated rows (groups are complete inside their bucket, so HAVING
+    runs there — no extra pass)."""
+    _validate_aggs(aggs)
+    if not group_vars:
+        raise ValueError("group_vars must be non-empty (scalar folds "
+                         "belong to Dataset.aggregate)")
+    from .window import hash_bucketed_map_groups  # noqa: F401 (doc ref)
+
+    holistic = [a for a in aggs if a[1] in _HOLISTIC]
+    needed = list(dict.fromkeys(
+        [a[2] for a in aggs if a[2] is not None]))
+    proj_cols = list(dict.fromkeys(group_vars + needed))
+
+    def final_agg(g: pd.DataFrame) -> pd.DataFrame:
+        """Full-row in-bucket fold (holistic path)."""
+        gb = g.groupby(group_vars, sort=False)
+        cols = {}
+        for a in aggs:
+            out, func, var = a[0], a[1], a[2]
+            if func == "count":
+                cols[out] = (gb.size() if var is None
+                             else gb[var].count()).astype("int64")
+            elif func == "count_distinct":
+                cols[out] = gb[var].nunique().astype("int64")
+            elif func == "sum":
+                cols[out] = gb[var].sum()
+            elif func == "min":
+                cols[out] = gb[var].min()
+            elif func == "max":
+                cols[out] = gb[var].max()
+            elif func == "avg_ppm":
+                s = gb[var].sum().astype(object) * 1_000_000
+                c = gb[var].count()
+                cols[out] = _trunc_div_series(s, c)
+            elif func == "group_concat":
+                sep = a[3] if len(a) == 4 else ","
+                cols[out] = gb[var].agg(
+                    lambda v, _s=sep: _s.join(sorted(v.astype(str))))
+            elif func == "sample":
+                cols[out] = gb[var].min()
+        out = pd.DataFrame(cols).reset_index()
+        return _apply_having(out, having)
+
+    if holistic:
+        def tag(batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(proj_cols).to_pandas()
+            return _bucket_tag(df, group_vars, n_buckets)
+
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            return final_agg(g.drop(columns=["_bucket"]))
+
+        return (bindings.map_batches(tag, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+    # all-distributive: combiner-first, partials through the exchange
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(proj_cols).to_pandas()
+        gb = df.groupby(group_vars, sort=False)
+        cols = {}
+        for out, func, var, *_ in aggs:
+            if func == "count":
+                cols[f"_p_{out}_cnt"] = (
+                    gb.size() if var is None else gb[var].count()
+                ).astype("int64")
+            elif func == "sum":
+                cols[f"_p_{out}_sum"] = gb[var].sum()
+            elif func == "min":
+                cols[f"_p_{out}_min"] = gb[var].min()
+            elif func == "max":
+                cols[f"_p_{out}_max"] = gb[var].max()
+            elif func == "avg_ppm":
+                cols[f"_p_{out}_sum"] = gb[var].sum()
+                cols[f"_p_{out}_cnt"] = gb[var].count().astype("int64")
+        part = pd.DataFrame(cols).reset_index()
+        return _bucket_tag(part, group_vars, n_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.drop(columns=["_bucket"]).groupby(group_vars, sort=False)
+        cols = {}
+        for out, func, var, *_ in aggs:
+            if func == "count":
+                cols[out] = gb[f"_p_{out}_cnt"].sum().astype("int64")
+            elif func == "sum":
+                cols[out] = gb[f"_p_{out}_sum"].sum()
+            elif func == "min":
+                cols[out] = gb[f"_p_{out}_min"].min()
+            elif func == "max":
+                cols[out] = gb[f"_p_{out}_max"].max()
+            elif func == "avg_ppm":
+                s = gb[f"_p_{out}_sum"].sum().astype(object) * 1_000_000
+                c = gb[f"_p_{out}_cnt"].sum()
+                cols[out] = _trunc_div_series(s, c)
+        out = pd.DataFrame(cols).reset_index()
+        return _apply_having(out, having)
+
+    return (bindings.map_batches(combine, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def filter_exists(
+    bindings: ray.data.Dataset,
+    store: ray.data.Dataset,
+    patterns: list[tuple],
+    negate: bool = False,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    cast_nodes: bool = True,
+    num_partitions: int | None = None,
+    **bgp_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL FILTER EXISTS { patterns } / FILTER NOT EXISTS (negate).
+
+    Keeps a binding row iff the pattern group, with the row's shared
+    variables substituted, has >= 1 (resp. 0) solution in `store`.
+    Differs from MINUS exactly where the spec says they differ: with NO
+    shared variables MINUS is the identity, while NOT EXISTS drops
+    every row when the inner pattern has any match at all (and EXISTS
+    keeps rows only then).
+
+    Plan: ONE inner `match_bgp` evaluation, distinct-projected to the
+    shared variables, then a native hash semi-join (EXISTS) or a
+    left-outer join + null filter (NOT EXISTS) — the marker column
+    workaround for Ray's dropped right_on key.  No driver
+    materialization on either side."""
+    from .bgp import match_bgp
+    from .joins import coalesce_for_join
+
+    inner = match_bgp(store, patterns, s_col=s_col, p_col=p_col,
+                      o_col=o_col, cast_nodes=cast_nodes,
+                      num_partitions=num_partitions, **bgp_kwargs)
+    nparts = num_partitions or 8
+    bind_vars = [c for c in bindings.schema().names
+                 if not c.startswith("_")]
+    # inner variable names are static properties of the pattern group
+    # (schema() on a lazy empty-result dataset can be None)
+    inner_vars = set()
+    for pat in patterns:
+        for term in (pat[0], pat[2]):
+            if isinstance(term, str) and term.startswith("?"):
+                inner_vars.add(term[1:])
+        if isinstance(pat[1], str) and pat[1].startswith("?"):
+            inner_vars.add(pat[1][1:])
+    shared = [v for v in bind_vars if v in inner_vars]
+
+    if not shared:
+        any_match = inner.count() > 0
+        keep = any_match != negate
+        if keep:
+            return bindings
+        return bindings.map_batches(lambda b: b.slice(0, 0),
+                                    batch_format="pyarrow")
+
+    # distinct projection of the inner solutions onto the shared vars
+    proj = (inner.map_batches(
+        lambda b, _sh=tuple(shared): b.select(list(_sh))
+        .to_pandas().drop_duplicates(),
+        batch_format="pyarrow")
+        .groupby(shared).count().drop_columns(["count()"]))
+
+    if not negate:
+        # semi-join: proj is distinct on exactly the join key, so the
+        # inner join neither duplicates nor adds columns
+        out = coalesce_for_join(bindings, nparts).join(
+            coalesce_for_join(proj, nparts),
+            join_type="inner", num_partitions=nparts, on=tuple(shared))
+        return out.map_batches(
+            lambda b, _bv=tuple(bind_vars): b.select(list(_bv)),
+            batch_format="pyarrow")
+
+    marked = proj.map_batches(
+        lambda b: b.append_column("_m", pa.array([1] * b.num_rows,
+                                                 pa.int8())),
+        batch_format="pyarrow")
+    out = coalesce_for_join(bindings, nparts).join(
+        coalesce_for_join(marked, nparts),
+        join_type="left_outer", num_partitions=nparts, on=tuple(shared))
+
+    def anti(batch: pa.Table, _bv=tuple(bind_vars)) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_null(batch.column("_m"))).select(list(_bv))
+
+    return out.map_batches(anti, batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""SPARQL solution modifiers: GROUP BY aggregates (+HAVING) and
+FILTER (NOT) EXISTS — parity against pandas references, both aggregate
+paths (combiner-distributive and holistic exchange), empty inputs, and
+the no-shared-variable EXISTS degenerate cases."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.bgp import match_bgp
+from gliner_transbronchialbiopsy_ray.stages.solutions import (
+    aggregate_bindings, filter_exists)
+
+TRIPLES = [
+    {"s": 1, "p": "knows", "o": 2},
+    {"s": 1, "p": "knows", "o": 3},
+    {"s": 2, "p": "knows", "o": 3},
+    {"s": 2, "p": "knows", "o": 4},
+    {"s": 3, "p": "knows", "o": 4},
+    {"s": 1, "p": "likes", "o": 9},
+    {"s": 4, "p": "likes", "o": 9},
+]
+
+
+def _bindings():
+    return match_bgp(rd.from_items(TRIPLES), [("?x", "knows", "?y")],
+                     num_partitions=2)
+
+
+def test_distributive_aggregates_match_pandas():
+    out = (aggregate_bindings(_bindings(), ["x"], [
+        ("n", "count", None),
+        ("total", "sum", "y"),
+        ("lo", "min", "y"),
+        ("hi", "max", "y"),
+        ("avg_ppm", "avg_ppm", "y"),
+    ]).to_pandas().sort_values("x").reset_index(drop=True))
+    ref = (pd.DataFrame([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+                        columns=["x", "y"])
+           .groupby("x")
+           .agg(n=("y", "size"), total=("y", "sum"), lo=("y", "min"),
+                hi=("y", "max"))
+           .reset_index())
+    ref["avg_ppm"] = (1_000_000 * ref["total"]) // ref["n"]
+    for c in ("n", "total", "lo", "hi", "avg_ppm"):
+        assert list(out[c].astype("int64")) == list(ref[c].astype("int64")), c
+
+
+def test_holistic_aggregates_and_group_concat_order():
+    ds = rd.from_items([
+        {"g": "a", "v": 3}, {"g": "a", "v": 1}, {"g": "a", "v": 3},
+        {"g": "b", "v": 2},
+    ])
+    out = (aggregate_bindings(ds, ["g"], [
+        ("nd", "count_distinct", "v"),
+        ("cat", "group_concat", "v", "|"),
+        ("any", "sample", "v"),
+        ("n", "count", "v"),           # distributive mixed in
+    ]).to_pandas().sort_values("g").reset_index(drop=True))
+    assert list(out["nd"]) == [2, 1]
+    assert list(out["cat"]) == ["1|3|3", "2"]   # sorted, keeps dups
+    assert list(out["any"]) == [1, 2]           # deterministic = min
+    assert list(out["n"]) == [3, 1]
+
+
+def test_having_filters_groups_both_paths():
+    b = _bindings()
+    dist = aggregate_bindings(b, ["x"], [("n", "count", None)],
+                              having=[("n", ">=", 2)]).to_pandas()
+    assert sorted(dist["x"]) == [1, 2]
+    hol = aggregate_bindings(b, ["x"], [("n", "count_distinct", "y")],
+                             having=[("n", ">=", 2)]).to_pandas()
+    assert sorted(hol["x"]) == [1, 2]
+
+
+def test_avg_ppm_negative_numerator_truncates_toward_zero():
+    ds = rd.from_items([{"g": "a", "v": -1}, {"g": "a", "v": -2},
+                        {"g": "a", "v": -2}])
+    out = aggregate_bindings(ds, ["g"], [("a", "avg_ppm", "v")]).to_pandas()
+    # DuckDB: (1000000 * -5) // 3 truncates to -1666666 (not -1666667)
+    assert list(out["a"]) == [-1666666]
+
+
+def test_aggregate_multi_group_vars_and_empty_input():
+    ds = rd.from_items([{"a": 1, "b": "x", "v": 5},
+                        {"a": 1, "b": "x", "v": 7},
+                        {"a": 1, "b": "y", "v": 1}])
+    out = (aggregate_bindings(ds, ["a", "b"], [("s", "sum", "v")])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert list(out["s"]) == [12, 1]
+    empty = ds.filter(lambda r: False)
+    for aggs in ([("s", "sum", "v")], [("nd", "count_distinct", "v")]):
+        got = aggregate_bindings(empty, ["a"], aggs).to_pandas()
+        assert len(got) == 0
+
+
+def test_bad_agg_specs_rejected():
+    ds = rd.from_items([{"g": 1, "v": 1}])
+    with pytest.raises(ValueError, match="bad aggregate"):
+        aggregate_bindings(ds, ["g"], [("o", "median", "v")])
+    with pytest.raises(ValueError, match="separator"):
+        aggregate_bindings(ds, ["g"], [("o", "sum", "v", ",")])
+    with pytest.raises(ValueError, match="var=None"):
+        aggregate_bindings(ds, ["g"], [("o", "sum", None)])
+    with pytest.raises(ValueError, match="group_vars"):
+        aggregate_bindings(ds, [], [("o", "sum", "v")])
+
+
+def test_filter_exists_shared_var_semi_join():
+    store = rd.from_items(TRIPLES)
+    b = match_bgp(store, [("?x", "knows", "?y")], num_partitions=2)
+    # keep solutions whose ?x also likes something
+    out = filter_exists(b, store, [("?x", "likes", "?z")],
+                        num_partitions=2).to_pandas()
+    assert set(out["x"]) == {1}
+    assert sorted(out["y"]) == [2, 3]
+    assert set(out.columns) == {"x", "y"}  # inner-only vars projected out
+
+
+def test_filter_not_exists_anti_join_differs_from_minus():
+    store = rd.from_items(TRIPLES)
+    b = match_bgp(store, [("?x", "knows", "?y")], num_partitions=2)
+    out = filter_exists(b, store, [("?x", "likes", "?z")], negate=True,
+                        num_partitions=2).to_pandas()
+    assert set(out["x"]) == {2, 3}
+    assert len(out) == 3
+
+
+def test_filter_exists_no_shared_vars_degenerate():
+    store = rd.from_items(TRIPLES)
+    b = match_bgp(store, [("?x", "knows", "?y")], num_partitions=2)
+    # inner pattern matches something -> EXISTS keeps all
+    keep = filter_exists(b, store, [("?a", "likes", 9)],
+                         num_partitions=2).to_pandas()
+    assert len(keep) == 5
+    # ... and NOT EXISTS drops all (MINUS would be identity here)
+    drop = filter_exists(b, store, [("?a", "likes", 9)], negate=True,
+                         num_partitions=2).to_pandas()
+    assert len(drop) == 0
+    # inner pattern matches nothing -> polarity flips
+    none = filter_exists(b, store, [("?a", "likes", 77)],
+                         num_partitions=2).to_pandas()
+    assert len(none) == 0
+    allkept = filter_exists(b, store, [("?a", "likes", 77)], negate=True,
+                            num_partitions=2).to_pandas()
+    assert len(allkept) == 5
+
+
+def test_filter_exists_matches_pandas_reference():
+    store = rd.from_items(TRIPLES)
+    b = match_bgp(store, [("?x", "knows", "?y")], num_partitions=2)
+    t = pd.DataFrame(TRIPLES)
+    knows = (t[t["p"] == "knows"][["s", "o"]]
+             .rename(columns={"s": "x", "o": "y"}).drop_duplicates())
+    likers = set(t[t["p"] == "likes"]["s"])
+    for negate in (False, True):
+        got = (filter_exists(b, store, [("?x", "likes", "?z")],
+                             negate=negate, num_partitions=2)
+               .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+        mask = knows["x"].isin(likers)
+        ref = (knows[~mask if negate else mask]
+               .sort_values(["x", "y"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), ref.astype("int64"))
