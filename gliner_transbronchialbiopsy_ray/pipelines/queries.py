@@ -7948,6 +7948,140 @@ ORDER BY polarity
 """
 
 
+def q173_path_quantified_range(sf_dir: str):
+    """SPARQL quantified path range `p{n,m}` (stages/bgp.py:match_bgp):
+    order pairs 2..3 succession steps apart in each sampled customer's
+    chain — the range closure accumulates only hop counts within
+    [n, m] (`_bounded_closure(min_hops=...)`), so the direct-successor
+    pairs are excluded without a post-filter.  Oracle: depth-tracking
+    recursive CTE filtered to the same depth band."""
+    from ..stages.bgp import match_bgp
+
+    triples = _succession_edge_triples(sf_dir)
+    out = match_bgp(triples, [("?a", "next_order{2,3}", "?b")]
+                    ).to_pandas()
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return (out[["a", "b"]].sort_values(["a", "b"])
+            .reset_index(drop=True))
+
+
+Q173_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT a, b FROM (
+    SELECT o_orderkey AS a,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS b
+    FROM orders WHERE o_custkey % 20 = 0
+  ) WHERE b IS NOT NULL
+),
+rr(a, b, d) AS (
+  SELECT a, b, 1 FROM nxt
+  UNION ALL
+  SELECT rr.a, nxt.b, rr.d + 1 FROM rr JOIN nxt ON nxt.a = rr.b
+  WHERE rr.d < 3
+)
+SELECT DISTINCT a, b FROM rr WHERE d BETWEEN 2 AND 3 ORDER BY a, b
+"""
+
+
+def q174_property_chain_entailment(sf_dir: str):
+    """owl:propertyChainAxiom entailment (stages/owl.py:
+    entail_property_chain, OWL 2 RL prp-spo2): the in-store axiom
+    (order_nation, propertyChainAxiom, "placed_by/in_nation") composes
+    the order->customer and customer->nation edges into direct
+    order->nation triples — one sequence-path match per axiom, native
+    hash joins per step.  Oracle: the two-table join."""
+    from ..stages.owl import entail_property_chain
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey"))])),
+        (cust, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=[
+            ("in_nation", node("nation", "c_nationkey"))])),
+    ]).union(rd.from_items([{
+        "s": "order_nation", "p": "propertyChainAxiom",
+        "o": "placed_by/in_nation"}]))
+    out = entail_property_chain(store).to_pandas()
+    out = out[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q174_SQL = """
+SELECT DISTINCT 'order:' || o_orderkey AS s, 'order_nation' AS p,
+       'nation:' || c_nationkey AS o
+FROM orders JOIN customer ON c_custkey = o_custkey
+ORDER BY s, p, o
+"""
+
+
+def q175_symmetric_subproperty(sf_dir: str):
+    """owl:SymmetricProperty + rdfs:subPropertyOf hierarchy entailment
+    (stages/owl.py:entail_symmetric / entail_subproperty): same-region
+    nation pairs (trades_with, declared symmetric) gain their mirrors
+    in one streaming swap; supplier located_in triples fan to BOTH
+    strict superproperties (located_in < based_in < positioned — the
+    driver-closed rdfs5 hierarchy) in one broadcast flat-map.  Output
+    = the new triples only, distinct.  Oracle: UNION of the mirror
+    join and the two fanned copies."""
+    from ..stages.owl import entail_subproperty, entail_symmetric
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        m = df.merge(df, on="n_regionkey")
+        m = m[m["n_nationkey_x"] < m["n_nationkey_y"]]
+        return pd.DataFrame({
+            "s": "nation:" + m["n_nationkey_x"].astype(str),
+            "p": "trades_with",
+            "o": "nation:" + m["n_nationkey_y"].astype(str)})
+
+    # nation is a 25-row dimension: the self-merge is row-local
+    trade = nation.repartition(1).map_batches(pairs,
+                                              batch_format="pyarrow")
+    store = triplify_tables([
+        (supp, TripleMap(subject=node("supp", "s_suppkey"),
+                         mappings=[
+            ("located_in", node("nation", "s_nationkey"))])),
+    ]).union(trade).union(rd.from_items([
+        {"s": "trades_with", "p": "a", "o": "SymmetricProperty"},
+        {"s": "located_in", "p": "subPropertyOf", "o": "based_in"},
+        {"s": "based_in", "p": "subPropertyOf", "o": "positioned"},
+    ]))
+    new = entail_symmetric(store).union(entail_subproperty(store))
+    out = new.to_pandas()[["s", "p", "o"]].astype(str)
+    return (out.drop_duplicates().sort_values(["s", "p", "o"])
+            .reset_index(drop=True))
+
+
+Q175_SQL = """
+WITH tw AS (
+  SELECT a.n_nationkey AS x, b.n_nationkey AS y
+  FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+  WHERE a.n_nationkey < b.n_nationkey
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT 'nation:' || y AS s, 'trades_with' AS p, 'nation:' || x AS o
+  FROM tw
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'based_in', 'nation:' || s_nationkey
+  FROM supplier
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'positioned', 'nation:' || s_nationkey
+  FROM supplier
+)
+ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8154,4 +8288,8 @@ QUERIES: dict[str, tuple] = {
     "q171_sparql_holistic_aggregates": (q171_sparql_holistic_aggregates,
                                         Q171_SQL),
     "q172_filter_not_exists": (q172_filter_not_exists, Q172_SQL),
+    "q173_path_quantified_range": (q173_path_quantified_range, Q173_SQL),
+    "q174_property_chain_entailment": (q174_property_chain_entailment,
+                                       Q174_SQL),
+    "q175_symmetric_subproperty": (q175_symmetric_subproperty, Q175_SQL),
 }

@@ -22,6 +22,8 @@ deduplicated (set semantics, like SPARQL SELECT DISTINCT).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,13 +37,18 @@ def _is_var(term) -> bool:
 
 
 def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
-                     num_partitions: int) -> ray.data.Dataset:
-    """Distinct (src, dst) pairs connected by 1..max_hops directed edges —
-    the property-path `p+` expansion, bounded (an unbounded all-pairs
+                     num_partitions: int,
+                     min_hops: int = 1) -> ray.data.Dataset:
+    """Distinct (src, dst) pairs connected by min_hops..max_hops directed
+    edges — the property-path `p+` expansion (min_hops=1) and the
+    quantified-range `p{n,m}` expansion, bounded (an unbounded all-pairs
     closure is quadratic in the worst case; the hop cap is part of the
     operator's contract).  Semi-naive-ish: per hop one native join of
     the previous hop's pairs with the edge set + a distinct fold;
-    cycles are harmless (the cap terminates, the distinct collapses)."""
+    cycles are harmless (the cap terminates, the distinct collapses).
+    NOTE a pair reachable at hop k is NOT re-derived at hop k+1 unless a
+    longer path exists — semantics are "some path with length in
+    [min_hops, max_hops]", which SPARQL's path translation also uses."""
     from .joins import coalesce_for_join
 
     def dd(ds):
@@ -52,12 +59,13 @@ def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
                 .drop_columns(["count()"]))
 
     e = dd(edges).materialize()
-    if e.count() == 0:
-        return e  # empty edge set: joining empty blocks trips the
+    if e.count() == 0 or max_hops < min_hops or max_hops < 1:
+        return e.filter(lambda r: False) if e.count() else e
+        # empty edge set: joining empty blocks trips the
         # ArrowInvalid FieldRef quirk — nothing to close anyway
-    acc = e
+    acc = e if min_hops <= 1 else None
     frontier = e
-    for _ in range(max_hops - 1):
+    for hop in range(2, max_hops + 1):
         step = coalesce_for_join(frontier, num_partitions).join(
             coalesce_for_join(
                 e.rename_columns({"_ta": "_sa", "_tb": "_sb"}),
@@ -71,7 +79,10 @@ def _bounded_closure(edges: ray.data.Dataset, max_hops: int,
             batch_format="pyarrow")).materialize()
         if frontier.count() == 0:
             break
-        acc = acc.union(frontier)
+        if hop >= min_hops:
+            acc = frontier if acc is None else acc.union(frontier)
+    if acc is None:  # no hop count ever reached min_hops
+        return e.filter(lambda r: False)
     return dd(acc).materialize()
 
 
@@ -425,16 +436,26 @@ def match_bgp(
                     f"pattern {pattern}: negated property sets take a "
                     "plain predicate list (no quantifiers)")
         quant = None  # path quantifier: + (one-or-more), * (zero-or-
-        # more), ? (zero-or-one)
+        # more), ? (zero-or-one), {n,m} (quantified range)
+        qlo = qhi = None
         if (not negated and isinstance(pbase, str) and not _is_var(pbase)
                 and pbase[-1:] in ("+", "*", "?")):
             quant = pbase[-1]
+        rng = (re.search(r"\{(\d+),(\d+)\}$", pbase)
+               if (quant is None and not negated and isinstance(pbase, str)
+                   and not _is_var(pbase)) else None)
+        if rng:
+            quant = "range"
+            qlo, qhi = int(rng.group(1)), int(rng.group(2))
+            if qhi < qlo:
+                raise ValueError(
+                    f"pattern {pattern}: bad path range {{{qlo},{qhi}}}")
         alts = None
         if (isinstance(pbase, str) and not _is_var(pbase)
                 and quant is None and ("|" in pbase or negated)):
             alts = pbase.split("|")
         if quant is not None:
-            base = pbase[:-1]
+            base = pbase[:-1] if quant != "range" else pbase[:rng.start()]
             if "|" in base:
                 raise ValueError(
                     f"pattern {pattern}: alternatives inside a "
@@ -463,6 +484,27 @@ def match_bgp(
             if quant == "+":
                 source = _bounded_closure(edges, max_hops,
                                           num_partitions)
+            elif quant == "range":
+                # p{n,m}: paths of length n..m; n=0 adds the
+                # zero-length pairs (m is the hop cap — max_hops
+                # does not apply)
+                if qhi == 0:
+                    pairs = None
+                else:
+                    pairs = _bounded_closure(edges, qhi, num_partitions,
+                                             min_hops=max(qlo, 1))
+                if qlo == 0:
+                    zero = _zero_length_pairs(src, s, o, g, s_col,
+                                              o_col, g_col, cast_nodes)
+                    if zero is not None:
+                        pairs = (zero if pairs is None
+                                 else pairs.union(zero))
+                if pairs is None:
+                    nt = pa.int64() if cast_nodes else pa.string()
+                    pairs = ray.data.from_arrow(pa.table({
+                        "_ta": pa.array([], nt),
+                        "_tb": pa.array([], nt)}))
+                source = _distinct_pairs(pairs).materialize()
             else:
                 # * / ?: the reachable pairs (bounded closure for *,
                 # the direct edges for ?) UNION the zero-length path

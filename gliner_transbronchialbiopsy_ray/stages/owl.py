@@ -1,0 +1,169 @@
+"""OWL 2 RL entailment rules beyond the ones living in stages/bgp.py
+(prp-trp = bgp.entail_transitive; owl:inverseOf / rdfs7 run as pure
+variable-head rules over bgp.apply_rule).  All three operators here are
+DECLARATION-DRIVEN the same way: the ontology is triples in the store
+itself, the declaration set is collected to the driver (ontology
+vocabularies are bounded — a schema property, not a corpus property),
+and the data pass streams.
+
+- `entail_property_chain` — owl:propertyChainAxiom (OWL 2 RL prp-spo2):
+  a declaration (head, chain_pred, "p1/p2/...") asserts that the
+  composition p1 then p2 ... entails head.  The chain body is the
+  SPARQL sequence-path lexical form (elements may carry ^ / + / alt),
+  an honest simplification of the RDF-list encoding — the reference
+  vocabulary is bounded either way.  Each axiom is ONE `match_bgp`
+  sequence-path evaluation (native hash joins per step), fanned out to
+  (s, head, o) triples.
+- `entail_symmetric` — owl:SymmetricProperty (prp-symp): declared
+  predicates get their (o, p, s) mirror emitted in a single streaming
+  pass — no shuffle at all.
+- `entail_subproperty` — rdfs:subPropertyOf with hierarchy closure
+  (rdfs5 on the driver over the bounded property hierarchy, then rdfs7
+  as one broadcast flat-map): each data triple (s, p, o) emits
+  (s, q, o) for every strict superproperty q of p.  Streaming, no
+  shuffle; the p->supers map ships once via the closure dict.
+
+Each returns NEW triples only (never the input), in store layout —
+callers union with the store and distinct-fold (or hand the union to
+`bgp.saturate` when rules interact recursively)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _empty_store(s_col: str, p_col: str, o_col: str) -> ray.data.Dataset:
+    # typed empty store-layout table (an empty pandas frame drops its
+    # schema through Ray)
+    return ray.data.from_arrow(pa.table({
+        s_col: pa.array([], type=pa.string()),
+        p_col: pa.array([], type=pa.string()),
+        o_col: pa.array([], type=pa.string())}))
+
+
+def _declarations(store: ray.data.Dataset, p_col: str, pred: str,
+                  s_col: str, o_col: str) -> list[tuple[str, str]]:
+    """(s, o) pairs of every (s, pred, o) triple, driver-side sorted —
+    the bounded ontology collect shared by all three rules."""
+    decl = store.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column(p_col).cast(pa.string()), pred)
+        ).select([s_col, o_col]),
+        batch_format="pyarrow").take_all()
+    return sorted({(str(r[s_col]), str(r[o_col])) for r in decl})
+
+
+def entail_property_chain(
+    store: ray.data.Dataset,
+    chain_pred: str = "propertyChainAxiom",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    cast_nodes: bool = False,
+    num_partitions: int | None = None,
+    max_hops: int = 8,
+) -> ray.data.Dataset:
+    """owl:propertyChainAxiom entailment (prp-spo2).  Declarations are
+    (head, chain_pred, "p1/p2/...") triples; each asserts
+    head(x, z) <- p1(x, y1) ^ p2(y1, y2) ^ ... — evaluated as ONE
+    sequence-path `match_bgp` per axiom."""
+    from .bgp import match_bgp
+
+    axioms = _declarations(store, p_col, chain_pred, s_col, o_col)
+    out = None
+    for head, chain in axioms:
+        if "/" not in chain:
+            raise ValueError(
+                f"chain axiom for {head!r} must compose >= 2 "
+                f"properties, got {chain!r}")
+        pairs = match_bgp(store, [("?x", chain, "?z")],
+                          s_col=s_col, p_col=p_col, o_col=o_col,
+                          cast_nodes=cast_nodes, max_hops=max_hops,
+                          num_partitions=num_partitions)
+
+        def to_triples(b: pa.Table, _h=head) -> pd.DataFrame:
+            df = b.to_pandas()
+            return pd.DataFrame({s_col: df["x"], p_col: _h,
+                                 o_col: df["z"]})
+
+        part = pairs.map_batches(to_triples, batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    return out if out is not None else _empty_store(s_col, p_col, o_col)
+
+
+def entail_symmetric(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    type_obj: str = "SymmetricProperty",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """owl:SymmetricProperty entailment (prp-symp): for every predicate
+    q declared symmetric by a (q, type_pred, type_obj) triple, each
+    data triple (s, q, o) entails (o, q, s).  One streaming filtered
+    swap — the declared set rides into the task as a plain frozenset."""
+    preds = frozenset(s for s, o in _declarations(
+        store, p_col, type_pred, s_col, o_col) if o == type_obj)
+    if not preds:
+        return _empty_store(s_col, p_col, o_col)
+
+    def swap(b: pa.Table, _preds=preds) -> pa.Table:
+        t = b.filter(pc.is_in(b.column(p_col).cast(pa.string()),
+                              value_set=pa.array(sorted(_preds))))
+        return pa.table({s_col: t.column(o_col), p_col: t.column(p_col),
+                         o_col: t.column(s_col)})
+
+    return store.map_batches(swap, batch_format="pyarrow")
+
+
+def entail_subproperty(
+    store: ray.data.Dataset,
+    sub_pred: str = "subPropertyOf",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """rdfs:subPropertyOf entailment: the (p, sub_pred, q) hierarchy is
+    closed transitively ON THE DRIVER (rdfs5 — the hierarchy is an
+    ontology object, bounded), then rdfs7 streams: every data triple
+    (s, p, o) emits (s, q, o) for each strict superproperty q.  Cycles
+    in the hierarchy are tolerated (p never emits itself)."""
+    edges = _declarations(store, p_col, sub_pred, s_col, o_col)
+    supers: dict[str, set[str]] = {}
+    for p, q in edges:
+        supers.setdefault(p, set()).add(q)
+    # driver-side transitive closure over the bounded hierarchy
+    changed = True
+    while changed:
+        changed = False
+        for p, qs in supers.items():
+            add = set()
+            for q in qs:
+                add |= supers.get(q, set())
+            add -= qs | {p}
+            if add:
+                qs |= add
+                changed = True
+    closure = {p: sorted(qs - {p}) for p, qs in supers.items()
+               if qs - {p}}
+    if not closure:
+        return _empty_store(s_col, p_col, o_col)
+
+    def fan(b: pa.Table, _cl=closure) -> pd.DataFrame:
+        df = b.to_pandas()
+        hit = df[df[p_col].astype(str).isin(_cl)]
+        if not hit.empty:
+            reps = hit[p_col].astype(str).map(lambda p: len(_cl[p]))
+            out = hit.loc[hit.index.repeat(reps)].copy()
+            out[p_col] = [q for p in hit[p_col].astype(str)
+                          for q in _cl[p]]
+        else:
+            out = hit
+        return out[[s_col, p_col, o_col]]
+
+    return store.map_batches(fan, batch_format="pyarrow")

@@ -658,3 +658,49 @@ def test_negated_set_broadcast_and_reorder_parity():
     hv = sorted(map(tuple, h[cols].to_numpy().tolist()))
     assert hv == sorted(map(tuple, b[cols].to_numpy().tolist()))
     assert hv == sorted(map(tuple, r[cols].to_numpy().tolist()))
+
+
+def test_quantified_range_paths():
+    # chain 1->2->3->4->5 (no cycle): exact lengths are easy to read off
+    rows = [{"s": a, "p": "next", "o": b}
+            for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    ds = rd.from_items(rows)
+    # exact length {2,2}
+    out = match_bgp(ds, [(1, "next{2,2}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [3]
+    # range {1,3}
+    out = match_bgp(ds, [(1, "next{1,3}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [2, 3, 4]
+    # {2,3} skips the direct edge
+    out = match_bgp(ds, [(1, "next{2,3}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [3, 4]
+    # {0,1} includes the zero-length pair (the node itself)
+    out = match_bgp(ds, [(1, "next{0,1}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [1, 2]
+    # {0,0} is ONLY the zero-length path
+    out = match_bgp(ds, [(1, "next{0,0}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [1]
+    # inverse composes: ^next{2,2} walks backwards two hops
+    out = match_bgp(ds, [(5, "^next{2,2}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [3]
+
+
+def test_quantified_range_validation_and_unreachable():
+    rows = [{"s": 1, "p": "next", "o": 2}]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="bad path range"):
+        match_bgp(ds, [(1, "next{3,2}", "?y")], num_partitions=2)
+    # min length longer than any path -> empty, schema intact
+    out = match_bgp(ds, [(1, "next{4,6}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert len(out) == 0
+    # absent predicate with n=0 still yields the zero-length pair
+    out = match_bgp(ds, [(1, "ghost{0,2}", "?y")],
+                    num_partitions=2).to_pandas()
+    assert sorted(out["y"]) == [1]

@@ -1,0 +1,91 @@
+"""OWL 2 RL entailment rules (stages/owl.py): property chains
+(prp-spo2), symmetric properties (prp-symp), and subPropertyOf
+hierarchy closure (rdfs5 + rdfs7)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gliner_transbronchialbiopsy_ray.stages.owl import (
+    entail_property_chain, entail_subproperty, entail_symmetric)
+
+
+def _triples(rows):
+    return rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+
+
+def test_property_chain_composes():
+    store = _triples([
+        ("orderNation", "propertyChainAxiom", "placed_by/in_nation"),
+        ("o1", "placed_by", "c1"),
+        ("o2", "placed_by", "c2"),
+        ("c1", "in_nation", "FR"),
+    ])
+    out = entail_property_chain(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("o1", "orderNation", "FR")]
+
+
+def test_property_chain_three_step_and_multiple_axioms():
+    store = _triples([
+        ("gp", "propertyChainAxiom", "parent/parent"),
+        ("ggp", "propertyChainAxiom", "parent/parent/parent"),
+        ("a", "parent", "b"),
+        ("b", "parent", "c"),
+        ("c", "parent", "d"),
+    ])
+    out = entail_property_chain(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("a", "ggp", "d"), ("a", "gp", "c"), ("b", "gp", "d")]
+
+
+def test_property_chain_rejects_unary_and_empty_is_typed():
+    bad = _triples([("h", "propertyChainAxiom", "solo"),
+                    ("a", "solo", "b")])
+    with pytest.raises(ValueError, match="compose"):
+        entail_property_chain(bad).to_pandas()
+    none = _triples([("a", "p", "b")])
+    out = entail_property_chain(none)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s", "p", "o"}
+
+
+def test_symmetric_mirrors_declared_predicates_only():
+    store = _triples([
+        ("adjacent", "a", "SymmetricProperty"),
+        ("x", "adjacent", "y"),
+        ("x", "likes", "y"),
+    ])
+    out = entail_symmetric(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("y", "adjacent", "x")]
+    empty = entail_symmetric(_triples([("x", "likes", "y")]))
+    assert empty.count() == 0
+
+
+def test_subproperty_hierarchy_closure_and_cycles():
+    store = _triples([
+        ("ships_to", "subPropertyOf", "connected"),
+        ("connected", "subPropertyOf", "related"),
+        ("s1", "ships_to", "n1"),
+        ("s2", "connected", "n2"),
+    ])
+    out = entail_subproperty(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    # ships_to fans to BOTH supers (rdfs5 closure), connected to one
+    assert got == [("s1", "connected", "n1"), ("s1", "related", "n1"),
+                   ("s2", "related", "n2")]
+    # a cycle never emits the predicate itself
+    cyc = _triples([
+        ("a", "subPropertyOf", "b"), ("b", "subPropertyOf", "a"),
+        ("x", "a", "y"),
+    ])
+    got2 = sorted(map(tuple, entail_subproperty(cyc)
+                      .to_pandas()[["s", "p", "o"]].to_numpy()))
+    assert got2 == [("x", "b", "y")]
+
+
+def test_subproperty_no_declarations_typed_empty():
+    out = entail_subproperty(_triples([("x", "p", "y")]))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s", "p", "o"}
