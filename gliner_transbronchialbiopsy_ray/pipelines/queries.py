@@ -8082,6 +8082,122 @@ ORDER BY s, p, o
 """
 
 
+def q176_shacl_value_constraints(sf_dir: str):
+    """SHACL value-level constraint kinds (stages/shacl.py): sh:hasValue
+    (vip marker present only on every-100th customer), sh:equals /
+    sh:disjoint over the home/alt nation-value sets (alt = custkey mod
+    25, so equals violates where they differ and disjoint where they
+    coincide), and sh:nodeKind (market segments are literals, so
+    requiring IRIs flags every row).  Same single subject-bucket
+    exchange as the other SHACL queries.  Oracle: the four violation
+    predicates as plain SQL."""
+    from ..stages.shacl import Shape, validate_shapes
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        node = "cust:" + df["c_custkey"].astype(str)
+        parts = [
+            pd.DataFrame({"s": node, "p": "type", "o": "Customer"}),
+            pd.DataFrame({"s": node, "p": "home",
+                          "o": "nation:" + df["c_nationkey"].astype(str)}),
+            pd.DataFrame({"s": node, "p": "alt",
+                          "o": "nation:" + (df["c_custkey"] % 25)
+                          .astype(str)}),
+            pd.DataFrame({"s": node, "p": "seg",
+                          "o": df["c_mktsegment"].astype(str)}),
+        ]
+        vip = df[df["c_custkey"] % 100 == 0]
+        if len(vip):
+            parts.append(pd.DataFrame({
+                "s": "cust:" + vip["c_custkey"].astype(str),
+                "p": "vip", "o": "yes"}))
+        return pd.concat(parts, ignore_index=True)
+
+    store = cust.map_batches(to_triples, batch_format="pyarrow")
+    out = validate_shapes(store, [Shape("CustShape", "Customer", [
+        ("has_value", "vip", "yes"),
+        ("equals", "home", "alt"),
+        ("disjoint", "home", "alt"),
+        ("node_kind", "seg", "iri"),
+    ])]).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q176_SQL = """
+SELECT * FROM (
+  SELECT 'cust:' || c_custkey AS node, 'CustShape' AS shape,
+         'has_value' AS "constraint", 'vip' AS pred, 'yes' AS detail
+  FROM customer WHERE c_custkey % 100 <> 0
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'CustShape', 'equals', 'home',
+         'nation:' || c_nationkey
+  FROM customer WHERE c_nationkey <> c_custkey % 25
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'CustShape', 'equals', 'home',
+         'nation:' || (c_custkey % 25)
+  FROM customer WHERE c_nationkey <> c_custkey % 25
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'CustShape', 'disjoint', 'home',
+         'nation:' || c_nationkey
+  FROM customer WHERE c_nationkey = c_custkey % 25
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'CustShape', 'node_kind', 'seg',
+         c_mktsegment
+  FROM customer
+)
+ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
+def q177_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase KG (stages/graph.py:
+    degree_assortativity, Newman 2002) in EXACT integer ppm: directed
+    edge list built once, endpoint degrees attached via two native hash
+    joins, Pearson reduced to three integer sufficient statistics via
+    the symmetric-edge identity; partials are Python ints (int64
+    overflows long before the edge list stops fitting), driver fold is
+    one row per batch.  Oracle: the same sums in HUGEINT with DuckDB's
+    truncating division."""
+    from ..stages.graph import cooccurrence_edges, degree_assortativity
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return degree_assortativity(edges, src="a", dst="b")
+
+
+Q177_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+d2 AS (
+  SELECT p1 AS x, p2 AS y FROM e
+  UNION ALL
+  SELECT p2, p1 FROM e
+),
+deg AS (SELECT x AS node, count(*) AS d FROM d2 GROUP BY x),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM d2 JOIN deg da ON da.node = d2.x JOIN deg db ON db.node = d2.y
+),
+s AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dx * dy) AS sxy,
+             sum(dx * dx) AS sxx FROM j)
+SELECT CAST(m AS BIGINT) AS m_directed,
+       CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+            ELSE (1000000 * (m * sxy - sx * sx))
+                 // (m * sxx - sx * sx) END AS BIGINT) AS r_ppm
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8292,4 +8408,7 @@ QUERIES: dict[str, tuple] = {
     "q174_property_chain_entailment": (q174_property_chain_entailment,
                                        Q174_SQL),
     "q175_symmetric_subproperty": (q175_symmetric_subproperty, Q175_SQL),
+    "q176_shacl_value_constraints": (q176_shacl_value_constraints,
+                                     Q176_SQL),
+    "q177_degree_assortativity": (q177_degree_assortativity, Q177_SQL),
 }

@@ -1092,3 +1092,114 @@ def clustering_coefficients(
                              "cc_ppm": cc.astype("int64")})
 
     return (u.groupby("_bucket").map_groups(fold, batch_format="pandas"))
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_partitions: int | None = None,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    a < b edge set, EXACT in integer ppm: orient every edge both ways,
+    attach each endpoint's degree via two native hash joins, then the
+    Pearson correlation of (deg_src, deg_dst) over the directed edges
+    reduces to three integer sums — by symmetry sum(x)==sum(y) and
+    sum(x^2)==sum(y^2), so
+
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+
+    with M the directed edge count, Sx = sum(deg_src), Sxy =
+    sum(deg_src*deg_dst), Sxx = sum(deg_src^2).  Per-batch partials are
+    PYTHON ints serialized as strings (one row per batch — the sums
+    exceed int64 long before the edge list stops fitting a cluster);
+    the driver folds the bounded partial set and applies sign-aware
+    truncating division (DuckDB `//` truncates toward zero; r < 0 is
+    the common disassortative case).  Returns a one-row DataFrame
+    (m_directed, r_ppm); r_ppm is 0 for a degree-regular graph
+    (denominator 0: correlation undefined, reported as 0)."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def both_ways(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        return pa.table({
+            "x": pa.concat_arrays([a.combine_chunks(),
+                                   b.combine_chunks()]),
+            "y": pa.concat_arrays([b.combine_chunks(),
+                                   a.combine_chunks()])})
+
+    directed = edges.map_batches(both_ways,
+                                 batch_format="pyarrow").materialize()
+    if directed.count() == 0:  # empty blocks poison the joins (the
+        # ArrowInvalid FieldRef quirk) — and there is nothing to measure
+        return pd.DataFrame({"m_directed": pd.Series([0], dtype="int64"),
+                             "r_ppm": pd.Series([0], dtype="int64")})
+    directed = coalesce_for_join(directed, num_partitions).materialize()
+
+    # degree table: combiner-first (per-batch unique counts) + one fold
+    def deg_part(batch: pa.Table) -> pd.DataFrame:
+        node, cnt = np.unique(batch.column("x").to_numpy(),
+                              return_counts=True)
+        out = pd.DataFrame({"node": node.astype("int64"),
+                            "d": cnt.astype("int64")})
+        return _tag_int_bucket(out, "node", n_buckets)
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("node", sort=False)["d"].sum()
+                .astype("int64").reset_index())
+
+    deg = (directed.map_batches(deg_part, batch_format="pyarrow")
+           .groupby("_bucket").map_groups(deg_fold,
+                                          batch_format="pandas"))
+    # re-block to arrow: map_groups emits pandas blocks, and the join's
+    # Project stage can't rename those (pandas/arrow block-mix quirk)
+    deg = coalesce_for_join(deg, num_partitions).materialize()
+
+    def ren(nx_, dx_):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({nx_: batch.column("node"),
+                             dx_: batch.column("d")})
+        return f
+
+    degx = deg.map_batches(ren("_nx", "dx"), batch_format="pyarrow")
+    degy = deg.map_batches(ren("_ny", "dy"), batch_format="pyarrow")
+    j1 = coalesce_for_join(directed, num_partitions).join(
+        degx, join_type="inner", num_partitions=num_partitions,
+        on=("x",), right_on=("_nx",))
+    j2 = coalesce_for_join(j1, num_partitions).join(
+        degy, join_type="inner", num_partitions=num_partitions,
+        on=("y",), right_on=("_ny",))
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        dx = batch.column("dx").to_numpy().astype(object)
+        dy = batch.column("dy").to_numpy().astype(object)
+        return pd.DataFrame({
+            "m": [str(len(dx))],
+            "sx": [str(int(sum(dx, 0)))],
+            "sxy": [str(int(sum(dx * dy, 0)))],
+            "sxx": [str(int(sum(dx * dx, 0)))]})
+
+    parts = j2.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"m_directed": pd.Series([0], dtype="int64"),
+                             "r_ppm": pd.Series([0], dtype="int64")})
+    # canonical fold order: partial blocks arrive in completion order
+    parts = parts.sort_values(["m", "sx", "sxy", "sxx"], kind="stable")
+    m = sum(int(v) for v in parts["m"])
+    sx = sum(int(v) for v in parts["sx"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    if den == 0:
+        r_ppm = 0
+    else:
+        q, rem = divmod(1_000_000 * num, den)
+        r_ppm = q + 1 if (q < 0 and rem != 0) else q  # truncate to zero
+    return pd.DataFrame({"m_directed": pd.Series([m], dtype="int64"),
+                         "r_ppm": pd.Series([r_ppm], dtype="int64")})

@@ -33,6 +33,21 @@ Constraints (all tuples, mirroring the declarative TripleMap style):
                                (sh:lessThan; nodes lacking either
                                property conform; an unparseable value
                                on either side is itself a violation)
+    ("has_value", pred, v)   — node must carry at least one
+                               (node, pred, v) triple (sh:hasValue);
+                               detail = the missing expected value
+    ("equals", pred, p2)     — value SET of pred == value set of p2 on
+                               the node (sh:equals); one violation per
+                               value present on exactly one side,
+                               detail = that value
+    ("disjoint", pred, p2)   — the two value sets share nothing
+                               (sh:disjoint); one violation per shared
+                               value
+    ("node_kind", pred, k)   — every value of pred is k ∈ {"iri",
+                               "literal"} (sh:nodeKind); this engine's
+                               node convention is "prefix:..." strings,
+                               so kind is decided by the `name:` prefix
+                               heuristic
 """
 
 from __future__ import annotations
@@ -47,7 +62,12 @@ import ray
 import ray.data
 
 _KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref",
-          "datatype", "less_than"}
+          "datatype", "less_than", "has_value", "equals", "disjoint",
+          "node_kind"}
+
+# the engine's node convention: "prefix:rest" strings are IRI-like
+# node ids, everything else is a literal
+_IRI_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*:\S+")
 
 _DATATYPE_RX = {
     "integer": r"[+-]?\d+",
@@ -74,6 +94,9 @@ class Shape:
                 raise ValueError(
                     f"unknown datatype {c[2]!r}; known: "
                     f"{sorted(_DATATYPE_RX)}")
+            if c[0] == "node_kind" and c[2] not in ("iri", "literal"):
+                raise ValueError(
+                    f"node_kind must be 'iri' or 'literal', got {c[2]!r}")
 
 
 def validate_shapes(
@@ -190,6 +213,40 @@ def validate_shapes(
                     rx = re.compile(_DATATYPE_RX[c[2]])
                     ok = rows["o"].astype(str).str.fullmatch(rx)
                     bad = rows[~ok.fillna(False)] if len(rows) else rows
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+                elif kind == "has_value":
+                    want = str(c[2])
+                    have = set(rows.loc[rows["o"] == want, "s"])
+                    missing = tset[~tset.isin(have)]
+                    if len(missing):
+                        out.append(pd.DataFrame({
+                            "node": missing.astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": want}))
+                elif kind in ("equals", "disjoint"):
+                    other = mine[mine["p"] == str(c[2])]
+                    a = rows[["s", "o"]].drop_duplicates()
+                    b = other[["s", "o"]].drop_duplicates()
+                    if kind == "disjoint":
+                        bad = a.merge(b, on=["s", "o"])
+                    else:
+                        m = a.merge(b, on=["s", "o"], how="outer",
+                                    indicator=True)
+                        bad = m[m["_merge"] != "both"]
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": bad["o"]}))
+                elif kind == "node_kind":
+                    is_iri = rows["o"].astype(str).str.fullmatch(
+                        _IRI_RX)
+                    bad = rows[is_iri.fillna(False)
+                               != (c[2] == "iri")] if len(rows) else rows
                     if len(bad):
                         out.append(pd.DataFrame({
                             "node": bad["s"].astype(str),

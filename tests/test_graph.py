@@ -279,3 +279,45 @@ def test_clustering_coefficients_order_invariant():
     k = ["node", "degree", "triangles", "cc_ppm"]
     assert (sorted(map(tuple, a[k].to_numpy()))
             == sorted(map(tuple, b[k].to_numpy())))
+
+
+def test_degree_assortativity_star_and_reference():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        degree_assortativity)
+    # star K1,3 is the textbook perfectly-disassortative graph
+    star = rd.from_items([{"a": 0, "b": i} for i in (1, 2, 3)])
+    out = degree_assortativity(star, num_partitions=2)
+    assert list(out["m_directed"]) == [6]
+    assert list(out["r_ppm"]) == [-1000000]
+    # arbitrary graph vs an independent pure-python evaluation
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 6), (1, 6)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    got = degree_assortativity(ds, num_partitions=2)
+    from collections import Counter
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in edges]
+    pairs += [(y, x) for x, y in pairs]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    expect = abs(1_000_000 * num) // den * (1 if num >= 0 else -1)
+    assert list(got["r_ppm"]) == [expect]
+    assert list(got["m_directed"]) == [m]
+
+
+def test_degree_assortativity_regular_graph_reports_zero():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        degree_assortativity)
+    # 4-cycle: every degree 2 -> zero variance, r reported as 0
+    cyc = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3},
+                         {"a": 3, "b": 4}, {"a": 1, "b": 4}])
+    out = degree_assortativity(cyc, num_partitions=2)
+    assert list(out["r_ppm"]) == [0]
+    empty = cyc.filter(lambda r: False)
+    out2 = degree_assortativity(empty, num_partitions=2)
+    assert list(out2["m_directed"]) == [0]

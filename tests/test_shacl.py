@@ -141,3 +141,51 @@ def test_less_than_constraint():
     ])]).to_pandas()
     got = sorted(map(tuple, out[["node", "detail"]].to_numpy()))
     assert got == [("b", "12"), ("d", "oops")]
+
+
+def test_has_value_equals_disjoint_node_kind():
+    rows = [
+        ("c1", "type", "C"), ("c2", "type", "C"), ("c3", "type", "C"),
+        # has_value: c1 has the flag, c2/c3 don't
+        ("c1", "flag", "on"),
+        ("c2", "flag", "off"),
+        # equals: c1 ships==bills; c2 differs both ways; c3 has neither
+        ("c1", "ships", "n:1"), ("c1", "bills", "n:1"),
+        ("c2", "ships", "n:2"), ("c2", "bills", "n:3"),
+        # disjoint: c1 overlaps likes/hates on "x"
+        ("c1", "likes", "x"), ("c1", "hates", "x"),
+        ("c2", "likes", "y"), ("c2", "hates", "z"),
+        # node_kind: ships values are IRIs; c3's is a bare literal
+        ("c3", "ships", "just text"),
+    ]
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = validate_shapes(store, [Shape("S", "C", [
+        ("has_value", "flag", "on"),
+        ("equals", "ships", "bills"),
+        ("disjoint", "likes", "hates"),
+        ("node_kind", "ships", "iri"),
+    ])]).to_pandas()
+    got = sorted(map(tuple, out[
+        ["node", "constraint", "pred", "detail"]].to_numpy()))
+    assert got == [
+        ("c1", "disjoint", "likes", "x"),
+        ("c2", "equals", "ships", "n:2"),
+        ("c2", "equals", "ships", "n:3"),
+        ("c2", "has_value", "flag", "on"),
+        ("c3", "equals", "ships", "just text"),
+        ("c3", "has_value", "flag", "on"),
+        ("c3", "node_kind", "ships", "just text"),
+    ]
+
+
+def test_node_kind_literal_and_spec_validation():
+    rows = [("c1", "type", "C"), ("c1", "score", "12"),
+            ("c1", "ref", "n:1")]
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = validate_shapes(store, [Shape("S", "C", [
+        ("node_kind", "score", "literal"),   # conforms
+        ("node_kind", "ref", "literal"),     # violates (IRI-like)
+    ])]).to_pandas()
+    assert list(out["detail"]) == ["n:1"]
+    with pytest.raises(ValueError, match="node_kind"):
+        Shape("S", "C", [("node_kind", "p", "blank")]).validate_spec()
