@@ -8198,6 +8198,195 @@ FROM s
 """
 
 
+def q178_describe_skolemized(sf_dir: str):
+    """SPARQL DESCRIBE (CBD) + skolemization (stages/solutions.py:
+    describe, stages/kgprep.py:skolemize): urgent orders carry a BLANK
+    address node (one per order) — DESCRIBE of the urgent-order targets
+    pulls each order's direct triples AND its blank node's triples (the
+    blank hop; the customer IRI is NOT recursed), then skolemize
+    rewrites `_:` ids to exchangeable `skolem:` IRIs.  Frontier hops are
+    native hash semi-joins; nothing lands on the driver.  Oracle: the
+    two triple layers with the skolem prefix inlined."""
+    from ..stages.kgprep import skolemize
+    from ..stages.solutions import describe
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        node = "order:" + df["o_orderkey"].astype(str)
+        blank = "_:addr" + df["o_orderkey"].astype(str)
+        urgent = df[df["o_orderpriority"].str.startswith("1")]
+        return pd.concat([
+            pd.DataFrame({"s": node, "p": "placed_by",
+                          "o": "cust:" + df["o_custkey"].astype(str)}),
+            pd.DataFrame({"s": node, "p": "addr", "o": blank}),
+            pd.DataFrame({"s": blank, "p": "prio",
+                          "o": df["o_orderpriority"].astype(str)}),
+            pd.DataFrame({"s": "order:" + urgent["o_orderkey"]
+                          .astype(str), "p": "urgent", "o": "yes"}),
+        ], ignore_index=True)
+
+    store = orders.map_batches(to_triples, batch_format="pyarrow")
+    cbd = describe(store, patterns=[("?x", "urgent", "yes")], var="x",
+                   cast_nodes=False)
+    out = skolemize(cbd).to_pandas()[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q178_SQL = """
+WITH u AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderpriority AS pr
+           FROM orders WHERE o_orderpriority LIKE '1%')
+SELECT s, p, o FROM (
+  SELECT 'order:' || k AS s, 'placed_by' AS p, 'cust:' || c AS o FROM u
+  UNION ALL
+  SELECT 'order:' || k, 'addr', 'skolem:addr' || k FROM u
+  UNION ALL
+  SELECT 'order:' || k, 'urgent', 'yes' FROM u
+  UNION ALL
+  SELECT 'skolem:addr' || k, 'prio', pr FROM u
+)
+ORDER BY s, p, o
+"""
+
+
+def q179_literal_parsing(sf_dir: str):
+    """RDF literal decomposition (stages/kgprep.py:parse_literals): a
+    part KG whose objects mix the three Turtle literal forms (typed
+    `"42"^^xsd:integer` sizes, language-tagged `"..."@en` names, plain
+    `"..."` types) with brand IRIs — one vectorized extract pass splits
+    (lexical, datatype, lang, is_literal), then per-(p, datatype, lang)
+    counts plus the sum of integer-typed lexicals prove the split is
+    cast-ready.  Oracle: the same shapes built inline in SQL."""
+    from ..stages.kgprep import parse_literals
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_size", "p_brand"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        node = "part:" + df["p_partkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": node, "p": "size",
+                          "o": '"' + df["p_size"].astype(str)
+                          + '"^^xsd:integer'}),
+            pd.DataFrame({"s": node, "p": "name",
+                          "o": '"' + df["p_name"].astype(str) + '"@en'}),
+            pd.DataFrame({"s": node, "p": "brand",
+                          "o": "brand:" + df["p_brand"].astype(str)
+                          .str.replace(" ", "", regex=False)}),
+        ], ignore_index=True)
+
+    store = part.map_batches(to_triples, batch_format="pyarrow")
+    parsed = parse_literals(store)
+
+    def combine(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["_ival"] = np.where(
+            df["datatype"] == "xsd:integer",
+            pd.to_numeric(df["lexical"], errors="coerce"), 0)
+        g = (df.groupby(["p", "datatype", "lang"], sort=False)
+             .agg(n=("is_literal", "size"),
+                  n_literal=("is_literal", "sum"),
+                  int_sum=("_ival", "sum"))
+             .reset_index())
+        return g
+
+    partials = parsed.map_batches(combine,
+                                  batch_format="pyarrow").to_pandas()
+    out = (partials.groupby(["p", "datatype", "lang"], sort=True)
+           [["n", "n_literal", "int_sum"]].sum().reset_index())
+    for c in ("n", "n_literal", "int_sum"):
+        out[c] = out[c].astype("int64")
+    for c in ("p", "datatype", "lang"):
+        out[c] = out[c].astype(str)
+    return (out.sort_values(["p", "datatype", "lang"])
+            .reset_index(drop=True))
+
+
+Q179_SQL = """
+SELECT p, datatype, lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_literal) AS BIGINT) AS n_literal,
+       CAST(sum(ival) AS BIGINT) AS int_sum
+FROM (
+  SELECT 'size' AS p, 'xsd:integer' AS datatype, '' AS lang,
+         1 AS is_literal, p_size AS ival FROM part
+  UNION ALL
+  SELECT 'name', '', 'en', 1, 0 FROM part
+  UNION ALL
+  SELECT 'brand', '', '', 0, 0 FROM part
+)
+GROUP BY p, datatype, lang
+ORDER BY p, datatype, lang
+"""
+
+
+def q180_graph_diff(sf_dir: str):
+    """KG maintenance delta (stages/kgprep.py:graph_diff): old = every
+    supplier's located_in triple; new = the same graph with every 10th
+    supplier moved to the next nation and every 7th supplier dropped —
+    the diff reports exactly the moved pairs (one added + one removed
+    each) and the dropped removals, via one subject-bucket exchange
+    with an in-bucket indicator fold.  Oracle: two EXCEPT-style
+    anti-join unions."""
+    from ..stages.kgprep import graph_diff
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def old_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "supp:" + df["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + df["s_nationkey"].astype(str)})
+
+    def new_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["s_suppkey"] % 7 != 0]
+        nk = np.where(df["s_suppkey"] % 10 == 0,
+                      (df["s_nationkey"] + 1) % 25, df["s_nationkey"])
+        return pd.DataFrame({
+            "s": "supp:" + df["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + pd.Series(nk, index=df.index).astype(str)})
+
+    old = supp.map_batches(old_triples, batch_format="pyarrow")
+    new = supp.map_batches(new_triples, batch_format="pyarrow")
+    out = graph_diff(old, new).to_pandas()
+    cols = ["s", "p", "o", "change"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q180_SQL = """
+WITH old AS (
+  SELECT 'supp:' || s_suppkey AS s, 'located_in' AS p,
+         'nation:' || s_nationkey AS o FROM supplier
+),
+new AS (
+  SELECT 'supp:' || s_suppkey AS s, 'located_in' AS p,
+         'nation:' || (CASE WHEN s_suppkey % 10 = 0
+                       THEN (s_nationkey + 1) % 25
+                       ELSE s_nationkey END) AS o
+  FROM supplier WHERE s_suppkey % 7 <> 0
+)
+SELECT s, p, o, change FROM (
+  SELECT s, p, o, 'added' AS change FROM new
+  EXCEPT
+  SELECT s, p, o, 'added' FROM old
+  UNION ALL
+  SELECT * FROM (
+    SELECT s, p, o, 'removed' AS change FROM old
+    EXCEPT
+    SELECT s, p, o, 'removed' FROM new
+  )
+)
+ORDER BY s, p, o, change
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8411,4 +8600,7 @@ QUERIES: dict[str, tuple] = {
     "q176_shacl_value_constraints": (q176_shacl_value_constraints,
                                      Q176_SQL),
     "q177_degree_assortativity": (q177_degree_assortativity, Q177_SQL),
+    "q178_describe_skolemized": (q178_describe_skolemized, Q178_SQL),
+    "q179_literal_parsing": (q179_literal_parsing, Q179_SQL),
+    "q180_graph_diff": (q180_graph_diff, Q180_SQL),
 }

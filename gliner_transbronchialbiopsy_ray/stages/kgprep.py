@@ -362,3 +362,117 @@ def characteristic_sets(
     out["n_triples"] = out["n_triples"].astype("int64")
     return (out.sort_values("charset", kind="stable")
             .reset_index(drop=True))
+
+
+_LIT_RX = (r'^"(?P<lexical>.*)"'
+           r'(?:\^\^(?P<datatype>\S+)|@(?P<lang>[A-Za-z][A-Za-z0-9-]*))?$')
+
+
+def parse_literals(
+    triples: ray.data.Dataset,
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """RDF literal decomposition (Turtle/N-Triples lexical conventions):
+    split each object into (lexical, datatype, lang) columns appended to
+    the row — `"5"^^xsd:integer` -> ("5", "xsd:integer", ""),
+    `"bonjour"@fr` -> ("bonjour", "", "fr"), a bare `"plain"` ->
+    ("plain", "", ""), and a non-literal object (IRI/node id) keeps
+    empty lexical/datatype/lang with is_literal=0.  One row-local
+    vectorized `.str.extract` pass — no shuffle; the typed-column
+    materialization downstream (node_property_table etc.) can then cast
+    lexical by datatype."""
+    def parse(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        o = df[o_col].astype(str)
+        ext = o.str.extract(_LIT_RX)
+        is_lit = ext["lexical"].notna()
+        df["lexical"] = ext["lexical"].fillna("")
+        df["datatype"] = ext["datatype"].fillna("")
+        df["lang"] = ext["lang"].fillna("")
+        df["is_literal"] = is_lit.astype("int64")
+        return df
+
+    return triples.map_batches(parse, batch_format="pyarrow")
+
+
+def skolemize(
+    triples: ray.data.Dataset,
+    blank_prefix: str = "_:",
+    skolem_prefix: str = "skolem:",
+    s_col: str = "s",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """Blank-node skolemization (RDF 1.1 §3.5): rewrite `_:b` ids to
+    globally-valid `skolem:b` IRIs in subject and object position —
+    the standard step before exchanging graphs between systems (blank
+    ids are only scoped to their source document).  Row-local
+    vectorized replace, no shuffle; deterministic, so the same input
+    always skolemizes identically."""
+    def sk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        for c in (s_col, o_col):
+            v = df[c].astype(str)
+            hit = v.str.startswith(blank_prefix)
+            if hit.any():
+                df[c] = v.where(
+                    ~hit, skolem_prefix + v.str[len(blank_prefix):])
+        return df
+
+    return triples.map_batches(sk, batch_format="pyarrow")
+
+
+def graph_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """KG maintenance delta: triples ADDED by `new` and REMOVED from
+    `old` (set semantics — duplicates within a side collapse).  Tag
+    each side, union, ONE subject-bucket exchange, and an in-bucket
+    indicator fold emits (s, p, o, change) rows for triples present in
+    exactly one side.  The common case (graphs mostly overlap) makes
+    the output small; the exchange is the unavoidable co-location of
+    identical triples."""
+    import zlib
+
+    def tag(side: str):
+        def f(b: pa.Table, _side=side) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "s": b.column(s_col).cast(pa.string()).to_pandas(),
+                "p": b.column(p_col).cast(pa.string()).to_pandas(),
+                "o": b.column(o_col).cast(pa.string()).to_pandas(),
+            }).drop_duplicates()
+            df["_side"] = _side
+            df["_bucket"] = df["s"].map(
+                lambda k: zlib.crc32(k.encode()) % n_buckets
+            ).astype("int32")
+            return df
+        return f
+
+    u = (old.map_batches(tag("old"), batch_format="pyarrow")
+         .union(new.map_batches(tag("new"), batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns=["_bucket"]).drop_duplicates()
+        piv = (d.assign(_one=1)
+               .pivot_table(index=["s", "p", "o"], columns="_side",
+                            values="_one", aggfunc="max", fill_value=0)
+               .reset_index())
+        piv.columns.name = None  # pivot stamps "_side" on the axis
+        for c in ("old", "new"):
+            if c not in piv.columns:
+                piv[c] = 0
+        added = piv[(piv["new"] == 1) & (piv["old"] == 0)]
+        removed = piv[(piv["old"] == 1) & (piv["new"] == 0)]
+        out = pd.concat([
+            added[["s", "p", "o"]].assign(change="added"),
+            removed[["s", "p", "o"]].assign(change="removed"),
+        ], ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype(object)
+        return out
+
+    return u.groupby("_bucket").map_groups(fold, batch_format="pandas")

@@ -33,6 +33,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _DISTRIBUTIVE = {"count", "sum", "min", "max", "avg_ppm"}
@@ -297,3 +298,124 @@ def filter_exists(
         return batch.filter(pc.is_null(batch.column("_m"))).select(list(_bv))
 
     return out.map_batches(anti, batch_format="pyarrow")
+
+
+def ask(
+    bindings_or_store: ray.data.Dataset,
+    patterns: list[tuple] | None = None,
+    **bgp_kwargs,
+) -> bool:
+    """SPARQL ASK: does the pattern group have any solution?  With
+    `patterns` the first argument is a triple store and ONE `match_bgp`
+    runs; without, the argument is an already-computed bindings dataset.
+    A boolean needs only a count — `limit(1)` keeps the evaluation from
+    materializing more than the first matching block."""
+    from .bgp import match_bgp
+
+    ds = (match_bgp(bindings_or_store, patterns, **bgp_kwargs)
+          if patterns is not None else bindings_or_store)
+    return ds.limit(1).count() > 0
+
+
+def describe(
+    store: ray.data.Dataset,
+    nodes: list | None = None,
+    patterns: list[tuple] | None = None,
+    var: str | None = None,
+    blank_prefix: str = "_:",
+    max_depth: int = 4,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    num_partitions: int = 8,
+    **bgp_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL DESCRIBE via Concise Bounded Description (CBD, the
+    public-spec convention): all triples whose subject is a target
+    node, recursing through BLANK-node objects (ids carrying
+    `blank_prefix`) up to `max_depth` — blank nodes have no identity
+    outside their graph, so their descriptions ride along.
+
+    Targets come either as a constant `nodes` list or as the `var`
+    column of `match_bgp(store, patterns)`.  Each hop is one distinct
+    fold of the frontier + one native hash semi-join against the store
+    (both sides stream; the frontier is never collected to the driver).
+    Already-visited blank nodes are removed from the next frontier by
+    an anti marker join, so cyclic blank structures terminate before
+    the depth cap."""
+    from .bgp import match_bgp
+    from .joins import coalesce_for_join
+
+    if (nodes is None) == (patterns is None):
+        raise ValueError("pass exactly one of nodes= / patterns=")
+    if patterns is not None:
+        if var is None:
+            raise ValueError("patterns= needs var= (the node variable)")
+        b = match_bgp(store, patterns, s_col=s_col, p_col=p_col,
+                      o_col=o_col, **bgp_kwargs)
+        frontier = b.map_batches(
+            lambda t, _v=var: t.select([_v]).rename_columns(["_n"])
+            .to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+    else:
+        frontier = ray.data.from_arrow(pa.table({
+            "_n": pa.array([str(n) for n in nodes], pa.string())}))
+
+    def dd(ds):
+        local = ds.map_batches(
+            lambda t: t.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+        return local.groupby("_n").count().drop_columns(["count()"])
+
+    store = store.materialize()
+    frontier = dd(frontier).materialize()
+    seen = frontier
+    out = None
+    for _ in range(max_depth):
+        if frontier.count() == 0:
+            break
+        hop = coalesce_for_join(store, num_partitions).join(
+            coalesce_for_join(frontier, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=(s_col,), right_on=("_n",))
+        hop = hop.map_batches(
+            lambda t: t.select([s_col, p_col, o_col]),
+            batch_format="pyarrow").materialize()
+        out = hop if out is None else out.union(hop)
+        # next frontier: NEW blank-node objects only
+        blanks = hop.map_batches(
+            lambda t, _bp=blank_prefix: pa.table({"_n": t.filter(
+                pc.starts_with(t.column(o_col).cast(pa.string()), _bp)
+            ).column(o_col).cast(pa.string())}),
+            batch_format="pyarrow")
+        blanks = dd(blanks).materialize()
+        if blanks.count() == 0:
+            break
+        marked = seen.map_batches(
+            lambda t: t.append_column(
+                "_m", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        nxt = coalesce_for_join(blanks, num_partitions).join(
+            coalesce_for_join(marked, num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("_n",))
+        frontier = dd(nxt.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("_m")))
+            .select(["_n"]),
+            batch_format="pyarrow")).materialize()
+        if frontier.count() == 0:
+            break
+        seen = dd(seen.union(frontier)).materialize()
+    if out is None:
+        dt = dict(zip(store.schema().names, store.schema().types))
+        return ray.data.from_arrow(pa.table({
+            s_col: pa.array([], dt[s_col]),
+            p_col: pa.array([], dt[p_col]),
+            o_col: pa.array([], dt[o_col])}))
+
+    def localdd(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().drop_duplicates()
+
+    return (out.map_batches(localdd, batch_format="pyarrow")
+            .groupby([s_col, p_col, o_col]).count()
+            .drop_columns(["count()"]))
