@@ -8387,6 +8387,54 @@ ORDER BY s, p, o, change
 """
 
 
+def q181_stratified_negation(sf_dir: str):
+    """Stratified Datalog with NEGATION (stages/bgp.py:
+    saturate_stratified): stratum 1 closes succession reachability to
+    fixpoint with a doubling rule set (O(log chain) rounds); stratum 2 —
+    which may safely negate `reach` because stratum 1 has frozen it —
+    derives chain SINKS: reached orders with NO outgoing reach edge
+    (the negated atom is match_bgp's MINUS anti semi-join, i.e.
+    safe-negation semantics).  Output: each sampled customer's terminal
+    order.  Oracle: recursive CTE + NOT EXISTS."""
+    from ..stages.bgp import saturate_stratified
+
+    triples = _succession_edge_triples(sf_dir)
+    closed = saturate_stratified(triples, [
+        [([("?x", "next_order", "?y")], ("?x", "reach", "?y")),
+         ([("?x", "reach", "?y"), ("?y", "reach", "?z")],
+          ("?x", "reach", "?z"))],
+        [([("?w", "reach", "?x"), ("not", ("?x", "reach", "?z"))],
+          ("?x", "is_sink", 0))],
+    ])
+
+    def sinks_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p"), "is_sink"))
+        return pa.table({"node": t.column("s").cast(pa.int64())})
+
+    out = closed.map_batches(sinks_only, batch_format="pyarrow").to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q181_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS a,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS b
+  FROM orders WHERE o_custkey % 20 = 0
+),
+e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+rr(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT rr.a, e.b FROM rr JOIN e ON e.a = rr.b
+)
+SELECT DISTINCT b AS node FROM rr r1
+WHERE NOT EXISTS (SELECT 1 FROM rr r2 WHERE r2.a = r1.b)
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8603,4 +8651,5 @@ QUERIES: dict[str, tuple] = {
     "q178_describe_skolemized": (q178_describe_skolemized, Q178_SQL),
     "q179_literal_parsing": (q179_literal_parsing, Q179_SQL),
     "q180_graph_diff": (q180_graph_diff, Q180_SQL),
+    "q181_stratified_negation": (q181_stratified_negation, Q181_SQL),
 }

@@ -1346,3 +1346,90 @@ def bind_bindings(
                     raise ValueError(
                         f"BIND references unbound variable {t!r}")
     return bindings.map_batches(f, batch_format="pyarrow")
+
+
+def saturate_stratified(
+    triples: ray.data.Dataset,
+    strata: list[list[tuple]],
+    max_rounds: int = 12,
+    num_partitions: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """Stratified Datalog WITH NEGATION: `strata` is an ordered list of
+    rule sets; each rule is (body, head) as in `apply_rule`, and a body
+    atom may be wrapped as ("not", (s, p, o)) — the negated atom removes
+    bindings compatible with ANY of its matches (exactly `match_bgp`'s
+    MINUS anti semi-join, which is Datalog's safe-negation semantics:
+    every negated variable shared with the positive body is universally
+    excluded, extra variables are existential).
+
+    Stratification is the classic safety condition and is ENFORCED: a
+    predicate negated in stratum i must be fully derived before i — it
+    may not appear (as a constant) in any head of stratum i or later,
+    and a negated atom's predicate may not be a variable.  Within a
+    stratum the negated relations are therefore frozen, so the
+    per-round fixpoint loop (same count-convergence scheme as
+    `saturate`) stays monotone and correct while the store grows.
+    Each stratum runs to fixpoint before the next begins; returns the
+    final saturated store."""
+    heads_from = []  # heads_from[i] = head predicates of strata i..end
+    acc: set = set()
+    for rules in reversed(strata):
+        acc = acc | {r[1][1] for r in rules if not _is_var(r[1][1])}
+        heads_from.append(set(acc))
+    heads_from.reverse()
+    for i, rules in enumerate(strata):
+        for body, head in rules:
+            for atom in body:
+                if not (len(atom) == 2 and atom[0] == "not"):
+                    continue
+                npred = atom[1][1]
+                if _is_var(npred):
+                    raise ValueError(
+                        f"stratum {i}: negated atom {atom[1]} has a "
+                        "variable predicate — unstratifiable")
+                if npred in heads_from[i]:
+                    raise ValueError(
+                        f"stratum {i}: predicate {npred!r} is negated "
+                        "but derived in this or a later stratum — "
+                        "program is not stratified")
+
+    match_kwargs.setdefault("join_strategy", "broadcast")
+    match_kwargs.setdefault("materialize_input", False)
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def dd(ds: ray.data.Dataset) -> ray.data.Dataset:
+        local = ds.map_batches(
+            lambda b: b.to_pandas().drop_duplicates(),
+            batch_format="pyarrow")
+        local = local.repartition(num_partitions)  # block-blowup guard
+        return (local.groupby(["s", "p", "o"]).count()
+                .drop_columns(["count()"]))
+
+    store = dd(triples.select_columns(["s", "p", "o"])).materialize()
+    n = store.count()
+    for rules in strata:
+        for _ in range(max_rounds):
+            derived = None
+            for body, head in rules:
+                pos = [a for a in body
+                       if not (len(a) == 2 and a[0] == "not")]
+                neg = [a[1] for a in body
+                       if len(a) == 2 and a[0] == "not"]
+                if not pos:
+                    raise ValueError(
+                        f"rule {head}: body needs >= 1 positive atom")
+                new = apply_rule(store, pos, head,
+                                 minus=neg or None, **match_kwargs)
+                derived = new if derived is None else derived.union(new)
+            store = dd(store.union(derived)).materialize()
+            n2 = store.count()
+            if n2 == n:
+                break
+            n = n2
+    return store

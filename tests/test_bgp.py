@@ -704,3 +704,61 @@ def test_quantified_range_validation_and_unreachable():
     out = match_bgp(ds, [(1, "ghost{0,2}", "?y")],
                     num_partitions=2).to_pandas()
     assert sorted(out["y"]) == [1]
+
+
+def test_stratified_negation_basic_and_fixpoint():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate_stratified)
+    # edges n1->n2->n3 plus n9->n3; stratum 1 closes reach, stratum 2
+    # marks reached nodes with no outgoing reach edge as sinks (string
+    # nodes: head constants must share the store's node type)
+    rows = [{"s": "n1", "p": "edge", "o": "n2"},
+            {"s": "n2", "p": "edge", "o": "n3"},
+            {"s": "n9", "p": "edge", "o": "n3"}]
+    store = rd.from_items(rows)
+    out = saturate_stratified(store, [
+        [  # stratum 1: recursive closure
+            ([("?x", "edge", "?y")], ("?x", "reach", "?y")),
+            ([("?x", "reach", "?y"), ("?y", "edge", "?z")],
+             ("?x", "reach", "?z")),
+        ],
+        [  # stratum 2: targets with NO outgoing reach edge are sinks
+            ([("?w", "reach", "?x"), ("not", ("?x", "reach", "?z"))],
+             ("?x", "is", "sink")),
+        ],
+    ], cast_nodes=False).to_pandas()
+    reach = out[out["p"] == "reach"]
+    assert sorted(map(tuple, reach[["s", "o"]].to_numpy())) == [
+        ("n1", "n2"), ("n1", "n3"), ("n2", "n3"), ("n9", "n3")]
+    sinks = out[out["p"] == "is"]
+    assert sorted(sinks["s"]) == ["n3"]
+
+
+def test_stratified_negation_rejects_unstratifiable():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate_stratified)
+    store = rd.from_items([{"s": 1, "p": "edge", "o": 2}])
+    # negating a predicate derived in the SAME stratum
+    with pytest.raises(ValueError, match="not stratified"):
+        saturate_stratified(store, [[
+            ([("?x", "edge", "?y"), ("not", ("?y", "odd", "?z"))],
+             ("?x", "odd", "?y")),
+        ]])
+    # negating a predicate derived in a LATER stratum
+    with pytest.raises(ValueError, match="not stratified"):
+        saturate_stratified(store, [
+            [([("?x", "edge", "?y"), ("not", ("?x", "m", "?u"))],
+              ("?x", "t", "?y"))],
+            [([("?x", "edge", "?y")], ("?x", "m", "?y"))],
+        ])
+    # variable negated predicate
+    with pytest.raises(ValueError, match="variable predicate"):
+        saturate_stratified(store, [[
+            ([("?x", "edge", "?y"), ("not", ("?x", "?p", "?y"))],
+             ("?x", "t", "?y")),
+        ]])
+    # all-negative body
+    with pytest.raises(ValueError, match="positive atom"):
+        saturate_stratified(store, [[
+            ([("not", ("?x", "e2", "?y"))], ("?x", "t", "?y")),
+        ]])
