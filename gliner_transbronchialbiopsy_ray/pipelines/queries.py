@@ -8435,6 +8435,103 @@ ORDER BY node
 """
 
 
+def q182_inverse_functional_sameas(sf_dir: str):
+    """owl:InverseFunctionalProperty entity resolution (stages/owl.py:
+    entail_inverse_functional, prp-ifp): customers sharing a phone
+    signature (custkey % 50 — deterministic collisions at every sf)
+    entail pairwise sameAs; the operator emits the linear STAR form
+    (group-min subject -> each other subject) via ONE coarse-bucket
+    exchange, never keyed on the raw shared value.  Noise mktsegment
+    triples prove the declaration filter.  Oracle: group-min self-join
+    (string min on both sides)."""
+    from ..stages.owl import entail_inverse_functional
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "cust:" + df["c_custkey"].astype(str)
+        sig = pd.DataFrame({
+            "s": s, "p": "phone_sig",
+            "o": "sig:" + (df["c_custkey"] % 50).astype(str)})
+        seg = pd.DataFrame({
+            "s": s, "p": "segment", "o": df["c_mktsegment"].astype(str)})
+        return pd.concat([sig, seg], ignore_index=True)
+
+    decl = ray.data.from_items(
+        [{"s": "phone_sig", "p": "a", "o": "InverseFunctionalProperty"}])
+    store = cust.map_batches(to_triples, batch_format="pyarrow").union(decl)
+    out = entail_inverse_functional(store).to_pandas()
+    out = out[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "o"]).reset_index(drop=True)
+
+
+Q182_SQL = """
+WITH t AS (
+  SELECT 'cust:' || c_custkey AS s, 'sig:' || (c_custkey % 50) AS v
+  FROM customer
+),
+g AS (SELECT v, min(s) AS canon FROM t GROUP BY v)
+SELECT g.canon AS s, 'sameAs' AS p, t.s AS o
+FROM t JOIN g USING (v)
+WHERE t.s <> g.canon
+ORDER BY s, o
+"""
+
+
+def q183_functional_violations(sf_dir: str):
+    """owl:FunctionalProperty conformance (stages/owl.py:
+    functional_violations, the prp-fp check): every supplier holds a
+    located_in nation edge, every 10th supplier holds a conflicting
+    SECOND one — the report lists exactly those subjects with their
+    distinct-object count (duplicate assertions of the same object do
+    not violate: every 7th supplier's edge is asserted twice).  Oracle:
+    COUNT(DISTINCT o) HAVING > 1."""
+    from ..stages.owl import functional_violations
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "supp:" + df["s_suppkey"].astype(str)
+        base = pd.DataFrame({
+            "s": s, "p": "located_in",
+            "o": "nation:" + df["s_nationkey"].astype(str)})
+        dup = base[df["s_suppkey"].to_numpy() % 7 == 0]
+        alt = df[df["s_suppkey"] % 10 == 0]
+        second = pd.DataFrame({
+            "s": "supp:" + alt["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + ((alt["s_nationkey"] + 1) % 25).astype(str)})
+        return pd.concat([base, dup, second], ignore_index=True)
+
+    decl = ray.data.from_items(
+        [{"s": "located_in", "p": "a", "o": "FunctionalProperty"}])
+    store = supp.map_batches(to_triples, batch_format="pyarrow").union(decl)
+    out = functional_violations(store).to_pandas()
+    out["n_objects"] = out["n_objects"].astype("int64")
+    return (out[["s", "p", "n_objects"]]
+            .sort_values("s").reset_index(drop=True))
+
+
+Q183_SQL = """
+WITH t AS (
+  SELECT 'supp:' || s_suppkey AS s, 'located_in' AS p,
+         'nation:' || s_nationkey AS o FROM supplier
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'located_in', 'nation:' || s_nationkey
+  FROM supplier WHERE s_suppkey % 7 = 0
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'located_in',
+         'nation:' || ((s_nationkey + 1) % 25)
+  FROM supplier WHERE s_suppkey % 10 = 0
+)
+SELECT s, p, CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+FROM t GROUP BY s, p HAVING COUNT(DISTINCT o) > 1
+ORDER BY s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8652,4 +8749,7 @@ QUERIES: dict[str, tuple] = {
     "q179_literal_parsing": (q179_literal_parsing, Q179_SQL),
     "q180_graph_diff": (q180_graph_diff, Q180_SQL),
     "q181_stratified_negation": (q181_stratified_negation, Q181_SQL),
+    "q182_inverse_functional_sameas": (q182_inverse_functional_sameas,
+                                       Q182_SQL),
+    "q183_functional_violations": (q183_functional_violations, Q183_SQL),
 }

@@ -22,6 +22,17 @@ and the data pass streams.
   as one broadcast flat-map): each data triple (s, p, o) emits
   (s, q, o) for every strict superproperty q of p.  Streaming, no
   shuffle; the p->supers map ships once via the closure dict.
+- `entail_inverse_functional` — owl:InverseFunctionalProperty
+  (prp-ifp): subjects sharing a declared-IFP (p, o) witness denote the
+  same entity.  Emits STAR sameAs edges (group-min subject -> every
+  other subject) instead of the pairwise clique — linear in group
+  size; the equivalence classes are identical after
+  `sameas.apply_sameas`'s connected-component closure.
+- `functional_violations` — owl:FunctionalProperty conformance check
+  (prp-fp over literal-valued data properties, where deriving
+  owl:sameAs between literals is nonsense and the correct output is a
+  VIOLATION report): subjects holding >1 distinct object for a
+  declared functional predicate, with the distinct-object count.
 
 Each returns NEW triples only (never the input), in store layout —
 callers union with the store and distinct-fold (or hand the union to
@@ -29,6 +40,7 @@ callers union with the store and distinct-fold (or hand the union to
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -167,3 +179,119 @@ def entail_subproperty(
         return out[[s_col, p_col, o_col]]
 
     return store.map_batches(fan, batch_format="pyarrow")
+
+
+def _bucketed_group_kernel(filtered: ray.data.Dataset, tag_cols: list,
+                           kernel, n_buckets: int):
+    """Coarse-bucket exchange shared by the two functional-property
+    rules: ONE groupby on a 32-way crc32 bucket of `tag_cols` (never on
+    the raw — skewed — key), vectorized pandas kernel per bucket."""
+    import zlib
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        key = df[tag_cols[0]].astype(str)
+        for c in tag_cols[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        df["_bucket"] = np.fromiter(
+            (zlib.crc32(k.encode()) % n_buckets for k in key),
+            dtype="int32", count=len(df))
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns=["_bucket"]))
+
+    return (filtered.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+
+def entail_inverse_functional(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    type_obj: str = "InverseFunctionalProperty",
+    sameas_pred: str = "sameAs",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:InverseFunctionalProperty entailment (prp-ifp): for every
+    predicate q declared IFP by a (q, type_pred, type_obj) triple, data
+    triples (s1, q, v) and (s2, q, v) entail s1 owl:sameAs s2.  Emits
+    the STAR form — (min subject, sameas_pred, other subject) per
+    (q, v) witness group — linear in group size where the full clique
+    is quadratic; `sameas.apply_sameas` closes the equivalence classes
+    identically.  ONE coarse-bucket exchange keyed on crc32(p, o) (a
+    hot shared value never lands a whole group on one reducer alone —
+    buckets mix groups), plus the final (s, p, o) distinct fold that
+    collapses multi-witness duplicates."""
+    preds = frozenset(s for s, o in _declarations(
+        store, p_col, type_pred, s_col, o_col) if o == type_obj)
+    if not preds:
+        return _empty_store(s_col, p_col, o_col)
+
+    def keep(b: pa.Table, _preds=preds) -> pa.Table:
+        t = b.filter(pc.is_in(b.column(p_col).cast(pa.string()),
+                              value_set=pa.array(sorted(_preds))))
+        return pa.table({s_col: t.column(s_col).cast(pa.string()),
+                         p_col: t.column(p_col).cast(pa.string()),
+                         o_col: t.column(o_col).cast(pa.string())})
+
+    def stars(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        canon = g.groupby([p_col, o_col])[s_col].transform("min")
+        dup = g[g[s_col] != canon]
+        return pd.DataFrame({
+            s_col: canon[dup.index].astype(str),
+            p_col: sameas_pred,
+            o_col: dup[s_col].astype(str)})
+
+    out = _bucketed_group_kernel(
+        store.map_batches(keep, batch_format="pyarrow"),
+        [p_col, o_col], stars, n_buckets)
+    return (out.groupby([s_col, p_col, o_col]).count()
+            .drop_columns(["count()"]))
+
+
+def functional_violations(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    type_obj: str = "FunctionalProperty",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:FunctionalProperty conformance report (the prp-fp shape over
+    data properties): for every predicate q declared functional, each
+    subject must hold at most ONE distinct object — violators come back
+    as (s_col, p_col, 'n_objects') rows with the distinct-object count.
+    ONE coarse-bucket exchange keyed on crc32(s, p); the in-bucket
+    kernel dedupes and sizes groups vectorized."""
+    preds = frozenset(s for s, o in _declarations(
+        store, p_col, type_pred, s_col, o_col) if o == type_obj)
+    if not preds:
+        return ray.data.from_arrow(pa.table({
+            s_col: pa.array([], type=pa.string()),
+            p_col: pa.array([], type=pa.string()),
+            "n_objects": pa.array([], type=pa.int64())}))
+
+    def keep(b: pa.Table, _preds=preds) -> pa.Table:
+        t = b.filter(pc.is_in(b.column(p_col).cast(pa.string()),
+                              value_set=pa.array(sorted(_preds))))
+        return pa.table({s_col: t.column(s_col).cast(pa.string()),
+                         p_col: t.column(p_col).cast(pa.string()),
+                         o_col: t.column(o_col).cast(pa.string())})
+
+    def count_objects(g: pd.DataFrame) -> pd.DataFrame:
+        n = (g.drop_duplicates()
+             .groupby([s_col, p_col], sort=False, as_index=False)
+             .size().rename(columns={"size": "n_objects"}))
+        n = n[n["n_objects"] > 1]
+        return pd.DataFrame({
+            s_col: n[s_col].astype(str), p_col: n[p_col].astype(str),
+            "n_objects": n["n_objects"].astype("int64")})
+
+    return _bucketed_group_kernel(
+        store.map_batches(keep, batch_format="pyarrow"),
+        [s_col, p_col], count_objects, n_buckets)

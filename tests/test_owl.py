@@ -89,3 +89,74 @@ def test_subproperty_no_declarations_typed_empty():
     out = entail_subproperty(_triples([("x", "p", "y")]))
     assert out.count() == 0
     assert set(out.schema().names) == {"s", "p", "o"}
+
+
+def test_inverse_functional_star_edges():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_inverse_functional)
+    store = _triples([
+        ("phone_sig", "a", "InverseFunctionalProperty"),
+        ("c3", "phone_sig", "555"),
+        ("c1", "phone_sig", "555"),
+        ("c2", "phone_sig", "555"),
+        ("c4", "phone_sig", "777"),          # singleton: no edge
+        ("c5", "email", "x@y"),              # not declared IFP
+        ("c6", "email", "x@y"),
+        # second witness for the same pair: distinct fold collapses it
+        ("mac", "a", "InverseFunctionalProperty"),
+        ("c1", "mac", "aa"),
+        ("c2", "mac", "aa"),
+    ])
+    out = entail_inverse_functional(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("c1", "sameAs", "c2"), ("c1", "sameAs", "c3")]
+
+
+def test_inverse_functional_closure_equivalence():
+    # star edges + sameAs closure give the same classes as the clique
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_inverse_functional)
+    from gliner_transbronchialbiopsy_ray.stages.sameas import canonical_map
+    store = _triples([
+        ("k", "a", "InverseFunctionalProperty"),
+        ("b", "k", "v1"), ("c", "k", "v1"),   # b~c
+        ("c", "k", "v2"), ("d", "k", "v2"),   # c~d  -> {b,c,d}
+    ])
+    links = entail_inverse_functional(store)
+    cmap = canonical_map(links, left_col="s", right_col="o").to_pandas()
+    canon = dict(zip(cmap["node"], cmap["canon"]))
+    assert canon.get("c", "c") == "b" and canon.get("d", "d") == "b"
+
+
+def test_inverse_functional_no_declarations_empty():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_inverse_functional)
+    out = entail_inverse_functional(_triples([("a", "p", "b")]))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s", "p", "o"}
+
+
+def test_functional_violations_counts():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        functional_violations)
+    store = _triples([
+        ("located_in", "a", "FunctionalProperty"),
+        ("s1", "located_in", "n1"),
+        ("s1", "located_in", "n2"),
+        ("s1", "located_in", "n2"),          # duplicate: still 2 distinct
+        ("s2", "located_in", "n1"),          # conformant
+        ("s3", "other_pred", "n1"),          # not declared
+        ("s3", "other_pred", "n2"),
+    ])
+    out = functional_violations(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "n_objects"]].to_numpy()))
+    assert got == [("s1", "located_in", 2)]
+    assert out["n_objects"].dtype == "int64"
+
+
+def test_functional_violations_none_declared_typed_empty():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        functional_violations)
+    out = functional_violations(_triples([("a", "p", "b")]))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s", "p", "n_objects"}
