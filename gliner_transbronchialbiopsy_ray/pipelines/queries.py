@@ -8532,6 +8532,124 @@ ORDER BY s
 """
 
 
+def q184_class_summary(sf_dir: str):
+    """VoID-style class-level graph summary (stages/kgprep.py:
+    class_summary): orders typed BOTH 'Order' and 'Order_<status>'
+    (multi-type fan-out — each placed_by edge lands in two class
+    partitions), customers typed 'Customer' with an untyped literal
+    acct_band edge.  Type map attaches via two native LEFT joins (the
+    dictionary is O(entities), never broadcast); counts fold
+    combiner-first.  Oracle: plain grouped unions."""
+    from ..stages.kgprep import class_summary
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "order:" + df["o_orderkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "a", "o": "Order"}),
+            pd.DataFrame({"s": s, "p": "a",
+                          "o": "Order_" + df["o_orderstatus"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "placed_by",
+                          "o": "cust:" + df["o_custkey"].astype(str)}),
+        ], ignore_index=True)
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "cust:" + df["c_custkey"].astype(str)
+        band = np.where(df["c_acctbal"].to_numpy() >= 0, "pos", "neg")
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "a", "o": "Customer"}),
+            pd.DataFrame({"s": s, "p": "acct_band", "o": band}),
+        ], ignore_index=True)
+
+    store = (orders.map_batches(order_triples, batch_format="pyarrow")
+             .union(cust.map_batches(cust_triples,
+                                     batch_format="pyarrow")))
+    out = class_summary(store).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    cols = ["s_type", "p", "o_type"]
+    return (out[cols + ["n"]].sort_values(cols).reset_index(drop=True))
+
+
+Q184_SQL = """
+SELECT s_type, p, o_type, n FROM (
+  SELECT 'Order' AS s_type, 'placed_by' AS p, 'Customer' AS o_type,
+         CAST(count(*) AS BIGINT) AS n FROM orders
+  UNION ALL
+  SELECT 'Order_' || o_orderstatus, 'placed_by', 'Customer',
+         CAST(count(*) AS BIGINT) FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'Customer', 'acct_band', '(untyped)',
+         CAST(count(*) AS BIGINT) FROM customer
+)
+ORDER BY s_type, p, o_type
+"""
+
+
+def q185_rdf_list_unroll(sf_dir: str):
+    """RDF collection unrolling (stages/kgprep.py:rdf_list_unroll):
+    each sampled customer's first 8 orders encoded as a proper
+    rdf:List (first/rest cells ending at nil), then flattened back to
+    (head, idx, member) by the pointer-chasing walk — heads found by
+    one anti-join, each position one frontier join, the frontier sized
+    by the NUMBER of lists.  The 8-element construction cap bounds the
+    walk (RDF collections are short by design; unbounded chains belong
+    to the succession-closure operators).  Oracle: row_number window."""
+    from ..stages.kgprep import rdf_list_unroll
+    from ..stages.window import hash_bucketed_map_groups
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sampled(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        return b.filter(pa.array(ck % 20 == 0))
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ck, u in g.groupby("o_custkey", sort=False):
+            u = u.sort_values(["o_orderdate", "o_orderkey"],
+                              kind="stable").head(8)
+            n = len(u)
+            cell = [f"cell:{ck}_{i}" for i in range(n)]
+            nxt = cell[1:] + ["nil"]
+            out.append(pd.DataFrame({
+                "s": cell + cell, "p": ["first"] * n + ["rest"] * n,
+                "o": ("order:" + u["o_orderkey"].astype(str)).tolist()
+                     + nxt}))
+        if not out:
+            return pd.DataFrame({"s": pd.Series(dtype=object),
+                                 "p": pd.Series(dtype=object),
+                                 "o": pd.Series(dtype=object)})
+        return pd.concat(out, ignore_index=True)
+
+    store = hash_bucketed_map_groups(
+        orders.map_batches(sampled, batch_format="pyarrow"),
+        "o_custkey", cells)
+    out = rdf_list_unroll(store, max_len=8).to_pandas()
+    out["idx"] = out["idx"].astype("int64")
+    return (out[["head", "idx", "member"]]
+            .sort_values(["head", "idx"]).reset_index(drop=True))
+
+
+Q185_SQL = """
+SELECT 'cell:' || o_custkey || '_0' AS head,
+       CAST(rn - 1 AS BIGINT) AS idx,
+       'order:' || o_orderkey AS member
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 20 = 0
+) WHERE rn <= 8
+ORDER BY head, idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8752,4 +8870,6 @@ QUERIES: dict[str, tuple] = {
     "q182_inverse_functional_sameas": (q182_inverse_functional_sameas,
                                        Q182_SQL),
     "q183_functional_violations": (q183_functional_violations, Q183_SQL),
+    "q184_class_summary": (q184_class_summary, Q184_SQL),
+    "q185_rdf_list_unroll": (q185_rdf_list_unroll, Q185_SQL),
 }

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -476,3 +477,226 @@ def graph_diff(
         return out
 
     return u.groupby("_bucket").map_groups(fold, batch_format="pandas")
+
+
+def class_summary(
+    triples: ray.data.Dataset,
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    untyped: str = "(untyped)",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """VoID-style class-level graph summary: (s_type, p, o_type, n) —
+    how many data edges run from instances of one class to instances
+    of another, with literal / untyped endpoints reported under the
+    `untyped` label.  Multi-typed entities contribute one row per type
+    combination (VoID class-partition semantics); duplicate type
+    DECLARATIONS collapse first.
+
+    Plan: the (node, class) map is O(entities) so it is NEVER
+    broadcast — two native LEFT joins (subject then object role, the
+    encode_triples shape) attach types to the edge stream, then a
+    per-batch partial count feeds a tiny (s_type, p, o_type) groupby.
+    Empty-block join guards (coalesce_for_join) on every post-filter
+    input."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def types_of(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "node": b.column(s_col).cast(pa.string()).to_pandas(),
+            "p": b.column(p_col).cast(pa.string()).to_pandas(),
+            "cls": b.column(o_col).cast(pa.string()).to_pandas()})
+        return (df[df["p"] == type_pred][["node", "cls"]]
+                .drop_duplicates())
+
+    types = _distinct(
+        triples.map_batches(types_of, batch_format="pyarrow"),
+        ["node", "cls"]).materialize()
+
+    def data_edges(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "_s": b.column(s_col).cast(pa.string()).to_pandas(),
+            "p": b.column(p_col).cast(pa.string()).to_pandas(),
+            "_o": b.column(o_col).cast(pa.string()).to_pandas()})
+        return df[df["p"] != type_pred]
+
+    edges = triples.map_batches(
+        data_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "s_type": pa.array([], type=pa.string()),
+            "p": pa.array([], type=pa.string()),
+            "o_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64())}))
+
+    s_types = types.map_batches(
+        lambda b: pa.table({"_s": b.column("node"),
+                            "s_type": b.column("cls")}),
+        batch_format="pyarrow").materialize()
+    o_types = types.map_batches(
+        lambda b: pa.table({"_o": b.column("node"),
+                            "o_type": b.column("cls")}),
+        batch_format="pyarrow").materialize()
+
+    j1 = coalesce_for_join(edges, num_partitions).join(
+        coalesce_for_join(s_types, num_partitions),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("_s",), right_on=("_s",))
+    j2 = coalesce_for_join(j1.materialize(), num_partitions).join(
+        coalesce_for_join(o_types, num_partitions),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("_o",), right_on=("_o",))
+
+    def partial(b: pa.Table, _u=untyped) -> pd.DataFrame:
+        df = b.to_pandas()
+        out = (pd.DataFrame({
+            "s_type": df["s_type"].fillna(_u).astype(str),
+            "p": df["p"].astype(str),
+            "o_type": df["o_type"].fillna(_u).astype(str)})
+            .groupby(["s_type", "p", "o_type"], sort=False,
+                     as_index=False).size()
+            .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = j2.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(["s_type", "p", "o_type"]).sum("n")
+    return out.map_batches(
+        lambda b: pa.table({
+            "s_type": b.column("s_type").cast(pa.string()),
+            "p": b.column("p").cast(pa.string()),
+            "o_type": b.column("o_type").cast(pa.string()),
+            "n": b.column("sum(n)").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def rdf_list_unroll(
+    triples: ray.data.Dataset,
+    first_pred: str = "first",
+    rest_pred: str = "rest",
+    nil: str = "nil",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_len: int = 32,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """RDF collection (rdf:List) unrolling: every MAXIMAL list in the
+    store — a chain of cells linked by `rest_pred` ending at `nil`,
+    each carrying one `first_pred` member — comes back as flat
+    (head, idx, member) rows, `idx` the 0-based position and `head`
+    the first cell's node id.
+
+    Heads are cells never referenced as another cell's rest (one
+    anti-join).  The walk is pointer-chasing: per position one
+    frontier-x-rests join advances every list in lockstep, one
+    frontier-x-firsts join emits members — 2 bounded joins per
+    POSITION, with the frontier sized by the number of lists, not
+    their length.  `max_len` caps the walk and is part of the
+    contract (RDF collections are short; deep chains want the
+    succession-closure operators instead).  Loop state and both edge
+    tables are materialized every round (lazy lineage would re-run
+    the extraction per hop)."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def pick(pred: str, a: str, b: str):
+        def f(batch: pa.Table, _pred=pred) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "s": batch.column(s_col).cast(pa.string()).to_pandas(),
+                "p": batch.column(p_col).cast(pa.string()).to_pandas(),
+                "o": batch.column(o_col).cast(pa.string()).to_pandas()})
+            df = df[df["p"] == _pred]
+            return pd.DataFrame({a: df["s"].astype(str),
+                                 b: df["o"].astype(str)})
+        return f
+
+    firsts = triples.map_batches(
+        pick(first_pred, "node", "member"),
+        batch_format="pyarrow").materialize()
+    rests = triples.map_batches(
+        pick(rest_pred, "node", "next"), batch_format="pyarrow")
+    rests = rests.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("next"), nil)),
+        batch_format="pyarrow").materialize()
+
+    empty = ray.data.from_arrow(pa.table({
+        "head": pa.array([], type=pa.string()),
+        "idx": pa.array([], type=pa.int64()),
+        "member": pa.array([], type=pa.string())}))
+    if firsts.count() == 0:
+        return empty
+
+    # heads: cells that are no cell's rest (anti semi-join)
+    tails = rests.map_batches(
+        lambda b: pa.table({"node": b.column("next"),
+                            "_t": pa.array([1] * b.num_rows,
+                                           type=pa.int8())}),
+        batch_format="pyarrow")
+    tails = _distinct(tails, ["node", "_t"]).materialize()
+    nodes = _distinct(firsts.select_columns(["node"]), ["node"])
+    if tails.count() == 0:
+        heads = nodes
+    else:
+        j = coalesce_for_join(nodes.materialize(), num_partitions).join(
+            coalesce_for_join(tails, num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("node",))
+        heads = j.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_t")))
+                       .select(["node"]),
+            batch_format="pyarrow")
+
+    cur = heads.map_batches(
+        lambda b: pa.table({"head": b.column("node"),
+                            "node": b.column("node")}),
+        batch_format="pyarrow").materialize()
+
+    emitted = []
+    for idx in range(max_len):
+        if cur.count() == 0:
+            break
+        cur_j = coalesce_for_join(cur, num_partitions)
+        em = cur_j.join(
+            coalesce_for_join(firsts, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",))
+        em = em.map_batches(
+            lambda b, _i=idx: pa.table({
+                "head": b.column("head").cast(pa.string()),
+                "idx": pa.array([_i] * b.num_rows, type=pa.int64()),
+                "member": b.column("member").cast(pa.string())}),
+            batch_format="pyarrow")
+        emitted.append(em.materialize())
+        if rests.count() == 0:
+            break
+        nxt = cur_j.join(
+            coalesce_for_join(rests, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",))
+        cur = nxt.map_batches(
+            lambda b: pa.table({"head": b.column("head"),
+                                "node": b.column("next")}),
+            batch_format="pyarrow").materialize()
+
+    if not emitted:
+        return empty
+    out = emitted[0]
+    for em in emitted[1:]:
+        out = out.union(em)
+    return out.repartition(num_partitions)

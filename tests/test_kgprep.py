@@ -137,3 +137,73 @@ def test_characteristic_sets_empty_input():
     out = characteristic_sets(empty)
     assert len(out) == 0
     assert list(out.columns) == ["charset", "n_subjects", "n_triples"]
+
+
+def test_class_summary_typed_untyped_multitype():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import class_summary
+    rows = [
+        # type declarations (one duplicated — must not double count)
+        ("o1", "a", "Order"), ("o2", "a", "Order"), ("o2", "a", "Order"),
+        ("c1", "a", "Customer"),
+        ("c2", "a", "Customer"), ("c2", "a", "VIP"),   # multi-typed
+        # data edges
+        ("o1", "placed_by", "c1"),
+        ("o2", "placed_by", "c2"),   # fans out to Customer AND VIP
+        ("o1", "status", "F"),       # literal object -> (untyped)
+        ("x9", "status", "F"),       # untyped subject
+    ]
+    ds = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = class_summary(ds).to_pandas()
+    got = sorted(map(tuple,
+                     out[["s_type", "p", "o_type", "n"]].to_numpy()))
+    assert got == [
+        ("(untyped)", "status", "(untyped)", 1),
+        ("Order", "placed_by", "Customer", 2),
+        ("Order", "placed_by", "VIP", 1),
+        ("Order", "status", "(untyped)", 1),
+    ]
+    assert out["n"].dtype == "int64"
+
+
+def test_class_summary_no_data_edges_typed_empty():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import class_summary
+    ds = rd.from_items([{"s": "x", "p": "a", "o": "T"}])
+    out = class_summary(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s_type", "p", "o_type", "n"}
+
+
+def test_rdf_list_unroll_two_lists_and_noise():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        rdf_list_unroll)
+    rows = [
+        # list A: m1, m2, m3
+        ("a0", "first", "m1"), ("a0", "rest", "a1"),
+        ("a1", "first", "m2"), ("a1", "rest", "a2"),
+        ("a2", "first", "m3"), ("a2", "rest", "nil"),
+        # list B: single cell
+        ("b0", "first", "x"), ("b0", "rest", "nil"),
+        # unrelated triples
+        ("s", "p", "o"),
+    ]
+    ds = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = rdf_list_unroll(ds).to_pandas()
+    got = sorted(map(tuple, out[["head", "idx", "member"]].to_numpy()))
+    assert got == [("a0", 0, "m1"), ("a0", 1, "m2"), ("a0", 2, "m3"),
+                   ("b0", 0, "x")]
+    assert out["idx"].dtype == "int64"
+
+
+def test_rdf_list_unroll_max_len_and_empty():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        rdf_list_unroll)
+    rows = [("a0", "first", "m1"), ("a0", "rest", "a1"),
+            ("a1", "first", "m2"), ("a1", "rest", "a2"),
+            ("a2", "first", "m3"), ("a2", "rest", "nil")]
+    ds = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = rdf_list_unroll(ds, max_len=2).to_pandas()
+    assert sorted(out["idx"]) == [0, 1]
+    none = rdf_list_unroll(
+        rd.from_items([{"s": "s", "p": "p", "o": "o"}]))
+    assert none.count() == 0
+    assert set(none.schema().names) == {"head", "idx", "member"}
