@@ -8650,6 +8650,50 @@ ORDER BY head, idx
 """
 
 
+def q186_sparql_order_limit(sf_dir: str):
+    """SPARQL ORDER BY / LIMIT / OFFSET (stages/solutions.py:
+    order_limit_bindings): a two-pattern BGP over customer balance and
+    nation triples, paged DESC by balance with the custkey tiebreaker
+    making the order total.  Distributed top-k: each block folds to
+    its local top-(limit+offset) before the single driver-side page
+    fold — no global sort shuffle.  Balances as floor(x*100) fixed-
+    point cents (identical float64 op on both engines).  Oracle:
+    ORDER BY ... LIMIT ... OFFSET."""
+    from ..stages.bgp import match_bgp
+    from ..stages.solutions import order_limit_bindings
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        cents = np.floor(df["c_acctbal"].to_numpy() * 100).astype("int64")
+        return pd.concat([
+            pd.DataFrame({"s": df["c_custkey"], "p": "balance_cents",
+                          "o": cents}),
+            pd.DataFrame({"s": df["c_custkey"], "p": "in_nation",
+                          "o": df["c_nationkey"].astype("int64")}),
+        ], ignore_index=True)
+
+    store = cust.map_batches(to_triples, batch_format="pyarrow")
+    bindings = match_bgp(store, [("?c", "balance_cents", "?b"),
+                                 ("?c", "in_nation", "?n")])
+    out = order_limit_bindings(
+        bindings, [("b", "desc"), ("c", "asc")], limit=20, offset=10)
+    out = out[["c", "b", "n"]].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q186_SQL = """
+SELECT c_custkey AS c,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS b,
+       CAST(c_nationkey AS BIGINT) AS n
+FROM customer
+ORDER BY b DESC, c
+LIMIT 20 OFFSET 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8872,4 +8916,5 @@ QUERIES: dict[str, tuple] = {
     "q183_functional_violations": (q183_functional_violations, Q183_SQL),
     "q184_class_summary": (q184_class_summary, Q184_SQL),
     "q185_rdf_list_unroll": (q185_rdf_list_unroll, Q185_SQL),
+    "q186_sparql_order_limit": (q186_sparql_order_limit, Q186_SQL),
 }

@@ -419,3 +419,55 @@ def describe(
     return (out.map_batches(localdd, batch_format="pyarrow")
             .groupby([s_col, p_col, o_col]).count()
             .drop_columns(["count()"]))
+
+
+def order_limit_bindings(
+    bindings: ray.data.Dataset,
+    order_by: list[tuple],
+    limit: int,
+    offset: int = 0,
+) -> pd.DataFrame:
+    """SPARQL ORDER BY + LIMIT/OFFSET solution modifier (spec 18.5.4,
+    15.1) as a distributed TOP-K: `order_by` is [(var, 'asc'|'desc'),
+    ...], and the result is rows [offset, offset+limit) of the ordered
+    solution sequence, returned as a DataFrame (the slice is
+    driver-sized BY CONSTRUCTION — k = limit + offset is the caller's
+    page, never the corpus).
+
+    Plan: every block folds to its LOCAL top-k (vectorized sort+head —
+    a block can contribute at most k survivors), then one final fold
+    orders the O(blocks * k) survivors and slices.  No global sort, no
+    all-to-all: this is the engine answer to 'ORDER BY ... LIMIT'
+    that a naive `Dataset.sort().limit()` would pay a full range
+    shuffle for.
+
+    Determinism: make the order TOTAL — include a unique tiebreaker
+    variable, or equal rows make the page membership arbitrary (the
+    SPARQL spec leaves it implementation-defined; this engine asks the
+    caller to be explicit).  Nulls sort LAST regardless of direction
+    (pandas na_position semantics; keep ORDER BY vars bound)."""
+    if limit < 0 or offset < 0:
+        raise ValueError("limit/offset must be >= 0")
+    if not order_by:
+        raise ValueError("order_by must name at least one variable")
+    cols = [c for c, _ in order_by]
+    asc = []
+    for c, d in order_by:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"direction for {c!r} must be asc|desc")
+        asc.append(d == "asc")
+    k = limit + offset
+
+    def local_topk(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return df.sort_values(cols, ascending=asc, kind="stable",
+                              na_position="last").head(k)
+
+    if k == 0:
+        cand = bindings.limit(0).to_pandas()
+        return cand
+    cand = (bindings.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    out = cand.sort_values(cols, ascending=asc, kind="stable",
+                           na_position="last")
+    return out.iloc[offset:offset + limit].reset_index(drop=True)

@@ -162,3 +162,35 @@ def test_filter_exists_matches_pandas_reference():
                .sort_values(["x", "y"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype("int64"), ref.astype("int64"))
+
+
+def test_order_limit_bindings_topk_pages():
+    from gliner_transbronchialbiopsy_ray.stages.solutions import (
+        order_limit_bindings)
+    import ray.data as rd
+    rows = [{"c": i, "b": (i * 7) % 5} for i in range(1, 21)]
+    ds = rd.from_items(rows).repartition(6)   # force multi-block top-k
+    out = order_limit_bindings(
+        ds, [("b", "desc"), ("c", "asc")], limit=5, offset=3)
+    exp = sorted(rows, key=lambda r: (-r["b"], r["c"]))[3:8]
+    assert list(map(tuple, out[["b", "c"]].to_numpy())) == [
+        (r["b"], r["c"]) for r in exp]
+    # offset past the end -> empty page, columns intact
+    far = order_limit_bindings(ds, [("c", "asc")], limit=5, offset=100)
+    assert len(far) == 0 and set(far.columns) == {"b", "c"}
+    # limit 0 -> empty
+    assert len(order_limit_bindings(ds, [("c", "asc")], 0)) == 0
+
+
+def test_order_limit_bindings_validation():
+    from gliner_transbronchialbiopsy_ray.stages.solutions import (
+        order_limit_bindings)
+    import ray.data as rd
+    import pytest
+    ds = rd.from_items([{"c": 1}])
+    with pytest.raises(ValueError, match="asc|desc"):
+        order_limit_bindings(ds, [("c", "up")], 1)
+    with pytest.raises(ValueError, match=">= 0"):
+        order_limit_bindings(ds, [("c", "asc")], -1)
+    with pytest.raises(ValueError, match="at least one"):
+        order_limit_bindings(ds, [], 1)
