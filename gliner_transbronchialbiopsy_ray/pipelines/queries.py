@@ -8694,6 +8694,66 @@ LIMIT 20 OFFSET 10
 """
 
 
+def q187_sparql_subquery(sf_dir: str):
+    """SPARQL subquery (stages/solutions.py:join_bindings — algebra
+    Join of a BGP solution sequence with an aggregated inner SELECT):
+    orders strictly above their customer's average order value.  The
+    inner query folds avg_ppm per customer (combiner-first exchange);
+    the outer BGP re-joins it via ONE native hash join on the shared
+    variable; the comparison stays exact in integer ppm (cents * 1e6
+    vs the trunc-div average).  Oracle: grouped CTE + join."""
+    from ..stages.bgp import match_bgp
+    from ..stages.solutions import aggregate_bindings, join_bindings
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.concat([
+            pd.DataFrame({"s": df["o_orderkey"], "p": "placed_by",
+                          "o": df["o_custkey"].astype("int64")}),
+            pd.DataFrame({"s": df["o_orderkey"], "p": "total_cents",
+                          "o": cents}),
+        ], ignore_index=True)
+
+    store = orders.map_batches(to_triples, batch_format="pyarrow")
+    outer = match_bgp(store, [("?o", "placed_by", "?c"),
+                              ("?o", "total_cents", "?t")])
+    inner = aggregate_bindings(outer, ["c"],
+                               [("avg_t", "avg_ppm", "t")])
+    joined = join_bindings(outer, inner)
+
+    def above(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        keep = df["t"].to_numpy("int64") * 1_000_000 > \
+            df["avg_t"].to_numpy("int64")
+        out = df[keep]
+        return pd.DataFrame({"o": out["o"].astype("int64"),
+                             "c": out["c"].astype("int64"),
+                             "t": out["t"].astype("int64")})
+
+    out = joined.map_batches(above, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o").reset_index(drop=True)
+
+
+Q187_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS o, o_custkey AS c,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS t
+  FROM orders
+),
+a AS (
+  SELECT c, (1000000 * sum(t)) // count(*) AS avg_t FROM t GROUP BY c
+)
+SELECT t.o, t.c, t.t FROM t JOIN a USING (c)
+WHERE t.t * 1000000 > a.avg_t
+ORDER BY o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8917,4 +8977,5 @@ QUERIES: dict[str, tuple] = {
     "q184_class_summary": (q184_class_summary, Q184_SQL),
     "q185_rdf_list_unroll": (q185_rdf_list_unroll, Q185_SQL),
     "q186_sparql_order_limit": (q186_sparql_order_limit, Q186_SQL),
+    "q187_sparql_subquery": (q187_sparql_subquery, Q187_SQL),
 }

@@ -471,3 +471,63 @@ def order_limit_bindings(
     out = cand.sort_values(cols, ascending=asc, kind="stable",
                            na_position="last")
     return out.iloc[offset:offset + limit].reset_index(drop=True)
+
+
+def join_bindings(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    num_partitions: int | None = None,
+    cross_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """SPARQL Join of two solution sequences (spec 18.5 Join) — the
+    algebra step that makes SUBQUERIES composable: join `left` (e.g.
+    match_bgp bindings) with `right` (e.g. an aggregate_bindings
+    result) on their SHARED variables.  Distinct inputs stay distinct.
+
+    Shared variables -> one native hash join (both sides stream;
+    empty-block guards applied — bindings datasets routinely carry
+    map_groups-produced empty blocks).  NO shared variables -> the
+    SPARQL cross product: the smaller side must fit under
+    `cross_threshold` rows (enforced), is ray.put ONCE, and each batch
+    of the larger side takes a vectorized pandas cross merge —
+    broadcast, never a shuffle.
+
+    Join variables must be BOUND on both sides: a null never matches
+    (SQL semantics).  SPARQL's unbound-is-compatible rule belongs to
+    OPTIONAL, which match_bgp handles natively — route nullable
+    variables there instead."""
+    import ray as _ray
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    lcols = set(left.schema().names)
+    rcols = set(right.schema().names)
+    shared = sorted(lcols & rcols)
+
+    if not shared:
+        ln, rn = left.count(), right.count()
+        small, big = (left, right) if ln <= rn else (right, left)
+        n_small = min(ln, rn)
+        if n_small > cross_threshold:
+            raise ValueError(
+                f"cross product: smaller side has {n_small} rows > "
+                f"cross_threshold={cross_threshold}")
+        ref = _ray.put(small.to_pandas())
+
+        def cross(b: pa.Table, _ref=ref) -> pd.DataFrame:
+            sm = _ray.get(_ref)
+            return b.to_pandas().merge(sm, how="cross")
+
+        return big.map_batches(cross, batch_format="pyarrow")
+
+    l = coalesce_for_join(left.materialize(), num_partitions)
+    r = coalesce_for_join(right.materialize(), num_partitions)
+    return l.join(r, join_type="inner", num_partitions=num_partitions,
+                  on=tuple(shared), right_on=tuple(shared))

@@ -194,3 +194,29 @@ def test_order_limit_bindings_validation():
         order_limit_bindings(ds, [("c", "asc")], -1)
     with pytest.raises(ValueError, match="at least one"):
         order_limit_bindings(ds, [], 1)
+
+
+def test_join_bindings_shared_vars():
+    from gliner_transbronchialbiopsy_ray.stages.solutions import (
+        join_bindings)
+    import ray.data as rd
+    left = rd.from_items([{"c": 1, "o": 10}, {"c": 1, "o": 11},
+                          {"c": 2, "o": 20}, {"c": 3, "o": 30}])
+    right = rd.from_items([{"c": 1, "avg": 5}, {"c": 2, "avg": 7}])
+    out = join_bindings(left, right).to_pandas()
+    got = sorted(map(tuple, out[["c", "o", "avg"]].to_numpy()))
+    assert got == [(1, 10, 5), (1, 11, 5), (2, 20, 7)]
+
+
+def test_join_bindings_cross_product_and_threshold():
+    from gliner_transbronchialbiopsy_ray.stages.solutions import (
+        join_bindings)
+    import ray.data as rd
+    import pytest
+    a = rd.from_items([{"x": i} for i in range(3)])
+    b = rd.from_items([{"y": j} for j in range(2)])
+    out = join_bindings(a, b).to_pandas()
+    assert sorted(map(tuple, out[["x", "y"]].to_numpy())) == [
+        (i, j) for i in range(3) for j in range(2)]
+    with pytest.raises(ValueError, match="cross_threshold"):
+        join_bindings(a, b, cross_threshold=1)
