@@ -8754,6 +8754,63 @@ ORDER BY o
 """
 
 
+def q188_wl_colors(sf_dir: str):
+    """1-WL color refinement (stages/graph.py:wl_refinement) over the
+    sampled part<->supplier bipartite graph (signed node ids, q114
+    encoding): two refinement rounds, then the color-class histogram —
+    the structural fingerprint used for graph-isomorphism screening
+    and role discovery.  Colors are md5 hex strings replayed EXACTLY
+    by the oracle (DuckDB md5 + string_agg ORDER BY == hashlib md5
+    over python-sorted hex); per round one native join ships neighbor
+    colors, one coarse node-bucket exchange re-hashes.  Oracle: two
+    unrolled refinement CTEs."""
+    from ..stages.graph import wl_refinement
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        return pd.DataFrame({"a": df["l_partkey"].to_numpy("int64"),
+                             "b": -df["l_suppkey"].to_numpy("int64")})
+
+    edges = (li.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).count().drop_columns(["count()"]))
+    colors = wl_refinement(edges, rounds=2)
+    out = (colors.groupby("color").count().to_pandas()
+           .rename(columns={"count()": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return (out[["color", "n"]].astype({"color": str})
+            .sort_values("color").reset_index(drop=True))
+
+
+Q188_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_partkey % 25 = 0
+),
+e AS (SELECT p AS u, -s AS v FROM e0 UNION ALL SELECT -s, p FROM e0),
+c0 AS (
+  SELECT u AS node, md5(CAST(count(*) AS VARCHAR)) AS c
+  FROM e GROUP BY u
+),
+c1 AS (
+  SELECT e.u AS node,
+         md5(max(s.c) || '|' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+  FROM e JOIN c0 n ON n.node = e.v JOIN c0 s ON s.node = e.u
+  GROUP BY e.u
+),
+c2 AS (
+  SELECT e.u AS node,
+         md5(max(s.c) || '|' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+  FROM e JOIN c1 n ON n.node = e.v JOIN c1 s ON s.node = e.u
+  GROUP BY e.u
+)
+SELECT c AS color, CAST(count(*) AS BIGINT) AS n
+FROM c2 GROUP BY c ORDER BY color
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8978,4 +9035,5 @@ QUERIES: dict[str, tuple] = {
     "q185_rdf_list_unroll": (q185_rdf_list_unroll, Q185_SQL),
     "q186_sparql_order_limit": (q186_sparql_order_limit, Q186_SQL),
     "q187_sparql_subquery": (q187_sparql_subquery, Q187_SQL),
+    "q188_wl_colors": (q188_wl_colors, Q188_SQL),
 }

@@ -1203,3 +1203,129 @@ def degree_assortativity(
         r_ppm = q + 1 if (q < 0 and rem != 0) else q  # truncate to zero
     return pd.DataFrame({"m_directed": pd.Series([m], dtype="int64"),
                          "r_ppm": pd.Series([r_ppm], dtype="int64")})
+
+
+def wl_refinement(
+    edges: ray.data.Dataset,
+    rounds: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    num_partitions: int | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """1-dimensional Weisfeiler-Leman color refinement over an
+    undirected edge set — the canonical graph-structure fingerprint
+    (graph-isomorphism screening, structural-role node signatures,
+    GNN expressivity baseline).  Returns (node, color) after `rounds`
+    refinements; color is an md5 hex string so an SQL oracle can
+    replay it exactly (DuckDB md5 == hashlib md5).
+
+    color_0(v)   = md5(CAST(degree(v) AS VARCHAR))
+    color_r(v)   = md5(color_{r-1}(v) || '|' ||
+                       join(',', SORTED color_{r-1} of neighbors))
+
+    Plan per round: ONE native hash join ships each (directed) edge
+    its endpoint color, the neighbor stream unions with the previous
+    color table (self rows) onto ONE coarse node-bucket exchange, and
+    the in-bucket kernel re-hashes every node vectorized over sorted
+    equal-key runs.  Color tables are materialized each round (lazy
+    lineage would replay all prior rounds); both union inputs are
+    evenly re-blocked (map_groups output feeding a groupby trips the
+    q127 Sort-estimate stall otherwise)."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def sym(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column(src).to_numpy().astype("int64")
+        b = batch.column(dst).to_numpy().astype("int64")
+        return pd.DataFrame({"u": np.concatenate([a, b]),
+                             "v": np.concatenate([b, a])})
+
+    sym_edges = edges.map_batches(
+        sym, batch_format="pyarrow").materialize()
+
+    # color_0: degree partials -> one bucket exchange -> md5(degree)
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        node, cnt = np.unique(
+            batch.column("u").to_numpy().astype("int64"),
+            return_counts=True)
+        out = pd.DataFrame({"node": node, "d": cnt.astype("int64")})
+        return _tag_int_bucket(out, "node", n_buckets)
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        if g.empty:
+            return pd.DataFrame({"node": np.empty(0, "int64"),
+                                 "color": pd.Series(dtype=object)})
+        agg = (g.groupby("node", sort=False)["d"].sum().reset_index())
+        return pd.DataFrame({
+            "node": agg["node"].to_numpy("int64"),
+            "color": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                      for d in agg["d"]]})
+
+    colors = (sym_edges.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(deg_fold, batch_format="pandas")
+              .materialize())
+
+    for _ in range(rounds):
+        cmap = colors.map_batches(
+            lambda b: pa.table({"v": b.column("node"),
+                                "c": b.column("color")}),
+            batch_format="pyarrow").materialize()
+        nbr = coalesce_for_join(sym_edges, num_partitions).join(
+            coalesce_for_join(cmap, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
+            on=("v",), right_on=("v",))
+
+        def nbr_rows(batch: pa.Table) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "node": batch.column("u").to_numpy().astype("int64"),
+                "c": batch.column("c").to_pandas().astype(str),
+                "self": np.zeros(batch.num_rows, dtype=bool)})
+            return _tag_int_bucket(out, "node", n_buckets)
+
+        def self_rows(batch: pa.Table) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "node": batch.column("node").to_numpy().astype("int64"),
+                "c": batch.column("color").to_pandas().astype(str),
+                "self": np.ones(batch.num_rows, dtype=bool)})
+            return _tag_int_bucket(out, "node", n_buckets)
+
+        u = coalesce_for_join(
+            nbr.map_batches(nbr_rows, batch_format="pyarrow")
+            .materialize(), num_partitions,
+        ).union(coalesce_for_join(
+            colors.map_batches(self_rows, batch_format="pyarrow")
+            .materialize(), num_partitions))
+
+        def refine(g: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+            if g.empty:
+                return pd.DataFrame({"node": np.empty(0, "int64"),
+                                     "color": pd.Series(dtype=object)})
+            g = g.sort_values(["node", "self", "c"],
+                              ascending=[True, False, True],
+                              kind="stable")
+            nodes = g["node"].to_numpy("int64")
+            cs = g["c"].to_numpy(object)
+            selfs = g["self"].to_numpy(bool)
+            out_n, out_c = [], []
+            for s, e in _group_slices(nodes):
+                # self row sorts first (ascending=False on the flag)
+                nbrs = sorted(cs[s + 1:e]) if e - s > 1 else []
+                sig = cs[s] + "|" + ",".join(nbrs)
+                if not selfs[s]:
+                    raise AssertionError("node missing self color row")
+                out_n.append(nodes[s])
+                out_c.append(hashlib.md5(sig.encode()).hexdigest())
+            return pd.DataFrame({
+                "node": np.array(out_n, dtype="int64"),
+                "color": pd.Series(out_c, dtype=object)})
+
+        colors = (u.groupby("_bucket")
+                  .map_groups(refine, batch_format="pandas")
+                  .materialize())
+    return colors

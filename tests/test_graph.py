@@ -321,3 +321,41 @@ def test_degree_assortativity_regular_graph_reports_zero():
     empty = cyc.filter(lambda r: False)
     out2 = degree_assortativity(empty, num_partitions=2)
     assert list(out2["m_directed"]) == [0]
+
+
+def test_wl_refinement_distinguishes_structure():
+    from gliner_transbronchialbiopsy_ray.stages.graph import wl_refinement
+    import hashlib
+    # path P4: 1-2-3-4  plus a disjoint triangle 10-11-12
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    out = wl_refinement(ds, rounds=2).to_pandas()
+    colors = dict(zip(out["node"], out["color"]))
+    # triangle nodes are mutually indistinguishable under 1-WL
+    assert colors[10] == colors[11] == colors[12]
+    # path ends match each other, middles match each other, and differ
+    assert colors[1] == colors[4] and colors[2] == colors[3]
+    assert colors[1] != colors[2]
+    # degree-2 alone can't separate triangle from path-middle; 2 rounds do
+    assert colors[10] != colors[2]
+    # round-0 replay: color_0 = md5(str(degree))
+    c0 = wl_refinement(ds, rounds=0).to_pandas()
+    c0m = dict(zip(c0["node"], c0["color"]))
+    assert c0m[1] == hashlib.md5(b"1").hexdigest()
+    assert c0m[2] == hashlib.md5(b"2").hexdigest()
+
+
+def test_wl_refinement_manual_round_parity():
+    from gliner_transbronchialbiopsy_ray.stages.graph import wl_refinement
+    import hashlib
+    # star: center 5, leaves 6,7,8
+    ds = rd.from_items([{"a": 5, "b": x} for x in (6, 7, 8)])
+    out = wl_refinement(ds, rounds=1).to_pandas()
+    colors = dict(zip(out["node"], out["color"]))
+    d1 = hashlib.md5(b"1").hexdigest()
+    d3 = hashlib.md5(b"3").hexdigest()
+    exp_center = hashlib.md5(
+        (d3 + "|" + ",".join(sorted([d1, d1, d1]))).encode()).hexdigest()
+    exp_leaf = hashlib.md5((d1 + "|" + d3).encode()).hexdigest()
+    assert colors[5] == exp_center
+    assert colors[6] == colors[7] == colors[8] == exp_leaf
