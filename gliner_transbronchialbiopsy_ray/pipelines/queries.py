@@ -8811,6 +8811,79 @@ FROM c2 GROUP BY c ORDER BY color
 """
 
 
+def q189_link_prediction_rank(sf_dir: str):
+    """KG-embedding link-prediction evaluation (stages/kgprep.py:
+    link_prediction_rank): optimistic TransE tail rank of each test
+    order against EVERY candidate entity, under the all-integer
+    hash_embedding both engines replay bit-for-bit.  The plan streams
+    the O(corpus) candidate table and broadcasts the bounded test page
+    (the inverse of the naive broadcast-the-entities layout).  Oracle:
+    test x entities x dims cross join, FILTER count of strictly-better
+    scores."""
+    from ..stages.kgprep import _distinct, link_prediction_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tests(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["o_orderkey"] % 97 == 0]
+        return pd.DataFrame({
+            "h": -df["o_custkey"].to_numpy("int64"),
+            "r": np.ones(len(df), dtype="int64"),
+            "t": df["o_orderkey"].to_numpy("int64")})
+
+    def ents(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"e": np.concatenate([
+            -pd.unique(df["o_custkey"]).astype("int64"),
+            df["o_orderkey"].to_numpy("int64")])})
+
+    test = orders.map_batches(tests, batch_format="pyarrow")
+    entities = _distinct(
+        orders.map_batches(ents, batch_format="pyarrow"), ["e"])
+    out = link_prediction_rank(test, entities)
+    out = out.astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q189_SQL = """
+WITH tr AS (
+  SELECT -o_custkey AS h, CAST(1 AS BIGINT) AS r, o_orderkey AS t
+  FROM orders
+),
+test AS (SELECT * FROM tr WHERE t % 97 = 0),
+ents AS (SELECT h AS e FROM tr UNION SELECT t FROM tr),
+d AS (SELECT j FROM range(8) AS rr(j)),
+q AS (
+  SELECT test.h, test.r, test.t, d.j,
+         ((abs(test.h)*31 + CASE WHEN test.h < 0 THEN 53 ELSE 0 END
+           + d.j*17) % 101) - 50
+       + ((abs(test.r)*13 + CASE WHEN test.r < 0 THEN 53 ELSE 0 END
+           + d.j*17) % 101) - 50 AS qv,
+         ((abs(test.t)*31 + CASE WHEN test.t < 0 THEN 53 ELSE 0 END
+           + d.j*17) % 101) - 50 AS tv
+  FROM test CROSS JOIN d
+),
+ts AS (SELECT h, r, t, sum(abs(qv - tv)) AS true_score
+       FROM q GROUP BY h, r, t),
+sc AS (
+  SELECT q.h, q.r, q.t, ents.e,
+         sum(abs(q.qv -
+             (((abs(ents.e)*31
+                + CASE WHEN ents.e < 0 THEN 53 ELSE 0 END
+                + q.j*17) % 101) - 50))) AS score
+  FROM q CROSS JOIN ents
+  GROUP BY q.h, q.r, q.t, ents.e
+)
+SELECT sc.h, sc.r, sc.t,
+       CAST(1 + count(*) FILTER (WHERE sc.score < ts.true_score)
+            AS BIGINT) AS "rank"
+FROM sc JOIN ts USING (h, r, t)
+GROUP BY sc.h, sc.r, sc.t
+ORDER BY h, r, t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9036,4 +9109,5 @@ QUERIES: dict[str, tuple] = {
     "q186_sparql_order_limit": (q186_sparql_order_limit, Q186_SQL),
     "q187_sparql_subquery": (q187_sparql_subquery, Q187_SQL),
     "q188_wl_colors": (q188_wl_colors, Q188_SQL),
+    "q189_link_prediction_rank": (q189_link_prediction_rank, Q189_SQL),
 }

@@ -700,3 +700,78 @@ def rdf_list_unroll(
     for em in emitted[1:]:
         out = out.union(em)
     return out.repartition(num_partitions)
+
+
+def hash_embedding(ids: np.ndarray, dim: int = 8,
+                   salt: int = 31) -> np.ndarray:
+    """Deterministic integer 'embedding' for benchmark/oracle use:
+    emb(e, j) = ((|e|*salt + 53*[e<0] + j*17) % 101) - 50.  All-integer
+    and sign-safe (operands made non-negative BEFORE the modulo — SQL %
+    follows the dividend's sign, numpy's the divisor's: the q123 trap),
+    so DuckDB replays it bit-for-bit.  Real float embeddings plug into
+    the same ranking operator; this one exists so ranking METRICS can
+    be oracle-verified."""
+    e = ids.astype("int64")
+    j = np.arange(dim, dtype="int64")
+    base = np.abs(e)[:, None] * salt + 53 * (e < 0)[:, None] + j * 17
+    return (base % 101) - 50
+
+
+def link_prediction_rank(
+    test_triples: ray.data.Dataset,
+    entities: ray.data.Dataset,
+    dim: int = 8,
+    h_col: str = "h",
+    r_col: str = "r",
+    t_col: str = "t",
+    e_col: str = "e",
+    max_test: int = 100_000,
+) -> pd.DataFrame:
+    """TransE-style link-prediction evaluation: for each test (h, r, t),
+    the OPTIMISTIC tail rank — 1 + #{candidate e : L1 score(h, r, e) <
+    score(h, r, t)} under score = sum_j |emb(h)+emb(r)-emb(t)| with the
+    `hash_embedding` vectors.  Returns (h, r, t, rank) as a DataFrame
+    (one row per test triple — the eval page).
+
+    Scale plan INVERTED from the naive one: the test set is the small
+    side (an eval page, `max_test`-enforced) so its query matrix is
+    ray.put ONCE; the CANDIDATE ENTITY table — O(corpus) — streams
+    through map_batches, each batch folding to a (test_idx, count)
+    partial via one vectorized (T x E_batch x dim) L1 kernel.  Partials
+    sum in one tiny groupby; no entity matrix is ever materialized or
+    broadcast."""
+    tdf = test_triples.to_pandas()
+    if len(tdf) > max_test:
+        raise ValueError(
+            f"test set {len(tdf)} rows > max_test={max_test}: the "
+            "eval page is the broadcast side and must stay bounded")
+    if len(tdf) == 0:
+        return pd.DataFrame({h_col: pd.Series(dtype="int64"),
+                             r_col: pd.Series(dtype="int64"),
+                             t_col: pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    h = tdf[h_col].to_numpy("int64")
+    r = tdf[r_col].to_numpy("int64")
+    t = tdf[t_col].to_numpy("int64")
+    q = hash_embedding(h, dim) + hash_embedding(r, dim, salt=13)
+    true_score = np.abs(q - hash_embedding(t, dim)).sum(axis=1)
+    ref = ray.put((q, true_score))
+
+    def partial(b: pa.Table, _ref=ref, _dim=dim) -> pd.DataFrame:
+        qm, ts = ray.get(_ref)
+        ents = b.column(e_col).to_numpy().astype("int64")
+        em = hash_embedding(ents, _dim)                    # (E, dim)
+        dist = np.abs(qm[:, None, :] - em[None, :, :]).sum(axis=2)
+        less = (dist < ts[:, None]).sum(axis=1).astype("int64")
+        return pd.DataFrame({"i": np.arange(len(ts), dtype="int64"),
+                             "cnt": less})
+
+    parts = (entities.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=4096)
+             .groupby("i").sum("cnt").to_pandas())
+    counts = np.zeros(len(tdf), dtype="int64")
+    counts[parts["i"].to_numpy("int64")] = \
+        parts["sum(cnt)"].to_numpy("int64")
+    out = pd.DataFrame({h_col: h, r_col: r, t_col: t,
+                        "rank": counts + 1})
+    return out.sort_values([h_col, r_col, t_col]).reset_index(drop=True)

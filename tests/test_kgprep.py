@@ -2,6 +2,7 @@
 (h, r, t) encoding."""
 
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from gliner_transbronchialbiopsy_ray.stages.kgprep import (
@@ -207,3 +208,34 @@ def test_rdf_list_unroll_max_len_and_empty():
         rd.from_items([{"s": "s", "p": "p", "o": "o"}]))
     assert none.count() == 0
     assert set(none.schema().names) == {"head", "idx", "member"}
+
+
+def test_link_prediction_rank_bruteforce_parity():
+    import numpy as np
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        hash_embedding, link_prediction_rank)
+    rng = [(-3, 1, 7), (5, 2, -4), (9, 1, 9)]
+    ents = [-4, -3, 1, 5, 7, 9, 12]
+    test = rd.from_items([{"h": h, "r": r, "t": t} for h, r, t in rng])
+    eds = rd.from_items([{"e": e} for e in ents]).repartition(3)
+    out = link_prediction_rank(test, eds)
+    # brute force
+    em = {e: hash_embedding(np.array([e]), 8)[0] for e in ents}
+    for _, row in out.iterrows():
+        q = (hash_embedding(np.array([row["h"]]), 8)[0]
+             + hash_embedding(np.array([row["r"]]), 8, salt=13)[0])
+        ts = np.abs(q - hash_embedding(np.array([row["t"]]), 8)[0]).sum()
+        exp = 1 + sum(np.abs(q - em[e]).sum() < ts for e in ents)
+        assert row["rank"] == exp
+    assert out["rank"].dtype == "int64"
+
+
+def test_link_prediction_rank_guards():
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        link_prediction_rank)
+    test = rd.from_items([{"h": 1, "r": 1, "t": 2}] * 5)
+    ents = rd.from_items([{"e": 1}, {"e": 2}])
+    with pytest.raises(ValueError, match="max_test"):
+        link_prediction_rank(test, ents, max_test=2)
+    empty = link_prediction_rank(test.limit(0), ents)
+    assert len(empty) == 0 and "rank" in empty.columns
