@@ -8884,6 +8884,75 @@ ORDER BY h, r, t
 """
 
 
+def q190_domain_range_entailment(sf_dir: str):
+    """rdfs2 + rdfs3 domain/range type inference as PURE variable-
+    predicate rules (stages/bgp.py:apply_rule — no new operator): the
+    ontology declares domain/range classes for placed_by and
+    in_nation; every data edge then types its subject (rdfs2) and
+    object (rdfs3).  The data pattern goes FIRST with the broadcast
+    fold — a predicate-variable join is maximally skewed, so the store
+    streams and the bounded ontology legs collect (the q143 rule).
+    Output: distinct (entity, cls).  Oracle: plain unions."""
+    from ..stages.bgp import apply_rule
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def order_edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "order:" + df["o_orderkey"].astype(str),
+            "p": "placed_by",
+            "o": "cust:" + df["o_custkey"].astype(str)})
+
+    def cust_edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "cust:" + df["c_custkey"].astype(str),
+            "p": "in_nation",
+            "o": "nation:" + df["c_nationkey"].astype(str)})
+
+    onto = ray.data.from_items([
+        {"s": "placed_by", "p": "domain", "o": "Order"},
+        {"s": "placed_by", "p": "range", "o": "Customer"},
+        {"s": "in_nation", "p": "domain", "o": "Customer"},
+        {"s": "in_nation", "p": "range", "o": "Nation"},
+    ])
+    store = (orders.map_batches(order_edges, batch_format="pyarrow")
+             .union(cust.map_batches(cust_edges,
+                                     batch_format="pyarrow"))
+             .union(onto))
+
+    kw = dict(cast_nodes=False, join_strategy="broadcast")
+    rdfs2 = apply_rule(store, [("?x", "?p", "?y"),
+                               ("?p", "domain", "?c")],
+                       ("?x", "type", "?c"), **kw)
+    rdfs3 = apply_rule(store, [("?x", "?p", "?y"),
+                               ("?p", "range", "?c")],
+                       ("?y", "type", "?c"), **kw)
+    typed = (rdfs2.union(rdfs3)
+             .groupby(["s", "p", "o"]).count().drop_columns(["count()"]))
+    out = typed.to_pandas()
+    out = pd.DataFrame({"entity": out["s"].astype(str),
+                        "cls": out["o"].astype(str)})
+    return (out.drop_duplicates().sort_values(["entity", "cls"])
+            .reset_index(drop=True))
+
+
+Q190_SQL = """
+SELECT DISTINCT entity, cls FROM (
+  SELECT 'order:' || o_orderkey AS entity, 'Order' AS cls FROM orders
+  UNION ALL
+  SELECT 'cust:' || o_custkey, 'Customer' FROM orders
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'Customer' FROM customer
+  UNION ALL
+  SELECT 'nation:' || c_nationkey, 'Nation' FROM customer
+)
+ORDER BY entity, cls
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9110,4 +9179,6 @@ QUERIES: dict[str, tuple] = {
     "q187_sparql_subquery": (q187_sparql_subquery, Q187_SQL),
     "q188_wl_colors": (q188_wl_colors, Q188_SQL),
     "q189_link_prediction_rank": (q189_link_prediction_rank, Q189_SQL),
+    "q190_domain_range_entailment": (q190_domain_range_entailment,
+                                     Q190_SQL),
 }
