@@ -8953,6 +8953,77 @@ ORDER BY entity, cls
 """
 
 
+def q191_allen_interval_join(sf_dir: str):
+    """Allen interval-algebra join (stages/temporal_kg.py:
+    allen_interval_join): each customer's even-key order intervals
+    classified against their odd-key ones into the one holding Allen
+    relation — ONE coarse key-bucket exchange, per-key vectorized pair
+    grid (the bounded-timeline contract), closed-open epoch-us int64
+    intervals.  Span = orderdate + (orderkey%30 + 1) days, so every
+    relation class occurs.  Oracle: join + exhaustive CASE."""
+    from ..stages.temporal_kg import allen_interval_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def iv(parity: int):
+        def f(b: pa.Table, _p=parity) -> pd.DataFrame:
+            df = b.to_pandas()
+            df = df[df["o_orderkey"] % 2 == _p]
+            start = (df["o_orderdate"].astype("datetime64[us]")
+                     .astype("int64"))
+            span = (df["o_orderkey"].to_numpy("int64") % 30 + 1) \
+                * 86_400_000_000
+            return pd.DataFrame({
+                "key": df["o_custkey"].astype(str),
+                "id": df["o_orderkey"].to_numpy("int64"),
+                "start": start.to_numpy(),
+                "end": start.to_numpy() + span})
+        return f
+
+    left = orders.map_batches(iv(0), batch_format="pyarrow")
+    right = orders.map_batches(iv(1), batch_format="pyarrow")
+    out = allen_interval_join(left, right).to_pandas()
+    out["key"] = out["key"].astype(str)
+    out["relation"] = out["relation"].astype(str)
+    out["l_id"] = out["l_id"].astype("int64")
+    out["r_id"] = out["r_id"].astype("int64")
+    return (out[["key", "l_id", "r_id", "relation"]]
+            .sort_values(["key", "l_id", "r_id"])
+            .reset_index(drop=True))
+
+
+Q191_SQL = """
+WITH iv AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, o_orderkey AS id,
+         epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate)
+           + (o_orderkey % 30 + 1) * 86400000000 AS e
+  FROM orders
+),
+l AS (SELECT * FROM iv WHERE id % 2 = 0),
+r AS (SELECT * FROM iv WHERE id % 2 = 1)
+SELECT l.key, l.id AS l_id, r.id AS r_id,
+  CASE
+    WHEN l.e < r.s THEN 'before'
+    WHEN l.e = r.s THEN 'meets'
+    WHEN l.s < r.s AND r.s < l.e AND l.e < r.e THEN 'overlaps'
+    WHEN l.s = r.s AND l.e < r.e THEN 'starts'
+    WHEN l.s > r.s AND l.e < r.e THEN 'during'
+    WHEN l.s > r.s AND l.e = r.e THEN 'finishes'
+    WHEN l.s = r.s AND l.e = r.e THEN 'equals'
+    WHEN r.e < l.s THEN 'after'
+    WHEN r.e = l.s THEN 'met_by'
+    WHEN r.s < l.s AND l.s < r.e AND r.e < l.e THEN 'overlapped_by'
+    WHEN l.s = r.s AND l.e > r.e THEN 'started_by'
+    WHEN l.s < r.s AND l.e > r.e THEN 'contains'
+    WHEN l.s < r.s AND l.e = r.e THEN 'finished_by'
+  END AS relation
+FROM l JOIN r ON l.key = r.key
+ORDER BY l.key, l_id, r_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9181,4 +9252,5 @@ QUERIES: dict[str, tuple] = {
     "q189_link_prediction_rank": (q189_link_prediction_rank, Q189_SQL),
     "q190_domain_range_entailment": (q190_domain_range_entailment,
                                      Q190_SQL),
+    "q191_allen_interval_join": (q191_allen_interval_join, Q191_SQL),
 }

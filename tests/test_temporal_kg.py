@@ -62,3 +62,39 @@ def test_bucketing_invariant():
     key = ["s", "p", "o", "valid_from"]
     assert (sorted(map(tuple, a[key].to_numpy()))
             == sorted(map(tuple, b[key].to_numpy())))
+
+
+def test_allen_interval_join_all_13_relations():
+    from gliner_transbronchialbiopsy_ray.stages.temporal_kg import (
+        allen_interval_join)
+    # one left interval [10, 20); rights chosen to hit every relation
+    rights = {
+        1: (25, 30, "before"), 2: (20, 25, "meets"),
+        3: (15, 25, "overlaps"), 4: (10, 25, "starts"),
+        5: (5, 25, "during"),   # left strictly inside right
+        6: (5, 20, "finishes"), 7: (10, 20, "equals"),
+        8: (2, 5, "after"), 9: (5, 10, "met_by"),
+        10: (5, 15, "overlapped_by"), 11: (10, 15, "started_by"),
+        12: (12, 18, "contains"), 13: (15, 20, "finished_by"),
+    }
+    left = rd.from_items([{"key": "k", "id": 0, "start": 10, "end": 20}])
+    right = rd.from_items([{"key": "k", "id": i, "start": s, "end": e}
+                           for i, (s, e, _) in rights.items()])
+    out = allen_interval_join(left, right).to_pandas()
+    got = dict(zip(out["r_id"], out["relation"]))
+    assert got == {i: rel for i, (_, _, rel) in rights.items()}
+    # keys never mix
+    other = rd.from_items([{"key": "z", "id": 99, "start": 10,
+                            "end": 20}])
+    out2 = allen_interval_join(left, other)
+    assert out2.count() == 0
+
+
+def test_allen_interval_join_rejects_improper():
+    from gliner_transbronchialbiopsy_ray.stages.temporal_kg import (
+        allen_interval_join)
+    import pytest
+    bad = rd.from_items([{"key": "k", "id": 1, "start": 5, "end": 5}])
+    ok = rd.from_items([{"key": "k", "id": 2, "start": 1, "end": 2}])
+    with pytest.raises(Exception, match="improper interval"):
+        allen_interval_join(bad, ok).materialize()
