@@ -9024,6 +9024,100 @@ ORDER BY l.key, l_id, r_id
 """
 
 
+def q192_kg_repair_pipeline(sf_dir: str):
+    """KG REPAIR capstone — the full entity-resolution + conflict-
+    repair composition, every stage streaming: customers arrive under
+    two system aliases (a:K for all, b:K for every 4th) sharing an IFP
+    phone signature; (1) owl.entail_inverse_functional derives the
+    sameAs links, (2) sameas.apply_sameas folds both aliases onto the
+    canonical id, (3) owl.functional_violations counts the resulting
+    segment conflicts (every merged entity holds the true value AND
+    system B's corrupted 'seg?' variant), (4) fusion.resolve_conflicts
+    (vote, min-object tie-break) repairs to one value — provably the
+    true one ('X' < 'X?') — and a post-repair violation scan asserting
+    ZERO is part of the pipeline.  Output: every entity's repaired
+    segment + its pre-repair distinct-object count.  Oracle: the
+    repaired end state in plain SQL."""
+    from ..stages.fusion import resolve_conflicts
+    from ..stages.joins import coalesce_for_join
+    from ..stages.owl import (entail_inverse_functional,
+                              functional_violations)
+    from ..stages.sameas import apply_sameas
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def facts(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        a = pd.DataFrame({
+            "s": "a:" + df["c_custkey"].astype(str), "p": "segment",
+            "o": df["c_mktsegment"].astype(str)})
+        dup = df[df["c_custkey"] % 4 == 0]
+        bb = pd.DataFrame({
+            "s": "b:" + dup["c_custkey"].astype(str), "p": "segment",
+            "o": dup["c_mktsegment"].astype(str) + "?"})
+        return pd.concat([a, bb], ignore_index=True)
+
+    def phones(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        sig = "sig:" + df["c_custkey"].astype(str)
+        a = pd.DataFrame({"s": "a:" + df["c_custkey"].astype(str),
+                          "p": "phone_sig", "o": sig})
+        dup = df[df["c_custkey"] % 4 == 0]
+        bb = pd.DataFrame({"s": "b:" + dup["c_custkey"].astype(str),
+                           "p": "phone_sig",
+                           "o": "sig:" + dup["c_custkey"].astype(str)})
+        return pd.concat([a, bb], ignore_index=True)
+
+    ifp_decl = ray.data.from_items(
+        [{"s": "phone_sig", "p": "a", "o": "InverseFunctionalProperty"}])
+    fp_decl = ray.data.from_items(
+        [{"s": "segment", "p": "a", "o": "FunctionalProperty"}])
+
+    links = entail_inverse_functional(
+        cust.map_batches(phones, batch_format="pyarrow").union(ifp_decl))
+    merged = apply_sameas(
+        cust.map_batches(facts, batch_format="pyarrow"),
+        links, left_col="s", right_col="o").materialize()
+
+    pre = functional_violations(merged.union(fp_decl)).materialize()
+    repaired = resolve_conflicts(merged, strategy="vote").materialize()
+    post = functional_violations(repaired.union(fp_decl))
+    n_post = post.count()
+    if n_post != 0:
+        raise AssertionError(
+            f"repair left {n_post} functional violations")
+
+    num_partitions = max(2, int(ray.cluster_resources()
+                                .get("CPU", 4)) // 2)
+    viol = pre.map_batches(
+        lambda b: pa.table({"s": b.column("s"),
+                            "n_objects": b.column("n_objects")}),
+        batch_format="pyarrow")
+    j = coalesce_for_join(repaired, num_partitions).join(
+        coalesce_for_join(viol.materialize(), num_partitions),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("s",), right_on=("s",))
+
+    def finish(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "entity": df["s"].astype(str),
+            "segment": df["o"].astype(str),
+            "pre_objects": df["n_objects"].fillna(1).astype("int64")})
+
+    out = j.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+Q192_SQL = """
+SELECT 'a:' || c_custkey AS entity, c_mktsegment AS segment,
+       CAST(CASE WHEN c_custkey % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS pre_objects
+FROM customer
+ORDER BY entity
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9253,4 +9347,5 @@ QUERIES: dict[str, tuple] = {
     "q190_domain_range_entailment": (q190_domain_range_entailment,
                                      Q190_SQL),
     "q191_allen_interval_join": (q191_allen_interval_join, Q191_SQL),
+    "q192_kg_repair_pipeline": (q192_kg_repair_pipeline, Q192_SQL),
 }
