@@ -9118,6 +9118,54 @@ ORDER BY entity
 """
 
 
+def q193_landmark_hops(sf_dir: str):
+    """Per-landmark hop distances (stages/graph.py:multi_source_hops):
+    every sampled part seed's min-hop distance to each node within 2
+    hops of the part<->supplier graph — the landmark distance-feature
+    operator (per-seed BFS state keyed (seed, node), nothing
+    broadcast; the seed set is the bounded landmark sample).  Oracle:
+    seed-tracking recursive CTE + grouped min."""
+    from ..stages.graph import multi_source_hops
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = multi_source_hops(edges, seeds, k=2).to_pandas()
+    out = out.astype("int64")
+    return (out.sort_values(["seed", "node"]).reset_index(drop=True))
+
+
+Q193_SQL = """
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, -s AS dst FROM e UNION ALL SELECT -s, p FROM e),
+seeds AS (SELECT DISTINCT l_partkey AS n FROM lineitem
+          WHERE l_partkey % 100 = 0),
+walk(seed, node, hops) AS (
+  SELECT n, n, 0 FROM seeds
+  UNION
+  SELECT w.seed, ed.dst, w.hops + 1
+  FROM walk w JOIN edges ed ON ed.src = w.node WHERE w.hops < 2
+)
+SELECT seed, node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY seed, node ORDER BY seed, node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9348,4 +9396,5 @@ QUERIES: dict[str, tuple] = {
                                      Q190_SQL),
     "q191_allen_interval_join": (q191_allen_interval_join, Q191_SQL),
     "q192_kg_repair_pipeline": (q192_kg_repair_pipeline, Q192_SQL),
+    "q193_landmark_hops": (q193_landmark_hops, Q193_SQL),
 }

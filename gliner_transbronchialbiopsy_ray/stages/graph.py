@@ -1329,3 +1329,76 @@ def wl_refinement(
                   .map_groups(refine, batch_format="pandas")
                   .materialize())
     return colors
+
+
+def multi_source_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """PER-SEED min-hop BFS: (seed, node, hops) for every (seed, node)
+    pair within `k` directed hops — the landmark-distance operator
+    (per-landmark distance features for KG embeddings / closeness
+    estimates), vs `k_hop_reachability` which collapses the seed set
+    into one combined frontier.
+
+    Identical loop discipline (semi-naive frontier join + ONE
+    union/grouped-min fold per hop, everything materialized), but all
+    state is keyed on (seed, node), so frontier and visited scale with
+    #seeds x reachable-set — keep the seed set a bounded LANDMARK
+    sample; the seed column rides the exchanges, nothing is broadcast.
+    """
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def as_visited(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas()).astype("int64")
+        return pa.table({"seed": pa.array(ids),
+                         "node": pa.array(ids),
+                         "hops": pa.array(np.zeros(len(ids), "int64"))})
+
+    def _minfold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (ds.groupby(["seed", "node"]).min("hops")
+                .map_batches(
+                    lambda b: b.rename_columns(["seed", "node", "hops"]),
+                    batch_format="pyarrow"))
+
+    visited = _minfold(
+        seeds.map_batches(as_visited, batch_format="pyarrow")).materialize()
+    frontier = visited
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst]), num_partitions).materialize()
+
+    for hop in range(1, k + 1):
+        expand = coalesce_for_join(
+            frontier.drop_columns(["hops"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def project(batch: pa.Table, _h=hop) -> pa.Table:
+            # Arrow out: a pandas/arrow block MIX in the union trips
+            # the groupby sort-sampler's block-type assertion
+            df = pd.DataFrame({
+                "seed": batch.column("seed").to_numpy().astype("int64"),
+                "node": batch.column(dst).to_numpy().astype("int64"),
+            }).drop_duplicates()
+            return pa.table({
+                "seed": pa.array(df["seed"].to_numpy()),
+                "node": pa.array(df["node"].to_numpy()),
+                "hops": pa.array(np.full(len(df), _h, "int64"))})
+
+        nxt = expand.map_batches(project, batch_format="pyarrow")
+        visited = _minfold(visited.union(nxt)).materialize()
+        frontier = visited.map_batches(
+            lambda b, _h=hop: b.filter(pc.equal(b.column("hops"), _h)),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return visited

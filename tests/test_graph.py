@@ -359,3 +359,20 @@ def test_wl_refinement_manual_round_parity():
     exp_leaf = hashlib.md5((d1 + "|" + d3).encode()).hexdigest()
     assert colors[5] == exp_center
     assert colors[6] == colors[7] == colors[8] == exp_leaf
+
+
+def test_multi_source_hops_per_seed_distances():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        multi_source_hops)
+    # chain 1->2->3->4 and branch 1->5; seeds 1 and 3
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5)]
+    eds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    seeds = rd.from_items([{"node": 1}, {"node": 3}])
+    out = multi_source_hops(eds, seeds, k=3).to_pandas()
+    got = {(r["seed"], r["node"]): r["hops"]
+           for _, r in out.iterrows()}
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 5): 1, (1, 3): 2,
+                   (1, 4): 3, (3, 3): 0, (3, 4): 1}
+    # k caps the walk per seed
+    out2 = multi_source_hops(eds, seeds, k=1).to_pandas()
+    assert len(out2) == 5  # (1,1),(1,2),(1,5),(3,3),(3,4)
