@@ -9166,6 +9166,54 @@ FROM walk GROUP BY seed, node ORDER BY seed, node
 """
 
 
+def q194_shacl_closed(sf_dir: str):
+    """SHACL sh:closed validation (stages/shacl.py:validate_shapes,
+    'closed' kind): supplier nodes may carry only located_in + name —
+    every 5th supplier's legacy 'deprecated_field' edge is flagged
+    with the offending predicate and value, per triple, in the same
+    one-subject-bucket exchange as every other constraint.  Oracle:
+    the violating triples in plain SQL."""
+    from ..stages.shacl import Shape, validate_shapes
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "supp:" + df["s_suppkey"].astype(str)
+        parts = [
+            pd.DataFrame({"s": s, "p": "type", "o": "Supplier"}),
+            pd.DataFrame({"s": s, "p": "located_in",
+                          "o": "nation:" + df["s_nationkey"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "name",
+                          "o": df["s_name"].astype(str)}),
+        ]
+        old = df[df["s_suppkey"] % 5 == 0]
+        parts.append(pd.DataFrame({
+            "s": "supp:" + old["s_suppkey"].astype(str),
+            "p": "deprecated_field",
+            "o": (old["s_suppkey"] % 7).astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    store = supp.map_batches(to_triples, batch_format="pyarrow")
+    shape = Shape("supplier_closed", "Supplier",
+                  [("closed", None, ["located_in", "name"])])
+    out = validate_shapes(store, [shape]).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q194_SQL = """
+SELECT 'supp:' || s_suppkey AS node,
+       'supplier_closed' AS shape, 'closed' AS constraint,
+       'deprecated_field' AS pred,
+       CAST(s_suppkey % 7 AS VARCHAR) AS detail
+FROM supplier WHERE s_suppkey % 5 = 0
+ORDER BY node, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9397,4 +9445,5 @@ QUERIES: dict[str, tuple] = {
     "q191_allen_interval_join": (q191_allen_interval_join, Q191_SQL),
     "q192_kg_repair_pipeline": (q192_kg_repair_pipeline, Q192_SQL),
     "q193_landmark_hops": (q193_landmark_hops, Q193_SQL),
+    "q194_shacl_closed": (q194_shacl_closed, Q194_SQL),
 }

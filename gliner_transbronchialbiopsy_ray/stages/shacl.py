@@ -63,7 +63,7 @@ import ray.data
 
 _KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref",
           "datatype", "less_than", "has_value", "equals", "disjoint",
-          "node_kind"}
+          "node_kind", "closed"}
 
 # the engine's node convention: "prefix:rest" strings are IRI-like
 # node ids, everything else is a literal
@@ -97,6 +97,10 @@ class Shape:
             if c[0] == "node_kind" and c[2] not in ("iri", "literal"):
                 raise ValueError(
                     f"node_kind must be 'iri' or 'literal', got {c[2]!r}")
+            if c[0] == "closed" and not isinstance(
+                    c[2], (list, tuple, set, frozenset)):
+                raise ValueError(
+                    "closed takes the collection of allowed predicates")
 
 
 def validate_shapes(
@@ -209,6 +213,18 @@ def validate_shapes(
                             "node": bad["s"].astype(str),
                             "shape": name, "constraint": kind,
                             "pred": pred, "detail": bad["o"]}))
+                elif kind == "closed":
+                    # sh:closed: a target node may only carry the
+                    # declared predicates (the type edge is implicitly
+                    # allowed — it is the targeting mechanism)
+                    allowed = set(map(str, c[2])) | {type_pred}
+                    bad = mine[~mine["p"].isin(allowed)]
+                    if len(bad):
+                        out.append(pd.DataFrame({
+                            "node": bad["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": bad["p"].astype(str),
+                            "detail": bad["o"]}))
                 elif kind == "datatype":
                     rx = re.compile(_DATATYPE_RX[c[2]])
                     ok = rows["o"].astype(str).str.fullmatch(rx)

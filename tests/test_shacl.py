@@ -189,3 +189,29 @@ def test_node_kind_literal_and_spec_validation():
     assert list(out["detail"]) == ["n:1"]
     with pytest.raises(ValueError, match="node_kind"):
         Shape("S", "C", [("node_kind", "p", "blank")]).validate_spec()
+
+
+def test_closed_shape_flags_undeclared_predicates():
+    rows = [
+        ("s1", "type", "Widget"),
+        ("s1", "name", "alpha"),
+        ("s1", "color", "red"),          # undeclared -> violation
+        ("s1", "weight", "3"),           # undeclared -> violation
+        ("s2", "type", "Widget"),
+        ("s2", "name", "beta"),          # fully conformant
+        ("x1", "color", "blue"),         # not a target: ignored
+    ]
+    ds = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    shape = Shape("widget", "Widget",
+                  [("closed", None, ["name"])])
+    out = validate_shapes(ds, [shape]).to_pandas()
+    got = sorted(map(tuple, out[["node", "pred", "detail"]].to_numpy()))
+    assert got == [("s1", "color", "red"), ("s1", "weight", "3")]
+    assert set(out["constraint"]) == {"closed"}
+
+
+def test_closed_shape_validation_error():
+    import pytest
+    shape = Shape("w", "W", [("closed", None, "name")])
+    with pytest.raises(ValueError, match="allowed predicates"):
+        shape.validate_spec()
