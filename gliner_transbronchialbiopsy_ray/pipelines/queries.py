@@ -9214,6 +9214,62 @@ ORDER BY node, detail
 """
 
 
+def q195_subclass_instance_retrieval(sf_dir: str):
+    """Ontology-aware instance retrieval as ONE pure BGP — no
+    materialized entailment: ?x type/subclass{0,3} reg:2 finds both
+    customers whose nation's taxonomy rolls up into region 2 (one
+    subclass hop) and the sampled customers typed directly at region
+    level (zero hops), composing the sequence path with a quantified
+    range element (stages/bgp.py path machinery end to end).  Oracle:
+    the taxonomy unrolled as joins."""
+    from ..stages.bgp import match_bgp
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        base = pd.DataFrame({
+            "s": "cust:" + df["c_custkey"].astype(str), "p": "type",
+            "o": "nat:" + df["c_nationkey"].astype(str)})
+        direct = df[df["c_custkey"] % 100 == 0]
+        extra = pd.DataFrame({
+            "s": "cust:" + direct["c_custkey"].astype(str), "p": "type",
+            "o": "reg:" + (direct["c_custkey"] % 5).astype(str)})
+        return pd.concat([base, extra], ignore_index=True)
+
+    def nat_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        up = pd.DataFrame({
+            "s": "nat:" + df["n_nationkey"].astype(str), "p": "subclass",
+            "o": "reg:" + df["n_regionkey"].astype(str)})
+        top = pd.DataFrame({
+            "s": "reg:" + df["n_regionkey"].astype(str).unique(),
+            "p": "subclass", "o": "world"})
+        return pd.concat([up, top], ignore_index=True)
+
+    store = (cust.map_batches(cust_triples, batch_format="pyarrow")
+             .union(nat.map_batches(nat_triples,
+                                    batch_format="pyarrow")))
+    out = match_bgp(store, [("?x", "type/subclass{0,3}", "reg:2")],
+                    cast_nodes=False).to_pandas()
+    return (pd.DataFrame({"x": out["x"].astype(str)})
+            .sort_values("x").reset_index(drop=True))
+
+
+Q195_SQL = """
+SELECT DISTINCT x FROM (
+  SELECT 'cust:' || c.c_custkey AS x
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE n.n_regionkey = 2
+  UNION ALL
+  SELECT 'cust:' || c_custkey FROM customer
+  WHERE c_custkey % 100 = 0 AND c_custkey % 5 = 2
+)
+ORDER BY x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9446,4 +9502,6 @@ QUERIES: dict[str, tuple] = {
     "q192_kg_repair_pipeline": (q192_kg_repair_pipeline, Q192_SQL),
     "q193_landmark_hops": (q193_landmark_hops, Q193_SQL),
     "q194_shacl_closed": (q194_shacl_closed, Q194_SQL),
+    "q195_subclass_instance_retrieval": (q195_subclass_instance_retrieval,
+                                         Q195_SQL),
 }
