@@ -9270,6 +9270,76 @@ ORDER BY x
 """
 
 
+def q196_wl_quotient_graph(sf_dir: str):
+    """Structural graph summarization by WL quotient — PURE COMPOSITION
+    of two existing operators: wl_refinement assigns every node its
+    1-round WL color, class_summary (typing each node by its color)
+    folds the edge set into the quotient multigraph (color_u, adj,
+    color_v, n).  The quotient is the compressed schema-level view of
+    a structure-regular graph (all leaves collapse to one node, etc).
+    Oracle: the q188 refinement CTE joined back onto the edges."""
+    from ..stages.graph import wl_refinement
+    from ..stages.kgprep import class_summary
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        return pd.DataFrame({"a": df["l_partkey"].to_numpy("int64"),
+                             "b": -df["l_suppkey"].to_numpy("int64")})
+
+    edges = (li.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).count().drop_columns(["count()"])
+             .materialize())
+    colors = wl_refinement(edges, rounds=1)
+
+    def typing(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["node"].astype(str), "p": "a",
+                             "o": df["color"].astype(str)})
+
+    def data(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({"s": df["a"].astype(str), "p": "adj",
+                             "o": df["b"].astype(str)})
+
+    store = (colors.map_batches(typing, batch_format="pyarrow")
+             .union(edges.map_batches(data, batch_format="pyarrow")))
+    out = class_summary(store).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    cols = ["s_type", "p", "o_type"]
+    return (out[cols + ["n"]].astype({c: str for c in cols})
+            .sort_values(cols).reset_index(drop=True))
+
+
+Q196_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_partkey % 25 = 0
+),
+pairs AS (SELECT p AS a, -s AS b FROM e0),
+e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+c0 AS (
+  SELECT u AS node, md5(CAST(count(*) AS VARCHAR)) AS c
+  FROM e GROUP BY u
+),
+c1 AS (
+  SELECT e.u AS node,
+         md5(max(s.c) || '|' || string_agg(n.c, ',' ORDER BY n.c)) AS c
+  FROM e JOIN c0 n ON n.node = e.v JOIN c0 s ON s.node = e.u
+  GROUP BY e.u
+)
+SELECT ca.c AS s_type, 'adj' AS p, cb.c AS o_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM pairs
+JOIN c1 ca ON ca.node = pairs.a
+JOIN c1 cb ON cb.node = pairs.b
+GROUP BY ca.c, cb.c
+ORDER BY s_type, p, o_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9504,4 +9574,5 @@ QUERIES: dict[str, tuple] = {
     "q194_shacl_closed": (q194_shacl_closed, Q194_SQL),
     "q195_subclass_instance_retrieval": (q195_subclass_instance_retrieval,
                                          Q195_SQL),
+    "q196_wl_quotient_graph": (q196_wl_quotient_graph, Q196_SQL),
 }
