@@ -9340,6 +9340,80 @@ ORDER BY s_type, p, o_type
 """
 
 
+def q197_shortest_path_trace(sf_dir: str):
+    """Shortest-path RECONSTRUCTION (stages/graph.py:
+    k_hop_min_cost_pred + trace_path): cheapest <=6-hop route from
+    part 25 to supplier -1 over the sampled part<->supplier graph with
+    deterministic endpoint-hash weights.  The predecessor rides the
+    SAME grouped-min fold as the cost (combo = cost*2^32 +
+    zigzag(via): min combo = min cost, min-zigzag tie-break — SQL-
+    replayable); the trace pulls only the chain rows to the driver.
+    Oracle: 6 unrolled relaxation CTEs (a recursive CTE would
+    enumerate paths — the q120 lesson), the same zigzag argmin, and a
+    recursive pred walk."""
+    from ..stages.graph import k_hop_min_cost_pred, trace_path
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        w = ((np.abs(p) + np.abs(s)) % 7 + 1).astype("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p]),
+                             "w": np.concatenate([w, w])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).min("w")
+             .map_batches(
+                 lambda b: b.rename_columns(["src", "dst", "w"]),
+                 batch_format="pyarrow"))
+    pred = k_hop_min_cost_pred(
+        edges, ray.data.from_items([{"node": 25}]), k=6)
+    return trace_path(pred, source=25, target=-1)
+
+
+_Q197_RELAX = """,
+c{i} AS (SELECT node, min(cost) AS cost FROM (
+  SELECT node, cost FROM c{j}
+  UNION ALL
+  SELECT ew.v, c{j}.cost + ew.w FROM c{j} JOIN ew ON ew.u = c{j}.node
+) GROUP BY node)"""
+
+Q197_SQL = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+       WHERE l_partkey % 25 = 0),
+pairs AS (SELECT p AS a, -s AS b FROM e0),
+ew AS (SELECT a AS u, b AS v, (abs(a) + abs(b)) % 7 + 1 AS w FROM pairs
+       UNION ALL
+       SELECT b, a, (abs(a) + abs(b)) % 7 + 1 FROM pairs),
+c0 AS (SELECT CAST(25 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost)""" \
+    + "".join(_Q197_RELAX.format(i=i, j=i - 1) for i in range(1, 7)) + """,
+predd AS (
+  SELECT ew.v AS node,
+         min(CASE WHEN ew.u >= 0 THEN 2*ew.u ELSE -2*ew.u - 1 END) AS zv
+  FROM ew JOIN c6 bu ON bu.node = ew.u JOIN c6 bv ON bv.node = ew.v
+  WHERE bu.cost + ew.w = bv.cost
+  GROUP BY ew.v
+),
+walk(step, node) AS (
+  SELECT 0, CAST(-1 AS BIGINT)
+  UNION ALL
+  SELECT w.step + 1,
+         CASE WHEN p.zv % 2 = 0 THEN p.zv // 2
+              ELSE -((p.zv + 1) // 2) END
+  FROM walk w JOIN predd p ON p.node = w.node
+  WHERE w.node <> 25 AND w.step < 64
+)
+SELECT CAST(w.step AS BIGINT) AS step, w.node AS node, b.cost AS cost
+FROM walk w JOIN c6 b ON b.node = w.node
+ORDER BY step
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9575,4 +9649,5 @@ QUERIES: dict[str, tuple] = {
     "q195_subclass_instance_retrieval": (q195_subclass_instance_retrieval,
                                          Q195_SQL),
     "q196_wl_quotient_graph": (q196_wl_quotient_graph, Q196_SQL),
+    "q197_shortest_path_trace": (q197_shortest_path_trace, Q197_SQL),
 }

@@ -1402,3 +1402,151 @@ def multi_source_hops(
         if frontier.count() == 0:
             break
     return visited
+
+
+def k_hop_min_cost_pred(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """`k_hop_min_cost` with PREDECESSOR tracking: (node, cost, via)
+    where `via` is the neighbor the best path arrives through — the
+    input to shortest-path RECONSTRUCTION (trace_path).  The argmin
+    rides the SAME grouped-min fold by encoding each candidate as
+    combo = cost * 2^32 + zigzag(via): the min combo is the min cost
+    with the min-zigzag predecessor as a DETERMINISTIC tie-break an
+    SQL oracle can replicate (zigzag keeps signed ids order-stable and
+    non-negative).  Costs must stay < 2^29 and |via| < 2^31 (enforced)
+    so the encoding never overflows int64.  Seeds carry via = node."""
+    from ray.data.aggregate import Min
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    SHIFT = np.int64(2**32)
+    BIG = np.int64(2**62)
+
+    def zig(v: np.ndarray) -> np.ndarray:
+        return np.where(v >= 0, 2 * v, -2 * v - 1).astype("int64")
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas()).astype("int64")
+        if len(ids) and (np.abs(ids) >= 2**31).any():
+            raise ValueError("|node id| must be < 2^31 for via encoding")
+        return pa.table({"node": pa.array(ids),
+                         "combo": pa.array(zig(ids)),
+                         "old": pa.array(np.zeros(len(ids), "int64"))})
+
+    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.groupby("node").aggregate(
+            Min("combo", alias_name="combo"),
+            Min("old", alias_name="old"))
+
+    best = _fold(
+        seeds.map_batches(as_seed, batch_format="pyarrow")).materialize()
+    frontier = best
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst, weight]), num_partitions
+    ).materialize()
+
+    for hop in range(k):
+        expand = coalesce_for_join(
+            frontier.select_columns(["node", "combo"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            u = batch.column("node").to_numpy().astype("int64")
+            c = (batch.column("combo").to_numpy() // SHIFT
+                 + batch.column(weight).to_numpy()).astype("int64")
+            if len(c) and ((c >= 2**29).any() or (c < 0).any()):
+                raise ValueError(
+                    "path cost out of [0, 2^29) — via encoding "
+                    "would overflow")
+            if len(u) and (np.abs(u) >= 2**31).any():
+                raise ValueError(
+                    "|node id| must be < 2^31 for via encoding")
+            return pa.table({
+                "node": batch.column(dst).cast(pa.int64()),
+                "combo": pa.array(c * SHIFT + zig(u)),
+                "old": pa.array(np.full(len(c), BIG, "int64")),
+            })
+
+        cand = expand.map_batches(relax, batch_format="pyarrow")
+        prior = best.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "combo": b.column("combo"),
+                "old": pc.divide(b.column("combo"),
+                                 pa.scalar(SHIFT, pa.int64()))}),
+            batch_format="pyarrow")
+        best = _fold(prior.union(cand)).materialize()
+        if hop == k - 1:
+            break
+        frontier = best.map_batches(
+            lambda b: b.filter(pc.less(
+                pc.divide(b.column("combo"),
+                          pa.scalar(SHIFT, pa.int64())),
+                b.column("old"))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+
+    def decode(b: pa.Table) -> pa.Table:
+        combo = b.column("combo").to_numpy().astype("int64")
+        z = combo % SHIFT
+        via = np.where(z % 2 == 0, z // 2, -((z + 1) // 2))
+        return pa.table({"node": b.column("node").cast(pa.int64()),
+                         "cost": pa.array(combo // SHIFT),
+                         "via": pa.array(via.astype("int64"))})
+
+    return best.map_batches(decode, batch_format="pyarrow")
+
+
+def trace_path(
+    pred: ray.data.Dataset,
+    source: int,
+    target: int,
+    max_steps: int = 64,
+) -> pd.DataFrame:
+    """Walk the (node, cost, via) predecessor map backward from
+    `target` to `source`: returns (step, node, cost) with step 0 = the
+    target.  Each hop is one streaming filter + take(1) over the
+    narrow pred table — only the <= max_steps chain rows ever reach
+    the driver.  Empty frame when the target is absent (unreachable
+    within the forward pass's hop bound).  Because each pred step
+    strictly decreases cost (positive weights), the chain terminates
+    at the unique cost-0 seed; max_steps is a safety bound, not the
+    semantics."""
+    pred = pred.materialize()
+    steps, cur = [], int(target)
+    for step in range(max_steps + 1):
+        rows = pred.map_batches(
+            lambda b, _n=cur: b.filter(pc.equal(
+                b.column("node"), pa.scalar(_n, pa.int64()))),
+            batch_format="pyarrow").take(1)
+        if not rows:
+            return pd.DataFrame({"step": pd.Series(dtype="int64"),
+                                 "node": pd.Series(dtype="int64"),
+                                 "cost": pd.Series(dtype="int64")})
+        steps.append({"step": step, "node": cur,
+                      "cost": int(rows[0]["cost"])})
+        if cur == int(source):
+            break
+        nxt = int(rows[0]["via"])
+        if nxt == cur:  # self-via without being the source: broken map
+            break
+        cur = nxt
+    out = pd.DataFrame(steps)
+    if len(out) == 0 or out.iloc[-1]["node"] != int(source):
+        return pd.DataFrame({"step": pd.Series(dtype="int64"),
+                             "node": pd.Series(dtype="int64"),
+                             "cost": pd.Series(dtype="int64")})
+    return out.astype("int64")

@@ -376,3 +376,36 @@ def test_multi_source_hops_per_seed_distances():
     # k caps the walk per seed
     out2 = multi_source_hops(eds, seeds, k=1).to_pandas()
     assert len(out2) == 5  # (1,1),(1,2),(1,5),(3,3),(3,4)
+
+
+def test_k_hop_min_cost_pred_and_trace():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_min_cost_pred, trace_path)
+    # 1 -> 2 (w1) -> 4 (w1); 1 -> 3 (w5); 3 -> 4 (w1): best 1-2-4 cost 2
+    edges = [(1, 2, 1), (2, 4, 1), (1, 3, 5), (3, 4, 1)]
+    eds = rd.from_items([{"src": a, "dst": b, "w": w}
+                         for a, b, w in edges])
+    seeds = rd.from_items([{"node": 1}])
+    pred = k_hop_min_cost_pred(eds, seeds, k=4)
+    out = pred.to_pandas().set_index("node")
+    assert out.loc[4, "cost"] == 2 and out.loc[4, "via"] == 2
+    assert out.loc[3, "cost"] == 5 and out.loc[3, "via"] == 1
+    path = trace_path(pred, source=1, target=4)
+    assert list(map(tuple, path[["step", "node", "cost"]].to_numpy())) \
+        == [(0, 4, 2), (1, 2, 1), (2, 1, 0)]
+    # unreachable target -> empty
+    none = trace_path(pred, source=1, target=99)
+    assert len(none) == 0
+
+
+def test_k_hop_min_cost_pred_zigzag_tiebreak():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_min_cost_pred)
+    # two equal-cost preds of node 7: +2 and -2; zigzag(-2)=3 < zig(2)=4
+    edges = [(1, 2, 1), (1, -2, 1), (2, 7, 1), (-2, 7, 1)]
+    eds = rd.from_items([{"src": a, "dst": b, "w": w}
+                         for a, b, w in edges])
+    pred = k_hop_min_cost_pred(
+        eds, rd.from_items([{"node": 1}]), k=3).to_pandas()
+    row = pred.set_index("node").loc[7]
+    assert row["cost"] == 2 and row["via"] == -2
