@@ -9414,6 +9414,137 @@ ORDER BY step
 """
 
 
+def q198_landmark_closeness(sf_dir: str):
+    """Bounded closeness centrality from landmarks — a COMPOSITION:
+    q193's multi_source_hops stream feeds a combiner-first per-seed
+    fold (count + hop sum pre-aggregated per batch before one tiny
+    grouped merge), closeness kept exact in integer ppm:
+    (1e6 * (reached - 1)) // sum_hops (non-negative, floor ==
+    truncate).  Oracle: the q193 CTE grouped per seed."""
+    from ..stages.graph import multi_source_hops
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    hops = multi_source_hops(edges, seeds, k=2)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return (df.groupby("seed", sort=False)
+                .agg(reached=("node", "size"), sum_hops=("hops", "sum"))
+                .reset_index())
+
+    parts = hops.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("seed", sort=False)[["reached", "sum_hops"]]
+           .sum().reset_index())
+    agg = agg.astype("int64")
+    agg["closeness_ppm"] = np.where(
+        agg["sum_hops"] > 0,
+        (1_000_000 * (agg["reached"] - 1)) // np.maximum(
+            agg["sum_hops"], 1),
+        np.int64(0)).astype("int64")
+    return agg.sort_values("seed").reset_index(drop=True)
+
+
+Q198_SQL = """
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT p AS src, -s AS dst FROM e UNION ALL SELECT -s, p FROM e),
+seeds AS (SELECT DISTINCT l_partkey AS n FROM lineitem
+          WHERE l_partkey % 100 = 0),
+walk(seed, node, hops) AS (
+  SELECT n, n, 0 FROM seeds
+  UNION
+  SELECT w.seed, ed.dst, w.hops + 1
+  FROM walk w JOIN edges ed ON ed.src = w.node WHERE w.hops < 2
+),
+best AS (SELECT seed, node, min(hops) AS hops
+         FROM walk GROUP BY seed, node)
+SELECT seed, CAST(count(*) AS BIGINT) AS reached,
+       CAST(sum(hops) AS BIGINT) AS sum_hops,
+       CAST(CASE WHEN sum(hops) > 0
+            THEN (1000000 * (count(*) - 1)) // sum(hops)
+            ELSE 0 END AS BIGINT) AS closeness_ppm
+FROM best GROUP BY seed ORDER BY seed
+"""
+
+
+def q199_interval_coalesce(sf_dir: str):
+    """Interval coalescing (stages/temporal_kg.py:coalesce_intervals):
+    each customer's order validity spans (the q191 construction)
+    merged into maximal islands — overlapping or touching [start, end)
+    epoch-us spans collapse, with the merged-span count.  One
+    key-bucket exchange, gaps-and-islands vectorized across every key
+    in the bucket at once.  Oracle: window cummax islands."""
+    from ..stages.temporal_kg import coalesce_intervals
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def iv(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        start = (df["o_orderdate"].astype("datetime64[us]")
+                 .astype("int64"))
+        span = (df["o_orderkey"].to_numpy("int64") % 30 + 1) \
+            * 86_400_000_000
+        return pd.DataFrame({
+            "key": df["o_custkey"].astype(str),
+            "start": start.to_numpy(),
+            "end": start.to_numpy() + span})
+
+    out = coalesce_intervals(
+        orders.map_batches(iv, batch_format="pyarrow")).to_pandas()
+    out["key"] = out["key"].astype(str)
+    for c in ("start", "end", "n_merged"):
+        out[c] = out[c].astype("int64")
+    return (out[["key", "start", "end", "n_merged"]]
+            .sort_values(["key", "start"]).reset_index(drop=True))
+
+
+Q199_SQL = """
+WITH iv AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key,
+         epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate)
+           + (o_orderkey % 30 + 1) * 86400000000 AS e
+  FROM orders
+),
+m AS (
+  SELECT key, s, e,
+         max(e) OVER (PARTITION BY key ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT key, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY s, e) AS island
+  FROM m
+)
+SELECT key, CAST(min(s) AS BIGINT) AS start,
+       CAST(max(e) AS BIGINT) AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY key, island
+ORDER BY key, start
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9650,4 +9781,6 @@ QUERIES: dict[str, tuple] = {
                                          Q195_SQL),
     "q196_wl_quotient_graph": (q196_wl_quotient_graph, Q196_SQL),
     "q197_shortest_path_trace": (q197_shortest_path_trace, Q197_SQL),
+    "q198_landmark_closeness": (q198_landmark_closeness, Q198_SQL),
+    "q199_interval_coalesce": (q199_interval_coalesce, Q199_SQL),
 }

@@ -192,3 +192,66 @@ def allen_interval_join(
 
     return both.groupby("_bucket").map_groups(
         classify, batch_format="pandas")
+
+
+def coalesce_intervals(
+    ds: ray.data.Dataset,
+    key: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Interval UNION / coalescing: per key, overlapping or touching
+    [start, end) spans merge into maximal islands — (key, start, end,
+    n_merged).  The other half of the temporal-KG pair:
+    `intervalize_facts` builds validity intervals from point
+    assertions; this collapses redundant spans (multi-source ingests,
+    re-asserted facts).
+
+    ONE coarse key-bucket exchange; in-bucket the classic
+    gaps-and-islands kernel fully vectorized across ALL keys at once:
+    sort by (key, start, end), per-key running max of end (cummax +
+    shift), island breaks where start > previous running max, one
+    groupby(key, island) min/max/size fold."""
+    import zlib
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = df[start_col].to_numpy("int64")
+        e = df[end_col].to_numpy("int64")
+        if (s >= e).any():
+            raise ValueError("improper interval: start < end required")
+        out = pd.DataFrame({"_key": df[key].astype(str),
+                            "_s": s, "_e": e})
+        out["_bucket"] = out["_key"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets
+        ).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"key": pd.Series(dtype=object),
+                "start": pd.Series(dtype="int64"),
+                "end": pd.Series(dtype="int64"),
+                "n_merged": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["_key", "_s", "_e"],
+                          kind="stable").reset_index(drop=True)
+        run_max = (g.groupby("_key", sort=False)["_e"].cummax()
+                   .groupby(g["_key"], sort=False).shift(1))
+        brk = run_max.isna() | (g["_s"] > run_max)
+        island = brk.cumsum()
+        out = (g.assign(_island=island)
+               .groupby(["_key", "_island"], sort=False)
+               .agg(start=("_s", "min"), end=("_e", "max"),
+                    n_merged=("_s", "size"))
+               .reset_index()
+               .rename(columns={"_key": "key"})
+               .drop(columns=["_island"]))
+        out["key"] = out["key"].astype(object)
+        for c in ("start", "end", "n_merged"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))

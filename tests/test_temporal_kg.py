@@ -98,3 +98,31 @@ def test_allen_interval_join_rejects_improper():
     ok = rd.from_items([{"key": "k", "id": 2, "start": 1, "end": 2}])
     with pytest.raises(Exception, match="improper interval"):
         allen_interval_join(bad, ok).materialize()
+
+
+def test_coalesce_intervals_islands():
+    from gliner_transbronchialbiopsy_ray.stages.temporal_kg import (
+        coalesce_intervals)
+    rows = [
+        # key a: [1,5) + [3,7) overlap; [7,9) touches -> one island
+        ("a", 1, 5), ("a", 3, 7), ("a", 7, 9),
+        # gap, then [12,13)
+        ("a", 12, 13),
+        # containment: [2,10) swallows [4,6)
+        ("b", 2, 10), ("b", 4, 6),
+    ]
+    ds = rd.from_items([{"key": k, "start": s, "end": e}
+                        for k, s, e in rows]).repartition(3)
+    out = coalesce_intervals(ds).to_pandas()
+    got = sorted(map(tuple,
+                     out[["key", "start", "end", "n_merged"]].to_numpy()))
+    assert got == [("a", 1, 9, 3), ("a", 12, 13, 1), ("b", 2, 10, 2)]
+
+
+def test_coalesce_intervals_rejects_improper():
+    from gliner_transbronchialbiopsy_ray.stages.temporal_kg import (
+        coalesce_intervals)
+    import pytest
+    bad = rd.from_items([{"key": "a", "start": 5, "end": 4}])
+    with pytest.raises(Exception, match="improper interval"):
+        coalesce_intervals(bad).materialize()
