@@ -9545,6 +9545,89 @@ ORDER BY key, start
 """
 
 
+def q200_kg_construct_capstone(sf_dir: str):
+    """FULL KG-construction capstone — one pipeline through the whole
+    surface, every stage streaming: (1) R2RML-lite triplify of the
+    customer + nation tables (read-pruned via TripleMap.columns), (2)
+    rule entailment deriving each customer's region (apply_rule chain),
+    (3) SHACL gate (segment in_set — BUILDING is flagged), (4) dense
+    entity + relation dictionaries over the closed store
+    (encode_entities: distinct fold + distributed prefix scan), (5)
+    VoID class summary.  Output: the per-stage metric rows the
+    pipeline's health dashboard would chart.  Oracle: each metric
+    derived relationally."""
+    from ..stages.bgp import apply_rule
+    from ..stages.kgprep import (class_summary, encode_entities,
+                                 encode_relations)
+    from ..stages.shacl import Shape, validate_shapes
+    from ..stages.triplify import TripleMap, col, const, node, triplify
+
+    cmap = TripleMap(
+        subject=node("cust", "c_custkey"),
+        mappings=[("type", const("Customer")),
+                  ("segment", col("c_mktsegment")),
+                  ("in_nation", node("nat", "c_nationkey"))])
+    nmap = TripleMap(
+        subject=node("nat", "n_nationkey"),
+        mappings=[("type", const("Nation")),
+                  ("in_region", node("reg", "n_regionkey"))])
+    cust = _read(sf_dir, "customer", cmap.columns())
+    nat = _read(sf_dir, "nation", nmap.columns())
+
+    store = (triplify(cust, cmap).union(triplify(nat, nmap))
+             .materialize())
+    n_triples = store.count()
+
+    ent = apply_rule(
+        store, [("?x", "in_nation", "?n"), ("?n", "in_region", "?r")],
+        ("?x", "in_region", "?r"), cast_nodes=False).materialize()
+    n_entailed = ent.count()
+    full = store.union(ent).materialize()
+
+    shape = Shape("customer", "Customer", [
+        ("in_set", "segment",
+         ["AUTOMOBILE", "FURNITURE", "MACHINERY", "HOUSEHOLD"])])
+    n_violations = validate_shapes(
+        store, [shape], type_pred="type").count()
+
+    n_entities = encode_entities(full).count()
+    n_relations = len(encode_relations(full))
+    n_summary = class_summary(full, type_pred="type").count()
+
+    return pd.DataFrame({
+        "metric": ["n_entailed", "n_entities", "n_relations",
+                   "n_summary_classes", "n_triples", "n_violations"],
+        "value": pd.Series([n_entailed, n_entities, n_relations,
+                            n_summary, n_triples, n_violations],
+                           dtype="int64")})
+
+
+Q200_SQL = """
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'n_triples' AS metric,
+         3 * (SELECT count(*) FROM customer)
+           + 2 * (SELECT count(*) FROM nation) AS value
+  UNION ALL
+  SELECT 'n_entailed', (SELECT count(*) FROM customer)
+  UNION ALL
+  SELECT 'n_violations',
+         (SELECT count(*) FROM customer
+          WHERE c_mktsegment = 'BUILDING')
+  UNION ALL
+  SELECT 'n_entities',
+         (SELECT count(*) FROM customer)
+           + (SELECT count(*) FROM nation)
+           + (SELECT count(DISTINCT n_regionkey) FROM nation)
+           + (SELECT count(DISTINCT c_mktsegment) FROM customer) + 2
+  UNION ALL
+  SELECT 'n_relations', 4
+  UNION ALL
+  SELECT 'n_summary_classes', 4
+)
+ORDER BY metric
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9783,4 +9866,5 @@ QUERIES: dict[str, tuple] = {
     "q197_shortest_path_trace": (q197_shortest_path_trace, Q197_SQL),
     "q198_landmark_closeness": (q198_landmark_closeness, Q198_SQL),
     "q199_interval_coalesce": (q199_interval_coalesce, Q199_SQL),
+    "q200_kg_construct_capstone": (q200_kg_construct_capstone, Q200_SQL),
 }
