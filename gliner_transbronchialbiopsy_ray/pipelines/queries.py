@@ -9628,6 +9628,36 @@ ORDER BY metric
 """
 
 
+def q201_bisimulation_quotient(sf_dir: str):
+    """Coarsest bisimulation quotient (stages/graph.py:wl_refinement
+    rounds=None): WL refinement iterated to FIXPOINT over the sampled
+    part<->supplier graph — classes only split, so one unchanged
+    distinct-color count means convergence (cheap grouped count per
+    round, max_rounds-guarded).  Output: the class-size histogram
+    (how many structural roles the graph has, and how populated).
+    Rows-only: the round count is data-dependent, so there is no
+    fixed-depth SQL equivalent — pinned by golden value hash."""
+    from ..stages.graph import wl_refinement
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        return pd.DataFrame({"a": df["l_partkey"].to_numpy("int64"),
+                             "b": -df["l_suppkey"].to_numpy("int64")})
+
+    edges = (li.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).count().drop_columns(["count()"]))
+    colors = wl_refinement(edges, rounds=None)
+    sizes = (colors.groupby("color").count().to_pandas()
+             .rename(columns={"count()": "class_size"}))
+    out = (sizes.groupby("class_size").size()
+           .rename("n_classes").reset_index())
+    out = out.astype("int64")
+    return (out.sort_values("class_size").reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9867,4 +9897,5 @@ QUERIES: dict[str, tuple] = {
     "q198_landmark_closeness": (q198_landmark_closeness, Q198_SQL),
     "q199_interval_coalesce": (q199_interval_coalesce, Q199_SQL),
     "q200_kg_construct_capstone": (q200_kg_construct_capstone, Q200_SQL),
+    "q201_bisimulation_quotient": (q201_bisimulation_quotient, None),
 }

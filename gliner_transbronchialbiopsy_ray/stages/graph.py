@@ -1207,11 +1207,12 @@ def degree_assortativity(
 
 def wl_refinement(
     edges: ray.data.Dataset,
-    rounds: int = 2,
+    rounds: int | None = 2,
     src: str = "a",
     dst: str = "b",
     num_partitions: int | None = None,
     n_buckets: int = 32,
+    max_rounds: int = 16,
 ) -> ray.data.Dataset:
     """1-dimensional Weisfeiler-Leman color refinement over an
     undirected edge set — the canonical graph-structure fingerprint
@@ -1231,11 +1232,20 @@ def wl_refinement(
     equal-key runs.  Color tables are materialized each round (lazy
     lineage would replay all prior rounds); both union inputs are
     evenly re-blocked (map_groups output feeding a groupby trips the
-    q127 Sort-estimate stall otherwise)."""
+    q127 Sort-estimate stall otherwise).
+
+    `rounds=None` runs to the refinement FIXPOINT — the coarsest
+    BISIMULATION quotient: 1-WL classes only ever split, so the
+    distinct-color count is monotone and one unchanged round means
+    convergence (checked with a cheap grouped count per round;
+    `max_rounds` bounds pathological chains)."""
     from .joins import coalesce_for_join
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
+    to_fixpoint = rounds is None
+    if to_fixpoint:
+        rounds = max_rounds
 
     def sym(batch: pa.Table) -> pd.DataFrame:
         a = batch.column(src).to_numpy().astype("int64")
@@ -1270,6 +1280,8 @@ def wl_refinement(
               .map_groups(deg_fold, batch_format="pandas")
               .materialize())
 
+    n_colors = (colors.groupby("color").count().count()
+                if to_fixpoint else None)
     for _ in range(rounds):
         cmap = colors.map_batches(
             lambda b: pa.table({"v": b.column("node"),
@@ -1328,6 +1340,11 @@ def wl_refinement(
         colors = (u.groupby("_bucket")
                   .map_groups(refine, batch_format="pandas")
                   .materialize())
+        if to_fixpoint:
+            n2 = colors.groupby("color").count().count()
+            if n2 == n_colors:  # classes only split: equal = converged
+                break
+            n_colors = n2
     return colors
 
 

@@ -409,3 +409,24 @@ def test_k_hop_min_cost_pred_zigzag_tiebreak():
         eds, rd.from_items([{"node": 1}]), k=3).to_pandas()
     row = pred.set_index("node").loc[7]
     assert row["cost"] == 2 and row["via"] == -2
+
+
+def test_wl_refinement_fixpoint_bisimulation():
+    from gliner_transbronchialbiopsy_ray.stages.graph import wl_refinement
+    # path P6: under fixpoint WL, positions pair up by distance to the
+    # nearer end: {1,6}, {2,5}, {3,4} — 3 classes (needs 3 rounds;
+    # rounds=1 cannot separate 2/5 from 3/4)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    fx = wl_refinement(ds, rounds=None).to_pandas()
+    colors = dict(zip(fx["node"], fx["color"]))
+    classes = {}
+    for n, c in colors.items():
+        classes.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, classes.values())) == [
+        [1, 6], [2, 5], [3, 4]]
+    # regular graph (triangle): fixpoint = 1 class, converges round 1
+    tri = rd.from_items([{"a": a, "b": b}
+                         for a, b in [(7, 8), (8, 9), (7, 9)]])
+    fx2 = wl_refinement(tri, rounds=None).to_pandas()
+    assert fx2["color"].nunique() == 1
