@@ -9658,6 +9658,82 @@ def q201_bisimulation_quotient(sf_dir: str):
     return (out.sort_values("class_size").reset_index(drop=True))
 
 
+def q202_incremental_shacl(sf_dir: str):
+    """Incremental SHACL maintenance (state/snapshot_shacl.py): even
+    suppliers play the validated corpus (committed into a fresh
+    bucketed subject-hash state dir), odd suppliers + updates to every
+    10th even one the arriving snapshot.  Only TOUCHED subjects are
+    re-checked against their full (state + snapshot) history — the
+    snapshot takes one subject-bucket exchange, each bucket reads just
+    its own state files filtered to touched subjects (predicate
+    pushdown over s-sorted row groups); accumulated state is never
+    reshuffled.  Output: the violation delta — updated evens gain a
+    max_count conflict, sampled odd arrivals miss located_in.  Oracle:
+    both violation classes in plain SQL."""
+    import tempfile
+
+    from ..stages.shacl import Shape
+    from ..state.snapshot_shacl import (commit_snapshot,
+                                        incremental_validate)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def base_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["s_suppkey"] % 2 == 0]
+        s = "supp:" + df["s_suppkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "type", "o": "Supplier"}),
+            pd.DataFrame({"s": s, "p": "located_in",
+                          "o": "nation:" + df["s_nationkey"].astype(str)}),
+        ], ignore_index=True)
+
+    def day1_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        odd = df[df["s_suppkey"] % 2 == 1]
+        so = "supp:" + odd["s_suppkey"].astype(str)
+        parts = [pd.DataFrame({"s": so, "p": "type", "o": "Supplier"})]
+        placed = odd[odd["s_suppkey"] % 7 != 0]  # %7==0 stay placeless
+        parts.append(pd.DataFrame({
+            "s": "supp:" + placed["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + placed["s_nationkey"].astype(str)}))
+        upd = df[df["s_suppkey"] % 10 == 0]  # touched evens: 2nd edge
+        parts.append(pd.DataFrame({
+            "s": "supp:" + upd["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + ((upd["s_nationkey"] + 1) % 25).astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    base = supp.map_batches(base_triples, batch_format="pyarrow")
+    day1 = supp.map_batches(day1_triples, batch_format="pyarrow")
+    shapes = [Shape("supplier", "Supplier",
+                    [("min_count", "located_in", 1),
+                     ("max_count", "located_in", 1)])]
+
+    state_dir = tempfile.mkdtemp(prefix="snapshacl_", dir="/tmp")
+    commit_snapshot(base, state_dir, "base")
+    out = incremental_validate(day1, shapes, state_dir).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q202_SQL = """
+SELECT node, shape, "constraint", pred, detail FROM (
+  SELECT 'supp:' || s_suppkey AS node, 'supplier' AS shape,
+         'max_count' AS "constraint", 'located_in' AS pred,
+         '2' AS detail
+  FROM supplier WHERE s_suppkey % 10 = 0
+  UNION ALL
+  SELECT 'supp:' || s_suppkey, 'supplier', 'min_count', 'located_in',
+         '0'
+  FROM supplier WHERE s_suppkey % 2 = 1 AND s_suppkey % 7 = 0
+)
+ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9898,4 +9974,5 @@ QUERIES: dict[str, tuple] = {
     "q199_interval_coalesce": (q199_interval_coalesce, Q199_SQL),
     "q200_kg_construct_capstone": (q200_kg_construct_capstone, Q200_SQL),
     "q201_bisimulation_quotient": (q201_bisimulation_quotient, None),
+    "q202_incremental_shacl": (q202_incremental_shacl, Q202_SQL),
 }

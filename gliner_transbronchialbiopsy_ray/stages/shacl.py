@@ -103,6 +103,163 @@ class Shape:
                     "closed takes the collection of allowed predicates")
 
 
+def _empty_violations() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in
+                         ("node", "shape", "constraint", "pred",
+                          "detail")})
+
+
+def _validate_frame(g: pd.DataFrame, shape_specs: list,
+                    type_pred: str, refs: dict) -> pd.DataFrame:
+    """The whole constraint matrix over ONE co-located triple
+    frame — shared by the distributed bucket kernel
+    (validate_shapes) and the incremental snapshot validator
+    (state/snapshot_shacl.py)."""
+    out = []
+
+    types = g[g["p"] == type_pred]
+    for name, target, constraints in shape_specs:
+        targets = types.loc[types["o"] == target, "s"].unique()
+        if len(targets) == 0:
+            continue
+        tset = pd.Index(targets)
+        mine = g[g["s"].isin(tset)]
+        for c in constraints:
+            kind, pred = c[0], c[1]
+            rows = mine[mine["p"] == pred]
+            if kind in ("min_count", "max_count"):
+                n = int(c[2])
+                counts = (rows.groupby("s").size()
+                          .reindex(tset, fill_value=0))
+                bad = (counts[counts < n] if kind == "min_count"
+                       else counts[counts > n])
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad.index.astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred,
+                        "detail": bad.to_numpy().astype(str)}))
+            elif kind == "in_set":
+                allowed = set(map(str, c[2]))
+                bad = rows[~rows["o"].isin(allowed)]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "pattern":
+                rx = re.compile(c[2])
+                ok = rows["o"].map(
+                    lambda v: bool(rx.fullmatch(str(v))))
+                bad = rows[~ok] if len(rows) else rows
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "class_ref":
+                members = refs.get(str(c[2]), set())
+                bad = rows[~rows["o"].isin(members)]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "closed":
+                # sh:closed: a target node may only carry the
+                # declared predicates (the type edge is implicitly
+                # allowed — it is the targeting mechanism)
+                allowed = set(map(str, c[2])) | {type_pred}
+                bad = mine[~mine["p"].isin(allowed)]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": bad["p"].astype(str),
+                        "detail": bad["o"]}))
+            elif kind == "datatype":
+                rx = re.compile(_DATATYPE_RX[c[2]])
+                ok = rows["o"].astype(str).str.fullmatch(rx)
+                bad = rows[~ok.fillna(False)] if len(rows) else rows
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "has_value":
+                want = str(c[2])
+                have = set(rows.loc[rows["o"] == want, "s"])
+                missing = tset[~tset.isin(have)]
+                if len(missing):
+                    out.append(pd.DataFrame({
+                        "node": missing.astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": want}))
+            elif kind in ("equals", "disjoint"):
+                other = mine[mine["p"] == str(c[2])]
+                a = rows[["s", "o"]].drop_duplicates()
+                b = other[["s", "o"]].drop_duplicates()
+                if kind == "disjoint":
+                    bad = a.merge(b, on=["s", "o"])
+                else:
+                    m = a.merge(b, on=["s", "o"], how="outer",
+                                indicator=True)
+                    bad = m[m["_merge"] != "both"]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "node_kind":
+                is_iri = rows["o"].astype(str).str.fullmatch(
+                    _IRI_RX)
+                bad = rows[is_iri.fillna(False)
+                           != (c[2] == "iri")] if len(rows) else rows
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind == "less_than":
+                other = mine[mine["p"] == str(c[2])]
+                if not (len(rows) and len(other)):
+                    continue
+                a = rows.assign(
+                    _v=pd.to_numeric(rows["o"], errors="coerce"))
+                b = other.assign(
+                    _v=pd.to_numeric(other["o"], errors="coerce"))
+                for side in (a, b):
+                    nn = side[side["_v"].isna()]
+                    if len(nn):
+                        out.append(pd.DataFrame({
+                            "node": nn["s"].astype(str),
+                            "shape": name, "constraint": kind,
+                            "pred": pred, "detail": nn["o"]}))
+                # max(pred) must be < min(other) per node; detail is
+                # the offending max value's ORIGINAL lexical form
+                amax = (a.dropna(subset=["_v"])
+                        .sort_values(["s", "_v"], kind="stable")
+                        .groupby("s").last())
+                bmin = (b.dropna(subset=["_v"])
+                        .sort_values(["s", "_v"], kind="stable")
+                        .groupby("s").first())
+                both = amax.join(bmin, how="inner",
+                                 lsuffix="_a", rsuffix="_b")
+                badlt = both[both["_v_a"] >= both["_v_b"]]
+                if len(badlt):
+                    out.append(pd.DataFrame({
+                        "node": badlt.index.astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred,
+                        "detail": badlt["o_a"].astype(str)}))
+    if not out:
+        return _empty_violations()
+    res = pd.concat(out, ignore_index=True).drop_duplicates()
+    for col in res.columns:
+        res[col] = res[col].astype(object)
+    return res
+
+
 def validate_shapes(
     triples: ray.data.Dataset,
     shapes: list[Shape],
@@ -156,156 +313,9 @@ def validate_shapes(
             lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
         return df
 
-    def empty_out() -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in
-                             ("node", "shape", "constraint", "pred",
-                              "detail")})
-
     def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
         refs = ray.get(ref_handle) if ref_handle is not None else {}
-        out = []
-
-        types = g[g["p"] == type_pred]
-        for name, target, constraints in shape_specs:
-            targets = types.loc[types["o"] == target, "s"].unique()
-            if len(targets) == 0:
-                continue
-            tset = pd.Index(targets)
-            mine = g[g["s"].isin(tset)]
-            for c in constraints:
-                kind, pred = c[0], c[1]
-                rows = mine[mine["p"] == pred]
-                if kind in ("min_count", "max_count"):
-                    n = int(c[2])
-                    counts = (rows.groupby("s").size()
-                              .reindex(tset, fill_value=0))
-                    bad = (counts[counts < n] if kind == "min_count"
-                           else counts[counts > n])
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad.index.astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred,
-                            "detail": bad.to_numpy().astype(str)}))
-                elif kind == "in_set":
-                    allowed = set(map(str, c[2]))
-                    bad = rows[~rows["o"].isin(allowed)]
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "pattern":
-                    rx = re.compile(c[2])
-                    ok = rows["o"].map(
-                        lambda v: bool(rx.fullmatch(str(v))))
-                    bad = rows[~ok] if len(rows) else rows
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "class_ref":
-                    members = refs.get(str(c[2]), set())
-                    bad = rows[~rows["o"].isin(members)]
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "closed":
-                    # sh:closed: a target node may only carry the
-                    # declared predicates (the type edge is implicitly
-                    # allowed — it is the targeting mechanism)
-                    allowed = set(map(str, c[2])) | {type_pred}
-                    bad = mine[~mine["p"].isin(allowed)]
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": bad["p"].astype(str),
-                            "detail": bad["o"]}))
-                elif kind == "datatype":
-                    rx = re.compile(_DATATYPE_RX[c[2]])
-                    ok = rows["o"].astype(str).str.fullmatch(rx)
-                    bad = rows[~ok.fillna(False)] if len(rows) else rows
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "has_value":
-                    want = str(c[2])
-                    have = set(rows.loc[rows["o"] == want, "s"])
-                    missing = tset[~tset.isin(have)]
-                    if len(missing):
-                        out.append(pd.DataFrame({
-                            "node": missing.astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": want}))
-                elif kind in ("equals", "disjoint"):
-                    other = mine[mine["p"] == str(c[2])]
-                    a = rows[["s", "o"]].drop_duplicates()
-                    b = other[["s", "o"]].drop_duplicates()
-                    if kind == "disjoint":
-                        bad = a.merge(b, on=["s", "o"])
-                    else:
-                        m = a.merge(b, on=["s", "o"], how="outer",
-                                    indicator=True)
-                        bad = m[m["_merge"] != "both"]
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "node_kind":
-                    is_iri = rows["o"].astype(str).str.fullmatch(
-                        _IRI_RX)
-                    bad = rows[is_iri.fillna(False)
-                               != (c[2] == "iri")] if len(rows) else rows
-                    if len(bad):
-                        out.append(pd.DataFrame({
-                            "node": bad["s"].astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred, "detail": bad["o"]}))
-                elif kind == "less_than":
-                    other = mine[mine["p"] == str(c[2])]
-                    if not (len(rows) and len(other)):
-                        continue
-                    a = rows.assign(
-                        _v=pd.to_numeric(rows["o"], errors="coerce"))
-                    b = other.assign(
-                        _v=pd.to_numeric(other["o"], errors="coerce"))
-                    for side in (a, b):
-                        nn = side[side["_v"].isna()]
-                        if len(nn):
-                            out.append(pd.DataFrame({
-                                "node": nn["s"].astype(str),
-                                "shape": name, "constraint": kind,
-                                "pred": pred, "detail": nn["o"]}))
-                    # max(pred) must be < min(other) per node; detail is
-                    # the offending max value's ORIGINAL lexical form
-                    amax = (a.dropna(subset=["_v"])
-                            .sort_values(["s", "_v"], kind="stable")
-                            .groupby("s").last())
-                    bmin = (b.dropna(subset=["_v"])
-                            .sort_values(["s", "_v"], kind="stable")
-                            .groupby("s").first())
-                    both = amax.join(bmin, how="inner",
-                                     lsuffix="_a", rsuffix="_b")
-                    badlt = both[both["_v_a"] >= both["_v_b"]]
-                    if len(badlt):
-                        out.append(pd.DataFrame({
-                            "node": badlt.index.astype(str),
-                            "shape": name, "constraint": kind,
-                            "pred": pred,
-                            "detail": badlt["o_a"].astype(str)}))
-        if not out:
-            return empty_out()
-        res = pd.concat(out, ignore_index=True).drop_duplicates()
-        for col in res.columns:
-            res[col] = res[col].astype(object)
-        return res
+        return _validate_frame(g, shape_specs, type_pred, refs)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return check_bucket(g.drop(columns=["_bucket"]))
