@@ -9734,6 +9734,129 @@ ORDER BY node, shape, "constraint", pred, detail
 """
 
 
+def q203_butterfly_count(sf_dir: str):
+    """Bipartite BUTTERFLY (4-cycle) census — the bipartite graph's
+    triangle analog (part<->supplier graphs have no triangles at all):
+    butterflies = sum over co-supplied part pairs of C(shared, 2).
+    Pure composition: graph.cooccurrence_edges (supplier-grouped pair
+    generation — the d^2 blowup stays inside the vectorized kernel,
+    two coarse exchanges total) + a per-batch Python-int partial fold
+    (counts overflow-safe).  Oracle: self-join pair counts."""
+    from ..stages.graph import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def sampled(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy()
+        return b.filter(pa.array(pk % 5 == 0))
+
+    pairs = cooccurrence_edges(
+        li.map_batches(sampled, batch_format="pyarrow"),
+        group_col="l_suppkey", item_col="l_partkey", min_count=1)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        n = b.column("n").to_numpy().astype("int64")
+        return pd.DataFrame({
+            "n_pairs": pd.Series([len(n)], dtype="int64"),
+            "butterflies": pd.Series(
+                [int((n.astype(object) * (n - 1) // 2).sum())],
+                dtype="int64")})
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(parts["n_pairs"].sum())],
+                             dtype="int64"),
+        "butterflies": pd.Series([int(parts["butterflies"].sum())],
+                                 dtype="int64")})
+
+
+Q203_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_partkey % 5 = 0
+),
+pr AS (
+  SELECT e1.p AS a, e2.p AS b, count(*) AS n
+  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.p < e2.p
+  GROUP BY e1.p, e2.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS butterflies
+FROM pr
+"""
+
+
+def q204_keyed_topk(sf_dir: str):
+    """Per-key top-k (stages/window.py:keyed_topk): each customer's 2
+    earliest orders — SQL's row_number() <= 2, COMBINER-FIRST: every
+    batch contributes at most k rows per key to the single key-bucket
+    exchange, so shuffle volume is bounded by k * keys, not orders.
+    Total order via the (date, key) tiebreaker.  Oracle: row_number
+    window."""
+    from ..stages.window import keyed_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = keyed_topk(orders, "o_custkey",
+                     [("o_orderdate", "asc"), ("o_orderkey", "asc")],
+                     k=2).to_pandas()
+    res = pd.DataFrame({
+        "c": out["o_custkey"].astype("int64"),
+        "o": out["o_orderkey"].astype("int64"),
+        "d": (out["o_orderdate"].astype("datetime64[us]")
+              .astype("int64"))})
+    return res.sort_values(["c", "o"]).reset_index(drop=True)
+
+
+Q204_SQL = """
+SELECT o_custkey AS c, o_orderkey AS o,
+       epoch_us(o_orderdate) AS d
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+ORDER BY c, o
+"""
+
+
+def q205_stratified_hash_sample(sf_dir: str):
+    """Deterministic STRATIFIED SAMPLING (the same keyed_topk operator
+    with an md5 order column): 3 documents per language, chosen by
+    smallest md5(doc_id) — replayable on any engine, stable under
+    repartitioning, no RNG state.  The training-data primitive for
+    per-stratum eval carve-outs.  Oracle: row_number over md5."""
+    from ..stages.window import keyed_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_hash(b: pa.Table) -> pd.DataFrame:
+        import hashlib
+        df = b.to_pandas()
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in df["doc_id"]]
+        return df
+
+    withh = docs.map_batches(add_hash, batch_format="pyarrow")
+    out = keyed_topk(withh, "lang", [("h", "asc")], k=3).to_pandas()
+    res = pd.DataFrame({"lang": out["lang"].astype(str),
+                        "doc_id": out["doc_id"].astype("int64")})
+    return (res.sort_values(["lang", "doc_id"])
+            .reset_index(drop=True))
+
+
+Q205_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY lang, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9975,4 +10098,8 @@ QUERIES: dict[str, tuple] = {
     "q200_kg_construct_capstone": (q200_kg_construct_capstone, Q200_SQL),
     "q201_bisimulation_quotient": (q201_bisimulation_quotient, None),
     "q202_incremental_shacl": (q202_incremental_shacl, Q202_SQL),
+    "q203_butterfly_count": (q203_butterfly_count, Q203_SQL),
+    "q204_keyed_topk": (q204_keyed_topk, Q204_SQL),
+    "q205_stratified_hash_sample": (q205_stratified_hash_sample,
+                                    Q205_SQL),
 }

@@ -317,3 +317,50 @@ def grouped_ordered_concat(
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(stitched[[key, "concat", "n"]],
                              preserve_index=False)))
+
+
+def keyed_topk(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list[tuple],
+    k: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key top-k: for every `key` value the first `k` rows under
+    `order_by` ([(col, 'asc'|'desc'), ...]) — SQL's
+    row_number() OVER (PARTITION BY key ORDER BY ...) <= k, and (with
+    a hash column as the order) the deterministic stratified-sampling
+    primitive for training-data pipelines.
+
+    COMBINER-FIRST: every batch folds to its own per-key top-k before
+    the single coarse key-bucket exchange (a batch can contribute at
+    most k rows per key), so shuffle volume is bounded by
+    k * keys-per-batch, not rows; the in-bucket kernel re-sorts and
+    takes the final head(k) vectorized.  Make the order TOTAL (include
+    a unique tiebreaker) or page membership at the k boundary is
+    arbitrary."""
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    cols = [c for c, _ in order_by]
+    asc = []
+    for c, d in order_by:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"direction for {c!r} must be asc|desc")
+        asc.append(d == "asc")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(cols, ascending=asc, kind="stable")
+                .groupby(key, sort=False).head(k))
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = local_topk(batch.to_pandas())
+        df["_bucket"] = df[key].map(
+            lambda v: zlib.crc32(str(v).encode()) % n_buckets
+        ).astype("int32")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(fold, batch_format="pandas"))

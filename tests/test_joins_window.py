@@ -255,3 +255,32 @@ def test_smart_join_broadcast_and_shuffle_paths_agree():
     sh = run(threshold=0)      # forced shuffle path
     pd.testing.assert_frame_equal(bc, sh)
     assert len(bc) == 32  # k=4 left rows (8 of them) have no match
+
+
+def test_keyed_topk_matches_row_number():
+    from gliner_transbronchialbiopsy_ray.stages.window import keyed_topk
+    import ray.data as rd
+    rows = [{"k": i % 3, "v": (i * 7) % 11, "id": i} for i in range(30)]
+    ds = rd.from_items(rows).repartition(5)
+    out = keyed_topk(ds, "k", [("v", "asc"), ("id", "asc")],
+                     k=2).to_pandas()
+    import pandas as pd
+    exp = (pd.DataFrame(rows)
+           .sort_values(["v", "id"], kind="stable")
+           .groupby("k", sort=False).head(2))
+    got = sorted(map(tuple, out[["k", "v", "id"]].to_numpy()))
+    want = sorted(map(tuple, exp[["k", "v", "id"]].to_numpy()))
+    assert got == want
+    # desc direction + validation
+    top1 = keyed_topk(ds, "k", [("v", "desc"), ("id", "asc")],
+                      k=1).to_pandas()
+    exp1 = (pd.DataFrame(rows)
+            .sort_values(["v", "id"], ascending=[False, True],
+                         kind="stable").groupby("k", sort=False).head(1))
+    assert sorted(map(tuple, top1[["k", "v", "id"]].to_numpy())) \
+        == sorted(map(tuple, exp1[["k", "v", "id"]].to_numpy()))
+    import pytest
+    with pytest.raises(ValueError, match="asc|desc"):
+        keyed_topk(ds, "k", [("v", "up")], 1)
+    with pytest.raises(ValueError, match=">= 1"):
+        keyed_topk(ds, "k", [("v", "asc")], 0)
