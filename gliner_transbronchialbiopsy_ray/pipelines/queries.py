@@ -9857,6 +9857,53 @@ ORDER BY lang, doc_id
 """
 
 
+def q206_nquads_provenance_roundtrip(sf_dir: str):
+    """N-Quads interchange round trip (sources/nquads.py) + graph-
+    scoped query: supplier located_in quads labeled by a parity
+    provenance graph are serialized to .nq part files, read back
+    (error-keeping line parse, one vectorized extract per batch), and
+    queried with a 4-term BGP whose ?g VARIABLE binds the provenance
+    (the q158 quad surface over real interchange IO).  Oracle: the
+    parity labeling in plain SQL."""
+    import tempfile
+
+    from ..sources.nquads import read_nquads, write_nquads
+    from ..stages.bgp import match_bgp
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def quads(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        par = np.where(df["s_suppkey"].to_numpy() % 2 == 0,
+                       "g:even", "g:odd")
+        return pd.DataFrame({
+            "s": "supp:" + df["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + df["s_nationkey"].astype(str),
+            "g": par, "o_kind": "iri",
+            "o_datatype": None, "o_lang": None})
+
+    out_dir = tempfile.mkdtemp(prefix="nquads_", dir="/tmp")
+    man = write_nquads(supp.map_batches(quads, batch_format="pyarrow"),
+                       out_dir)
+    back = read_nquads(sorted(man["path"]))
+    bindings = match_bgp(
+        back, [("?s", "located_in", "?o", "?g")], g_col="g",
+        cast_nodes=False)
+    out = bindings.to_pandas().astype(str)
+    return (out[["s", "o", "g"]].sort_values(["s", "o", "g"])
+            .reset_index(drop=True))
+
+
+Q206_SQL = """
+SELECT 'supp:' || s_suppkey AS s,
+       'nation:' || s_nationkey AS o,
+       CASE WHEN s_suppkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS g
+FROM supplier
+ORDER BY s, o, g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10102,4 +10149,6 @@ QUERIES: dict[str, tuple] = {
     "q204_keyed_topk": (q204_keyed_topk, Q204_SQL),
     "q205_stratified_hash_sample": (q205_stratified_hash_sample,
                                     Q205_SQL),
+    "q206_nquads_provenance_roundtrip": (q206_nquads_provenance_roundtrip,
+                                         Q206_SQL),
 }
