@@ -4920,21 +4920,21 @@ WITH e0 AS (
   SELECT l_partkey AS p, l_suppkey AS s, count(*) AS w
   FROM lineitem GROUP BY 1, 2
 ),
-edges AS (SELECT p AS src, -s AS dst, w FROM e0
+edges AS MATERIALIZED (SELECT p AS src, -s AS dst, w FROM e0
           UNION ALL SELECT -s, p, w FROM e0),
 s0 AS (SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS cost
        FROM lineitem WHERE l_partkey % 100 = 0),
-r1 AS (SELECT node, min(cost) AS cost FROM (
+r1 AS MATERIALIZED (SELECT node, min(cost) AS cost FROM (
          SELECT node, cost FROM s0
          UNION ALL
          SELECT e.dst, s0.cost + e.w FROM s0 JOIN edges e ON e.src = s0.node
        ) GROUP BY node),
-r2 AS (SELECT node, min(cost) AS cost FROM (
+r2 AS MATERIALIZED (SELECT node, min(cost) AS cost FROM (
          SELECT node, cost FROM r1
          UNION ALL
          SELECT e.dst, r1.cost + e.w FROM r1 JOIN edges e ON e.src = r1.node
        ) GROUP BY node),
-r3 AS (SELECT node, min(cost) AS cost FROM (
+r3 AS MATERIALIZED (SELECT node, min(cost) AS cost FROM (
          SELECT node, cost FROM r2
          UNION ALL
          SELECT e.dst, r2.cost + e.w FROM r2 JOIN edges e ON e.src = r2.node
@@ -5407,7 +5407,7 @@ def q127_kcore(sf_dir: str, k: int = 3, rounds: int = 4):
 def _q127_sql(k: int = 3, rounds: int = 4) -> str:
     head = """
 WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -5418,11 +5418,11 @@ e0 AS (
     prev = "e0"
     for r in range(rounds):
         parts.append(f""",
-d{r} AS (SELECT node, count(*) AS deg FROM (
+d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
   SELECT p1 AS node FROM {prev} UNION ALL SELECT p2 FROM {prev})
   GROUP BY node),
-a{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
-e{r + 1} AS (SELECT e.p1, e.p2 FROM {prev} e
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (SELECT e.p1, e.p2 FROM {prev} e
   JOIN a{r} x ON x.node = e.p1 JOIN a{r} y ON y.node = e.p2)""")
         prev = f"e{r + 1}"
     parts.append(f"""
@@ -9376,7 +9376,7 @@ def q197_shortest_path_trace(sf_dir: str):
 
 
 _Q197_RELAX = """,
-c{i} AS (SELECT node, min(cost) AS cost FROM (
+c{i} AS MATERIALIZED (SELECT node, min(cost) AS cost FROM (
   SELECT node, cost FROM c{j}
   UNION ALL
   SELECT ew.v, c{j}.cost + ew.w FROM c{j} JOIN ew ON ew.u = c{j}.node
@@ -9387,7 +9387,8 @@ WITH RECURSIVE
 e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
        WHERE l_partkey % 25 = 0),
 pairs AS (SELECT p AS a, -s AS b FROM e0),
-ew AS (SELECT a AS u, b AS v, (abs(a) + abs(b)) % 7 + 1 AS w FROM pairs
+ew AS MATERIALIZED (
+       SELECT a AS u, b AS v, (abs(a) + abs(b)) % 7 + 1 AS w FROM pairs
        UNION ALL
        SELECT b, a, (abs(a) + abs(b)) % 7 + 1 FROM pairs),
 c0 AS (SELECT CAST(25 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost)""" \

@@ -967,6 +967,8 @@ def k_core_peel(
     src: str = "a",
     dst: str = "b",
     n_buckets: int = 32,
+    strategy: str = "auto",
+    broadcast_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Bounded-round k-core peeling over an undirected (a < b canonical)
     edge set: each round drops nodes with degree < k and the edges
@@ -982,9 +984,19 @@ def k_core_peel(
     Edge state is materialized between rounds (iterative lineage rule).
     A union+sort bucketed semi-join variant was tried first and stalls
     the streaming executor with a pathological driver-memory estimate —
-    native joins with coalesced inputs are the stable shape."""
+    native joins with coalesced inputs are the stable shape.
+
+    strategy="auto" (default): when the alive set fits under
+    `broadcast_threshold` ids it is collected ONCE per round, ray.put,
+    and BOTH endpoint filters run in a single streaming pass
+    (sorted-array membership) — one exchange per round instead of
+    three; past the threshold (or strategy="join") the native-join
+    semi-filters keep node count unbounded.  Identical output, pinned
+    by test."""
     from .joins import coalesce_for_join
 
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     nparts = _default_join_partitions()
 
     def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
@@ -1017,11 +1029,35 @@ def k_core_peel(
             lambda b: b.filter(pc.greater_equal(b.column("deg"), k))
             .select(["node"]),
             batch_format="pyarrow").materialize()
-        if alive.count() == 0:
+        n_alive = alive.count()
+        if n_alive == 0:
             return ray.data.from_pandas(pd.DataFrame(
                 {"node": np.empty(0, "int64"),
                  "deg": np.empty(0, "int64")}))
-        e = semi_filter(semi_filter(e, alive, src), alive, dst)
+        use_bc = (strategy == "broadcast"
+                  or (strategy == "auto"
+                      and n_alive <= broadcast_threshold))
+        if use_bc:
+            ids = np.sort(alive.to_pandas()["node"]
+                          .to_numpy("int64"))
+            ref = ray.put(ids)
+
+            def keep_alive(batch: pa.Table, _ref=ref) -> pa.Table:
+                a = ray.get(_ref)
+                u = batch.column(src).to_numpy().astype("int64")
+                v = batch.column(dst).to_numpy().astype("int64")
+
+                def member(x):
+                    i = np.searchsorted(a, x)
+                    i = np.minimum(i, len(a) - 1)
+                    return a[i] == x
+
+                return batch.filter(pa.array(member(u) & member(v)))
+
+            e = e.map_batches(
+                keep_alive, batch_format="pyarrow").materialize()
+        else:
+            e = semi_filter(semi_filter(e, alive, src), alive, dst)
         if e.count() == 0:
             break
     return degrees(e).map_batches(

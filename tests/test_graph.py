@@ -430,3 +430,20 @@ def test_wl_refinement_fixpoint_bisimulation():
                          for a, b in [(7, 8), (8, 9), (7, 9)]])
     fx2 = wl_refinement(tri, rounds=None).to_pandas()
     assert fx2["color"].nunique() == 1
+
+
+def test_k_core_peel_strategies_identical():
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_core_peel
+    import numpy as np
+    rng = np.random.RandomState(7)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 40, size=(120, 2)) if a < b})
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    bc = (k_core_peel(ds, k=3, rounds=3, strategy="broadcast")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    jn = (k_core_peel(ds, k=3, rounds=3, strategy="join")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert bc.equals(jn)
+    import pytest
+    with pytest.raises(ValueError, match="unknown strategy"):
+        k_core_peel(ds, k=3, rounds=1, strategy="bogus")
