@@ -9905,6 +9905,102 @@ ORDER BY s, o, g
 """
 
 
+def q207_schema_drift(sf_dir: str):
+    """KG schema-drift report — predicate_profile (driver frame,
+    bounded by the predicate vocabulary) computed on two snapshots and
+    diffed: old = even suppliers' located_in/name triples, new = all
+    suppliers with a new 'certified' predicate and a second located_in
+    edge for every 10th supplier (functionality FLIP).  Each data pass
+    streams (the q152 plan: counts per predicate, distinct folds keyed
+    on (p, value) pairs, never the bare predicate); the diff itself is
+    driver-side over the bounded profiles.  Output: one row per
+    predicate with change class.  Oracle: both profiles in SQL."""
+    from ..stages.kgprep import predicate_profile
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name"])
+
+    def old_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["s_suppkey"] % 2 == 0]
+        s = "supp:" + df["s_suppkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "located_in",
+                          "o": "nation:" + df["s_nationkey"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "name",
+                          "o": df["s_name"].astype(str)}),
+        ], ignore_index=True)
+
+    def new_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "supp:" + df["s_suppkey"].astype(str)
+        parts = [
+            pd.DataFrame({"s": s, "p": "located_in",
+                          "o": "nation:" + df["s_nationkey"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "name",
+                          "o": df["s_name"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "certified",
+                          "o": np.where(df["s_suppkey"] % 3 == 0,
+                                        "yes", "no")}),
+        ]
+        upd = df[df["s_suppkey"] % 10 == 0]
+        parts.append(pd.DataFrame({
+            "s": "supp:" + upd["s_suppkey"].astype(str),
+            "p": "located_in",
+            "o": "nation:" + ((upd["s_nationkey"] + 1) % 25).astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    old = predicate_profile(
+        supp.map_batches(old_triples, batch_format="pyarrow"))
+    new = predicate_profile(
+        supp.map_batches(new_triples, batch_format="pyarrow"))
+    m = old.merge(new, on="p", how="outer", suffixes=("_old", "_new"),
+                  indicator=True)
+    change = np.select(
+        [m["_merge"] == "right_only", m["_merge"] == "left_only",
+         (m["is_functional_old"] == 1) & (m["is_functional_new"] == 0),
+         (m["is_functional_old"] == 0) & (m["is_functional_new"] == 1)],
+        ["added", "removed", "lost_functional", "became_functional"],
+        default="kept")
+    out = pd.DataFrame({
+        "p": m["p"].astype(str),
+        "change": pd.Series(change).astype(str),
+        "n_old": m["n_old"].fillna(0).astype("int64"),
+        "n_new": m["n_new"].fillna(0).astype("int64")})
+    return out.sort_values("p").reset_index(drop=True)
+
+
+Q207_SQL = """
+WITH old AS (
+  SELECT 'located_in' AS p, CAST(count(*) AS BIGINT) AS n,
+         1 AS func FROM supplier WHERE s_suppkey % 2 = 0
+  UNION ALL
+  SELECT 'name', CAST(count(*) AS BIGINT), 1
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+new AS (
+  SELECT 'located_in' AS p,
+         CAST(count(*) + count(*) FILTER (WHERE s_suppkey % 10 = 0)
+              AS BIGINT) AS n,
+         0 AS func FROM supplier
+  UNION ALL
+  SELECT 'name', CAST(count(*) AS BIGINT), 1 FROM supplier
+  UNION ALL
+  SELECT 'certified', CAST(count(*) AS BIGINT), 1 FROM supplier
+)
+SELECT coalesce(old.p, new.p) AS p,
+       CASE WHEN old.p IS NULL THEN 'added'
+            WHEN new.p IS NULL THEN 'removed'
+            WHEN old.func = 1 AND new.func = 0 THEN 'lost_functional'
+            WHEN old.func = 0 AND new.func = 1 THEN 'became_functional'
+            ELSE 'kept' END AS change,
+       CAST(coalesce(old.n, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(new.n, 0) AS BIGINT) AS n_new
+FROM old FULL OUTER JOIN new ON old.p = new.p
+ORDER BY p
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10152,4 +10248,5 @@ QUERIES: dict[str, tuple] = {
                                     Q205_SQL),
     "q206_nquads_provenance_roundtrip": (q206_nquads_provenance_roundtrip,
                                          Q206_SQL),
+    "q207_schema_drift": (q207_schema_drift, Q207_SQL),
 }
