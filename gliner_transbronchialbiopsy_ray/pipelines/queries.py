@@ -10001,6 +10001,55 @@ ORDER BY p
 """
 
 
+def q208_property_graph_export(sf_dir: str):
+    """Property-graph EXPORT round trip (stages/kgprep.py:
+    export_property_graph): the customer KG splits into the
+    Neo4j-bulk node table (node, label, segment — assembled in one
+    subject-bucket exchange, label riding the same pivot) and a
+    relationship table, both written as partitioned CSV parts and
+    READ BACK through ray.data.read_csv — the full interchange cycle.
+    Output: the re-imported node table.  Oracle: the node layout in
+    plain SQL."""
+    import tempfile
+
+    from ..stages.kgprep import export_property_graph
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "cust:" + df["c_custkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "type", "o": "Customer"}),
+            pd.DataFrame({"s": s, "p": "segment",
+                          "o": df["c_mktsegment"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "in_nation",
+                          "o": "nation:" + df["c_nationkey"].astype(str)}),
+        ], ignore_index=True)
+
+    store = cust.map_batches(to_triples, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="pgexport_", dir="/tmp")
+    paths = export_property_graph(
+        store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
+    nodes = ray.data.read_csv(paths["nodes_dir"]).to_pandas()
+    n_rels = ray.data.read_csv(paths["rels_dir"]).count()
+    if n_rels != len(nodes):
+        raise AssertionError(
+            f"expected one in_nation rel per node: {n_rels} vs "
+            f"{len(nodes)}")
+    nodes = nodes[["node", "label", "segment"]].astype(str)
+    return nodes.sort_values("node").reset_index(drop=True)
+
+
+Q208_SQL = """
+SELECT 'cust:' || c_custkey AS node, 'Customer' AS label,
+       c_mktsegment AS segment
+FROM customer
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10249,4 +10298,5 @@ QUERIES: dict[str, tuple] = {
     "q206_nquads_provenance_roundtrip": (q206_nquads_provenance_roundtrip,
                                          Q206_SQL),
     "q207_schema_drift": (q207_schema_drift, Q207_SQL),
+    "q208_property_graph_export": (q208_property_graph_export, Q208_SQL),
 }

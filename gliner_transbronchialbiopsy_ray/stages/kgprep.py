@@ -775,3 +775,51 @@ def link_prediction_rank(
     out = pd.DataFrame({h_col: h, r_col: r, t_col: t,
                         "rank": counts + 1})
     return out.sort_values([h_col, r_col, t_col]).reset_index(drop=True)
+
+
+def export_property_graph(
+    triples: ray.data.Dataset,
+    out_dir: str,
+    rel_preds: list[str],
+    prop_preds: list[str],
+    type_pred: str = "type",
+    fill: str = "-",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> dict:
+    """Property-graph EXPORT (the Neo4j-bulk-style layout every graph
+    DB ingests): the triple store splits into a node table —
+    (node, label, one column per `prop_preds` entry, `fill` for
+    missing; label = the min `type_pred` object — and a relationship
+    table (src, rel_type, dst) for predicates in `rel_preds`.  Nodes
+    assemble in node_property_table's single subject-bucket exchange
+    (type rides along as one more pivot column); relationships are a
+    row-local filter.  Both write as partitioned CSV part files
+    (one per block — resumable, never one giant file) under
+    out_dir/nodes and out_dir/relationships.  Returns
+    {"nodes_dir", "rels_dir"}."""
+    import os
+
+    triples = triples.materialize()  # two consumers
+    nodes = node_property_table(
+        triples, [type_pred] + list(prop_preds), fill=fill,
+        s_col=s_col, p_col=p_col, o_col=o_col)
+    nodes = nodes.map_batches(
+        lambda b: b.rename_columns(
+            ["node", "label"] + list(prop_preds)),
+        batch_format="pyarrow")
+
+    def rels(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "src": b.column(s_col).cast(pa.string()).to_pandas(),
+            "rel_type": b.column(p_col).cast(pa.string()).to_pandas(),
+            "dst": b.column(o_col).cast(pa.string()).to_pandas()})
+        return df[df["rel_type"].isin(list(rel_preds))]
+
+    rel_ds = triples.map_batches(rels, batch_format="pyarrow")
+    nodes_dir = os.path.join(out_dir, "nodes")
+    rels_dir = os.path.join(out_dir, "relationships")
+    nodes.write_csv(nodes_dir)
+    rel_ds.write_csv(rels_dir)
+    return {"nodes_dir": nodes_dir, "rels_dir": rels_dir}

@@ -239,3 +239,29 @@ def test_link_prediction_rank_guards():
         link_prediction_rank(test, ents, max_test=2)
     empty = link_prediction_rank(test.limit(0), ents)
     assert len(empty) == 0 and "rank" in empty.columns
+
+
+def test_export_property_graph_roundtrip(tmp_path):
+    import ray.data
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        export_property_graph)
+    rows = [
+        ("n1", "type", "Person"), ("n1", "name", "ada"),
+        ("n1", "knows", "n2"),
+        ("n2", "type", "Person"),               # no name -> fill
+        ("n2", "knows", "n1"),
+        ("n1", "age", "36"),                    # not exported
+    ]
+    ds = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in rows])
+    out = export_property_graph(
+        ds, str(tmp_path), rel_preds=["knows"], prop_preds=["name"])
+    nodes = (ray.data.read_csv(out["nodes_dir"]).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+    assert list(map(tuple, nodes[["node", "label", "name"]]
+                    .to_numpy())) == [("n1", "Person", "ada"),
+                                      ("n2", "Person", "-")]
+    rels = (ray.data.read_csv(out["rels_dir"]).to_pandas()
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert list(map(tuple, rels[["src", "rel_type", "dst"]]
+                    .to_numpy())) == [("n1", "knows", "n2"),
+                                      ("n2", "knows", "n1")]
