@@ -10050,6 +10050,66 @@ ORDER BY node
 """
 
 
+def q209_optional_transitive(sf_dir: str):
+    """OPTIONAL + transitive path COMPOSED (stages/bgp.py): for every
+    sampled customer's chain-start order, OPTIONAL next_order+ binds
+    every successor within the 8-hop closure cap — single-order
+    customers survive with a null successor (the left-outer
+    semantics), multi-order chains fan out.  Oracle: row_number chain
+    positions with the SAME hop cap (rn <= 9), LEFT JOIN, -1
+    sentinel."""
+    from ..stages.bgp import match_bgp
+    from ..stages.window import hash_bucketed_map_groups
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sampled(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        return b.filter(pa.array(ck % 20 == 0))
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, u in g.groupby("o_custkey", sort=False):
+            u = u.sort_values(["o_orderdate", "o_orderkey"],
+                              kind="stable")
+            a = u["o_orderkey"].to_numpy("int64")
+            out.append(pd.DataFrame({
+                "s": a[:1], "p": "chain_start", "o": np.int64(1)}))
+            if len(a) > 1:
+                out.append(pd.DataFrame({
+                    "s": a[:-1], "p": "next_order", "o": a[1:]}))
+        if not out:
+            return pd.DataFrame({"s": np.empty(0, "int64"),
+                                 "p": np.empty(0, object),
+                                 "o": np.empty(0, "int64")})
+        return pd.concat(out, ignore_index=True)
+
+    store = hash_bucketed_map_groups(
+        orders.map_batches(sampled, batch_format="pyarrow"),
+        "o_custkey", chain)
+    out = match_bgp(store, [("?x", "chain_start", 1)],
+                    optional=[("?x", "next_order+", "?y")]).to_pandas()
+    res = pd.DataFrame({
+        "x": out["x"].astype("int64"),
+        "y": out["y"].fillna(-1).astype("int64")})
+    return res.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+Q209_SQL = """
+WITH nxt AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 20 = 0
+)
+SELECT f.k AS x, coalesce(l.k, -1) AS y
+FROM (SELECT * FROM nxt WHERE rn = 1) f
+LEFT JOIN nxt l ON l.c = f.c AND l.rn > 1 AND l.rn <= 9
+ORDER BY x, y
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10299,4 +10359,5 @@ QUERIES: dict[str, tuple] = {
                                          Q206_SQL),
     "q207_schema_drift": (q207_schema_drift, Q207_SQL),
     "q208_property_graph_export": (q208_property_graph_export, Q208_SQL),
+    "q209_optional_transitive": (q209_optional_transitive, Q209_SQL),
 }
