@@ -10110,6 +10110,36 @@ ORDER BY x, y
 """
 
 
+def q210_boruvka_msf(sf_dir: str):
+    """Boruvka minimum spanning forest (stages/graph.py:boruvka_msf)
+    over the sampled part<->supplier graph with deterministic
+    endpoint-hash weights — O(log n) rounds, each: two label joins,
+    one component-bucket min-edge pick, a geometric-shrinking
+    component merge.  Deterministic under ties via the (w, u, v)
+    total order, so the forest is replayable run to run.  Rows-only:
+    MSF is not SQL-expressible — pinned by golden hash AND an
+    independent driver-side Kruskal parity test in tests/."""
+    from ..stages.graph import boruvka_msf
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def weighted(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        u = df["l_partkey"].to_numpy("int64")
+        v = -df["l_suppkey"].to_numpy("int64")
+        w = (np.abs(u) * 131 + np.abs(v) * 17) % 9973 + 1
+        return pd.DataFrame({"a": u, "b": v, "w": w.astype("int64")})
+
+    edges = (li.map_batches(weighted, batch_format="pyarrow")
+             .groupby(["a", "b"]).min("w")
+             .map_batches(lambda b: b.rename_columns(["a", "b", "w"]),
+                          batch_format="pyarrow"))
+    out = boruvka_msf(edges).to_pandas().astype("int64")
+    return (out[["u", "v", "w"]].sort_values(["u", "v"])
+            .reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10360,4 +10390,5 @@ QUERIES: dict[str, tuple] = {
     "q207_schema_drift": (q207_schema_drift, Q207_SQL),
     "q208_property_graph_export": (q208_property_graph_export, Q208_SQL),
     "q209_optional_transitive": (q209_optional_transitive, Q209_SQL),
+    "q210_boruvka_msf": (q210_boruvka_msf, None),
 }

@@ -1603,3 +1603,156 @@ def trace_path(
                              "node": pd.Series(dtype="int64"),
                              "cost": pd.Series(dtype="int64")})
     return out.astype("int64")
+
+
+def boruvka_msf(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    max_rounds: int = 20,
+    num_partitions: int | None = None,
+    n_buckets: int = 32,
+    cc_distributed: bool = False,
+) -> ray.data.Dataset:
+    """Boruvka MINIMUM SPANNING FOREST over an undirected weighted
+    edge set — the classic O(log n)-round distributed MST algorithm:
+    each round every component selects its minimum outgoing edge
+    (ties broken by (w, min endpoint, max endpoint) — with distinct
+    weights the MSF is unique, with ties this makes it deterministic),
+    the selected edges join the forest, and components merge.
+
+    Returns the forest edges (u, v, w) with u < v.
+
+    Per round: two native hash joins attach component labels to the
+    edge endpoints (labels are O(nodes) — never broadcast), one coarse
+    component-bucket exchange picks each component's min edge
+    vectorized, the selected edge set (<= #components rows, shrinking
+    geometrically) merges components via the CC min-label fold, and
+    one join relabels.  Components at least halve per round, so
+    `max_rounds=20` covers 10^6+ components; the loop exits as soon
+    as no cross-component edge remains.
+
+    `cc_distributed=True` routes the component merge through the
+    dataset-native CC fixpoint — required when round 1's selected set
+    (O(initial components)) is too big to fold driver-side; later
+    rounds shrink geometrically either way."""
+    from .dedup import connected_components
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def canon(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column(src).to_numpy().astype("int64")
+        v = batch.column(dst).to_numpy().astype("int64")
+        w = batch.column(weight).to_numpy().astype("int64")
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        df = pd.DataFrame({"u": lo, "v": hi, "w": w})
+        return df[df["u"] != df["v"]].drop_duplicates()
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+         .groupby(["u", "v"]).min("w")
+         .map_batches(lambda b: b.rename_columns(["u", "v", "w"]),
+                      batch_format="pyarrow").materialize())
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(np.concatenate(
+            [batch.column("u").to_numpy(),
+             batch.column("v").to_numpy()]).astype("int64"))
+        return pa.table({"node": pa.array(ids),
+                         "comp": pa.array(ids)})
+
+    labels = (e.map_batches(nodes_of, batch_format="pyarrow")
+              .groupby("node").min("comp")
+              .map_batches(lambda b: b.rename_columns(["node", "comp"]),
+                           batch_format="pyarrow").materialize())
+
+    forest = []
+    for _ in range(max_rounds):
+        cu = labels.map_batches(
+            lambda b: pa.table({"u": b.column("node"),
+                                "cu": b.column("comp")}),
+            batch_format="pyarrow").materialize()
+        cv = labels.map_batches(
+            lambda b: pa.table({"v": b.column("node"),
+                                "cv": b.column("comp")}),
+            batch_format="pyarrow").materialize()
+        j = coalesce_for_join(e, num_partitions).join(
+            coalesce_for_join(cu, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("u",), right_on=("u",))
+        j = coalesce_for_join(j.materialize(), num_partitions).join(
+            coalesce_for_join(cv, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("v",), right_on=("v",))
+        cross = j.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("cu"),
+                                            b.column("cv"))),
+            batch_format="pyarrow").materialize()
+        if cross.count() == 0:
+            break
+        e = cross.select_columns(["u", "v", "w"]).materialize()
+
+        # each component's min outgoing edge: emit the edge once per
+        # incident component, pick min (w, u, v) per comp in-bucket
+        def per_comp(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()[["u", "v", "w", "cu", "cv"]]
+            both = pd.concat([df.assign(c=df["cu"]),
+                              df.assign(c=df["cv"])],
+                             ignore_index=True)
+            both = (both.sort_values(["c", "w", "u", "v"],
+                                     kind="stable")
+                    .groupby("c", sort=False).head(1))
+            return _tag_int_bucket(both, "c", n_buckets)
+
+        sel = (cross.map_batches(per_comp, batch_format="pyarrow")
+               .groupby("_bucket")
+               .map_groups(
+                   lambda g: (g.sort_values(["c", "w", "u", "v"],
+                                            kind="stable")
+                              .groupby("c", sort=False).head(1)
+                              .drop(columns=["_bucket"])),
+                   batch_format="pandas").materialize())
+        picked = (sel.map_batches(
+            lambda b: b.select(["u", "v", "w"]),
+            batch_format="pyarrow")
+            .groupby(["u", "v"]).min("w")
+            .map_batches(lambda b: b.rename_columns(["u", "v", "w"]),
+                         batch_format="pyarrow").materialize())
+        forest.append(picked)
+
+        # merge: CC over the selected component-graph (<= #components
+        # rows, shrinking geometrically -> the driver-side CC default)
+        comp_edges = sel.map_batches(
+            lambda b: pa.table({
+                "x": b.column("cu").cast(pa.int64()),
+                "y": b.column("cv").cast(pa.int64())}),
+            batch_format="pyarrow")
+        cc = connected_components(
+            comp_edges, left_col="x", right_col="y",
+            max_iterations=max_rounds, distributed=cc_distributed)
+        cmap = cc.map_batches(
+            lambda b: pa.table({"comp": b.column("node"),
+                                "newc": b.column("component")}),
+            batch_format="pyarrow").materialize()
+        lj = coalesce_for_join(labels, num_partitions).join(
+            coalesce_for_join(cmap, num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("comp",), right_on=("comp",))
+        labels = lj.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node").cast(pa.int64()),
+                "comp": pc.coalesce(b.column("newc").cast(pa.int64()),
+                                    b.column("comp").cast(pa.int64()))}),
+            batch_format="pyarrow").materialize()
+
+    if not forest:
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.int64()),
+            "w": pa.array([], type=pa.int64())}))
+    out = forest[0]
+    for f in forest[1:]:
+        out = out.union(f)
+    return (out.groupby(["u", "v"]).min("w")
+            .map_batches(lambda b: b.rename_columns(["u", "v", "w"]),
+                         batch_format="pyarrow"))

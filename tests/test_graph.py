@@ -447,3 +447,53 @@ def test_k_core_peel_strategies_identical():
     import pytest
     with pytest.raises(ValueError, match="unknown strategy"):
         k_core_peel(ds, k=3, rounds=1, strategy="bogus")
+
+
+def _kruskal(edges):
+    """Independent reference MSF: Kruskal with union-find and the same
+    (w, u, v) total order."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for w, u, v in sorted((w, u, v) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.append((u, v, w))
+    return sorted(forest)
+
+
+def test_boruvka_msf_matches_kruskal():
+    from gliner_transbronchialbiopsy_ray.stages.graph import boruvka_msf
+    import numpy as np
+    rng = np.random.RandomState(11)
+    # random graph with UNIQUE weights (MSF unique -> algorithm-
+    # independent comparison), plus a disjoint second component
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 25, (80, 2))
+           if a != b}
+    edges = [(min(a, b), max(a, b), i * 7 + 3)
+             for i, (a, b) in enumerate(sorted(raw))]
+    edges += [(100, 101, 1), (101, 102, 2), (100, 102, 5)]
+    ds = rd.from_items([{"a": a, "b": b, "w": w} for a, b, w in edges])
+    out = boruvka_msf(ds).to_pandas()
+    got = sorted(map(tuple, out[["u", "v", "w"]].to_numpy()))
+    assert got == _kruskal(edges)
+
+
+def test_boruvka_msf_tie_break_deterministic():
+    from gliner_transbronchialbiopsy_ray.stages.graph import boruvka_msf
+    # all weights equal: forest = spanning tree chosen by (w, u, v)
+    # order — matches Kruskal under the same order
+    edges = [(1, 2, 5), (2, 3, 5), (1, 3, 5), (3, 4, 5)]
+    ds = rd.from_items([{"a": a, "b": b, "w": w} for a, b, w in edges])
+    out = boruvka_msf(ds).to_pandas()
+    got = sorted(map(tuple, out[["u", "v", "w"]].to_numpy()))
+    assert got == _kruskal(edges)
+    assert len(got) == 3  # spanning tree of 4 nodes
