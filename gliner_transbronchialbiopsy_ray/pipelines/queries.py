@@ -10140,6 +10140,66 @@ def q210_boruvka_msf(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q211_temporal_reachability(sf_dir: str):
+    """Time-respecting reachability (stages/graph.py:
+    temporal_reachability): earliest arrival at every node within 3
+    edges of the seed parts, where each hop's ship date must be >= the
+    arrival time at its tail (contamination-spread semantics over the
+    part<->supplier graph).  Bellman-Ford-style rounds == the oracle's
+    per-path edge budget; epoch-us int64 end to end.  Oracle:
+    depth-guarded recursive CTE with the timestamp gate in the join."""
+    from ..stages.graph import temporal_reachability
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_shipdate"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["l_partkey"] % 25 == 0]
+        ts = (df["l_shipdate"].astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        out = pd.DataFrame({"src": np.concatenate([p, s]),
+                            "dst": np.concatenate([s, p]),
+                            "ts": np.concatenate([ts, ts])})
+        return out.drop_duplicates()
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst", "ts"]).count()
+             .drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = temporal_reachability(edges, seeds, k=3).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q211_SQL = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s,
+              epoch_us(l_shipdate) AS ts
+       FROM lineitem WHERE l_partkey % 25 = 0),
+ed AS (SELECT p AS src, -s AS dst, ts FROM e0
+       UNION ALL SELECT -s, p, ts FROM e0),
+seeds AS (SELECT DISTINCT l_partkey AS n FROM lineitem
+          WHERE l_partkey % 100 = 0),
+walk(node, arr, d) AS (
+  SELECT n, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT ed.dst, ed.ts, w.d + 1
+  FROM walk w JOIN ed ON ed.src = w.node AND ed.ts >= w.arr
+  WHERE w.d < 3
+)
+SELECT node, CAST(min(arr) AS BIGINT) AS arr
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10391,4 +10451,5 @@ QUERIES: dict[str, tuple] = {
     "q208_property_graph_export": (q208_property_graph_export, Q208_SQL),
     "q209_optional_transitive": (q209_optional_transitive, Q209_SQL),
     "q210_boruvka_msf": (q210_boruvka_msf, None),
+    "q211_temporal_reachability": (q211_temporal_reachability, Q211_SQL),
 }

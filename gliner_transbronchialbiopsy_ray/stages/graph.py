@@ -1756,3 +1756,88 @@ def boruvka_msf(
     return (out.groupby(["u", "v"]).min("w")
             .map_batches(lambda b: b.rename_columns(["u", "v", "w"]),
                          batch_format="pyarrow"))
+
+
+def temporal_reachability(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """TIME-RESPECTING reachability (the temporal-graph primitive —
+    contagion / contamination / information-flow queries): (node,
+    arrival) = the EARLIEST time each node is reachable from the seed
+    set along paths whose edge timestamps never decrease, within `k`
+    edges.  An edge (u, v, ts) is usable only when ts >= arrival(u);
+    seeds start at arrival 0.
+
+    Earliest arrival has optimal substructure (a smaller arrival
+    unlocks a superset of onward edges), so the k_hop_min_cost
+    discipline applies unchanged: per round ONE frontier-x-edges join
+    gated by the timestamp comparison, one union + grouped-min fold
+    that detects improvement via the old-column sentinel; state
+    materialized every round, nothing broadcast.  int64 epoch-us
+    timestamps (repo discipline)."""
+    from ray.data.aggregate import Min
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    BIG = np.int64(2**62)
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas()).astype("int64")
+        z = np.zeros(len(ids), "int64")
+        return pa.table({"node": pa.array(ids),
+                         "arr": pa.array(z), "old": pa.array(z)})
+
+    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.groupby("node").aggregate(
+            Min("arr", alias_name="arr"), Min("old", alias_name="old"))
+
+    best = _fold(
+        seeds.map_batches(as_seed, batch_format="pyarrow")).materialize()
+    frontier = best
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst, ts_col]), num_partitions
+    ).materialize()
+
+    for hop in range(k):
+        expand = coalesce_for_join(
+            frontier.select_columns(["node", "arr"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            arr = batch.column("arr").to_numpy().astype("int64")
+            ts = batch.column(ts_col).to_numpy().astype("int64")
+            ok = ts >= arr
+            d = batch.column(dst).to_numpy().astype("int64")[ok]
+            t = ts[ok]
+            return pa.table({
+                "node": pa.array(d),
+                "arr": pa.array(t),
+                "old": pa.array(np.full(len(t), BIG, "int64"))})
+
+        cand = expand.map_batches(relax, batch_format="pyarrow")
+        prior = best.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "arr": b.column("arr"),
+                                "old": b.column("arr")}),
+            batch_format="pyarrow")
+        best = _fold(prior.union(cand)).materialize()
+        if hop == k - 1:
+            break
+        frontier = best.map_batches(
+            lambda b: b.filter(pc.less(b.column("arr"),
+                                       b.column("old"))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return best.select_columns(["node", "arr"])

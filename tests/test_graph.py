@@ -497,3 +497,21 @@ def test_boruvka_msf_tie_break_deterministic():
     got = sorted(map(tuple, out[["u", "v", "w"]].to_numpy()))
     assert got == _kruskal(edges)
     assert len(got) == 3  # spanning tree of 4 nodes
+
+
+def test_temporal_reachability_respects_time():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        temporal_reachability)
+    # 1 -(t5)-> 2 -(t3)-> 3 : edge to 3 happens BEFORE arrival at 2,
+    # so 3 is unreachable through it; 2 -(t8)-> 3 works.
+    # 1 -(t2)-> 4 -(t2)-> 5 : equal times allowed (ts >= arr).
+    edges = [(1, 2, 5), (2, 3, 3), (2, 3, 8), (1, 4, 2), (4, 5, 2)]
+    eds = rd.from_items([{"src": a, "dst": b, "ts": t}
+                         for a, b, t in edges])
+    seeds = rd.from_items([{"node": 1}])
+    out = temporal_reachability(eds, seeds, k=3).to_pandas()
+    got = dict(zip(out["node"], out["arr"]))
+    assert got == {1: 0, 2: 5, 3: 8, 4: 2, 5: 2}
+    # k=1 cuts the two-hop arrivals
+    out1 = temporal_reachability(eds, seeds, k=1).to_pandas()
+    assert dict(zip(out1["node"], out1["arr"])) == {1: 0, 2: 5, 4: 2}
