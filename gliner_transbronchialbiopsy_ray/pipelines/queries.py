@@ -10200,6 +10200,79 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q212_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank / random-walk-with-restart (stages/
+    graph.py:personalized_pagerank_int) from the seed parts over the
+    sampled part<->supplier graph, 3 iterations — EXACT integer
+    fixed-point (every step an order-insensitive integer sum or floor
+    division), so the unrolled SQL oracle matches bit-for-bit where a
+    float power iteration could not.  Oracle: 3 MATERIALIZED
+    contribution/rank CTE pairs (the q127 exponential-inlining
+    lesson)."""
+    from ..stages.graph import personalized_pagerank_int
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 25 == 0]
+        p = df["l_partkey"].to_numpy("int64")
+        s = -df["l_suppkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([p, s]),
+                             "dst": np.concatenate([s, p])})
+
+    edges = (li.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    seeds = li.map_batches(
+        lambda b: pd.DataFrame({"node": pd.unique(
+            b.column("l_partkey").to_pandas()[
+                (b.column("l_partkey").to_pandas() % 100 == 0)]
+        ).astype("int64")}),
+        batch_format="pyarrow")
+    out = personalized_pagerank_int(edges, seeds, iters=3).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q212_round(i: int, j: str) -> str:
+    return f""",
+c{i} AS MATERIALIZED (
+  SELECT x.dst AS node, sum(rr.r // dg.d) AS c
+  FROM {j} rr JOIN dg ON dg.src = rr.node
+  JOIN ed x ON x.src = rr.node
+  GROUP BY x.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT node, r FROM (
+    SELECT coalesce(c.node, z.node) AS node,
+           (15 * coalesce(z.r, 0)) // 100
+         + (85 * coalesce(c.c, 0)) // 100 AS r
+    FROM c{i} c FULL OUTER JOIN r0 z ON z.node = c.node
+  ) WHERE r > 0
+)"""
+
+
+Q212_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_partkey % 25 = 0
+),
+ed AS MATERIALIZED (SELECT p AS src, -s AS dst FROM e0
+                    UNION ALL SELECT -s, p FROM e0),
+dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+                    FROM ed GROUP BY src),
+seeds AS (SELECT DISTINCT l_partkey AS n FROM lineitem
+          WHERE l_partkey % 100 = 0),
+r0 AS MATERIALIZED (
+  SELECT n AS node,
+         CAST(1000000000000 // (SELECT count(*) FROM seeds)
+              AS BIGINT) AS r
+  FROM seeds)""" \
+    + "".join(_q212_round(i, f"r{i - 1}") for i in range(1, 4)) + """
+SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10452,4 +10525,5 @@ QUERIES: dict[str, tuple] = {
     "q209_optional_transitive": (q209_optional_transitive, Q209_SQL),
     "q210_boruvka_msf": (q210_boruvka_msf, None),
     "q211_temporal_reachability": (q211_temporal_reachability, Q211_SQL),
+    "q212_personalized_pagerank": (q212_personalized_pagerank, Q212_SQL),
 }

@@ -1841,3 +1841,101 @@ def temporal_reachability(
         if frontier.count() == 0:
             break
     return best.select_columns(["node", "arr"])
+
+
+def personalized_pagerank_int(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    iters: int = 3,
+    total_mass: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Personalized PageRank in EXACT integer fixed-point — random walk
+    with restart to the seed set, every operation an order-insensitive
+    integer sum or floor division so an SQL oracle replays it
+    bit-for-bit (float power iteration is summation-order-sensitive at
+    the ulp level — the repo's order-canonical-folds lesson applied by
+    construction):
+
+        r_0(v)     = total_mass // n_seeds   for seeds, else 0
+        r_{i+1}(v) = (100-damping) * r_0(v) // 100
+                     + damping * SUM_{u->v} (r_i(u) // outdeg(u)) // 100
+
+    Nodes whose rank floors to 0 drop out (both engines identically).
+    Plan: out-degree attaches to the EDGE rows once; per iteration ONE
+    rank-x-edges join + one grouped integer sum; the bounded seed set
+    rides into tasks as a plain dict (restart mass), with zero-contrib
+    seed rows injected into the same fold so restart-only nodes
+    survive.  Ranks stay distributed; nothing O(nodes) is broadcast."""
+    from ray.data.aggregate import Sum
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    sdf = seeds.to_pandas()  # empty datasets drop columns (q164 quirk)
+    seed_ids = (sorted(pd.unique(sdf["node"]).astype("int64").tolist())
+                if "node" in sdf.columns else [])
+    if not seed_ids:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "r": pa.array([], type=pa.int64())}))
+    base = int(total_mass) // len(seed_ids)
+    e_mass = {int(n): base for n in seed_ids}
+    restart_pct = 100 - damping_pct
+
+    deg = (edges.map_batches(
+        lambda b: pa.table({"src": b.column("src")}),
+        batch_format="pyarrow")
+        .groupby("src").count()
+        .map_batches(lambda b: b.rename_columns(["src", "d"]),
+                     batch_format="pyarrow"))
+    edw = coalesce_for_join(
+        edges.select_columns(["src", "dst"]), num_partitions).join(
+        coalesce_for_join(deg.materialize(), num_partitions),
+        join_type="inner", num_partitions=num_partitions,
+        on=("src",), right_on=("src",))
+    edw = edw.map_batches(
+        lambda b: pa.table({"node": b.column("src").cast(pa.int64()),
+                            "dst": b.column("dst").cast(pa.int64()),
+                            "d": b.column("d").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    r = ray.data.from_arrow(pa.table({
+        "node": pa.array(seed_ids, type=pa.int64()),
+        "r": pa.array([base] * len(seed_ids), type=pa.int64())}))
+    r = r.materialize()
+
+    seed_rows = ray.data.from_arrow(pa.table({
+        "dst": pa.array(seed_ids, type=pa.int64()),
+        "c": pa.array([0] * len(seed_ids), type=pa.int64())}))
+
+    for _ in range(iters):
+        j = coalesce_for_join(r, num_partitions).join(
+            edw, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",))
+        contrib = j.map_batches(
+            lambda b: pa.table({
+                "dst": b.column("dst"),
+                "c": pa.array(
+                    b.column("r").to_numpy().astype("int64")
+                    // b.column("d").to_numpy().astype("int64"))}),
+            batch_format="pyarrow")
+        summed = (contrib.union(seed_rows)
+                  .groupby("dst").aggregate(Sum("c", alias_name="c")))
+
+        def finish(b: pa.Table, _e=e_mass, _dp=damping_pct,
+                   _rp=restart_pct) -> pa.Table:
+            node = b.column("dst").to_numpy().astype("int64")
+            s = b.column("c").to_numpy().astype("int64")
+            e = np.array([_e.get(int(n), 0) for n in node],
+                         dtype="int64")
+            newr = (_rp * e) // 100 + (_dp * s) // 100
+            keep = newr > 0
+            return pa.table({"node": pa.array(node[keep]),
+                             "r": pa.array(newr[keep])})
+
+        r = summed.map_batches(
+            finish, batch_format="pyarrow").materialize()
+    return r

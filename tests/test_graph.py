@@ -515,3 +515,29 @@ def test_temporal_reachability_respects_time():
     # k=1 cuts the two-hop arrivals
     out1 = temporal_reachability(eds, seeds, k=1).to_pandas()
     assert dict(zip(out1["node"], out1["arr"])) == {1: 0, 2: 5, 4: 2}
+
+
+def test_personalized_pagerank_int_manual():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        personalized_pagerank_int)
+    # star out of seed 1: 1->2, 1->3, 2->1 ; seed {1}, 1 iteration
+    edges = [(1, 2), (1, 3), (2, 1)]
+    eds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    seeds = rd.from_items([{"node": 1}])
+    T = 1_000_000_000_000
+    out = personalized_pagerank_int(eds, seeds, iters=1).to_pandas()
+    got = dict(zip(out["node"], out["r"]))
+    # r1(1) = 15%*T + 85%*(r0(2)//1) = 15%*T (r0(2)=0)
+    # r1(2) = 85%*(T//2)//100... = (85*(T//2))//100 ; same for 3
+    assert got[1] == (15 * T) // 100
+    assert got[2] == (85 * (T // 2)) // 100
+    assert got[3] == (85 * (T // 2)) // 100
+    # two iterations: hand-fold round 2 from round-1 values
+    out2 = personalized_pagerank_int(eds, seeds, iters=2).to_pandas()
+    got2 = dict(zip(out2["node"], out2["r"]))
+    r1_1, r1_2 = got[1], got[2]
+    assert got2[1] == (15 * T) // 100 + (85 * (r1_2 // 1)) // 100
+    assert got2[2] == (85 * (r1_1 // 2)) // 100
+    # empty seeds -> typed empty
+    none = personalized_pagerank_int(eds, seeds.limit(0), iters=1)
+    assert none.count() == 0
