@@ -10214,10 +10214,12 @@ def q212_personalized_pagerank(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def both_dirs(batch: pa.Table) -> pd.DataFrame:
+        # -(s+1): this dataset's keys are 0-based, so a bare -s would
+        # collide part 0 with supplier 0 in the signed encoding
         df = batch.to_pandas().drop_duplicates()
         df = df[df["l_partkey"] % 25 == 0]
         p = df["l_partkey"].to_numpy("int64")
-        s = -df["l_suppkey"].to_numpy("int64")
+        s = -(df["l_suppkey"].to_numpy("int64") + 1)
         return pd.DataFrame({"src": np.concatenate([p, s]),
                              "dst": np.concatenate([s, p])})
 
@@ -10257,8 +10259,8 @@ WITH e0 AS (
   SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
   WHERE l_partkey % 25 = 0
 ),
-ed AS MATERIALIZED (SELECT p AS src, -s AS dst FROM e0
-                    UNION ALL SELECT -s, p FROM e0),
+ed AS MATERIALIZED (SELECT p AS src, -(s + 1) AS dst FROM e0
+                    UNION ALL SELECT -(s + 1), p FROM e0),
 dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
                     FROM ed GROUP BY src),
 seeds AS (SELECT DISTINCT l_partkey AS n FROM lineitem
