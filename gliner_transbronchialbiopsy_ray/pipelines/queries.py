@@ -10275,6 +10275,73 @@ SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node
 """
 
 
+def q213_graph_statistics(sf_dir: str):
+    """Per-NAMED-GRAPH VoID statistics over a quad store (the q158
+    provenance surface's analytics side): order quads scoped to a
+    per-priority graph, folded combiner-first to (g, n_triples,
+    n_subjects, n_predicates) — distinct counts via per-batch local
+    dedup then one (g, value)-keyed fold each, NEVER keyed on the
+    bare graph (the predicate-skew rule applies to graph labels
+    too).  Oracle: grouped counts."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def quads(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "order:" + df["o_orderkey"].astype(str)
+        g = "g:" + df["o_orderpriority"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "placed_by",
+                          "o": "cust:" + df["o_custkey"].astype(str),
+                          "g": g}),
+            pd.DataFrame({"s": s, "p": "priority",
+                          "o": df["o_orderpriority"].astype(str),
+                          "g": g}),
+        ], ignore_index=True)
+
+    store = orders.map_batches(quads, batch_format="pyarrow")
+
+    def n_part(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return (df.groupby("g", sort=False).size()
+                .rename("n").reset_index())
+
+    n = (store.map_batches(n_part, batch_format="pyarrow")
+         .to_pandas().groupby("g")["n"].sum())
+
+    def distinct_count(col: str) -> pd.Series:
+        from ..stages.kgprep import _distinct
+        d = _distinct(store.map_batches(
+            lambda b, _c=col: b.select(["g", _c]),
+            batch_format="pyarrow"), ["g", col])
+        parts = d.map_batches(
+            lambda b: b.to_pandas().groupby("g", sort=False).size()
+            .rename("n").reset_index(),
+            batch_format="pyarrow").to_pandas()
+        return parts.groupby("g")["n"].sum()
+
+    ns, np_ = distinct_count("s"), distinct_count("p")
+    out = pd.DataFrame({
+        "g": sorted(n.index),
+        "n_triples": [int(n[g]) for g in sorted(n.index)],
+        "n_subjects": [int(ns[g]) for g in sorted(n.index)],
+        "n_predicates": [int(np_[g]) for g in sorted(n.index)]})
+    for c in ("n_triples", "n_subjects", "n_predicates"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q213_SQL = """
+SELECT 'g:' || o_orderpriority AS g,
+       CAST(2 * count(*) AS BIGINT) AS n_triples,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(2 AS BIGINT) AS n_predicates
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10528,4 +10595,5 @@ QUERIES: dict[str, tuple] = {
     "q210_boruvka_msf": (q210_boruvka_msf, None),
     "q211_temporal_reachability": (q211_temporal_reachability, Q211_SQL),
     "q212_personalized_pagerank": (q212_personalized_pagerank, Q212_SQL),
+    "q213_graph_statistics": (q213_graph_statistics, Q213_SQL),
 }
