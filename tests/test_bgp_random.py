@@ -132,3 +132,93 @@ def test_random_filter_minus_match_reference():
             assert gv == rv, (trial, strategy, patterns, filters)
             checked += 1
     assert checked >= 3
+
+
+def _ref_stratified(df: pd.DataFrame, strata) -> set:
+    """Independent naive stratified-Datalog evaluator over Python
+    sets: per stratum iterate rules to fixpoint; a ("not", atom) body
+    atom removes bindings compatible with any of its matches (safe
+    negation — same anti semi-join semantics as match_bgp's MINUS)."""
+    store = {tuple(r) for r in df[["s", "p", "o"]].to_numpy()}
+
+    def match_atoms(atoms, frozen):
+        rows = [dict()]
+        for (s, p, o) in atoms:
+            new = []
+            for b in rows:
+                for (ts, tp, to) in frozen:
+                    bb = dict(b)
+                    ok = True
+                    for term, val in ((s, ts), (p, tp), (o, to)):
+                        if isinstance(term, str) and \
+                                term.startswith("?"):
+                            if term in bb and bb[term] != val:
+                                ok = False
+                                break
+                            bb[term] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(bb)
+            rows = new
+        return rows
+
+    for rules in strata:
+        while True:
+            frozen = set(store)
+            derived = set()
+            for body, head in rules:
+                pos = [a for a in body
+                       if not (len(a) == 2 and a[0] == "not")]
+                negs = [a[1] for a in body
+                        if len(a) == 2 and a[0] == "not"]
+                for b in match_atoms(pos, frozen):
+                    dead = False
+                    for na in negs:
+                        shared_ok = match_atoms([na], frozen)
+                        for nb in shared_ok:
+                            if all(b.get(k) == v
+                                   for k, v in nb.items()
+                                   if k in b):
+                                dead = True
+                                break
+                        if dead:
+                            break
+                    if dead:
+                        continue
+                    hs, hp, ho = head
+                    out = tuple(
+                        b[t] if isinstance(t, str)
+                        and t.startswith("?") else t
+                        for t in (hs, hp, ho))
+                    derived.add(out)
+            if derived <= store:
+                break
+            store |= derived
+    return store
+
+
+def test_random_stratified_negation_matches_reference():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate_stratified)
+    rng = np.random.default_rng(20260819)
+    STRATA = [
+        [  # stratum 1: close 'a' transitively as 'r'
+            ([("?x", "a", "?y")], ("?x", "r", "?y")),
+            ([("?x", "r", "?y"), ("?y", "a", "?z")],
+             ("?x", "r", "?z")),
+        ],
+        [  # stratum 2: reached-but-terminal nodes under negation
+            ([("?w", "r", "?x"), ("not", ("?x", "r", "?z"))],
+             ("?x", "t", "0")),
+        ],
+    ]
+    for _ in range(4):
+        df = _rand_graph(rng).astype({"s": str, "o": str})
+        df["o"] = df["o"].astype(str)
+        got = saturate_stratified(
+            rd.from_pandas(df), STRATA, cast_nodes=False).to_pandas()
+        got_set = {tuple(r) for r in got[["s", "p", "o"]].to_numpy()}
+        exp = _ref_stratified(df, STRATA)
+        assert got_set == exp
