@@ -431,7 +431,8 @@ def match_bgp(
             # inverse strips first, so ^!p is "inverse of any predicate
             # except p"); quantifiers don't combine with negation
             pbase = pbase[1:]
-            if not pbase or pbase[-1:] in ("+", "*", "?"):
+            if (not pbase or pbase[-1:] in ("+", "*", "?")
+                    or re.search(r"\{(\d+),(\d+)\}$", pbase)):
                 raise ValueError(
                     f"pattern {pattern}: negated property sets take a "
                     "plain predicate list (no quantifiers)")
@@ -1413,7 +1414,13 @@ def saturate_stratified(
 
     store = dd(triples.select_columns(["s", "p", "o"])).materialize()
     n = store.count()
-    for rules in strata:
+    for si, rules in enumerate(strata):
+        if not rules:
+            # an empty stratum would leave derived=None below and the
+            # "fully derived before negation" contract has nothing to
+            # derive — reject loudly instead of union(None)
+            raise ValueError(f"stratum {si} has no rules")
+        converged = False
         for _ in range(max_rounds):
             derived = None
             for body, head in rules:
@@ -1430,6 +1437,14 @@ def saturate_stratified(
             store = dd(store.union(derived)).materialize()
             n2 = store.count()
             if n2 == n:
+                converged = True
                 break
             n = n2
+        if not converged:
+            # later strata negate this stratum's predicates; an
+            # incomplete derivation would silently break stratified
+            # semantics, so exiting by round budget is an error
+            raise RuntimeError(
+                f"stratum {si} did not reach fixpoint within "
+                f"max_rounds={max_rounds}")
     return store

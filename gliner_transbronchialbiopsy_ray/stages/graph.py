@@ -1467,100 +1467,91 @@ def k_hop_min_cost_pred(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """`k_hop_min_cost` with PREDECESSOR tracking: (node, cost, via)
-    where `via` is the neighbor the best path arrives through — the
-    input to shortest-path RECONSTRUCTION (trace_path).  The argmin
-    rides the SAME grouped-min fold by encoding each candidate as
-    combo = cost * 2^32 + zigzag(via): the min combo is the min cost
-    with the min-zigzag predecessor as a DETERMINISTIC tie-break an
-    SQL oracle can replicate (zigzag keeps signed ids order-stable and
-    non-negative).  Costs must stay < 2^29 and |via| < 2^31 (enforced)
-    so the encoding never overflows int64.  Seeds carry via = node."""
+    where `via` is the input to shortest-path RECONSTRUCTION
+    (trace_path).  `via` is defined over the FINAL bounded-hop costs —
+    via(v) = the min-zigzag neighbor u with cost(u) + w(u,v) ==
+    cost(v) — which makes the definition coincide BY CONSTRUCTION with
+    a SQL oracle's `predd` (argmin over the converged cost table with
+    no hop accounting); a predecessor that only attains its final cost
+    in the last relaxation round is still selectable.  Zigzag keeps
+    the signed-id tie-break order-stable and SQL-replayable; |via| <
+    2^31 is enforced.  Nodes with no cost-equal incoming edge (seeds,
+    or nodes whose every optimal predecessor-extension exceeds the hop
+    bound) carry via = node, which trace_path treats as chain end.
+    The cost pass is exactly `k_hop_min_cost`; the via pass adds two
+    bounded joins over the converged (node, cost) table — once total,
+    not per round."""
     from ray.data.aggregate import Min
 
     from .joins import coalesce_for_join
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
-    SHIFT = np.int64(2**32)
-    BIG = np.int64(2**62)
+    SENTINEL = np.int64(2**32 - 1)  # > every zig(|via| < 2^31)
 
     def zig(v: np.ndarray) -> np.ndarray:
         return np.where(v >= 0, 2 * v, -2 * v - 1).astype("int64")
 
-    def as_seed(batch: pa.Table) -> pa.Table:
-        ids = pd.unique(batch.column("node").to_pandas()).astype("int64")
-        if len(ids) and (np.abs(ids) >= 2**31).any():
-            raise ValueError("|node id| must be < 2^31 for via encoding")
-        return pa.table({"node": pa.array(ids),
-                         "combo": pa.array(zig(ids)),
-                         "old": pa.array(np.zeros(len(ids), "int64"))})
-
-    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.groupby("node").aggregate(
-            Min("combo", alias_name="combo"),
-            Min("old", alias_name="old"))
-
-    best = _fold(
-        seeds.map_batches(as_seed, batch_format="pyarrow")).materialize()
-    frontier = best
+    costs = coalesce_for_join(
+        k_hop_min_cost(
+            edges, seeds, k, src=src, dst=dst, weight=weight,
+            num_partitions=num_partitions),
+        num_partitions).materialize()
     edges = coalesce_for_join(
-        edges.select_columns([src, dst, weight]), num_partitions
-    ).materialize()
+        edges.select_columns([src, dst, weight]), num_partitions)
 
-    for hop in range(k):
-        expand = coalesce_for_join(
-            frontier.select_columns(["node", "combo"]), num_partitions
-        ).join(
-            edges, join_type="inner", num_partitions=num_partitions,
-            on=("node",), right_on=(src,),
-        )
+    # candidate predecessors: every edge whose tail was reached
+    expand = costs.join(
+        edges, join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=(src,))
 
-        def relax(batch: pa.Table) -> pa.Table:
-            u = batch.column("node").to_numpy().astype("int64")
-            c = (batch.column("combo").to_numpy() // SHIFT
-                 + batch.column(weight).to_numpy()).astype("int64")
-            if len(c) and ((c >= 2**29).any() or (c < 0).any()):
-                raise ValueError(
-                    "path cost out of [0, 2^29) — via encoding "
-                    "would overflow")
-            if len(u) and (np.abs(u) >= 2**31).any():
-                raise ValueError(
-                    "|node id| must be < 2^31 for via encoding")
-            return pa.table({
-                "node": batch.column(dst).cast(pa.int64()),
-                "combo": pa.array(c * SHIFT + zig(u)),
-                "old": pa.array(np.full(len(c), BIG, "int64")),
-            })
+    def cand(batch: pa.Table) -> pa.Table:
+        u = batch.column("node").to_numpy().astype("int64")
+        if len(u) and (np.abs(u) >= 2**31).any():
+            raise ValueError("|node id| must be < 2^31 for via encoding")
+        c = (batch.column("cost").to_numpy()
+             + batch.column(weight).to_numpy()).astype("int64")
+        return pa.table({"node": batch.column(dst).cast(pa.int64()),
+                         "c": pa.array(c), "zu": pa.array(zig(u))})
 
-        cand = expand.map_batches(relax, batch_format="pyarrow")
-        prior = best.map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "combo": b.column("combo"),
-                "old": pc.divide(b.column("combo"),
-                                 pa.scalar(SHIFT, pa.int64()))}),
-            batch_format="pyarrow")
-        best = _fold(prior.union(cand)).materialize()
-        if hop == k - 1:
-            break
-        frontier = best.map_batches(
-            lambda b: b.filter(pc.less(
-                pc.divide(b.column("combo"),
-                          pa.scalar(SHIFT, pa.int64())),
-                b.column("old"))),
-            batch_format="pyarrow").materialize()
-        if frontier.count() == 0:
-            break
+    # keep only candidates matching v's FINAL cost (the predd equality)
+    matched = coalesce_for_join(
+        expand.map_batches(cand, batch_format="pyarrow"), num_partitions
+    ).join(costs, join_type="inner", num_partitions=num_partitions,
+           on=("node",), right_on=("node",))
+
+    def equal_only(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("c"),
+                                     batch.column("cost")))
+        return pa.table({"node": keep.column("node").cast(pa.int64()),
+                         "cost": keep.column("cost").cast(pa.int64()),
+                         "zu": keep.column("zu").cast(pa.int64())})
+
+    # self rows lose every tie (SENTINEL) and keep unmatched nodes
+    def self_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch.column("node").cast(pa.int64()),
+            "cost": batch.column("cost").cast(pa.int64()),
+            "zu": pa.array(np.full(n, SENTINEL, "int64"))})
+
+    folded = (matched.map_batches(equal_only, batch_format="pyarrow")
+              .union(costs.map_batches(self_rows, batch_format="pyarrow"))
+              .repartition(num_partitions)
+              .groupby("node").aggregate(
+                  Min("cost", alias_name="cost"),
+                  Min("zu", alias_name="zu")))
 
     def decode(b: pa.Table) -> pa.Table:
-        combo = b.column("combo").to_numpy().astype("int64")
-        z = combo % SHIFT
-        via = np.where(z % 2 == 0, z // 2, -((z + 1) // 2))
-        return pa.table({"node": b.column("node").cast(pa.int64()),
-                         "cost": pa.array(combo // SHIFT),
+        node = b.column("node").to_numpy().astype("int64")
+        z = b.column("zu").to_numpy().astype("int64")
+        via = np.where(z == SENTINEL, node,
+                       np.where(z % 2 == 0, z // 2, -((z + 1) // 2)))
+        return pa.table({"node": pa.array(node),
+                         "cost": b.column("cost").cast(pa.int64()),
                          "via": pa.array(via.astype("int64"))})
 
-    return best.map_batches(decode, batch_format="pyarrow")
+    return folded.map_batches(decode, batch_format="pyarrow")
 
 
 def trace_path(

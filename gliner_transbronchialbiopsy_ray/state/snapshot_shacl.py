@@ -15,6 +15,10 @@ State layout (the q111/q112 discipline applied to triples):
   state_dir/triples/snap=<snapshot_id>/_SUCCESS
       commit marker — a directory without it is a crashed partial
       write, invisible to validation and rewritten on the next commit
+  state_dir/triples/_meta.json
+      the layout's bucket count, written on first commit and verified
+      by every later commit/validate call (a mismatching n_buckets
+      would silently read the wrong bucket=<b> directories)
 
 Scale properties:
 
@@ -52,6 +56,40 @@ from ..stages.shacl import Shape, _empty_violations, _validate_frame
 
 _KIND = "triples"
 _MARKER = "_SUCCESS"
+_META = "_meta.json"
+_DEFAULT_BUCKETS = 32
+
+
+def _resolve_n_buckets(state_dir: str, n_buckets: int | None) -> int:
+    """The bucket count is part of the state LAYOUT: a caller reading
+    with a different count than the one the state was committed with
+    would silently look in the wrong bucket=<b> directories.  It is
+    therefore persisted next to the snapshots on first commit and
+    verified on every later call; passing an explicit mismatching
+    value is an error, passing None adopts the persisted value."""
+    import json
+
+    path = os.path.join(state_dir, _KIND, _META)
+    if os.path.exists(path):
+        with open(path) as f:
+            persisted = int(json.load(f)["n_buckets"])
+        if n_buckets is not None and n_buckets != persisted:
+            raise ValueError(
+                f"state at {state_dir} was committed with "
+                f"n_buckets={persisted}, got n_buckets={n_buckets}")
+        return persisted
+    return _DEFAULT_BUCKETS if n_buckets is None else n_buckets
+
+
+def _persist_n_buckets(state_dir: str, n_buckets: int) -> None:
+    import json
+
+    root = os.path.join(state_dir, _KIND)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _META)
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump({"n_buckets": int(n_buckets)}, f)
 
 
 def _committed(state_dir: str) -> list[str]:
@@ -97,7 +135,7 @@ def incremental_validate(
     p_col: str = "p",
     o_col: str = "o",
     type_pred: str = "type",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Validate the subjects TOUCHED by `snapshot` against their full
     (state + snapshot) triple history; returns their complete new
@@ -112,6 +150,7 @@ def incremental_validate(
                 "stages.shacl.validate_shapes over the full store")
     shape_specs = [(sh.name, sh.target_class, list(sh.constraints))
                    for sh in shapes]
+    n_buckets = _resolve_n_buckets(state_dir, n_buckets)
 
     def tag(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({
@@ -142,17 +181,19 @@ def commit_snapshot(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> int:
     """Persist `snapshot` into the bucketed state: per subject bucket
     one s-sorted parquet file, then the `_SUCCESS` marker.  Idempotent
     (an already-committed id is a no-op); a crashed partial directory
     is cleaned and rewritten.  Returns the number of rows committed."""
+    n_buckets = _resolve_n_buckets(state_dir, n_buckets)
     root = os.path.join(state_dir, _KIND, f"snap={snapshot_id}")
     if os.path.exists(os.path.join(root, _MARKER)):
         return 0
     if os.path.isdir(root):  # crashed partial commit
         shutil.rmtree(root)
+    _persist_n_buckets(state_dir, n_buckets)
 
     def tag(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({

@@ -644,6 +644,10 @@ def test_negated_property_set():
     assert got3 == [(1, 1), (2, 9)]
     with pytest.raises(ValueError, match="negated"):
         match_bgp(_ds(), [("?x", "!knows+", "?v")], num_partitions=2)
+    # a range quantifier on a negated set must also fail loudly (it
+    # used to be silently read as a literal predicate named "knows{1,2}")
+    with pytest.raises(ValueError, match="negated"):
+        match_bgp(_ds(), [("?x", "!knows{1,2}", "?v")], num_partitions=2)
 
 
 def test_negated_set_broadcast_and_reorder_parity():
@@ -762,3 +766,26 @@ def test_stratified_negation_rejects_unstratifiable():
         saturate_stratified(store, [[
             ([("not", ("?x", "e2", "?y"))], ("?x", "t", "?y")),
         ]])
+
+
+def test_stratified_negation_empty_and_round_budget():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate_stratified)
+    store = rd.from_items([
+        {"s": a, "p": "edge", "o": b}
+        for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]])
+    closure = [
+        ([("?x", "edge", "?y")], ("?x", "reach", "?y")),
+        ([("?x", "reach", "?y"), ("?y", "edge", "?z")],
+         ("?x", "reach", "?z")),
+    ]
+    # an empty stratum is rejected, not union(None)-crashed
+    with pytest.raises(ValueError, match="no rules"):
+        saturate_stratified(store, [closure, []])
+    # exiting a stratum by round budget instead of fixpoint is an
+    # error: later strata would negate an incomplete derivation
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        saturate_stratified(store, [closure], max_rounds=2)
+    # enough rounds converges fine on the same program
+    out = saturate_stratified(store, [closure], max_rounds=10)
+    assert out.to_pandas()["p"].eq("reach").sum() == 15

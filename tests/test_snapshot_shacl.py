@@ -77,3 +77,26 @@ def test_class_ref_rejected(tmp_path):
     with pytest.raises(ValueError, match="store-global"):
         incremental_validate(
             _triples([("a", "type", "W")]), [shp], str(tmp_path))
+
+
+def test_n_buckets_persisted_and_verified(tmp_path):
+    state = str(tmp_path / "state")
+    rows = [("w1", "type", "Widget"), ("w1", "name", "x")]
+    commit_snapshot(_triples(rows), state, "d0", n_buckets=8)
+    meta = os.path.join(state, "triples", "_meta.json")
+    assert os.path.exists(meta)
+    # a mismatching layout value is an error on commit AND validate
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        commit_snapshot(_triples(rows), state, "d1", n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        incremental_validate(_triples(rows), SHAPES, state, n_buckets=16)
+    # None adopts the persisted value — same results as explicit 8
+    a = incremental_validate(
+        _triples([("w1", "name", "y")]), SHAPES, state).to_pandas()
+    b = incremental_validate(
+        _triples([("w1", "name", "y")]), SHAPES, state,
+        n_buckets=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True))
+    assert (a["constraint"] == "max_count").any()
