@@ -426,8 +426,9 @@ def verified_near_dups(
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
     verify_concurrency: int | tuple[int, int] = 4,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     join_partitions: int = 8,
+    broadcast_threshold: int = 200_000,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates -> EXACT n-gram Jaccard verification,
@@ -435,7 +436,14 @@ def verified_near_dups(
     dataset — no driver-side pair loop, the candidate set is never
     to_pandas()'d).
 
-    strategy="broadcast" (default): texts are re-joined to pairs via a
+    strategy="auto" (default): the `smart_join` planner decision — the
+    candidate-pair count (already materialized for the empty check) is
+    the statistic; <= broadcast_threshold pairs routes to broadcast,
+    above it to shuffle.  Both paths are pinned byte-identical by test,
+    so the switch is purely a cost decision and there is no
+    unconditional driver-side text pull at scale.
+
+    strategy="broadcast": texts are re-joined to pairs via a
     broadcast id->text map built from only the doc_ids that appear in
     candidates (semi-join pushdown: the map is bounded by candidate
     count, not corpus size), ray.put once and read per ACTOR in __init__
@@ -460,9 +468,15 @@ def verified_near_dups(
     cands = minhash_candidate_pairs(
         docs, jaccard_threshold=jaccard_threshold * 0.8, **minhash_kwargs
     ).materialize()
-    if cands.count() == 0:
+    n_cands = cands.count()
+    if n_cands == 0:
         return ray.data.from_pandas(pd.DataFrame(
             columns=["left_id", "right_id", "est_jaccard", "jaccard"]))
+    if strategy == "auto":
+        strategy = ("broadcast" if n_cands <= broadcast_threshold
+                    else "shuffle")
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "shuffle":
         return _verify_pairs_shuffle(

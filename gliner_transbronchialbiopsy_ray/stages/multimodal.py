@@ -1,11 +1,13 @@
 """Multimodal column plumbing: media spans as opaque references with typed
 metadata, processed by actor-pool `map_batches` stages.
 
-The image/audio decode libraries are NOT in this environment, so the decode
-kernel is stubbed (deterministic fake features, clearly marked); the Ray
-side — schema, batch sizing, actor signature, output layout — is real and
-tested.  Swap `_decode_stub` for a real decoder (PIL/torchaudio) on a GPU
-cluster; the stage contract does not change.
+The lossy-codec libraries are NOT in this environment, so the JPEG/MP3/MP4
+decode kernel is stubbed (deterministic fake features, clearly marked);
+raw RGB888, netpbm P5/P6, PNG (stdlib-zlib inflate + unfilter), WAV PCM
+and RAWV video are REAL pure-NumPy/stdlib decoders.  The Ray side —
+schema, batch sizing, actor signature, output layout — is real and tested
+throughout.  Swap `_decode_stub` for a real codec (PIL/torchaudio) on a
+GPU cluster; the stage contract does not change.
 
 Batch-size note: real media bytes are large — callers should use a SMALL
 batch_size (e.g. 16-64) and `num_cpus`/`num_gpus` sized to the decoder, and
@@ -246,6 +248,170 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return img
 
 
+# --- PNG (real pixel decode, stdlib-zlib only) ----------------------------
+#
+# Public PNG spec (RFC 2083 / W3C PNG): chunks are
+# len(u32be) type(4) data crc(u32be); pixel data is the zlib-inflated
+# concatenation of all IDAT chunks, one filter-type byte per scanline
+# followed by the filtered bytes; filters None/Sub/Up/Average/Paeth
+# operate per byte with lag bpp.  Supported here: bit depth 8, color
+# types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
+# interlace 0.  Everything else raises ValueError with a clear message
+# so the stage keeps the row with decode_status set.  Chunk CRCs are
+# not verified (inflate itself catches corrupt pixel data via adler32).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("png chunk truncated")
+        yield typ, data
+        i += 12 + ln  # len + type + data + crc
+        if typ == b"IEND":
+            return
+    raise ValueError("png missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering -> (h, stride) uint8.  None/Up are
+    whole-row vector ops; Sub is a per-lane modular cumsum; Average and
+    Paeth carry an intra-row byte dependency and run as a tight byte
+    loop (the adaptive-filter norm for pure-Python decoders)."""
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"png pixel data is {len(raw)} bytes, expected "
+            f"{h * (1 + stride)}")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: cumsum within each of bpp byte lanes
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, np.int64)])
+            lanes = lanes.reshape(-1, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(-1)[:stride] % 256
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(int(a), int(prev[x]),
+                                          int(c))) % 256
+        else:
+            raise ValueError(f"png filter type {ftype} invalid")
+        out[y] = rec
+        prev = rec.astype(np.int64)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG pixel decode with zero external deps (stdlib zlib
+    inflate + per-scanline unfilter) -> (h, w, 3) uint8.  Gray expands
+    to 3 channels, palette indices resolve through PLTE, alpha is
+    dropped (features/resize operate on color planes).  8-bit,
+    non-interlaced images only; anything else raises ValueError and the
+    calling stage records decode_status instead of dropping the row."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a png payload")
+    w = h = -1
+    channels = 0
+    color_type = -1
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("png IHDR malformed")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color_type, comp, filt, interlace = data[8:13]
+            if depth != 8:
+                raise ValueError(
+                    f"png bit depth {depth} unsupported (8 only)")
+            if comp != 0 or filt != 0:
+                raise ValueError("png compression/filter method != 0")
+            if interlace != 0:
+                raise ValueError("png interlaced (Adam7) unsupported")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
+            if channels == 0:
+                raise ValueError(f"png color type {color_type} invalid")
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("png PLTE length not divisible by 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+    if w <= 0 or h <= 0:
+        raise ValueError("png missing/invalid IHDR")
+    if not idat:
+        raise ValueError("png has no IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png IDAT inflate failed: {exc}") from exc
+    stride = w * channels
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("png palette image missing PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("png palette index out of range")
+        return plte[px[:, :, 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray+alpha: drop alpha, expand gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA->RGB
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> minimal valid PNG (color type 2, filter 0
+    scanlines, single IDAT) — the writer side of the round-trip and the
+    fixture builder for tests."""
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-average downsample when the scale divides evenly (exact block
     mean), nearest-neighbor otherwise — both pure strided NumPy."""
@@ -273,10 +439,12 @@ class RawImageStage:
 
     Payloads are format-sniffed per row: a payload whose size exactly
     matches the row's width*height*3 metadata is headerless raw RGB888
-    (raw pixels can legitimately START with the bytes "P6", so the
-    metadata match outranks the magic); otherwise a netpbm P5/P6 magic
-    routes to `decode_pnm` (self-describing header — rows carrying PNM
-    files don't need width/height metadata at all)."""
+    (raw pixels can legitimately START with the bytes "P6" or the PNG
+    magic, so the metadata match outranks the magic); otherwise the PNG
+    signature routes to `decode_png` (REAL stdlib-zlib pixel decode)
+    and a netpbm P5/P6 magic routes to `decode_pnm` — both
+    self-describing, so rows carrying container files don't need
+    width/height metadata at all."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8):
         self.out_w, self.out_h = out_w, out_h
@@ -290,7 +458,10 @@ class RawImageStage:
         for r, p, w, h in zip(refs, payloads, ws, hs):
             try:
                 raw_size = (w or 0) * (h or 0) * 3
-                if p is not None and len(p) != raw_size and p[:2] in (
+                if p is not None and len(p) != raw_size and (
+                        p[:8] == _PNG_MAGIC):
+                    img = decode_png(p).astype(np.float32)
+                elif p is not None and len(p) != raw_size and p[:2] in (
                         b"P5", b"P6"):
                     img = decode_pnm(p).astype(np.float32)
                 else:

@@ -78,6 +78,17 @@ def test_verified_near_dups_shuffle_strategy_matches_broadcast():
          .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+    # auto is a pure cost decision on the candidate count: both sides
+    # of the threshold produce the same frame (broadcast_threshold=0
+    # forces the shuffle arm; the default picks broadcast here)
+    c = (verified_near_dups(ds, jaccard_threshold=0.6, concurrency=1,
+                            broadcast_threshold=0, join_partitions=2)
+         .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c[a.columns], check_dtype=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        verified_near_dups(ds, strategy="bogus").to_pandas()
 
 
 def test_connected_components():
