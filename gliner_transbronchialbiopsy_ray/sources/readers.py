@@ -151,12 +151,150 @@ _DELIMS = b"()<>[]{}/%"
 _WS = b"\x00\t\n\x0c\r "
 
 
-def _content_stream_text(content: bytes) -> str:
+# --- ToUnicode CMap support (simple subset) --------------------------------
+#
+# Embedded/subset fonts show GLYPH CODES, not character codes — without the
+# font's /ToUnicode CMap the bytes decode to garbage.  The reference gets
+# this free via pdfplumber (text_processor.py:29-49); this fallback parses
+# the common CMap subset: one codespacerange (code width), bfchar pairs,
+# and bfrange in both arithmetic (<lo> <hi> <dst0>) and array
+# (<lo> <hi> [<d0> <d1> ...]) forms, destinations UTF-16BE.  Fonts are
+# resolved resource-name -> font object -> ToUnicode stream via a flat
+# object scan; codes missing from the map fall back to latin-1 so wild
+# files degrade instead of dropping text.
+
+
+def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    """Flat `N G obj ... endobj` scan -> {object number: body bytes}.
+    (No xref walking — fine for the well-formed linear files this
+    fallback targets; object streams are out of scope.)"""
+    import re
+
+    return {int(m.group(1)): m.group(2)
+            for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj",
+                                 data, re.DOTALL)}
+
+
+def _obj_stream_bytes(body: bytes) -> bytes | None:
+    import re
+    import zlib
+
+    m = re.search(rb"stream\r?\n(.*?)endstream", body, re.DOTALL)
+    if m is None:
+        return None
+    raw = m.group(1)
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def _parse_tounicode_cmap(cm: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap stream -> (code byte-width, {code: unicode str})."""
+    import re
+
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", cm)
+    code_len = max(1, len(m.group(1)) // 2) if m else 2
+
+    def dst(h: bytes) -> str:
+        b = bytes.fromhex(h.decode("ascii"))
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
+    mapping: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", cm, re.DOTALL):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                              sec.group(1)):
+            mapping[int(pm.group(1), 16)] = dst(pm.group(2))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", cm, re.DOTALL):
+        body = sec.group(1)
+        for rm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                body, re.DOTALL):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(3))
+            for code, h in zip(range(lo, hi + 1), dsts):
+                mapping[code] = dst(h)
+        for rm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            base = int(rm.group(3), 16)
+            width = max(2, len(rm.group(3)) // 2)
+            for code in range(lo, min(hi, lo + 0xFFFF) + 1):
+                b = (base + code - lo).to_bytes(width, "big")
+                try:
+                    mapping[code] = b.decode("utf-16-be")
+                except UnicodeDecodeError:
+                    mapping[code] = b.decode("latin-1")
+    return code_len, mapping
+
+
+def _pdf_font_cmaps(data: bytes) -> dict[str, tuple[int, dict[int, str]]]:
+    """{content-stream font resource name (e.g. 'F1'): parsed CMap} for
+    every font object that carries a /ToUnicode reference.  Resource
+    names are collected from every /Font <<...>> dict in the file; a
+    name bound to different fonts on different pages keeps the first
+    CMap-bearing binding (simple-file assumption, documented)."""
+    import re
+
+    objs = _pdf_objects(data)
+    cmaps: dict[int, tuple[int, dict[int, str]]] = {}
+    for num, body in objs.items():
+        head = body.split(b"stream", 1)[0]
+        m = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", head)
+        if m is None:
+            continue
+        ubody = objs.get(int(m.group(1)))
+        sb = _obj_stream_bytes(ubody) if ubody is not None else None
+        if sb is None:
+            continue
+        try:
+            cmaps[num] = _parse_tounicode_cmap(sb)
+        except Exception:
+            continue
+    if not cmaps:
+        return {}
+    out: dict[str, tuple[int, dict[int, str]]] = {}
+    for m in re.finditer(rb"/Font\s*<<(.*?)>>", data, re.DOTALL):
+        for em in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                              m.group(1)):
+            name = em.group(1).decode("latin-1")
+            fnum = int(em.group(2))
+            if fnum in cmaps and name not in out:
+                out[name] = cmaps[fnum]
+    return out
+
+
+def _decode_shown(s: bytes,
+                  cmap: tuple[int, dict[int, str]] | None) -> str:
+    if cmap is None:
+        return s.decode("latin-1")
+    code_len, mapping = cmap
+    parts = []
+    for i in range(0, len(s), code_len):
+        chunk = s[i:i + code_len]
+        got = mapping.get(int.from_bytes(chunk, "big"))
+        parts.append(got if got is not None else chunk.decode("latin-1"))
+    return "".join(parts)
+
+
+def _content_stream_text(
+    content: bytes,
+    font_cmaps: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> str:
     """Tiny interpreter over a decoded content stream: collect strings and
     emit them when a text-showing operator (Tj, ', \", TJ) consumes them;
-    text-positioning ops (Td, TD, T*) and ET become newlines."""
+    text-positioning ops (Td, TD, T*) and ET become newlines.  The `Tf`
+    operator tracks the current font so shown strings decode through its
+    ToUnicode CMap when one exists (glyph-coded subset fonts), latin-1
+    otherwise."""
     out: list[str] = []
     pending: list[bytes] = []
+    last_name: str | None = None
+    cur_cmap: tuple[int, dict[int, str]] | None = None
     i, n = 0, len(content)
     while i < n:
         c = content[i]
@@ -177,8 +315,11 @@ def _content_stream_text(content: bytes) -> str:
         elif c in _DELIMS:  # [, ], >, /name, {, }
             if c == 0x2F:  # /Name token
                 i += 1
-                while i < n and content[i] not in _WS and content[i] not in _DELIMS:
-                    i += 1
+                j = i
+                while j < n and content[j] not in _WS and content[j] not in _DELIMS:
+                    j += 1
+                last_name = content[i:j].decode("latin-1")
+                i = j
             else:
                 i += 1
         else:  # number or operator token
@@ -189,10 +330,12 @@ def _content_stream_text(content: bytes) -> str:
             i = j
             if tok in (b"Tj", b"'", b'"', b"TJ"):
                 for s in pending:
-                    out.append(s.decode("latin-1"))
+                    out.append(_decode_shown(s, cur_cmap))
                 pending.clear()
                 if tok in (b"'", b'"'):
                     out.append("\n")
+            elif tok == b"Tf":
+                cur_cmap = (font_cmaps or {}).get(last_name or "")
             elif tok in (b"Td", b"TD", b"T*", b"ET"):
                 pending.clear()
                 if out and not out[-1].endswith("\n"):
@@ -204,12 +347,17 @@ def _content_stream_text(content: bytes) -> str:
 
 def _extract_pdf_text_minimal(data: bytes) -> str:
     """Pure-Python fallback: text of every content stream containing a
-    BT/ET text block, file order, pages joined by newline."""
+    BT/ET text block, file order, pages joined by newline; glyph-coded
+    strings resolve through their font's ToUnicode CMap when present."""
+    try:
+        font_cmaps = _pdf_font_cmaps(data)
+    except Exception:
+        font_cmaps = {}
     pages = []
     for stream in _pdf_streams(data):
         if b"BT" not in stream:
             continue  # font programs / images / xref streams
-        txt = _content_stream_text(stream).strip("\n")
+        txt = _content_stream_text(stream, font_cmaps).strip("\n")
         if txt:
             pages.append(txt)
     return "\n".join(pages)

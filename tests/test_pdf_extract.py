@@ -113,3 +113,88 @@ def test_pdf_with_no_text_flagged_not_silently_empty():
     out = validate_and_decode(t).to_pylist()[0]
     assert out["text"] is None
     assert out["error"] == "pdf_no_text"
+
+
+def _make_cmap_pdf() -> bytes:
+    """Single-page PDF whose /F1 is a glyph-coded (subset-font-style)
+    font carrying a /ToUnicode CMap — 2-byte codes, bfchar + both
+    bfrange forms — while /F2 stays a plain latin-1 font.  Without CMap
+    resolution the F1 bytes decode to control-character garbage."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0003> <0047>\n"          # 0003 -> 'G'
+        b"<0004> <0072>\n"          # 0004 -> 'r'
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"   # 0010..0012 -> 'a' 'b' 'c'
+        b"<0020> <0021> [<0064> <0065>]\n"  # 0020 'd', 0021 'e'
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    content = (
+        b"BT /F1 12 Tf 72 720 Td <0003 0004 0010 0011 0012> Tj T* "
+        b"<00200021> Tj ET\n"
+        b"BT /F2 10 Tf 72 680 Td (plain latin) Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 7 0 R "
+        b">> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Subset "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\n"
+        b"stream\n" + cmap + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_tounicode_cmap_glyph_codes():
+    """Glyph-coded hex strings resolve through the font's ToUnicode
+    CMap (bfchar + arithmetic and array bfrange); a plain font in the
+    same stream keeps latin-1; codes missing from the map degrade to
+    latin-1 bytes instead of dropping the text."""
+    txt = extract_pdf_text(_make_cmap_pdf())
+    lines = txt.splitlines()
+    assert lines[0] == "Grabc"      # bfchar + arithmetic bfrange
+    assert lines[1] == "de"         # array bfrange
+    assert "plain latin" in txt     # non-CMap font untouched
+
+    # unmapped code: falls back to the raw bytes, text survives
+    from gliner_transbronchialbiopsy_ray.sources.readers import (
+        _decode_shown,
+        _parse_tounicode_cmap,
+    )
+    code_len, mapping = _parse_tounicode_cmap(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0041> <005A> endbfchar")
+    assert code_len == 2 and mapping == {0x41: "Z"}
+    assert _decode_shown(b"\x00\x41\x00\x42", (code_len, mapping)) == "Z\x00B"
+
+
+def test_tounicode_cmap_error_paths():
+    """A corrupt CMap stream must not kill extraction: the file still
+    yields its plain-font text."""
+    pdf = _make_cmap_pdf().replace(b"beginbfchar", b"beginbfchXX")
+    txt = extract_pdf_text(pdf)
+    assert "plain latin" in txt
