@@ -243,20 +243,41 @@ def minhash_candidate_pairs(
         num_cpus=0.5,
     )
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        # drop LSH buckets of size 1 vectorized, then scan real buckets
+        # one stable sort + one signature parse for the WHOLE coarse
+        # group; per-LSH-bucket work then runs on contiguous slices and
+        # accumulates plain arrays (a hot 160k-doc group holds tens of
+        # thousands of LSH buckets — per-bucket DataFrame allocation was
+        # the dominant constant)
+        empty = pd.DataFrame(
+            {"left_id": pd.Series(dtype=g["doc_id"].dtype),
+             "right_id": pd.Series(dtype=g["doc_id"].dtype),
+             "est_jaccard": pd.Series(dtype="float64")})
         g = g[g.duplicated(["band", "band_hash"], keep=False)]
-        for (band, _bh), grp in g.groupby(["band", "band_hash"], sort=False):
-            grp = grp.sort_values("doc_id", kind="stable")
-            grp = grp[~grp["doc_id"].duplicated()]
-            ids = grp["doc_id"].to_numpy()
-            k = len(ids)
+        if not len(g):
+            return empty
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        g = g[~g.duplicated(["band", "band_hash", "doc_id"])]
+        sig_all = np.frombuffer(
+            b"".join(g["signature"]), dtype=np.uint64
+        ).reshape(len(g), -1)                              # (N, num_perm)
+        rows_per_band = sig_all.shape[1] // bands
+        sig3_all = sig_all.reshape(len(g), bands, rows_per_band)
+        ids_all = g["doc_id"].to_numpy()
+        band_all = g["band"].to_numpy()
+        bh_all = g["band_hash"].to_numpy()
+        brk = np.flatnonzero((band_all[1:] != band_all[:-1])
+                             | (bh_all[1:] != bh_all[:-1]))
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk + 1, [len(g)]])
+        L, R, E = [], [], []
+        for s0, e0 in zip(starts, ends):
+            k = int(e0 - s0)
             if k < 2:
                 continue
-            sig = np.stack([np.frombuffer(s, dtype=np.uint64)
-                            for s in grp["signature"]])  # (k, num_perm)
-            rows_per_band = sig.shape[1] // bands
-            sig3 = sig.reshape(k, bands, rows_per_band)
+            band = band_all[s0]
+            ids = ids_all[s0:e0]
+            sig = sig_all[s0:e0]
+            sig3 = sig3_all[s0:e0]
             if star_cap is not None and k > star_cap:
                 # star link: hub = min doc_id (row 0 after the sort)
                 eq = sig[0][None, :] == sig[1:]            # (k-1, num_perm)
@@ -268,11 +289,9 @@ def minhash_candidate_pairs(
                                band_eq.argmax(axis=1), -1)
                 keep = ok & (fsb == band)
                 if keep.any():
-                    out.append(pd.DataFrame({
-                        "left_id": np.repeat(ids[0], int(keep.sum())),
-                        "right_id": ids[1:][keep],
-                        "est_jaccard": np.round(est[keep], 6),
-                    }))
+                    L.append(np.repeat(ids[0], int(keep.sum())))
+                    R.append(ids[1:][keep])
+                    E.append(np.round(est[keep], 6))
                 continue
             # exhaustive: vectorized pairwise signature agreement, chunked
             # so star_cap=None on a giant bucket stays memory-bounded
@@ -290,17 +309,16 @@ def minhash_candidate_pairs(
                 fsb = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), -1)
                 keep = fsb == band
                 if keep.any():
-                    out.append(pd.DataFrame({
-                        "left_id": ids[iu[keep]],
-                        "right_id": ids[ju[keep]],
-                        "est_jaccard": np.round(est[keep], 6),
-                    }))
-        if not out:
-            return pd.DataFrame(
-                {"left_id": pd.Series(dtype=g["doc_id"].dtype),
-                 "right_id": pd.Series(dtype=g["doc_id"].dtype),
-                 "est_jaccard": pd.Series(dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+                    L.append(ids[iu[keep]])
+                    R.append(ids[ju[keep]])
+                    E.append(np.round(est[keep], 6))
+        if not L:
+            return empty
+        return pd.DataFrame({
+            "left_id": np.concatenate(L),
+            "right_id": np.concatenate(R),
+            "est_jaccard": np.concatenate(E),
+        })
 
     # shuffle key = coarse bucket (band_hash % 512): bounded group count,
     # per-LSH-bucket work vectorized/pandas inside; coalesce first (sort-
