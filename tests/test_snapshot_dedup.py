@@ -179,3 +179,20 @@ def test_incremental_equals_batch_exact_dedup(tmp_path):
         accepted += v.loc[v["status"] == "unique", "doc_id"].tolist()
     batch = exact_dedup(_docs(rows)).to_pandas()
     assert sorted(accepted) == sorted(batch["doc_id"].tolist())
+
+
+def test_lsh_layout_params_persisted_and_verified(tmp_path):
+    """num_perm/bands are part of the persisted LSH state layout: the
+    first commit records them in _meta.json and a later call with
+    different values errors instead of silently comparing mis-shaped
+    signatures against the wrong buckets."""
+    import pytest
+
+    _lsh(tmp_path, [(1, BASE), (2, OTHER)], "d0")
+    meta = tmp_path / "state" / "lsh" / "_meta.json"
+    assert meta.exists()
+    with pytest.raises(ValueError, match="num_perm=64"):
+        _lsh(tmp_path, [(3, BASE)], "d1", num_perm=32, bands=8)
+    # same values keep working
+    out = _lsh(tmp_path, [(3, BASE)], "d1")
+    assert out.loc[0, "status"] == "dup_of_state"
