@@ -215,6 +215,9 @@ def _run_scaling_job_dedup() -> dict:
     pairs = minhash_candidate_pairs(
         docs, jaccard_threshold=0.5, concurrency=(2, NUM_CPUS),
         shuffle_blocks=None,  # sort partitions off the NCPU*4 read blocks
+        sig_bits=8,  # fingerprint signatures: 8x less exchange payload —
+                     # the at-scale configuration (pair set equality vs
+                     # full-width pinned by test on planted clusters)
     )
     # consume DISTRIBUTED: count() tallies per block in tasks.  Draining
     # ~1.6 GB of pairs through iter_batches was a fixed driver-side serial

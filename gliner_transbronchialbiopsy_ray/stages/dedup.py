@@ -152,8 +152,10 @@ class MinHasher:
     per actor).  Output: one row per (doc, band) -> the LSH bucket groupby
     key is (band, band_hash)."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                 sig_bits: int = 64):
         assert num_perm % bands == 0
+        assert sig_bits in (8, 16, 64)
         rng = np.random.RandomState(421)
         # one xor-seed per "permutation"; h_i(x) = mix(x ^ seed_i) in
         # wrapping uint64 arithmetic — vectorized (shingles x num_perm)
@@ -162,6 +164,15 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
+        # sig_bits < 64: the shipped signature column carries a per-slot
+        # FINGERPRINT (top bits of the minhash value) instead of the full
+        # uint64.  Signature agreement is an equality test per slot, so an
+        # 8-bit fingerprint preserves est_jaccard up to a false-collision
+        # bias of (1-J)/256 per slot — while cutting the LSH exchange's
+        # dominant payload 8x (the 100 TB lever: the signature rides every
+        # (doc, band) row).  band_hash / bucketing always use the full
+        # 64-bit values, so candidate generation is unchanged.
+        self.sig_bits = sig_bits
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_set(text, self.k)
@@ -190,7 +201,33 @@ class MinHasher:
                 bh = (bh * _MIX1) ^ bands3[:, :, r]
             bh ^= bh >> np.uint64(31)
             bh *= _MIX2
-        sig_bytes = [s.tobytes() for s in sigs]
+        if self.sig_bits == 64:
+            ship = sigs
+            extra = {}
+        else:
+            fp_dtype = np.uint8 if self.sig_bits == 8 else np.uint16
+            shift = np.uint64(64 - self.sig_bits)
+            # RE-MIX before truncating: a minhash value is a MINIMUM of
+            # uniform hashes, so its top bits concentrate near zero —
+            # truncating directly collides almost everything.
+            with np.errstate(over="ignore"):
+                f = sigs * _MIX1
+                f ^= f >> np.uint64(33)
+                f *= _MIX2
+            ship = (f >> shift).astype(fp_dtype)
+            # per-band fingerprint of the FULL band hash: first-shared-band
+            # dedup requires band equality to imply a real band_hash
+            # collision (a bucket the pair actually co-occurs in) — slot
+            # fingerprints alone falsely match a almost-shared band with
+            # prob ~2^-sig_bits, silently dropping the pair everywhere.
+            # Requiring slot-fp AND band-fp agreement squares the false
+            # rate at a cost of bands x sig_bits/8 bytes per row.
+            bfp = (bh >> shift).astype(fp_dtype)
+            bfp_bytes = [b.tobytes() for b in bfp]
+            extra = {"band_fps": pa.array(
+                [bfp_bytes[i] for i in range(n) for _ in range(self.bands)],
+                type=pa.binary())}
+        sig_bytes = [s.tobytes() for s in ship]
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=object), self.bands).tolist()),
@@ -201,6 +238,7 @@ class MinHasher:
                     [sig_bytes[i] for i in range(n) for _ in range(self.bands)],
                     type=pa.binary(),
                 ),
+                **extra,
             }
         )
 
@@ -213,6 +251,7 @@ def minhash_candidate_pairs(
     concurrency: int | tuple[int, int] = 4,
     star_cap: int = 256,
     shuffle_blocks: int | None = 8,
+    sig_bits: int = 64,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate detection.
 
@@ -238,10 +277,19 @@ def minhash_candidate_pairs(
     groupby's sort exchange then partitions directly off the upstream
     block layout — one less full exchange of the signature rows (512 B
     x docs x bands), the right choice whenever the upstream block count
-    is already reasonable (measured: -10%% wall at 160k docs)."""
+    is already reasonable (measured: -10%% wall at 160k docs).
+
+    `sig_bits` (64 default, 8/16 opt-in) ships per-slot signature
+    FINGERPRINTS through the LSH exchange instead of full uint64 values —
+    est_jaccard gains a false-collision bias of (1-J)/2^sig_bits per slot
+    but the exchange's dominant payload shrinks 8x at sig_bits=8 (the
+    at-scale configuration; candidate generation via band_hash is
+    bit-identical either way)."""
+    sig_dtype = {64: np.uint64, 16: np.uint16, 8: np.uint8}[sig_bits]
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "sig_bits": sig_bits},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=0.5,
@@ -262,10 +310,12 @@ def minhash_candidate_pairs(
         g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
         g = g[~g.duplicated(["band", "band_hash", "doc_id"])]
         sig_all = np.frombuffer(
-            b"".join(g["signature"]), dtype=np.uint64
+            b"".join(g["signature"]), dtype=sig_dtype
         ).reshape(len(g), -1)                              # (N, num_perm)
         rows_per_band = sig_all.shape[1] // bands
         sig3_all = sig_all.reshape(len(g), bands, rows_per_band)
+        bfp_all = (np.frombuffer(b"".join(g["band_fps"]), dtype=sig_dtype)
+                   .reshape(len(g), bands) if sig_bits < 64 else None)
         ids_all = g["doc_id"].to_numpy()
         band_all = g["band"].to_numpy()
         bh_all = g["band_hash"].to_numpy()
@@ -289,6 +339,9 @@ def minhash_candidate_pairs(
                 ok = est >= jaccard_threshold
                 # first shared band of (hub, other), vectorized
                 band_eq = (sig3[0][None] == sig3[1:]).all(axis=2)  # (k-1, bands)
+                if bfp_all is not None:
+                    bfp = bfp_all[s0:e0]
+                    band_eq &= bfp[0][None] == bfp[1:]
                 fsb = np.where(band_eq.any(axis=1),
                                band_eq.argmax(axis=1), -1)
                 keep = ok & (fsb == band)
@@ -310,6 +363,9 @@ def minhash_candidate_pairs(
                     continue
                 iu, ju, est = iu[ok], ju[ok], est[ok]
                 band_eq = (sig3[iu] == sig3[ju]).all(axis=2)  # (P', bands)
+                if bfp_all is not None:
+                    bfp = bfp_all[s0:e0]
+                    band_eq &= bfp[iu] == bfp[ju]
                 fsb = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), -1)
                 keep = fsb == band
                 if keep.any():

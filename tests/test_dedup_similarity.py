@@ -72,6 +72,38 @@ def test_minhash_pair_emitted_once():
     assert len(keys) == len(set(keys))  # first-shared-band dedup works
 
 
+def test_minhash_sig_bits_fingerprint_matches_full():
+    # 8-bit fingerprints ship 1/8 the signature bytes through the LSH
+    # exchange; the pair SET must match the full-width run on a corpus
+    # with planted dup clusters (false slot collisions are 1/256 noise,
+    # far from the 0.5 threshold on this corpus).
+    rng = np.random.RandomState(7)
+    # high-entropy vocab: char-5-gram overlap comes only from SHARED words
+    # (a wNNN-style vocab makes every doc pair borderline at char level)
+    words = [format(x, "08x") for x in
+             rng.randint(0, 2**31, size=2000)]
+    rows = []
+    for c in range(12):  # 12 clusters of 4 near-identical docs
+        base = " ".join(rng.choice(words, size=80))
+        for j in range(4):
+            t = base + " " + " ".join(rng.choice(words, size=3))
+            rows.append({"doc_id": c * 10 + j, "text": t})
+    for i in range(30):  # 30 distinct docs
+        rows.append({"doc_id": 1000 + i,
+                     "text": " ".join(rng.choice(words, size=90))})
+    docs = ray.data.from_items(rows)
+    full = minhash_candidate_pairs(
+        docs, jaccard_threshold=0.5, concurrency=1).to_pandas()
+    fp8 = minhash_candidate_pairs(
+        docs, jaccard_threshold=0.5, concurrency=1, sig_bits=8).to_pandas()
+    key = lambda df: {tuple(sorted(p))
+                      for p in zip(df["left_id"], df["right_id"])}
+    assert key(full) == key(fp8)
+    a = full.set_index(["left_id", "right_id"])["est_jaccard"]
+    b = fp8.set_index(["left_id", "right_id"])["est_jaccard"]
+    assert (a - b).abs().max() <= 3 / 64 + 1e-9  # <=3 false slot collisions
+
+
 def test_simhash_close_for_near_dups():
     sigs = simhash_signatures(_mk_docs(), concurrency=1).to_pandas()
     s = dict(zip(sigs["doc_id"], sigs["simhash"]))
