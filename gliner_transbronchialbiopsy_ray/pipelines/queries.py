@@ -2350,6 +2350,61 @@ def btb_png_media(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def btb_jpeg_media(sf_dir: str) -> pd.DataFrame:
+    """REAL baseline-JPEG decode path (pure NumPy Huffman + IDCT, no
+    codec libs): deterministic JPEG payloads (encode_jpeg fixture
+    builder, flat quant) run decode -> channel-stat features -> exact
+    block-mean resize through the SAME actor-pool stage as raw/PNG/PNM
+    (stages/multimodal.py:RawImageStage routing on the SOI marker).  A
+    solid-color anchor is exact under flat quantization; one 4:2:0
+    subsampled payload exercises the chroma-upsample path and one
+    truncated payload pins the keep-row-with-status error path.
+    Deterministic -> golden-pinned (rows-only; media bytes aren't
+    SQL-expressible)."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import encode_jpeg, raw_media_features
+
+    rng = np.random.RandomState(977)
+    refs, payloads = [], []
+    solid = np.full((16, 16, 3), (120, 60, 30), dtype=np.uint8)
+    refs.append("jpg://solid")
+    payloads.append(encode_jpeg(solid))
+    yy, xx = np.mgrid[0:24, 0:16]
+    grad = np.stack([yy * 9, xx * 13, yy * 4 + xx * 4],
+                    axis=2).astype(np.uint8)
+    refs.append("jpg://grad420")
+    payloads.append(encode_jpeg(grad, subsampling="4:2:0",
+                                restart_interval=2))
+    for i in range(24):
+        img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        refs.append(f"jpg://{i:03d}")
+        payloads.append(encode_jpeg(img))
+    refs.append("jpg://bad")
+    payloads.append(payloads[2][:40])
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * len(refs), type=pa.int32()),
+        "height": pa.array([0] * len(refs), type=pa.int32()),
+    }))
+    ds = raw_media_features(media, out_w=4, out_h=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    df["resized_md5"] = df["resized_payload"].map(
+        lambda b: None if b is None else _hashlib.md5(b).hexdigest())
+    df = df.drop(columns=["resized_payload"])
+    df = df.sort_values("media_ref").reset_index(drop=True)
+    feat = np.asarray(df.loc[df["media_ref"] == "jpg://solid",
+                             "feature"].iloc[0])
+    # flat quant: exact up to YCbCr DC rounding (+-1 per channel)
+    assert np.allclose(feat[:3], [120.0, 60.0, 30.0], atol=1.5)
+    assert df.loc[df["media_ref"] == "jpg://bad",
+                  "decode_status"].iloc[0].startswith("decode_error")
+    return df
+
+
 def btb_video_frames(sf_dir: str) -> pd.DataFrame:
     """REAL video frame-sampling path: deterministic RAWV clips (a
     seekable raw-RGB container, stages/multimodal.py) run through the
@@ -10498,6 +10553,7 @@ QUERIES: dict[str, tuple] = {
     "q67_label_centroids": (q67_label_centroids, Q67_SQL),
     "btb_raw_media": (btb_raw_media, None),
     "btb_png_media": (btb_png_media, None),
+    "btb_jpeg_media": (btb_jpeg_media, None),
     "btb_video_frames": (btb_video_frames, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),
