@@ -213,7 +213,9 @@ def _run_scaling_job_dedup() -> dict:
         batch_format="pyarrow",
     )
     pairs = minhash_candidate_pairs(
-        docs, jaccard_threshold=0.5, concurrency=(2, NUM_CPUS),
+        # pre-size the hasher pool to the cluster: autoscale ramp from 2
+        # actors was a measured ~25% wall tax at BOTH parallelism levels
+        docs, jaccard_threshold=0.5, concurrency=(NUM_CPUS, NUM_CPUS),
         shuffle_blocks=None,  # sort partitions off the NCPU*4 read blocks
         sig_bits=8,  # fingerprint signatures: 8x less exchange payload —
                      # the at-scale configuration (pair set equality vs
