@@ -10464,6 +10464,273 @@ ORDER BY g
 """
 
 
+def q214_link_prediction_scores(sf_dir: str):
+    """Neighborhood-overlap link prediction
+    (stages/graph.py:link_prediction_scores): common-neighbors,
+    Resource-Allocation index (integer ppm — RA instead of
+    Adamic-Adar so no transcendental ln enters the oracle) and
+    Jaccard over the signed part/supplier bipartite graph.  Join-free
+    3-exchange shape; -(s+1) encoding (0-based keys).  Oracle: the
+    membership self-join."""
+    from ..stages.graph import link_prediction_scores
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 10 == 0]
+        return pd.DataFrame({
+            "a": df["l_partkey"].to_numpy("int64"),
+            "b": -(df["l_suppkey"].to_numpy("int64") + 1)})
+
+    out = link_prediction_scores(
+        li.map_batches(edges, batch_format="pyarrow")).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q214_SQL = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem WHERE l_partkey % 10 = 0),
+ed AS (SELECT p AS a, -(s + 1) AS b FROM e0),
+mem AS (SELECT a AS z, b AS u FROM ed UNION ALL SELECT b, a FROM ed),
+dg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM mem GROUP BY z),
+pairs AS (
+  SELECT m1.u AS a, m2.u AS b,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(1000000 // dg.d) AS BIGINT) AS ra
+  FROM mem m1 JOIN mem m2 ON m1.z = m2.z AND m1.u < m2.u
+  JOIN dg ON dg.z = m1.z
+  GROUP BY m1.u, m2.u)
+SELECT p.a, p.b, p.c AS common, p.ra AS ra_ppm,
+       (1000000 * p.c) // (da.d + db.d - p.c) AS jaccard_ppm
+FROM pairs p JOIN dg da ON da.z = p.a JOIN dg db ON db.z = p.b
+ORDER BY p.a, p.b
+"""
+
+
+def q215_hits_scores(sf_dir: str):
+    """HITS hub/authority in exact integer arithmetic
+    (stages/graph.py:hits_int): unnormalized alternating-path counts
+    over the directed supplier->part graph, 2 rounds — every step an
+    order-insensitive integer SUM so the unrolled MATERIALIZED-CTE
+    oracle replays it bit-for-bit (the q212 fixed-point
+    discipline)."""
+    from ..stages.graph import hits_int
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 8 == 0]
+        return pd.DataFrame({
+            "src": -(df["l_suppkey"].to_numpy("int64") + 1),
+            "dst": df["l_partkey"].to_numpy("int64")})
+
+    e = (li.map_batches(edges, batch_format="pyarrow")
+         .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    out = hits_int(e, rounds=2).to_pandas().astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q215_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT -(l_suppkey + 1) AS u, l_partkey AS v
+  FROM lineitem WHERE l_partkey % 8 = 0),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+h0 AS (SELECT n, CAST(1 AS BIGINT) AS h FROM nodes),
+a1 AS MATERIALIZED (
+  SELECT v AS n, CAST(sum(h0.h) AS BIGINT) AS a
+  FROM e JOIN h0 ON h0.n = e.u GROUP BY v),
+h1 AS MATERIALIZED (
+  SELECT u AS n, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON a1.n = e.v GROUP BY u),
+a2 AS MATERIALIZED (
+  SELECT v AS n, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON h1.n = e.u GROUP BY v),
+h2 AS MATERIALIZED (
+  SELECT u AS n, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON a2.n = e.v GROUP BY u)
+SELECT coalesce(h2.n, a2.n) AS node,
+       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+       CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+FROM h2 FULL OUTER JOIN a2 ON a2.n = h2.n
+ORDER BY node
+"""
+
+
+def q216_shacl_qualified(sf_dir: str):
+    """SHACL sh:qualifiedValueShape + qualifiedMin/MaxCount
+    (stages/shacl.py 'qualified' kind): each customer must own
+    BETWEEN 1 AND 3 orders whose status conforms to the inner
+    in_set({'F'}) shape — counting only CONFORMING values, with
+    zero-order customers violating the min side (the qualified
+    counting semantics a bare min_count/in_set pair cannot express).
+    Oracle: conforming-count per customer filtered to the
+    out-of-range band."""
+    from ..stages.shacl import Shape, validate_shapes
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "cust:" + df["c_custkey"].astype(str),
+            "p": "type", "o": "Customer"})
+
+    def order_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "cust:" + df["o_custkey"].astype(str),
+            "p": "order_status", "o": df["o_orderstatus"].astype(str)})
+
+    store = cust.map_batches(
+        cust_triples, batch_format="pyarrow").union(
+        orders.map_batches(order_triples, batch_format="pyarrow"))
+    shape = Shape("active_customer", "Customer",
+                  [("qualified", "order_status", ("in_set", ["F"]),
+                    1, 3)])
+    out = validate_shapes(store, [shape]).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q216_SQL = """
+WITH cnt AS (
+  SELECT c.c_custkey,
+         count(o.o_orderkey)
+           FILTER (o.o_orderstatus = 'F') AS n
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT 'cust:' || c_custkey AS node,
+       'active_customer' AS shape, 'qualified' AS "constraint",
+       'order_status' AS pred, CAST(n AS VARCHAR) AS detail
+FROM cnt WHERE n < 1 OR n > 3
+ORDER BY node, detail
+"""
+
+
+def q217_segment_dedup_corpus(sf_dir: str):
+    """Corpus-wide segment-level exact dedup
+    (stages/dedup.py:segment_dedup_docs — the RefinedWeb paragraph-
+    dedup shape, separator-parameterized because this corpus has no
+    newlines): every ' table '-delimited segment survives only at its
+    first (doc_id, idx) occurrence, documents rebuilt from survivors;
+    hash exchange carries coordinates only, segment bytes ride the
+    narrow doc exchange once.  Oracle: zip-unnest + QUALIFY keep-first
+    + ordered string_agg."""
+    from ..stages.dedup import segment_dedup_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = segment_dedup_docs(docs, sep=" table ").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["text"] = out["text"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q217_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' table ')) AS seg,
+         unnest(range(len(string_split(coalesce(text, ''), ' table '))))
+           AS idx
+  FROM documents),
+keep AS (
+  SELECT doc_id, idx, seg FROM segs
+  QUALIFY row_number() OVER (PARTITION BY seg
+                             ORDER BY doc_id, idx) = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' table ' ORDER BY idx) AS text
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q218_inverse_property_entailment(sf_dir: str):
+    """owl:inverseOf entailment (stages/owl.py:entail_inverse,
+    prp-inv1/prp-inv2): the declaration (placed_by, inverseOf,
+    placed) flips data triples in BOTH directions through one
+    streaming swap-and-rename pass — no shuffle, declarations ride in
+    as a dict.  Oracle: the two flipped projections unioned."""
+    from ..stages.owl import entail_inverse
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        fwd = df[df["o_orderkey"] % 3 == 0]
+        rev = df[df["o_orderkey"] % 3 == 1]
+        return pd.concat([
+            pd.DataFrame({
+                "s": "order:" + fwd["o_orderkey"].astype(str),
+                "p": "placed_by",
+                "o": "cust:" + fwd["o_custkey"].astype(str)}),
+            pd.DataFrame({
+                "s": "cust:" + rev["o_custkey"].astype(str),
+                "p": "placed",
+                "o": "order:" + rev["o_orderkey"].astype(str)}),
+            pd.DataFrame({"s": ["placed_by"], "p": ["inverseOf"],
+                          "o": ["placed"]}),
+        ], ignore_index=True)
+
+    store = orders.map_batches(to_triples, batch_format="pyarrow")
+    out = entail_inverse(store).to_pandas().astype(str)
+    return (out.sort_values(["s", "p", "o"])
+            .drop_duplicates().reset_index(drop=True))
+
+
+Q218_SQL = """
+SELECT * FROM (
+  SELECT DISTINCT 'cust:' || o_custkey AS s, 'placed' AS p,
+         'order:' || o_orderkey AS o
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION
+  SELECT DISTINCT 'order:' || o_orderkey, 'placed_by',
+         'cust:' || o_custkey
+  FROM orders WHERE o_orderkey % 3 = 1)
+ORDER BY s, p, o
+"""
+
+
+def q219_within_doc_segment_dedup(sf_dir: str):
+    """WITHIN-document segment dedup
+    (stages/dedup.py:dedup_segments_within_doc — the C4/Gopher
+    line-dedup family): repeated ' value '-delimited segments inside
+    one document drop, first occurrence kept, order preserved.
+    Purely row-local (no shuffle).  Oracle: per-doc QUALIFY keep-first
+    + ordered string_agg."""
+    from ..stages.dedup import dedup_segments_within_doc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_segments_within_doc(docs, sep=" value ").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["text"] = out["text"].astype(str)
+    return (out[["doc_id", "text"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+Q219_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' value ')) AS seg,
+         unnest(range(len(string_split(coalesce(text, ''), ' value '))))
+           AS idx
+  FROM documents),
+keep AS (
+  SELECT doc_id, idx, seg FROM segs
+  QUALIFY row_number() OVER (PARTITION BY doc_id, seg
+                             ORDER BY idx) = 1)
+SELECT doc_id, string_agg(seg, ' value ' ORDER BY idx) AS text
+FROM keep GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10720,6 +10987,14 @@ QUERIES: dict[str, tuple] = {
     "q211_temporal_reachability": (q211_temporal_reachability, Q211_SQL),
     "q212_personalized_pagerank": (q212_personalized_pagerank, Q212_SQL),
     "q213_graph_statistics": (q213_graph_statistics, Q213_SQL),
+    "q214_link_prediction_scores": (q214_link_prediction_scores, Q214_SQL),
+    "q215_hits_scores": (q215_hits_scores, Q215_SQL),
+    "q216_shacl_qualified": (q216_shacl_qualified, Q216_SQL),
+    "q217_segment_dedup_corpus": (q217_segment_dedup_corpus, Q217_SQL),
+    "q218_inverse_property_entailment": (q218_inverse_property_entailment,
+                                         Q218_SQL),
+    "q219_within_doc_segment_dedup": (q219_within_doc_segment_dedup,
+                                      Q219_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -930,3 +930,115 @@ def simhash_neardup_pairs(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def dedup_segments_within_doc(
+    docs: ray.data.Dataset,
+    sep: str = "\n\n",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """WITHIN-document segment dedup (the C4/Gopher line-dedup family,
+    one granularity up): split each document on the literal `sep`,
+    drop repeated segments keeping the FIRST occurrence, rejoin with
+    `sep`.  Purely row-local — no shuffle, no state; a null text maps
+    to ''.  Corpus-wide keep-first is `segment_dedup_docs`."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = []
+        for t in texts:
+            segs = (t or "").split(sep)
+            seen: set[str] = set()
+            kept = [s for s in segs
+                    if not (s in seen or seen.add(s))]
+            out.append(sep.join(kept))
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, pa.array(out, pa.string()))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def segment_dedup_docs(
+    docs: ray.data.Dataset,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """CORPUS-WIDE segment-level exact dedup (RefinedWeb-style
+    paragraph dedup, separator-parameterized): split every document on
+    the literal `sep`, keep each distinct segment only at its FIRST
+    occurrence in global (doc_id, idx) order, and rebuild every
+    document from its surviving segments (possibly '').  Returns
+    (doc_id, text) for every input document.
+
+    Shape: two coarse all-to-alls, neither carrying segment text —
+    (1) md5-64 segment hashes + coordinates keyed by hash bucket pick
+    one winner (min doc_id, idx) per distinct segment; (2) winner
+    coordinates re-keyed by doc bucket meet the original documents,
+    which are RE-SPLIT in place to rebuild (segment bytes ride the
+    narrow doc exchange once, never the wide hash exchange).  Doc ids
+    must be int64; null text is treated as ''."""
+
+    def seg_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype("int64")
+        texts = batch.column(text_col).to_pylist()
+        d, ix, hs = [], [], []
+        for i, t in zip(ids, texts):
+            for j, s in enumerate((t or "").split(sep)):
+                d.append(i)
+                ix.append(j)
+                hs.append(_hash64(s.encode("utf-8")))
+        h = np.asarray(hs, dtype="uint64").view("int64") \
+            if hs else np.empty(0, "int64")
+        return pd.DataFrame({
+            "h": h,
+            "doc_id": np.asarray(d, dtype="int64"),
+            "idx": np.asarray(ix, dtype="int64"),
+            "_bucket": (h % n_buckets).astype("int32")})
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.sort_values(["h", "doc_id", "idx"], kind="stable")
+             .drop_duplicates(["h"]))
+        return pd.DataFrame({
+            "doc_id": w["doc_id"].to_numpy("int64"),
+            "idx": w["idx"].to_numpy("int64"),
+            "text": "",
+            "is_doc": np.int64(0),
+            "_bucket": (w["doc_id"].to_numpy("int64")
+                        % n_buckets).astype("int32")})
+
+    keep = (docs.map_batches(seg_rows, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(winners, batch_format="pandas"))
+
+    def doc_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "idx": np.int64(-1),
+            "text": [t or "" for t in
+                     batch.column(text_col).to_pylist()],
+            "is_doc": np.int64(1),
+            "_bucket": (ids % n_buckets).astype("int32")})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g[g["is_doc"] == 0]
+        kept_by_doc: dict[int, set[int]] = {}
+        for d_, i_ in zip(kept["doc_id"].to_numpy("int64"),
+                          kept["idx"].to_numpy("int64")):
+            kept_by_doc.setdefault(int(d_), set()).add(int(i_))
+        d = g[g["is_doc"] == 1]
+        out_id, out_tx = [], []
+        for d_, t in zip(d["doc_id"].to_numpy("int64"), d["text"]):
+            mine = kept_by_doc.get(int(d_), set())
+            segs = t.split(sep)
+            out_id.append(d_)
+            out_tx.append(sep.join(
+                s for j, s in enumerate(segs) if j in mine))
+        return pd.DataFrame({"doc_id": np.asarray(out_id, "int64"),
+                             "text": out_tx})
+
+    tagged_docs = docs.map_batches(doc_rows, batch_format="pyarrow")
+    return tagged_docs.union(keep).groupby("_bucket").map_groups(
+        rebuild, batch_format="pandas")

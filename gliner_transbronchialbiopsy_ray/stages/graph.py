@@ -1930,3 +1930,289 @@ def personalized_pagerank_int(
         r = summed.map_batches(
             finish, batch_format="pyarrow").materialize()
     return r
+
+
+def link_prediction_scores(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    max_degree: int | None = None,
+    n_buckets: int = 32,
+    ra_scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Neighborhood-overlap link-prediction heuristics over an
+    undirected graph: for every candidate pair (a, b) with at least one
+    common neighbor, emit
+
+        common       — |N(a) ∩ N(b)|  (common-neighbors score)
+        ra_ppm       — Resource-Allocation index (Zhou/Lu/Zhang 2009),
+                       sum over common neighbors z of ra_scale//deg(z)
+                       — integer-exact (no log, unlike Adamic-Adar) so
+                       a SQL oracle replays it bit-for-bit
+        jaccard_ppm  — 1e6 * common // (deg(a) + deg(b) - common)
+
+    Shape (join-free, 3 coarse all-to-alls, no driver state): edges ->
+    (z, u) memberships bucketed by the shared neighbor z; one bucketed
+    kernel computes deg(z) from its co-located slice, emits each z's
+    C(d,2) pairs pre-summed per bucket PLUS one (z, deg) row; two more
+    bucketed passes re-key by a then b, folding pair partials and
+    attaching endpoint degrees from the riding deg rows.  A hub z with
+    degree d emits O(d^2) pairs — `max_degree` drops hubs above the
+    cap (the market-basket mitigation; None keeps everything).
+
+    Contract: node ids are int64, self-loops are ignored, duplicate
+    edges are deduped in-bucket (exact: the bucket key is a function of
+    z, so all of z's memberships co-locate)."""
+
+    def membership(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([src, dst]).to_pandas().drop_duplicates()
+        a = df[src].to_numpy("int64")
+        b = df[dst].to_numpy("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        out = pd.DataFrame({"z": np.concatenate([a, b]),
+                            "u": np.concatenate([b, a])})
+        return _tag_int_bucket(out, "z", n_buckets)
+
+    tagged = edges.map_batches(membership, batch_format="pyarrow")
+
+    def _empty_rows() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("a", "b", "c", "ra", "d", "is_deg")})
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g[["z", "u"]].drop_duplicates()
+              .sort_values(["z", "u"], kind="stable"))
+        z = df["z"].to_numpy("int64")
+        u = df["u"].to_numpy("int64")
+        aa, bb, ww = [], [], []
+        deg_z, deg_d = [], []
+        for s, e in _group_slices(z):
+            d = int(e - s)
+            deg_z.append(z[s])
+            deg_d.append(d)
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            aa.append(u[s:e][iu])
+            bb.append(u[s:e][ju])
+            ww.append(np.full(len(iu), ra_scale // d, dtype="int64"))
+        parts = []
+        if aa:
+            pairs = pd.DataFrame({"a": np.concatenate(aa),
+                                  "b": np.concatenate(bb),
+                                  "ra": np.concatenate(ww)})
+            # canonical orientation + pre-sum within the bucket:
+            # shuffle volume = distinct pairs, not raw emissions
+            lo = np.minimum(pairs["a"], pairs["b"])
+            hi = np.maximum(pairs["a"], pairs["b"])
+            pairs["a"], pairs["b"] = lo, hi
+            agg = (pairs.groupby(["a", "b"], sort=False)
+                   .agg(c=("ra", "size"), ra=("ra", "sum"))
+                   .reset_index())
+            agg["d"] = np.int64(0)
+            agg["is_deg"] = np.int64(0)
+            parts.append(agg)
+        if deg_z:
+            parts.append(pd.DataFrame({
+                "a": np.asarray(deg_z, dtype="int64"),
+                "b": np.zeros(len(deg_z), dtype="int64"),
+                "c": np.zeros(len(deg_z), dtype="int64"),
+                "ra": np.zeros(len(deg_z), dtype="int64"),
+                "d": np.asarray(deg_d, dtype="int64"),
+                "is_deg": np.ones(len(deg_z), dtype="int64")}))
+        if not parts:
+            return _empty_rows()
+        out = pd.concat(parts, ignore_index=True)
+        return out[["a", "b", "c", "ra", "d", "is_deg"]].astype("int64")
+
+    stage1 = tagged.groupby("_bucket").map_groups(
+        gen, batch_format="pandas")
+
+    def retag_a(batch: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(batch.to_pandas(), "a", n_buckets)
+
+    def fold_a(g: pd.DataFrame) -> pd.DataFrame:
+        degm = g[g["is_deg"] == 1].set_index("a")["d"]
+        p = g[g["is_deg"] == 0]
+        if len(p):
+            p = (p.groupby(["a", "b"], sort=False)
+                 .agg(c=("c", "sum"), ra=("ra", "sum")).reset_index())
+            p["d"] = p["a"].map(degm).astype("int64")  # deg(a)
+            p["is_deg"] = np.int64(0)
+        else:
+            p = _empty_rows()
+        degr = degm.reset_index()
+        degr["b"] = np.int64(0)
+        degr["c"] = np.int64(0)
+        degr["ra"] = np.int64(0)
+        degr["is_deg"] = np.int64(1)
+        return (pd.concat(
+            [p, degr[["a", "b", "c", "ra", "d", "is_deg"]]],
+            ignore_index=True).astype("int64"))
+
+    stage2 = stage1.map_batches(
+        retag_a, batch_format="pyarrow").groupby("_bucket").map_groups(
+        fold_a, batch_format="pandas")
+
+    def retag_b(df: pd.DataFrame) -> pd.DataFrame:
+        # deg rows key by their node (column a); pair rows by b
+        key = np.where(df["is_deg"].to_numpy() == 1,
+                       df["a"].to_numpy("int64"),
+                       df["b"].to_numpy("int64"))
+        df["_bucket"] = (key % n_buckets).astype("int32")
+        return df
+
+    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
+        degm = g[g["is_deg"] == 1].set_index("a")["d"]
+        p = g[g["is_deg"] == 0]
+        if not len(p):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("a", "b", "common", "ra_ppm",
+                                  "jaccard_ppm")})
+        da = p["d"].to_numpy("int64")
+        db = p["b"].map(degm).to_numpy("int64")
+        c = p["c"].to_numpy("int64")
+        return pd.DataFrame({
+            "a": p["a"].to_numpy("int64"),
+            "b": p["b"].to_numpy("int64"),
+            "common": c,
+            "ra_ppm": p["ra"].to_numpy("int64"),
+            "jaccard_ppm": (1_000_000 * c) // (da + db - c),
+        })
+
+    return stage2.map_batches(
+        retag_b, batch_format="pandas").groupby("_bucket").map_groups(
+        fold_b, batch_format="pandas")
+
+
+def hits_int(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    n_buckets: int = 32,
+    init: int = 1,
+) -> ray.data.Dataset:
+    """Unnormalized HITS (Kleinberg 1999) in EXACT integer arithmetic —
+    hub/authority scores as alternating-path counts: starting from
+    h0 = `init` on every node,
+
+        a_i(v) = sum over edges (u, v) of h_{i-1}(u)
+        h_i(u) = sum over edges (u, v) of a_i(v)
+
+    for `rounds` rounds, returning (node, hub, auth) with zeros for
+    nodes never reached on a side.  Dropping the usual L2
+    normalization makes every step an integer SUM — order-insensitive
+    and bit-for-bit replayable by an unrolled SQL oracle (the q212
+    fixed-point discipline); the ranking it induces is the same as
+    normalized HITS at each round.  Caller bounds the magnitude:
+    values grow as (max degree)^(2*rounds) * init, so keep
+    rounds small or pre-filter hubs (int64 contract).
+
+    Shape: 2 coarse all-to-alls per half-step (score fold keyed by the
+    scored endpoint, partial-sum keyed by the receiving endpoint);
+    score tables are O(nodes) and materialized each step (the
+    lazy-lineage rule).  `edges` must be DISTINCT pairs (dedup with
+    _distinct_edges / a groupby upstream)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def tag_edges(by: str):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "u": batch.column(src).to_numpy().astype("int64"),
+                "v": batch.column(dst).to_numpy().astype("int64")})
+            df["val"] = np.int64(0)
+            df["is_score"] = np.int64(0)
+            return _tag_int_bucket(df, by, n_buckets)
+        return f
+
+    e_by_src = edges.map_batches(
+        tag_edges("u"), batch_format="pyarrow").materialize()
+    e_by_dst = edges.map_batches(
+        tag_edges("v"), batch_format="pyarrow").materialize()
+
+    def nodes_init(batch: pa.Table) -> pd.DataFrame:
+        n = np.unique(np.concatenate([
+            batch.column(src).to_numpy().astype("int64"),
+            batch.column(dst).to_numpy().astype("int64")]))
+        df = pd.DataFrame({"u": n, "v": np.int64(0),
+                           "val": np.int64(init),
+                           "is_score": np.int64(1)})
+        return _tag_int_bucket(df, "u", n_buckets)
+
+    def dedup_scores(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch node extraction overlaps across blocks
+        return g.drop_duplicates(["u"])
+
+    h = (edges.map_batches(nodes_init, batch_format="pyarrow")
+         .groupby("_bucket").map_groups(
+             dedup_scores, batch_format="pandas").materialize())
+
+    def half_step(scores, tagged_edges, key_col: str, emit_col: str):
+        """scores keyed on key_col fold onto edges; partial sums
+        re-keyed by emit_col and summed."""
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            sm = g[g["is_score"] == 1].set_index("u")["val"]
+            e = g[g["is_score"] == 0]
+            if not len(e):
+                return pd.DataFrame({c: pd.Series(dtype="int64") for c
+                                     in ("u", "v", "val", "is_score")})
+            w = e[key_col].map(sm).fillna(0).astype("int64")
+            part = pd.DataFrame({"n": e[emit_col].to_numpy("int64"),
+                                 "val": w.to_numpy()})
+            part = (part.groupby("n", sort=False)["val"].sum()
+                    .reset_index())
+            out = pd.DataFrame({"u": part["n"].to_numpy("int64"),
+                                "v": np.int64(0),
+                                "val": part["val"].to_numpy("int64"),
+                                "is_score": np.int64(1)})
+            return _tag_int_bucket(out, "u", n_buckets).astype(
+                {"_bucket": "int32"})
+
+        def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("u", sort=False)["val"].sum()
+                   .reset_index())
+            out = out[out["val"] != 0]
+            out["v"] = np.int64(0)
+            out["is_score"] = np.int64(1)
+            return out[["u", "v", "val", "is_score"]].astype("int64")
+
+        folded = tagged_edges.union(scores).groupby(
+            "_bucket").map_groups(fold, batch_format="pandas")
+        return (folded.map_batches(
+            lambda b: _tag_int_bucket(b.to_pandas(), "u", n_buckets),
+            batch_format="pyarrow")
+            .groupby("_bucket").map_groups(
+                sum_partials, batch_format="pandas").materialize())
+
+    a = None
+    for _ in range(rounds):
+        a = half_step(h.map_batches(
+            lambda b: _tag_int_bucket(b.to_pandas(), "u", n_buckets),
+            batch_format="pyarrow"), e_by_src, "u", "v")
+        h = half_step(a.map_batches(
+            lambda b: _tag_int_bucket(b.to_pandas(), "u", n_buckets),
+            batch_format="pyarrow"), e_by_dst, "v", "u")
+
+    def mark(which: int):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()[["u", "val"]]
+            df["side"] = np.int64(which)
+            return _tag_int_bucket(df, "u", n_buckets)
+        return f
+
+    def join_sides(g: pd.DataFrame) -> pd.DataFrame:
+        hh = g[g["side"] == 0].groupby("u")["val"].sum()
+        aa = g[g["side"] == 1].groupby("u")["val"].sum()
+        idx = hh.index.union(aa.index)
+        return pd.DataFrame({
+            "node": idx.to_numpy().astype("int64"),
+            "hub": hh.reindex(idx, fill_value=0).to_numpy("int64"),
+            "auth": aa.reindex(idx, fill_value=0).to_numpy("int64")})
+
+    return (h.map_batches(mark(0), batch_format="pyarrow")
+            .union(a.map_batches(mark(1), batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(
+                join_sides, batch_format="pandas"))

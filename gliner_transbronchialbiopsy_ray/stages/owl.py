@@ -133,6 +133,40 @@ def entail_symmetric(
     return store.map_batches(swap, batch_format="pyarrow")
 
 
+def entail_inverse(
+    store: ray.data.Dataset,
+    inverse_pred: str = "inverseOf",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """owl:inverseOf entailment (prp-inv1/prp-inv2): a declaration
+    (p1, inverse_pred, p2) makes every data triple (s, p1, o) entail
+    (o, p2, s) and every (s, p2, o) entail (o, p1, s).  Declarations
+    are a bounded ontology collect; the store streams through ONE
+    swap-and-rename pass with the p1<->p2 map riding in as a dict —
+    no shuffle.  Returns only the entailed triples (union with the
+    store and dedup downstream, matching entail_symmetric's
+    contract)."""
+    decls = _declarations(store, p_col, inverse_pred, s_col, o_col)
+    swap_to: dict[str, str] = {}
+    for p1, p2 in decls:
+        swap_to[p1] = p2
+        swap_to[p2] = p1
+    if not swap_to:
+        return _empty_store(s_col, p_col, o_col)
+
+    def swap(b: pa.Table, _m=swap_to) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df[p_col].astype(str).isin(_m)]
+        return pd.DataFrame({
+            s_col: df[o_col].astype(str).to_numpy(),
+            p_col: df[p_col].astype(str).map(_m).to_numpy(),
+            o_col: df[s_col].astype(str).to_numpy()})
+
+    return store.map_batches(swap, batch_format="pyarrow")
+
+
 def entail_subproperty(
     store: ray.data.Dataset,
     sub_pred: str = "subPropertyOf",

@@ -48,6 +48,17 @@ Constraints (all tuples, mirroring the declarative TripleMap style):
                                node convention is "prefix:..." strings,
                                so kind is decided by the `name:` prefix
                                heuristic
+    ("qualified", pred, inner, min_n, max_n)
+                             — sh:qualifiedValueShape with
+                               sh:qualifiedMinCount/MaxCount: the number
+                               of pred-values CONFORMING to the inner
+                               shape must lie in [min_n, max_n]
+                               (max_n=None → unbounded).  inner is a
+                               value-level check tuple: ("in_set",
+                               values), ("pattern", regex) or
+                               ("datatype", dt).  detail = the
+                               conforming count; one violation per
+                               out-of-range target node
 """
 
 from __future__ import annotations
@@ -63,7 +74,9 @@ import ray.data
 
 _KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref",
           "datatype", "less_than", "has_value", "equals", "disjoint",
-          "node_kind", "closed"}
+          "node_kind", "closed", "qualified"}
+
+_QUALIFIED_INNER = {"in_set", "pattern", "datatype"}
 
 # the engine's node convention: "prefix:rest" strings are IRI-like
 # node ids, everything else is a literal
@@ -101,6 +114,23 @@ class Shape:
                     c[2], (list, tuple, set, frozenset)):
                 raise ValueError(
                     "closed takes the collection of allowed predicates")
+            if c[0] == "qualified":
+                if len(c) != 5:
+                    raise ValueError(
+                        "qualified takes (pred, inner, min_n, max_n)")
+                inner, min_n, max_n = c[2], c[3], c[4]
+                if (not isinstance(inner, tuple)
+                        or inner[0] not in _QUALIFIED_INNER):
+                    raise ValueError(
+                        f"qualified inner shape must be one of "
+                        f"{sorted(_QUALIFIED_INNER)}, got {inner!r}")
+                if inner[0] == "datatype" and inner[1] not in _DATATYPE_RX:
+                    raise ValueError(f"unknown datatype {inner[1]!r}")
+                if min_n is None and max_n is None:
+                    raise ValueError(
+                        "qualified needs min_n and/or max_n")
+                if min_n is not None and int(min_n) < 0:
+                    raise ValueError("qualifiedMinCount must be >= 0")
 
 
 def _empty_violations() -> pd.DataFrame:
@@ -220,6 +250,31 @@ def _validate_frame(g: pd.DataFrame, shape_specs: list,
                         "node": bad["s"].astype(str),
                         "shape": name, "constraint": kind,
                         "pred": pred, "detail": bad["o"]}))
+            elif kind == "qualified":
+                inner, min_n, max_n = c[2], c[3], c[4]
+                vals = rows["o"].astype(str)
+                if inner[0] == "in_set":
+                    ok = vals.isin(set(map(str, inner[1])))
+                elif inner[0] == "pattern":
+                    ok = vals.str.fullmatch(re.compile(inner[1]))
+                else:  # datatype
+                    ok = vals.str.fullmatch(
+                        re.compile(_DATATYPE_RX[inner[1]]))
+                # conforming-value count per TARGET node (targets with
+                # zero pred triples count 0 — qualifiedMinCount applies
+                # to them too, unlike a bare value check)
+                counts = (rows.loc[ok.fillna(False).to_numpy(), "s"]
+                          .value_counts().reindex(tset, fill_value=0))
+                bad = counts[(counts < int(min_n))] if max_n is None \
+                    else counts[(counts < int(min_n if min_n is not None
+                                              else 0))
+                                | (counts > int(max_n))]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad.index.astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred,
+                        "detail": bad.to_numpy().astype(str)}))
             elif kind == "less_than":
                 other = mine[mine["p"] == str(c[2])]
                 if not (len(rows) and len(other)):

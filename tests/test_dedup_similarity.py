@@ -220,3 +220,49 @@ def test_minhash_star_cap_preserves_clusters():
 
     assert comps(exhaustive) == comps(starred)
     assert 99 not in comps(starred)  # the outlier never enters a cluster
+
+
+def test_within_doc_segment_dedup_row_local():
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        dedup_segments_within_doc)
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a|b|a|c|b"},
+        {"doc_id": 2, "text": "x"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "||"},   # repeated empty segments
+    ])
+    out = (dedup_segments_within_doc(docs, sep="|").to_pandas()
+           .sort_values("doc_id"))
+    assert list(out["text"]) == ["a|b|c", "x", "", ""]
+
+
+def test_segment_dedup_docs_keep_first_global():
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        segment_dedup_docs)
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "alpha|beta"},
+        {"doc_id": 1, "text": "beta|gamma|alpha"},  # loses beta+alpha
+        {"doc_id": 2, "text": "alpha|beta"},        # loses everything
+        {"doc_id": 3, "text": "delta"},
+        {"doc_id": 4, "text": None},                # '' segment wins here
+        {"doc_id": 5, "text": ""},                  # loses the '' segment
+    ])
+    out = (segment_dedup_docs(docs, sep="|").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert list(out["text"]) == ["alpha|beta", "gamma", "", "delta",
+                                 "", ""]
+
+
+def test_segment_dedup_docs_within_doc_repeat():
+    # a segment repeated INSIDE the first doc: only its first
+    # occurrence survives anywhere
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        segment_dedup_docs)
+    docs = ray.data.from_items([
+        {"doc_id": 10, "text": "s|s|t"},
+        {"doc_id": 11, "text": "t|s"},
+    ])
+    out = (segment_dedup_docs(docs, sep="|").to_pandas()
+           .sort_values("doc_id"))
+    assert list(out["text"]) == ["s|t", ""]

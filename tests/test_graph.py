@@ -541,3 +541,73 @@ def test_personalized_pagerank_int_manual():
     # empty seeds -> typed empty
     none = personalized_pagerank_int(eds, seeds.limit(0), iters=1)
     assert none.count() == 0
+
+
+def test_link_prediction_scores_manual():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        link_prediction_scores)
+    # path graph 1-2, 1-3, 2-3, 2-4 (+ a duplicate edge + self-loop)
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (1, 2), (5, 5)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    out = link_prediction_scores(ds).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    # degrees: 1->{2,3} d=2; 2->{1,3,4} d=3; 3->{1,2} d=2; 4->{2} d=1
+    # pairs sharing a neighbor:
+    #  (1,2) via 3: c=1 ra=500000 j=1e6*1//(2+3-1)=250000
+    #  (1,3) via 2: c=1 ra=333333 j=1e6//(2+2-1)=333333
+    #  (2,3) via 1: c=1 ra=500000 j=1e6//(3+2-1)=250000
+    #  (1,4) via 2: c=1 ra=333333 j=1e6//(2+1-1)=500000
+    #  (3,4) via 2: c=1 ra=333333 j=1e6//(2+1-1)=500000
+    got = {(r.a, r.b): (r.common, r.ra_ppm, r.jaccard_ppm)
+           for r in out.itertuples()}
+    assert got == {
+        (1, 2): (1, 500000, 250000),
+        (1, 3): (1, 333333, 333333),
+        (2, 3): (1, 500000, 250000),
+        (1, 4): (1, 333333, 500000),
+        (3, 4): (1, 333333, 500000),
+    }
+
+
+def test_link_prediction_max_degree_drops_hub():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        link_prediction_scores)
+    # hub 0 connects 1..5 (degree 5); 1-2 also direct via neighbor 6
+    edges = [(0, i) for i in range(1, 6)] + [(6, 1), (6, 2)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    full = link_prediction_scores(ds).to_pandas()
+    # C(5,2) via hub incl (1,2) merged with via-6, plus (0,6) via 1 & 2
+    assert len(full) == 11
+    capped = link_prediction_scores(ds, max_degree=4).to_pandas()
+    # hub 0 dropped as a shared neighbor: (1,2) via 6 and (0,6) via 1,2
+    got = {(r.a, r.b): r.common for r in capped.itertuples()}
+    assert got == {(1, 2): 1, (0, 6): 2}
+
+
+def test_hits_int_matches_numpy():
+    from gliner_transbronchialbiopsy_ray.stages.graph import hits_int
+    edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (10, 1)]
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    out = hits_int(ds, rounds=2).to_pandas()
+    nodes = sorted({n for e in edges for n in e})
+    ni = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for u, v in edges:
+        A[ni[u], ni[v]] = 1
+    h = np.ones(len(nodes), dtype=np.int64)
+    for _ in range(2):
+        a = A.T @ h
+        h = A @ a
+    got = {int(r.node): (int(r.hub), int(r.auth))
+           for r in out.itertuples()}
+    for n in nodes:
+        eh, ea = int(h[ni[n]]), int(a[ni[n]])
+        gh, ga = got.get(n, (0, 0))
+        assert (gh, ga) == (eh, ea), (n, (gh, ga), (eh, ea))
+
+
+def test_hits_int_rounds_validation():
+    from gliner_transbronchialbiopsy_ray.stages.graph import hits_int
+    ds = rd.from_items([{"src": 1, "dst": 2}])
+    with pytest.raises(ValueError, match="rounds"):
+        hits_int(ds, rounds=0)

@@ -160,3 +160,24 @@ def test_functional_violations_none_declared_typed_empty():
     out = functional_violations(_triples([("a", "p", "b")]))
     assert out.count() == 0
     assert set(out.schema().names) == {"s", "p", "n_objects"}
+
+
+def test_inverse_property_both_directions():
+    from gliner_transbronchialbiopsy_ray.stages.owl import entail_inverse
+    store = _triples([
+        ("placed_by", "inverseOf", "placed"),
+        ("o1", "placed_by", "c1"),      # -> (c1, placed, o1)
+        ("c2", "placed", "o2"),         # -> (o2, placed_by, c2)
+        ("o3", "other_pred", "c3"),     # not declared: no entailment
+    ])
+    out = entail_inverse(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("c1", "placed", "o1"), ("o2", "placed_by", "c2")]
+
+
+def test_inverse_property_no_declarations_empty():
+    from gliner_transbronchialbiopsy_ray.stages.owl import entail_inverse
+    store = _triples([("o1", "placed_by", "c1")])
+    out = entail_inverse(store)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"s", "p", "o"}

@@ -215,3 +215,55 @@ def test_closed_shape_validation_error():
     shape = Shape("w", "W", [("closed", None, "name")])
     with pytest.raises(ValueError, match="allowed predicates"):
         shape.validate_spec()
+
+
+def test_qualified_value_shape_counting():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("c1", "type", "Customer"), ("c2", "type", "Customer"),
+        ("c3", "type", "Customer"), ("c4", "type", "Customer"),
+        # c1: 2 conforming F orders (in range [1,3]) -> conforms
+        ("c1", "st", "F"), ("c1", "st", "F"), ("c1", "st", "O"),
+        # c2: 0 conforming (only O) -> min violation, detail 0
+        ("c2", "st", "O"),
+        # c3: 4 conforming -> max violation, detail 4
+        ("c3", "st", "F"), ("c3", "st", "F"),
+        ("c3", "st", "F"), ("c3", "st", "F"),
+        # c4: NO st triples at all -> min violation, detail 0
+    ]])
+    shape = Shape("active", "Customer",
+                  [("qualified", "st", ("in_set", ["F"]), 1, 3)])
+    out = validate_shapes(store, [shape]).to_pandas()
+    got = sorted(map(tuple, out[["node", "detail"]].to_numpy()))
+    assert got == [("c2", "0"), ("c3", "4"), ("c4", "0")]
+    assert set(out["constraint"]) == {"qualified"}
+
+
+def test_qualified_pattern_inner_and_min_only():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("c1", "type", "C"), ("c2", "type", "C"),
+        ("c1", "code", "AB-1"), ("c1", "code", "zz"),
+        ("c2", "code", "zz"),
+    ]])
+    # min 1 value matching [A-Z]+-\d ; max unbounded
+    shape = Shape("coded", "C",
+                  [("qualified", "code", ("pattern", r"[A-Z]+-\d"),
+                    1, None)])
+    out = validate_shapes(store, [shape]).to_pandas()
+    assert list(out["node"]) == ["c2"]
+
+
+def test_qualified_spec_validation():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import Shape
+    with pytest.raises(ValueError, match="inner shape"):
+        Shape("x", "C", [("qualified", "p", ("class_ref", "D"), 1, None)]
+              ).validate_spec()
+    with pytest.raises(ValueError, match="min_n and/or max_n"):
+        Shape("x", "C", [("qualified", "p", ("in_set", ["a"]),
+                          None, None)]).validate_spec()
+    with pytest.raises(ValueError, match="takes"):
+        Shape("x", "C", [("qualified", "p", ("in_set", ["a"]))]
+              ).validate_spec()
