@@ -2495,6 +2495,59 @@ def btb_raw_audio(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_ref").reset_index(drop=True)
 
 
+def btb_compressed_audio(sf_dir: str) -> pd.DataFrame:
+    """COMPRESSED audio decode path (real codecs, no audio libs):
+    deterministic G.711 u-law/A-law and IMA ADPCM payloads built by the
+    engine's own encoder (stages/multimodal.py:encode_wav) run through
+    the same actor-pool WAV stage as PCM — one parser, four codings.
+    Covers u-law mono, A-law mono, ADPCM mono, ADPCM stereo and a
+    truncated-fmt error payload (row kept, status set).  Deterministic
+    -> golden-pinned (rows-only; codec bytes aren't SQL-expressible)."""
+    from ..stages.multimodal import encode_wav, wav_audio_features
+
+    rate = 8000
+
+    def sine(freq: float, secs: float, amp: float, phase: float = 0.0):
+        t = np.arange(int(rate * secs)) / rate
+        return (amp * np.sin(2 * np.pi * freq * t + phase)
+                * 32767).astype(np.int16)
+
+    refs, payloads = [], []
+    for i in range(24):
+        freq = 110.0 * (1 + i % 6)
+        amp = 0.3 + 0.1 * (i % 5)
+        secs = 0.2 + 0.01 * (i % 4)
+        mono = sine(freq, secs, amp)
+        kind = ("ulaw", "alaw", "ima_adpcm", "ima_stereo")[i % 4]
+        if kind == "ima_stereo":
+            st = np.stack([mono, sine(freq * 2, secs, amp / 2)], axis=1)
+            payloads.append(encode_wav(st, rate, fmt="ima_adpcm",
+                                       block_align=256))
+        else:
+            payloads.append(encode_wav(
+                mono, rate,
+                fmt="ima_adpcm" if kind == "ima_adpcm" else kind))
+        refs.append(f"wav://{kind}/{i:03d}")
+    refs.append("wav://bad-fmt")
+    import struct as _s
+    bad = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00")
+    payloads.append(bad)
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    ds = wav_audio_features(media, n_windows=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    for col in ("feature", "rms_envelope"):
+        df[col] = df[col].map(
+            lambda v: None if v is None
+            else str([round(float(f), 5) for f in v]))
+    return df.sort_values("media_ref").reset_index(drop=True)
+
+
 def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
     """Approximate top-10 event users via Count-Min sketch + candidate
     union (functions/sketches.py) — the no-shuffle scale path for heavy
@@ -10832,6 +10885,7 @@ QUERIES: dict[str, tuple] = {
     "q75_fuzzy_name_pairs": (q75_fuzzy_name_pairs, Q75_SQL),
     "q76_ntile_rank": (q76_ntile_rank, Q76_SQL),
     "btb_raw_audio": (btb_raw_audio, None),
+    "btb_compressed_audio": (btb_compressed_audio, None),
     "q77_string_agg_per_order": (q77_string_agg_per_order, Q77_SQL),
     "q78_mode_per_nation": (q78_mode_per_nation, Q78_SQL),
     "q79_cube_orders": (q79_cube_orders, Q79_SQL),

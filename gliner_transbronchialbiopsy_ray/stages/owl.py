@@ -1,7 +1,9 @@
 """OWL 2 RL entailment rules beyond the ones living in stages/bgp.py
-(prp-trp = bgp.entail_transitive; owl:inverseOf / rdfs7 run as pure
-variable-head rules over bgp.apply_rule).  All three operators here are
-DECLARATION-DRIVEN the same way: the ontology is triples in the store
+(prp-trp = bgp.entail_transitive; owl:inverseOf / rdfs7 can also run as
+pure variable-head rules over bgp.apply_rule — q161 does, while
+entail_inverse below is the dedicated streaming operator).  All
+operators here are DECLARATION-DRIVEN the same way: the ontology is
+triples in the store
 itself, the declaration set is collected to the driver (ontology
 vocabularies are bounded — a schema property, not a corpus property),
 and the data pass streams.

@@ -506,3 +506,164 @@ def test_png_stage_routing_checkerboard(ray_session):
                             dtype=np.uint8).reshape(2, 2, 3)
     assert (resized == np.array([100, 50, 25], np.uint8)).all()
     assert out.loc["trunc", "decode_status"].startswith("decode_error")
+
+
+def test_g711_anchor_values_and_roundtrip():
+    """ITU-T G.711 decode anchors (the published table extremes) and the
+    code-space roundtrip: every segment midpoint re-encodes to itself."""
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _g711_table, g711_encode)
+
+    u = _g711_table("ulaw")
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    a = _g711_table("alaw")
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0xAA] == 32256 and a[0x2A] == -32256
+    for law in ("ulaw", "alaw"):
+        codes = np.arange(256, dtype=np.uint8)
+        dec = _g711_table(law)[codes]
+        enc = g711_encode(dec, law)
+        if law == "ulaw":
+            # u-law negative zero (0x7F) decodes to 0, which re-encodes
+            # as positive zero (0xFF) — the one inherent +-0 collision
+            expect = codes.copy()
+            expect[0x7F] = 0xFF
+        else:
+            expect = codes
+        assert np.array_equal(enc, expect)
+
+
+def test_g711_encode_monotone_and_bounded_error():
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _g711_table, g711_encode)
+
+    x = np.linspace(-32768, 32767, 4001).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        y = _g711_table(law)[g711_encode(x, law)].astype(np.int64)
+        # companded quantization error bounded by half the top segment
+        # step (1024 for A-law/u-law 16-bit mapping)
+        assert np.abs(y - x).max() <= 1024
+        # decoded values are non-decreasing in the input
+        assert (np.diff(y) >= 0).all()
+
+
+def test_ima_adpcm_roundtrip_mono_and_stereo():
+    """Encoder and decoder share the reconstruction recurrence, so a
+    sine survives the 4-bit coding with high SNR; block headers carry
+    the first sample exactly."""
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        decode_ima_adpcm, decode_wav, encode_wav)
+
+    rate, n = 8000, 4093  # non-multiple of samples-per-block: pad path
+    t = np.arange(n) / rate
+    left = (0.7 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+
+    payload = encode_wav(left, rate, fmt="ima_adpcm", block_align=256)
+    x, r = decode_wav(payload)
+    assert r == rate and x.shape[1] == 1
+    got = (x[:n, 0] * 32768.0).astype(np.int64)
+    err = got - left.astype(np.int64)
+    snr = 10 * np.log10((left.astype(np.int64) ** 2).mean()
+                        / max((err ** 2).mean(), 1e-9))
+    assert snr > 25.0
+    # header sample of block 0 is exact
+    assert got[0] == left[0]
+
+    right = (0.5 * np.cos(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    st = np.stack([left, right], axis=1)
+    payload2 = encode_wav(st, rate, fmt="ima_adpcm", block_align=256)
+    x2, _ = decode_wav(payload2)
+    assert x2.shape[1] == 2
+    for c, ref in ((0, left), (1, right)):
+        gotc = (x2[:n, c] * 32768.0).astype(np.int64)
+        errc = gotc - ref.astype(np.int64)
+        snrc = 10 * np.log10((ref.astype(np.int64) ** 2).mean()
+                             / max((errc ** 2).mean(), 1e-9))
+        assert snrc > 25.0, (c, snrc)
+
+    # malformed: bad step index / bad block align raise (row-keeping is
+    # the stage's job)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ima_adpcm(b"\x00\x00\xff\x00" + b"\x00" * 252, 1, 256)
+    with _pytest.raises(ValueError):
+        decode_ima_adpcm(b"\x00" * 256, 1, 7)
+
+
+def test_decode_wav_g711_payloads_and_float32():
+    import struct
+
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _g711_table, decode_wav, encode_wav)
+
+    rate = 8000
+    t = np.arange(800) / rate
+    x = (0.6 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        payload = encode_wav(x, rate, fmt=law)
+        y, r = decode_wav(payload)
+        assert r == rate and y.shape == (800, 1)
+        err = y[:, 0] - x.astype(np.float64) / 32768.0
+        assert np.abs(err).max() < 0.04  # companding error bound
+        # exact vs the table composition
+        from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+            g711_encode)
+        expect = _g711_table(law)[g711_encode(x, law)] / 32768.0
+        assert np.allclose(y[:, 0], expect)
+
+    # IEEE float32 (format tag 3)
+    f = (0.25 * np.sin(2 * np.pi * 100 * t)).astype("<f4")
+    fmt_chunk = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt_chunk
+            + b"data" + struct.pack("<I", len(f.tobytes()))
+            + f.tobytes())
+    payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+               + body)
+    y, r = decode_wav(payload)
+    assert np.allclose(y[:, 0], f)
+
+    # error messages stay wave-module-compatible (golden hashes pin them)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a WAVE file"):
+        decode_wav(b"RIFFgarbage-not-a-wave")
+    with _pytest.raises(ValueError, match="does not start with RIFF id"):
+        decode_wav(b"nope")
+    with _pytest.raises(ValueError, match="unsupported WAVE format tag"):
+        bad_fmt = struct.pack("<HHIIHH", 0x0055, 1, rate, rate, 1, 8)
+        chunk = (b"fmt " + struct.pack("<I", 16) + bad_fmt
+                 + b"data" + struct.pack("<I", 0))
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(chunk))
+                   + b"WAVE" + chunk)
+
+
+def test_decode_wav_pcm_matches_stdlib_writer():
+    """Own RIFF parser reproduces the stdlib-wave PCM path exactly (the
+    btb_raw_audio golden depends on it)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        decode_wav)
+
+    rate = 8000
+    t = np.arange(160) / rate
+    x16 = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(np.stack([x16, x16 // 2], axis=1).tobytes())
+    y, r = decode_wav(buf.getvalue())
+    assert r == rate and y.shape == (160, 2)
+    assert np.allclose(y[:, 0], x16 / 32768.0)
+    assert np.allclose(y[:, 1], (x16 // 2) / 32768.0)
