@@ -164,15 +164,89 @@ _WS = b"\x00\t\n\x0c\r "
 # files degrade instead of dropping text.
 
 
-def _pdf_objects(data: bytes) -> dict[int, bytes]:
-    """Flat `N G obj ... endobj` scan -> {object number: body bytes}.
-    (No xref walking — fine for the well-formed linear files this
-    fallback targets; object streams are out of scope.)"""
+def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
+    """PNG-predictor (/Predictor >= 10) removal for decoded PDF streams:
+    rows of `columns` bytes each prefixed by a filter byte
+    (None/Sub/Up/Average/Paeth).  bpp=1 covers the /Colors 1
+    /BitsPerComponent 8 case object/xref streams use."""
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - (len(data) % row_len), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        for i in range(columns):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            if ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _pdf_objects_ex(data: bytes) -> tuple[dict[int, bytes], list[bytes]]:
+    """Flat `N G obj ... endobj` scan expanded with PDF 1.5 OBJECT
+    STREAMS -> ({object number: body bytes}, [decoded ObjStm payloads]).
+
+    Compressed objects live inside a stream whose dict carries
+    /Type /ObjStm /N n /First f; the decoded payload starts with n
+    whitespace-separated (objnum, offset) integer pairs, offsets
+    relative to f.  A /Predictor >= 10 DecodeParms (PNG row filters)
+    is removed before slicing.  Top-level objects win number clashes
+    (a well-formed file has none).  No xref walking — the flat scan
+    finds every top-level object, and ObjStm expansion recovers the
+    compressed ones the xref table would have pointed into."""
     import re
 
-    return {int(m.group(1)): m.group(2)
+    objs = {int(m.group(1)): m.group(2)
             for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj",
                                  data, re.DOTALL)}
+    payloads: list[bytes] = []
+    for body in list(objs.values()):
+        head = body.split(b"stream", 1)[0]
+        if re.search(rb"/Type\s*/ObjStm\b", head) is None:
+            continue
+        sb = _obj_stream_bytes(body)
+        if sb is None:
+            continue
+        mp = re.search(rb"/Predictor\s+(\d+)", head)
+        if mp is not None and int(mp.group(1)) >= 10:
+            mc = re.search(rb"/Columns\s+(\d+)", head)
+            sb = _png_unpredict(sb, int(mc.group(1)) if mc else 1)
+        mn = re.search(rb"/N\s+(\d+)", head)
+        mf = re.search(rb"/First\s+(\d+)", head)
+        if mn is None or mf is None:
+            continue
+        count, first = int(mn.group(1)), int(mf.group(1))
+        try:
+            header = sb[:first].split()
+            pairs = [(int(header[k]), int(header[k + 1]))
+                     for k in range(0, min(len(header), 2 * count), 2)]
+        except (ValueError, IndexError):
+            continue
+        payloads.append(sb)
+        for k, (onum, off) in enumerate(pairs):
+            end = (first + pairs[k + 1][1] if k + 1 < len(pairs)
+                   else len(sb))
+            objs.setdefault(onum, sb[first + off:end])
+    return objs, payloads
+
+
+def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    """`N G obj` scan + ObjStm expansion -> {object number: body}."""
+    return _pdf_objects_ex(data)[0]
 
 
 def _obj_stream_bytes(body: bytes) -> bytes | None:
@@ -235,12 +309,14 @@ def _parse_tounicode_cmap(cm: bytes) -> tuple[int, dict[int, str]]:
 def _pdf_font_cmaps(data: bytes) -> dict[str, tuple[int, dict[int, str]]]:
     """{content-stream font resource name (e.g. 'F1'): parsed CMap} for
     every font object that carries a /ToUnicode reference.  Resource
-    names are collected from every /Font <<...>> dict in the file; a
-    name bound to different fonts on different pages keeps the first
-    CMap-bearing binding (simple-file assumption, documented)."""
+    names are collected from every /Font <<...>> dict in the file —
+    including dicts living INSIDE object streams (PDF 1.5 ObjStm, where
+    Resources routinely hide); a name bound to different fonts on
+    different pages keeps the first CMap-bearing binding (simple-file
+    assumption, documented)."""
     import re
 
-    objs = _pdf_objects(data)
+    objs, objstm_payloads = _pdf_objects_ex(data)
     cmaps: dict[int, tuple[int, dict[int, str]]] = {}
     for num, body in objs.items():
         head = body.split(b"stream", 1)[0]
@@ -258,13 +334,15 @@ def _pdf_font_cmaps(data: bytes) -> dict[str, tuple[int, dict[int, str]]]:
     if not cmaps:
         return {}
     out: dict[str, tuple[int, dict[int, str]]] = {}
-    for m in re.finditer(rb"/Font\s*<<(.*?)>>", data, re.DOTALL):
-        for em in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
-                              m.group(1)):
-            name = em.group(1).decode("latin-1")
-            fnum = int(em.group(2))
-            if fnum in cmaps and name not in out:
-                out[name] = cmaps[fnum]
+    for space in [data, *objstm_payloads]:
+        for m in re.finditer(rb"/Font\s*<<(.*?)>>", space, re.DOTALL):
+            for em in re.finditer(
+                    rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                    m.group(1)):
+                name = em.group(1).decode("latin-1")
+                fnum = int(em.group(2))
+                if fnum in cmaps and name not in out:
+                    out[name] = cmaps[fnum]
     return out
 
 

@@ -198,3 +198,95 @@ def test_tounicode_cmap_error_paths():
     pdf = _make_cmap_pdf().replace(b"beginbfchar", b"beginbfchXX")
     txt = extract_pdf_text(pdf)
     assert "plain latin" in txt
+
+
+def _make_objstm_pdf(predictor: bool = False) -> bytes:
+    """PDF 1.5-style file: the page tree, font dict (with /ToUnicode)
+    and resource dict all live inside a Flate-compressed OBJECT STREAM
+    — only the content stream, the CMap stream and the ObjStm itself
+    are top-level.  Without ObjStm expansion the font resolution finds
+    nothing and the glyph-coded text degrades to control bytes.
+    predictor=True additionally runs the ObjStm payload through PNG
+    row filtering (/DecodeParms /Predictor 12)."""
+    import zlib
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n"
+    )  # 0001 -> 'H', 0002 -> 'i'
+    content = b"BT /F9 12 Tf 72 720 Td <00010002> Tj ET"
+
+    # compressed objects: 1=catalog 2=pages 3=page 5=font
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F9 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+    ]
+    bodies = b" ".join(b for _, b in inner)
+    offsets, pos = [], 0
+    for num, b in inner:
+        offsets.append((num, pos))
+        pos += len(b) + 1
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b" "
+    payload = header + bodies
+    first = len(header)
+    if predictor:
+        cols = 16
+        rows = bytearray()
+        prev = bytearray(cols)
+        padded = payload + bytes(-len(payload) % cols)
+        for r in range(0, len(padded), cols):
+            row = padded[r:r + cols]
+            rows.append(2)  # Up filter
+            rows += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        stm_raw = zlib.compress(bytes(rows))
+        parms = (b" /DecodeParms << /Predictor 12 /Columns 16 >>"
+                 b" /Filter /FlateDecode")
+    else:
+        stm_raw = zlib.compress(payload)
+        parms = b" /Filter /FlateDecode"
+
+    objstm = (
+        b"<< /Type /ObjStm /N " + str(len(inner)).encode()
+        + b" /First " + str(first).encode() + parms
+        + b" /Length " + str(len(stm_raw)).encode() + b" >>\n"
+        b"stream\n" + stm_raw + b"\nendstream")
+    top = [
+        (7, objstm),
+        (4, b"<< /Length " + str(len(content)).encode() + b" >>\n"
+            b"stream\n" + content + b"\nendstream"),
+        (6, b"<< /Length " + str(len(cmap)).encode() + b" >>\n"
+            b"stream\n" + cmap + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for num, o in top:
+        out += f"{num} 0 obj\n".encode() + o + b"\nendobj\n"
+    out += b"%%EOF\n"
+    return bytes(out)
+
+
+def test_objstm_font_resolution():
+    """Font + resource dicts inside a compressed object stream still
+    resolve the ToUnicode CMap (PDF 1.5 ObjStm expansion)."""
+    assert extract_pdf_text(_make_objstm_pdf()) == "Hi"
+
+
+def test_objstm_png_predictor():
+    """ObjStm payloads behind /Predictor 12 (PNG Up row filter) decode
+    through the predictor-removal path."""
+    assert extract_pdf_text(_make_objstm_pdf(predictor=True)) == "Hi"
+
+
+def test_objstm_malformed_keeps_text():
+    """A corrupt ObjStm never takes down extraction — the content
+    stream's unmapped codes degrade to latin-1 instead."""
+    import re
+
+    pdf = _make_objstm_pdf()
+    # corrupt the ObjStm /First offset so header parsing fails
+    broken = re.sub(rb"/First \d+", b"/First 999999", pdf)
+    txt = extract_pdf_text(broken)
+    assert txt == "\x00\x01\x00\x02"  # raw glyph codes, text kept
