@@ -10784,6 +10784,210 @@ ORDER BY doc_id
 """
 
 
+
+
+def q220_has_value_entailment(sf_dir: str):
+    """owl:hasValue restriction entailment in BOTH directions
+    (stages/owl.py:entail_has_value, cls-hv1 + cls-hv2): an Urgent
+    restriction (onProperty order_priority, hasValue '1-URGENT')
+    types every urgent order (hv1) and materializes the priority
+    triple for every asserted-Urgent order (hv2).  Declarations
+    broadcast; no shuffle.  Oracle: the two projections unioned."""
+    from ..stages.owl import entail_has_value
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        k = df["o_orderkey"].astype(str)
+        parts = [
+            pd.DataFrame({"s": "order:" + k, "p": "prio",
+                          "o": df["o_orderpriority"].astype(str)}),
+            pd.DataFrame({"s": "order:" + k[df["o_orderkey"] % 7 == 0],
+                          "p": "a", "o": "Urgent"}),
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    decls = rd.from_items([
+        {"s": "Urgent", "p": "onProperty", "o": "prio"},
+        {"s": "Urgent", "p": "hasValue", "o": "1-URGENT"},
+    ])
+    store = orders.map_batches(
+        to_triples, batch_format="pyarrow").union(decls)
+    out = entail_has_value(store).to_pandas().astype(str)
+    return (out.drop_duplicates().sort_values(["s", "p", "o"])
+            .reset_index(drop=True))
+
+
+Q220_SQL = """
+SELECT * FROM (
+  SELECT DISTINCT 'order:' || o_orderkey AS s, 'a' AS p,
+         'Urgent' AS o
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT DISTINCT 'order:' || o_orderkey, 'prio', '1-URGENT'
+  FROM orders WHERE o_orderkey % 7 = 0)
+ORDER BY s, p, o
+"""
+
+
+def q221_some_values_from_entailment(sf_dir: str):
+    """owl:someValuesFrom restriction entailment
+    (stages/owl.py:entail_some_values_from, cls-svf1): customers whose
+    in_nation edge reaches a nation typed EuroNation get typed
+    EuroCustomer.  The (u,p,v) x (v type c) data join co-locates on one
+    crc32(v) coarse-bucket exchange; declarations broadcast.  Oracle:
+    customer -> nation -> region join."""
+    from ..stages.owl import entail_some_values_from
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region")
+
+    def cust_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "s": "cust:" + df["c_custkey"].astype(str),
+            "p": "in_nation",
+            "o": "nation:" + df["c_nationkey"].astype(str)})
+
+    rdf = region.to_pandas()
+    euro = set(rdf.loc[rdf["r_name"] == "EUROPE",
+                       "r_regionkey"].astype("int64"))
+
+    def nation_types(b: pa.Table, _e=euro) -> pd.DataFrame:
+        df = b.to_pandas()
+        hit = df[df["n_regionkey"].astype("int64").isin(_e)]
+        return pd.DataFrame({
+            "s": "nation:" + hit["n_nationkey"].astype(str),
+            "p": "a", "o": "EuroNation"})
+
+    decls = rd.from_items([
+        {"s": "EuroCustomer", "p": "onProperty", "o": "in_nation"},
+        {"s": "EuroCustomer", "p": "someValuesFrom", "o": "EuroNation"},
+    ])
+    store = (cust.map_batches(cust_triples, batch_format="pyarrow")
+             .union(nation.map_batches(nation_types,
+                                       batch_format="pyarrow"))
+             .union(decls))
+    out = entail_some_values_from(store).to_pandas().astype(str)
+    return (out.drop_duplicates().sort_values(["s", "p", "o"])
+            .reset_index(drop=True))
+
+
+Q221_SQL = """
+SELECT DISTINCT 'cust:' || c.c_custkey AS s, 'a' AS p,
+       'EuroCustomer' AS o
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+ORDER BY s
+"""
+
+
+def q222_different_from_check(sf_dir: str):
+    """OWL consistency eq-diff1
+    (stages/owl.py:different_from_violations): differentFrom
+    assertions whose endpoints meet through the sameAs COMPONENT
+    closure (cust -> alias -> alt chain) are contradictions; direct
+    differentFrom pairs in separate components are fine.  Canon = min
+    component member (lexicographic), replayed by least() in SQL."""
+    from ..stages.owl import different_from_violations
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        c = df["c_custkey"].astype("int64")
+        ev = c[c % 2 == 0].astype(str)
+        q4 = c[c % 4 == 0].astype(str)
+        q2 = c[c % 4 == 2].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": "cust:" + ev, "p": "sameAs",
+                          "o": "alias:" + ev}),
+            pd.DataFrame({"s": "alias:" + q4, "p": "sameAs",
+                          "o": "alt:" + q4}),
+            pd.DataFrame({"s": "cust:" + q4, "p": "differentFrom",
+                          "o": "alt:" + q4}),       # violated (chain)
+            pd.DataFrame({"s": "cust:" + q2, "p": "differentFrom",
+                          "o": "other:" + q2}),     # separate component
+        ], ignore_index=True)
+
+    store = cust.map_batches(to_triples, batch_format="pyarrow")
+    out = different_from_violations(store).to_pandas().astype(str)
+    return (out.sort_values(["a", "b"]).reset_index(drop=True))
+
+
+Q222_SQL = """
+SELECT 'alt:' || c_custkey AS a, 'cust:' || c_custkey AS b,
+       'alias:' || c_custkey AS canon
+FROM customer WHERE c_custkey % 4 = 0
+ORDER BY a, b
+"""
+
+
+def q223_label_propagation(sf_dir: str):
+    """Label-propagation community detection
+    (stages/graph.py:label_propagation_communities): 2 synchronous
+    rounds of most-frequent-neighbor-label voting (self-vote included,
+    min-label ties) over the signed part/supplier bipartite graph —
+    deterministic integer votes, so the unrolled MATERIALIZED-CTE
+    oracle replays the rounds bit-for-bit (q212 discipline).  2 coarse
+    exchanges per round."""
+    from ..stages.graph import label_propagation_communities
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df = df[df["l_partkey"] % 12 == 0]
+        return pd.DataFrame({
+            "a": df["l_partkey"].to_numpy("int64"),
+            "b": -(df["l_suppkey"].to_numpy("int64") + 1)})
+
+    e = (li.map_batches(edges, batch_format="pyarrow")
+         .groupby(["a", "b"]).count().drop_columns(["count()"]))
+    out = label_propagation_communities(e, rounds=2).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q223_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS a, -(l_suppkey + 1) AS b
+  FROM lineitem WHERE l_partkey % 12 = 0),
+mem AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT node, node AS lab FROM mem),
+v1 AS MATERIALIZED (
+  SELECT m.node, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM mem m JOIN l0 l ON l.node = m.nbr GROUP BY m.node, l.lab),
+l1 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+    FROM (SELECT node, lab, sum(c) AS c FROM (
+            SELECT node, lab, c FROM v1
+            UNION ALL SELECT node, lab, 1 FROM l0)
+          GROUP BY node, lab)) WHERE rn = 1),
+v2 AS MATERIALIZED (
+  SELECT m.node, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM mem m JOIN l1 l ON l.node = m.nbr GROUP BY m.node, l.lab),
+l2 AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+    FROM (SELECT node, lab, sum(c) AS c FROM (
+            SELECT node, lab, c FROM v2
+            UNION ALL SELECT node, lab, 1 FROM l1)
+          GROUP BY node, lab)) WHERE rn = 1)
+SELECT node, CAST(lab AS BIGINT) AS label FROM l2 ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11049,6 +11253,11 @@ QUERIES: dict[str, tuple] = {
                                          Q218_SQL),
     "q219_within_doc_segment_dedup": (q219_within_doc_segment_dedup,
                                       Q219_SQL),
+    "q220_has_value_entailment": (q220_has_value_entailment, Q220_SQL),
+    "q221_some_values_from_entailment": (q221_some_values_from_entailment,
+                                         Q221_SQL),
+    "q222_different_from_check": (q222_different_from_check, Q222_SQL),
+    "q223_label_propagation": (q223_label_propagation, Q223_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

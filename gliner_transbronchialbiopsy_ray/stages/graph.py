@@ -2216,3 +2216,123 @@ def hits_int(
             .union(a.map_batches(mark(1), batch_format="pyarrow"))
             .groupby("_bucket").map_groups(
                 join_sides, batch_format="pandas"))
+
+
+def label_propagation_communities(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 3,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, determinized): labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors PLUS ITSELF
+    (the self-vote breaks two-coloring oscillation on bipartite
+    subgraphs), ties broken toward the SMALLEST label.  `edges` must be
+    DISTINCT undirected pairs (dedupe upstream) — duplicate rows act as
+    extra votes (edge weights), which may or may not be intended.
+    Fixed rounds +
+    integer votes + total tie order = fully deterministic and
+    bit-replayable by an unrolled SQL oracle (the q212 fixed-point
+    discipline).  Returns (node, label), both int64.
+
+    Shape per round (2 coarse all-to-alls, no driver state): labels
+    keyed by owning node meet the mirrored membership rows on one
+    bucket exchange, emitting pre-summed (node, neighbor_label) vote
+    partials; partials re-key by the voting node, union the self-votes,
+    and one more exchange folds counts and picks argmax/min-tie.  Loop
+    state is materialized every round (the lazy-lineage rule)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def membership(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([src, dst]).to_pandas().drop_duplicates()
+        a = df[src].to_numpy("int64")
+        b = df[dst].to_numpy("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        out = pd.DataFrame({"node": np.concatenate([a, b]),
+                            "nbr": np.concatenate([b, a]),
+                            "lab": np.int64(0),
+                            "cnt": np.int64(0),
+                            "is_lab": np.int64(0)})
+        return _tag_int_bucket(out, "nbr", n_buckets)
+
+    mem = edges.map_batches(
+        membership, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pd.DataFrame:
+        n = np.unique(np.concatenate([
+            batch.column(src).to_numpy().astype("int64"),
+            batch.column(dst).to_numpy().astype("int64")]))
+        df = pd.DataFrame({"node": n, "nbr": np.int64(0), "lab": n,
+                           "cnt": np.int64(1),
+                           "is_lab": np.int64(1)})
+        return _tag_int_bucket(df, "node", n_buckets)
+
+    def dedup_labels(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(dedup_labels, batch_format="pandas")
+              .materialize())
+
+    def lab_by_node(b: pa.Table) -> pd.DataFrame:
+        return _tag_int_bucket(b.to_pandas(), "node", n_buckets)
+
+    def neighbor_votes(g: pd.DataFrame) -> pd.DataFrame:
+        """labels (keyed here by their OWNING node) meet membership
+        rows (keyed by nbr): each mem row votes its neighbor's label
+        for `node`; votes pre-summed before leaving the bucket."""
+        lm = g[g["is_lab"] == 1].set_index("node")["lab"]
+        e = g[g["is_lab"] == 0]
+        if not len(e):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("node", "nbr", "lab", "cnt",
+                                  "is_lab")})
+        v = pd.DataFrame({"node": e["node"].to_numpy("int64"),
+                          "lab": e["nbr"].map(lm).to_numpy("int64")})
+        agg = (v.groupby(["node", "lab"], sort=False).size()
+               .reset_index(name="cnt"))
+        agg["nbr"] = np.int64(0)
+        agg["is_lab"] = np.int64(0)
+        return _tag_int_bucket(
+            agg[["node", "nbr", "lab", "cnt", "is_lab"]], "node",
+            n_buckets).astype({"_bucket": "int32"})
+
+    def pick_winner(g: pd.DataFrame) -> pd.DataFrame:
+        """votes (cnt per node,lab — self-votes ride as is_lab=1 rows
+        with cnt=1) -> argmax count, min-label tie."""
+        votes = (g.groupby(["node", "lab"], sort=False)["cnt"].sum()
+                 .reset_index())
+        w = (votes.sort_values(["node", "cnt", "lab"],
+                               ascending=[True, False, True],
+                               kind="stable")
+             .drop_duplicates(["node"]))
+        out = pd.DataFrame({"node": w["node"].to_numpy("int64"),
+                            "nbr": np.int64(0),
+                            "lab": w["lab"].to_numpy("int64"),
+                            "cnt": np.int64(1),
+                            "is_lab": np.int64(1)})
+        return _tag_int_bucket(out, "node", n_buckets).astype(
+            {"_bucket": "int32"})
+
+    for _ in range(rounds):
+        # exchange 1: keyed by the label's owner == mem's nbr
+        lab_keyed = labels.map_batches(
+            lab_by_node, batch_format="pyarrow")
+        partials = (mem.union(lab_keyed).groupby("_bucket")
+                    .map_groups(neighbor_votes, batch_format="pandas"))
+        # exchange 2: keyed by the voting node; self-votes ride along
+        labels = (partials.union(lab_keyed).groupby("_bucket")
+                  .map_groups(pick_winner, batch_format="pandas")
+                  .materialize())
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.select(["node", "lab"])
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "label": t.column("lab").cast(pa.int64())})
+
+    return labels.map_batches(finish, batch_format="pyarrow")

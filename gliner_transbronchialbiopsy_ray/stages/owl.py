@@ -331,3 +331,183 @@ def functional_violations(
     return _bucketed_group_kernel(
         store.map_batches(keep, batch_format="pyarrow"),
         [s_col, p_col], count_objects, n_buckets)
+
+
+def entail_has_value(
+    store: ray.data.Dataset,
+    on_property_pred: str = "onProperty",
+    has_value_pred: str = "hasValue",
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> ray.data.Dataset:
+    """owl:hasValue restriction classes (OWL 2 RL cls-hv1 + cls-hv2): a
+    restriction r declared by (r, onProperty, p) + (r, hasValue, v)
+    entails in BOTH directions:
+
+        cls-hv1:  (u, p, v)     =>  (u, type_pred, r)
+        cls-hv2:  (u, type_pred, r)  =>  (u, p, v)
+
+    Declarations are a bounded ontology collect; both directions are
+    one streaming pass with the declaration frame riding in as a
+    per-batch pandas merge — no shuffle.  Returns only the entailed
+    triples (may repeat across batches; union + distinct downstream,
+    the entail_symmetric contract)."""
+    on_p = dict(_declarations(store, p_col, on_property_pred,
+                              s_col, o_col))
+    has_v = dict(_declarations(store, p_col, has_value_pred,
+                               s_col, o_col))
+    restr = sorted(set(on_p) & set(has_v))
+    if not restr:
+        return _empty_store(s_col, p_col, o_col)
+    decl = pd.DataFrame({
+        "r": restr,
+        "dp": [on_p[r] for r in restr],
+        "dv": [has_v[r] for r in restr]})
+
+    def emit(b: pa.Table, _d=decl) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        # cls-hv1: data triple matches (dp, dv) -> type assertion
+        hv1 = df.merge(_d, left_on=[p_col, o_col],
+                       right_on=["dp", "dv"])
+        # cls-hv2: type assertion names a restriction -> data triple
+        types = df[df[p_col] == type_pred]
+        hv2 = types.merge(_d, left_on=o_col, right_on="r")
+        return pd.concat([
+            pd.DataFrame({s_col: hv1[s_col], p_col: type_pred,
+                          o_col: hv1["r"]}),
+            pd.DataFrame({s_col: hv2[s_col], p_col: hv2["dp"],
+                          o_col: hv2["dv"]}),
+        ], ignore_index=True).drop_duplicates()
+
+    return store.map_batches(emit, batch_format="pyarrow")
+
+
+def entail_some_values_from(
+    store: ray.data.Dataset,
+    on_property_pred: str = "onProperty",
+    svf_pred: str = "someValuesFrom",
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:someValuesFrom restriction classes (OWL 2 RL cls-svf1): a
+    restriction r declared by (r, onProperty, p) + (r, someValuesFrom, c)
+    entails (u, type_pred, r) whenever (u, p, v) and (v, type_pred, c).
+
+    Unlike hasValue this needs a DATA-side join (the v endpoint's type
+    is instance data, not ontology), so: edge rows for declared
+    predicates and type rows for declared classes — pruned at the map —
+    co-locate on ONE crc32(v) coarse-bucket exchange and match
+    vectorized in-bucket against the broadcast declaration frame.
+    Output may repeat per witness v; distinct downstream."""
+    import zlib
+
+    on_p = dict(_declarations(store, p_col, on_property_pred,
+                              s_col, o_col))
+    svf = dict(_declarations(store, p_col, svf_pred, s_col, o_col))
+    restr = sorted(set(on_p) & set(svf))
+    if not restr:
+        return _empty_store(s_col, p_col, o_col)
+    decl = pd.DataFrame({
+        "r": restr,
+        "dp": [on_p[r] for r in restr],
+        "dc": [svf[r] for r in restr]})
+    preds = frozenset(decl["dp"])
+    classes = frozenset(decl["dc"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        e = df[df[p_col].isin(preds)]
+        t = df[(df[p_col] == type_pred) & (df[o_col].isin(classes))]
+        rows = pd.concat([
+            pd.DataFrame({"v": e[o_col], "u": e[s_col],
+                          "pn": e[p_col], "cn": "",
+                          "kind": np.int64(0)}),
+            pd.DataFrame({"v": t[s_col], "u": "", "pn": "",
+                          "cn": t[o_col], "kind": np.int64(1)}),
+        ], ignore_index=True)
+        rows["_bucket"] = rows["v"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+        return rows
+
+    def match(g: pd.DataFrame, _d=decl) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        t = g[g["kind"] == 1].drop_duplicates(["v", "cn"])
+        if not (len(e) and len(t)):
+            return pd.DataFrame({s_col: pd.Series(dtype=str),
+                                 p_col: pd.Series(dtype=str),
+                                 o_col: pd.Series(dtype=str)})
+        m = e.merge(_d, left_on="pn", right_on="dp").merge(
+            t[["v", "cn"]], left_on=["v", "dc"], right_on=["v", "cn"])
+        out = pd.DataFrame({s_col: m["u"], p_col: type_pred,
+                            o_col: m["r"]}).drop_duplicates()
+        return out
+
+    return (store.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(match, batch_format="pandas"))
+
+
+def different_from_violations(
+    store: ray.data.Dataset,
+    same_pred: str = "sameAs",
+    diff_pred: str = "differentFrom",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_iterations: int = 10,
+    distributed: bool = False,
+) -> ray.data.Dataset:
+    """owl consistency check eq-diff1: an (x, differentFrom, y)
+    assertion whose endpoints land in the same sameAs COMPONENT (the
+    transitive/symmetric closure, not just a direct link) is a
+    contradiction.  Returns one (a, b, canon) row per violated
+    assertion, a < b canonical orientation.
+
+    Shape: sameAs links -> stages/sameas.py canonical_map (driver
+    closure by default — link sets are ER-gated; distributed fixpoint
+    flag threads through), broadcast to ONE streaming pass over the
+    differentFrom assertions (alias map covers aliased nodes only).
+    differentFrom pairs never shuffle."""
+    from .sameas import canonical_map
+
+    links = store.map_batches(
+        lambda b: (lambda t: pa.table({
+            "a": t.column(s_col).cast(pa.string()),
+            "b": t.column(o_col).cast(pa.string())}))(
+            b.filter(pc.equal(b.column(p_col).cast(pa.string()),
+                              same_pred))),
+        batch_format="pyarrow")
+    cmap_rows = canonical_map(links, "a", "b",
+                              max_iterations=max_iterations,
+                              distributed=distributed).to_pandas()
+    cmap = dict(zip(cmap_rows["node"].astype(str),
+                    cmap_rows["canon"].astype(str)))
+    cref = ray.put(cmap)
+
+    def check(b: pa.Table) -> pd.DataFrame:
+        m = ray.get(cref)
+        t = b.filter(pc.equal(b.column(p_col).cast(pa.string()),
+                              diff_pred)).to_pandas().astype(str)
+        if not len(t):
+            return pd.DataFrame({"a": pd.Series(dtype=str),
+                                 "b": pd.Series(dtype=str),
+                                 "canon": pd.Series(dtype=str)})
+        ca = t[s_col].map(lambda x: m.get(x, x))
+        cb = t[o_col].map(lambda x: m.get(x, x))
+        bad = t[(ca == cb).to_numpy()]
+        if not len(bad):
+            return pd.DataFrame({"a": pd.Series(dtype=str),
+                                 "b": pd.Series(dtype=str),
+                                 "canon": pd.Series(dtype=str)})
+        lo = np.minimum(bad[s_col], bad[o_col])
+        hi = np.maximum(bad[s_col], bad[o_col])
+        return pd.DataFrame({
+            "a": lo, "b": hi,
+            "canon": ca[bad.index].to_numpy()}).drop_duplicates()
+
+    return store.map_batches(check, batch_format="pyarrow")

@@ -611,3 +611,68 @@ def test_hits_int_rounds_validation():
     ds = rd.from_items([{"src": 1, "dst": 2}])
     with pytest.raises(ValueError, match="rounds"):
         hits_int(ds, rounds=0)
+
+
+def test_label_propagation_two_cliques():
+    """Two triangles joined by one bridge edge: labels converge to the
+    min node id of each triangle; the bridge does not merge them (each
+    node has 2 in-clique votes vs 1 bridge vote)."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        label_propagation_communities)
+    edges = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 1, "b": 3},
+        {"a": 10, "b": 11}, {"a": 11, "b": 12}, {"a": 10, "b": 12},
+        {"a": 3, "b": 10},  # bridge
+    ])
+    out = (label_propagation_communities(edges, rounds=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[10] == lab[11] == lab[12]
+    assert lab[10] != lab[1]
+
+
+def test_label_propagation_matches_reference_loop():
+    """Random graph vs an independent single-process simulation of the
+    same synchronous min-tie self-vote rule."""
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        label_propagation_communities)
+
+    rng = np.random.RandomState(7)
+    n = 40
+    a = rng.randint(0, n, 120)
+    b = rng.randint(0, n, 120)
+    keep = a != b
+    # canonical undirected pairs: the operator treats duplicate rows as
+    # extra votes, so the fixture dedups (x,y)/(y,x) collisions
+    pairs = sorted({(min(int(x), int(y)), max(int(x), int(y)))
+                    for x, y in zip(a[keep], b[keep])})
+    rounds = 3
+
+    # reference simulation
+    nbrs: dict[int, list[int]] = {}
+    nodes = set()
+    for x, y in pairs:
+        nodes |= {x, y}
+        nbrs.setdefault(x, []).append(y)
+        nbrs.setdefault(y, []).append(x)
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            votes: dict[int, int] = {lab[v]: 1}
+            for u in set(nbrs.get(v, [])):
+                lu = lab[u]
+                votes[lu] = votes.get(lu, 0) + 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+
+    edges = rd.from_items(
+        [{"a": x, "b": y} for x, y in pairs])
+    out = (label_propagation_communities(edges, rounds=rounds)
+           .to_pandas().sort_values("node"))
+    got = dict(zip(out["node"], out["label"]))
+    assert got == lab

@@ -181,3 +181,58 @@ def test_inverse_property_no_declarations_empty():
     out = entail_inverse(store)
     assert out.count() == 0
     assert set(out.schema().names) == {"s", "p", "o"}
+
+
+def test_entail_has_value_both_directions():
+    from gliner_transbronchialbiopsy_ray.stages.owl import entail_has_value
+    store = rd.from_items([
+        {"s": "VIP", "p": "onProperty", "o": "status"},
+        {"s": "VIP", "p": "hasValue", "o": "gold"},
+        {"s": "u1", "p": "status", "o": "gold"},     # hv1 -> u1 a VIP
+        {"s": "u2", "p": "status", "o": "silver"},   # no
+        {"s": "u3", "p": "a", "o": "VIP"},           # hv2 -> u3 status gold
+    ])
+    out = (entail_has_value(store).to_pandas().astype(str)
+           .sort_values(["s", "p", "o"]).reset_index(drop=True))
+    got = set(map(tuple, out.to_numpy()))
+    assert got == {("u1", "a", "VIP"), ("u3", "status", "gold")}
+
+    # no declarations -> typed empty
+    empty = entail_has_value(rd.from_items(
+        [{"s": "x", "p": "q", "o": "y"}]))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema().base_schema] == ["s", "p", "o"]
+
+
+def test_entail_some_values_from():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_some_values_from)
+    store = rd.from_items([
+        {"s": "ParentOfDoc", "p": "onProperty", "o": "hasChild"},
+        {"s": "ParentOfDoc", "p": "someValuesFrom", "o": "Doctor"},
+        {"s": "p1", "p": "hasChild", "o": "c1"},
+        {"s": "c1", "p": "a", "o": "Doctor"},
+        {"s": "p2", "p": "hasChild", "o": "c2"},
+        {"s": "c2", "p": "a", "o": "Nurse"},
+        {"s": "p3", "p": "hasChild", "o": "c1"},  # same witness, 2nd parent
+    ])
+    out = entail_some_values_from(store).to_pandas().astype(str)
+    got = set(map(tuple, out.drop_duplicates().to_numpy()))
+    assert got == {("p1", "a", "ParentOfDoc"), ("p3", "a", "ParentOfDoc")}
+
+
+def test_different_from_violations_closure():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        different_from_violations)
+    store = rd.from_items([
+        {"s": "a", "p": "sameAs", "o": "b"},
+        {"s": "b", "p": "sameAs", "o": "c"},
+        # violated: a ~ c through the chain
+        {"s": "c", "p": "differentFrom", "o": "a"},
+        # not violated: d is in no component with a
+        {"s": "a", "p": "differentFrom", "o": "d"},
+    ])
+    out = different_from_violations(store).to_pandas().astype(str)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["a"], row["b"], row["canon"]) == ("a", "c", "a")
