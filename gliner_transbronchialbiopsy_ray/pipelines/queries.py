@@ -2548,6 +2548,70 @@ def btb_compressed_audio(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_ref").reset_index(drop=True)
 
 
+def btb_mp4_demux(sf_dir: str) -> pd.DataFrame:
+    """REAL MP4/ISO-BMFF demux path (stages/multimodal.py:probe_mp4 +
+    mp4_sample_table + Mp4SampleExtractor): deterministic box-built
+    payloads -> evenly-spaced coded-sample extraction by byte range
+    (O(sampled) bytes touched — the scale property), crc32 over the
+    located bytes pinning exactness.  Codec payload decode is the
+    documented stub; the container machinery is real.  Golden-pinned
+    (rows-only)."""
+    import struct
+
+    from ..stages.multimodal import mp4_sample_features
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def make_mp4(seed: int) -> bytes:
+        n = 4 + (seed % 5)
+        samples = [bytes([(seed + i) % 256]) * (2 + (seed + i) % 7)
+                   for i in range(n)]
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1")
+        mdat = box(b"mdat", b"".join(samples))
+        base = len(ftyp) + 8
+        split = 1 + seed % (n - 1)  # chunk 1 gets `split` samples
+        chunk_offs = [base,
+                      base + sum(len(s) for s in samples[:split])]
+        entry = (struct.pack(">I", 86) + b"avc1" + bytes(6)
+                 + struct.pack(">H", 1) + bytes(16)
+                 + struct.pack(">HH", 16 * (1 + seed % 4), 16)
+                 + bytes(50))
+        stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+        stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+                   + b"".join(struct.pack(">I", len(s))
+                              for s in samples))
+        stsc = box(b"stsc", struct.pack(">II", 0, 2)
+                   + struct.pack(">III", 1, split, 1)
+                   + struct.pack(">III", 2, n - split, 1))
+        stco = box(b"stco", struct.pack(">II", 0, 2)
+                   + b"".join(struct.pack(">I", o)
+                              for o in chunk_offs))
+        stbl = box(b"stbl", stsd + stsz + stsc + stco)
+        hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                   + bytes(13))
+        mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000,
+                                        100 * n))
+        mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+        mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 600,
+                                        60 * n) + bytes(80))
+        moov = box(b"moov", mvhd + box(b"trak", mdia))
+        return ftyp + mdat + moov
+
+    refs = [f"mp4://{i:03d}" for i in range(16)]
+    payloads = [make_mp4(i) for i in range(16)]
+    refs.append("mp4://bad")
+    payloads.append(b"mdatgarbage-without-ftyp")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    out = (mp4_sample_features(media, n_samples=3, concurrency=2)
+           .to_pandas())
+    return (out.sort_values(["media_ref", "sample_idx"])
+            .reset_index(drop=True))
+
+
 def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
     """Approximate top-10 event users via Count-Min sketch + candidate
     union (functions/sketches.py) — the no-shuffle scale path for heavy
@@ -11090,6 +11154,7 @@ QUERIES: dict[str, tuple] = {
     "q76_ntile_rank": (q76_ntile_rank, Q76_SQL),
     "btb_raw_audio": (btb_raw_audio, None),
     "btb_compressed_audio": (btb_compressed_audio, None),
+    "btb_mp4_demux": (btb_mp4_demux, None),
     "q77_string_agg_per_order": (q77_string_agg_per_order, Q77_SQL),
     "q78_mode_per_nation": (q78_mode_per_nation, Q78_SQL),
     "q79_cube_orders": (q79_cube_orders, Q79_SQL),

@@ -1624,3 +1624,260 @@ def image_header_stats(
         return out
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MP4/ISO-BMFF DEMUX (real box walk + sample tables; codec payloads stay
+# encoded).  What IS real with zero codec libs: the container parse —
+# ftyp brand, movie/track metadata (mvhd/tkhd/mdhd/hdlr/stsd), and the
+# full sample-location machinery (stsz sizes, stsc sample->chunk runs,
+# stco/co64 chunk offsets) that maps any sample index to its exact byte
+# range in mdat.  That is the property frame SAMPLING needs at scale:
+# extracting k frames from an hour-long file touches O(k) byte ranges,
+# never O(file).  Decoding the extracted H.264/AAC payload is the one
+# remaining stub (documented at module top); the demux emits the raw
+# sample bytes + metadata so a real decoder slots in per-sample.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"edts", b"udta", b"mvex", b"dinf"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the sibling boxes in
+    buf[start:end].  Handles 32-bit sizes, size==1 (64-bit largesize)
+    and size==0 (to end-of-enclosure); malformed sizes raise."""
+    import struct as _s
+
+    pos = start
+    while pos + 8 <= end:
+        size = _s.unpack_from(">I", buf, pos)[0]
+        typ = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = _s.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, path: list[bytes]):
+    """All (body_start, body_end) spans reachable by the box path."""
+    spans = [(start, end)]
+    for name in path:
+        nxt = []
+        for s, e in spans:
+            for typ, bs, be in _mp4_boxes(buf, s, e):
+                if typ == name:
+                    nxt.append((bs, be))
+        spans = nxt
+    return spans
+
+
+def mp4_sample_table(payload: bytes, track: int = 0):
+    """Sample byte ranges of one track: (offsets, sizes) int64 arrays.
+
+    stsc runs (first_chunk, samples_per_chunk) expand against stco/co64
+    chunk offsets; within a chunk samples are contiguous with stsz
+    sizes — the ISO 14496-12 location algorithm, vectorized."""
+    import struct as _s
+
+    traks = _mp4_find(payload, 0, len(payload), [b"moov", b"trak"])
+    if track >= len(traks):
+        raise ValueError(f"no track {track} (found {len(traks)})")
+    ts, te = traks[track]
+    stbl = _mp4_find(payload, ts, te, [b"mdia", b"minf", b"stbl"])
+    if not stbl:
+        raise ValueError("track has no sample table")
+    ss, se = stbl[0]
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, bs, be in _mp4_boxes(payload, ss, se):
+        tables[typ] = (bs, be)
+
+    def _u32s(span, skip, count):
+        bs, _ = span
+        return np.frombuffer(payload, dtype=">u4",
+                             count=count, offset=bs + skip)
+
+    if b"stsz" not in tables:
+        raise ValueError("missing stsz")
+    bs, _ = tables[b"stsz"]
+    fixed, n_samples = _s.unpack_from(">II", payload, bs + 4)
+    sizes = (np.full(n_samples, fixed, dtype=np.int64) if fixed
+             else _u32s(tables[b"stsz"], 12, n_samples).astype(np.int64))
+
+    co = tables.get(b"stco")
+    if co is not None:
+        n_chunks = _s.unpack_from(">I", payload, co[0] + 4)[0]
+        chunk_off = _u32s(co, 8, n_chunks).astype(np.int64)
+    else:
+        co = tables.get(b"co64")
+        if co is None:
+            raise ValueError("missing stco/co64")
+        n_chunks = _s.unpack_from(">I", payload, co[0] + 4)[0]
+        chunk_off = np.frombuffer(payload, dtype=">u8", count=n_chunks,
+                                  offset=co[0] + 8).astype(np.int64)
+
+    if b"stsc" not in tables:
+        raise ValueError("missing stsc")
+    bs, _ = tables[b"stsc"]
+    n_runs = _s.unpack_from(">I", payload, bs + 4)[0]
+    runs = _u32s(tables[b"stsc"], 8, 3 * n_runs).reshape(
+        n_runs, 3).astype(np.int64)  # (first_chunk 1-based, spc, desc)
+
+    # expand runs -> samples-per-chunk for every chunk
+    spc = np.empty(n_chunks, dtype=np.int64)
+    for i in range(n_runs):
+        lo = runs[i, 0] - 1
+        hi = runs[i + 1, 0] - 1 if i + 1 < n_runs else n_chunks
+        spc[lo:hi] = runs[i, 1]
+    counts = np.minimum(np.cumsum(spc), n_samples)
+    starts = np.concatenate([[0], counts[:-1]])
+    offsets = np.empty(n_samples, dtype=np.int64)
+    pos = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    for c in range(n_chunks):
+        s0, s1 = int(starts[c]), int(counts[c])
+        if s1 <= s0:
+            continue
+        rel = pos[s0:s1] - pos[s0]
+        offsets[s0:s1] = chunk_off[c] + rel
+    return offsets, sizes
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Container metadata without touching sample data: brand,
+    movie-level duration, and per-track (handler, codec fourcc,
+    width/height, sample count, timescale).  Raises ValueError on
+    malformed boxes (stage keeps the row)."""
+    import struct as _s
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload")
+    brand = payload[8:12].decode("latin-1")
+    out: dict = {"brand": brand, "tracks": []}
+    moov = _mp4_find(payload, 0, len(payload), [b"moov"])
+    if not moov:
+        raise ValueError("missing moov box")
+    ms, me = moov[0]
+    for typ, bs, be in _mp4_boxes(payload, ms, me):
+        if typ == b"mvhd":
+            ver = payload[bs]
+            if ver == 1:
+                tscale, dur = _s.unpack_from(">IQ", payload, bs + 20)
+            else:
+                tscale, dur = _s.unpack_from(">II", payload, bs + 12)
+            out["duration_s"] = round(dur / tscale, 3) if tscale else None
+    for ts, te in _mp4_find(payload, ms, me, [b"trak"]):
+        tr: dict = {}
+        for mds, mde in _mp4_find(payload, ts, te, [b"mdia"]):
+            for typ, bs, be in _mp4_boxes(payload, mds, mde):
+                if typ == b"mdhd":
+                    ver = payload[bs]
+                    off = 20 if ver == 1 else 12
+                    tr["timescale"] = _s.unpack_from(
+                        ">I", payload, bs + off)[0]
+                elif typ == b"hdlr":
+                    tr["handler"] = payload[bs + 8:bs + 12].decode(
+                        "latin-1")
+            for sts, ste in _mp4_find(payload, mds, mde,
+                                      [b"minf", b"stbl"]):
+                for typ, bs, be in _mp4_boxes(payload, sts, ste):
+                    if typ == b"stsd":
+                        # first sample entry: size(4) fourcc(4)
+                        tr["codec"] = payload[bs + 12:bs + 16].decode(
+                            "latin-1")
+                        if tr.get("handler") == "vide" and be - bs >= 44:
+                            w, h = _s.unpack_from(
+                                ">HH", payload, bs + 40)
+                            tr["width"], tr["height"] = w, h
+                    elif typ == b"stsz":
+                        tr["sample_count"] = _s.unpack_from(
+                            ">I", payload, bs + 8)[0]
+        out["tracks"].append(tr)
+    return out
+
+
+class Mp4SampleExtractor:
+    """Actor stage over (media_ref, payload) MP4 rows: demux the first
+    video (or only) track and extract `n_samples` evenly-spaced coded
+    samples — raw codec payload bytes located via the sample tables,
+    NOT decoded (the documented codec stub).  Emits per-sample
+    (sample_idx, offset, size, crc32) plus track metadata; failed rows
+    keep their row with demux_status set."""
+
+    def __init__(self, n_samples: int = 4):
+        self.n_samples = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_off, o_size, o_crc = [], [], [], [], []
+        o_codec, o_status = [], []
+        for ref, p in zip(refs, payloads):
+            try:
+                meta = probe_mp4(p)
+                vid = next((i for i, t in enumerate(meta["tracks"])
+                            if t.get("handler") == "vide"), 0)
+                offsets, sizes = mp4_sample_table(p, vid)
+                n = len(offsets)
+                if n == 0:
+                    raise ValueError("track has no samples")
+                picks = np.unique(np.linspace(
+                    0, n - 1, min(self.n_samples, n)).astype(np.int64))
+                codec = meta["tracks"][vid].get("codec", "")
+                for k in picks:
+                    off, sz = int(offsets[k]), int(sizes[k])
+                    blob = p[off:off + sz]
+                    if len(blob) != sz:
+                        raise ValueError(
+                            f"sample {k} out of file bounds")
+                    o_ref.append(ref)
+                    o_idx.append(int(k))
+                    o_off.append(off)
+                    o_size.append(sz)
+                    o_crc.append(_z.crc32(blob))
+                    o_codec.append(codec)
+                    o_status.append("ok")
+            except (ValueError, IndexError, EOFError) as exc:
+                o_ref.append(ref)
+                o_idx.append(-1)
+                o_off.append(-1)
+                o_size.append(-1)
+                o_crc.append(0)
+                o_codec.append("")
+                o_status.append(f"demux_error: {exc}")
+        return pa.table({
+            "media_ref": pa.array(o_ref, type=pa.string()),
+            "sample_idx": pa.array(o_idx, type=pa.int64()),
+            "offset": pa.array(o_off, type=pa.int64()),
+            "size": pa.array(o_size, type=pa.int64()),
+            "crc32": pa.array(o_crc, type=pa.int64()),
+            "codec": pa.array(o_codec, type=pa.string()),
+            "demux_status": pa.array(o_status, type=pa.string()),
+        })
+
+
+def mp4_sample_features(
+    media: ray.data.Dataset,
+    n_samples: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 8,
+) -> ray.data.Dataset:
+    """MP4 payload dataset -> demuxed sample inventory (metadata +
+    located coded bytes' crc32).  Small batches: MP4 payloads are the
+    largest media rows."""
+    return media.map_batches(
+        Mp4SampleExtractor,
+        fn_constructor_kwargs={"n_samples": n_samples},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -667,3 +667,103 @@ def test_decode_wav_pcm_matches_stdlib_writer():
     assert r == rate and y.shape == (160, 2)
     assert np.allclose(y[:, 0], x16 / 32768.0)
     assert np.allclose(y[:, 1], (x16 // 2) / 32768.0)
+
+
+def _make_mp4() -> tuple[bytes, list[bytes]]:
+    """Minimal ISO-BMFF file with one video track: 6 coded samples of
+    known bytes split 2+4 across two chunks (exercising stsc run
+    expansion).  Returns (payload, sample_bytes)."""
+    import struct
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    samples = [bytes([i]) * (3 + i) for i in range(6)]
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1")
+    mdat_body = b"".join(samples)
+    mdat = box(b"mdat", mdat_body)
+    base = len(ftyp) + 8  # mdat body file offset
+    chunk_offs = [base, base + len(samples[0]) + len(samples[1])]
+
+    entry = (struct.pack(">I", 86) + b"avc1" + bytes(6)
+             + struct.pack(">H", 1) + bytes(16)
+             + struct.pack(">HH", 64, 48) + bytes(50))
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, 6)
+               + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stsc = box(b"stsc", struct.pack(">II", 0, 2)
+               + struct.pack(">III", 1, 2, 1)
+               + struct.pack(">III", 2, 4, 1))
+    stco = box(b"stco", struct.pack(">II", 0, 2)
+               + b"".join(struct.pack(">I", o) for o in chunk_offs))
+    stbl = box(b"stbl", stsd + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(13))
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000, 2500))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 600, 1500)
+               + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, samples
+
+
+def test_mp4_probe_and_sample_table():
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        mp4_sample_table, probe_mp4)
+
+    payload, samples = _make_mp4()
+    meta = probe_mp4(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration_s"] == 2.5
+    t = meta["tracks"][0]
+    assert t["handler"] == "vide" and t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (64, 48)
+    assert t["sample_count"] == 6 and t["timescale"] == 1000
+
+    offsets, sizes = mp4_sample_table(payload)
+    assert sizes.tolist() == [len(s) for s in samples]
+    for off, sz, want in zip(offsets, sizes, samples):
+        assert payload[off:off + sz] == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not an ISO-BMFF"):
+        probe_mp4(b"garbage")
+    with _pytest.raises(ValueError, match="missing moov"):
+        probe_mp4(payload[:24])  # ftyp only (box-aligned truncation)
+    with _pytest.raises(ValueError, match="bad box size"):
+        probe_mp4(payload[:40])  # truncation mid-box fails loudly
+    with _pytest.raises(ValueError):
+        mp4_sample_table(payload, track=3)
+    assert isinstance(offsets, np.ndarray)
+
+
+def test_mp4_sample_extractor_stage(ray_session):
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        mp4_sample_features)
+
+    payload, samples = _make_mp4()
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["mp4://ok", "mp4://bad"]),
+        "payload": pa.array([payload, b"not-an-mp4-at-all"],
+                            type=pa.binary()),
+    }))
+    out = (mp4_sample_features(media, n_samples=3, concurrency=1)
+           .to_pandas().sort_values(["media_ref", "sample_idx"])
+           .reset_index(drop=True))
+    ok = out[out["media_ref"] == "mp4://ok"]
+    # 3 evenly-spaced picks over 6 samples -> indices 0, 2, 5
+    assert ok["sample_idx"].tolist() == [0, 2, 5]
+    assert ok["codec"].unique().tolist() == ["avc1"]
+    for _, r in ok.iterrows():
+        assert r["crc32"] == zlib.crc32(samples[r["sample_idx"]])
+    bad = out[out["media_ref"] == "mp4://bad"]
+    assert len(bad) == 1
+    assert bad.iloc[0]["demux_status"].startswith("demux_error")
