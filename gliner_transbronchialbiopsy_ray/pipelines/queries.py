@@ -11052,6 +11052,69 @@ SELECT node, CAST(lab AS BIGINT) AS label FROM l2 ORDER BY node
 """
 
 
+
+
+def q224_all_values_from_check(sf_dir: str):
+    """owl:allValuesFrom conformance check
+    (stages/owl.py:all_values_from_violations, cls-avf as validation —
+    deriving types would be unsound open-world): LocalOnly suppliers
+    (every third) must ship only to EuroNation-typed nations; edges to
+    any other nation are violations.  Two coarse exchanges (crc32(u)
+    instance x edge match, crc32(v) anti-join).  Oracle: supplier ->
+    nation -> region anti-join."""
+    from ..stages.owl import all_values_from_violations
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region")
+
+    def supp_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        k = df["s_suppkey"].astype("int64")
+        inst = k[k % 3 == 0].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": "supp:" + k.astype(str),
+                          "p": "ships_to",
+                          "o": "nation:" + df["s_nationkey"].astype(str)}),
+            pd.DataFrame({"s": "supp:" + inst, "p": "a",
+                          "o": "LocalOnly"}),
+        ], ignore_index=True)
+
+    rdf = region.to_pandas()
+    euro = set(rdf.loc[rdf["r_name"] == "EUROPE",
+                       "r_regionkey"].astype("int64"))
+
+    def nation_types(b: pa.Table, _e=euro) -> pd.DataFrame:
+        df = b.to_pandas()
+        hit = df[df["n_regionkey"].astype("int64").isin(_e)]
+        return pd.DataFrame({
+            "s": "nation:" + hit["n_nationkey"].astype(str),
+            "p": "a", "o": "EuroNation"})
+
+    decls = rd.from_items([
+        {"s": "LocalOnly", "p": "onProperty", "o": "ships_to"},
+        {"s": "LocalOnly", "p": "allValuesFrom", "o": "EuroNation"},
+    ])
+    store = (supp.map_batches(supp_triples, batch_format="pyarrow")
+             .union(nation.map_batches(nation_types,
+                                       batch_format="pyarrow"))
+             .union(decls))
+    out = all_values_from_violations(store).to_pandas().astype(str)
+    return (out.drop_duplicates().sort_values(["node", "value"])
+            .reset_index(drop=True))
+
+
+Q224_SQL = """
+SELECT 'supp:' || s.s_suppkey AS node, 'ships_to' AS pred,
+       'nation:' || s.s_nationkey AS value, 'LocalOnly' AS restriction
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE s.s_suppkey % 3 = 0 AND r.r_name <> 'EUROPE'
+ORDER BY node, value
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11323,6 +11386,7 @@ QUERIES: dict[str, tuple] = {
                                          Q221_SQL),
     "q222_different_from_check": (q222_different_from_check, Q222_SQL),
     "q223_label_propagation": (q223_label_propagation, Q223_SQL),
+    "q224_all_values_from_check": (q224_all_values_from_check, Q224_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

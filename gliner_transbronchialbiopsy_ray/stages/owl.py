@@ -511,3 +511,116 @@ def different_from_violations(
             "canon": ca[bad.index].to_numpy()}).drop_duplicates()
 
     return store.map_batches(check, batch_format="pyarrow")
+
+
+def all_values_from_violations(
+    store: ray.data.Dataset,
+    on_property_pred: str = "onProperty",
+    avf_pred: str = "allValuesFrom",
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:allValuesFrom as a CONFORMANCE CHECK (the OWL 2 RL reading,
+    cls-avf run as validation — like functional_violations, deriving
+    types for v would be unsound under open-world): a restriction r
+    declared by (r, onProperty, p) + (r, allValuesFrom, c) is violated
+    by every (u, type_pred, r) instance holding an edge (u, p, v)
+    whose v is NOT typed c.  Returns (node, pred, value, restriction)
+    per violating edge.
+
+    Shape: declarations broadcast; TWO coarse exchanges —
+    crc32(u) co-locates instance typings with edges (vectorized merge
+    against the declaration frame), then crc32(v) anti-joins the
+    candidate edges against the type assertions of the declared
+    classes.  Nothing lands on the driver but the ontology."""
+    import zlib
+
+    on_p = dict(_declarations(store, p_col, on_property_pred,
+                              s_col, o_col))
+    avf = dict(_declarations(store, p_col, avf_pred, s_col, o_col))
+    restr = sorted(set(on_p) & set(avf))
+    empty = pd.DataFrame({
+        "node": pd.Series(dtype=str), "pred": pd.Series(dtype=str),
+        "value": pd.Series(dtype=str),
+        "restriction": pd.Series(dtype=str)})
+    if not restr:
+        return ray.data.from_arrow(pa.Table.from_pandas(empty))
+    decl = pd.DataFrame({
+        "r": restr,
+        "dp": [on_p[r] for r in restr],
+        "dc": [avf[r] for r in restr]})
+    preds = frozenset(decl["dp"])
+    rset = frozenset(restr)
+    classes = frozenset(decl["dc"])
+
+    def _crc(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+
+    def tag_u(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        inst = df[(df[p_col] == type_pred) & (df[o_col].isin(rset))]
+        e = df[df[p_col].isin(preds)]
+        rows = pd.concat([
+            pd.DataFrame({"u": inst[s_col], "r": inst[o_col],
+                          "pn": "", "v": "", "kind": np.int64(1)}),
+            pd.DataFrame({"u": e[s_col], "r": "", "pn": e[p_col],
+                          "v": e[o_col], "kind": np.int64(0)}),
+        ], ignore_index=True)
+        rows["_bucket"] = _crc(rows["u"])
+        return rows
+
+    def match_u(g: pd.DataFrame, _d=decl) -> pd.DataFrame:
+        inst = g[g["kind"] == 1][["u", "r"]].drop_duplicates()
+        e = g[g["kind"] == 0][["u", "pn", "v"]].drop_duplicates()
+        if not (len(inst) and len(e)):
+            return pd.DataFrame({
+                "u": pd.Series(dtype=str), "r": pd.Series(dtype=str),
+                "pn": pd.Series(dtype=str), "v": pd.Series(dtype=str),
+                "dc": pd.Series(dtype=str), "kind": pd.Series(
+                    dtype="int64")})
+        m = (inst.merge(_d, on="r")
+             .merge(e, left_on=["u", "dp"], right_on=["u", "pn"]))
+        out = m[["u", "r", "pn", "v", "dc"]].drop_duplicates()
+        out["kind"] = np.int64(0)
+        return out
+
+    cand = (store.map_batches(tag_u, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(match_u, batch_format="pandas"))
+
+    def tag_v_types(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        t = df[(df[p_col] == type_pred) & (df[o_col].isin(classes))]
+        rows = pd.DataFrame({"u": "", "r": "", "pn": "",
+                             "v": t[s_col], "dc": t[o_col],
+                             "kind": np.int64(1)})
+        rows["_bucket"] = _crc(rows["v"])
+        return rows
+
+    def tag_v_cand(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = _crc(df["v"].astype(str))
+        return df
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        typed = set(map(tuple,
+                        g[g["kind"] == 1][["v", "dc"]].to_numpy()))
+        c = g[g["kind"] == 0]
+        if not len(c):
+            return empty.copy()
+        keep = [tuple(t) not in typed
+                for t in c[["v", "dc"]].to_numpy()]
+        bad = c[np.asarray(keep, dtype=bool)]
+        return pd.DataFrame({
+            "node": bad["u"].astype(str),
+            "pred": bad["pn"].astype(str),
+            "value": bad["v"].astype(str),
+            "restriction": bad["r"].astype(str)}).drop_duplicates()
+
+    vtypes = store.map_batches(tag_v_types, batch_format="pyarrow")
+    return (cand.map_batches(tag_v_cand, batch_format="pandas")
+            .union(vtypes).groupby("_bucket")
+            .map_groups(anti, batch_format="pandas"))

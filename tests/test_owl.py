@@ -236,3 +236,26 @@ def test_different_from_violations_closure():
     assert len(out) == 1
     row = out.iloc[0]
     assert (row["a"], row["b"], row["canon"]) == ("a", "c", "a")
+
+
+def test_all_values_from_violations():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        all_values_from_violations)
+    store = rd.from_items([
+        {"s": "LocalOnly", "p": "onProperty", "o": "ships_to"},
+        {"s": "LocalOnly", "p": "allValuesFrom", "o": "Euro"},
+        {"s": "s1", "p": "a", "o": "LocalOnly"},
+        {"s": "s1", "p": "ships_to", "o": "n1"},   # n1 typed Euro: ok
+        {"s": "s1", "p": "ships_to", "o": "n2"},   # n2 not Euro: BAD
+        {"s": "s2", "p": "ships_to", "o": "n2"},   # s2 not LocalOnly: ok
+        {"s": "n1", "p": "a", "o": "Euro"},
+    ])
+    out = (all_values_from_violations(store).to_pandas().astype(str)
+           .sort_values(["node", "value"]).reset_index(drop=True))
+    assert out.to_numpy().tolist() == [["s1", "ships_to", "n2",
+                                        "LocalOnly"]]
+
+    # no declarations -> typed empty frame
+    e = all_values_from_violations(rd.from_items(
+        [{"s": "x", "p": "q", "o": "y"}]))
+    assert e.count() == 0
