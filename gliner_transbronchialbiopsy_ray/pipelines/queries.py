@@ -11115,6 +11115,54 @@ ORDER BY node, value
 """
 
 
+
+
+def q225_strongly_connected_components(sf_dir: str):
+    """Strongly connected components (stages/graph.py:scc_labels, the
+    parallel COLORING algorithm — forward max-label fixpoint, roots
+    walk backward inside their color class, peel, repeat; all sinks of
+    the color DAG peel in parallel).  Graph: the functional map
+    n -> 7n+3 (mod 60) over order-key residues — 18 short cycles (the
+    SCCs) plus tail singletons.  Labels normalized to the component
+    MIN so the oracle (recursive-CTE mutual reachability + least) is
+    convention-free."""
+    from ..stages.graph import scc_labels
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        n = np.unique(b.column("o_orderkey").to_numpy() % 60)
+        n = n.astype("int64")
+        return pd.DataFrame({"src": n, "dst": (7 * n + 3) % 60})
+
+    e = (orders.map_batches(edges, batch_format="pyarrow")
+         .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    out = scc_labels(e, max_rounds=10, max_hops=30).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q225_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_orderkey % 60 AS u,
+         (7 * (o_orderkey % 60) + 3) % 60 AS v
+  FROM orders),
+nodes AS (SELECT DISTINCT u AS n FROM e UNION SELECT v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+pairs AS (
+  SELECT r1.u, r1.v FROM reach r1
+  JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u)
+SELECT n.n AS node,
+       CAST(least(n.n, coalesce(min(p.v), n.n)) AS BIGINT) AS scc
+FROM nodes n LEFT JOIN pairs p ON p.u = n.n
+GROUP BY n.n
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11387,6 +11435,8 @@ QUERIES: dict[str, tuple] = {
     "q222_different_from_check": (q222_different_from_check, Q222_SQL),
     "q223_label_propagation": (q223_label_propagation, Q223_SQL),
     "q224_all_values_from_check": (q224_all_values_from_check, Q224_SQL),
+    "q225_strongly_connected_components": (q225_strongly_connected_components,
+                                           Q225_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

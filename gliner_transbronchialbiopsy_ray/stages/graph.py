@@ -2336,3 +2336,298 @@ def label_propagation_communities(
                          "label": t.column("lab").cast(pa.int64())})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def scc_labels(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+    max_hops: int = 40,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Strongly connected components via the parallel COLORING
+    algorithm (Orzan 2004 / FW-BW family): repeat over the unassigned
+    subgraph —
+
+      1. color(v) = MAX node id that reaches v forward (max-label
+         propagation to fixpoint, improvement-detection via the q120
+         old-vs-new grouped-max trick);
+      2. every color ROOT r (color(r) == r) walks BACKWARD inside its
+         own color class; each node it reaches both ways IS in r's SCC
+         (forward r->u by coloring, backward u->r by the walk, and all
+         intermediate nodes provably share the color);
+      3. peel those SCCs, recompute colors on the remainder.
+
+    Every peel round removes >= 1 SCC per color root (all sinks of the
+    color DAG peel in parallel), so rounds <= #SCCs, typically far
+    fewer.  `max_hops` bounds BOTH inner fixpoints (the contract cap —
+    set >= the graph's longest shortest path for exact SCC);
+    `max_rounds` bounds peels and raises if the graph outlives it.
+    Output (node, scc) int64, scc = MIN member of the component (a
+    final per-component min so the label convention is orientation-
+    free and SQL-replayable).  2 exchanges per inner round; loop state
+    materialized every step (lazy-lineage rule)."""
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([src, dst]).to_pandas().drop_duplicates()
+        a = df[src].to_numpy("int64")
+        b = df[dst].to_numpy("int64")
+        keep = a != b
+        return pd.DataFrame({"u": a[keep], "v": b[keep]})
+
+    e = edges.map_batches(edge_rows, batch_format="pyarrow")
+    e_by_u = e.map_batches(
+        lambda b: _tag_int_bucket(b.to_pandas(), "u", n_buckets),
+        batch_format="pyarrow").materialize()
+    e_by_v = e.map_batches(
+        lambda b: _tag_int_bucket(b.to_pandas(), "v", n_buckets),
+        batch_format="pyarrow").materialize()
+
+    def nodes_init(batch: pa.Table) -> pd.DataFrame:
+        n = np.unique(np.concatenate([
+            batch.column(src).to_numpy().astype("int64"),
+            batch.column(dst).to_numpy().astype("int64")]))
+        return pd.DataFrame({"node": n})
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])
+
+    unassigned = (edges.map_batches(nodes_init, batch_format="pyarrow")
+                  .map_batches(lambda b: _tag_int_bucket(
+                      b.to_pandas(), "node", n_buckets),
+                      batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(dedup_nodes, batch_format="pandas")
+                  .materialize())
+    assigned: list[ray.data.Dataset] = []
+
+    def _max_fixpoint(colors: ray.data.Dataset) -> ray.data.Dataset:
+        """forward max-label propagation over nodes present in
+        `colors` (node, color); returns converged colors."""
+        for _ in range(max_hops):
+            def by_u(b: pa.Table) -> pd.DataFrame:
+                df = b.to_pandas()[["node", "color"]]
+                df = df.rename(columns={"node": "u"})
+                df["is_lab"] = np.int64(1)
+                df["v"] = np.int64(0)
+                return _tag_int_bucket(df, "u", n_buckets)
+
+            def push(g: pd.DataFrame) -> pd.DataFrame:
+                lm = g[g["is_lab"] == 1].set_index("u")["color"]
+                ee = g[g["is_lab"] == 0]
+                if not len(ee):
+                    return pd.DataFrame({c: pd.Series(dtype="int64")
+                                         for c in ("node", "color",
+                                                   "old")})
+                c = ee["u"].map(lm)
+                ok = c.notna().to_numpy()  # src must be unassigned
+                out = pd.DataFrame({
+                    "node": ee["v"].to_numpy("int64")[ok],
+                    "color": c.to_numpy()[ok].astype("int64")})
+                out = (out.groupby("node", sort=False)["color"].max()
+                       .reset_index())
+                # sentinel must not collide with NEGATIVE node ids
+                # (signed encodings are a first-class convention here)
+                out["old"] = np.int64(np.iinfo(np.int64).min)
+                out["has_self"] = np.int64(0)
+                return out
+
+            def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+                return _tag_int_bucket(df, "node", n_buckets)
+
+            def self_rows(b: pa.Table) -> pd.DataFrame:
+                df = b.to_pandas()[["node", "color"]]
+                df["old"] = df["color"]
+                df["has_self"] = np.int64(1)
+                return _tag_int_bucket(df, "node", n_buckets)
+
+            def fold(g: pd.DataFrame) -> pd.DataFrame:
+                gg = (g.groupby("node", sort=False)
+                      .agg(color=("color", "max"), old=("old", "max"),
+                           has_self=("has_self", "max"))
+                      .reset_index())
+                # candidate-only rows target an ASSIGNED node: drop
+                return gg[gg["has_self"] == 1].drop(
+                    columns=["has_self"])
+
+            tagged_edges = e_by_u.map_batches(
+                lambda b: (lambda df: df.assign(
+                    is_lab=np.int64(0), color=np.int64(0)))(
+                    b.to_pandas()),
+                batch_format="pyarrow")
+            # materialize between the two exchanges: map_groups output
+            # feeding a SECOND groupby in one plan is the q127 deadlock
+            # repartition(P) per round: union->groupby loops multiply
+            # block counts geometrically otherwise (the q136 lesson),
+            # and the materialize between the two exchanges breaks the
+            # q127 chained-exchange deadlock
+            cand = (tagged_edges.union(
+                colors.map_batches(by_u, batch_format="pyarrow"))
+                .groupby("_bucket")
+                .map_groups(push, batch_format="pandas")
+                .map_batches(tag_cand, batch_format="pandas")
+                .repartition(n_buckets)
+                .materialize())
+            folded = (cand.union(colors.map_batches(
+                self_rows, batch_format="pyarrow"))
+                .groupby("_bucket")
+                .map_groups(fold, batch_format="pandas")
+                .repartition(n_buckets)
+                .materialize())
+            changed = folded.map_batches(
+                lambda b: pa.table({"n": pa.array(
+                    [int(pc.sum(pc.cast(pc.greater(
+                        b.column("color"), b.column("old")),
+                        pa.int64())).as_py() or 0)], pa.int64())}),
+                batch_format="pyarrow").sum("n")
+            colors = folded.drop_columns(["old"]).map_batches(
+                lambda b: _tag_int_bucket(b.to_pandas(), "node",
+                                          n_buckets),
+                batch_format="pyarrow").materialize()
+            if not changed:
+                return colors
+        raise RuntimeError(
+            f"scc_labels: color fixpoint not reached in {max_hops} "
+            f"hops — raise max_hops")
+
+    for _ in range(max_rounds):
+        if unassigned.count() == 0:
+            break
+        colors = unassigned.map_batches(
+            lambda b: (lambda df: df.assign(
+                color=df["node"].to_numpy("int64")))(
+                b.to_pandas()[["node"]]),
+            batch_format="pyarrow").map_batches(
+            lambda b: _tag_int_bucket(b.to_pandas(), "node",
+                                      n_buckets),
+            batch_format="pyarrow").materialize()
+        colors = _max_fixpoint(colors)
+
+        # backward walk: member (node, root); seed = color roots
+        member = colors.map_batches(
+            lambda b: (lambda df: df[df["node"] == df["color"]]
+                       .rename(columns={"color": "root"}))(
+                b.to_pandas()),
+            batch_format="pyarrow").materialize()
+        for _ in range(max_hops):
+            before = member.count()
+
+            def mem_by_v(b: pa.Table) -> pd.DataFrame:
+                df = b.to_pandas()[["node", "root"]]
+                df = df.rename(columns={"node": "v"})
+                df["u"] = np.int64(0)
+                df["is_mem"] = np.int64(1)
+                return _tag_int_bucket(df, "v", n_buckets)
+
+            def back(g: pd.DataFrame) -> pd.DataFrame:
+                mm = g[g["is_mem"] == 1].drop_duplicates(["v"])
+                rm = mm.set_index("v")["root"]
+                ee = g[g["is_mem"] == 0]
+                if not len(ee):
+                    return pd.DataFrame({c: pd.Series(dtype="int64")
+                                         for c in ("node", "root")})
+                r = ee["v"].map(rm)
+                ok = r.notna().to_numpy()
+                return pd.DataFrame({
+                    "node": ee["u"].to_numpy("int64")[ok],
+                    "root": r.to_numpy()[ok].astype("int64")
+                }).drop_duplicates()
+
+            def gate(g: pd.DataFrame) -> pd.DataFrame:
+                """candidate joins member only if its color == root
+                (stays inside the class) — colors carry unassigned
+                membership too."""
+                cm = g[g["is_mem"] == 2].set_index("node")["color"]
+                cand_ = g[g["is_mem"] == 0]
+                mem_ = g[g["is_mem"] == 1][["node", "root"]]
+                if len(cand_):
+                    col = cand_["node"].map(cm)
+                    ok = (col.notna()
+                          & (col == cand_["root"])).to_numpy()
+                    cand_ = cand_[["node", "root"]][ok]
+                out = pd.concat([mem_, cand_], ignore_index=True)
+                return out.drop_duplicates(["node"])
+
+            tagged_edges = e_by_v.map_batches(
+                lambda b: (lambda df: df.assign(
+                    root=np.int64(0), is_mem=np.int64(0)))(
+                    b.to_pandas()),
+                batch_format="pyarrow")
+            cand = (tagged_edges.union(member.map_batches(
+                mem_by_v, batch_format="pyarrow"))
+                .groupby("_bucket")
+                .map_groups(back, batch_format="pandas")
+                .map_batches(lambda df: _tag_int_bucket(
+                    df.assign(is_mem=np.int64(0)), "node", n_buckets),
+                    batch_format="pandas")
+                .repartition(n_buckets)
+                .materialize())  # q127 chained-exchange deadlock guard
+            mem_tagged = member.map_batches(
+                lambda b: _tag_int_bucket(
+                    b.to_pandas()[["node", "root"]].assign(
+                        is_mem=np.int64(1)), "node", n_buckets),
+                batch_format="pyarrow")
+            col_tagged = colors.map_batches(
+                lambda b: (lambda df: _tag_int_bucket(
+                    df.assign(root=np.int64(0), is_mem=np.int64(2)),
+                    "node", n_buckets))(
+                    b.to_pandas()[["node", "color"]]),
+                batch_format="pyarrow")
+            member = (cand.union(mem_tagged).union(col_tagged)
+                      .groupby("_bucket")
+                      .map_groups(gate, batch_format="pandas")
+                      .repartition(n_buckets)
+                      .materialize())
+            if member.count() == before:
+                break
+
+        assigned.append(member.map_batches(
+            lambda b: b.select(["node", "root"]),
+            batch_format="pyarrow").materialize())
+
+        def not_member(g: pd.DataFrame) -> pd.DataFrame:
+            taken = set(g[g["is_mem"] == 1]["node"].to_numpy("int64"))
+            left = g[g["is_mem"] == 2]
+            keep = ~left["node"].isin(taken).to_numpy()
+            return left[["node"]][keep]
+
+        mem_tagged = member.map_batches(
+            lambda b: _tag_int_bucket(
+                b.to_pandas()[["node", "root"]].assign(
+                    is_mem=np.int64(1)), "node", n_buckets),
+            batch_format="pyarrow")
+        col_tagged = colors.map_batches(
+            lambda b: (lambda df: _tag_int_bucket(
+                df.assign(root=np.int64(0), is_mem=np.int64(2)),
+                "node", n_buckets))(
+                b.to_pandas()[["node", "color"]]),
+            batch_format="pyarrow")
+        unassigned = (mem_tagged.union(col_tagged).groupby("_bucket")
+                      .map_groups(not_member, batch_format="pandas")
+                      .map_batches(lambda df: _tag_int_bucket(
+                          df, "node", n_buckets),
+                          batch_format="pandas")
+                      .repartition(n_buckets)
+                      .materialize())
+    else:
+        if unassigned.count():
+            raise RuntimeError(
+                f"scc_labels: {unassigned.count()} nodes unassigned "
+                f"after {max_rounds} peel rounds — raise max_rounds")
+
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.union(a)
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("root")["node"].min()
+        return pd.DataFrame({
+            "node": g["node"].to_numpy("int64"),
+            "scc": g["root"].map(m).to_numpy("int64")})
+
+    return (out.map_batches(
+        lambda b: _tag_int_bucket(b.to_pandas(), "root", n_buckets),
+        batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(relabel, batch_format="pandas"))

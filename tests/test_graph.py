@@ -676,3 +676,96 @@ def test_label_propagation_matches_reference_loop():
            .to_pandas().sort_values("node"))
     got = dict(zip(out["node"], out["label"]))
     assert got == lab
+
+
+def _tarjan(pairs):
+    """Independent iterative Tarjan SCC; returns {node: min member}."""
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for u, v in pairs:
+        nodes |= {u, v}
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    return out
+
+
+def test_scc_labels_known_graph():
+    """Two 3-cycles joined by a one-way bridge + a tail: cycles are
+    separate SCCs, bridge/tail nodes are singletons."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import scc_labels
+    pairs = [(1, 2), (2, 3), (3, 1),          # cycle A
+             (3, 10),                          # one-way bridge
+             (10, 11), (11, 12), (12, 10),     # cycle B
+             (12, 20)]                         # tail
+    out = (scc_labels(rd.from_items(
+        [{"src": u, "dst": v} for u, v in pairs]), max_rounds=6,
+        max_hops=12).to_pandas().sort_values("node"))
+    got = dict(zip(out["node"], out["scc"]))
+    assert got == _tarjan(pairs)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == 20
+
+
+def test_scc_labels_random_functional_graph():
+    """Functional graph (every node 2 out-edges mod m) vs independent
+    Tarjan — exercises multi-SCC peeling and rho-shaped tails; also
+    negative node ids (the signed-encoding convention)."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import scc_labels
+    m = 29
+    pairs = sorted({(n, (3 * n + 7) % m) for n in range(m)}
+                   | {(n, (n + 13) % m) for n in range(m)})
+    # shift ids negative to prove sign-safety
+    pairs = [(u - 15, v - 15) for u, v in pairs]
+    out = (scc_labels(rd.from_items(
+        [{"src": u, "dst": v} for u, v in pairs]), max_rounds=8,
+        max_hops=30).to_pandas())
+    got = dict(zip(out["node"], out["scc"]))
+    assert got == _tarjan(pairs)
