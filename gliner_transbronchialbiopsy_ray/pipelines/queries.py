@@ -11163,6 +11163,69 @@ ORDER BY node
 """
 
 
+
+
+def q226_k_truss(sf_dir: str):
+    """Bounded-round k-truss peeling (stages/graph.py:k_truss_edges):
+    the 3-truss of the co-purchase graph (parts sharing an order,
+    every-15th part) after 2 peel rounds — each round drops edges in
+    < k-2 triangles and recounts support on the survivors (cascades).
+    Fixed-round semantics, so the oracle unrolls the rounds as
+    MATERIALIZED CTEs (the q127 discipline).  3 coarse exchanges per
+    round, wedge fan-out hub-capped upstream by the per-order pair
+    generation."""
+    from ..stages.graph import cooccurrence_edges, k_truss_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        # pc.remainder doesn't exist in this pyarrow — numpy modulo
+        return b.filter(pa.array(
+            b.column("l_partkey").to_numpy() % 15 == 0))
+
+    co = cooccurrence_edges(
+        li.map_batches(keep, batch_format="pyarrow"),
+        "l_orderkey", "l_partkey", min_count=1)
+    out = k_truss_edges(co, k=3, rounds=2).to_pandas().astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q226_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 15 = 0 AND l2.l_partkey % 15 = 0),
+t0 AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+s0 AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT u AS a, v AS b FROM t0
+    UNION ALL SELECT u, w FROM t0
+    UNION ALL SELECT v, w FROM t0) GROUP BY a, b),
+e1 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e0 e
+  JOIN s0 s ON s.a = e.a AND s.b = e.b WHERE s.sup >= 1),
+t1 AS MATERIALIZED (
+  SELECT x.a AS u, x.b AS v, y.b AS w
+  FROM e1 x JOIN e1 y ON y.a = x.a AND y.b > x.b
+  JOIN e1 z ON z.a = x.b AND z.b = y.b),
+s1 AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT u AS a, v AS b FROM t1
+    UNION ALL SELECT u, w FROM t1
+    UNION ALL SELECT v, w FROM t1) GROUP BY a, b),
+e2 AS (
+  SELECT e.a, e.b FROM e1 e
+  JOIN s1 s ON s.a = e.a AND s.b = e.b WHERE s.sup >= 1)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM e2
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11437,6 +11500,7 @@ QUERIES: dict[str, tuple] = {
     "q224_all_values_from_check": (q224_all_values_from_check, Q224_SQL),
     "q225_strongly_connected_components": (q225_strongly_connected_components,
                                            Q225_SQL),
+    "q226_k_truss": (q226_k_truss, Q226_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -2631,3 +2631,135 @@ def scc_labels(
         batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(relabel, batch_format="pandas"))
+
+
+def k_truss_edges(
+    edges: ray.data.Dataset,
+    k: int = 4,
+    rounds: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    max_degree: int | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Bounded-round k-truss peeling: each round drops every edge whose
+    triangle SUPPORT (triangles containing it) is < k-2, then supports
+    are recomputed on the survivors.  FIXED round count — the q127
+    k-core discipline: deterministic semantics both engines can state,
+    replayed by programmatically unrolled MATERIALIZED CTEs; run more
+    rounds for a deeper peel (fixpoint when a round stops changing).
+    Returns the surviving canonical (a < b) edge set, int64.
+
+    Shape per round, 3 coarse all-to-alls: (1) wedges generated
+    per-lower-endpoint in an a-keyed bucket exchange (adjacency sorted,
+    triu pair grid — `max_degree` caps hub wedge fan-out); (2) wedge
+    closure matched against the edge set on a hash(v,w)-keyed exchange;
+    (3) per-edge support folded on an edge-keyed exchange and filtered.
+    Edge set materialized every round (lazy-lineage rule); no driver
+    state."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def canon(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([src, dst]).to_pandas().drop_duplicates()
+        u = df[src].to_numpy("int64")
+        v = df[dst].to_numpy("int64")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return _tag_int_bucket(out, "a", n_buckets)
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+         .groupby("_bucket")
+         .map_groups(dedup_edges, batch_format="pandas")
+         .materialize())
+
+    def _pair_hash_bucket(df: pd.DataFrame, c1: str,
+                          c2: str) -> pd.DataFrame:
+        h = (df[c1].to_numpy("int64") * np.int64(1_000_003)
+             + df[c2].to_numpy("int64"))
+        df["_bucket"] = (np.abs(h) % n_buckets).astype("int32")
+        return df
+
+    for _ in range(rounds):
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            df = (g[["a", "b"]].drop_duplicates()
+                  .sort_values(["a", "b"], kind="stable"))
+            aa = df["a"].to_numpy("int64")
+            bb = df["b"].to_numpy("int64")
+            us, vs, ws = [], [], []
+            for s, t in _group_slices(aa):
+                d = int(t - s)
+                if d < 2 or (max_degree is not None and d > max_degree):
+                    continue
+                iu, ju = np.triu_indices(d, k=1)
+                us.append(np.full(len(iu), aa[s], dtype="int64"))
+                vs.append(bb[s:t][iu])
+                ws.append(bb[s:t][ju])
+            if not us:
+                return pd.DataFrame({c: pd.Series(dtype="int64")
+                                     for c in ("u", "v", "w", "kind",
+                                               "_bucket")})
+            out = pd.DataFrame({"u": np.concatenate(us),
+                                "v": np.concatenate(vs),
+                                "w": np.concatenate(ws)})
+            out["kind"] = np.int64(0)
+            return _pair_hash_bucket(out, "v", "w")
+
+        wedge_rows = (e.groupby("_bucket")
+                      .map_groups(wedges, batch_format="pandas")
+                      .materialize())  # q127 chained-exchange guard
+
+        def edge_marker(b: pa.Table) -> pd.DataFrame:
+            df = b.to_pandas()[["a", "b"]]
+            out = pd.DataFrame({"u": np.int64(0),
+                                "v": df["a"].to_numpy("int64"),
+                                "w": df["b"].to_numpy("int64"),
+                                "kind": np.int64(1)})
+            return _pair_hash_bucket(out, "v", "w")
+
+        def close(g: pd.DataFrame) -> pd.DataFrame:
+            """wedges whose (v, w) is an edge are triangles -> emit 3
+            per-edge support partials, pre-summed in the bucket."""
+            have = g[g["kind"] == 1][["v", "w"]].drop_duplicates()
+            wd = g[g["kind"] == 0]
+            if not (len(have) and len(wd)):
+                return pd.DataFrame({c: pd.Series(dtype="int64")
+                                     for c in ("a", "b", "sup")})
+            tri = wd.merge(have, on=["v", "w"])
+            sup = pd.concat([
+                tri[["u", "v"]].rename(columns={"u": "a", "v": "b"}),
+                tri[["u", "w"]].rename(columns={"u": "a", "w": "b"}),
+                tri[["v", "w"]].rename(columns={"v": "a", "w": "b"}),
+            ], ignore_index=True)
+            return (sup.groupby(["a", "b"], sort=False).size()
+                    .reset_index(name="sup"))
+
+        supports = (wedge_rows.union(
+            e.map_batches(edge_marker, batch_format="pyarrow"))
+            .groupby("_bucket")
+            .map_groups(close, batch_format="pandas")
+            .map_batches(lambda df: _pair_hash_bucket(df, "a", "b"),
+                         batch_format="pandas")
+            .materialize())
+
+        def keep(g: pd.DataFrame) -> pd.DataFrame:
+            agg = (g.groupby(["a", "b"], sort=False)["sup"].sum()
+                   .reset_index())
+            out = agg[agg["sup"] >= k - 2][["a", "b"]]
+            return _tag_int_bucket(out.copy(), "a", n_buckets)
+
+        e = (supports.groupby("_bucket")
+             .map_groups(keep, batch_format="pandas")
+             .repartition(n_buckets)
+             .materialize())
+
+    return e.map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow")

@@ -769,3 +769,54 @@ def test_scc_labels_random_functional_graph():
         max_hops=30).to_pandas())
     got = dict(zip(out["node"], out["scc"]))
     assert got == _tarjan(pairs)
+
+
+def _brute_truss(pairs, k, rounds):
+    e = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    for _ in range(rounds):
+        sup = {edge: 0 for edge in e}
+        nbrs = {}
+        for a, b in e:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for a, b in e:
+            common = nbrs[a] & nbrs[b]
+            sup[(a, b)] = len(common)
+        e = {edge for edge in e if sup[edge] >= k - 2}
+    return e
+
+
+def test_k_truss_known_graph():
+    """K4 + a hanging triangle + a wedge: k=4 keeps exactly the K4
+    (every K4 edge sits in 2 triangles); k=3 keeps both the K4 and the
+    triangle; the wedge always dies."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_truss_edges
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+             (4, 5), (5, 6), (4, 6),                            # triangle
+             (6, 7), (7, 8)]                                    # wedge
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    got4 = (k_truss_edges(ds, k=4, rounds=2).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert set(map(tuple, got4[["a", "b"]].to_numpy())) == \
+        _brute_truss(pairs, 4, 2)
+    assert set(map(tuple, got4[["a", "b"]].to_numpy())) == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    got3 = k_truss_edges(rd.from_items(
+        [{"a": a, "b": b} for a, b in pairs]), k=3, rounds=2).to_pandas()
+    assert set(map(tuple, got3[["a", "b"]].to_numpy())) == \
+        _brute_truss(pairs, 3, 2)
+
+
+def test_k_truss_cascade_matches_brute_force():
+    """Random graph, 3 rounds: cascading edge removal matches the
+    brute-force round-for-round reference."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import k_truss_edges
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 25, 140)
+    b = rng.randint(0, 25, 140)
+    pairs = sorted({(min(int(x), int(y)), max(int(x), int(y)))
+                    for x, y in zip(a, b) if x != y})
+    ds = rd.from_items([{"a": u, "b": v} for u, v in pairs])
+    got = k_truss_edges(ds, k=4, rounds=3).to_pandas()
+    assert set(map(tuple, got[["a", "b"]].to_numpy())) == \
+        _brute_truss(pairs, 4, 3)
