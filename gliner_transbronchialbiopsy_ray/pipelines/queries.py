@@ -11226,6 +11226,69 @@ ORDER BY a, b
 """
 
 
+def q227_shacl_range_length(sf_dir: str):
+    """SHACL value-range + string-length constraint kinds
+    (stages/shacl.py:_validate_frame): parts carry an integer `size`,
+    a string `pname` and (every 97th part) an UNPARSEABLE `sizetag`
+    ("sz-<n>").  sh:maxInclusive flags sizes > 40, sh:minLength flags
+    names shorter than 9 chars, sh:maxExclusive over the non-numeric
+    sizetag flags every carrier (the less_than unparseable rule), and
+    the two conforming checks (minExclusive 0, maxLength 12) contribute
+    nothing.  One subject-bucket exchange, vectorized in-bucket (the
+    q168 shape).  Oracle: three violation predicates as SQL filters."""
+    from ..stages.shacl import Shape, validate_shapes
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        sz = b.column("p_size").cast(pa.string())
+        tag = pc.binary_join_element_wise(
+            pa.array(["sz"] * b.num_rows), sz, "-")
+        mod = pa.array(b.column("p_partkey").to_numpy() % 97)
+        return b.append_column("tag", tag).append_column("mod", mod)
+
+    store = triplify_tables([
+        (part.map_batches(derive, batch_format="pyarrow"),
+         TripleMap(subject=node("part", "p_partkey"), mappings=[
+             ("type", const("Part")),
+             ("size", col("p_size")),
+             ("pname", col("p_name")),
+             ("sizetag", col("tag"), row_filter("mod", "==", 0)),
+         ])),
+    ])
+    out = validate_shapes(store, [Shape("PartShape", "Part", [
+        ("max_inclusive", "size", 40),
+        ("min_exclusive", "size", 0),        # conforms: no violations
+        ("max_exclusive", "sizetag", 100),   # unparseable -> violates
+        ("min_length", "pname", 9),
+        ("max_length", "pname", 12),         # conforms: no violations
+    ])]).to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q227_SQL = """
+SELECT * FROM (
+  SELECT 'part:' || p_partkey AS node, 'PartShape' AS shape,
+         'max_inclusive' AS "constraint", 'size' AS pred,
+         CAST(p_size AS VARCHAR) AS detail
+  FROM part WHERE p_size > 40
+  UNION ALL
+  SELECT 'part:' || p_partkey, 'PartShape', 'max_exclusive', 'sizetag',
+         'sz-' || p_size
+  FROM part WHERE p_partkey % 97 = 0
+  UNION ALL
+  SELECT 'part:' || p_partkey, 'PartShape', 'min_length', 'pname',
+         p_name
+  FROM part WHERE length(p_name) < 9
+)
+ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11501,6 +11564,7 @@ QUERIES: dict[str, tuple] = {
     "q225_strongly_connected_components": (q225_strongly_connected_components,
                                            Q225_SQL),
     "q226_k_truss": (q226_k_truss, Q226_SQL),
+    "q227_shacl_range_length": (q227_shacl_range_length, Q227_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

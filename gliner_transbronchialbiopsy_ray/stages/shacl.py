@@ -48,6 +48,18 @@ Constraints (all tuples, mirroring the declarative TripleMap style):
                                node convention is "prefix:..." strings,
                                so kind is decided by the `name:` prefix
                                heuristic
+    ("min_inclusive", pred, bound) / ("max_inclusive", pred, bound) /
+    ("min_exclusive", pred, bound) / ("max_exclusive", pred, bound)
+                             — every value of pred, parsed numerically,
+                               satisfies the bound (sh:minInclusive /
+                               sh:maxInclusive / sh:minExclusive /
+                               sh:maxExclusive); an unparseable value is
+                               itself a violation (the less_than rule);
+                               detail = the offending lexical form
+    ("min_length", pred, n) / ("max_length", pred, n)
+                             — the lexical form of every value of pred
+                               has len >= n / <= n (sh:minLength /
+                               sh:maxLength); detail = the value
     ("qualified", pred, inner, min_n, max_n)
                              — sh:qualifiedValueShape with
                                sh:qualifiedMinCount/MaxCount: the number
@@ -74,7 +86,13 @@ import ray.data
 
 _KINDS = {"min_count", "max_count", "in_set", "pattern", "class_ref",
           "datatype", "less_than", "has_value", "equals", "disjoint",
-          "node_kind", "closed", "qualified"}
+          "node_kind", "closed", "qualified",
+          "min_inclusive", "max_inclusive",
+          "min_exclusive", "max_exclusive",
+          "min_length", "max_length"}
+
+_RANGE_KINDS = {"min_inclusive", "max_inclusive",
+                "min_exclusive", "max_exclusive"}
 
 _QUALIFIED_INNER = {"in_set", "pattern", "datatype"}
 
@@ -114,6 +132,14 @@ class Shape:
                     c[2], (list, tuple, set, frozenset)):
                 raise ValueError(
                     "closed takes the collection of allowed predicates")
+            if c[0] in _RANGE_KINDS:
+                try:
+                    float(c[2])
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"{c[0]} bound must be numeric, got {c[2]!r}")
+            if c[0] in ("min_length", "max_length") and int(c[2]) < 0:
+                raise ValueError(f"{c[0]} must be >= 0")
             if c[0] == "qualified":
                 if len(c) != 5:
                     raise ValueError(
@@ -275,6 +301,37 @@ def _validate_frame(g: pd.DataFrame, shape_specs: list,
                         "shape": name, "constraint": kind,
                         "pred": pred,
                         "detail": bad.to_numpy().astype(str)}))
+            elif kind in _RANGE_KINDS:
+                if not len(rows):
+                    continue
+                v = pd.to_numeric(rows["o"], errors="coerce")
+                bound = float(c[2])
+                if kind == "min_inclusive":
+                    ok = v >= bound
+                elif kind == "max_inclusive":
+                    ok = v <= bound
+                elif kind == "min_exclusive":
+                    ok = v > bound
+                else:
+                    ok = v < bound
+                bad = rows[~ok.fillna(False)]   # NaN (unparseable) fails
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
+            elif kind in ("min_length", "max_length"):
+                if not len(rows):
+                    continue
+                n = int(c[2])
+                ln = rows["o"].astype(str).str.len()
+                ok = ln >= n if kind == "min_length" else ln <= n
+                bad = rows[~ok]
+                if len(bad):
+                    out.append(pd.DataFrame({
+                        "node": bad["s"].astype(str),
+                        "shape": name, "constraint": kind,
+                        "pred": pred, "detail": bad["o"]}))
             elif kind == "less_than":
                 other = mine[mine["p"] == str(c[2])]
                 if not (len(rows) and len(other)):

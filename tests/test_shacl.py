@@ -267,3 +267,62 @@ def test_qualified_spec_validation():
     with pytest.raises(ValueError, match="takes"):
         Shape("x", "C", [("qualified", "p", ("in_set", ["a"]))]
               ).validate_spec()
+
+
+def test_range_constraints_all_four_bounds():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("n1", "type", "C"), ("n2", "type", "C"), ("n3", "type", "C"),
+        ("n1", "v", "5"),        # conforms to all four below
+        ("n2", "v", "10"),       # violates max_inclusive 9 & max_exclusive 10
+        ("n3", "v", "oops"),     # unparseable -> violates every range check
+        ("n1", "w", "1"),        # violates min_exclusive 1
+        ("n2", "w", "0"),        # violates min_inclusive 1 too
+    ]])
+    shape = Shape("R", "C", [
+        ("min_inclusive", "v", 1),
+        ("max_inclusive", "v", 9),
+        ("min_exclusive", "w", 1),
+        ("max_exclusive", "v", 10),
+    ])
+    out = validate_shapes(store, [shape]).to_pandas()
+    got = sorted(map(tuple,
+                     out[["node", "constraint", "detail"]].to_numpy()))
+    assert got == [
+        ("n1", "min_exclusive", "1"),
+        ("n2", "max_exclusive", "10"),
+        ("n2", "max_inclusive", "10"),
+        ("n2", "min_exclusive", "0"),
+        ("n3", "max_exclusive", "oops"),
+        ("n3", "max_inclusive", "oops"),
+        ("n3", "min_inclusive", "oops"),
+    ]
+
+
+def test_length_constraints():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, validate_shapes)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("n1", "type", "C"), ("n2", "type", "C"),
+        ("n1", "name", "abc"),
+        ("n2", "name", "toolongvalue"),
+        ("n2", "name", "x"),
+    ]])
+    shape = Shape("L", "C", [
+        ("min_length", "name", 2),
+        ("max_length", "name", 8),
+    ])
+    out = validate_shapes(store, [shape]).to_pandas()
+    got = sorted(map(tuple,
+                     out[["node", "constraint", "detail"]].to_numpy()))
+    assert got == [("n2", "max_length", "toolongvalue"),
+                   ("n2", "min_length", "x")]
+
+
+def test_range_length_spec_validation():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import Shape
+    with pytest.raises(ValueError, match="numeric"):
+        Shape("x", "C", [("min_inclusive", "p", "abc")]).validate_spec()
+    with pytest.raises(ValueError, match=">= 0"):
+        Shape("x", "C", [("min_length", "p", -1)]).validate_spec()
