@@ -11289,6 +11289,70 @@ ORDER BY node, shape, "constraint", pred, detail
 """
 
 
+def q228_class_expressions(sf_dir: str):
+    """owl:intersectionOf / owl:unionOf entailment (stages/owl.py:
+    entail_class_expressions — OWL 2 RL cls-int1/int2/uni, single
+    application): customers are typed Big (acctbal > 5000), Mod3 /
+    Mod5 (key residue), or directly PremiumBig (every 11th key); the
+    ontology declares PremiumBig = intersectionOf(Big, Mod3) as a real
+    RDF collection (first/rest/nil cells) and AnyFlag =
+    unionOf(Big, Mod5).  Derived: Big∧Mod3 ⇒ PremiumBig (int1), direct
+    PremiumBig ⇒ Big + Mod3 (int2), Big∨Mod5 ⇒ AnyFlag (uni).  Lists
+    unroll via rdf_list_unroll; one crc32(x) exchange carries the
+    all-members check and the global distinct.  Oracle: the three
+    rules as SQL filters over the same typing predicates."""
+    from ..stages.owl import entail_class_expressions
+    from ..stages.triplify import (TripleMap, const, node, row_filter,
+                                   triplify_tables)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy()
+        return (b.append_column("m3", pa.array(k % 3))
+                .append_column("m5", pa.array(k % 5))
+                .append_column("m11", pa.array(k % 11)))
+
+    data = triplify_tables([
+        (cust.map_batches(derive, batch_format="pyarrow"),
+         TripleMap(subject=node("cust", "c_custkey"), mappings=[
+             ("a", const("Big"), row_filter("c_acctbal", ">", 5000)),
+             ("a", const("Mod3"), row_filter("m3", "==", 0)),
+             ("a", const("Mod5"), row_filter("m5", "==", 0)),
+             ("a", const("PremiumBig"), row_filter("m11", "==", 0)),
+         ])),
+    ])
+    onto = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("PremiumBig", "intersectionOf", "l1"),
+        ("l1", "first", "Big"), ("l1", "rest", "l2"),
+        ("l2", "first", "Mod3"), ("l2", "rest", "nil"),
+        ("AnyFlag", "unionOf", "l3"),
+        ("l3", "first", "Big"), ("l3", "rest", "l4"),
+        ("l4", "first", "Mod5"), ("l4", "rest", "nil"),
+    ]])
+    out = entail_class_expressions(
+        data.union(onto), type_pred="a").to_pandas()
+    out = out[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q228_SQL = """
+WITH big AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+m3 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+m5 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 5 = 0),
+pb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 11 = 0)
+SELECT DISTINCT * FROM (
+  SELECT 'cust:' || big.k AS s, 'a' AS p, 'PremiumBig' AS o
+  FROM big JOIN m3 ON m3.k = big.k
+  UNION ALL SELECT 'cust:' || k, 'a', 'Big' FROM pb
+  UNION ALL SELECT 'cust:' || k, 'a', 'Mod3' FROM pb
+  UNION ALL SELECT 'cust:' || k, 'a', 'AnyFlag' FROM big
+  UNION ALL SELECT 'cust:' || k, 'a', 'AnyFlag' FROM m5
+)
+ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11565,6 +11629,7 @@ QUERIES: dict[str, tuple] = {
                                            Q225_SQL),
     "q226_k_truss": (q226_k_truss, Q226_SQL),
     "q227_shacl_range_length": (q227_shacl_range_length, Q227_SQL),
+    "q228_class_expressions": (q228_class_expressions, Q228_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -30,6 +30,10 @@ and the data pass streams.
   other subject) instead of the pairwise clique — linear in group
   size; the equivalence classes are identical after
   `sameas.apply_sameas`'s connected-component closure.
+- `entail_class_expressions` — owl:intersectionOf / owl:unionOf
+  (cls-int1/int2/uni): member lists unrolled from the store's RDF
+  collections, rules shipped as merge frames; ONE coarse exchange for
+  the all-members check, row-local flat-maps for the rest.
 - `functional_violations` — owl:FunctionalProperty conformance check
   (prp-fp over literal-valued data properties, where deriving
   owl:sameAs between literals is nonsense and the correct output is a
@@ -624,3 +628,130 @@ def all_values_from_violations(
     return (cand.map_batches(tag_v_cand, batch_format="pandas")
             .union(vtypes).groupby("_bucket")
             .map_groups(anti, batch_format="pandas"))
+
+
+def entail_class_expressions(
+    store: ray.data.Dataset,
+    intersection_pred: str = "intersectionOf",
+    union_pred: str = "unionOf",
+    first_pred: str = "first",
+    rest_pred: str = "rest",
+    nil: str = "nil",
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:intersectionOf / owl:unionOf class-expression entailment
+    (OWL 2 RL cls-int1, cls-int2, cls-uni), declaration-driven and
+    SINGLE-APPLICATION (derived types do not feed back into the same
+    pass — recursive/nested expressions go through a saturate loop on
+    the caller's side, the bgp.saturate discipline):
+
+    - cls-int1: C intersectionOf (m1..mn), x typed EVERY mi
+                => (x, type, C)
+    - cls-int2: C intersectionOf (m1..mn), (x, type, C)
+                => (x, type, mi) for every mi
+    - cls-uni : C unionOf (m1..mn), (x, type, mi) for ANY mi
+                => (x, type, C)
+
+    The member lists are RDF collections in the store itself, unrolled
+    via kgprep.rdf_list_unroll and collected to the driver (ontology
+    lists are bounded — a schema property); the three rules then ship
+    as small merge frames.  cls-int2 and cls-uni are row-local
+    flat-maps; cls-int1 needs each x's full type set, so every derived
+    candidate routes through ONE crc32(x) coarse-bucket exchange where
+    the per-(x, C) distinct-member count is compared against n — the
+    same exchange deduplicates the two row-local rule outputs, so the
+    whole operator is one all-to-all.  Returns NEW (s, type, o)
+    triples only, distinct; callers union with the store."""
+    import zlib
+
+    from .kgprep import rdf_list_unroll
+
+    inter = dict(_declarations(store, p_col, intersection_pred,
+                               s_col, o_col))
+    union = dict(_declarations(store, p_col, union_pred, s_col, o_col))
+    if not (inter or union):
+        return _empty_store(s_col, p_col, o_col)
+
+    members = rdf_list_unroll(
+        store, first_pred=first_pred, rest_pred=rest_pred, nil=nil,
+        s_col=s_col, p_col=p_col, o_col=o_col).to_pandas()
+
+    def mlist(head: str) -> list[str]:
+        m = members[members["head"] == head].sort_values("idx")
+        return list(m["member"].astype(str))
+
+    # (C, member, n) rows for every intersection; (member, C) for unions
+    irows = [(c, m, len(mlist(h))) for c, h in sorted(inter.items())
+             for m in mlist(h)]
+    urows = [(m, c) for c, h in sorted(union.items()) for m in mlist(h)]
+    idecl = pd.DataFrame(irows, columns=["C", "m", "n"]) if irows else \
+        pd.DataFrame({"C": [], "m": [], "n": []})
+    udecl = pd.DataFrame(urows, columns=["m", "C"]) if urows else \
+        pd.DataFrame({"m": [], "C": []})
+    imembers = frozenset(idecl["m"])
+    iclasses = frozenset(idecl["C"])
+    umembers = frozenset(udecl["m"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": b.column(s_col).cast(pa.string()).to_pandas(),
+            "p": b.column(p_col).cast(pa.string()).to_pandas(),
+            "o": b.column(o_col).cast(pa.string()).to_pandas()})
+        t = df[df["p"] == type_pred]
+        parts = []
+        # cls-int1 candidates: (x, C, witness member, n), kind 0
+        c1 = t[t["o"].isin(imembers)]
+        if len(c1):
+            m = c1.merge(idecl, left_on="o", right_on="m")
+            parts.append(pd.DataFrame({
+                "x": m["s"], "newc": m["C"], "w": m["m"],
+                "n": m["n"].astype("int64"), "kind": np.int64(0)}))
+        # cls-int2: direct members of an asserted intersection, kind 1
+        c2 = t[t["o"].isin(iclasses)]
+        if len(c2):
+            m = c2.merge(idecl, left_on="o", right_on="C")
+            parts.append(pd.DataFrame({
+                "x": m["s"], "newc": m["m"], "w": "",
+                "n": np.int64(0), "kind": np.int64(1)}))
+        # cls-uni, kind 1
+        c3 = t[t["o"].isin(umembers)]
+        if len(c3):
+            m = c3.merge(udecl, left_on="o", right_on="m")
+            parts.append(pd.DataFrame({
+                "x": m["s"], "newc": m["C"], "w": "",
+                "n": np.int64(0), "kind": np.int64(1)}))
+        if not parts:
+            return pd.DataFrame({
+                "x": pd.Series(dtype=str),
+                "newc": pd.Series(dtype=str),
+                "w": pd.Series(dtype=str),
+                "n": pd.Series(dtype="int64"),
+                "kind": pd.Series(dtype="int64"),
+                "_bucket": pd.Series(dtype="int32")})
+        rows = pd.concat(parts, ignore_index=True)
+        rows["_bucket"] = rows["x"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+        return rows
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        direct = g[g["kind"] == 1][["x", "newc"]]
+        cand = g[g["kind"] == 0].drop_duplicates(["x", "newc", "w"])
+        if len(cand):
+            cnt = (cand.groupby(["x", "newc", "n"], sort=False)["w"]
+                   .nunique().reset_index(name="_got"))
+            full = cnt[cnt["_got"] == cnt["n"]][["x", "newc"]]
+        else:
+            full = direct.iloc[0:0]
+        out = (pd.concat([direct, full], ignore_index=True)
+               .drop_duplicates())
+        return pd.DataFrame({s_col: out["x"].astype(str),
+                             p_col: type_pred,
+                             o_col: out["newc"].astype(str)})
+
+    return (store.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas"))

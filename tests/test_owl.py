@@ -259,3 +259,58 @@ def test_all_values_from_violations():
     e = all_values_from_violations(rd.from_items(
         [{"s": "x", "p": "q", "o": "y"}]))
     assert e.count() == 0
+
+
+def test_class_expressions_int1_int2_uni():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_class_expressions)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        # ontology: I = intersectionOf(A, B, C); U = unionOf(B, D)
+        ("I", "intersectionOf", "l1"),
+        ("l1", "first", "A"), ("l1", "rest", "l2"),
+        ("l2", "first", "B"), ("l2", "rest", "l3"),
+        ("l3", "first", "C"), ("l3", "rest", "nil"),
+        ("U", "unionOf", "u1"),
+        ("u1", "first", "B"), ("u1", "rest", "u2"),
+        ("u2", "first", "D"), ("u2", "rest", "nil"),
+        # x1 typed all three members -> int1 derives I
+        ("x1", "a", "A"), ("x1", "a", "B"), ("x1", "a", "C"),
+        # x2 misses C -> nothing from int1; B gives AnyFlag-style U
+        ("x2", "a", "A"), ("x2", "a", "B"),
+        # x3 directly typed I -> int2 derives A, B, C
+        ("x3", "a", "I"),
+        # x4 typed D -> uni derives U
+        ("x4", "a", "D"),
+    ]])
+    out = entail_class_expressions(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "o"]].to_numpy()))
+    assert got == [
+        ("x1", "I"), ("x1", "U"),   # int1 + uni (via B)
+        ("x2", "U"),                # uni only
+        ("x3", "A"), ("x3", "B"), ("x3", "C"),   # int2
+        ("x4", "U"),
+    ]
+    assert set(out["p"]) == {"a"}
+
+
+def test_class_expressions_single_application_no_fixpoint():
+    """int2-derived members do NOT feed uni in the same pass."""
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_class_expressions)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("I", "intersectionOf", "l1"),
+        ("l1", "first", "A"), ("l1", "rest", "nil"),
+        ("U", "unionOf", "u1"),
+        ("u1", "first", "A"), ("u1", "rest", "nil"),
+        ("x", "a", "I"),     # int2 derives (x a A); uni must NOT fire
+    ]])
+    out = entail_class_expressions(store).to_pandas()
+    assert sorted(map(tuple, out[["s", "o"]].to_numpy())) == [("x", "A")]
+
+
+def test_class_expressions_empty_declarations():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        entail_class_expressions)
+    e = entail_class_expressions(rd.from_items(
+        [{"s": "x", "p": "a", "o": "A"}]))
+    assert e.count() == 0
