@@ -11353,6 +11353,76 @@ ORDER BY s, p, o
 """
 
 
+def q229_widest_path(sf_dir: str):
+    """Bounded-hop widest (max-min bottleneck) path (stages/graph.py:
+    k_hop_widest_path — k_hop_min_cost's tropical dual): over the
+    undirected supplier<->part graph with edge capacity = l_quantity
+    (integral 1..50; parallel edges collapse to their max under the
+    monotone min-fold), the maximum bottleneck width reachable from
+    supplier 0 within 4 hops.  Suppliers ride the -(s+1) signed
+    encoding (0-based-key collision rule); seeds report the 2^62
+    sentinel.  Oracle: 4 unrolled MATERIALIZED relaxation CTEs with
+    LEAST/MAX (the q120/q197 discipline)."""
+    from ..stages.graph import k_hop_widest_path
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_quantity"])
+
+    def both(b: pa.Table) -> pa.Table:
+        u = -(b.column("l_suppkey").to_numpy() + 1)
+        v = b.column("l_partkey").to_numpy()
+        cap = b.column("l_quantity").to_numpy().astype("int64")
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]).astype("int64")),
+            "dst": pa.array(np.concatenate([v, u]).astype("int64")),
+            "cap": pa.array(np.concatenate([cap, cap]))})
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    seeds = rd.from_items([{"node": -1}])
+    out = k_hop_widest_path(edges, seeds, k=4).to_pandas().astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q229_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT u, v, MAX(cap) AS cap FROM (
+    SELECT -(l_suppkey + 1) AS u, l_partkey AS v,
+           CAST(l_quantity AS BIGINT) AS cap FROM lineitem
+    UNION ALL
+    SELECT l_partkey, -(l_suppkey + 1), CAST(l_quantity AS BIGINT)
+    FROM lineitem
+  ) GROUP BY u, v),
+w0 AS MATERIALIZED (
+  SELECT CAST(-1 AS BIGINT) AS node,
+         CAST(4611686018427387904 AS BIGINT) AS width),
+w1 AS MATERIALIZED (
+  SELECT node, MAX(width) AS width FROM (
+    SELECT node, width FROM w0
+    UNION ALL
+    SELECT e.v, LEAST(w.width, e.cap) FROM w0 w JOIN e ON e.u = w.node
+  ) GROUP BY node),
+w2 AS MATERIALIZED (
+  SELECT node, MAX(width) AS width FROM (
+    SELECT node, width FROM w1
+    UNION ALL
+    SELECT e.v, LEAST(w.width, e.cap) FROM w1 w JOIN e ON e.u = w.node
+  ) GROUP BY node),
+w3 AS MATERIALIZED (
+  SELECT node, MAX(width) AS width FROM (
+    SELECT node, width FROM w2
+    UNION ALL
+    SELECT e.v, LEAST(w.width, e.cap) FROM w2 w JOIN e ON e.u = w.node
+  ) GROUP BY node),
+w4 AS MATERIALIZED (
+  SELECT node, MAX(width) AS width FROM (
+    SELECT node, width FROM w3
+    UNION ALL
+    SELECT e.v, LEAST(w.width, e.cap) FROM w3 w JOIN e ON e.u = w.node
+  ) GROUP BY node)
+SELECT node, width FROM w4 ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11630,6 +11700,7 @@ QUERIES: dict[str, tuple] = {
     "q226_k_truss": (q226_k_truss, Q226_SQL),
     "q227_shacl_range_length": (q227_shacl_range_length, Q227_SQL),
     "q228_class_expressions": (q228_class_expressions, Q228_SQL),
+    "q229_widest_path": (q229_widest_path, Q229_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -2763,3 +2763,88 @@ def k_truss_edges(
 
     return e.map_batches(
         lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+
+
+def k_hop_widest_path(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    capacity: str = "cap",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-hop WIDEST-path (max-min bottleneck): (node, width) =
+    the maximum over <= k-edge paths from any seed of the path's
+    MINIMUM edge capacity — k_hop_min_cost's tropical dual ((max, min)
+    replacing (min, +); same semi-naive discipline: only nodes whose
+    width IMPROVED last round join the edge table next round).
+
+    Per hop ONE native hash join relaxes the frontier's out-edges to
+    min(width(u), cap(u, v)) candidates, then one union + grouped-MAX
+    fold computes the new best per node and detects improvement in the
+    same pass (prior rows carry old = width, candidates old = -1;
+    width > old <=> improved).  Seeds report the BIG sentinel (2**62 —
+    an unconstrained source); capacities must be positive int64 so the
+    sentinel dominates every real edge.  State is narrow (node, width)
+    rows, materialized per hop; nothing is broadcast or collected."""
+    from ray.data.aggregate import Max
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    BIG = np.int64(2**62)
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas())
+        w = np.full(len(ids), BIG, "int64")
+        return pa.table({"node": pa.array(ids.astype("int64")),
+                         "width": pa.array(w), "old": pa.array(w)})
+
+    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.groupby("node").aggregate(
+            Max("width", alias_name="width"),
+            Max("old", alias_name="old"))
+
+    best = _fold(
+        seeds.map_batches(as_seed, batch_format="pyarrow")).materialize()
+    frontier = best
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst, capacity]), num_partitions
+    ).materialize()
+
+    for hop in range(k):
+        expand = coalesce_for_join(
+            frontier.select_columns(["node", "width"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            w = np.minimum(
+                batch.column("width").to_numpy(),
+                batch.column(capacity).to_numpy().astype("int64"))
+            return pa.table({
+                "node": batch.column(dst).cast(pa.int64()),
+                "width": pa.array(w.astype("int64")),
+                "old": pa.array(np.full(len(w), np.int64(-1), "int64")),
+            })
+
+        cand = expand.map_batches(relax, batch_format="pyarrow")
+        prior = best.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "width": b.column("width"),
+                                "old": b.column("width")}),
+            batch_format="pyarrow")
+        best = _fold(prior.union(cand)).materialize()
+        if hop == k - 1:
+            break
+        frontier = best.map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("width"), b.column("old"))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return best.select_columns(["node", "width"])

@@ -820,3 +820,51 @@ def test_k_truss_cascade_matches_brute_force():
     got = k_truss_edges(ds, k=4, rounds=3).to_pandas()
     assert set(map(tuple, got[["a", "b"]].to_numpy())) == \
         _brute_truss(pairs, 4, 3)
+
+
+def _brute_widest(edges, seeds, k):
+    """(node, width) best max-min bottleneck within k hops."""
+    BIG = 2**62
+    best = {s: BIG for s in seeds}
+    adj = {}
+    for u, v, c in edges:
+        adj.setdefault(u, []).append((v, c))
+    for _ in range(k):
+        new = dict(best)
+        for u, w in best.items():
+            for v, c in adj.get(u, []):
+                cand = min(w, c)
+                if cand > new.get(v, -1):
+                    new[v] = cand
+        best = new
+    return best
+
+
+def test_widest_path_matches_brute_force():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_widest_path)
+    rng = np.random.RandomState(7)
+    edges = [(int(u), int(v), int(c)) for u, v, c in zip(
+        rng.randint(0, 20, 120), rng.randint(0, 20, 120),
+        rng.randint(1, 50, 120)) if u != v]
+    ds = rd.from_items([{"src": u, "dst": v, "cap": c}
+                        for u, v, c in edges])
+    seeds = rd.from_items([{"node": 0}, {"node": 13}])
+    out = k_hop_widest_path(ds, seeds, k=3).to_pandas()
+    got = dict(zip(out["node"], out["width"]))
+    assert got == _brute_widest(edges, [0, 13], 3)
+    assert got[0] == 2**62    # seed sentinel
+
+
+def test_widest_path_parallel_edges_take_max():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_widest_path)
+    ds = rd.from_items([
+        {"src": 0, "dst": 1, "cap": 3},
+        {"src": 0, "dst": 1, "cap": 9},     # parallel edge dominates
+        {"src": 1, "dst": 2, "cap": 5},
+    ])
+    out = k_hop_widest_path(
+        ds, rd.from_items([{"node": 0}]), k=2).to_pandas()
+    got = dict(zip(out["node"], out["width"]))
+    assert got[1] == 9 and got[2] == 5
