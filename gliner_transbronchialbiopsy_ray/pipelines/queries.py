@@ -11423,6 +11423,79 @@ SELECT node, width FROM w4 ORDER BY node
 """
 
 
+def q230_double_sweep_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound (stages/graph.py:
+    double_sweep_diameter): over the every-10th-part co-purchase graph
+    (undirected), BFS from part 0 picks the farthest node (max hops,
+    min id tie-break), a second BFS from it reports the bound — two
+    k_hop_reachability sweeps, farthest-node selection as per-block
+    1-row partials + an O(blocks) driver fold.  k=6 bounds both
+    sweeps; the oracle unrolls 2x6 BFS min-folds as MATERIALIZED CTEs
+    with the same ORDER BY hops DESC, node ASC LIMIT 1 selection."""
+    from ..stages.graph import cooccurrence_edges, double_sweep_diameter
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b.column("l_partkey").to_numpy() % 10 == 0))
+
+    co = cooccurrence_edges(
+        li.map_batches(keep, batch_format="pyarrow"),
+        "l_orderkey", "l_partkey", min_count=1)
+
+    def both(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        c = b.column("b").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([a, c]).astype("int64")),
+            "dst": pa.array(np.concatenate([c, a]).astype("int64"))})
+
+    edges = co.map_batches(both, batch_format="pyarrow")
+    out = double_sweep_diameter(edges, start=0, k=6).to_pandas()
+    return out.astype("int64").reset_index(drop=True)
+
+
+def _q230_sql() -> str:
+    def bfs(prefix: str, rounds: int) -> str:
+        parts = []
+        for i in range(1, rounds + 1):
+            parts.append(f"""{prefix}{i} AS MATERIALIZED (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM {prefix}{i-1}
+    UNION ALL
+    SELECT e.v, w.hops + 1 FROM {prefix}{i-1} w JOIN e ON e.u = w.node
+  ) GROUP BY node)""")
+        return ",\n".join(parts)
+
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 10 = 0 AND l2.l_partkey % 10 = 0),
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+a0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops),
+{bfs('a', 6)},
+f1 AS MATERIALIZED (
+  SELECT node, hops FROM a6 ORDER BY hops DESC, node ASC LIMIT 1),
+b0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS hops FROM f1),
+{bfs('b', 6)},
+f2 AS MATERIALIZED (
+  SELECT node, hops FROM b6 ORDER BY hops DESC, node ASC LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS start, f1.node AS far_node,
+       f1.hops AS ecc_start, f2.hops AS diameter_lb
+FROM f1, f2
+"""
+
+
+Q230_SQL = _q230_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11701,6 +11774,7 @@ QUERIES: dict[str, tuple] = {
     "q227_shacl_range_length": (q227_shacl_range_length, Q227_SQL),
     "q228_class_expressions": (q228_class_expressions, Q228_SQL),
     "q229_widest_path": (q229_widest_path, Q229_SQL),
+    "q230_double_sweep_diameter": (q230_double_sweep_diameter, Q230_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -2848,3 +2848,55 @@ def k_hop_widest_path(
         if frontier.count() == 0:
             break
     return best.select_columns(["node", "width"])
+
+
+def double_sweep_diameter(
+    edges: ray.data.Dataset,
+    start: int,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Double-sweep diameter LOWER BOUND (Magnien/Latapy/Habib 2009):
+    bounded-k BFS from `start` picks the farthest reached node u
+    (max hops, min node id on ties — deterministic), a second bounded
+    BFS from u reports its eccentricity — the classic cheap diameter
+    bound that is exact on trees and near-exact on small-world graphs.
+
+    Two k_hop_reachability sweeps (k exchange rounds each); the
+    farthest-node selection is a per-block 1-row partial + a driver
+    fold over O(blocks) rows — never a full sort.  Directed edges; pass
+    both orientations for the undirected reading.  Returns ONE row
+    (start, far_node, ecc_start, diameter_lb) — all int64, where
+    diameter_lb = ecc(far_node) within k hops."""
+    def _farthest(visited: ray.data.Dataset) -> tuple[int, int]:
+        def part(b: pa.Table) -> pa.Table:
+            h = b.column("hops").to_numpy()
+            n = b.column("node").to_numpy()
+            if len(h) == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "hops": pa.array([], type=pa.int64())})
+            mx = h.max()
+            sel = n[h == mx].min()
+            return pa.table({"node": pa.array([sel], type=pa.int64()),
+                             "hops": pa.array([int(mx)],
+                                              type=pa.int64())})
+        rows = visited.map_batches(part, batch_format="pyarrow").take_all()
+        best = max(((int(r["hops"]), -int(r["node"])) for r in rows),
+                   default=(0, -start))
+        return -best[1], best[0]
+
+    d1 = k_hop_reachability(
+        edges, ray.data.from_items([{"node": int(start)}]), k,
+        src=src, dst=dst, num_partitions=num_partitions)
+    u, ecc_start = _farthest(d1)
+    d2 = k_hop_reachability(
+        edges, ray.data.from_items([{"node": int(u)}]), k,
+        src=src, dst=dst, num_partitions=num_partitions)
+    _, diameter_lb = _farthest(d2)
+    return ray.data.from_arrow(pa.table({
+        "start": pa.array([int(start)], type=pa.int64()),
+        "far_node": pa.array([int(u)], type=pa.int64()),
+        "ecc_start": pa.array([int(ecc_start)], type=pa.int64()),
+        "diameter_lb": pa.array([int(diameter_lb)], type=pa.int64())}))

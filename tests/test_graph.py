@@ -868,3 +868,30 @@ def test_widest_path_parallel_edges_take_max():
         ds, rd.from_items([{"node": 0}]), k=2).to_pandas()
     got = dict(zip(out["node"], out["width"]))
     assert got[1] == 9 and got[2] == 5
+
+
+def test_double_sweep_diameter_on_path_graph():
+    """Path 0-1-2-3-4 plus a branch at 2: sweep from 0 reaches 4
+    (hops 4, beats branch tie by distance); sweep back from 4 gives
+    the true diameter 4 (double sweep is exact on trees)."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        double_sweep_diameter)
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9)]
+    ds = rd.from_items(
+        [{"src": u, "dst": v} for a, b in und for u, v in ((a, b), (b, a))])
+    out = double_sweep_diameter(ds, start=0, k=6).to_pandas()
+    row = out.iloc[0]
+    assert row["far_node"] == 4 and row["ecc_start"] == 4
+    assert row["diameter_lb"] == 4
+
+
+def test_double_sweep_tie_break_min_node():
+    """Two nodes at max distance: the smaller id seeds sweep 2."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        double_sweep_diameter)
+    und = [(0, 5), (0, 3)]   # 3 and 5 both at hops 1
+    ds = rd.from_items(
+        [{"src": u, "dst": v} for a, b in und for u, v in ((a, b), (b, a))])
+    out = double_sweep_diameter(ds, start=0, k=3).to_pandas()
+    row = out.iloc[0]
+    assert row["far_node"] == 3 and row["diameter_lb"] == 2
