@@ -11496,6 +11496,90 @@ FROM f1, f2
 Q230_SQL = _q230_sql()
 
 
+def q231_bipartite_components(sf_dir: str):
+    """Per-component bipartiteness / odd-cycle census (stages/graph.py:
+    bipartite_components): over the every-20th-part co-purchase graph,
+    min-label components + one multi-seed parity BFS from the
+    component representatives + the same-parity-edge witness count.
+    rounds=12 bounds both fixpoints; the oracle replays the identical
+    bounded trajectory (12 unrolled label-propagation CTEs, 12 BFS
+    min-folds, the parity self-join) so the results coincide even on
+    adversarial deep components.  Output: (component, n_nodes,
+    odd_edges, is_bipartite), int64."""
+    from ..stages.graph import bipartite_components, cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b.column("l_partkey").to_numpy() % 20 == 0))
+
+    co = cooccurrence_edges(
+        li.map_batches(keep, batch_format="pyarrow"),
+        "l_orderkey", "l_partkey", min_count=1)
+    out = bipartite_components(co, rounds=12).to_pandas().astype("int64")
+    return out.sort_values("component").reset_index(drop=True)
+
+
+def _q231_sql() -> str:
+    cc = []
+    for i in range(1, 13):
+        cc.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    SELECT node, lab FROM l{i-1}
+    UNION ALL
+    SELECT e.u, l.lab FROM l{i-1} l JOIN e ON e.v = l.node
+  ) GROUP BY node)""")
+    bfs = []
+    for i in range(1, 13):
+        bfs.append(f"""h{i} AS MATERIALIZED (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM h{i-1}
+    UNION ALL
+    SELECT e.u, h.hops + 1 FROM h{i-1} h JOIN e ON e.v = h.node
+  ) GROUP BY node)""")
+    cc_sql = ",\n".join(cc)
+    bfs_sql = ",\n".join(bfs)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 20 = 0 AND l2.l_partkey % 20 = 0),
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+l0 AS MATERIALIZED (
+  SELECT u AS node, u AS lab FROM (
+    SELECT DISTINCT u FROM e)),
+{cc_sql},
+h0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS hops FROM l12 WHERE node = lab),
+{bfs_sql},
+par AS MATERIALIZED (SELECT node, hops % 2 AS par FROM h12),
+wit AS MATERIALIZED (
+  SELECT DISTINCT pr.a, pr.b FROM pr
+  JOIN par pa ON pa.node = pr.a
+  JOIN par pb ON pb.node = pr.b
+  WHERE pa.par = pb.par),
+sizes AS (
+  SELECT lab AS component, COUNT(*) AS n_nodes FROM l12 GROUP BY lab),
+wcnt AS (
+  SELECT l.lab AS component, COUNT(*) AS w
+  FROM wit JOIN l12 l ON l.node = wit.a GROUP BY l.lab)
+SELECT CAST(s.component AS BIGINT) AS component,
+       CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(w.w, 0) AS BIGINT) AS odd_edges,
+       CAST(CASE WHEN COALESCE(w.w, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_bipartite
+FROM sizes s LEFT JOIN wcnt w ON w.component = s.component
+ORDER BY component
+"""
+
+
+Q231_SQL = _q231_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11775,6 +11859,7 @@ QUERIES: dict[str, tuple] = {
     "q228_class_expressions": (q228_class_expressions, Q228_SQL),
     "q229_widest_path": (q229_widest_path, Q229_SQL),
     "q230_double_sweep_diameter": (q230_double_sweep_diameter, Q230_SQL),
+    "q231_bipartite_components": (q231_bipartite_components, Q231_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -2900,3 +2900,139 @@ def double_sweep_diameter(
         "far_node": pa.array([int(u)], type=pa.int64()),
         "ecc_start": pa.array([int(ecc_start)], type=pa.int64()),
         "diameter_lb": pa.array([int(diameter_lb)], type=pa.int64())}))
+
+
+def bipartite_components(
+    pairs: ray.data.Dataset,
+    rounds: int = 10,
+    a: str = "a",
+    b: str = "b",
+    num_partitions: int | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-component bipartiteness (odd-cycle) check over an
+    UNDIRECTED edge list: components via min-label propagation, a
+    parity BFS from each component's min-id representative (components
+    are disjoint, so ONE multi-seed k_hop_reachability sweep serves
+    them all), then every edge whose endpoints share a parity
+    witnesses an odd cycle.  `rounds` bounds both the label
+    propagation and the BFS — exact when rounds >= the largest
+    component diameter (the k-hop contract; BFS parity is only
+    meaningful at the fixpoint).
+
+    Returns one row per component: (component, n_nodes, odd_edges,
+    is_bipartite), odd_edges counting DISTINCT canonical witness
+    pairs, is_bipartite = 1 - min(1, odd_edges) — all int64.
+
+    Shape: the CC fixpoint + BFS rounds dominate (each one exchange
+    per round); the parity attach is two native hash joins over the
+    edge list, and component stats + witness counts meet on ONE
+    final comp-bucket exchange."""
+    from .dedup import connected_components
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def canon(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([a, b]).to_pandas()
+        u = df[a].to_numpy("int64")
+        v = df[b].to_numpy("int64")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"a": np.minimum(u, v),
+                             "b": np.maximum(u, v)}).drop_duplicates()
+
+    und = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+
+    comp = connected_components(
+        und, max_iterations=rounds, left_col="a", right_col="b",
+        distributed=True).materialize()     # (node, component)
+
+    reps = comp.map_batches(
+        lambda t: pa.table({"node": t.filter(
+            pc.equal(t.column("node"), t.column("component"))
+        ).column("node").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    both = und.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column("a").cast(pa.int64()).combine_chunks(),
+                t.column("b").cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column("b").cast(pa.int64()).combine_chunks(),
+                t.column("a").cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    hops = k_hop_reachability(both, reps, rounds,
+                              num_partitions=num_partitions)
+    par = hops.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "par": pa.array(t.column("hops").to_numpy() % 2)}),
+        batch_format="pyarrow").materialize()
+
+    j1 = coalesce_for_join(und, num_partitions).join(
+        coalesce_for_join(par, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=("a",), right_on=("node",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "par" else "par_a" for c in t.column_names]),
+        batch_format="pyarrow").materialize()
+    j2 = coalesce_for_join(j1, num_partitions).join(
+        coalesce_for_join(par, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=("b",), right_on=("node",))
+
+    def witness(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        w = df[df["par_a"] == df["par"]][["a", "b"]].drop_duplicates()
+        out = pd.DataFrame({"node": w["a"].astype("int64"),
+                            "b": w["b"].astype("int64")})
+        out["kind"] = np.int64(1)
+        return out
+
+    wit = j2.map_batches(witness, batch_format="pyarrow")
+    members = comp.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "b": t.column("component").cast(pa.int64()),
+            "kind": pa.array(np.zeros(t.num_rows, "int64"))}),
+        batch_format="pyarrow")
+
+    # witness rows need their component: reuse the node->label map by
+    # routing BOTH streams through one crc(node) bucket exchange, then
+    # a second tiny comp-bucket fold aggregates per component
+    def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        return _tag_int_bucket(df, "node", n_buckets)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 0][["node", "b"]].rename(
+            columns={"b": "component"})
+        w = g[g["kind"] == 1].merge(lab, on="node")
+        out = pd.concat([
+            lab[["component"]].assign(n=np.int64(1), w=np.int64(0)),
+            (w[["component"]].assign(n=np.int64(0), w=np.int64(1))
+             if len(w) else
+             pd.DataFrame({"component": pd.Series(dtype="int64"),
+                           "n": pd.Series(dtype="int64"),
+                           "w": pd.Series(dtype="int64")})),
+        ], ignore_index=True)
+        part = (out.groupby("component", sort=False)[["n", "w"]].sum()
+                .reset_index())
+        return _tag_int_bucket(part, "component", n_buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("component", sort=False)[["n", "w"]].sum()
+               .reset_index())
+        return pd.DataFrame({
+            "component": agg["component"].astype("int64"),
+            "n_nodes": agg["n"].astype("int64"),
+            "odd_edges": agg["w"].astype("int64"),
+            "is_bipartite": (agg["w"] == 0).astype("int64")})
+
+    return (wit.union(members)
+            .map_batches(tag_node, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(attach, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas"))

@@ -895,3 +895,40 @@ def test_double_sweep_tie_break_min_node():
     out = double_sweep_diameter(ds, start=0, k=3).to_pandas()
     row = out.iloc[0]
     assert row["far_node"] == 3 and row["diameter_lb"] == 2
+
+
+def test_bipartite_components_mixed():
+    """Even cycle (bipartite), odd cycle (not), and a path: per-component
+    verdicts with node counts and distinct witness edges."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        bipartite_components)
+    und = [
+        (0, 1), (1, 2), (2, 3), (3, 0),        # C4: bipartite
+        (10, 11), (11, 12), (12, 10),           # C3: odd cycle
+        (20, 21), (21, 22),                     # path: bipartite
+    ]
+    ds = rd.from_items([{"a": u, "b": v} for u, v in und])
+    out = (bipartite_components(ds, rounds=6).to_pandas()
+           .sort_values("component").reset_index(drop=True))
+    got = {int(r.component): (int(r.n_nodes), int(r.odd_edges),
+                              int(r.is_bipartite))
+           for r in out.itertuples()}
+    assert got[0] == (4, 0, 1)
+    assert got[20] == (3, 0, 1)
+    n_nodes, odd, flag = got[10]
+    assert n_nodes == 3 and flag == 0 and odd >= 1
+
+
+def test_bipartite_components_odd_even_join():
+    """Two triangles sharing a vertex: one component, not bipartite;
+    duplicate and reversed edges collapse."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        bipartite_components)
+    und = [(0, 1), (1, 2), (2, 0), (2, 0),      # dup edge
+           (2, 3), (3, 4), (4, 2), (2, 4)]      # reversed dup
+    ds = rd.from_items([{"a": u, "b": v} for u, v in und])
+    out = bipartite_components(ds, rounds=6).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.component), int(r.n_nodes), int(r.is_bipartite)) == \
+        (0, 5, 0)
