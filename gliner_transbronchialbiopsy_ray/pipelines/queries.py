@@ -11580,6 +11580,22 @@ ORDER BY component
 Q231_SQL = _q231_sql()
 
 
+def q232_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (stages/text_analysis.py:bpe_train,
+    Sennrich et al. 2016): learn the first 24 merge rules over the
+    documents corpus.  The corpus collapses into the word-frequency
+    table in ONE crc(word) exchange; each merge round runs over that
+    vocabulary table only (pair partials -> pair-bucket exchange ->
+    per-block top-1 -> O(blocks) driver fold -> broadcast regex merge)
+    — never a corpus rescan.  Deterministic (lexicographic tie-break),
+    no SQL oracle (iterative argmax); pinned by the golden value hash
+    and a single-process reference parity test (tests/test_bpe.py)."""
+    from ..stages.text_analysis import bpe_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, n_merges=24).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11860,6 +11876,7 @@ QUERIES: dict[str, tuple] = {
     "q229_widest_path": (q229_widest_path, Q229_SQL),
     "q230_double_sweep_diameter": (q230_double_sweep_diameter, Q230_SQL),
     "q231_bipartite_components": (q231_bipartite_components, Q231_SQL),
+    "q232_bpe_train": (q232_bpe_train, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

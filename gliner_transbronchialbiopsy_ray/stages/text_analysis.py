@@ -352,3 +352,133 @@ def compression_signal(
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_train(
+    docs: ray.data.Dataset,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016,
+    the open-vocabulary NMT tokenizer) — the tokenizer-TRAINING
+    operator of an LLM data pipeline.  The corpus is touched ONCE
+    (per-batch word Counters -> one crc(word) coarse exchange into the
+    word-frequency table); every merge round then runs over that
+    vocabulary table: per-batch adjacent-pair partial counts, one
+    small pair-bucket exchange, per-block top-1 candidates, an
+    O(blocks) driver fold picking the winner (max count, then
+    lexicographically smallest pair — fully deterministic), and a
+    broadcast regex merge applied to the symbol sequences.  N merges =
+    N vocabulary-sized exchanges, never a corpus rescan.
+
+    Words are \\w+ runs (lowercased by default); a word's symbol
+    sequence is its characters plus a terminal </w> marker,
+    space-joined (symbols never contain spaces, so the join is
+    unambiguous and the merge regex `(?<!\\S)l r(?!\\S)` replaces
+    non-overlapping occurrences left-to-right — the reference greedy).
+    Returns the bounded merge table (rank, left, right, n), int64 —
+    driver-side by contract (n_merges rows)."""
+    import re as _re
+    import zlib
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+
+    word_rx = _re.compile(r"\w+", _re.UNICODE)
+
+    def word_partials(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if not t:
+                continue
+            if lowercase:
+                t = t.lower()
+            c.update(word_rx.findall(t))
+        if not c:
+            return pd.DataFrame({"word": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64"),
+                                 "_bucket": pd.Series(dtype="int32")})
+        out = pd.DataFrame({"word": list(c.keys()),
+                            "n": np.fromiter(c.values(), "int64")})
+        out["_bucket"] = out["word"].map(
+            lambda w: zlib.crc32(w.encode()) % n_buckets).astype("int32")
+        return out
+
+    def fold_words(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("word", sort=False)["n"].sum().reset_index())
+        agg["seq"] = agg["word"].map(
+            lambda w: " ".join(list(w) + ["</w>"]))
+        return agg[["seq", "n"]]
+
+    vocab = (docs.map_batches(word_partials, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(fold_words, batch_format="pandas")
+             .materialize())
+
+    merges: list[tuple[str, str, int]] = []
+    for _rank in range(n_merges):
+        def pair_partials(batch: pa.Table) -> pd.DataFrame:
+            from collections import Counter
+            c: Counter = Counter()
+            seqs = batch.column("seq").to_pylist()
+            ns = batch.column("n").to_pylist()
+            for s, n in zip(seqs, ns):
+                syms = s.split(" ")
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += n
+            if not c:
+                return pd.DataFrame({
+                    "left": pd.Series(dtype=str),
+                    "right": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype="int64"),
+                    "_bucket": pd.Series(dtype="int32")})
+            lf = [k[0] for k in c.keys()]
+            rt = [k[1] for k in c.keys()]
+            out = pd.DataFrame({
+                "left": lf, "right": rt,
+                "cnt": np.fromiter(c.values(), "int64")})
+            out["_bucket"] = (out["left"] + "\x00" + out["right"]).map(
+                lambda k: zlib.crc32(k.encode()) % n_buckets
+            ).astype("int32")
+            return out
+
+        def top1(g: pd.DataFrame) -> pd.DataFrame:
+            agg = (g.groupby(["left", "right"], sort=False)["cnt"]
+                   .sum().reset_index())
+            # per-bucket winner: max count, lexicographic tie-break
+            agg = agg.sort_values(
+                ["cnt", "left", "right"],
+                ascending=[False, True, True], kind="stable")
+            return agg.head(1)
+
+        cands = (vocab.map_batches(pair_partials, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(top1, batch_format="pandas")
+                 .take_all())
+        if not cands:
+            break
+        best = sorted(
+            cands, key=lambda r: (-int(r["cnt"]), r["left"], r["right"])
+        )[0]
+        left, right, cnt = best["left"], best["right"], int(best["cnt"])
+        merges.append((left, right, cnt))
+        pat = _re.compile(
+            r"(?<!\S)" + _re.escape(left + " " + right) + r"(?!\S)")
+        merged = left + right
+
+        def apply_merge(batch: pa.Table, _p=pat, _m=merged) -> pa.Table:
+            seqs = [_p.sub(_m, s) for s in batch.column("seq").to_pylist()]
+            return pa.table({"seq": pa.array(seqs, type=pa.string()),
+                             "n": batch.column("n")})
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(merges)), dtype="int64"),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "n": pd.Series([m[2] for m in merges], dtype="int64")})
