@@ -11596,6 +11596,74 @@ def q232_bpe_train(sf_dir: str):
     return bpe_train(docs, n_merges=24).reset_index(drop=True)
 
 
+def q233_dred_deletion(sf_dir: str):
+    """DRed deletion maintenance (stages/bgp.py:saturate_decremental,
+    Gupta/Mumick/Subrahmanian 1993): the customer parent forest
+    (k -> k//3, k >= 1) is saturated with the linear ancestor rules,
+    then every 17th parent edge is RETRACTED and the closure
+    maintained in place — overdelete (semi-naive over the deletion
+    delta), prune, rederive (unrestricted first round, D-gated).
+    Output: the maintained store, equivalent to re-saturating the
+    surviving base — which is exactly what the oracle does with a
+    recursive CTE over the surviving edges."""
+    from ..stages.bgp import saturate, saturate_decremental
+    from ..stages.triplify import TripleMap, node, triplify_tables
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy()
+        keep = k >= 1
+        k = k[keep]
+        return pa.table({"k": pa.array(k),
+                         "pk": pa.array(k // 3),
+                         "m17": pa.array(k % 17)})
+
+    rows = cust.map_batches(derive, batch_format="pyarrow")
+    base = triplify_tables([
+        (rows, TripleMap(subject=node("c", "k"),
+                         mappings=[("parent", node("c", "pk"))])),
+    ])
+    rules = [
+        ([("?x", "parent", "?y")], ("?x", "anc", "?y")),
+        ([("?x", "parent", "?y"), ("?y", "anc", "?z")],
+         ("?x", "anc", "?z")),
+    ]
+    closed = saturate(base, rules, max_rounds=14, strategy="semi_naive",
+                      cast_nodes=False).materialize()
+    deleted = triplify_tables([
+        (rows.map_batches(
+            lambda b: b.filter(pc.equal(b.column("m17"), 0)),
+            batch_format="pyarrow"),
+         TripleMap(subject=node("c", "k"),
+                   mappings=[("parent", node("c", "pk"))])),
+    ])
+    out = saturate_decremental(closed, base, deleted, rules,
+                               max_rounds=14, cast_nodes=False
+                               ).to_pandas()
+    out = out[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q233_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT 'c:' || c_custkey AS s, 'c:' || (c_custkey // 3) AS o
+  FROM customer WHERE c_custkey >= 1 AND c_custkey % 17 != 0),
+anc AS (
+  WITH RECURSIVE a(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT e.s, a.o FROM e JOIN a ON a.s = e.o)
+  SELECT s, o FROM a)
+SELECT * FROM (
+  SELECT s, 'parent' AS p, o FROM e
+  UNION ALL
+  SELECT s, 'anc', o FROM anc
+)
+ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11877,6 +11945,7 @@ QUERIES: dict[str, tuple] = {
     "q230_double_sweep_diameter": (q230_double_sweep_diameter, Q230_SQL),
     "q231_bipartite_components": (q231_bipartite_components, Q231_SQL),
     "q232_bpe_train": (q232_bpe_train, None),
+    "q233_dred_deletion": (q233_dred_deletion, Q233_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -1448,3 +1448,174 @@ def saturate_stratified(
                 f"stratum {si} did not reach fixpoint within "
                 f"max_rounds={max_rounds}")
     return store
+
+
+def _flag_fold(sides: list[tuple[ray.data.Dataset, str]],
+               num_partitions: int) -> ray.data.Dataset:
+    """Multi-set-operation primitive: tag each side's (s, p, o) rows
+    with a named 0/1 flag, union, ONE groupby fold taking max of every
+    flag — duplicate-insensitive (no per-side pre-dedup needed), so
+    intersections / differences / conjunctions of any number of triple
+    sets cost exactly one exchange.  Output: (s, p, o, <flag>...)."""
+    names = [n for _, n in sides]
+    u = None
+    for ds, name in sides:
+        def tag(batch: pa.Table, _n=name) -> pd.DataFrame:
+            d = batch.select(["s", "p", "o"]).to_pandas()
+            for c in names:
+                d[c] = np.int64(1 if c == _n else 0)
+            return d
+        part = ds.map_batches(tag, batch_format="pyarrow")
+        u = part if u is None else u.union(part)
+    u = u.repartition(num_partitions)
+    folded = u.groupby(["s", "p", "o"]).max(names)
+    return folded.map_batches(
+        lambda b: b.rename_columns(["s", "p", "o"] + names),
+        batch_format="pyarrow")
+
+
+def saturate_decremental(
+    saturated_store: ray.data.Dataset,
+    base: ray.data.Dataset,
+    deleted: ray.data.Dataset,
+    rules: list[tuple],
+    max_rounds: int = 12,
+    num_partitions: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """DRed deletion maintenance (Gupta, Mumick & Subrahmanian, SIGMOD
+    1993): retract `deleted` base facts from a store ALREADY closed
+    under `rules` without recomputing the closure — the decremental
+    sibling of `saturate_incremental` (the full KG-maintenance pair).
+    Result is equivalent to `saturate(base - deleted)` (pinned by
+    test).  Three phases, each bounded by `max_rounds`:
+
+    1. OVERDELETE — semi-naive over the deletion delta: any head whose
+       body matches the ORIGINAL closed store with >= 1 atom in the
+       current delta joins the overdeleted set D (the standard
+       delta-rotation, one `apply_rule` per (rule, atom) variant per
+       round; new members = derived AND in-store AND not-in-D via one
+       `_flag_fold` exchange).
+    2. PRUNE — store⁻ = store \\ D in one fold.
+    3. REDERIVE — overdeleted facts with alternative support re-enter:
+       seed R = D ∩ (base \\ deleted) (still-asserted base facts); the
+       first round evaluates every rule UNRESTRICTED over store⁻ ∪ R
+       (an overdeleted fact may be wholly supported by surviving
+       facts), subsequent rounds are semi-naive over the re-admitted
+       delta; derived heads are admitted only if in D and not yet
+       present, until fixpoint.
+
+    Work tracks the CONSEQUENCES OF THE DELETION, not the store size —
+    the broadcast-leg contract of `saturate` applies to the delta
+    sides.  Base facts must be a subset of the closed store."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+    match_kwargs.setdefault("join_strategy", "broadcast")
+    match_kwargs.setdefault("materialize_input", False)
+
+    store = (saturated_store.select_columns(["s", "p", "o"])
+             .materialize())
+
+    # deletions actually present in the base (others are no-ops)
+    f = _flag_fold([(deleted, "_del"), (base, "_base")],
+                   num_partitions).materialize()
+    deleted0 = f.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b.column("_del"), 1),
+            pc.equal(b.column("_base"), 1))).select(["s", "p", "o"]),
+        batch_format="pyarrow").materialize()
+    base_rem = f.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b.column("_base"), 1),
+            pc.equal(b.column("_del"), 0))).select(["s", "p", "o"]),
+        batch_format="pyarrow").materialize()
+    if deleted0.count() == 0:
+        return store
+
+    # ---- phase 1: overdelete ------------------------------------------
+    D = deleted0
+    delta = deleted0
+    for _ in range(max_rounds):
+        derived = None
+        for body, head in rules:
+            for i in range(len(body)):
+                order, dpos = _delta_order(body, i)
+                new = apply_rule(store, order, head,
+                                 pattern_sources={dpos: delta},
+                                 final_distinct=False, **match_kwargs)
+                derived = new if derived is None else derived.union(new)
+        if derived is None:
+            break
+        f = _flag_fold([(derived, "_new"), (store, "_st"), (D, "_d")],
+                       num_partitions).materialize()
+        delta = f.map_batches(
+            lambda b: b.filter(pc.and_(pc.and_(
+                pc.equal(b.column("_new"), 1),
+                pc.equal(b.column("_st"), 1)),
+                pc.equal(b.column("_d"), 0))).select(["s", "p", "o"]),
+            batch_format="pyarrow").materialize()
+        if delta.count() == 0:
+            break
+        D = D.union(delta).materialize()
+
+    # ---- phase 2: prune ------------------------------------------------
+    f = _flag_fold([(store, "_st"), (D, "_d")], num_partitions
+                   ).materialize()
+    pruned = f.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b.column("_st"), 1),
+            pc.equal(b.column("_d"), 0))).select(["s", "p", "o"]),
+        batch_format="pyarrow").materialize()
+
+    # ---- phase 3: rederive ----------------------------------------------
+    # seed: overdeleted facts still asserted as base
+    f = _flag_fold([(D, "_d"), (base_rem, "_b")], num_partitions
+                   ).materialize()
+    seed = f.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b.column("_d"), 1),
+            pc.equal(b.column("_b"), 1))).select(["s", "p", "o"]),
+        batch_format="pyarrow").materialize()
+    cur = pruned.union(seed).materialize()
+    # first rederive round is a FULL evaluation over the pruned store
+    # (an overdeleted fact may be wholly supported by surviving facts,
+    # leaving no delta atom for the semi-naive variants to anchor on);
+    # only heads in D are candidates, so the admitted set stays small.
+    delta = None
+    for _ in range(max_rounds):
+        derived = None
+        if delta is None:        # round 1: unrestricted evaluation
+            for body, head in rules:
+                new = apply_rule(cur, body, head,
+                                 final_distinct=False, **match_kwargs)
+                derived = new if derived is None else derived.union(new)
+        else:
+            if delta.count() == 0:
+                break
+            for body, head in rules:
+                for i in range(len(body)):
+                    order, dpos = _delta_order(body, i)
+                    new = apply_rule(cur, order, head,
+                                     pattern_sources={dpos: delta},
+                                     final_distinct=False,
+                                     **match_kwargs)
+                    derived = (new if derived is None
+                               else derived.union(new))
+        if derived is None:
+            break
+        f = _flag_fold([(derived, "_new"), (D, "_d"), (cur, "_c")],
+                       num_partitions).materialize()
+        delta = f.map_batches(
+            lambda b: b.filter(pc.and_(pc.and_(
+                pc.equal(b.column("_new"), 1),
+                pc.equal(b.column("_d"), 1)),
+                pc.equal(b.column("_c"), 0))).select(["s", "p", "o"]),
+            batch_format="pyarrow").materialize()
+        if delta.count() == 0:
+            break
+        cur = cur.union(delta).materialize()
+    return cur

@@ -789,3 +789,73 @@ def test_stratified_negation_empty_and_round_budget():
     # enough rounds converges fine on the same program
     out = saturate_stratified(store, [closure], max_rounds=10)
     assert out.to_pandas()["p"].eq("reach").sum() == 15
+
+
+_ANC_RULES = [
+    ([("?x", "parent", "?y")], ("?x", "anc", "?y")),
+    ([("?x", "parent", "?y"), ("?y", "anc", "?z")],
+     ("?x", "anc", "?z")),
+]
+
+
+def _spo_set(ds):
+    df = ds.to_pandas()
+    return set(map(tuple, df[["s", "p", "o"]].astype(str).to_numpy()))
+
+
+def test_dred_matches_full_resaturation_random_graph():
+    """DRed deletion over a random parent graph == saturating the
+    remaining base from scratch."""
+    import numpy as np
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate, saturate_decremental)
+    rng = np.random.RandomState(3)
+    edges = sorted({(f"n{a}", f"n{b}") for a, b in zip(
+        rng.randint(0, 18, 40), rng.randint(0, 18, 40)) if a < b})
+    base = rd.from_items(
+        [{"s": s, "p": "parent", "o": o} for s, o in edges])
+    closed = saturate(base, _ANC_RULES, max_rounds=10,
+                      cast_nodes=False).materialize()
+    dele = [e for i, e in enumerate(edges) if i % 4 == 0]
+    deleted = rd.from_items(
+        [{"s": s, "p": "parent", "o": o} for s, o in dele])
+    kept = rd.from_items(
+        [{"s": s, "p": "parent", "o": o} for s, o in edges
+         if (s, o) not in set(dele)])
+    got = saturate_decremental(closed, base, deleted, _ANC_RULES,
+                               max_rounds=10, cast_nodes=False)
+    want = saturate(kept, _ANC_RULES, max_rounds=10, cast_nodes=False)
+    assert _spo_set(got) == _spo_set(want)
+
+
+def test_dred_rederives_alternative_support():
+    """anc(a,c) holds via a->b->c AND a->d->c; deleting a->b must keep
+    anc(a,c) (rederived through the surviving path) — the unrestricted
+    first rederive round."""
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate, saturate_decremental)
+    edges = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c")]
+    base = rd.from_items(
+        [{"s": s, "p": "parent", "o": o} for s, o in edges])
+    closed = saturate(base, _ANC_RULES, max_rounds=6,
+                      cast_nodes=False).materialize()
+    deleted = rd.from_items([{"s": "a", "p": "parent", "o": "b"}])
+    got = _spo_set(saturate_decremental(
+        closed, base, deleted, _ANC_RULES, max_rounds=6,
+        cast_nodes=False))
+    assert ("a", "anc", "c") in got          # alternative support
+    assert ("a", "anc", "b") not in got      # gone with the edge
+    assert ("a", "parent", "b") not in got
+    assert ("b", "anc", "c") in got          # untouched subtree
+
+
+def test_dred_noop_deletion_returns_store():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import (
+        saturate, saturate_decremental)
+    base = rd.from_items([{"s": "a", "p": "parent", "o": "b"}])
+    closed = saturate(base, _ANC_RULES, max_rounds=4,
+                      cast_nodes=False).materialize()
+    deleted = rd.from_items([{"s": "zz", "p": "parent", "o": "qq"}])
+    got = saturate_decremental(closed, base, deleted, _ANC_RULES,
+                               cast_nodes=False)
+    assert _spo_set(got) == _spo_set(closed)
