@@ -11664,6 +11664,37 @@ ORDER BY s, p, o
 """
 
 
+def q234_bpe_encode(sf_dir: str):
+    """BPE encode with the trained tokenizer (stages/text_analysis.py:
+    BpeEncoder — train q232's 24 merges, then tokenize the SAME corpus
+    in an actor pool: merge ranks ship once per actor via __init__, a
+    per-actor word->count memo exploits word repetition).  Output: the
+    per-token-count-bucket histogram (bucket of 50 tokens) plus total
+    tokens per bucket — a combiner-first fold.  No SQL oracle
+    (rank-ordered iterative merges); golden-pinned, with reference
+    apply-parity in tests/test_bpe.py."""
+    from ..stages.text_analysis import BpeEncoder, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_df = bpe_train(docs, n_merges=24)
+    merges = list(map(tuple, merges_df[["left", "right"]].to_numpy()))
+    enc = docs.map_batches(
+        BpeEncoder, fn_constructor_args=(merges,),
+        concurrency=2, batch_size=512, batch_format="pyarrow")
+    out = _preagg(
+        enc.map_batches(
+            lambda b: b.append_column(
+                "bucket", pa.array(
+                    b.column("n_bpe_tokens").to_numpy() // 50)),
+            batch_format="pyarrow"),
+        ["bucket"],
+        {"n_docs": ("n_bpe_tokens", "count"),
+         "total_tokens": ("n_bpe_tokens", "sum")})
+    out = out.astype({"bucket": "int64", "n_docs": "int64",
+                      "total_tokens": "int64"})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11946,6 +11977,7 @@ QUERIES: dict[str, tuple] = {
     "q231_bipartite_components": (q231_bipartite_components, Q231_SQL),
     "q232_bpe_train": (q232_bpe_train, None),
     "q233_dred_deletion": (q233_dred_deletion, Q233_SQL),
+    "q234_bpe_encode": (q234_bpe_encode, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

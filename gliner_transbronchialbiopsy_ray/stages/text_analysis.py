@@ -482,3 +482,58 @@ def bpe_train(
         "left": [m[0] for m in merges],
         "right": [m[1] for m in merges],
         "n": pd.Series([m[2] for m in merges], dtype="int64")})
+
+
+class BpeEncoder:
+    """Actor-pool BPE ENCODER (the apply side of `bpe_train`): the
+    learned merge table rides into each actor ONCE via __init__
+    (broadcast-by-construction — rank-ordered list, never re-shipped
+    per batch), and a per-actor word -> token-count memo exploits the
+    Zipfian corpus (most words repeat).  Per word, merges apply in
+    RANK order wherever the pair is adjacent — the reference greedy
+    (subword-nmt apply_bpe).  Emits n_bpe_tokens per row; pass to
+    map_batches(BpeEncoder, fn_constructor_args=(merges,),
+    concurrency=N, batch_format="pyarrow")."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", lowercase: bool = True,
+                 memo_cap: int = 500_000):
+        self.rank = {tuple(m[:2]): i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self.memo_cap = memo_cap
+        self.memo: dict[str, int] = {}
+        import re as _re
+        self.word_rx = _re.compile(r"\w+", _re.UNICODE)
+
+    def _encode_word(self, w: str) -> int:
+        n = self.memo.get(w)
+        if n is not None:
+            return n
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = self.rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        n = len(syms)
+        if len(self.memo) < self.memo_cap:
+            self.memo[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = []
+        for t in batch.column(self.text_col).to_pylist():
+            if not t:
+                counts.append(0)
+                continue
+            if self.lowercase:
+                t = t.lower()
+            counts.append(sum(self._encode_word(w)
+                              for w in self.word_rx.findall(t)))
+        return batch.append_column(
+            "n_bpe_tokens", pa.array(counts, type=pa.int64()))

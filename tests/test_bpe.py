@@ -69,3 +69,60 @@ def test_bpe_train_exhausts_pairs_early():
     got = bpe_train(docs, n_merges=50)
     # 'a b', 'ab </w>' -> only 2 merges possible
     assert len(got) == 2
+
+
+def _ref_encode(word, rank):
+    """subword-nmt apply_bpe: merge ALL occurrences of the lowest-rank
+    adjacent pair per step."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = sorted((rank[p], p) for p in pairs if p in rank)
+        if not ranked:
+            break
+        left, right = ranked[0][1]
+        out, i = [], 0
+        while i < len(syms):
+            if (i < len(syms) - 1 and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encoder_matches_reference_apply():
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        BpeEncoder, bpe_train)
+    train = ["low low low low low", "lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest"]
+    merges_df = bpe_train(
+        rd.from_items([{"text": t} for t in train]), n_merges=10)
+    merges = list(map(tuple, merges_df[["left", "right"]].to_numpy()))
+    rank = {m: i for i, m in enumerate(merges)}
+    test_texts = ["lowest newer wide low", "unknown tokens stay charwise"]
+    out = (rd.from_items([{"text": t} for t in test_texts])
+           .map_batches(BpeEncoder, fn_constructor_args=(merges,),
+                        concurrency=1, batch_format="pyarrow")
+           .to_pandas())
+    got = dict(zip(out["text"], out["n_bpe_tokens"]))
+    for t in test_texts:
+        want = sum(len(_ref_encode(w, rank))
+                   for w in re.findall(r"\w+", t.lower()))
+        assert got[t] == want
+
+
+def test_bpe_encoder_empty_and_memo():
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        BpeEncoder)
+    enc = BpeEncoder([("l", "o"), ("lo", "w")])
+    import pyarrow as pa
+    t = pa.table({"text": ["low low low", "", None]})
+    out = enc(t)
+    # 'low' -> ['low', '</w>'] = 2 tokens; memo hit on repeats
+    assert out.column("n_bpe_tokens").to_pylist() == [6, 0, 0]
+    assert enc.memo == {"low": 2}
