@@ -11695,6 +11695,75 @@ def q234_bpe_encode(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def q235_max_cardinality(sf_dir: str):
+    """owl:maxCardinality / maxQualifiedCardinality conformance
+    (stages/owl.py:max_cardinality_violations — cls-maxc2/cls-maxqc as
+    validation): LimitedBuyer (every 7th customer) may hold at most 2
+    DISTINCT urgent orders (qualified: onClass Urgent), CasualBuyer
+    (every 11th) at most 14 orders of any kind (unqualified).  Three
+    coarse exchanges: crc(u) typing x edge match, crc(v) onClass
+    semi-join for the qualified side only, crc(u, r) distinct-count
+    fold.  Oracle: two HAVING counts."""
+    from ..stages.owl import max_cardinality_violations
+    from ..stages.triplify import (TripleMap, const, node, row_filter,
+                                   triplify_tables)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey").to_numpy()
+        return (b.append_column("m7", pa.array(k % 7))
+                .append_column("m11", pa.array(k % 11)))
+
+    rows = orders.map_batches(derive, batch_format="pyarrow")
+    data = triplify_tables([
+        (rows, TripleMap(subject=node("cust", "o_custkey"), mappings=[
+            ("ordered", node("order", "o_orderkey")),
+            ("a", const("LimitedBuyer"), row_filter("m7", "==", 0)),
+            ("a", const("CasualBuyer"), row_filter("m11", "==", 0)),
+        ])),
+        (rows, TripleMap(subject=node("order", "o_orderkey"), mappings=[
+            ("a", const("Urgent"),
+             row_filter("o_orderpriority", "==", "1-URGENT")),
+        ])),
+    ])
+    onto = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("LimitedBuyer", "onProperty", "ordered"),
+        ("LimitedBuyer", "maxQualifiedCardinality", "2"),
+        ("LimitedBuyer", "onClass", "Urgent"),
+        ("CasualBuyer", "onProperty", "ordered"),
+        ("CasualBuyer", "maxCardinality", "14"),
+    ]])
+    out = max_cardinality_violations(data.union(onto)).to_pandas()
+    cols = ["node", "restriction", "pred", "n_values", "max_n"]
+    out = out[cols]
+    out[["node", "restriction", "pred"]] = \
+        out[["node", "restriction", "pred"]].astype(str)
+    out[["n_values", "max_n"]] = out[["n_values", "max_n"]].astype("int64")
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q235_SQL = """
+SELECT * FROM (
+  SELECT 'cust:' || o_custkey AS node, 'LimitedBuyer' AS restriction,
+         'ordered' AS pred,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_values,
+         CAST(2 AS BIGINT) AS max_n
+  FROM orders
+  WHERE o_custkey % 7 = 0 AND o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) > 2
+  UNION ALL
+  SELECT 'cust:' || o_custkey, 'CasualBuyer', 'ordered',
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), CAST(14 AS BIGINT)
+  FROM orders
+  WHERE o_custkey % 11 = 0
+  GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) > 14
+)
+ORDER BY node, restriction, pred, n_values, max_n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -11978,6 +12047,7 @@ QUERIES: dict[str, tuple] = {
     "q232_bpe_train": (q232_bpe_train, None),
     "q233_dred_deletion": (q233_dred_deletion, Q233_SQL),
     "q234_bpe_encode": (q234_bpe_encode, None),
+    "q235_max_cardinality": (q235_max_cardinality, Q235_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

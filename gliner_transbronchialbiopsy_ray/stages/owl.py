@@ -755,3 +755,166 @@ def entail_class_expressions(
     return (store.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def max_cardinality_violations(
+    store: ray.data.Dataset,
+    on_property_pred: str = "onProperty",
+    mqc_pred: str = "maxQualifiedCardinality",
+    mc_pred: str = "maxCardinality",
+    on_class_pred: str = "onClass",
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """owl:maxCardinality / owl:maxQualifiedCardinality as CONFORMANCE
+    checks (OWL 2 RL cls-maxc2 / cls-maxqc read as validation — the
+    functional_violations stance: deriving sameAs between the excess
+    values is rarely what a data pipeline wants; reporting them is).
+    A restriction r declared by (r, onProperty, p) + (r, maxCardinality
+    , n) is violated by every (u, type_pred, r) instance holding more
+    than n DISTINCT p-values; the qualified form (r,
+    maxQualifiedCardinality, n) + (r, onClass, c) counts only values
+    themselves typed c.  Returns (node, restriction, pred, n_values,
+    max_n) — one row per violating instance, n_values the offending
+    distinct count (int64).
+
+    Shape: declarations broadcast; crc32(u) exchange co-locates
+    instance typings with edges; qualified candidates take ONE extra
+    crc32(v) semi-join exchange against the onClass typings
+    (unqualified candidates ride through untouched); a final
+    crc32(u, r) fold counts distinct values.  Nothing but the ontology
+    lands on the driver."""
+    import zlib
+
+    on_p = dict(_declarations(store, p_col, on_property_pred,
+                              s_col, o_col))
+    mqc = dict(_declarations(store, p_col, mqc_pred, s_col, o_col))
+    mc = dict(_declarations(store, p_col, mc_pred, s_col, o_col))
+    on_c = dict(_declarations(store, p_col, on_class_pred, s_col, o_col))
+    rows = []
+    for r, n in sorted(mqc.items()):
+        if r in on_p and r in on_c:
+            rows.append((r, on_p[r], int(n), on_c[r]))
+    for r, n in sorted(mc.items()):
+        if r in on_p:
+            rows.append((r, on_p[r], int(n), ""))
+    empty = pd.DataFrame({
+        "node": pd.Series(dtype=str),
+        "restriction": pd.Series(dtype=str),
+        "pred": pd.Series(dtype=str),
+        "n_values": pd.Series(dtype="int64"),
+        "max_n": pd.Series(dtype="int64")})
+    if not rows:
+        return ray.data.from_arrow(pa.Table.from_pandas(empty))
+    decl = pd.DataFrame(rows, columns=["r", "dp", "n", "dc"])
+    preds = frozenset(decl["dp"])
+    rset = frozenset(decl["r"])
+    classes = frozenset(c for c in decl["dc"] if c)
+
+    def _crc(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+
+    def tag_u(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": b.column(s_col).cast(pa.string()).to_pandas(),
+            "p": b.column(p_col).cast(pa.string()).to_pandas(),
+            "o": b.column(o_col).cast(pa.string()).to_pandas()})
+        inst = df[(df["p"] == type_pred) & (df["o"].isin(rset))]
+        e = df[df["p"].isin(preds)]
+        out = pd.concat([
+            pd.DataFrame({"u": inst["s"], "r": inst["o"], "pn": "",
+                          "v": "", "kind": np.int64(1)}),
+            pd.DataFrame({"u": e["s"], "r": "", "pn": e["p"],
+                          "v": e["o"], "kind": np.int64(0)}),
+        ], ignore_index=True)
+        out["_bucket"] = _crc(out["u"])
+        return out
+
+    def match_u(g: pd.DataFrame, _d=decl) -> pd.DataFrame:
+        inst = g[g["kind"] == 1][["u", "r"]].drop_duplicates()
+        e = g[g["kind"] == 0][["u", "pn", "v"]].drop_duplicates()
+        cols = {"u": str, "r": str, "pn": str, "v": str, "dc": str,
+                "n": "int64", "kind": "int64"}
+        if not (len(inst) and len(e)):
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        m = (inst.merge(_d, on="r")
+             .merge(e, left_on=["u", "dp"], right_on=["u", "pn"]))
+        out = m[["u", "r", "pn", "v", "dc", "n"]].drop_duplicates()
+        out["kind"] = np.int64(0)
+        return out
+
+    cand = (store.map_batches(tag_u, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(match_u, batch_format="pandas")
+            .materialize())
+
+    # split: unqualified candidates go straight to the count fold;
+    # qualified ones take the crc32(v) semi-join against onClass typings
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _crc(df["u"] + "\x00" + df["r"])
+        return df
+
+    unqual = cand.map_batches(
+        lambda b: final_bucket(
+            b.to_pandas().loc[lambda d: d["dc"] == "",
+                              ["u", "r", "pn", "v", "n"]]),
+        batch_format="pyarrow")
+
+    def tag_v_cand(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["dc"] != ""]
+        out = df[["u", "r", "pn", "v", "dc", "n"]].copy()
+        out["kind"] = np.int64(0)
+        out["_bucket"] = _crc(out["v"])
+        return out
+
+    def tag_v_types(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": b.column(s_col).cast(pa.string()).to_pandas(),
+            "p": b.column(p_col).cast(pa.string()).to_pandas(),
+            "o": b.column(o_col).cast(pa.string()).to_pandas()})
+        t = df[(df["p"] == type_pred) & (df["o"].isin(classes))]
+        out = pd.DataFrame({
+            "u": "", "r": "", "pn": "", "v": t["s"], "dc": t["o"],
+            "n": np.int64(0), "kind": np.int64(1)})
+        out["_bucket"] = _crc(out["v"])
+        return out
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        typed = g[g["kind"] == 1][["v", "dc"]].drop_duplicates()
+        c = g[g["kind"] == 0]
+        if not (len(typed) and len(c)):
+            return pd.DataFrame({
+                "u": pd.Series(dtype=str), "r": pd.Series(dtype=str),
+                "pn": pd.Series(dtype=str), "v": pd.Series(dtype=str),
+                "n": pd.Series(dtype="int64"),
+                "_bucket": pd.Series(dtype="int32")})
+        m = c.merge(typed, on=["v", "dc"])
+        return final_bucket(m[["u", "r", "pn", "v", "n"]])
+
+    qual = (cand.map_batches(tag_v_cand, batch_format="pyarrow")
+            .union(store.map_batches(tag_v_types, batch_format="pyarrow"))
+            .groupby("_bucket")
+            .map_groups(semi, batch_format="pandas"))
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["u", "r", "pn", "n", "v"]].drop_duplicates()
+        agg = (d.groupby(["u", "r", "pn", "n"], sort=False)["v"]
+               .nunique().reset_index(name="n_values"))
+        bad = agg[agg["n_values"] > agg["n"]]
+        return pd.DataFrame({
+            "node": bad["u"].astype(object),
+            "restriction": bad["r"].astype(object),
+            "pred": bad["pn"].astype(object),
+            "n_values": bad["n_values"].astype("int64"),
+            "max_n": bad["n"].astype("int64")})
+
+    return (unqual.union(qual)
+            .groupby("_bucket")
+            .map_groups(count_fold, batch_format="pandas"))

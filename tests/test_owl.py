@@ -314,3 +314,54 @@ def test_class_expressions_empty_declarations():
     e = entail_class_expressions(rd.from_items(
         [{"s": "x", "p": "a", "o": "A"}]))
     assert e.count() == 0
+
+
+def test_max_cardinality_violations_both_kinds():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        max_cardinality_violations)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        # r1: at most 2 'likes' values of class Hot (qualified)
+        ("r1", "onProperty", "likes"),
+        ("r1", "maxQualifiedCardinality", "2"),
+        ("r1", "onClass", "Hot"),
+        # r2: at most 1 'owns' value of any kind (unqualified)
+        ("r2", "onProperty", "owns"),
+        ("r2", "maxCardinality", "1"),
+        # instances
+        ("u1", "a", "r1"), ("u2", "a", "r1"), ("u3", "a", "r2"),
+        ("u4", "a", "r2"),
+        # u1 likes 3 Hot things -> violates (3 > 2)
+        ("u1", "likes", "x1"), ("u1", "likes", "x2"),
+        ("u1", "likes", "x3"), ("u1", "likes", "cold1"),
+        # u2 likes 2 Hot + plenty cold -> conforms
+        ("u2", "likes", "x1"), ("u2", "likes", "x2"),
+        ("u2", "likes", "cold1"), ("u2", "likes", "cold2"),
+        # u3 owns 2 -> violates; u4 owns 1 -> conforms
+        ("u3", "owns", "h1"), ("u3", "owns", "h2"),
+        ("u4", "owns", "h1"),
+        # typing for the qualified class
+        ("x1", "a", "Hot"), ("x2", "a", "Hot"), ("x3", "a", "Hot"),
+    ]])
+    out = max_cardinality_violations(store).to_pandas()
+    got = sorted(map(tuple, out[["node", "restriction", "n_values",
+                                 "max_n"]].to_numpy()))
+    assert got == [("u1", "r1", 3, 2), ("u3", "r2", 2, 1)]
+
+
+def test_max_cardinality_duplicate_triples_count_once():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        max_cardinality_violations)
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("r", "onProperty", "p"), ("r", "maxCardinality", "1"),
+        ("u", "a", "r"),
+        ("u", "p", "v1"), ("u", "p", "v1"),   # duplicate: 1 distinct
+    ]])
+    assert max_cardinality_violations(store).count() == 0
+
+
+def test_max_cardinality_no_declarations():
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        max_cardinality_violations)
+    e = max_cardinality_violations(
+        rd.from_items([{"s": "u", "p": "p", "o": "v"}]))
+    assert e.count() == 0
