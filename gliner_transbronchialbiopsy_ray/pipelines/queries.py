@@ -11764,6 +11764,58 @@ ORDER BY node, restriction, pred, n_values, max_n
 """
 
 
+def q236_sparql_update(sf_dir: str):
+    """SPARQL 1.1 UPDATE (stages/bgp.py:update_store — DELETE/INSERT
+    WHERE as one operator): over the triplified order store, every
+    P-status order is re-labeled pending_review and its customer
+    flagged — ONE where-match feeding both template sets, one
+    flag-fold exchange applying (store \\ D) ∪ I with
+    delete-before-insert semantics.  Oracle: the same set algebra as
+    SQL filters + unions."""
+    from ..stages.bgp import update_store
+    from ..stages.triplify import TripleMap, col, node, triplify_tables
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("placed_by", node("cust", "o_custkey")),
+            ("has_status", col("o_orderstatus")),
+        ])),
+    ])
+    out = update_store(
+        store,
+        where=[("?o", "has_status", "P"), ("?o", "placed_by", "?c")],
+        delete=[("?o", "has_status", "P")],
+        insert=[("?o", "has_status", "pending_review"),
+                ("?c", "flagged", "true")],
+        cast_nodes=False).to_pandas()
+    out = out[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q236_SQL = """
+WITH st AS (
+  SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p,
+         'cust:' || o_custkey AS o FROM orders
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'has_status', o_orderstatus
+  FROM orders)
+SELECT DISTINCT * FROM (
+  SELECT s, p, o FROM st
+  WHERE NOT (p = 'has_status' AND o = 'P')
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'has_status', 'pending_review'
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT 'cust:' || o_custkey, 'flagged', 'true'
+  FROM orders WHERE o_orderstatus = 'P'
+)
+ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12048,6 +12100,7 @@ QUERIES: dict[str, tuple] = {
     "q233_dred_deletion": (q233_dred_deletion, Q233_SQL),
     "q234_bpe_encode": (q234_bpe_encode, None),
     "q235_max_cardinality": (q235_max_cardinality, Q235_SQL),
+    "q236_sparql_update": (q236_sparql_update, Q236_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

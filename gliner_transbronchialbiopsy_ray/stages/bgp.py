@@ -1619,3 +1619,59 @@ def saturate_decremental(
             break
         cur = cur.union(delta).materialize()
     return cur
+
+
+def update_store(
+    store: ray.data.Dataset,
+    where: list[tuple],
+    delete: list[tuple] | tuple = (),
+    insert: list[tuple] | tuple = (),
+    num_partitions: int | None = None,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL 1.1 UPDATE — `DELETE {...} INSERT {...} WHERE {...}` as
+    one operator: the `where` BGP is matched ONCE (bindings
+    materialized), every `delete` template instantiates the retraction
+    set D and every `insert` template the assertion set I, and the new
+    store is (store \\ D) ∪ I in ONE `_flag_fold` exchange.  SPARQL
+    1.1 §3.1.3 semantics: both template sets are instantiated against
+    the PRE-update store and deletes apply before inserts, so a triple
+    in both D and I survives.  Templates are (s, p, o) tuples mixing
+    `?var` references and constants (the `construct` convention); an
+    empty WHERE match updates nothing.  Cost: one BGP plan + one
+    all-to-all."""
+    delete, insert = list(delete), list(insert)
+    if not (delete or insert):
+        raise ValueError("update_store needs delete and/or insert "
+                         "templates")
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    bindings = match_bgp(store, where, **match_kwargs).materialize()
+
+    def emit(templates: list[tuple]) -> ray.data.Dataset:
+        out = None
+        for head in templates:
+            part = bindings.map_batches(_head_emitter(head),
+                                        batch_format="pyarrow")
+            out = part if out is None else out.union(part)
+        if out is None:
+            out = ray.data.from_arrow(pa.table({
+                "s": pa.array([], type=pa.string()),
+                "p": pa.array([], type=pa.string()),
+                "o": pa.array([], type=pa.string())}))
+        return out
+
+    f = _flag_fold([(store.select_columns(["s", "p", "o"]), "_st"),
+                    (emit(delete), "_d"), (emit(insert), "_i")],
+                   num_partitions)
+    return f.map_batches(
+        lambda b: b.filter(pc.or_(
+            pc.and_(pc.equal(b.column("_st"), 1),
+                    pc.equal(b.column("_d"), 0)),
+            pc.equal(b.column("_i"), 1))).select(["s", "p", "o"]),
+        batch_format="pyarrow")

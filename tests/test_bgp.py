@@ -859,3 +859,54 @@ def test_dred_noop_deletion_returns_store():
     got = saturate_decremental(closed, base, deleted, _ANC_RULES,
                                cast_nodes=False)
     assert _spo_set(got) == _spo_set(closed)
+
+
+def test_update_store_delete_insert_where():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import update_store
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("o1", "status", "open"), ("o2", "status", "open"),
+        ("o3", "status", "closed"),
+        ("o1", "kind", "big"), ("o2", "kind", "small"),
+    ]])
+    # close every open big order: DELETE {?o status open}
+    # INSERT {?o status closed . ?o closed_from open} WHERE {...}
+    out = update_store(
+        store,
+        where=[("?o", "status", "open"), ("?o", "kind", "big")],
+        delete=[("?o", "status", "open")],
+        insert=[("?o", "status", "closed"),
+                ("?o", "closed_from", "open")],
+        cast_nodes=False)
+    got = sorted(map(tuple,
+                     out.to_pandas()[["s", "p", "o"]].to_numpy()))
+    assert got == sorted([
+        ("o1", "status", "closed"), ("o1", "closed_from", "open"),
+        ("o1", "kind", "big"),
+        ("o2", "status", "open"), ("o2", "kind", "small"),
+        ("o3", "status", "closed"),
+    ])
+
+
+def test_update_store_delete_and_insert_same_triple_survives():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import update_store
+    store = rd.from_items([{"s": "a", "p": "v", "o": "1"}])
+    out = update_store(
+        store, where=[("?x", "v", "1")],
+        delete=[("?x", "v", "1")], insert=[("?x", "v", "1")],
+        cast_nodes=False)
+    assert sorted(map(tuple, out.to_pandas().to_numpy())) == \
+        [("a", "v", "1")]
+
+
+def test_update_store_empty_where_is_noop():
+    from gliner_transbronchialbiopsy_ray.stages.bgp import update_store
+    store = rd.from_items([{"s": "a", "p": "v", "o": "1"}])
+    out = update_store(
+        store, where=[("?x", "v", "nope")],
+        delete=[("?x", "v", "nope")], insert=[("?x", "w", "2")],
+        cast_nodes=False)
+    assert sorted(map(tuple, out.to_pandas().to_numpy())) == \
+        [("a", "v", "1")]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="delete and/or insert"):
+        update_store(store, where=[("?x", "v", "1")])
