@@ -11816,6 +11816,64 @@ ORDER BY s, p, o
 """
 
 
+def q237_dag_layers(sf_dir: str):
+    """DAG longest-path layering (stages/graph.py:dag_longest_path —
+    the topological-level / critical-path operator, (max, +) sibling
+    of BFS): over the double-parent customer DAG (edges k//2 -> k and
+    k//3 -> k, k >= 1 — a true multi-parent DAG where the longest path
+    differs from the BFS hop count), each node's layer = longest path
+    from the root.  Roots via one distinct + anti semi-join; k=15
+    bounds the relaxation (> log2 of the largest key at bench scale).
+    Oracle: 15 unrolled MATERIALIZED
+    max-relaxation CTEs over the same generic root selection."""
+    from ..stages.graph import dag_longest_path
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy()
+        k = k[k >= 1]
+        src = np.concatenate([k // 2, k // 3])
+        dst = np.concatenate([k, k])
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep].astype("int64")),
+                         "dst": pa.array(dst[keep].astype("int64"))})
+
+    edges = cust.map_batches(mk_edges, batch_format="pyarrow")
+    out = dag_longest_path(edges, k=15).to_pandas().astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q237_sql() -> str:
+    lv = []
+    for i in range(1, 16):
+        lv.append(f"""v{i} AS MATERIALIZED (
+  SELECT node, MAX(layer) AS layer FROM (
+    SELECT node, layer FROM v{i-1}
+    UNION ALL
+    SELECT e.v, w.layer + 1 FROM v{i-1} w JOIN e ON e.u = w.node
+  ) GROUP BY node)""")
+    lv_sql = ",\n".join(lv)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT c_custkey // 2 AS u, c_custkey AS v FROM customer
+    WHERE c_custkey >= 1
+    UNION ALL
+    SELECT c_custkey // 3, c_custkey FROM customer WHERE c_custkey >= 1
+  ) WHERE u != v),
+v0 AS MATERIALIZED (
+  SELECT u AS node, CAST(0 AS BIGINT) AS layer FROM (
+    SELECT DISTINCT u FROM e) s
+  WHERE u NOT IN (SELECT v FROM e)),
+{lv_sql}
+SELECT node, layer FROM v15 ORDER BY node
+"""
+
+
+Q237_SQL = _q237_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12101,6 +12159,7 @@ QUERIES: dict[str, tuple] = {
     "q234_bpe_encode": (q234_bpe_encode, None),
     "q235_max_cardinality": (q235_max_cardinality, Q235_SQL),
     "q236_sparql_update": (q236_sparql_update, Q236_SQL),
+    "q237_dag_layers": (q237_dag_layers, Q237_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

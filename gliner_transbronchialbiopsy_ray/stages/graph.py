@@ -3036,3 +3036,105 @@ def bipartite_components(
             .map_groups(attach, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def dag_longest_path(
+    edges: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """DAG longest-path layering (the topological-level / critical-path
+    operator): (node, layer) where layer = the LONGEST directed path
+    from any root (a node with no incoming edge) — the (max, +)
+    sibling of k_hop_reachability's (min, +) BFS; scheduling levels,
+    stratified materialization order, critical paths all read off it.
+
+    Roots come from one distinct + anti semi-join (sources that are
+    never destinations).  Per round the usual semi-naive shape: ONE
+    hash join relaxes the improved frontier's out-edges to
+    layer(u) + 1 candidates, one union + grouped-MAX fold updates and
+    detects improvement (prior rows old = layer, candidates old = -1).
+    `k` bounds the rounds and must be >= the longest path for the
+    exact layering (on a DAG the fixpoint is reached by then; cyclic
+    inputs are the caller's contract violation and simply saturate to
+    the bound)."""
+    from ray.data.aggregate import Max
+
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst]), num_partitions).materialize()
+
+    srcs = edges.map_batches(
+        lambda b: pa.table({"node": b.column(src).cast(pa.int64())}),
+        batch_format="pyarrow")
+    dsts = edges.map_batches(
+        lambda b: pa.table({
+            "node": b.column(dst).cast(pa.int64()),
+            "_in": pa.array(np.ones(b.num_rows, "int8"))}),
+        batch_format="pyarrow")
+    dsts = (dsts.groupby("node").max("_in")
+            .map_batches(lambda b: b.rename_columns(["node", "_in"]),
+                         batch_format="pyarrow"))
+    j = coalesce_for_join(
+        srcs.groupby("node").count().drop_columns(["count()"])
+        .materialize(), num_partitions
+    ).join(coalesce_for_join(dsts.materialize(), num_partitions),
+           join_type="left_outer", num_partitions=num_partitions,
+           on=("node",), right_on=("node",))
+    roots = j.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_in")))
+                   .select(["node"]),
+        batch_format="pyarrow")
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas())
+        z = np.zeros(len(ids), "int64")
+        return pa.table({"node": pa.array(ids.astype("int64")),
+                         "layer": pa.array(z), "old": pa.array(z)})
+
+    def _fold(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.groupby("node").aggregate(
+            Max("layer", alias_name="layer"),
+            Max("old", alias_name="old"))
+
+    best = _fold(
+        roots.map_batches(as_seed, batch_format="pyarrow")).materialize()
+    frontier = best
+    for hop in range(k):
+        expand = coalesce_for_join(
+            frontier.select_columns(["node", "layer"]), num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            lv = batch.column("layer").to_numpy() + 1
+            return pa.table({
+                "node": batch.column(dst).cast(pa.int64()),
+                "layer": pa.array(lv.astype("int64")),
+                "old": pa.array(np.full(len(lv), np.int64(-1), "int64")),
+            })
+
+        cand = expand.map_batches(relax, batch_format="pyarrow")
+        prior = best.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "layer": b.column("layer"),
+                                "old": b.column("layer")}),
+            batch_format="pyarrow")
+        best = _fold(prior.union(cand)).materialize()
+        if hop == k - 1:
+            break
+        frontier = best.map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("layer"), b.column("old"))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return best.select_columns(["node", "layer"])

@@ -932,3 +932,43 @@ def test_bipartite_components_odd_even_join():
     r = out.iloc[0]
     assert (int(r.component), int(r.n_nodes), int(r.is_bipartite)) == \
         (0, 5, 0)
+
+
+def _brute_longest(edges, k):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    indeg = {n: 0 for n in nodes}
+    for _, v in set(edges):
+        indeg[v] += 1
+    layer = {n: 0 for n in nodes if indeg[n] == 0}
+    for _ in range(k):
+        new = dict(layer)
+        for u, v in edges:
+            if u in layer and layer[u] + 1 > new.get(v, -1):
+                new[v] = layer[u] + 1
+        layer = new
+    return layer
+
+
+def test_dag_longest_path_diamond():
+    """Diamond 0->1->3, 0->2->3 plus the shortcut 0->3: node 3's layer
+    is 2 (longest), not 1 (BFS would say 1)."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        dag_longest_path)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3), (3, 4)]
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = dag_longest_path(ds, k=6).to_pandas()
+    got = dict(zip(out["node"], out["layer"]))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_dag_longest_path_random_dag_matches_brute():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        dag_longest_path)
+    rng = np.random.RandomState(5)
+    # random DAG: edges always low -> high id
+    edges = sorted({(int(min(a, b)), int(max(a, b))) for a, b in zip(
+        rng.randint(0, 30, 150), rng.randint(0, 30, 150)) if a != b})
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = dag_longest_path(ds, k=30).to_pandas()
+    got = dict(zip(out["node"], out["layer"]))
+    assert got == _brute_longest(edges, 30)
