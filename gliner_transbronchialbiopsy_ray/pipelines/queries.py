@@ -11874,6 +11874,55 @@ SELECT node, layer FROM v15 ORDER BY node
 Q237_SQL = _q237_sql()
 
 
+def q238_profile_columns(sf_dir: str):
+    """Column profiler / ANALYZE (stages/stats.py:profile_columns):
+    exact per-column row/null/distinct counts + min/max for the int
+    and string columns of orders — one data pass emitting per-batch
+    stats partials and per-batch distinct values keyed (column,
+    crc32(value) % 256) (never the bare column name — skew-free
+    two-phase exact distinct), O(columns x buckets) driver fold.
+    Oracle: one UNION ALL arm per column."""
+    from ..stages.stats import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+    out = profile_columns(ds, cols)
+    out[["column", "min_repr", "max_repr"]] = \
+        out[["column", "min_repr", "max_repr"]].astype(str)
+    return out.reset_index(drop=True)
+
+
+Q238_SQL = """
+SELECT * FROM (
+  SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_repr,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_repr
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+         COUNT(DISTINCT o_orderkey),
+         CAST(MIN(o_orderkey) AS VARCHAR),
+         CAST(MAX(o_orderkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         COUNT(*) - COUNT(o_orderpriority),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+)
+ORDER BY "column"
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12160,6 +12209,7 @@ QUERIES: dict[str, tuple] = {
     "q235_max_cardinality": (q235_max_cardinality, Q235_SQL),
     "q236_sparql_update": (q236_sparql_update, Q236_SQL),
     "q237_dag_layers": (q237_dag_layers, Q237_SQL),
+    "q238_profile_columns": (q238_profile_columns, Q238_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -216,3 +216,106 @@ def score_distribution(entities_ds: ray.data.Dataset) -> pd.DataFrame:
         .sort_values("label")
         .reset_index(drop=True)
     )
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: list[str],
+    n_buckets: int = 256,
+) -> pd.DataFrame:
+    """Distributed column profiler (the ANALYZE operator of a data
+    engine): per column, row count, null count, EXACT distinct count,
+    and min/max rendered as strings (int64 and string columns only —
+    float/timestamp rendering is engine-specific, callers cast first).
+
+    ONE pass over the data emits two partial streams per batch:
+    a 1-row stats partial per column (n, n_null, min, max) and the
+    batch's per-column DISTINCT values (lexical form).  Value rows are
+    keyed (column, crc32(value) % n_buckets) — never the bare column
+    name, which would funnel a column's whole distinct set through one
+    group — so the exchange is skew-free two-phase: per-bucket exact
+    nunique partials over the value strings (same value -> same
+    bucket, so partials add exactly), then an O(columns x n_buckets)
+    driver fold (bounded by construction).  Output: (column, n_rows, n_nulls, n_distinct,
+    min_repr, max_repr) sorted by column."""
+    import zlib
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            col = batch.column(c)
+            vals = col.drop_null()
+            n, n_null = len(col), col.null_count
+            if len(vals):
+                mn = pc.min(vals).as_py()
+                mx = pc.max(vals).as_py()
+            else:
+                mn = mx = None
+            # native values, folded natively ("10" < "9" as strings);
+            # rendering happens once, on the driver
+            rows.append(pd.DataFrame({
+                "column": [c], "kind": np.int64(0),
+                "n": np.int64(n), "n_null": np.int64(n_null),
+                "min_r": pd.Series([mn], dtype=object),
+                "max_r": pd.Series([mx], dtype=object),
+                "v": [""], "_bucket": np.int32(0)}))
+            uv = pd.Series(pc.unique(vals).to_pylist()).map(str)
+            if len(uv):
+                hf = pd.DataFrame({
+                    "column": c, "kind": np.int64(1),
+                    "n": np.int64(0), "n_null": np.int64(0),
+                    "min_r": None, "max_r": None,
+                    "v": uv.astype(object)})
+                hf["_bucket"] = hf["v"].map(
+                    lambda s: zlib.crc32(s.encode()) % n_buckets
+                ).astype("int32")
+                rows.append(hf)
+        return pd.concat(rows, ignore_index=True)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g[g["kind"] == 0]
+        out = []
+        if len(stats):
+            agg = stats.groupby("column", sort=False).agg(
+                n=("n", "sum"), n_null=("n_null", "sum"),
+                min_r=("min_r", "min"), max_r=("max_r", "max")
+            ).reset_index()
+            agg["kind"] = np.int64(0)
+            agg["nd"] = np.int64(0)
+            out.append(agg)
+        hashes = g[g["kind"] == 1]
+        if len(hashes):
+            nd = (hashes.groupby("column", sort=False)["v"].nunique()
+                  .reset_index(name="nd"))
+            nd["kind"] = np.int64(1)
+            for c in ("n", "n_null"):
+                nd[c] = np.int64(0)
+            nd["min_r"] = None
+            nd["max_r"] = None
+            out.append(nd)
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+                ("column", object), ("kind", "int64"), ("n", "int64"),
+                ("n_null", "int64"), ("min_r", object),
+                ("max_r", object), ("nd", "int64")]})
+        return pd.concat(out, ignore_index=True)[
+            ["column", "kind", "n", "n_null", "min_r", "max_r", "nd"]]
+
+    parts = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_fold, batch_format="pandas")
+             .to_pandas())
+    # driver fold: O(columns x buckets) partial rows
+    stats = parts[parts["kind"] == 0].groupby("column").agg(
+        n_rows=("n", "sum"), n_nulls=("n_null", "sum"),
+        min_repr=("min_r", "min"), max_repr=("max_r", "max"))
+    nd = (parts[parts["kind"] == 1].groupby("column")["nd"].sum()
+          .rename("n_distinct"))
+    out = stats.join(nd, how="left").reset_index()
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out[["n_rows", "n_nulls"]] = out[["n_rows", "n_nulls"]].astype("int64")
+    for c in ("min_repr", "max_repr"):
+        out[c] = out[c].map(lambda v: None if v is None else str(v))
+    return (out[["column", "n_rows", "n_nulls", "n_distinct",
+                 "min_repr", "max_repr"]]
+            .sort_values("column").reset_index(drop=True))

@@ -163,3 +163,32 @@ def test_validate_entities_batch():
     assert any("span" in e.lower() for e in errs[1])
     assert errs[2] == []
     assert out.num_rows == 3
+
+
+def test_profile_columns_exact():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.stats import profile_columns
+    ds = rd.from_items([
+        {"a": 5, "b": "x"}, {"a": 2, "b": "y"},
+        {"a": 5, "b": None}, {"a": 9, "b": "x"},
+    ]).repartition(3)
+    out = profile_columns(ds, ["a", "b"], n_buckets=8)
+    rows = {r.column: r for r in out.itertuples()}
+    assert (rows["a"].n_rows, rows["a"].n_nulls,
+            rows["a"].n_distinct) == (4, 0, 3)
+    assert (rows["a"].min_repr, rows["a"].max_repr) == ("2", "9")
+    assert (rows["b"].n_rows, rows["b"].n_nulls,
+            rows["b"].n_distinct) == (4, 1, 2)
+    assert (rows["b"].min_repr, rows["b"].max_repr) == ("x", "y")
+
+
+def test_profile_columns_numeric_fold_across_blocks():
+    """Per-block numeric minima must fold numerically, not as strings
+    ('100' < '9' lexically)."""
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.stats import profile_columns
+    ds = rd.from_items([{"a": int(v)} for v in range(3, 120)]
+                       ).repartition(7)
+    out = profile_columns(ds, ["a"], n_buckets=16)
+    r = out.iloc[0]
+    assert (r.min_repr, r.max_repr, r.n_distinct) == ("3", "119", 117)
