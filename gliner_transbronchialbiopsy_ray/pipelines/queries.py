@@ -11923,6 +11923,56 @@ ORDER BY "column"
 """
 
 
+def q239_jsonld_round_trip(sf_dir: str):
+    """Flat JSON-LD (NDJSON node object) interchange round trip
+    (sources/jsonld.py — the JSON face of the RDF surface, q206's
+    N-Quads discipline): triplify urgent orders, write_jsonld (whole
+    subjects per content-hash part file via one subject-bucket
+    exchange; @type lowering, {"@id"} references, sorted multi-value
+    arrays), read_jsonld back, return the store.  Oracle: the same
+    triples straight from SQL — the file layer must be lossless."""
+    import tempfile
+
+    from ..sources.jsonld import read_jsonld, write_jsonld
+    from ..stages.triplify import TripleMap, col, const, node, \
+        row_filter, triplify_tables
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    store = triplify_tables([
+        (orders, TripleMap(subject=node("order", "o_orderkey"),
+                           mappings=[
+            ("a", const("Order"),
+             row_filter("o_orderpriority", "==", "1-URGENT")),
+            ("placed_by", node("cust", "o_custkey"),
+             row_filter("o_orderpriority", "==", "1-URGENT")),
+            ("prio", col("o_orderpriority"),
+             row_filter("o_orderpriority", "==", "1-URGENT")),
+        ])),
+    ])
+    d = tempfile.mkdtemp(prefix="q239_", dir="/tmp")
+    manifest = write_jsonld(store, d)
+    back = read_jsonld(sorted(manifest["path"])).to_pandas()
+    assert back["error"].isna().all()
+    out = back[["s", "p", "o"]].astype(str)
+    return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
+
+
+Q239_SQL = """
+SELECT * FROM (
+  SELECT 'order:' || o_orderkey AS s, 'a' AS p, 'Order' AS o
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'placed_by', 'cust:' || o_custkey
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'order:' || o_orderkey, 'prio', o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12210,6 +12260,7 @@ QUERIES: dict[str, tuple] = {
     "q236_sparql_update": (q236_sparql_update, Q236_SQL),
     "q237_dag_layers": (q237_dag_layers, Q237_SQL),
     "q238_profile_columns": (q238_profile_columns, Q238_SQL),
+    "q239_jsonld_round_trip": (q239_jsonld_round_trip, Q239_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
