@@ -11973,6 +11973,50 @@ ORDER BY s, p, o
 """
 
 
+def q240_edit1_join(sf_dir: str):
+    """Typo-tolerant string join at edit distance <= 1
+    (stages/link.py:edit1_join — FastSS deletion neighborhoods, Bocek
+    et al. 2007): part names vs deterministically typo'd part names
+    (every 5th part drops the character at position key % len).
+    Candidates share a <=1-deletion variant on ONE crc(variant)
+    exchange — LINEAR len+1 variants per string, vs the quadratic
+    cross join the oracle runs — then the exact O(len) radius check
+    and a pair-keyed dedup exchange.  Oracle: DuckDB levenshtein over
+    the full cross product."""
+    from ..stages.link import edit1_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    left = part.map_batches(
+        lambda b: pa.table({"name": b.column("p_name")}),
+        batch_format="pyarrow")
+
+    def typo(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["p_partkey"] % 5 == 0]
+        out = []
+        for k, nm in zip(df["p_partkey"], df["p_name"]):
+            i = int(k) % len(nm)
+            out.append(nm[:i] + nm[i + 1:])
+        return pd.DataFrame({"name": pd.Series(out, dtype=object)})
+
+    right = part.map_batches(typo, batch_format="pyarrow")
+    out = edit1_join(left, right).to_pandas()
+    out = out[["left", "right"]].astype(str)
+    return out.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+Q240_SQL = """
+WITH l AS (SELECT DISTINCT p_name AS name FROM part),
+r AS (SELECT DISTINCT
+        substr(p_name, 1, p_partkey % length(p_name))
+        || substr(p_name, (p_partkey % length(p_name)) + 2) AS name
+      FROM part WHERE p_partkey % 5 = 0)
+SELECT l.name AS "left", r.name AS "right"
+FROM l, r WHERE levenshtein(l.name, r.name) <= 1
+ORDER BY "left", "right"
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12261,6 +12305,7 @@ QUERIES: dict[str, tuple] = {
     "q237_dag_layers": (q237_dag_layers, Q237_SQL),
     "q238_profile_columns": (q238_profile_columns, Q238_SQL),
     "q239_jsonld_round_trip": (q239_jsonld_round_trip, Q239_SQL),
+    "q240_edit1_join": (q240_edit1_join, Q240_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

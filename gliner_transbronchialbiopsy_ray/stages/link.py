@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 try:  # imported on Ray workers
@@ -112,3 +113,107 @@ class EntityLinker:
 def broadcast_dictionary(dict_table: pa.Table | None = None):
     """`ray.put` the dictionary once; pass the ref to every EntityLinker."""
     return ray.put(dict_table if dict_table is not None else dictionary_table())
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check in O(len) (no DP table needed at
+    this radius): equal, one substitution, or one indel."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                      # exactly one substitution
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:                       # one deletion from the longer
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_col: str = "name",
+    right_col: str = "name",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Typo-tolerant string join at edit distance <= 1 via FastSS
+    deletion neighborhoods (Bocek et al. 2007): every string emits its
+    <=1-deletion variants (itself + one row per dropped character), a
+    shared variant co-locates candidate pairs on ONE crc32(variant)
+    exchange (ed(a,b) <= 1 guarantees a shared variant; sharing one
+    only guarantees ed <= 2, so the in-bucket verifier re-checks the
+    exact radius with the O(len) three-case scan — no DP), and a
+    second pair-keyed exchange dedups pairs found under multiple
+    variants.  The candidate blow-up is len(s)+1 variants per string —
+    linear, unlike the quadratic cross join the oracle runs.  Output:
+    distinct (left, right) string pairs, sorted lexically in-bucket."""
+    import zlib
+
+    def variants(col: str, side: int):
+        def f(batch: pa.Table, _c=col, _side=side) -> pd.DataFrame:
+            vals = [v for v in
+                    pd.unique(batch.column(_c).to_pandas().dropna())]
+            var, orig = [], []
+            for s in vals:
+                s = str(s)
+                var.append(s)
+                orig.append(s)
+                for i in range(len(s)):
+                    var.append(s[:i] + s[i + 1:])
+                    orig.append(s)
+            out = pd.DataFrame({"v": pd.Series(var, dtype=object),
+                                "orig": pd.Series(orig, dtype=object)})
+            out["side"] = np.int64(_side)
+            out["_bucket"] = out["v"].map(
+                lambda k: zlib.crc32(k.encode()) % n_buckets
+            ).astype("int32")
+            return out
+        return f
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["v", "orig", "side"])
+        l = g[g["side"] == 0][["v", "orig"]].rename(
+            columns={"orig": "left"})
+        r = g[g["side"] == 1][["v", "orig"]].rename(
+            columns={"orig": "right"})
+        if not (len(l) and len(r)):
+            return pd.DataFrame({
+                "left": pd.Series(dtype=object),
+                "right": pd.Series(dtype=object),
+                "_bucket": pd.Series(dtype="int32")})
+        m = (l.merge(r, on="v")[["left", "right"]]
+             .drop_duplicates())
+        # np bool mask, not a list: an empty list would select COLUMNS
+        mask = np.fromiter((_ed_le1(a, b) for a, b in
+                            zip(m["left"], m["right"])),
+                           dtype=bool, count=len(m))
+        out = m.loc[mask].copy()
+        out["_bucket"] = (out["left"] + "\x00" + out["right"]).map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets
+        ).astype("int32")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g[["left", "right"]].drop_duplicates()
+               .sort_values(["left", "right"], kind="stable"))
+        for c in out.columns:
+            out[c] = out[c].astype(object)
+        return out
+
+    u = (left.map_batches(variants(left_col, 0), batch_format="pyarrow")
+         .union(right.map_batches(variants(right_col, 1),
+                                  batch_format="pyarrow")))
+    return (u.groupby("_bucket")
+            .map_groups(pair_up, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(dedup, batch_format="pandas"))

@@ -104,3 +104,40 @@ def test_plus_grade_notation_reformat():
 
     assert format_grade_notations("A+B+") == "A+ B+"
     assert format_grade_notations("grade b2") == "Grade b2"
+
+
+def test_ed_le1_cases():
+    from gliner_transbronchialbiopsy_ray.stages.link import _ed_le1
+    assert _ed_le1("abc", "abc")
+    assert _ed_le1("abc", "abd")       # substitution
+    assert _ed_le1("abc", "ab")        # deletion
+    assert _ed_le1("abc", "xabc")      # insertion at front
+    assert not _ed_le1("abc", "adc2")  # sub + insert = 2
+    assert not _ed_le1("abc", "a")     # two deletions
+    assert not _ed_le1("abcd", "dcba")
+
+
+def test_edit1_join_matches_bruteforce():
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.link import edit1_join
+
+    left = ["widget", "gasket", "ring", "bolt", "flange", "washer"]
+    right = ["widgot", "gasket", "rings", "bol", "xwasher", "nut",
+             "fling", "widget!"]
+    lds = rd.from_items([{"name": s} for s in left]).repartition(3)
+    rds = rd.from_items([{"name": s} for s in right]).repartition(2)
+    got = sorted(map(tuple, edit1_join(lds, rds).to_pandas()
+                     [["left", "right"]].to_numpy()))
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, y in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (x != y))
+        return dp[-1]
+
+    want = sorted((a, b) for a in left for b in right if ed(a, b) <= 1)
+    assert got == want and len(want) >= 5
