@@ -12017,6 +12017,90 @@ ORDER BY "left", "right"
 """
 
 
+def q241_grouped_median(sf_dir: str):
+    """Exact per-group median (stages/stats.py:grouped_median_x2 — the
+    holistic counterpart of the q60 quantile sketch): median l_quantity
+    per (returnflag, linestatus), DOUBLED so the even-count middle
+    pair stays integer-exact (no float interpolation).  One crc(key)
+    coarse-bucket exchange, vectorized in-bucket sort + run-length
+    middle pick.  Oracle: CAST(2 * median(..) AS BIGINT)."""
+    from ..stages.stats import grouped_median_x2
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy().astype("int64")
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "q": pa.array(q)})
+
+    out = grouped_median_x2(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "q").to_pandas()
+    out[["l_returnflag", "l_linestatus"]] = \
+        out[["l_returnflag", "l_linestatus"]].astype(str)
+    out["median_x2"] = out["median_x2"].astype("int64")
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+Q241_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(2 * median(CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS median_x2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q242_rollup(sf_dir: str):
+    """ROLLUP in one pass (stages/stats.py:rollup_aggregate —
+    hierarchical grouping sets as per-batch combiner partials + ONE
+    (level, keys) exchange, never n+1 scans): sum/count/min/max of
+    integer quantity over ROLLUP(l_returnflag, l_linestatus); rolled
+    columns carry '(all)'.  Oracle: GROUP BY ROLLUP with COALESCE and
+    GROUPING-derived level."""
+    from ..stages.stats import rollup_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy().astype("int64")
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "q": pa.array(q)})
+
+    out = rollup_aggregate(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "q").to_pandas()
+    out[["l_returnflag", "l_linestatus"]] = \
+        out[["l_returnflag", "l_linestatus"]].astype(str)
+    for c in ("level", "sum_v", "n", "min_v", "max_v"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["level", "l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+Q242_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(2 - GROUPING(l_returnflag) - GROUPING(l_linestatus)
+            AS BIGINT) AS level,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_v
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY level, l_returnflag, l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12306,6 +12390,8 @@ QUERIES: dict[str, tuple] = {
     "q238_profile_columns": (q238_profile_columns, Q238_SQL),
     "q239_jsonld_round_trip": (q239_jsonld_round_trip, Q239_SQL),
     "q240_edit1_join": (q240_edit1_join, Q240_SQL),
+    "q241_grouped_median": (q241_grouped_median, Q241_SQL),
+    "q242_rollup": (q242_rollup, Q242_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -319,3 +319,111 @@ def profile_columns(
     return (out[["column", "n_rows", "n_nulls", "n_distinct",
                  "min_repr", "max_repr"]]
             .sort_values("column").reset_index(drop=True))
+
+
+def grouped_median_x2(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """EXACT per-group median — the holistic aggregate the sketch
+    family (q60's KLL-style quantiles) approximates.  Returned
+    DOUBLED (`median_x2` = lo + hi of the middle pair for even counts,
+    2 x middle for odd) so integer inputs stay int64-exact end to end
+    — no float interpolation to diverge at the ulp; DuckDB replays it
+    as CAST(2 * median(v) AS BIGINT).
+
+    Holistic ⇒ values must co-locate per group: ONE crc(key) coarse-
+    bucket exchange (the repo-wide 32-bucket map_groups discipline),
+    then a vectorized per-bucket sort + middle-pick across ALL groups
+    in the bucket at once (lexsort by (key, value), middle offsets
+    from group run lengths — no per-group Python loop)."""
+    import zlib
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + [value]).to_pandas()
+        k = df[keys[0]].astype(str)
+        for c in keys[1:]:
+            k = k + "\x00" + df[c].astype(str)
+        df["_bucket"] = k.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return df
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(keys + [value], kind="stable")
+        v = d[value].to_numpy()
+        grp = (d[keys].astype(str).agg("\x00".join, axis=1)
+               .to_numpy())
+        # group run boundaries over the sorted frame
+        starts = np.concatenate(
+            ([0], np.flatnonzero(grp[1:] != grp[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(grp)]))
+        lo = v[starts + (ends - starts - 1) // 2]
+        hi = v[starts + (ends - starts) // 2]
+        out = d.iloc[starts][keys].reset_index(drop=True)
+        out["median_x2"] = (lo + hi).astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(med, batch_format="pandas"))
+
+
+def rollup_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    all_label: str = "(all)",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """ROLLUP (hierarchical GROUPING SETS) in ONE data pass: for key
+    prefix levels [k1..kn], [k1..kn-1], ..., [] each batch emits
+    per-level combiner partials (sum, count, min, max of `value`), and
+    one coarse (level, keys) bucket exchange merges them — n+1
+    grouping sets never cost n+1 scans.  Rolled-up key columns carry
+    `all_label` instead of SQL's NULL (explicit, join-safe).  Output:
+    (k1..kn, level, sum_v, n, min_v, max_v); level = number of active
+    keys."""
+    import zlib
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + [value]).to_pandas()
+        parts = []
+        for lvl in range(len(keys), -1, -1):
+            active = keys[:lvl]
+            if active:
+                gb = df.groupby(active, sort=False)[value]
+                part = gb.agg(["sum", "count", "min", "max"]
+                              ).reset_index()
+            else:
+                part = pd.DataFrame({
+                    "sum": [df[value].sum()],
+                    "count": [len(df)],
+                    "min": [df[value].min() if len(df) else None],
+                    "max": [df[value].max() if len(df) else None]})
+            for c in keys[lvl:]:
+                part[c] = all_label
+            part["level"] = np.int64(lvl)
+            parts.append(part[keys + ["level", "sum", "count",
+                                      "min", "max"]])
+        out = pd.concat(parts, ignore_index=True)
+        k = out["level"].astype(str)
+        for c in keys:
+            k = k + "\x00" + out[c].astype(str)
+        out["_bucket"] = k.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys + ["level"], sort=False)
+        out = gb.agg(sum_v=("sum", "sum"), n=("count", "sum"),
+                     min_v=("min", "min"), max_v=("max", "max")
+                     ).reset_index()
+        out["level"] = out["level"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(merge, batch_format="pandas"))

@@ -192,3 +192,51 @@ def test_profile_columns_numeric_fold_across_blocks():
     out = profile_columns(ds, ["a"], n_buckets=16)
     r = out.iloc[0]
     assert (r.min_repr, r.max_repr, r.n_distinct) == ("3", "119", 117)
+
+
+def test_grouped_median_x2_exact():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.stats import (
+        grouped_median_x2)
+    rows = ([{"k": "a", "v": x} for x in [5, 1, 9]] +          # odd: 5
+            [{"k": "b", "v": x} for x in [4, 10, 2, 8]] +      # even: 4+8
+            [{"k": "c", "v": x} for x in [7]])                 # single
+    out = grouped_median_x2(
+        rd.from_items(rows).repartition(4), ["k"], "v").to_pandas()
+    got = dict(zip(out["k"], out["median_x2"]))
+    assert got == {"a": 10, "b": 12, "c": 14}
+
+
+def test_rollup_aggregate_matches_pandas():
+    import pandas as pd
+    import ray.data as rd
+    import numpy as np
+    from gliner_transbronchialbiopsy_ray.stages.stats import (
+        rollup_aggregate)
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 60),
+        "b": rng.choice(["p", "q", "r"], 60),
+        "v": rng.randint(0, 50, 60)})
+    out = rollup_aggregate(
+        rd.from_pandas(df).repartition(5), ["a", "b"], "v").to_pandas()
+    # level 2: full groups
+    lvl2 = out[out["level"] == 2]
+    want = df.groupby(["a", "b"])["v"].agg(
+        ["sum", "count", "min", "max"]).reset_index()
+    got = lvl2.sort_values(["a", "b"]).reset_index(drop=True)
+    assert (got["sum_v"].to_numpy() ==
+            want.sort_values(["a", "b"])["sum"].to_numpy()).all()
+    # level 1: per-a rollup carries the all-label in b
+    lvl1 = out[out["level"] == 1]
+    assert set(lvl1["b"]) == {"(all)"}
+    wa = df.groupby("a")["v"].sum()
+    ga = dict(zip(lvl1["a"], lvl1["sum_v"]))
+    assert ga == wa.to_dict()
+    # level 0: grand total
+    lvl0 = out[out["level"] == 0]
+    assert len(lvl0) == 1
+    r = lvl0.iloc[0]
+    assert (r["a"], r["b"]) == ("(all)", "(all)")
+    assert (r["sum_v"], r["n"], r["min_v"], r["max_v"]) == (
+        df["v"].sum(), 60, df["v"].min(), df["v"].max())
