@@ -12101,6 +12101,43 @@ ORDER BY level, l_returnflag, l_linestatus
 """
 
 
+def q243_prefix_filter_jaccard(sf_dir: str):
+    """PPJoin-style prefix-filtered EXACT word-Jaccard join
+    (stages/dedup.py:prefix_filter_jaccard_pairs, Xiao et al. 2008 —
+    the third candidate family next to MinHash-LSH and q104's window
+    blocking, recall 1.0 by the prefix-filter guarantee): documents
+    pairs with token Jaccard >= 0.5.  Rarest-first global token order
+    (broadcast df dict, the q63 vocabulary contract), prefix emission,
+    one token exchange + one pair dedup exchange, exact verification
+    after two native token-set joins; threshold compared by integer
+    cross-multiplication.  Oracle: full cross product with
+    list_intersect — quadratic, which is exactly what the prefix
+    filter avoids."""
+    from ..stages.dedup import prefix_filter_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = prefix_filter_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    out = out[["a", "b", "inter", "na", "nb"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q243_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+FROM p WHERE inter * 2 >= (na + nb - inter)
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12392,6 +12429,7 @@ QUERIES: dict[str, tuple] = {
     "q240_edit1_join": (q240_edit1_join, Q240_SQL),
     "q241_grouped_median": (q241_grouped_median, Q241_SQL),
     "q242_rollup": (q242_rollup, Q242_SQL),
+    "q243_prefix_filter_jaccard": (q243_prefix_filter_jaccard, Q243_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -1042,3 +1043,174 @@ def segment_dedup_docs(
     tagged_docs = docs.map_batches(doc_rows, batch_format="pyarrow")
     return tagged_docs.union(keep).groupby("_bucket").map_groups(
         rebuild, batch_format="pandas")
+
+
+def prefix_filter_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    max_docs_per_token: int | None = 10_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT word-token Jaccard-similarity join at `threshold` via
+    PPJoin-style PREFIX FILTERING (Xiao et al. 2008) — the third
+    candidate-generation family next to MinHash-LSH (probabilistic)
+    and window-blocked n-grams (q104): tokens are globally ordered
+    rarest-first (document frequency, token tie-break), each doc emits
+    only its first |t| - ceil(θ·|t|) + 1 tokens as candidate keys (two
+    sets with Jaccard >= θ MUST share a prefix token under the shared
+    order — the prefix-filter guarantee, so recall is 1.0), candidates
+    pair up on ONE crc(token) exchange, dedup on a pair-keyed
+    exchange, and exact verification runs after TWO native hash joins
+    re-attach each side's full token set.
+
+    Tokenization is single-space split + DISTINCT (the engine's
+    token_count / DuckDB string_split convention, empty tokens kept).
+    The document-frequency order ships as a broadcast dict — the
+    vocabulary-bounded contract shared with TF-IDF (q63).  Rare-first
+    prefixes keep token buckets small by construction;
+    `max_docs_per_token` star-caps pathological hubs (dropping a
+    token's candidates above the cap — a RECALL cut, logged in the
+    output contract, None keeps everything).  Threshold compare is
+    integer cross-multiplication (c * D >= N * (na + nb - c) with
+    θ = N/D) — float-free, SQL-replayable.  Output: (a, b, inter, na,
+    nb) for every pair with Jaccard >= θ, a < b."""
+    import math
+    from fractions import Fraction
+
+    from .joins import coalesce_for_join
+
+    if not (0 < threshold <= 1):
+        raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    TN, TD = frac.numerator, frac.denominator
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def tokens_of(t: str) -> list[str]:
+        return sorted(set((t or "").split(" ")))
+
+    # pass 1: document frequencies (combiner -> one bucket exchange)
+    def df_partials(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(tokens_of(t))
+        out = pd.DataFrame({"t": list(c.keys()),
+                            "n": np.fromiter(c.values(), "int64")})
+        out["_bucket"] = out["t"].map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return out
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("t", sort=False)["n"].sum().reset_index())
+
+    dfreq = (docs.map_batches(df_partials, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(df_fold, batch_format="pandas")
+             .to_pandas())
+    order = {t: i for i, (_, t) in enumerate(
+        sorted(zip(dfreq["n"], dfreq["t"])))}
+    order_ref = ray.put(order)
+
+    # pass 2: prefix-token emission
+    def emit_prefix(batch: pa.Table) -> pd.DataFrame:
+        rank = ray.get(order_ref)
+        ids, toks, szs = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            ts = tokens_of(t)
+            if not ts:
+                continue
+            ts.sort(key=lambda x: (rank.get(x, -1), x))
+            plen = len(ts) - math.ceil(threshold * len(ts)) + 1
+            for tok in ts[:plen]:
+                ids.append(did)
+                toks.append(tok)
+                szs.append(len(ts))
+        out = pd.DataFrame({
+            "id": pd.Series(ids, dtype="int64"),
+            "t": pd.Series(toks, dtype=object),
+            "sz": pd.Series(szs, dtype="int64")})
+        out["_bucket"] = out["t"].map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return out
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("t", sort=False):
+            d = grp.drop_duplicates("id")
+            if (max_docs_per_token is not None
+                    and len(d) > max_docs_per_token):
+                continue        # star cap: recall cut, documented
+            if len(d) < 2:
+                continue
+            ids = np.sort(d["id"].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "_bucket": pd.Series(dtype="int32")})
+        out = pd.DataFrame({"a": np.concatenate(out_a),
+                            "b": np.concatenate(out_b)}).drop_duplicates()
+        out["_bucket"] = ((out["a"] * np.int64(1_000_003) + out["b"])
+                          % n_buckets).abs().astype("int32")
+        return out
+
+    cand = (docs.map_batches(emit_prefix, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pair_up, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
+                        batch_format="pandas")
+            .materialize())
+
+    # verification: two native joins re-attach the full token sets
+    toksets = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "id": pd.Series(b.column(id_col).to_pylist(),
+                            dtype="int64"),
+            "ts": pd.Series(["\x00".join(tokens_of(t)) for t in
+                             b.column(text_col).to_pylist()],
+                            dtype=object)}),
+        batch_format="pyarrow").materialize()
+
+    j1 = coalesce_for_join(cand, num_partitions).join(
+        coalesce_for_join(toksets, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=("a",), right_on=("id",))
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "ts" else "ts_a" for c in b.column_names]),
+        batch_format="pyarrow").materialize()
+    j2 = coalesce_for_join(j1, num_partitions).join(
+        coalesce_for_join(toksets, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=("b",), right_on=("id",))
+
+    def verify(b: pa.Table) -> pd.DataFrame:
+        rows = {"a": [], "b": [], "inter": [], "na": [], "nb": []}
+        for a, bb, ta, tb in zip(b.column("a").to_pylist(),
+                                 b.column("b").to_pylist(),
+                                 b.column("ts_a").to_pylist(),
+                                 b.column("ts").to_pylist()):
+            sa = set(ta.split("\x00")) if ta else set()
+            sb = set(tb.split("\x00")) if tb else set()
+            c = len(sa & sb)
+            na, nb = len(sa), len(sb)
+            if c * TD >= TN * (na + nb - c):
+                rows["a"].append(a)
+                rows["b"].append(bb)
+                rows["inter"].append(c)
+                rows["na"].append(na)
+                rows["nb"].append(nb)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in rows.items()})
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -266,3 +266,50 @@ def test_segment_dedup_docs_within_doc_repeat():
     out = (segment_dedup_docs(docs, sep="|").to_pandas()
            .sort_values("doc_id"))
     assert list(out["text"]) == ["s|t", ""]
+
+
+def test_prefix_filter_jaccard_matches_bruteforce():
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs)
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    base = rng.choice(vocab, 12, replace=False).tolist()
+    for i in range(30):
+        if i % 3 == 0:   # near-dup family around `base`
+            t = base.copy()
+            for _ in range(rng.randint(0, 3)):
+                t[rng.randint(len(t))] = vocab[rng.randint(len(vocab))]
+        else:
+            t = rng.choice(vocab, rng.randint(5, 15)).tolist()
+        docs.append({"doc_id": i, "text": " ".join(t)})
+    ds = rd.from_items(docs).repartition(4)
+    out = prefix_filter_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    got = sorted(map(tuple, out[["a", "b", "inter"]].to_numpy()))
+
+    def jac(x, y):
+        sx, sy = set(x.split(" ")), set(y.split(" "))
+        return len(sx & sy), len(sx | sy)
+
+    want = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            c, u = jac(docs[i]["text"], docs[j]["text"])
+            if c * 10 >= 6 * u:     # 0.6 in integers
+                want.append((i, j, c))
+    assert got == sorted(want) and len(want) >= 3
+
+
+def test_prefix_filter_threshold_one_is_exact_dup():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs)
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "c b a"},      # same token set
+        {"doc_id": 2, "text": "a b c d"},
+    ])
+    out = prefix_filter_jaccard_pairs(ds, threshold=1.0).to_pandas()
+    assert sorted(map(tuple, out[["a", "b"]].to_numpy())) == [(0, 1)]
