@@ -12138,6 +12138,56 @@ ORDER BY a, b
 """
 
 
+def q244_keyed_ranks(sf_dir: str):
+    """Ranking window functions (stages/window.py:keyed_ranks):
+    RANK / DENSE_RANK / PERCENT_RANK over (PARTITION BY l_returnflag
+    ORDER BY l_quantity) for every lineitem row — heavy ties by
+    construction (quantities 1..50), percent_rank in exact integer
+    ppm.  One crc(key) exchange, one vectorized lexsort per bucket.
+    Oracle: the same three window functions in SQL."""
+    from ..stages.window import keyed_ranks
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber")
+                             .cast(pa.int64()),
+            "l_returnflag": b.column("l_returnflag"),
+            "q": pa.array(b.column("l_quantity").to_numpy()
+                          .astype("int64"))})
+
+    out = keyed_ranks(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        "l_returnflag", "q", ["l_orderkey", "l_linenumber"]
+    ).to_pandas()
+    out["l_returnflag"] = out["l_returnflag"].astype(str)
+    for c in ("l_orderkey", "l_linenumber", "q", "rank",
+              "dense_rank", "percent_rank_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["l_returnflag", "l_orderkey",
+                             "l_linenumber"])
+            .reset_index(drop=True))
+
+
+Q244_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+       RANK() OVER w AS rank,
+       DENSE_RANK() OVER w AS dense_rank,
+       CAST((1000000 * (RANK() OVER w - 1)) //
+            GREATEST(COUNT(*) OVER (PARTITION BY l_returnflag) - 1, 1)
+            AS BIGINT) AS percent_rank_ppm
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY CAST(l_quantity AS BIGINT))
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12430,6 +12480,7 @@ QUERIES: dict[str, tuple] = {
     "q241_grouped_median": (q241_grouped_median, Q241_SQL),
     "q242_rollup": (q242_rollup, Q242_SQL),
     "q243_prefix_filter_jaccard": (q243_prefix_filter_jaccard, Q243_SQL),
+    "q244_keyed_ranks": (q244_keyed_ranks, Q244_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

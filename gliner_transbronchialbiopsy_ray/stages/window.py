@@ -364,3 +364,68 @@ def keyed_topk(
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket").map_groups(fold, batch_format="pandas"))
+
+
+def keyed_ranks(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    id_cols: list[str],
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SQL ranking window functions per partition key — RANK(),
+    DENSE_RANK() and PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    order_col), the gap-aware trio keyed_topk / keyed_running_agg
+    don't cover.  PERCENT_RANK is emitted in exact integer ppm
+    (1e6 * (rank-1) // (n-1), 0 for single-row partitions) so the
+    float-free oracle replays it bit for bit.
+
+    Holistic per partition ⇒ ONE crc(key) coarse-bucket exchange,
+    then ranks for ALL partitions in a bucket come from one vectorized
+    lexsort: rank = first-position-of-equal-run (ties share), dense
+    rank = cumulative distinct-value count — no per-partition Python
+    loop.  Output: id_cols + (key, order value, rank, dense_rank,
+    percent_rank_ppm), one row per input row."""
+    import zlib
+
+    cols = list(dict.fromkeys(id_cols + [key, order_col]))
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(cols).to_pandas()
+        df["_bucket"] = df[key].astype(str).map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return df
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, order_col] + id_cols,
+                          kind="stable").reset_index(drop=True)
+        k = d[key].astype(str).to_numpy()
+        v = d[order_col].to_numpy()
+        n = len(d)
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        new_val = np.concatenate(([True], (v[1:] != v[:-1])
+                                  | new_key[1:]))
+        idx = np.arange(n, dtype="int64")
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = run_start - key_start + 1
+        # dense rank: distinct-run counter reset per key
+        runs = np.cumsum(new_val)
+        dense = runs - np.maximum.accumulate(
+            np.where(new_key, runs - 1, 0))
+        # partition sizes for percent_rank
+        sizes = np.diff(np.append(np.flatnonzero(new_key), n))
+        size_per_row = np.repeat(sizes, sizes)
+        denom = np.maximum(size_per_row - 1, 1)
+        pr = np.where(size_per_row > 1,
+                      (1_000_000 * (rank - 1)) // denom,
+                      np.int64(0))
+        out = d[cols].copy()
+        out["rank"] = rank.astype("int64")
+        out["dense_rank"] = dense.astype("int64")
+        out["percent_rank_ppm"] = pr.astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(rank_bucket, batch_format="pandas"))

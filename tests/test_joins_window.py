@@ -284,3 +284,43 @@ def test_keyed_topk_matches_row_number():
         keyed_topk(ds, "k", [("v", "up")], 1)
     with pytest.raises(ValueError, match=">= 1"):
         keyed_topk(ds, "k", [("v", "asc")], 0)
+
+
+def test_keyed_ranks_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.window import keyed_ranks
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "id": np.arange(80, dtype="int64"),
+        "k": rng.choice(["a", "b", "c"], 80),
+        "v": rng.randint(0, 9, 80).astype("int64")})   # heavy ties
+    got = (keyed_ranks(rd.from_pandas(df).repartition(5),
+                       "k", "v", ["id"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id, k, v,
+               RANK() OVER w AS rank,
+               DENSE_RANK() OVER w AS dense_rank,
+               CAST((1000000 * (RANK() OVER w - 1)) //
+                    GREATEST(COUNT(*) OVER (PARTITION BY k) - 1, 1)
+                    AS BIGINT) AS percent_rank_ppm
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY id
+    """).df()
+    for c in ("rank", "dense_rank", "percent_rank_ppm"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_keyed_ranks_single_row_partition():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.window import keyed_ranks
+    ds = rd.from_items([{"id": 0, "k": "solo", "v": 5}])
+    out = keyed_ranks(ds, "k", "v", ["id"]).to_pandas().iloc[0]
+    assert (out["rank"], out["dense_rank"],
+            out["percent_rank_ppm"]) == (1, 1, 0)
