@@ -12188,6 +12188,113 @@ ORDER BY l_returnflag, l_orderkey, l_linenumber
 """
 
 
+def q245_status_pivot(sf_dir: str):
+    """Pivot-to-columns (the relational face of stages/pivot.py's
+    label pivot): order counts per priority CROSS status as wide
+    columns — indicator columns derived per batch, then the standard
+    bounded-key combiner fold (no shuffle wider than the tiny group
+    set).  Oracle: conditional aggregation (SUM(CASE WHEN ..))."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def indicators(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus").to_pandas()
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_open": pa.array((st == "O").to_numpy().astype("int64")),
+            "n_done": pa.array((st == "F").to_numpy().astype("int64")),
+            "n_pending": pa.array(
+                (st == "P").to_numpy().astype("int64"))})
+
+    out = _preagg(ds.map_batches(indicators, batch_format="pyarrow"),
+                  ["o_orderpriority"],
+                  {"n_open": ("n_open", "sum"),
+                   "n_done": ("n_done", "sum"),
+                   "n_pending": ("n_pending", "sum"),
+                   "n_total": ("n_open", "count")})
+    for c in ("n_open", "n_done", "n_pending", "n_total"):
+        out[c] = out[c].astype("int64")
+    out["o_orderpriority"] = out["o_orderpriority"].astype(str)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q245_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_done,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q246_incremental_cc(sf_dir: str):
+    """Incremental connected components over persisted state
+    (state/snapshot_cc.py — the entity-resolution cluster-maintenance
+    member of the snapshot family): the every-15th-part co-purchase
+    graph arrives in TWO snapshots split by order-key parity (pair
+    generation is per-order, so the split partitions the edge set
+    exactly); each commit touches only the batch, its endpoint label
+    buckets, and the broadcast alias map — stored labels are never
+    rewritten.  Output: the maintained (node, component) labels,
+    which the oracle recomputes from scratch with 12 unrolled
+    min-label CTEs over the FULL edge set."""
+    import tempfile
+
+    from ..stages.graph import cooccurrence_edges
+    from ..state.snapshot_cc import commit_edges, current_labels
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def keep(parity: int):
+        def f(b: pa.Table, _p=parity) -> pa.Table:
+            pk = b.column("l_partkey").to_numpy()
+            ok = b.column("l_orderkey").to_numpy()
+            return b.filter(pa.array((pk % 15 == 0) & (ok % 2 == _p)))
+        return f
+
+    d = tempfile.mkdtemp(prefix="q246_", dir="/tmp")
+    for parity in (0, 1):
+        co = cooccurrence_edges(
+            li.map_batches(keep(parity), batch_format="pyarrow"),
+            "l_orderkey", "l_partkey", min_count=1)
+        commit_edges(d, co, f"parity{parity}")
+    out = current_labels(d).to_pandas().astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q246_sql() -> str:
+    cc = []
+    for i in range(1, 13):
+        cc.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    SELECT node, lab FROM l{i-1}
+    UNION ALL
+    SELECT e.u, l.lab FROM l{i-1} l JOIN e ON e.v = l.node
+  ) GROUP BY node)""")
+    cc_sql = ",\n".join(cc)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 15 = 0 AND l2.l_partkey % 15 = 0),
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+l0 AS MATERIALIZED (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM e)),
+{cc_sql}
+SELECT node, lab AS component FROM l12 ORDER BY node
+"""
+
+
+Q246_SQL = _q246_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12481,6 +12588,8 @@ QUERIES: dict[str, tuple] = {
     "q242_rollup": (q242_rollup, Q242_SQL),
     "q243_prefix_filter_jaccard": (q243_prefix_filter_jaccard, Q243_SQL),
     "q244_keyed_ranks": (q244_keyed_ranks, Q244_SQL),
+    "q245_status_pivot": (q245_status_pivot, Q245_SQL),
+    "q246_incremental_cc": (q246_incremental_cc, Q246_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
