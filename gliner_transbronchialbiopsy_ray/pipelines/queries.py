@@ -11881,7 +11881,10 @@ def q238_profile_columns(sf_dir: str):
     stats partials and per-batch distinct values keyed (column,
     crc32(value) % 256) (never the bare column name — skew-free
     two-phase exact distinct), O(columns x buckets) driver fold.
-    Oracle: one UNION ALL arm per column."""
+    Complements q81_profile_orders (melted, min/max AS TEXT): this one
+    folds min/max in the column's NATIVE type across blocks and keys
+    the distinct exchange by value hash instead of a global
+    (col, val) groupby.  Oracle: one UNION ALL arm per column."""
     from ..stages.stats import profile_columns
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus",
@@ -12023,7 +12026,10 @@ def q241_grouped_median(sf_dir: str):
     per (returnflag, linestatus), DOUBLED so the even-count middle
     pair stays integer-exact (no float interpolation).  One crc(key)
     coarse-bucket exchange, vectorized in-bucket sort + run-length
-    middle pick.  Oracle: CAST(2 * median(..) AS BIGINT)."""
+    middle pick.  Complements q82/q97 (value-count HISTOGRAM
+    percentiles under the bounded-distinct contract): this one is the
+    holistic co-location form that stays exact when per-group distinct
+    values are unbounded.  Oracle: CAST(2 * median(..) AS BIGINT)."""
     from ..stages.stats import grouped_median_x2
 
     li = _read(sf_dir, "lineitem",
