@@ -12301,6 +12301,74 @@ SELECT node, lab AS component FROM l12 ORDER BY node
 Q246_SQL = _q246_sql()
 
 
+def q247_keyed_lag(sf_dir: str):
+    """LAG/LEAD window functions (stages/window.py:keyed_lag — the
+    generic operator behind q10's hard-coded sessionizer): per-user
+    previous/next event timestamp (epoch µs) and the inter-arrival
+    delta, ordered by (ts, event_id).  One crc(user) exchange, one
+    vectorized shift per bucket; partition edges are NULL like SQL.
+    Epoch-µs values stay exact in float64 (< 2^53).  Oracle: LAG/LEAD
+    OVER the same deterministic window."""
+    from ..stages.window import keyed_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def epoch(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "t": b.column("ts").cast(pa.int64())})
+
+    out = keyed_lag(ev.map_batches(epoch, batch_format="pyarrow"),
+                    "user_id", "t", "t", ["event_id"]).to_pandas()
+    out = out[["event_id", "user_id", "t", "prev_value",
+               "next_value", "delta"]]
+    for c in ("event_id", "user_id", "t"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q247_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS t,
+       CAST(LAG(epoch_us(ts)) OVER w AS DOUBLE) AS prev_value,
+       CAST(LEAD(epoch_us(ts)) OVER w AS DOUBLE) AS next_value,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY event_id
+"""
+
+
+def q248_grouped_mode(sf_dir: str):
+    """Deterministic per-group MODE (stages/stats.py:grouped_mode):
+    each user's most frequent event type, ties to the lexicographically
+    smallest — SQL's mode() is implementation-defined on ties, so the
+    oracle replays the explicit ROW_NUMBER OVER (count DESC, value)
+    rule instead.  Combiner-first histogram partials, one crc(user)
+    exchange (unbounded user key stays distributed)."""
+    from ..stages.stats import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_mode(ev, ["user_id"], "event_type").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["mode_value"] = out["mode_value"].astype(str)
+    out["mode_count"] = out["mode_count"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q248_SQL = """
+SELECT user_id, event_type AS mode_value,
+       CAST(n AS BIGINT) AS mode_count
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12596,6 +12664,8 @@ QUERIES: dict[str, tuple] = {
     "q244_keyed_ranks": (q244_keyed_ranks, Q244_SQL),
     "q245_status_pivot": (q245_status_pivot, Q245_SQL),
     "q246_incremental_cc": (q246_incremental_cc, Q246_SQL),
+    "q247_keyed_lag": (q247_keyed_lag, Q247_SQL),
+    "q248_grouped_mode": (q248_grouped_mode, Q248_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

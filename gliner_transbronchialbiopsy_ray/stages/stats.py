@@ -427,3 +427,45 @@ def rollup_aggregate(
     return (ds.map_batches(combine, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(merge, batch_format="pandas"))
+
+
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic per-group MODE: the most frequent value, ties
+    broken by the smallest value (SQL's mode() leaves ties
+    implementation-defined — this one is replayable: ROW_NUMBER OVER
+    (ORDER BY cnt DESC, value) = 1).  Combiner-first: per-batch
+    (key, value) counts, ONE crc(key) exchange co-locating each key's
+    histogram, per-bucket sum + argmax.  Output: keys + (mode_value,
+    mode_count)."""
+    import zlib
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + [value]).to_pandas()
+        part = (df.groupby(keys + [value], sort=False)
+                .size().rename("n").reset_index())
+        k = part[keys[0]].astype(str)
+        for c in keys[1:]:
+            k = k + "\x00" + part[c].astype(str)
+        part["_bucket"] = k.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return part
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(keys + [value], sort=False)["n"].sum()
+               .reset_index()
+               .sort_values(["n", value],
+                            ascending=[False, True], kind="stable")
+               .drop_duplicates(subset=keys, keep="first"))
+        out = agg.rename(columns={value: "mode_value",
+                                  "n": "mode_count"})
+        out["mode_count"] = out["mode_count"].astype("int64")
+        return out[keys + ["mode_value", "mode_count"]]
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pick, batch_format="pandas"))

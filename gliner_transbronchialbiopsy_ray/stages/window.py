@@ -429,3 +429,57 @@ def keyed_ranks(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(rank_bucket, batch_format="pandas"))
+
+
+def keyed_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    value_col: str,
+    id_cols: list[str],
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """LAG / LEAD window functions per partition key: previous and next
+    `value_col` in `order_col` order (ties broken by id_cols — the
+    deterministic ORDER BY the oracle mirrors), plus the lag delta
+    (value - prev, null-safe).  The q10 sessionizer hard-codes this
+    shape for timestamps; this is the generic operator.  One crc(key)
+    coarse-bucket exchange, one vectorized shift per bucket — nulls at
+    partition edges, like SQL.  Output: id_cols + (key, order value,
+    value, prev_value, next_value, delta), one row per input row;
+    prev/next/delta are float64 (NaN at edges) to keep the Arrow
+    schema nullable-stable."""
+    import zlib
+
+    cols = list(dict.fromkeys(id_cols + [key, order_col, value_col]))
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(cols).to_pandas()
+        df["_bucket"] = df[key].astype(str).map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return df
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, order_col] + id_cols,
+                          kind="stable").reset_index(drop=True)
+        k = d[key].astype(str).to_numpy()
+        v = d[value_col].to_numpy("float64")
+        n = len(d)
+        same_prev = np.concatenate(([False], k[1:] == k[:-1]))
+        same_next = np.concatenate((k[:-1] == k[1:], [False]))
+        prev = np.full(n, np.nan)
+        nxt = np.full(n, np.nan)
+        if n > 1:
+            prev[1:] = v[:-1]
+            nxt[:-1] = v[1:]
+        prev[~same_prev] = np.nan
+        nxt[~same_next] = np.nan
+        out = d[cols].copy()
+        out["prev_value"] = prev
+        out["next_value"] = nxt
+        out["delta"] = v - prev
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(lag_bucket, batch_format="pandas"))

@@ -324,3 +324,37 @@ def test_keyed_ranks_single_row_partition():
     out = keyed_ranks(ds, "k", "v", ["id"]).to_pandas().iloc[0]
     assert (out["rank"], out["dense_rank"],
             out["percent_rank_ppm"]) == (1, 1, 0)
+
+
+def test_keyed_lag_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.window import keyed_lag
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "id": np.arange(60, dtype="int64"),
+        "k": rng.choice(["a", "b"], 60),
+        "t": rng.randint(0, 30, 60).astype("int64"),   # ties
+        "v": rng.randint(0, 100, 60).astype("int64")})
+    got = (keyed_lag(rd.from_pandas(df).repartition(4),
+                     "k", "t", "v", ["id"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t2", df)
+    want = con.execute("""
+        SELECT id,
+               LAG(v) OVER w AS prev_value,
+               LEAD(v) OVER w AS next_value
+        FROM t2 WINDOW w AS (PARTITION BY k ORDER BY t, id)
+        ORDER BY id
+    """).df()
+    for c in ("prev_value", "next_value"):
+        g = got[c].to_numpy()
+        w = want[c].to_numpy("float64")
+        assert ((np.isnan(g) & np.isnan(w)) | (g == w)).all(), c
+    d = got["delta"].to_numpy()
+    p = got["prev_value"].to_numpy()
+    assert ((np.isnan(d) & np.isnan(p))
+            | (d == got["v"].to_numpy() - p)).all()

@@ -240,3 +240,15 @@ def test_rollup_aggregate_matches_pandas():
     assert (r["a"], r["b"]) == ("(all)", "(all)")
     assert (r["sum_v"], r["n"], r["min_v"], r["max_v"]) == (
         df["v"].sum(), 60, df["v"].min(), df["v"].max())
+
+
+def test_grouped_mode_deterministic_ties():
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.stats import grouped_mode
+    rows = ([{"k": "a", "v": "x"}] * 3 + [{"k": "a", "v": "y"}] * 3 +
+            [{"k": "a", "v": "z"}] * 2 +          # tie x/y -> min 'x'
+            [{"k": "b", "v": "q"}] * 1 + [{"k": "b", "v": "p"}] * 4)
+    out = grouped_mode(rd.from_items(rows).repartition(4),
+                       ["k"], "v").to_pandas()
+    got = {r.k: (r.mode_value, r.mode_count) for r in out.itertuples()}
+    assert got == {"a": ("x", 3), "b": ("p", 4)}
