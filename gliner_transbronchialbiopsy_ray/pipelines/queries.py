@@ -4668,7 +4668,10 @@ def q114_k_hop_reachability(sf_dir: str):
     -s), seeded at parts with l_partkey % 100 = 0 — the iterative
     semi-naive traversal (recursive-CTE equivalent) Ray Data has no
     primitive for.  Per hop only the FRONTIER joins the edges; no node
-    set is broadcast or collected.  Oracle: DuckDB WITH RECURSIVE."""
+    set is broadcast or collected — strategy="join" pinned explicitly:
+    this entry showcases the unbounded-graph path (the auto broadcast
+    fast path has its own coverage in q230/q231/q237).  Oracle: DuckDB
+    WITH RECURSIVE."""
     from ..stages.graph import k_hop_reachability
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -4689,7 +4692,8 @@ def q114_k_hop_reachability(sf_dir: str):
                 (b.column("l_partkey").to_pandas() % 100 == 0)]
         ).astype("int64")}),
         batch_format="pyarrow")
-    out = k_hop_reachability(edges, seeds, k=3).to_pandas()
+    out = k_hop_reachability(edges, seeds, k=3,
+                             strategy="join").to_pandas()
     out["hops"] = out["hops"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
 

@@ -371,6 +371,8 @@ def k_hop_reachability(
     src: str = "src",
     dst: str = "dst",
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_threshold: int = 500_000,
 ) -> ray.data.Dataset:
     """Min-hop BFS reachability: (node, hops) for every node within `k`
     directed hops of the seed set — the iterative-traversal operator Ray
@@ -397,15 +399,70 @@ def k_hop_reachability(
     max(2, CPU//2): a small session deadlocks waiting for actors it
     cannot place).  `seeds`: a dataset with a `node` column (duplicates
     allowed).  Output: (node, hops), hops = min #edges from any seed.
+
+    `strategy`: "join" = the unbounded-graph per-round hash join;
+    "broadcast" keeps (node, hops) driver-resident and streams the
+    materialized edge set once per round (no shuffle), correct under
+    the reached-node-count <= `broadcast_threshold` contract (the
+    k_core_peel / dag_longest_path auto discipline, equivalence pinned
+    by test); "auto" switches to broadcast when the seed count is
+    under the threshold and falls back to "join" mid-run if the
+    reached set outgrows it.
     """
     from .joins import coalesce_for_join
 
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if num_partitions is None:
         try:
             num_partitions = max(
                 2, int(ray.cluster_resources().get("CPU", 4)) // 2)
         except Exception:
             num_partitions = 2
+
+    if strategy != "join":
+        seed_ids = [int(r["node"]) for r in
+                    seeds.select_columns(["node"]).take_all()]
+        if strategy == "broadcast" or len(seed_ids) <= broadcast_threshold:
+            eds = coalesce_for_join(
+                edges.select_columns([src, dst]), num_partitions
+            ).materialize()
+            best: dict[int, int] = {s: 0 for s in seed_ids}
+            frontier = dict(best)
+            overflow = False
+            for _hop in range(1, k + 1):
+                if not frontier:
+                    break
+                ref = ray.put(set(frontier))
+
+                def expand_b(b: pa.Table, _r=ref) -> pa.Table:
+                    fr = ray.get(_r)
+                    u = b.column(src).to_pylist()
+                    v = b.column(dst).to_pylist()
+                    nxt = {vv for uu, vv in zip(u, v) if uu in fr}
+                    return pa.table({"node": pa.array(
+                        sorted(nxt), type=pa.int64())})
+
+                parts = eds.map_batches(
+                    expand_b, batch_format="pyarrow").take_all()
+                frontier = {}
+                for r in parts:
+                    n = int(r["node"])
+                    if n not in best:
+                        frontier[n] = _hop
+                best.update(frontier)
+                if len(best) > broadcast_threshold:
+                    overflow = True
+                    break
+            if not overflow:
+                items = sorted(best.items())
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array([n for n, _ in items],
+                                     type=pa.int64()),
+                    "hops": pa.array([h for _, h in items],
+                                     type=pa.int64())}))
+            # reached set outgrew the contract: restart on the join
+            # path (correct but slower — the at-scale default)
 
     def as_visited(batch: pa.Table) -> pa.Table:
         ids = pd.unique(batch.column("node").to_pandas())
@@ -3044,6 +3101,8 @@ def dag_longest_path(
     src: str = "src",
     dst: str = "dst",
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_threshold: int = 500_000,
 ) -> ray.data.Dataset:
     """DAG longest-path layering (the topological-level / critical-path
     operator): (node, layer) where layer = the LONGEST directed path
@@ -3059,16 +3118,84 @@ def dag_longest_path(
     `k` bounds the rounds and must be >= the longest path for the
     exact layering (on a DAG the fixpoint is reached by then; cyclic
     inputs are the caller's contract violation and simply saturate to
-    the bound)."""
+    the bound).
+
+    `strategy`: "join" is the unbounded-graph path (per-round native
+    hash join — fresh aggregator actors each round, the fixed cost
+    that dominates small graphs); "broadcast" keeps the (node, layer)
+    state driver-resident and streams ONLY the materialized edge set
+    per round (one map_batches + an O(candidates) driver fold — no
+    shuffle at all), correct under the node-count <=
+    `broadcast_threshold` contract (the k_core_peel strategy="auto"
+    discipline; equivalence pinned by test); "auto" counts distinct
+    nodes once and picks."""
     from ray.data.aggregate import Max
 
     from .joins import coalesce_for_join
 
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if num_partitions is None:
         num_partitions = _default_join_partitions()
 
     edges = coalesce_for_join(
         edges.select_columns([src, dst]), num_partitions).materialize()
+
+    if strategy != "join":
+        def endpoint_sets(b: pa.Table) -> pa.Table:
+            s = pd.unique(b.column(src).to_pandas())
+            d = pd.unique(b.column(dst).to_pandas())
+            return pa.table({
+                "node": pa.array(np.concatenate([s, d]).astype("int64")),
+                "is_dst": pa.array(np.concatenate(
+                    [np.zeros(len(s), "int8"), np.ones(len(d), "int8")]))})
+
+        ep = edges.map_batches(endpoint_sets, batch_format="pyarrow")
+        ep = (ep.groupby("node").max("is_dst")
+              .map_batches(lambda b: b.rename_columns(["node", "is_dst"]),
+                           batch_format="pyarrow").materialize())
+        n_nodes = ep.count()
+        if strategy == "broadcast" or n_nodes <= broadcast_threshold:
+            eps = ep.to_pandas()
+            roots = [int(n) for n, d in zip(eps["node"], eps["is_dst"])
+                     if d == 0]
+            best: dict[int, int] = {r: 0 for r in roots}
+            frontier = dict(best)
+            for _ in range(k):
+                if not frontier:
+                    break
+                ref = ray.put(frontier)
+
+                def relax_b(b: pa.Table, _r=ref) -> pd.DataFrame:
+                    fr = ray.get(_r)
+                    u = b.column(src).to_pylist()
+                    v = b.column(dst).to_pylist()
+                    cand: dict[int, int] = {}
+                    for uu, vv in zip(u, v):
+                        lv = fr.get(uu)
+                        if lv is not None:
+                            nl = lv + 1
+                            if nl > cand.get(vv, -1):
+                                cand[vv] = nl
+                    return pd.DataFrame({
+                        "node": pd.Series(list(cand.keys()),
+                                          dtype="int64"),
+                        "layer": pd.Series(list(cand.values()),
+                                           dtype="int64")})
+
+                parts = edges.map_batches(
+                    relax_b, batch_format="pyarrow").take_all()
+                frontier = {}
+                for r in parts:
+                    n, lv = int(r["node"]), int(r["layer"])
+                    if lv > best.get(n, -1) and lv > frontier.get(n, -1):
+                        frontier[n] = lv
+                best.update(frontier)
+            items = sorted(best.items())
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([n for n, _ in items], type=pa.int64()),
+                "layer": pa.array([l for _, l in items],
+                                  type=pa.int64())}))
 
     srcs = edges.map_batches(
         lambda b: pa.table({"node": b.column(src).cast(pa.int64())}),

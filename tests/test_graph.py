@@ -972,3 +972,46 @@ def test_dag_longest_path_random_dag_matches_brute():
     out = dag_longest_path(ds, k=30).to_pandas()
     got = dict(zip(out["node"], out["layer"]))
     assert got == _brute_longest(edges, 30)
+
+
+def test_dag_longest_path_strategies_equal():
+    """Broadcast (driver-state) and join paths are frame-identical —
+    the k_core_peel auto-strategy discipline."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        dag_longest_path)
+    rng = np.random.RandomState(12)
+    edges = sorted({(int(min(a, b)), int(max(a, b))) for a, b in zip(
+        rng.randint(0, 25, 120), rng.randint(0, 25, 120)) if a != b})
+
+    def run(strategy):
+        ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+        return (dag_longest_path(ds, k=25, strategy=strategy)
+                .to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
+    a = run("broadcast")
+    b = run("join")
+    assert a.equals(b)
+    assert dict(zip(a["node"], a["layer"])) == _brute_longest(edges, 25)
+
+
+def test_k_hop_reachability_strategies_equal():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_reachability)
+    rng = np.random.RandomState(13)
+    edges = [(int(a), int(b)) for a, b in zip(
+        rng.randint(0, 30, 150), rng.randint(0, 30, 150)) if a != b]
+
+    def run(strategy, **kw):
+        ds = rd.from_items([{"src": u, "dst": v} for u, v in edges])
+        seeds = rd.from_items([{"node": 0}, {"node": 7}])
+        return (k_hop_reachability(ds, seeds, 5, strategy=strategy, **kw)
+                .to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
+    a = run("broadcast")
+    b = run("join")
+    assert a.equals(b)
+    # mid-run overflow falls back to the join path, same answer
+    c = run("auto", broadcast_threshold=5)
+    assert c.equals(b)
