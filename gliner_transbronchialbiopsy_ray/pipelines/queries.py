@@ -12373,6 +12373,88 @@ ORDER BY user_id
 """
 
 
+def q249_shape_induction(sf_dir: str):
+    """SHACL shape INDUCTION (stages/shacl.py:induce_shapes — the
+    inverse of validation: mine min/max cardinality + lexical datatype
+    per (class, predicate) from the data, the schema-inference step of
+    KG construction): customers carry a decimal balance, a string
+    name, an IRI nation ref, and a segment predicate only for
+    BUILDING rows (min_count 0 falls out of the per-class subject
+    totals).  One crc(subject) exchange + one small (class, pred)
+    fold.  Oracle: the same counts and bool_and datatype priority in
+    SQL."""
+    from ..stages.shacl import induce_shapes
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"])
+    store = triplify_tables([
+        (cust, TripleMap(subject=node("cust", "c_custkey"), mappings=[
+            ("a", const("Customer")),
+            ("bal", col("c_acctbal")),
+            ("cname", col("c_name")),
+            ("nat", node("nation", "c_nationkey")),
+            ("seg", col("c_mktsegment"),
+             row_filter("c_mktsegment", "==", "BUILDING")),
+        ])),
+    ])
+    out = induce_shapes(store).to_pandas()
+    out[["cls", "pred", "datatype"]] = \
+        out[["cls", "pred", "datatype"]].astype(str)
+    for c in ("n_subjects", "n_triples", "min_count", "max_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cls", "pred"]).reset_index(drop=True)
+
+
+Q249_SQL = r"""
+WITH store AS (
+  SELECT 'cust:' || c_custkey AS s, 'bal' AS p,
+         CAST(c_acctbal AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'cname', c_name FROM customer
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'nat', 'nation:' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'seg', c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'),
+types AS (
+  SELECT 'cust:' || c_custkey AS s, 'Customer' AS cls FROM customer),
+m AS (SELECT t.cls, d.p, d.s, d.o
+      FROM types t JOIN store d ON d.s = t.s),
+per_subj AS (
+  SELECT cls, p, s, COUNT(*) AS n FROM m GROUP BY cls, p, s),
+ctot AS (SELECT cls, COUNT(DISTINCT s) AS tot FROM types GROUP BY cls),
+agg AS (
+  SELECT cls, p, COUNT(DISTINCT s) AS ns, SUM(n) AS nt,
+         MIN(n) AS mn, MAX(n) AS mx
+  FROM per_subj GROUP BY cls, p),
+dt AS (
+  SELECT cls, p,
+         bool_and(regexp_full_match(o, '[+-]?\d+')) AS ai,
+         bool_and(regexp_full_match(o, '[+-]?\d+(\.\d+)?')) AS ad,
+         bool_and(regexp_full_match(o, '\d{4}-\d{2}-\d{2}')) AS adt,
+         bool_and(regexp_full_match(
+             o, '[A-Za-z_][A-Za-z0-9_.-]*:\S+')) AS airi
+  FROM m GROUP BY cls, p)
+SELECT agg.cls AS cls, agg.p AS pred,
+       CAST(ns AS BIGINT) AS n_subjects,
+       CAST(nt AS BIGINT) AS n_triples,
+       CAST(CASE WHEN ns < ctot.tot THEN 0 ELSE mn END AS BIGINT)
+         AS min_count,
+       CAST(mx AS BIGINT) AS max_count,
+       CASE WHEN ai THEN 'integer' WHEN ad THEN 'decimal'
+            WHEN adt THEN 'date' WHEN airi THEN 'iri'
+            ELSE 'string' END AS datatype
+FROM agg
+JOIN ctot ON ctot.cls = agg.cls
+JOIN dt ON dt.cls = agg.cls AND dt.p = agg.p
+ORDER BY agg.cls, pred
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12670,6 +12752,7 @@ QUERIES: dict[str, tuple] = {
     "q246_incremental_cc": (q246_incremental_cc, Q246_SQL),
     "q247_keyed_lag": (q247_keyed_lag, Q247_SQL),
     "q248_grouped_mode": (q248_grouped_mode, Q248_SQL),
+    "q249_shape_induction": (q249_shape_induction, Q249_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -79,6 +79,7 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -435,3 +436,141 @@ def validate_shapes(
     return (triples.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(run, batch_format="pandas"))
+
+
+def induce_shapes(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SHAPE INDUCTION — the inverse of validate_shapes: mine the
+    implicit schema from the data (the KG-construction step that turns
+    a fresh triple dump into sh:minCount/maxCount/datatype candidate
+    constraints).  Per (class, predicate): subjects carrying the
+    predicate, triple count, per-subject min/max cardinality (subjects
+    of the class WITHOUT the predicate count as min 0), and the
+    inferred value datatype by lexical priority integer > decimal >
+    date > iri > string ('iri' = the engine's prefix:rest node
+    convention; a class/pred whose values mix kinds lands on the
+    weakest member).
+
+    Shape: crc32(subject) exchange co-locates each subject's type and
+    data triples (vectorized per-bucket fold to (class, pred)
+    partials + per-class subject-count partials), then ONE small
+    (class, pred) exchange folds min/max/sums and AND-folds the
+    datatype flags.  Output: (cls, pred, n_subjects, n_triples,
+    min_count, max_count, datatype), ints int64."""
+    _int_rx = re.compile(_DATATYPE_RX["integer"])
+    _dec_rx = re.compile(_DATATYPE_RX["decimal"])
+    _date_rx = re.compile(_DATATYPE_RX["date"])
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "s": batch.column(s_col).cast(pa.string()).to_pandas(),
+            "p": batch.column(p_col).cast(pa.string()).to_pandas(),
+            "o": batch.column(o_col).cast(pa.string()).to_pandas()})
+        df["_bucket"] = df["s"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+        return df
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        types = (g[g["p"] == type_pred][["s", "o"]]
+                 .rename(columns={"o": "cls"}).drop_duplicates())
+        if not len(types):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+                ("cls", object), ("pred", object), ("kind", "int64"),
+                ("n_subj", "int64"), ("n_tr", "int64"),
+                ("mn", "int64"), ("mx", "int64"),
+                ("all_int", "int64"), ("all_dec", "int64"),
+                ("all_date", "int64"), ("all_iri", "int64"),
+                ("_bucket", "int32")]})
+        data = g[g["p"] != type_pred]
+        m = types.merge(data, on="s")
+        parts = []
+        if len(m):
+            per_subj = (m.groupby(["cls", "p", "s"], sort=False)
+                        .size().rename("n").reset_index())
+            agg = per_subj.groupby(["cls", "p"], sort=False).agg(
+                n_subj=("s", "nunique"), n_tr=("n", "sum"),
+                mn=("n", "min"), mx=("n", "max")).reset_index()
+            vals = m.copy()
+            vals["is_int"] = vals["o"].map(
+                lambda v: bool(_int_rx.fullmatch(v)))
+            vals["is_dec"] = vals["o"].map(
+                lambda v: bool(_dec_rx.fullmatch(v)))
+            vals["is_date"] = vals["o"].map(
+                lambda v: bool(_date_rx.fullmatch(v)))
+            vals["is_iri"] = vals["o"].map(
+                lambda v: bool(_IRI_RX.fullmatch(v)))
+            dt = vals.groupby(["cls", "p"], sort=False)[
+                ["is_int", "is_dec", "is_date", "is_iri"]].all()
+            agg = agg.merge(dt.reset_index(), on=["cls", "p"])
+            agg = agg.rename(columns={
+                "p": "pred", "is_int": "all_int", "is_dec": "all_dec",
+                "is_date": "all_date", "is_iri": "all_iri"})
+            for c in ("all_int", "all_dec", "all_date", "all_iri"):
+                agg[c] = agg[c].astype("int64")
+            agg["kind"] = np.int64(0)
+            parts.append(agg)
+        # per-class subject totals (kind 1) — needed for min_count 0
+        ctot = (types.groupby("cls", sort=False)["s"].nunique()
+                .reset_index(name="n_subj"))
+        ctot["pred"] = ""
+        ctot["kind"] = np.int64(1)
+        for c in ("n_tr", "mn", "mx", "all_int", "all_dec",
+                  "all_date", "all_iri"):
+            ctot[c] = np.int64(0)
+        parts.append(ctot)
+        out = pd.concat(parts, ignore_index=True)
+        out["_bucket"] = out["cls"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets).astype("int32")
+        cols = ["cls", "pred", "kind", "n_subj", "n_tr", "mn", "mx",
+                "all_int", "all_dec", "all_date", "all_iri", "_bucket"]
+        return out[cols]
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        totals = (g[g["kind"] == 1].groupby("cls", sort=False)["n_subj"]
+                  .sum())
+        d = g[g["kind"] == 0]
+        if not len(d):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+                ("cls", object), ("pred", object),
+                ("n_subjects", "int64"), ("n_triples", "int64"),
+                ("min_count", "int64"), ("max_count", "int64"),
+                ("datatype", object)]})
+        agg = d.groupby(["cls", "pred"], sort=False).agg(
+            n_subjects=("n_subj", "sum"), n_triples=("n_tr", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+            all_int=("all_int", "min"), all_dec=("all_dec", "min"),
+            all_date=("all_date", "min"), all_iri=("all_iri", "min")
+        ).reset_index()
+        cls_total = agg["cls"].map(totals).astype("int64")
+        agg["min_count"] = np.where(
+            agg["n_subjects"] < cls_total, 0, agg["mn"]).astype("int64")
+
+        def dtype_of(r) -> str:
+            if r["all_int"]:
+                return "integer"
+            if r["all_dec"]:
+                return "decimal"
+            if r["all_date"]:
+                return "date"
+            if r["all_iri"]:
+                return "iri"
+            return "string"
+
+        agg["datatype"] = agg.apply(dtype_of, axis=1)
+        out = agg.rename(columns={"mx": "max_count"})
+        for c in ("n_subjects", "n_triples", "min_count", "max_count"):
+            out[c] = out[c].astype("int64")
+        return out[["cls", "pred", "n_subjects", "n_triples",
+                    "min_count", "max_count", "datatype"]]
+
+    return (store.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_fold, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(final_fold, batch_format="pandas"))

@@ -326,3 +326,56 @@ def test_range_length_spec_validation():
         Shape("x", "C", [("min_inclusive", "p", "abc")]).validate_spec()
     with pytest.raises(ValueError, match=">= 0"):
         Shape("x", "C", [("min_length", "p", -1)]).validate_spec()
+
+
+def test_induce_shapes_counts_and_datatypes():
+    from gliner_transbronchialbiopsy_ray.stages.shacl import induce_shapes
+    store = rd.from_items([{"s": s, "p": p, "o": o} for s, p, o in [
+        ("c1", "a", "C"), ("c2", "a", "C"), ("c3", "a", "C"),
+        # bal: all integers, c3 lacks it -> min_count 0
+        ("c1", "bal", "10"), ("c2", "bal", "-3"),
+        # name: strings, everyone has exactly one
+        ("c1", "name", "alice"), ("c2", "name", "bob"),
+        ("c3", "name", "carol"),
+        # ref: iri values, c1 has two (max_count 2)
+        ("c1", "ref", "n:1"), ("c1", "ref", "n:2"),
+        ("c2", "ref", "n:1"), ("c3", "ref", "n:3"),
+        # mixed: integer + string -> string
+        ("c1", "mixed", "5"), ("c2", "mixed", "xx"),
+        ("c3", "mixed", "7"),
+        # a second class with decimals and dates
+        ("d1", "a", "D"), ("d1", "price", "1.5"),
+        ("d1", "day", "2024-01-02"),
+    ]])
+    out = induce_shapes(store).to_pandas()
+    rows = {(r.cls, r.pred): r for r in out.itertuples()}
+    r = rows[("C", "bal")]
+    assert (r.n_subjects, r.n_triples, r.min_count, r.max_count,
+            r.datatype) == (2, 2, 0, 1, "integer")
+    r = rows[("C", "name")]
+    assert (r.n_subjects, r.min_count, r.max_count, r.datatype) == \
+        (3, 1, 1, "string")
+    r = rows[("C", "ref")]
+    assert (r.n_subjects, r.min_count, r.max_count, r.datatype) == \
+        (3, 1, 2, "iri")
+    assert rows[("C", "mixed")].datatype == "string"
+    assert rows[("D", "price")].datatype == "decimal"
+    assert rows[("D", "day")].datatype == "date"
+
+
+def test_induce_shapes_roundtrip_with_validator():
+    """Shapes induced from clean data validate that same data clean."""
+    from gliner_transbronchialbiopsy_ray.stages.shacl import (
+        Shape, induce_shapes, validate_shapes)
+    triples = [("x1", "a", "T"), ("x2", "a", "T"),
+               ("x1", "n", "1"), ("x2", "n", "2")]
+    store = rd.from_items([{"s": s, "p": p, "o": o}
+                           for s, p, o in triples])
+    ind = induce_shapes(store).to_pandas()
+    r = ind.iloc[0]
+    shape = Shape("induced", r.cls, [
+        ("min_count", r.pred, int(r.min_count)),
+        ("max_count", r.pred, int(r.max_count)),
+        ("datatype", r.pred, r.datatype),
+    ])
+    assert validate_shapes(store, [shape]).count() == 0
