@@ -12455,6 +12455,90 @@ ORDER BY agg.cls, pred
 """
 
 
+def q250_schema_lifecycle(sf_dir: str):
+    """Schema-lifecycle capstone (induce_shapes -> Shape ->
+    validate_shapes — constraint-level drift detection, complementing
+    q207's predicate-profile diff): shapes are MINED from the clean
+    even-key customer snapshot (bounded: a handful of (class, pred)
+    rows cross the driver), then the full snapshot with planted drift
+    — every 19th key's balance becomes 'N/A', every 23rd loses its
+    name — is validated against them.  The oracle hard-codes the
+    induced constraint VALUES (sf-stable for this data: bal decimal
+    1..1, cname string 1..1, nat iri 1..1, seg 0..1); if induction
+    ever drifted, the Ray side's violations would change and the
+    hash would catch it."""
+    from ..stages.shacl import Shape, induce_shapes, validate_shapes
+    from ..stages.triplify import (TripleMap, col, const, node,
+                                   row_filter, triplify_tables)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy()
+        bal = b.column("c_acctbal").to_pandas().astype(str)
+        bal[k % 19 == 0] = "N/A"
+        return (b.append_column("m2", pa.array(k % 2))
+                .append_column("m23", pa.array(k % 23))
+                .append_column("bal_drift",
+                               pa.array(bal.to_numpy(), pa.string())))
+
+    rows = cust.map_batches(derive, batch_format="pyarrow")
+
+    def mappings(drift: bool):
+        bal = col("bal_drift") if drift else col("c_acctbal")
+        m = [("a", const("Customer")), ("bal", bal),
+             ("nat", node("nation", "c_nationkey")),
+             ("seg", col("c_mktsegment"),
+              row_filter("c_mktsegment", "==", "BUILDING"))]
+        if drift:
+            m.append(("cname", col("c_name"),
+                      row_filter("m23", "!=", 0)))
+        else:
+            m.append(("cname", col("c_name")))
+        return m
+
+    store_a = triplify_tables([
+        (rows.map_batches(lambda b: b.filter(
+            pc.equal(b.column("m2"), 0)), batch_format="pyarrow"),
+         TripleMap(subject=node("cust", "c_custkey"),
+                   mappings=mappings(drift=False))),
+    ])
+    ind = induce_shapes(store_a).to_pandas()
+    constraints = []
+    for r in ind[ind["cls"] == "Customer"].itertuples():
+        if r.min_count > 0:
+            constraints.append(("min_count", r.pred, int(r.min_count)))
+        constraints.append(("max_count", r.pred, int(r.max_count)))
+        if r.datatype in ("integer", "decimal", "date"):
+            constraints.append(("datatype", r.pred, r.datatype))
+    shape = Shape("induced", "Customer", sorted(constraints))
+
+    store_b = triplify_tables([
+        (rows, TripleMap(subject=node("cust", "c_custkey"),
+                         mappings=mappings(drift=True))),
+    ])
+    out = validate_shapes(store_b, [shape],
+                          type_pred="a").to_pandas()
+    cols = ["node", "shape", "constraint", "pred", "detail"]
+    out = out[cols].astype(str)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+Q250_SQL = """
+SELECT * FROM (
+  SELECT 'cust:' || c_custkey AS node, 'induced' AS shape,
+         'datatype' AS "constraint", 'bal' AS pred, 'N/A' AS detail
+  FROM customer WHERE c_custkey % 19 = 0
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'induced', 'min_count', 'cname', '0'
+  FROM customer WHERE c_custkey % 23 = 0
+)
+ORDER BY node, shape, "constraint", pred, detail
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12753,6 +12837,7 @@ QUERIES: dict[str, tuple] = {
     "q247_keyed_lag": (q247_keyed_lag, Q247_SQL),
     "q248_grouped_mode": (q248_grouped_mode, Q248_SQL),
     "q249_shape_induction": (q249_shape_induction, Q249_SQL),
+    "q250_schema_lifecycle": (q250_schema_lifecycle, Q250_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
