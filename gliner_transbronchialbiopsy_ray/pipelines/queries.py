@@ -12539,6 +12539,52 @@ ORDER BY node, shape, "constraint", pred, detail
 """
 
 
+def q251_zonemap_range_query(sf_dir: str):
+    """Zone-map data skipping (sources/io.py:write_zonemapped /
+    read_zonemapped — the warehouse layout feature as partitioned
+    parquet + a min/max manifest): lineitem range-partitioned by
+    l_orderkey into 16 ranges, then a narrow key-range query that the
+    manifest prunes to a fraction of the ranges BEFORE any file opens
+    (asserted inside the pipeline), residual-filtered, and aggregated.
+    Oracle: the plain filtered aggregate — the layout must be
+    invisible to the answer."""
+    import tempfile
+
+    from ..sources.io import read_zonemapped, write_zonemapped
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_quantity"])
+    d = tempfile.mkdtemp(prefix="q251_", dir="/tmp")
+    zones = write_zonemapped(li, d, "l_orderkey", n_ranges=16)
+    lo, hi = 1000, 3000
+    out, nread = read_zonemapped(d, lo=lo, hi=hi)
+    assert nread < len(zones), "zone map failed to skip anything"
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "q": pa.array(b.column("l_quantity").to_numpy()
+                          .astype("int64"))})
+
+    agg = _preagg(out.map_batches(to_int, batch_format="pyarrow"),
+                  ["l_returnflag"],
+                  {"sum_qty": ("q", "sum"), "n": ("q", "count")})
+    agg["l_returnflag"] = agg["l_returnflag"].astype(str)
+    agg[["sum_qty", "n"]] = agg[["sum_qty", "n"]].astype("int64")
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q251_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 3000
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12838,6 +12884,7 @@ QUERIES: dict[str, tuple] = {
     "q248_grouped_mode": (q248_grouped_mode, Q248_SQL),
     "q249_shape_induction": (q249_shape_induction, Q249_SQL),
     "q250_schema_lifecycle": (q250_schema_lifecycle, Q250_SQL),
+    "q251_zonemap_range_query": (q251_zonemap_range_query, Q251_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

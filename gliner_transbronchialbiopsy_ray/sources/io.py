@@ -7,6 +7,13 @@ to parquet with the identical schema.  All tests pass either way.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 
 
@@ -80,3 +87,112 @@ def read_triples_predicate(
     the partition value from the path and attaches it as a column."""
     sub = f"{path.rstrip('/')}/{partition_col}={pred}"
     return ray.data.read_parquet(sub, **kwargs)
+
+
+def write_zonemapped(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    sort_col: str,
+    n_ranges: int = 16,
+) -> pd.DataFrame:
+    """ZONE-MAPPED layout: range-partition rows by `sort_col` into
+    `n_ranges` key ranges (cut points from a distributed quantile
+    sketch — one stats pass, no global sort), write one parquet
+    directory per range, and persist a `_zonemap.json` manifest of
+    per-range (min, max, rows).  The layout is what makes
+    `read_zonemapped` range queries touch only overlapping files —
+    the zone-map / data-skipping discipline every warehouse engine
+    applies, expressed as plain partitioned parquet + a manifest.
+    Resumable-output rule: one directory per range, never one giant
+    file.  `sort_col` must be int64-valued."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # cut points: per-block (min, max, sampled values) partials -> a
+    # bounded driver fold (n_ranges-quantiles of the sampled keys)
+    def partials(b: pa.Table) -> pd.DataFrame:
+        v = b.column(sort_col).to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"q": pd.Series(dtype="int64")})
+        qs = np.quantile(v, np.linspace(0, 1, 65), method="nearest")
+        return pd.DataFrame({"q": qs.astype("int64")})
+
+    qvals = np.sort(np.array(
+        [r["q"] for r in ds.map_batches(
+            partials, batch_format="pyarrow").take_all()],
+        dtype="int64"))
+    if len(qvals) == 0:
+        raise ValueError("empty dataset")
+    cuts = np.unique(np.quantile(
+        qvals, np.linspace(0, 1, n_ranges + 1)[1:-1],
+        method="nearest").astype("int64"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b.column(sort_col).to_numpy()
+        rng = np.searchsorted(cuts, v, side="right").astype("int32")
+        return b.append_column("_range", pa.array(rng))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged.write_parquet(out_dir, partition_cols=["_range"])
+
+    # manifest: true per-range min/max from the written files
+    zones = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("_range="):
+            continue
+        rid = int(d.split("=")[1])
+        mins, maxs, rows = [], [], 0
+        for f in os.listdir(os.path.join(out_dir, d)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(out_dir, d, f),
+                                  columns=[sort_col])
+                if t.num_rows:
+                    mins.append(pc.min(t.column(sort_col)).as_py())
+                    maxs.append(pc.max(t.column(sort_col)).as_py())
+                    rows += t.num_rows
+        if rows:
+            zones.append({"range": rid, "min": int(min(mins)),
+                          "max": int(max(maxs)), "rows": rows})
+    with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
+        json.dump({"sort_col": sort_col, "zones": zones}, f)
+    return pd.DataFrame(zones)
+
+
+def read_zonemapped(
+    out_dir: str,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> tuple[ray.data.Dataset, int]:
+    """Range query over a `write_zonemapped` layout: the manifest
+    prunes non-overlapping ranges BEFORE any file is opened (zone-map
+    data skipping), the survivors stream through `read_parquet` with
+    the residual row filter.  Returns (dataset, n_ranges_read) so
+    callers/tests can assert the skipping actually happened.  Bounds
+    are inclusive; None = unbounded."""
+    import json
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        zm = json.load(f)
+    col = zm["sort_col"]
+    keep = [z["range"] for z in zm["zones"]
+            if (lo is None or z["max"] >= lo)
+            and (hi is None or z["min"] <= hi)]
+    dirs = [os.path.join(out_dir, f"_range={r}") for r in sorted(keep)]
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return ray.data.from_arrow(pa.table({})), 0
+    ds = ray.data.read_parquet(files)
+
+    def residual(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(v, lo)
+        if hi is not None:
+            m2 = pc.less_equal(v, hi)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return b if mask is None else b.filter(mask)
+
+    return ds.map_batches(residual, batch_format="pyarrow"), len(dirs)

@@ -73,3 +73,32 @@ def test_partitioned_triple_store_roundtrip_and_pruning(ray_session, tmp_path):
     assert sorted(back["obj"]) == ["A1", "A2"]
     assert set(back["pred"]) == {"grade"}
     assert sorted(back.columns) == ["obj", "pred", "subj"]
+
+
+def test_zonemap_roundtrip_and_pruning():
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.sources.io import (
+        read_zonemapped, write_zonemapped)
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 10_000, 5000).astype("int64")
+    ds = rd.from_items([{"k": int(k), "v": int(k) * 2} for k in keys]
+                       ).repartition(8)
+    d = tempfile.mkdtemp()
+    zones = write_zonemapped(ds, d, "k", n_ranges=8)
+    assert zones["rows"].sum() == 5000
+    assert len(zones) >= 4          # ranges actually split
+
+    # narrow range query: prunes most ranges, values exact
+    out, nread = read_zonemapped(d, lo=1000, hi=1500)
+    df = out.to_pandas()
+    want = np.sort(keys[(keys >= 1000) & (keys <= 1500)])
+    assert np.array_equal(np.sort(df["k"].to_numpy()), want)
+    assert (df["v"].to_numpy() == df["k"].to_numpy() * 2).all()
+    assert nread < len(zones)       # data skipping really happened
+
+    # unbounded read returns everything
+    out_all, nall = read_zonemapped(d)
+    assert out_all.count() == 5000 and nall == len(zones)
