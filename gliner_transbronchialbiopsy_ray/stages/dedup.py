@@ -1115,6 +1115,13 @@ def prefix_filter_jaccard_pairs(
              .groupby("_bucket")
              .map_groups(df_fold, batch_format="pandas")
              .to_pandas())
+    if not len(dfreq):    # empty corpus (to_pandas drops the schema)
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "inter": pa.array([], type=pa.int64()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64())}))
     order = {t: i for i, (_, t) in enumerate(
         sorted(zip(dfreq["n"], dfreq["t"])))}
     order_ref = ray.put(order)

@@ -2870,6 +2870,8 @@ def k_hop_widest_path(
     edges = coalesce_for_join(
         edges.select_columns([src, dst, capacity]), num_partitions
     ).materialize()
+    if edges.count() == 0:    # no edges: seeds alone, no relaxation
+        return best.select_columns(["node", "width"])
 
     for hop in range(k):
         expand = coalesce_for_join(
@@ -3001,6 +3003,12 @@ def bipartite_components(
                              "b": np.maximum(u, v)}).drop_duplicates()
 
     und = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+    if und.count() == 0:    # empty graph: typed empty result
+        return ray.data.from_arrow(pa.table({
+            "component": pa.array([], type=pa.int64()),
+            "n_nodes": pa.array([], type=pa.int64()),
+            "odd_edges": pa.array([], type=pa.int64()),
+            "is_bipartite": pa.array([], type=pa.int64())}))
 
     comp = connected_components(
         und, max_iterations=rounds, left_col="a", right_col="b",
@@ -3140,6 +3148,10 @@ def dag_longest_path(
 
     edges = coalesce_for_join(
         edges.select_columns([src, dst]), num_partitions).materialize()
+    if edges.count() == 0:    # no edges: no roots, typed empty result
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "layer": pa.array([], type=pa.int64())}))
 
     if strategy != "join":
         def endpoint_sets(b: pa.Table) -> pa.Table:

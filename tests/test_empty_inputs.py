@@ -95,3 +95,73 @@ def test_dedup_empty(ray_session):
 def test_text_analysis_empty(ray_session):
     wf = word_frequencies(_empty_docs(), top_k=5)
     assert len(wf) == 0 and list(wf.columns) == ["word", "n"]
+
+
+def _empty_edges():
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64())}))
+
+
+def test_empty_inputs_session4_graph_ops():
+    import pyarrow as pa
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        bipartite_components, dag_longest_path, k_hop_widest_path,
+        k_truss_edges)
+    e = _empty_edges()
+    assert k_truss_edges(e, k=3, rounds=1).count() == 0
+    assert bipartite_components(e, rounds=2).count() == 0
+    ew = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+        "cap": pa.array([], type=pa.int64())}))
+    seeds = rd.from_items([{"node": 0}])
+    out = k_hop_widest_path(ew, seeds, k=2).to_pandas()
+    assert list(out["node"]) == [0]          # seed survives, no edges
+    ed = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64())}))
+    assert dag_longest_path(ed, k=2).count() == 0
+
+
+def test_empty_inputs_session4_text_and_stats():
+    import pyarrow as pa
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs)
+    from gliner_transbronchialbiopsy_ray.stages.link import edit1_join
+    from gliner_transbronchialbiopsy_ray.stages.shacl import induce_shapes
+    from gliner_transbronchialbiopsy_ray.stages.stats import (
+        grouped_median_x2, grouped_mode, rollup_aggregate)
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        bpe_train)
+    from gliner_transbronchialbiopsy_ray.stages.window import (
+        keyed_lag, keyed_ranks)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert len(bpe_train(docs, n_merges=3)) == 0
+    assert prefix_filter_jaccard_pairs(docs, 0.5).count() == 0
+    names = rd.from_arrow(pa.table({
+        "name": pa.array([], type=pa.string())}))
+    assert edit1_join(names, names).count() == 0
+    kv = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64())}))
+    assert grouped_median_x2(kv, ["k"], "v").count() == 0
+    assert grouped_mode(kv, ["k"], "v").count() == 0
+    assert rollup_aggregate(kv, ["k"], "v").count() <= 1  # grand total
+    idv = rd.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "k": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64())}))
+    assert keyed_ranks(idv, "k", "v", ["id"]).count() == 0
+    assert keyed_lag(idv, "k", "v", "v", ["id"]).count() == 0
+    spo = rd.from_arrow(pa.table({
+        "s": pa.array([], type=pa.string()),
+        "p": pa.array([], type=pa.string()),
+        "o": pa.array([], type=pa.string())}))
+    assert induce_shapes(spo).count() == 0
