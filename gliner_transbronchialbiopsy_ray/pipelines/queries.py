@@ -12585,6 +12585,51 @@ ORDER BY l_returnflag
 """
 
 
+def q252_cdc_apply(sf_dir: str):
+    """CDC log apply (stages/corrections.py:apply_cdc_log — the LWW
+    corrections fold generalized with deletes and an explicit total
+    order): a synthetic insert/update/delete log over orders (every
+    order inserted, every 3rd updated at a later offset, every 5th
+    deleted last) folds to the final state in ONE crc(key) exchange.
+    Oracle: the CASE/filter the log encodes."""
+    from ..stages.corrections import apply_cdc_log
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def mk_log(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        k = df["o_orderkey"].to_numpy()
+        parts = [pd.DataFrame({
+            "k": k, "op": "I", "seq": np.int64(1),
+            "v": df["o_orderstatus"].astype(str)})]
+        m3 = k % 3 == 0
+        if m3.any():
+            parts.append(pd.DataFrame({
+                "k": k[m3], "op": "U", "seq": np.int64(2),
+                "v": "touched"}))
+        m5 = k % 5 == 0
+        if m5.any():
+            parts.append(pd.DataFrame({
+                "k": k[m5], "op": "D", "seq": np.int64(3), "v": ""}))
+        return pd.concat(parts, ignore_index=True)
+
+    log = orders.map_batches(mk_log, batch_format="pyarrow")
+    out = apply_cdc_log(log, ["k"]).to_pandas()
+    out["k"] = out["k"].astype("int64")
+    out["v"] = out["v"].astype(str)
+    return out.sort_values("k").reset_index(drop=True)
+
+
+Q252_SQL = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'touched'
+            ELSE o_orderstatus END AS v
+FROM orders
+WHERE o_orderkey % 5 != 0
+ORDER BY k
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12885,6 +12930,7 @@ QUERIES: dict[str, tuple] = {
     "q249_shape_induction": (q249_shape_induction, Q249_SQL),
     "q250_schema_lifecycle": (q250_schema_lifecycle, Q250_SQL),
     "q251_zonemap_range_query": (q251_zonemap_range_query, Q251_SQL),
+    "q252_cdc_apply": (q252_cdc_apply, Q252_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

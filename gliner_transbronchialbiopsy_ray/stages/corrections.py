@@ -110,3 +110,49 @@ def apply_corrections(
         batch_format="pyarrow",
         concurrency=2,
     )
+
+
+def apply_cdc_log(
+    log: ray.data.Dataset,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Generic CHANGE-DATA-CAPTURE apply: fold an (I)nsert / (U)pdate /
+    (D)elete log into the final state — the LWW corrections fold
+    (fold_latest_state) generalized with deletions and an explicit
+    total order.  Per key, the row with the greatest `seq` wins; a
+    winning D erases the key (no output row).  Deterministic: `seq`
+    must be unique per key (the CDC log contract — e.g. a log offset);
+    ties would make "last" meaningless and raise.
+
+    ONE crc(key) coarse-bucket exchange co-locates each key's history;
+    the in-bucket fold is one vectorized sort + tail(1) across all
+    keys in the bucket.  Output: every non-deleted key's latest row
+    (all log columns except op/seq/bucket)."""
+    import zlib
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        k = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            k = k + "\x00" + df[c].astype(str)
+        df["_bucket"] = k.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(key_cols + [seq_col], kind="stable")
+        dup = d.duplicated(subset=key_cols + [seq_col]).any()
+        if dup:
+            raise ValueError(
+                f"duplicate {seq_col} within a key — the CDC log "
+                "total-order contract is violated")
+        last = d.groupby(key_cols, sort=False).tail(1)
+        alive = last[last[op_col] != "D"]
+        return alive.drop(columns=[op_col, seq_col, "_bucket"])
+
+    return (log.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas"))

@@ -125,3 +125,30 @@ def test_corrections_on_fixture_corpus():
     latest = corr.groupby(["doc_id", "entity_type"]).tail(1)
     for _, r in latest.iterrows():
         assert out.loc[r["doc_id"], r["entity_type"]] == r["corrected_value"]
+
+
+def test_apply_cdc_log_upsert_delete():
+    import pytest
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.corrections import (
+        apply_cdc_log)
+    log = rd.from_items([
+        {"k": 1, "op": "I", "seq": 1, "v": "a"},
+        {"k": 1, "op": "U", "seq": 3, "v": "b"},     # wins
+        {"k": 1, "op": "U", "seq": 2, "v": "zz"},
+        {"k": 2, "op": "I", "seq": 1, "v": "x"},
+        {"k": 2, "op": "D", "seq": 2, "v": ""},      # erased
+        {"k": 3, "op": "I", "seq": 5, "v": "c"},
+        {"k": 3, "op": "D", "seq": 6, "v": ""},
+        {"k": 3, "op": "I", "seq": 7, "v": "c2"},    # re-inserted
+    ]).repartition(3)
+    out = (apply_cdc_log(log, ["k"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(map(tuple, out[["k", "v"]].to_numpy())) == \
+        [(1, "b"), (3, "c2")]
+    bad = rd.from_items([
+        {"k": 1, "op": "I", "seq": 1, "v": "a"},
+        {"k": 1, "op": "U", "seq": 1, "v": "b"},
+    ])
+    with pytest.raises(Exception, match="total-order"):
+        apply_cdc_log(bad, ["k"]).to_pandas()
