@@ -825,6 +825,8 @@ def k_hop_min_cost(
     dst: str = "dst",
     weight: str = "w",
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_threshold: int = 500_000,
 ) -> ray.data.Dataset:
     """Bounded-hop Bellman-Ford: (node, cost) = cheapest weighted path
     from any seed within `k` edges — the weighted generalization of
@@ -841,14 +843,77 @@ def k_hop_min_cost(
     lineage would re-run the edge pipeline every round); no node set is
     broadcast or collected.  Weights must be non-negative (Bellman-Ford
     correctness under bounded rounds); int64 costs keep the fold exact.
+
+    `strategy`: "join" = the unbounded path above; "broadcast" keeps
+    (node, cost) driver-resident and streams the materialized edge set
+    once per round (the k_hop_reachability / dag_longest_path auto
+    discipline, reached-node count <= `broadcast_threshold`,
+    equivalence pinned by test; falls back to "join" mid-run on
+    overflow); "auto" picks by seed count.
     """
     from ray.data.aggregate import Min
 
     from .joins import coalesce_for_join
 
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if num_partitions is None:
         num_partitions = _default_join_partitions()
     BIG = np.int64(2**62)
+
+    if strategy != "join":
+        seed_ids = [int(r["node"]) for r in
+                    seeds.select_columns(["node"]).take_all()]
+        if strategy == "broadcast" or len(seed_ids) <= broadcast_threshold:
+            eds = coalesce_for_join(
+                edges.select_columns([src, dst, weight]), num_partitions
+            ).materialize()
+            best: dict[int, int] = {s: 0 for s in seed_ids}
+            frontier = dict(best)
+            overflow = False
+            for _hop in range(k):
+                if not frontier:
+                    break
+                ref = ray.put(frontier)
+
+                def relax_b(b: pa.Table, _r=ref) -> pd.DataFrame:
+                    fr = ray.get(_r)
+                    u = b.column(src).to_pylist()
+                    v = b.column(dst).to_pylist()
+                    w = b.column(weight).to_pylist()
+                    cand: dict[int, int] = {}
+                    for uu, vv, ww in zip(u, v, w):
+                        cu = fr.get(uu)
+                        if cu is not None:
+                            nc = cu + int(ww)
+                            if nc < cand.get(vv, 1 << 63):
+                                cand[vv] = nc
+                    return pd.DataFrame({
+                        "node": pd.Series(list(cand.keys()),
+                                          dtype="int64"),
+                        "cost": pd.Series(list(cand.values()),
+                                          dtype="int64")})
+
+                parts = eds.map_batches(
+                    relax_b, batch_format="pyarrow").take_all()
+                frontier = {}
+                for r in parts:
+                    n, c = int(r["node"]), int(r["cost"])
+                    if (c < best.get(n, 1 << 63)
+                            and c < frontier.get(n, 1 << 63)):
+                        frontier[n] = c
+                best.update(frontier)
+                if len(best) > broadcast_threshold:
+                    overflow = True
+                    break
+            if not overflow:
+                items = sorted(best.items())
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array([n for n, _ in items],
+                                     type=pa.int64()),
+                    "cost": pa.array([c for _, c in items],
+                                     type=pa.int64())}))
+            # fall through to the join path on overflow
 
     def as_seed(batch: pa.Table) -> pa.Table:
         ids = pd.unique(batch.column("node").to_pandas())

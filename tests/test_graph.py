@@ -1015,3 +1015,26 @@ def test_k_hop_reachability_strategies_equal():
     # mid-run overflow falls back to the join path, same answer
     c = run("auto", broadcast_threshold=5)
     assert c.equals(b)
+
+
+def test_k_hop_min_cost_strategies_equal():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        k_hop_min_cost)
+    rng = np.random.RandomState(14)
+    edges = [(int(a), int(b), int(w)) for a, b, w in zip(
+        rng.randint(0, 25, 120), rng.randint(0, 25, 120),
+        rng.randint(1, 20, 120)) if a != b]
+
+    def run(strategy, **kw):
+        ds = rd.from_items([{"src": u, "dst": v, "w": w}
+                            for u, v, w in edges])
+        seeds = rd.from_items([{"node": 0}, {"node": 11}])
+        return (k_hop_min_cost(ds, seeds, 4, strategy=strategy, **kw)
+                .to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
+    a = run("broadcast")
+    b = run("join")
+    assert a.equals(b)
+    c = run("auto", broadcast_threshold=4)   # overflow fallback
+    assert c.equals(b)
