@@ -12630,6 +12630,49 @@ ORDER BY k
 """
 
 
+def q253_zorder_box_query(sf_dir: str):
+    """Z-order clustering + 2-D box skipping (sources/io.py:
+    write_zordered / read_zordered_box — the multi-column sibling of
+    q251's zone maps): lineitem clustered by the Morton interleave of
+    (l_partkey, l_suppkey); a box query prunes ranges via the jointly
+    monotone Morton interval [morton(lo), morton(hi)] (sound, not
+    BIGMIN-tight), re-checks coordinates in the residual filter, and
+    aggregates.  Pruning asserted in-pipeline.  Oracle: the plain 2-D
+    filter aggregate."""
+    import tempfile
+
+    from ..sources.io import read_zordered_box, write_zordered
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+    d = tempfile.mkdtemp(prefix="q253_", dir="/tmp")
+    zones = write_zordered(li, d, "l_partkey", "l_suppkey",
+                           n_ranges=16)
+    out, nread = read_zordered_box(d, "l_partkey", 100, 400,
+                                   "l_suppkey", 10, 40)
+    assert nread < len(zones), "z-order pruning failed to skip"
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": pa.array(b.column("l_quantity").to_numpy()
+                          .astype("int64"))})
+
+    part = out.map_batches(to_int, batch_format="pyarrow")
+    tot = part.sum("q") or 0
+    n = part.count()
+    return pd.DataFrame({"sum_qty": pd.Series([int(tot)], dtype="int64"),
+                         "n": pd.Series([int(n)], dtype="int64")})
+
+
+Q253_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+         AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12931,6 +12974,7 @@ QUERIES: dict[str, tuple] = {
     "q250_schema_lifecycle": (q250_schema_lifecycle, Q250_SQL),
     "q251_zonemap_range_query": (q251_zonemap_range_query, Q251_SQL),
     "q252_cdc_apply": (q252_cdc_apply, Q252_SQL),
+    "q253_zorder_box_query": (q253_zorder_box_query, Q253_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -196,3 +196,79 @@ def read_zonemapped(
         return b if mask is None else b.filter(mask)
 
     return ds.map_batches(residual, batch_format="pyarrow"), len(dirs)
+
+
+def _part1by1(x: "np.ndarray") -> "np.ndarray":
+    """Spread each bit of a < 2^30 int to the even bit positions
+    (the standard Morton magic-shift sequence, vectorized uint64)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << 16)) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << 8)) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << 2)) & np.uint64(0x3333333333333333)
+    x = (x | (x << 1)) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton2(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Interleaved 2-D Morton code (int64; inputs must be in
+    [0, 2^30) so the code stays sign-safe).  JOINTLY MONOTONE: growing
+    either coordinate never shrinks the code — the property Z-order
+    box pruning relies on."""
+    if (x < 0).any() or (y < 0).any() or \
+            (x >= 1 << 30).any() or (y >= 1 << 30).any():
+        raise ValueError("morton2 inputs must be in [0, 2^30)")
+    return (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(
+        "int64")
+
+
+def write_zordered(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    n_ranges: int = 16,
+) -> pd.DataFrame:
+    """Z-ORDER clustering for 2-D data skipping: append the Morton
+    interleave of (col_x, col_y) and lay the rows out through
+    `write_zonemapped` on that code — one linear key carries locality
+    in BOTH dimensions, so box queries prune ranges the way
+    warehouse Z-/Hilbert-clustering does.  Same manifest + layout
+    contract as write_zonemapped."""
+    def tag(b: pa.Table) -> pa.Table:
+        m = morton2(b.column(col_x).to_numpy(),
+                    b.column(col_y).to_numpy())
+        return b.append_column("_morton", pa.array(m))
+
+    return write_zonemapped(
+        ds.map_batches(tag, batch_format="pyarrow"), out_dir,
+        "_morton", n_ranges=n_ranges)
+
+
+def read_zordered_box(
+    out_dir: str,
+    col_x: str,
+    x_lo: int, x_hi: int,
+    col_y: str,
+    y_lo: int, y_hi: int,
+) -> tuple[ray.data.Dataset, int]:
+    """Box query over a `write_zordered` layout: every point inside
+    the box has a Morton code within [morton(x_lo, y_lo),
+    morton(x_hi, y_hi)] (joint monotonicity), so the zone map prunes
+    on that interval — sound, not BIGMIN-tight — and the residual
+    filter re-checks the ORIGINAL coordinates.  Returns (dataset,
+    n_ranges_read)."""
+    lo = int(morton2(np.array([x_lo]), np.array([y_lo]))[0])
+    hi = int(morton2(np.array([x_hi]), np.array([y_hi]))[0])
+    ds, nread = read_zonemapped(out_dir, lo=lo, hi=hi)
+    if nread == 0:
+        return ds, 0
+
+    def residual(b: pa.Table) -> pa.Table:
+        mx = pc.and_(pc.greater_equal(b.column(col_x), x_lo),
+                     pc.less_equal(b.column(col_x), x_hi))
+        my = pc.and_(pc.greater_equal(b.column(col_y), y_lo),
+                     pc.less_equal(b.column(col_y), y_hi))
+        return b.filter(pc.and_(mx, my)).drop_columns(["_morton"])
+
+    return ds.map_batches(residual, batch_format="pyarrow"), nread

@@ -102,3 +102,32 @@ def test_zonemap_roundtrip_and_pruning():
     # unbounded read returns everything
     out_all, nall = read_zonemapped(d)
     assert out_all.count() == 5000 and nall == len(zones)
+
+
+def test_zorder_box_query_prunes_and_is_exact():
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.sources.io import (
+        morton2, read_zordered_box, write_zordered)
+    # morton monotonicity sanity
+    assert int(morton2(np.array([0]), np.array([0]))[0]) == 0
+    assert int(morton2(np.array([1]), np.array([0]))[0]) == 1
+    assert int(morton2(np.array([0]), np.array([1]))[0]) == 2
+    assert int(morton2(np.array([1]), np.array([1]))[0]) == 3
+
+    rng = np.random.RandomState(5)
+    xs = rng.randint(0, 1000, 4000).astype("int64")
+    ys = rng.randint(0, 1000, 4000).astype("int64")
+    ds = rd.from_items([{"x": int(a), "y": int(b), "v": int(a + b)}
+                        for a, b in zip(xs, ys)]).repartition(6)
+    d = tempfile.mkdtemp()
+    zones = write_zordered(ds, d, "x", "y", n_ranges=16)
+    out, nread = read_zordered_box(d, "x", 100, 200, "y", 100, 200)
+    df = out.to_pandas()
+    inside = (xs >= 100) & (xs <= 200) & (ys >= 100) & (ys <= 200)
+    assert len(df) == inside.sum()
+    assert (df["v"].to_numpy() ==
+            df["x"].to_numpy() + df["y"].to_numpy()).all()
+    assert nread < len(zones)      # 2-D skipping really pruned
