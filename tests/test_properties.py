@@ -192,3 +192,70 @@ def test_disc_quantile_matches_duckdb_rank_rule(xs):
     df = pd.DataFrame({"x": xs})
     exp = duckdb.sql("SELECT quantile_disc(x, 0.5) FROM df").fetchone()[0]
     assert got == exp
+
+
+# ---- session-4 operators: pure-kernel properties (no Ray session) ----
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdef", max_size=8),
+       st.text(alphabet="abcdef", max_size=8))
+def test_ed_le1_matches_dp(a, b):
+    from gliner_transbronchialbiopsy_ray.stages.link import _ed_le1
+
+    def dp(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (cx != cy))
+            prev = cur
+        return prev[-1]
+
+    assert _ed_le1(a, b) == (dp(a, b) <= 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, (1 << 30) - 1), min_size=1, max_size=20),
+       st.lists(st.integers(0, (1 << 30) - 1), min_size=1, max_size=20))
+def test_morton2_joint_monotonicity(xs, ys):
+    import numpy as np
+    from gliner_transbronchialbiopsy_ray.sources.io import morton2
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n], dtype="int64")
+    y = np.array(ys[:n], dtype="int64")
+    m = morton2(x, y)
+    assert (m >= 0).all()
+    # growing either coordinate never shrinks the code
+    bump_x = morton2(np.minimum(x + 1, (1 << 30) - 1), y)
+    bump_y = morton2(x, np.minimum(y + 1, (1 << 30) - 1))
+    assert (bump_x >= m).all() and (bump_y >= m).all()
+    # bijectivity on distinct pairs
+    pairs = set(zip(x.tolist(), y.tolist()))
+    assert len(set(m.tolist())) == len(pairs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["low", "lower", "newest", "widest",
+                                 "lo", "we", "stew"]),
+                min_size=1, max_size=30),
+       st.integers(1, 8))
+def test_bpe_reference_consistency(words, n_merges):
+    """Training on a corpus then encoding any training word with the
+    learned ranks reproduces the word's final training segmentation
+    length (leftmost-single-merge == all-at-once)."""
+    import re
+    from collections import Counter
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        BpeEncoder)
+    from tests.test_bpe import _ref_bpe
+    texts = [" ".join(words)]
+    merges = [(l, r) for l, r, _ in _ref_bpe(texts, n_merges)]
+    enc = BpeEncoder(merges)
+    # replay training end-state per word
+    vocab = {w: " ".join(list(w) + ["</w>"]) for w in set(words)}
+    for l, r in merges:
+        pat = re.compile(r"(?<!\S)" + re.escape(l + " " + r) + r"(?!\S)")
+        vocab = {w: pat.sub(l + r, s) for w, s in vocab.items()}
+    for w in set(words):
+        assert enc._encode_word(w) == len(vocab[w].split(" "))
