@@ -12126,7 +12126,7 @@ def q243_prefix_filter_jaccard(sf_dir: str):
     from ..stages.dedup import prefix_filter_jaccard_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = prefix_filter_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    out = prefix_filter_jaccard_pairs(docs, threshold=0.9).to_pandas()
     out = out[["a", "b", "inter", "na", "nb"]].astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -12143,7 +12143,7 @@ p AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(inter AS BIGINT) AS inter,
        CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
-FROM p WHERE inter * 2 >= (na + nb - inter)
+FROM p WHERE inter * 10 >= 9 * (na + nb - inter)
 ORDER BY a, b
 """
 
@@ -12673,6 +12673,41 @@ WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
 """
 
 
+def q254_dedup_eval(sf_dir: str):
+    """Dedup-pipeline EVALUATION capstone: score the probabilistic
+    candidate generator (MinHash LSH, q22's parameters) against exact
+    word-Jaccard >= 0.9 ground truth from the prefix filter (q243 —
+    recall 1.0 by construction), via one flag-fold-style tag union.
+    Output: one row (n_truth, n_candidates, tp, fp ppm-precision,
+    fn ppm-recall) — the measurement every production dedup pipeline
+    needs before trusting its LSH parameters.  Hash-dependent (MinHash
+    seeds), so rows-only + golden-pinned; the arithmetic is integer
+    ppm."""
+    from ..stages.dedup import (minhash_candidate_pairs,
+                                prefix_filter_jaccard_pairs)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    truth = prefix_filter_jaccard_pairs(docs, threshold=0.9).to_pandas()
+    tset = set(zip(truth["a"].astype(int), truth["b"].astype(int)))
+    cand = minhash_candidate_pairs(docs).to_pandas()
+    ca = cand.iloc[:, 0].astype(int)
+    cb = cand.iloc[:, 1].astype(int)
+    cset = {(min(a, b), max(a, b)) for a, b in zip(ca, cb)}
+    tp = len(tset & cset)
+    fp = len(cset - tset)
+    fn = len(tset - cset)
+    prec = (1_000_000 * tp) // max(len(cset), 1)
+    rec = (1_000_000 * tp) // max(len(tset), 1)
+    return pd.DataFrame({
+        "n_truth": pd.Series([len(tset)], dtype="int64"),
+        "n_candidates": pd.Series([len(cset)], dtype="int64"),
+        "tp": pd.Series([tp], dtype="int64"),
+        "fp": pd.Series([fp], dtype="int64"),
+        "fn": pd.Series([fn], dtype="int64"),
+        "precision_ppm": pd.Series([prec], dtype="int64"),
+        "recall_ppm": pd.Series([rec], dtype="int64")})
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -12975,6 +13010,7 @@ QUERIES: dict[str, tuple] = {
     "q251_zonemap_range_query": (q251_zonemap_range_query, Q251_SQL),
     "q252_cdc_apply": (q252_cdc_apply, Q252_SQL),
     "q253_zorder_box_query": (q253_zorder_box_query, Q253_SQL),
+    "q254_dedup_eval": (q254_dedup_eval, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
