@@ -2612,6 +2612,72 @@ def btb_mp4_demux(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def btb_mp3_demux(sf_dir: str) -> pd.DataFrame:
+    """REAL MPEG-audio demux path (stages/multimodal.py:probe_mp3 +
+    mp3_frame_table + Mp3FrameExtractor): deterministic header-built
+    VBR streams across MPEG versions/layers, ID3v2/ID3v1 tags and a
+    Xing-tagged mono stream -> evenly-spaced coded-frame extraction by
+    byte range (O(sampled) bytes touched), crc32 over the located
+    bytes pinning exactness.  Frame payload decode is the documented
+    codec stub; the container machinery is real.  Golden-pinned
+    (rows-only)."""
+    from ..stages.multimodal import (_mp3_parse_header,
+                                     mp3_frame_features)
+
+    def hdr(version, layer, br_idx, sr_idx, pad, mode):
+        ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+        h = ((0x7FF << 21) | (ver_bits << 19)
+             | ({1: 3, 2: 2, 3: 1}[layer] << 17) | (1 << 16)
+             | (br_idx << 12) | (sr_idx << 10) | (pad << 9)
+             | (mode << 6))
+        return h.to_bytes(4, "big")
+
+    def make_mp3(seed: int) -> bytes:
+        version = ("1", "2", "2.5")[seed % 3]
+        layer = 1 + (seed % 3) if version == "1" else 3
+        sr_idx = seed % 3
+        mode = (0, 3, 1, 2)[seed % 4]
+        out = bytearray()
+        if seed % 4 == 1:  # leading ID3v2 tag (syncsafe size)
+            pad_len = 20 + seed
+            out += (b"ID3\x03\x00\x00"
+                    + bytes([0, 0, pad_len >> 7, pad_len & 0x7F])
+                    + b"t" * pad_len)
+        n = 3 + seed % 4
+        for i in range(n):
+            br_idx = 1 + (seed * 5 + i * 3) % 14  # VBR
+            h4 = hdr(version, layer, br_idx, sr_idx, (seed + i) % 2,
+                     mode)
+            size = _mp3_parse_header(h4 + bytes(4), 0)["frame_size"]
+            body = bytearray(bytes([(seed * 11 + i) % 256])
+                             * (size - 4))
+            if i == 0 and layer == 3 and seed % 2 == 0:
+                side = (17 if mode == 3 else 32) if version == "1" \
+                    else (9 if mode == 3 else 17)
+                p = side  # relative to body (header already split off)
+                if len(body) >= p + 12:
+                    body[p:p + 4] = b"Xing"
+                    body[p + 4:p + 8] = (0x1).to_bytes(4, "big")
+                    body[p + 8:p + 12] = n.to_bytes(4, "big")
+            out += h4 + body
+        if seed % 5 == 2:  # trailing ID3v1 tag
+            out += b"TAG" + bytes([seed % 256]) * 125
+        return bytes(out)
+
+    refs = [f"mp3://{i:03d}" for i in range(14)]
+    payloads = [make_mp3(i) for i in range(14)]
+    refs.append("mp3://bad")
+    payloads.append(b"\x00garbage-not-mpeg-audio")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    }))
+    out = (mp3_frame_features(media, n_frames=3, concurrency=2)
+           .to_pandas())
+    return (out.sort_values(["media_ref", "frame_idx"])
+            .reset_index(drop=True))
+
+
 def q68_heavy_hitters_cms(sf_dir: str) -> pd.DataFrame:
     """Approximate top-10 event users via Count-Min sketch + candidate
     union (functions/sketches.py) — the no-shuffle scale path for heavy
@@ -12811,6 +12877,7 @@ QUERIES: dict[str, tuple] = {
     "btb_raw_audio": (btb_raw_audio, None),
     "btb_compressed_audio": (btb_compressed_audio, None),
     "btb_mp4_demux": (btb_mp4_demux, None),
+    "btb_mp3_demux": (btb_mp3_demux, None),
     "q77_string_agg_per_order": (q77_string_agg_per_order, Q77_SQL),
     "q78_mode_per_nation": (q78_mode_per_nation, Q78_SQL),
     "q79_cube_orders": (q79_cube_orders, Q79_SQL),

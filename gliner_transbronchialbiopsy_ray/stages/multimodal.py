@@ -5,8 +5,11 @@ The codec libraries are NOT in this environment; raw RGB888, netpbm
 P5/P6, PNG (stdlib-zlib inflate + unfilter), baseline JPEG (pure-NumPy
 Huffman + IDCT, `decode_jpeg`/`encode_jpeg`), WAV (PCM, IEEE float,
 G.711 u-law/A-law, IMA ADPCM — own RIFF parser) and RAWV video are REAL
-pure-NumPy/stdlib decoders.  Only the MP3/MP4 audio/video sample
-decode kernels remain stubbed (deterministic fakes, clearly marked).  The Ray side —
+pure-NumPy/stdlib decoders; MP4/ISO-BMFF and MP3/MPEG-audio DEMUX
+(box walk / frame walk, sample+frame tables, O(sampled) byte-range
+extraction) are REAL too.  Only the compressed codec PAYLOAD decode
+kernels (H.264/AAC samples, Layer I-III audio frames) remain stubbed
+(deterministic fakes, clearly marked).  The Ray side —
 schema, batch sizing, actor signature, output layout — is real and tested
 throughout.  Swap `_decode_stub` for a real codec (PIL/torchaudio) on a
 GPU cluster; the stage contract does not change.
@@ -1876,6 +1879,252 @@ def mp4_sample_features(
     return media.map_batches(
         Mp4SampleExtractor,
         fn_constructor_kwargs={"n_samples": n_samples},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# MP3 / MPEG-audio DEMUX (real frame walk; codec payloads stay encoded).
+# The MP4 treatment applied to MPEG audio: what IS real with zero codec
+# libs is the container layer — ID3v2/ID3v1 tag skipping, the 4-byte
+# frame-header parse (version / layer / bitrate / sample-rate / channel
+# mode, ISO 11172-3 & 13818-3 tables), the Xing/Info VBR tag, and the
+# full frame table mapping any frame index to its exact byte range (the
+# frame-size formula: Layer I (12*br/sr + pad)*4 slots, Layers II/III
+# spf/8*br/sr + pad).  That gives O(sampled) frame extraction from an
+# hour-long stream.  Decoding the extracted Layer I/II/III audio payload
+# is the one remaining stub (documented at module top); the demux emits
+# raw frame bytes + metadata so a real decoder slots in per-frame.
+
+# kbps tables indexed by bitrate_index 1..14 (0 = "free format"
+# unsupported here, 15 = invalid).  Keyed (version_group, layer):
+# version_group "1" = MPEG1, "2" = MPEG2/2.5 (which share tables,
+# layers II and III also share one table).
+_MP3_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256,
+               288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112,
+               128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128,
+               144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+              "2.5": (11025, 12000, 8000)}
+
+
+def _mp3_parse_header(buf: bytes, pos: int) -> dict:
+    """Parse the 4-byte MPEG audio frame header at buf[pos:].  Returns
+    the decoded fields incl. the exact frame_size in bytes; raises
+    ValueError on anything that is not a valid, sized frame header
+    (free-format bitrate 0 included — no frame size without it)."""
+    if pos + 4 > len(buf):
+        raise ValueError("mp3 header truncated")
+    h = int.from_bytes(buf[pos:pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("mp3 frame sync lost")
+    ver_bits = (h >> 19) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+    if version is None:
+        raise ValueError("mp3 reserved version")
+    layer = {1: 3, 2: 2, 3: 1}.get((h >> 17) & 0x3)
+    if layer is None:
+        raise ValueError("mp3 reserved layer")
+    br_idx = (h >> 12) & 0xF
+    if br_idx == 0:
+        raise ValueError("mp3 free-format bitrate unsupported")
+    if br_idx == 15:
+        raise ValueError("mp3 invalid bitrate index")
+    sr_idx = (h >> 10) & 0x3
+    if sr_idx == 3:
+        raise ValueError("mp3 invalid sample-rate index")
+    if (h & 0x3) == 2:
+        raise ValueError("mp3 reserved emphasis")
+    group = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(group, min(layer, 2) if group == "2" and
+                             layer >= 2 else layer)][br_idx - 1]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (h >> 9) & 0x1
+    mode_bits = (h >> 6) & 0x3
+    mode = ("stereo", "joint_stereo", "dual_channel", "mono")[mode_bits]
+    if layer == 1:
+        spf = 384
+        size = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 576 if (layer == 3 and version != "1") else 1152
+        size = spf // 8 * bitrate * 1000 // rate + padding
+    return {
+        "version": version, "layer": layer, "bitrate_kbps": bitrate,
+        "sample_rate": rate, "padding": padding, "mode": mode,
+        "channels": 1 if mode == "mono" else 2,
+        "crc_protected": not (h >> 16) & 0x1,
+        "samples_per_frame": spf, "frame_size": size,
+    }
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Byte offset of the first audio frame candidate: past a leading
+    ID3v2 tag (10-byte header, 4-byte syncsafe size, optional footer)
+    if present, else 0."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("mp3 ID3v2 size not syncsafe")
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_frame_table(payload: bytes):
+    """Frame byte ranges of an MPEG audio stream: (offsets, sizes,
+    bitrates_kbps) int64 arrays — the seek index that makes k-frame
+    sampling O(k) bytes touched.  Strict walk: version/layer/sample
+    rate must stay constant (bitrate may vary — VBR), and the stream
+    must end exactly at a frame boundary, optionally followed by a
+    128-byte ID3v1 'TAG' block.  Anything else raises ValueError."""
+    pos = _mp3_skip_id3v2(payload)
+    end = len(payload)
+    offs: list[int] = []
+    sizes: list[int] = []
+    brs: list[int] = []
+    first: dict | None = None
+    while pos < end:
+        if payload[pos:pos + 3] == b"TAG" and end - pos == 128:
+            break  # trailing ID3v1 tag
+        hdr = _mp3_parse_header(payload, pos)
+        if first is None:
+            first = hdr
+        elif (hdr["version"], hdr["layer"], hdr["sample_rate"]) != (
+                first["version"], first["layer"], first["sample_rate"]):
+            raise ValueError("mp3 header parameters changed mid-stream")
+        if pos + hdr["frame_size"] > end:
+            raise ValueError("mp3 final frame truncated")
+        offs.append(pos)
+        sizes.append(hdr["frame_size"])
+        brs.append(hdr["bitrate_kbps"])
+        pos += hdr["frame_size"]
+    if first is None:
+        raise ValueError("mp3 stream has no frames")
+    return (np.asarray(offs, dtype=np.int64),
+            np.asarray(sizes, dtype=np.int64),
+            np.asarray(brs, dtype=np.int64))
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Stream metadata without touching frame payloads beyond the walk:
+    first-frame parameters, frame/sample counts, duration, mean
+    bitrate, VBR flag, and the Xing/Info VBR tag (frame/byte counts)
+    if the first frame carries one."""
+    start = _mp3_skip_id3v2(payload)
+    first = _mp3_parse_header(payload, start)
+    offs, sizes, brs = mp3_frame_table(payload)
+    n = len(offs)
+    n_samples = n * first["samples_per_frame"]
+    # Xing/Info tag sits after the Layer III side info of frame 0.
+    xing = None
+    if first["layer"] == 3:
+        side = (17 if first["mode"] == "mono" else 32) \
+            if first["version"] == "1" else \
+            (9 if first["mode"] == "mono" else 17)
+        p = start + 4 + (2 if first["crc_protected"] else 0) + side
+        tag = payload[p:p + 4]
+        if tag in (b"Xing", b"Info"):
+            flags = int.from_bytes(payload[p + 4:p + 8], "big")
+            xing = {"tag": tag.decode("ascii"), "flags": flags}
+            q = p + 8
+            if flags & 0x1:
+                xing["frames"] = int.from_bytes(payload[q:q + 4], "big")
+                q += 4
+            if flags & 0x2:
+                xing["bytes"] = int.from_bytes(payload[q:q + 4], "big")
+    return {
+        "version": first["version"], "layer": first["layer"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"], "mode": first["mode"],
+        "n_frames": n, "n_samples": n_samples,
+        "duration_s": round(n_samples / first["sample_rate"], 3),
+        "bitrate_kbps_mean": round(float(np.mean(brs)), 3),
+        "vbr": bool(len(np.unique(brs)) > 1),
+        "id3v2_bytes": start, "xing": xing,
+    }
+
+
+class Mp3FrameExtractor:
+    """Actor stage over (media_ref, payload) MPEG-audio rows: walk the
+    frame table and extract `n_frames` evenly-spaced coded frames —
+    raw frame bytes located by byte range, NOT decoded (the documented
+    codec stub).  Emits per-frame (frame_idx, offset, size,
+    bitrate_kbps, crc32) plus stream metadata; failed rows keep their
+    row with demux_status set (mirrors Mp4SampleExtractor)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_off, o_size = [], [], [], []
+        o_br, o_crc, o_rate, o_status = [], [], [], []
+        for ref, p in zip(refs, payloads):
+            try:
+                meta = probe_mp3(p)
+                offsets, sizes, brs = mp3_frame_table(p)
+                picks = np.unique(np.linspace(
+                    0, len(offsets) - 1,
+                    min(self.n_frames, len(offsets))).astype(np.int64))
+                for k in picks:
+                    off, sz = int(offsets[k]), int(sizes[k])
+                    o_ref.append(ref)
+                    o_idx.append(int(k))
+                    o_off.append(off)
+                    o_size.append(sz)
+                    o_br.append(int(brs[k]))
+                    o_crc.append(_z.crc32(p[off:off + sz]))
+                    o_rate.append(meta["sample_rate"])
+                    o_status.append("ok")
+            except (ValueError, IndexError, EOFError) as exc:
+                o_ref.append(ref)
+                o_idx.append(-1)
+                o_off.append(-1)
+                o_size.append(-1)
+                o_br.append(-1)
+                o_crc.append(0)
+                o_rate.append(-1)
+                o_status.append(f"demux_error: {exc}")
+        return pa.table({
+            "media_ref": pa.array(o_ref, type=pa.string()),
+            "frame_idx": pa.array(o_idx, type=pa.int64()),
+            "offset": pa.array(o_off, type=pa.int64()),
+            "size": pa.array(o_size, type=pa.int64()),
+            "bitrate_kbps": pa.array(o_br, type=pa.int64()),
+            "crc32": pa.array(o_crc, type=pa.int64()),
+            "sample_rate": pa.array(o_rate, type=pa.int64()),
+            "demux_status": pa.array(o_status, type=pa.string()),
+        })
+
+
+def mp3_frame_features(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """MP3 payload dataset -> demuxed frame inventory (metadata +
+    located coded bytes' crc32).  Small batches — audio payloads are
+    large media rows."""
+    return media.map_batches(
+        Mp3FrameExtractor,
+        fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -767,3 +767,146 @@ def test_mp4_sample_extractor_stage(ray_session):
     bad = out[out["media_ref"] == "mp4://bad"]
     assert len(bad) == 1
     assert bad.iloc[0]["demux_status"].startswith("demux_error")
+
+
+def _mp3_header(version="1", layer=3, br_idx=9, sr_idx=0, pad=0,
+                mode=0, prot=1) -> bytes:
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = {1: 3, 2: 2, 3: 1}[layer]
+    h = ((0x7FF << 21) | (ver_bits << 19) | (layer_bits << 17)
+         | (prot << 16) | (br_idx << 12) | (sr_idx << 10) | (pad << 9)
+         | (mode << 6))
+    return h.to_bytes(4, "big")
+
+
+def _mp3_frames(specs, version="1", layer=3, sr_idx=0, mode=0,
+                fill=0x41) -> tuple[bytes, list[int], list[int]]:
+    """specs = [(br_idx, pad), ...] -> (stream, offsets, sizes) built
+    independently of the library (own copy of the ISO frame-size
+    formula)."""
+    l1 = {"1": (0, 32, 64, 96, 128, 160, 192, 224, 256,
+                288, 320, 352, 384, 416, 448),
+          "2": (0, 32, 48, 56, 64, 80, 96, 112, 128,
+                144, 160, 176, 192, 224, 256)}
+    l3 = {"1": (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320),
+          "2": (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                80, 96, 112, 128, 144, 160)}
+    l2 = {"1": (0, 32, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 384),
+          "2": l3["2"]}
+    rates = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+             "2.5": (11025, 12000, 8000)}
+    grp = "1" if version == "1" else "2"
+    table = {1: l1, 2: l2, 3: l3}[layer][grp]
+    rate = rates[version][sr_idx]
+    out, offs, sizes = bytearray(), [], []
+    for i, (br_idx, pad) in enumerate(specs):
+        br = table[br_idx] * 1000
+        if layer == 1:
+            size = (12 * br // rate + pad) * 4
+        else:
+            spf = 576 if (layer == 3 and version != "1") else 1152
+            size = spf // 8 * br // rate + pad
+        offs.append(len(out))
+        sizes.append(size)
+        hdr = _mp3_header(version, layer, br_idx, sr_idx, pad, mode)
+        body = bytes([(fill + i) % 256]) * (size - 4)
+        out += hdr + body
+    return bytes(out), offs, sizes
+
+
+def test_mp3_header_and_frame_table():
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _mp3_parse_header, mp3_frame_table, probe_mp3)
+
+    # MPEG1 Layer III 128 kbps 44100 stereo: 144*128000//44100 = 417
+    h = _mp3_parse_header(_mp3_header(br_idx=9) + b"\x00" * 4, 0)
+    assert h["frame_size"] == 417 and h["bitrate_kbps"] == 128
+    assert h["sample_rate"] == 44100 and h["samples_per_frame"] == 1152
+    # Layer I slot math: MPEG1 L1 br_idx 1 = 32 kbps @ 44100 ->
+    # (12*32000//44100 + 1) * 4 = 36 with padding
+    h = _mp3_parse_header(
+        _mp3_header(layer=1, br_idx=1, pad=1) + b"\x00" * 32, 0)
+    assert h["frame_size"] == (12 * 32000 // 44100 + 1) * 4
+    # MPEG2 Layer III: 576 samples -> 72*br//sr
+    h = _mp3_parse_header(
+        _mp3_header(version="2", br_idx=4, sr_idx=1) + b"\x00" * 8, 0)
+    assert h["samples_per_frame"] == 576
+    assert h["frame_size"] == 72 * 32000 // 24000
+
+    # VBR stream: frame table reproduces construction offsets exactly
+    specs = [(9, 0), (11, 1), (5, 0), (14, 1), (9, 0)]
+    stream, offs, sizes = _mp3_frames(specs)
+    o, s, b = mp3_frame_table(stream)
+    assert o.tolist() == offs and s.tolist() == sizes
+    assert b.tolist() == [128, 192, 64, 320, 128]
+    meta = probe_mp3(stream)
+    assert meta["vbr"] and meta["n_frames"] == 5
+    assert meta["n_samples"] == 5 * 1152
+    assert meta["duration_s"] == round(5 * 1152 / 44100, 3)
+
+    # ID3v2 with syncsafe size + trailing ID3v1 both handled
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"x" * 133
+    tagged = id3 + stream + b"TAG" + b"\x00" * 125
+    o2, _, _ = mp3_frame_table(tagged)
+    assert o2.tolist() == [x + len(id3) for x in offs]
+    assert probe_mp3(tagged)["id3v2_bytes"] == len(id3)
+
+
+def test_mp3_xing_and_error_paths():
+    import pytest as _pt
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        mp3_frame_table, probe_mp3)
+
+    # mono MPEG1 L3: side info 17 bytes; Xing at 4+17
+    stream, offs, sizes = _mp3_frames([(9, 0), (9, 0)], mode=3)
+    body = bytearray(stream)
+    p = 4 + 17
+    body[p:p + 4] = b"Xing"
+    body[p + 4:p + 8] = (0x3).to_bytes(4, "big")
+    body[p + 8:p + 12] = (2).to_bytes(4, "big")
+    body[p + 12:p + 16] = len(stream).to_bytes(4, "big")
+    meta = probe_mp3(bytes(body))
+    assert meta["xing"] == {"tag": "Xing", "flags": 3, "frames": 2,
+                            "bytes": len(stream)}
+    assert meta["channels"] == 1 and meta["mode"] == "mono"
+
+    with _pt.raises(ValueError, match="sync lost"):
+        mp3_frame_table(b"\x00\x01" * 40)
+    with _pt.raises(ValueError, match="truncated"):
+        mp3_frame_table(stream[:-10])
+    with _pt.raises(ValueError, match="free-format"):
+        mp3_frame_table(_mp3_header(br_idx=0) + b"\x00" * 100)
+    # version flips mid-stream -> loud failure
+    s1, _, _ = _mp3_frames([(9, 0)])
+    s2, _, _ = _mp3_frames([(4, 0)], version="2", sr_idx=1)
+    with _pt.raises(ValueError, match="changed mid-stream"):
+        mp3_frame_table(s1 + s2)
+
+
+def test_mp3_frame_extractor_stage(ray_session):
+    import zlib
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        mp3_frame_features)
+
+    stream, offs, sizes = _mp3_frames(
+        [(9, 0), (11, 1), (5, 0), (14, 1), (9, 0), (3, 0)])
+    media = ray.data.from_arrow(pa.table({
+        "media_ref": pa.array(["mp3://ok", "mp3://bad"]),
+        "payload": pa.array([stream, b"not-audio-at-all"],
+                            type=pa.binary()),
+    }))
+    out = (mp3_frame_features(media, n_frames=3, concurrency=1)
+           .to_pandas().sort_values(["media_ref", "frame_idx"]))
+    ok = out[out["media_ref"] == "mp3://ok"]
+    assert ok["frame_idx"].tolist() == [0, 2, 5]  # evenly spaced picks
+    for _, r in ok.iterrows():
+        blob = stream[r["offset"]:r["offset"] + r["size"]]
+        assert zlib.crc32(blob) == r["crc32"]
+        assert r["sample_rate"] == 44100
+    bad = out[out["media_ref"] == "mp3://bad"]
+    assert len(bad) == 1
+    assert bad["demux_status"].iloc[0].startswith("demux_error")
