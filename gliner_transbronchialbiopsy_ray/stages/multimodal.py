@@ -335,13 +335,21 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — each pass is its own
+# independently-filtered sub-image in the inflated stream (PNG spec §8.2).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG pixel decode with zero external deps (stdlib zlib
     inflate + per-scanline unfilter) -> (h, w, 3) uint8.  Gray expands
     to 3 channels, palette indices resolve through PLTE, alpha is
-    dropped (features/resize operate on color planes).  8-bit,
-    non-interlaced images only; anything else raises ValueError and the
-    calling stage records decode_status instead of dropping the row."""
+    dropped (features/resize operate on color planes).  Adam7
+    interlacing decodes as 7 independently-unfiltered sub-images
+    scattered onto the pixel grid.  8-bit images only; anything else
+    raises ValueError and the calling stage records decode_status
+    instead of dropping the row."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -349,6 +357,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = h = -1
     channels = 0
     color_type = -1
+    interlace = 0
     plte: np.ndarray | None = None
     idat: list[bytes] = []
     for typ, data in _png_chunks(payload):
@@ -363,8 +372,9 @@ def decode_png(payload: bytes) -> np.ndarray:
                     f"png bit depth {depth} unsupported (8 only)")
             if comp != 0 or filt != 0:
                 raise ValueError("png compression/filter method != 0")
-            if interlace != 0:
-                raise ValueError("png interlaced (Adam7) unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"png interlace method {interlace} invalid")
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
             if channels == 0:
                 raise ValueError(f"png color type {color_type} invalid")
@@ -382,8 +392,25 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"png IDAT inflate failed: {exc}") from exc
-    stride = w * channels
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 1:  # Adam7: 7 filtered sub-images, scattered
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = wp * channels
+            need = hp * (1 + sp)
+            sub = _png_unfilter(raw[pos:pos + need], hp, sp, channels)
+            px[y0::dy, x0::dx] = sub.reshape(hp, wp, channels)
+            pos += need
+        if pos != len(raw):
+            raise ValueError("png interlaced data length mismatch")
+    else:
+        stride = w * channels
+        px = _png_unfilter(raw, h, stride, channels).reshape(
+            h, w, channels)
     if color_type == 3:
         if plte is None:
             raise ValueError("png palette image missing PLTE")

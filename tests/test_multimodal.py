@@ -910,3 +910,69 @@ def test_mp3_frame_extractor_stage(ray_session):
     bad = out[out["media_ref"] == "mp3://bad"]
     assert len(bad) == 1
     assert bad["demux_status"].iloc[0].startswith("demux_error")
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: the test builds the 7-pass interlaced stream
+    independently (pass grid from the PNG spec, mixed filter types per
+    pass) and decode_png must reassemble the original pixels exactly —
+    including non-multiple-of-8 dimensions where late passes dominate
+    and early passes are tiny."""
+    import zlib
+
+    import numpy as np
+
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _PNG_MAGIC, decode_png)
+
+    grid = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    def build_interlaced(img: np.ndarray) -> bytes:
+        h, w, ch = img.shape
+        raw = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(grid):
+            sub = img[y0::dy, x0::dx]
+            hp, wp = sub.shape[0], sub.shape[1]
+            if hp == 0 or wp == 0:
+                continue
+            flat = sub.reshape(hp, wp * ch).astype(np.int64)
+            prev = np.zeros(wp * ch, dtype=np.int64)
+            for y in range(hp):
+                cur = flat[y]
+                if pi % 2 == 0:  # alternate None / Up filters
+                    raw += bytes([0]) + bytes((cur % 256).astype(
+                        np.uint8))
+                else:
+                    raw += bytes([2]) + bytes(
+                        ((cur - prev) % 256).astype(np.uint8))
+                prev = cur
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 1]))  # RGB, interlace=1
+        return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(23)
+    for shape in ((13, 11), (8, 8), (3, 2), (1, 9)):
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(build_interlaced(img)), img), \
+            shape
+
+    # truncated interlaced stream fails loudly
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    good = build_interlaced(img)
+    raw_full = zlib.decompress(good[good.index(b"IDAT") + 4:
+                                    good.rindex(b"IEND") - 8])
+    bad = (_PNG_MAGIC
+           + chunk(b"IHDR", (11).to_bytes(4, "big")
+                   + (13).to_bytes(4, "big") + bytes([8, 2, 0, 0, 1]))
+           + chunk(b"IDAT", zlib.compress(raw_full[:-5]))
+           + chunk(b"IEND", b""))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_png(bad)
