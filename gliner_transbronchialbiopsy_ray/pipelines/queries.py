@@ -12774,6 +12774,82 @@ def q254_dedup_eval(sf_dir: str):
         "recall_ppm": pd.Series([rec], dtype="int64")})
 
 
+def q255_ohlc_bars(sf_dir: str) -> pd.DataFrame:
+    """Time-series DOWNSAMPLING to OHLC bars: per (user, hour) the
+    open/close values are arg_min/arg_max by the total event order
+    (ts, event_id) — a positional aggregate no plain sum/min/max fold
+    expresses.  Two-phase: per-batch partials carry (order-key, value)
+    witnesses for both endpoints plus the plain high/low/sum/count;
+    ONE user-bucket exchange folds witnesses by re-sorting on the
+    carried order keys (min/max-by is associative over witnesses), so
+    the unbounded user key space never lands on the driver."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    keys = ["user_id", "hour"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        df = df.sort_values(keys + ["ts", "event_id"], kind="stable")
+        stats = (df.groupby(keys, sort=False)["value"]
+                 .agg(high="max", low="min", volume="sum", n="size")
+                 .reset_index())
+        first = df.drop_duplicates(keys, keep="first")[
+            keys + ["ts", "event_id", "value"]].rename(columns={
+                "ts": "o_ts", "event_id": "o_eid", "value": "open"})
+        last = df.drop_duplicates(keys, keep="last")[
+            keys + ["ts", "event_id", "value"]].rename(columns={
+                "ts": "c_ts", "event_id": "c_eid", "value": "close"})
+        out = stats.merge(first, on=keys).merge(last, on=keys)
+        out["bucket"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # canonical partial order first: float volume sums are
+        # order-sensitive at the ulp and blocks arrive in completion
+        # order (the _preagg determinism rule)
+        g = g.sort_values(keys + ["o_ts", "o_eid", "c_ts", "c_eid"],
+                          kind="stable")
+        agg = (g.groupby(keys, sort=False)
+               .agg(high=("high", "max"), low=("low", "min"),
+                    volume=("volume", "sum"), n=("n", "sum"))
+               .reset_index())
+        first = g.sort_values(keys + ["o_ts", "o_eid"], kind="stable") \
+            .drop_duplicates(keys, keep="first")[keys + ["open"]]
+        last = g.sort_values(keys + ["c_ts", "c_eid"], kind="stable") \
+            .drop_duplicates(keys, keep="last")[keys + ["close"]]
+        out = agg.merge(first, on=keys).merge(last, on=keys)
+        out["hour"] = out["hour"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        for c in ("open", "high", "low", "close", "volume"):
+            out[c] = out[c].round(2)
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "hour", "open", "high", "low", "close",
+                    "volume", "n"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas())
+
+
+Q255_SQL = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+       round(sum(value), 2) AS volume,
+       count(*) AS n
+FROM b GROUP BY user_id, hr
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13078,6 +13154,7 @@ QUERIES: dict[str, tuple] = {
     "q252_cdc_apply": (q252_cdc_apply, Q252_SQL),
     "q253_zorder_box_query": (q253_zorder_box_query, Q253_SQL),
     "q254_dedup_eval": (q254_dedup_eval, None),
+    "q255_ohlc_bars": (q255_ohlc_bars, Q255_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
