@@ -12850,6 +12850,65 @@ FROM b GROUP BY user_id, hr
 """
 
 
+def q256_haskey_sameas(sf_dir: str) -> pd.DataFrame:
+    """owl:hasKey entailment (stages/owl.py:has_key_sameas, OWL 2 RL
+    prp-key): lineitem lines typed "line" carry (part, supp) key
+    properties under the in-store axiom ("line", hasKey, "part/supp")
+    — lines sharing BOTH denote the same supply event and come back as
+    STAR sameAs edges (group-min member, linear in group size).
+    (orderkey, linenumber) is NOT unique in this data, so entities are
+    MULTI-VALUED on their key properties and the rule fires on any
+    shared value combination — the formal prp-key semantics the
+    triple-store join gives for free.  Oracle: per-entity cross
+    product of distinct key values, window-min per combination."""
+    from ..stages.owl import has_key_sameas
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        x = ("line" + df["l_orderkey"].astype(str) + "_"
+             + df["l_linenumber"].astype(str))
+        return pd.concat([
+            pd.DataFrame({"s": x, "p": "a", "o": "line"}),
+            pd.DataFrame({"s": x, "p": "part",
+                          "o": df["l_partkey"].astype(str)}),
+            pd.DataFrame({"s": x, "p": "supp",
+                          "o": df["l_suppkey"].astype(str)}),
+        ], ignore_index=True)
+
+    axiom = rd.from_items([
+        {"s": "line", "p": "hasKey", "o": "part/supp"}])
+    store = (li.map_batches(to_triples, batch_format="pyarrow")
+             .union(axiom))
+    out = has_key_sameas(store).to_pandas()
+    return (out.sort_values(["s", "o"], kind="stable")
+            .reset_index(drop=True))
+
+
+Q256_SQL = """
+-- triple-store semantics: (orderkey, linenumber) is NOT unique in this
+-- synthetic data, so an entity's key properties are MULTI-VALUED and
+-- the formal prp-key rule matches on ANY shared (part, supp)
+-- combination — the per-entity cross product, not the per-row tuple
+WITH parts AS (
+  SELECT DISTINCT 'line' || l_orderkey || '_' || l_linenumber AS x,
+         l_partkey FROM lineitem),
+supps AS (
+  SELECT DISTINCT 'line' || l_orderkey || '_' || l_linenumber AS x,
+         l_suppkey FROM lineitem),
+t AS (
+  SELECT parts.x, l_partkey, l_suppkey
+  FROM parts JOIN supps ON parts.x = supps.x),
+g AS (
+  SELECT x, min(x) OVER (PARTITION BY l_partkey, l_suppkey) AS canon
+  FROM t)
+SELECT DISTINCT canon AS s, 'sameAs' AS p, x AS o
+FROM g WHERE x != canon ORDER BY s, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13155,6 +13214,7 @@ QUERIES: dict[str, tuple] = {
     "q253_zorder_box_query": (q253_zorder_box_query, Q253_SQL),
     "q254_dedup_eval": (q254_dedup_eval, None),
     "q255_ohlc_bars": (q255_ohlc_bars, Q255_SQL),
+    "q256_haskey_sameas": (q256_haskey_sameas, Q256_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

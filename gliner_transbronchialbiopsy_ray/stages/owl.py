@@ -34,6 +34,11 @@ and the data pass streams.
   (cls-int1/int2/uni): member lists unrolled from the store's RDF
   collections, rules shipped as merge frames; ONE coarse exchange for
   the all-members check, row-local flat-maps for the rest.
+- `has_key_sameas` — owl:hasKey (prp-key): members of a class sharing
+  values on EVERY property of a declared key tuple denote the same
+  entity.  Per axiom one `match_bgp` binds each member with its
+  key-value tuple; tuples group on ONE coarse-bucket exchange and each
+  group emits STAR sameAs edges to its min member.
 - `functional_violations` — owl:FunctionalProperty conformance check
   (prp-fp over literal-valued data properties, where deriving
   owl:sameAs between literals is nonsense and the correct output is a
@@ -289,6 +294,64 @@ def entail_inverse_functional(
     out = _bucketed_group_kernel(
         store.map_batches(keep, batch_format="pyarrow"),
         [p_col, o_col], stars, n_buckets)
+    return (out.groupby([s_col, p_col, o_col]).count()
+            .drop_columns(["count()"]))
+
+
+def has_key_sameas(
+    store: ray.data.Dataset,
+    key_pred: str = "hasKey",
+    type_pred: str = "a",
+    sameas_pred: str = "sameAs",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    cast_nodes: bool = False,
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """owl:hasKey entailment (prp-key): an axiom triple
+    (c, key_pred, "p1/p2/...") asserts that members of class c sharing
+    values on EVERY listed property are owl:sameAs (the key-list
+    lexical form matches entail_property_chain's honest simplification
+    of the RDF-list encoding).  Per axiom ONE `match_bgp` binds the
+    member and its key tuple — a multi-valued key property contributes
+    one tuple per value combination, which IS the formal rule's
+    any-shared-tuple semantics.  Tuples group on one coarse-bucket
+    exchange keyed on crc32(value vector) and each group emits STAR
+    edges (min member -> other members; members compare as strings) —
+    linear where the clique is quadratic; `sameas.apply_sameas` closes
+    the equivalence classes identically.  Final distinct fold collapses
+    multi-witness duplicates across axioms."""
+    from .bgp import match_bgp
+
+    axioms = _declarations(store, p_col, key_pred, s_col, o_col)
+    out = None
+    for cls, keys in axioms:
+        props = [q for q in str(keys).split("/") if q]
+        if not props:
+            raise ValueError(
+                f"hasKey axiom for {cls!r} names no properties")
+        vvars = [f"v{i}" for i in range(len(props))]
+        pattern = [("?x", type_pred, cls)] + [
+            ("?x", q, f"?{v}") for q, v in zip(props, vvars)]
+        bindings = match_bgp(store, pattern, s_col=s_col, p_col=p_col,
+                             o_col=o_col, cast_nodes=cast_nodes,
+                             num_partitions=num_partitions)
+
+        def stars(g: pd.DataFrame, _v=tuple(vvars)) -> pd.DataFrame:
+            g = g.assign(x=g["x"].astype(str))
+            canon = g.groupby(list(_v))["x"].transform("min")
+            dup = g[g["x"] != canon]
+            return pd.DataFrame({
+                s_col: canon[dup.index].astype(str),
+                p_col: sameas_pred,
+                o_col: dup["x"].astype(str)})
+
+        part = _bucketed_group_kernel(bindings, vvars, stars, n_buckets)
+        out = part if out is None else out.union(part)
+    if out is None:
+        return _empty_store(s_col, p_col, o_col)
     return (out.groupby([s_col, p_col, o_col]).count()
             .drop_columns(["count()"]))
 

@@ -365,3 +365,65 @@ def test_max_cardinality_no_declarations():
     e = max_cardinality_violations(
         rd.from_items([{"s": "u", "p": "p", "o": "v"}]))
     assert e.count() == 0
+
+
+def test_has_key_star_edges_and_composite_tuple():
+    from gliner_transbronchialbiopsy_ray.stages.owl import has_key_sameas
+
+    store = _triples([
+        ("Person", "hasKey", "ssn/country"),
+        ("a", "a", "Person"), ("b", "a", "Person"),
+        ("c", "a", "Person"), ("d", "a", "Person"),
+        # a and b share the FULL key tuple; c shares only ssn with a;
+        # d is a member with a unique tuple
+        ("a", "ssn", "123"), ("a", "country", "FR"),
+        ("b", "ssn", "123"), ("b", "country", "FR"),
+        ("c", "ssn", "123"), ("c", "country", "DE"),
+        ("d", "ssn", "999"), ("d", "country", "FR"),
+        # e matches a's tuple but is NOT typed Person
+        ("e", "ssn", "123"), ("e", "country", "FR"),
+    ])
+    out = has_key_sameas(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("a", "sameAs", "b")]
+
+
+def test_has_key_multi_valued_and_multiple_axioms():
+    from gliner_transbronchialbiopsy_ray.stages.owl import has_key_sameas
+
+    store = _triples([
+        ("Acct", "hasKey", "iban"),
+        ("Dev", "hasKey", "mac/site"),
+        ("x", "a", "Acct"), ("y", "a", "Acct"), ("z", "a", "Acct"),
+        # multi-valued iban: x and y share ONE of x's two values ->
+        # the formal any-shared-tuple semantics still fires
+        ("x", "iban", "I1"), ("x", "iban", "I2"),
+        ("y", "iban", "I2"), ("z", "iban", "I9"),
+        ("m1", "a", "Dev"), ("m2", "a", "Dev"),
+        ("m1", "mac", "AA"), ("m1", "site", "s1"),
+        ("m2", "mac", "AA"), ("m2", "site", "s1"),
+    ])
+    out = has_key_sameas(store).to_pandas()
+    got = sorted(map(tuple, out[["s", "p", "o"]].to_numpy()))
+    assert got == [("m1", "sameAs", "m2"), ("x", "sameAs", "y")]
+
+    # closure equivalence: star edges close to the expected classes
+    from gliner_transbronchialbiopsy_ray.stages.sameas import (
+        canonical_map)
+    cm = canonical_map(rd.from_items(
+        [{"a": s, "b": o} for s, _p, o in got])).to_pandas()
+    assert dict(zip(cm["node"], cm["canon"])) == {"y": "x", "m2": "m1"}
+
+
+def test_has_key_empty_and_error_paths():
+    from gliner_transbronchialbiopsy_ray.stages.owl import has_key_sameas
+
+    # no axioms -> typed empty store (assert on the Dataset schema:
+    # to_pandas() on an empty dataset drops columns, the q164 quirk)
+    store = _triples([("a", "p", "b")])
+    out = has_key_sameas(store)
+    assert out.count() == 0 and out.schema().names == ["s", "p", "o"]
+    # axiom naming no properties fails loudly
+    bad = _triples([("C", "hasKey", "")])
+    with pytest.raises(ValueError, match="names no properties"):
+        has_key_sameas(bad)
