@@ -962,8 +962,8 @@ def saturate(
     count (monotone — derivations only grow), costing one count per
     round.  The store is materialized per round (iterative lineage
     rule).  Naive evaluation (whole store re-matched per round, not
-    semi-naive deltas): correct always, wasteful on deep recursions —
-    the semi-naive upgrade is a TODO documented here on purpose.
+    semi-naive deltas) is correct always but wasteful on deep
+    recursions — pass `strategy="semi_naive"` (below) for those.
 
     Per-round plan defaults to `join_strategy="broadcast"` +
     `materialize_input=False`: rule bodies fold through driver-collected
