@@ -2405,6 +2405,81 @@ def btb_jpeg_media(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def btb_gif_bmp_media(sf_dir: str) -> pd.DataFrame:
+    """REAL GIF + BMP decode path (pure Python/NumPy, no codec libs):
+    deterministic GIF payloads (real LZW compressor on the write side,
+    plain + interlaced) and BMP payloads (24-bit BI_RGB + palette
+    BI_RLE8, bottom-up + top-down) run decode -> channel-stat features
+    -> exact block-mean resize through the SAME actor-pool stage as
+    raw/PNG/PNM/JPEG (stages/multimodal.py:RawImageStage routing on the
+    GIF87a/89a and "BM" signatures).  A checkerboard with analytically
+    known channel means anchors pixel-exactness per format; truncated
+    payloads pin the keep-row-with-status error path.  Deterministic ->
+    golden-pinned (rows-only; media bytes aren't SQL-expressible)."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import (encode_bmp, encode_gif,
+                                     raw_media_features)
+
+    rng = np.random.RandomState(8712)
+    board = np.zeros((8, 8, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    board[(yy + xx) % 2 == 1] = (200, 100, 50)
+    refs, payloads = [], []
+    refs.append("gif://board")
+    payloads.append(encode_gif(board))
+    refs.append("gif://board_interlaced")
+    payloads.append(encode_gif(board, interlace=True))
+    refs.append("bmp://board")
+    payloads.append(encode_bmp(board))
+    refs.append("bmp://board_rle8")
+    payloads.append(encode_bmp(board, rle8=True))
+    refs.append("bmp://board_topdown")
+    payloads.append(encode_bmp(board, top_down=True))
+    for i in range(12):
+        # bounded palette (GIF is a palette format)
+        img = (rng.randint(0, 6, size=(9, 7, 3)) * 43).astype(np.uint8)
+        refs.append(f"gif://{i:03d}")
+        payloads.append(encode_gif(img, interlace=bool(i % 2)))
+        refs.append(f"bmp://{i:03d}")
+        payloads.append(encode_bmp(img, rle8=bool(i % 2),
+                                   top_down=bool(i % 3 == 0)))
+    refs.append("gif://bad")
+    payloads.append(payloads[0][:16])
+    refs.append("bmp://bad")
+    payloads.append(payloads[2][:30])
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * len(refs), type=pa.int32()),
+        "height": pa.array([0] * len(refs), type=pa.int32()),
+    }))
+    ds = raw_media_features(media, out_w=4, out_h=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    df["resized_md5"] = df["resized_payload"].map(
+        lambda b: None if b is None else _hashlib.md5(b).hexdigest())
+    df = df.drop(columns=["resized_payload"])
+    df = df.sort_values("media_ref").reset_index(drop=True)
+    # pixel-exactness gates: palette formats decode exactly, so the
+    # checkerboard means are analytic and IDENTICAL across all five
+    # container variants
+    anchors = ["gif://board", "gif://board_interlaced", "bmp://board",
+               "bmp://board_rle8", "bmp://board_topdown"]
+    for ref in anchors:
+        feat = np.asarray(df.loc[df["media_ref"] == ref,
+                                 "feature"].iloc[0])
+        assert np.allclose(feat[:3], [100.0, 50.0, 25.0]), ref
+    md5s = {ref: df.loc[df["media_ref"] == ref, "resized_md5"].iloc[0]
+            for ref in anchors}
+    assert len(set(md5s.values())) == 1, md5s  # identical pixels out
+    for ref in ("gif://bad", "bmp://bad"):
+        assert df.loc[df["media_ref"] == ref,
+                      "decode_status"].iloc[0].startswith("decode_error")
+    return df
+
+
 def btb_video_frames(sf_dir: str) -> pd.DataFrame:
     """REAL video frame-sampling path: deterministic RAWV clips (a
     seekable raw-RGB container, stages/multimodal.py) run through the
@@ -12999,6 +13074,7 @@ QUERIES: dict[str, tuple] = {
     "btb_raw_media": (btb_raw_media, None),
     "btb_png_media": (btb_png_media, None),
     "btb_jpeg_media": (btb_jpeg_media, None),
+    "btb_gif_bmp_media": (btb_gif_bmp_media, None),
     "btb_video_frames": (btb_video_frames, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),

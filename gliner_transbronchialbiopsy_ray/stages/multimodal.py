@@ -943,6 +943,414 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "4:4:4",
     return bytes(out)
 
 
+# --- GIF (real LZW pixel decode, pure Python/NumPy) ------------------------
+#
+# GIF87a/89a per the public spec: logical screen descriptor, global/local
+# color tables, graphic-control extensions (transparency index read but
+# alpha dropped, matching the PNG path), interlaced row ordering, and the
+# variable-width LSB-first LZW entropy coding with CLEAR/END codes and the
+# 12-bit table cap (deferred-clear streams decode correctly because the
+# code width simply stops growing).  decode_gif returns the FIRST frame —
+# frame SAMPLING over animations goes through the RAWV/MP4-style demux
+# pattern, not this whole-image kernel.  encode_gif is a real LZW
+# compressor (exact inverse, roundtrip-tested) used for fixtures and the
+# sink story, mirroring encode_png/encode_jpeg.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """Variable-width LSB-first GIF LZW -> palette indices (uint8)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"gif: bad LZW min code size {min_code_size}")
+    clear_code = 1 << min_code_size
+    end_code = clear_code + 1
+    base = [bytes([i]) for i in range(clear_code)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = np.empty(npix, dtype=np.uint8)
+    n_out = 0
+    acc = nbits = pos = 0
+    prev = None
+    n = len(data)
+    while n_out < npix:
+        while nbits < code_size:
+            if pos >= n:
+                raise ValueError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear_code:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end_code:
+            break
+        if prev is None:
+            if code >= clear_code:
+                raise ValueError("gif: first LZW code is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        k = min(len(entry), npix - n_out)
+        out[n_out:n_out + k] = np.frombuffer(entry[:k], dtype=np.uint8)
+        n_out += k
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if n_out < npix:
+        raise ValueError("gif: pixel data underrun")
+    return out
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; returns (data, next)."""
+    chunks = []
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("gif: truncated sub-block chain")
+        size = payload[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(chunks), pos
+        if pos + size > n:
+            raise ValueError("gif: truncated sub-block")
+        chunks.append(payload[pos:pos + size])
+        pos += size
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF pixel decode -> (h, w, 3) uint8, first frame.
+
+    Pure Python/NumPy LZW + palette gather; interlaced images are
+    de-interleaved by the 4-pass row map.  Transparency is dropped
+    (indices still resolve through the palette), matching decode_png's
+    alpha handling.  Malformed payloads raise ValueError so the calling
+    stage keeps the row and records decode_status."""
+    if payload is None or len(payload) < 13:
+        raise ValueError("gif: payload too short")
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    packed = payload[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        end = pos + 3 * gct_len
+        if end > len(payload):
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(-1, 3)
+        pos = end
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks, all skippable
+            if pos >= n:
+                raise ValueError("gif: truncated extension")
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("gif: truncated image descriptor")
+        w = int.from_bytes(payload[pos + 4:pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6:pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            lct_len = 2 << (ipacked & 0x07)
+            end = pos + 3 * lct_len
+            if end > n:
+                raise ValueError("gif: truncated local color table")
+            pal = np.frombuffer(payload[pos:end],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos = end
+        if pal is None:
+            raise ValueError("gif: no color table")
+        if w <= 0 or h <= 0:
+            raise ValueError("gif: bad dimensions")
+        if pos >= n:
+            raise ValueError("gif: missing LZW min code size")
+        min_code_size = payload[pos]
+        data, pos = _gif_subblocks(payload, pos + 1)
+        idx = _gif_lzw_decode(data, min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, h, step)
+                 for start, step in _GIF_INTERLACE]).astype(np.int64)
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("gif: palette index out of range")
+        return pal[idx]
+    raise ValueError("gif: no image data")
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Real GIF LZW compressor (exact inverse of _gif_lzw_decode).
+
+    Emits CLEAR, dictionary-codes the index stream with the growing
+    variable-width rule, resets via CLEAR when the 12-bit table fills,
+    and terminates with END."""
+    clear_code = 1 << min_code_size
+    end_code = clear_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear_code)}
+    next_code = end_code + 1
+    code_size = min_code_size + 1
+    emit(clear_code, code_size)
+    data = indices.astype(np.uint8).tobytes()
+    if data:
+        w = data[:1]
+        for i in range(1, len(data)):
+            c = data[i:i + 1]
+            wc = w + c
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], code_size)
+            if next_code == 4096:  # table full: reset mid-stream
+                emit(clear_code, code_size)
+                table = {bytes([j]): j for j in range(clear_code)}
+                next_code = end_code + 1
+                code_size = min_code_size + 1
+            else:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            w = c
+        emit(table[w], code_size)
+    emit(end_code, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> GIF89a bytes (real LZW compression).
+
+    The palette is built from the image's distinct colors (<= 256
+    required — fixture images are drawn from bounded palettes); GIF is a
+    palette format, so this writer is exact by construction and
+    decode_gif(encode_gif(x)) == x."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) uint8")
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    pal_full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal_full[:len(pal)] = pal
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE])
+        idx = idx[order]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (7 << 4) | (bits - 1), 0, 0])
+    out += pal_full.tobytes()
+    out += b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([bits])
+    lzw = _gif_lzw_encode(idx.reshape(-1), bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# --- BMP (real pixel decode: BI_RGB 8/24/32-bit + BI_RLE8) -----------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL Windows BMP decode -> (h, w, 3) uint8.
+
+    BITMAPINFOHEADER (and the larger V4/V5 headers, which extend it
+    compatibly): 8-bit palette, 24-bit BGR and 32-bit BGRX at BI_RGB
+    with 4-byte row padding and bottom-up/top-down orientation, plus the
+    BI_RLE8 run-length coding (runs, absolute mode with word padding,
+    end-of-line / end-of-bitmap / delta escapes).  Malformed payloads
+    raise ValueError; alpha is dropped like the PNG/GIF paths."""
+    if payload is None or len(payload) < 54:
+        raise ValueError("bmp: payload too short")
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bmp: bad dimensions")
+    if comp not in (0, 1) or bpp not in (8, 24, 32):
+        raise ValueError(f"bmp: unsupported bpp={bpp} compression={comp}")
+    palette = None
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        end = pal_off + 4 * n_colors
+        if end > len(payload):
+            raise ValueError("bmp: truncated palette")
+        palette = np.frombuffer(payload[pal_off:end],
+                                dtype=np.uint8).reshape(-1, 4)[:, 2::-1]
+    if comp == 1:  # BI_RLE8 (8-bit only per spec)
+        if bpp != 8:
+            raise ValueError("bmp: RLE8 requires 8-bit")
+        idx = np.zeros((h, w), dtype=np.uint8)
+        x = y = 0
+        i = pix_off
+        n = len(payload)
+        while i + 1 < n:
+            cnt, val = payload[i], payload[i + 1]
+            i += 2
+            if cnt > 0:  # encoded run
+                end_x = min(x + cnt, w)
+                idx[y, x:end_x] = val
+                x = end_x
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if i + 1 >= n:
+                    raise ValueError("bmp: truncated RLE delta")
+                x = min(x + payload[i], w)
+                y += payload[i + 1]
+                i += 2
+                if y >= h:
+                    break
+            else:  # absolute mode, word-aligned
+                if i + val > n:
+                    raise ValueError("bmp: truncated RLE absolute run")
+                end_x = min(x + val, w)
+                idx[y, x:end_x] = np.frombuffer(
+                    payload[i:i + (end_x - x)], dtype=np.uint8)
+                x = end_x
+                i += val + (val & 1)
+        img = palette[idx]
+        return img if top_down else img[::-1]
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    end = pix_off + stride * h
+    if end > len(payload):
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(payload[pix_off:end],
+                         dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        img = palette[rows[:, :w]]
+    else:
+        px = rows[:, :w * nbytes].reshape(h, w, nbytes)
+        img = px[:, :, 2::-1]  # BGR(X) -> RGB
+    return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+def encode_bmp(img: np.ndarray, rle8: bool = False,
+               top_down: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> BMP bytes: 24-bit BI_RGB by default, or
+    palette-indexed BI_RLE8 (<= 256 distinct colors) for the compressed
+    fixture path.  Exact roundtrip with decode_bmp."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w, _ = img.shape
+    rows = img if top_down else img[::-1]
+    if rle8:
+        pal, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("encode_bmp: more than 256 distinct colors")
+        idx = inv.astype(np.uint8).reshape(h, w)
+        idx_rows = idx if top_down else idx[::-1]
+        body = bytearray()
+        for r in range(h):
+            row = idx_rows[r]
+            x = 0
+            while x < w:
+                run = 1
+                while (x + run < w and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                body += bytes([run, int(row[x])])
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        pal_bytes = bytearray()
+        for r_, g_, b_ in pal:
+            pal_bytes += bytes([b_, g_, r_, 0])
+        pix_off = 14 + 40 + len(pal_bytes)
+        out = bytearray(b"BM")
+        out += (pix_off + len(body)).to_bytes(4, "little") + bytes(4)
+        out += pix_off.to_bytes(4, "little")
+        out += (40).to_bytes(4, "little")
+        out += w.to_bytes(4, "little", signed=True)
+        out += (-h if top_down else h).to_bytes(4, "little", signed=True)
+        out += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        out += (1).to_bytes(4, "little")  # BI_RLE8
+        out += len(body).to_bytes(4, "little") + bytes(8)
+        out += len(pal).to_bytes(4, "little") + bytes(4)
+        out += pal_bytes + body
+        return bytes(out)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = bytes(stride - w * 3)
+    for r in range(h):
+        body += rows[r, :, ::-1].tobytes() + pad
+    pix_off = 14 + 40
+    out = bytearray(b"BM")
+    out += (pix_off + len(body)).to_bytes(4, "little") + bytes(4)
+    out += pix_off.to_bytes(4, "little")
+    out += (40).to_bytes(4, "little")
+    out += w.to_bytes(4, "little", signed=True)
+    out += (-h if top_down else h).to_bytes(4, "little", signed=True)
+    out += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    out += (0).to_bytes(4, "little")  # BI_RGB
+    out += len(body).to_bytes(4, "little") + bytes(8)
+    out += bytes(8)
+    out += body
+    return bytes(out)
+
+
 def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-average downsample when the scale divides evenly (exact block
     mean), nearest-neighbor otherwise — both pure strided NumPy."""
@@ -972,10 +1380,11 @@ class RawImageStage:
     matches the row's width*height*3 metadata is headerless raw RGB888
     (raw pixels can legitimately START with the bytes "P6" or the PNG
     magic, so the metadata match outranks the magic); otherwise the PNG
-    signature routes to `decode_png` (REAL stdlib-zlib pixel decode)
-    and a netpbm P5/P6 magic routes to `decode_pnm` — both
-    self-describing, so rows carrying container files don't need
-    width/height metadata at all."""
+    signature routes to `decode_png` (REAL stdlib-zlib pixel decode),
+    a netpbm P5/P6 magic routes to `decode_pnm`, JPEG SOI to
+    `decode_jpeg`, GIF87a/89a to `decode_gif` (real LZW) and "BM" to
+    `decode_bmp` — all self-describing, so rows carrying container
+    files don't need width/height metadata at all."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8):
         self.out_w, self.out_h = out_w, out_h
@@ -998,6 +1407,12 @@ class RawImageStage:
                 elif p is not None and len(p) != raw_size and (
                         p[:2] == b"\xff\xd8"):
                     img = decode_jpeg(p).astype(np.float32)
+                elif p is not None and len(p) != raw_size and (
+                        p[:6] in (b"GIF87a", b"GIF89a")):
+                    img = decode_gif(p).astype(np.float32)
+                elif p is not None and len(p) != raw_size and (
+                        p[:2] == b"BM"):
+                    img = decode_bmp(p).astype(np.float32)
                 else:
                     img = decode_raw_rgb(p, w, h).astype(np.float32)
             except (ValueError, TypeError) as exc:
@@ -1574,6 +1989,8 @@ def probe_image_header(payload: bytes) -> dict:
       header (precision u8, height u16, width u16, components u8) —
       public JPEG spec; entropy data is never touched.
     - PNM (P5/P6): existing decode_pnm header rule, reused.
+    - GIF: logical-screen-descriptor dims (little-endian u16 at 6/8).
+    - BMP: BITMAPINFOHEADER dims (signed; negative height = top-down).
 
     Unknown/truncated payloads return format="unknown" with -1 dims
     (rows are kept; the error surfaces in the column, never a drop)."""
@@ -1624,6 +2041,21 @@ def probe_image_header(payload: bytes) -> dict:
                     "channels": 3 if payload[:2] == b"P6" else 1}
         except Exception:
             return bad
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:
+            return bad
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return {"format": "gif", "width": w, "height": h, "channels": 3}
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40 or len(payload) < 54:
+            return bad
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        bpp = int.from_bytes(payload[28:30], "little")
+        return {"format": "bmp", "width": w, "height": h,
+                "channels": 1 if bpp == 8 else 3}
     return bad
 
 
