@@ -12984,6 +12984,107 @@ FROM g WHERE x != canon ORDER BY s, o
 """
 
 
+def q257_boilerplate_removal(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style boilerplate removal
+    (stages/dedup.py:drop_frequent_segments): a ' table '-delimited
+    segment occurring in >= 4 DISTINCT documents drops from EVERY
+    document — global frequency is the boilerplate signal, unlike the
+    keep-first rules of q217/q219.  One hash-bucket exchange counts
+    distinct docs per segment hash (per-batch pair dedup bounds it);
+    the frequent set is boilerplate-sized, so it broadcasts and the
+    rebuild is a streaming row-local pass.  Oracle: HAVING
+    count(DISTINCT doc_id) anti-join + ordered string_agg."""
+    from ..stages.dedup import drop_frequent_segments
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = drop_frequent_segments(docs, sep=" table ",
+                                 min_docs=4).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["text"] = out["text"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q257_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' table ')) AS seg,
+         unnest(range(len(string_split(coalesce(text, ''), ' table '))))
+           AS idx
+  FROM documents),
+hot AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= 4),
+keep AS (
+  SELECT s.doc_id, s.idx, s.seg
+  FROM segs s ANTI JOIN hot h ON s.seg = h.seg),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' table ' ORDER BY idx) AS text
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q258_property_axiom_checks(sf_dir: str) -> pd.DataFrame:
+    """OWL 2 RL property-axiom conformance
+    (stages/owl.py:property_axiom_violations — prp-asyp + prp-irp +
+    prp-pdw in one operator): rel_a is declared Asymmetric, rel_b
+    Irreflexive, and (rel_a, rel_b) propertyDisjointWith.  The
+    irreflexive check is row-local; asymmetric exchanges on a crc32
+    bucket of the UNORDERED endpoint pair; disjoint on crc32(s, o).
+    Oracle: three self-joins over the distinct triple set, unioned."""
+    from ..stages.owl import property_axiom_violations
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        data = pd.DataFrame({
+            "s": "e:" + (df["o_custkey"] % 40).astype(str),
+            "p": np.where(df["o_orderstatus"].astype(str) == "O",
+                          "rel_a", "rel_b"),
+            "o": "e:" + (df["o_orderkey"] % 40).astype(str)})
+        return data
+
+    decls = rd.from_items([
+        {"s": "rel_a", "p": "a", "o": "AsymmetricProperty"},
+        {"s": "rel_b", "p": "a", "o": "IrreflexiveProperty"},
+        {"s": "rel_a", "p": "propertyDisjointWith", "o": "rel_b"},
+    ])
+    store = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderstatus"]) \
+        .map_batches(to_triples, batch_format="pyarrow").union(decls)
+    out = property_axiom_violations(store).to_pandas()
+    out = out.astype(str).drop_duplicates()
+    return (out.sort_values(["kind", "s", "p", "o"])
+            .reset_index(drop=True))
+
+
+Q258_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'e:' || (o_custkey % 40) AS s,
+         CASE WHEN o_orderstatus = 'O' THEN 'rel_a' ELSE 'rel_b' END
+           AS p,
+         'e:' || (o_orderkey % 40) AS o
+  FROM orders)
+SELECT DISTINCT * FROM (
+  SELECT a.s, a.p, a.o, 'asymmetric' AS kind
+  FROM t a JOIN t b ON a.s = b.o AND a.o = b.s
+  WHERE a.p = 'rel_a' AND b.p = 'rel_a'
+  UNION ALL
+  SELECT s, p, o, 'irreflexive' FROM t
+  WHERE p = 'rel_b' AND s = o
+  UNION ALL
+  SELECT a.s, a.p, a.o, 'disjoint'
+  FROM t a JOIN t b ON a.s = b.s AND a.o = b.o
+  WHERE a.p = 'rel_a' AND b.p = 'rel_b'
+  UNION ALL
+  SELECT b.s, b.p, b.o, 'disjoint'
+  FROM t a JOIN t b ON a.s = b.s AND a.o = b.o
+  WHERE a.p = 'rel_a' AND b.p = 'rel_b')
+ORDER BY kind, s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13291,6 +13392,8 @@ QUERIES: dict[str, tuple] = {
     "q254_dedup_eval": (q254_dedup_eval, None),
     "q255_ohlc_bars": (q255_ohlc_bars, Q255_SQL),
     "q256_haskey_sameas": (q256_haskey_sameas, Q256_SQL),
+    "q257_boilerplate_removal": (q257_boilerplate_removal, Q257_SQL),
+    "q258_property_axiom_checks": (q258_property_axiom_checks, Q258_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -1045,6 +1045,77 @@ def segment_dedup_docs(
         rebuild, batch_format="pandas")
 
 
+def drop_frequent_segments(
+    docs: ray.data.Dataset,
+    sep: str = "\n\n",
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """CCNet-style BOILERPLATE removal: a segment (paragraph/line,
+    separator-parameterized) that occurs in >= `min_docs` DISTINCT
+    documents is dropped from EVERY document (all occurrences — unlike
+    segment_dedup_docs, which keeps the first).  This is the shape
+    CCNet/RefinedWeb use to strip nav bars, cookie banners and footers:
+    global frequency is the boilerplate signal, not first-occurrence.
+
+    Shape mirrors segment_dedup_docs — two coarse all-to-alls, neither
+    carrying segment text: (1) md5-64 segment hashes keyed by hash
+    bucket count DISTINCT doc ids per segment (per-batch pre-dedup of
+    (h, doc) pairs bounds the exchange at one row per distinct pair);
+    (2) frequent-hash verdicts re-keyed by doc bucket meet the original
+    documents, which re-split in place and drop flagged segments.
+    Returns (doc_id, text) for every input document."""
+
+    def seg_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype("int64")
+        texts = batch.column(text_col).to_pylist()
+        pairs = set()
+        for i, t in zip(ids, texts):
+            for s in (t or "").split(sep):
+                pairs.add((_hash64(s.encode("utf-8")), int(i)))
+        h = np.fromiter((p[0] for p in pairs), dtype="uint64",
+                        count=len(pairs)).view("int64")
+        d = np.fromiter((p[1] for p in pairs), dtype="int64",
+                        count=len(pairs))
+        return pd.DataFrame({
+            "h": h, "doc_id": d,
+            "_bucket": (h % n_buckets).astype("int32")})
+
+    def frequent(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (g.drop_duplicates(["h", "doc_id"])
+                  .groupby("h", sort=False).size())
+        hot = counts[counts >= min_docs].index.to_numpy("int64")
+        return pd.DataFrame({"h": hot})
+
+    hot = (docs.map_batches(seg_rows, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(frequent, batch_format="pandas"))
+
+    # the frequent-segment set is boilerplate — tiny by construction
+    # (bounded by distinct repeated segments, not corpus size); ship it
+    # once as a broadcast set rather than a second doc-keyed exchange
+    hot_df = hot.to_pandas()
+    hot_ref = ray.put(frozenset(
+        hot_df["h"].to_numpy("int64").view("uint64").tolist()
+        if "h" in hot_df.columns else ()))
+
+    def rebuild(batch: pa.Table) -> pd.DataFrame:
+        hot_set = ray.get(hot_ref)
+        ids = batch.column(id_col).to_numpy().astype("int64")
+        texts = batch.column(text_col).to_pylist()
+        out = []
+        for t in texts:
+            segs = (t or "").split(sep)
+            out.append(sep.join(
+                s for s in segs
+                if _hash64(s.encode("utf-8")) not in hot_set))
+        return pd.DataFrame({"doc_id": ids, "text": out})
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
 def prefix_filter_jaccard_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.6,

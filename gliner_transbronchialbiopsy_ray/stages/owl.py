@@ -400,6 +400,153 @@ def functional_violations(
         [s_col, p_col], count_objects, n_buckets)
 
 
+def property_axiom_violations(
+    store: ray.data.Dataset,
+    type_pred: str = "a",
+    disjoint_pred: str = "propertyDisjointWith",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """OWL 2 RL property-axiom conformance report in one operator:
+
+    - prp-asyp: p typed owl:AsymmetricProperty — (x p y) AND (y p x)
+      is inconsistent (including x == y); both directed triples come
+      back flagged.
+    - prp-irp: p typed owl:IrreflexiveProperty — (x p x) is
+      inconsistent.  Purely row-local (no exchange).
+    - prp-pdw: (p1, propertyDisjointWith, p2) — (x p1 y) AND (x p2 y)
+      is inconsistent; both triples come back flagged.
+
+    Output: distinct (s, p, o, kind) violation rows.  Declarations are
+    a bounded driver collect (ontology-sized); the asymmetric check
+    exchanges on a crc32 bucket of the UNORDERED endpoint pair so both
+    directions co-locate, the disjoint check on crc32(s, o) so all
+    predicates of a pair co-locate — coarse buckets, never raw keys.
+    Triples are treated as a set (duplicates dedup in-bucket)."""
+    import zlib
+
+    decls = _declarations(store, p_col, type_pred, s_col, o_col)
+    asym = frozenset(s for s, o in decls if o == "AsymmetricProperty")
+    irr = frozenset(s for s, o in decls if o == "IrreflexiveProperty")
+    disj_pairs = _declarations(store, p_col, disjoint_pred, s_col, o_col)
+    disj_preds = frozenset(p for pair in disj_pairs for p in pair)
+    disj_set = frozenset(disj_pairs) | frozenset(
+        (b, a) for a, b in disj_pairs)
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            s_col: pd.Series([], dtype=str),
+            p_col: pd.Series([], dtype=str),
+            o_col: pd.Series([], dtype=str),
+            "kind": pd.Series([], dtype=str)})
+
+    parts: list[ray.data.Dataset] = []
+
+    if irr:
+        def irr_rows(b: pa.Table, _irr=irr) -> pd.DataFrame:
+            df = b.to_pandas()
+            s = df[s_col].astype(str)
+            p = df[p_col].astype(str)
+            o = df[o_col].astype(str)
+            m = p.isin(_irr) & (s == o)
+            if not m.any():
+                return empty()
+            out = pd.DataFrame({s_col: s[m], p_col: p[m], o_col: o[m]})
+            out["kind"] = "irreflexive"
+            return out.drop_duplicates()
+
+        parts.append(store.map_batches(irr_rows, batch_format="pyarrow"))
+
+    if asym:
+        def asym_tag(b: pa.Table, _a=asym) -> pd.DataFrame:
+            df = b.to_pandas()
+            df = df[df[p_col].astype(str).isin(_a)]
+            if not len(df):
+                return pd.DataFrame({
+                    s_col: pd.Series([], dtype=str),
+                    p_col: pd.Series([], dtype=str),
+                    o_col: pd.Series([], dtype=str),
+                    "_bucket": pd.Series([], dtype="int32")})
+            s = df[s_col].astype(str)
+            o = df[o_col].astype(str)
+            p = df[p_col].astype(str)
+            lo = np.minimum(s.to_numpy(), o.to_numpy())
+            hi = np.maximum(s.to_numpy(), o.to_numpy())
+            key = [f"{a}\x00{b_}\x00{c}"
+                   for a, b_, c in zip(lo, hi, p.to_numpy())]
+            return pd.DataFrame({
+                s_col: s, p_col: p, o_col: o,
+                "_bucket": np.fromiter(
+                    (zlib.crc32(k.encode()) % n_buckets for k in key),
+                    dtype="int32", count=len(df))})
+
+        def asym_kernel(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_bucket"]).drop_duplicates()
+            have = set(zip(g[s_col], g[p_col], g[o_col]))
+            m = [(o, p, s) in have
+                 for s, p, o in zip(g[s_col], g[p_col], g[o_col])]
+            out = g[np.fromiter(m, dtype=bool, count=len(g))].copy()
+            if not len(out):
+                return empty()
+            out["kind"] = "asymmetric"
+            return out
+
+        parts.append(
+            store.map_batches(asym_tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(asym_kernel, batch_format="pandas"))
+
+    if disj_set:
+        def disj_tag(b: pa.Table, _p=disj_preds) -> pd.DataFrame:
+            df = b.to_pandas()
+            df = df[df[p_col].astype(str).isin(_p)]
+            if not len(df):
+                return pd.DataFrame({
+                    s_col: pd.Series([], dtype=str),
+                    p_col: pd.Series([], dtype=str),
+                    o_col: pd.Series([], dtype=str),
+                    "_bucket": pd.Series([], dtype="int32")})
+            s = df[s_col].astype(str)
+            o = df[o_col].astype(str)
+            key = (s + "\x00" + o).to_numpy()
+            return pd.DataFrame({
+                s_col: s, p_col: df[p_col].astype(str), o_col: o,
+                "_bucket": np.fromiter(
+                    (zlib.crc32(k.encode()) % n_buckets for k in key),
+                    dtype="int32", count=len(df))})
+
+        def disj_kernel(g: pd.DataFrame, _d=disj_set) -> pd.DataFrame:
+            g = g.drop(columns=["_bucket"]).drop_duplicates()
+            by_so: dict[tuple, set] = {}
+            for s, p, o in zip(g[s_col], g[p_col], g[o_col]):
+                by_so.setdefault((s, o), set()).add(p)
+            m = [any((p, q) in _d for q in by_so[(s, o)])
+                 for s, p, o in zip(g[s_col], g[p_col], g[o_col])]
+            out = g[np.fromiter(m, dtype=bool, count=len(g))].copy()
+            if not len(out):
+                return empty()
+            out["kind"] = "disjoint"
+            return out
+
+        parts.append(
+            store.map_batches(disj_tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(disj_kernel, batch_format="pandas"))
+
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            s_col: pa.array([], type=pa.string()),
+            p_col: pa.array([], type=pa.string()),
+            o_col: pa.array([], type=pa.string()),
+            "kind": pa.array([], type=pa.string())}))
+    ds = parts[0]
+    for p_ in parts[1:]:
+        ds = ds.union(p_)
+    return ds
+
+
 def entail_has_value(
     store: ray.data.Dataset,
     on_property_pred: str = "onProperty",

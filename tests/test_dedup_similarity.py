@@ -268,6 +268,32 @@ def test_segment_dedup_docs_within_doc_repeat():
     assert list(out["text"]) == ["s|t", ""]
 
 
+def test_drop_frequent_segments_boilerplate():
+    # a segment in >= min_docs DISTINCT docs drops EVERYWHERE (all
+    # occurrences); within-doc repeats count once toward the doc count
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        drop_frequent_segments)
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": "nav|body0|nav"},   # nav repeats in-doc
+        {"doc_id": 1, "text": "nav|body1"},
+        {"doc_id": 2, "text": "nav|body2|dup"},
+        {"doc_id": 3, "text": "dup|body3"},       # dup: only 2 docs
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "body5"},
+    ])
+    out = (drop_frequent_segments(docs, sep="|", min_docs=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert list(out["text"]) == ["body0", "body1", "body2|dup",
+                                 "dup|body3", "", "body5"]
+    # min_docs=2 also kills 'dup' and the '' segment (docs 4+5 don't
+    # share '': doc 5's text is one '' segment, doc 4's None -> one '')
+    out2 = (drop_frequent_segments(docs, sep="|", min_docs=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out2["text"]) == ["body0", "body1", "body2", "body3",
+                                  "", "body5"]
+
+
 def test_prefix_filter_jaccard_matches_bruteforce():
     import numpy as np
     import ray.data as rd

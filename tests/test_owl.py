@@ -427,3 +427,49 @@ def test_has_key_empty_and_error_paths():
     bad = _triples([("C", "hasKey", "")])
     with pytest.raises(ValueError, match="names no properties"):
         has_key_sameas(bad)
+
+
+def test_property_axiom_violations_kinds(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.owl import (
+        property_axiom_violations,
+    )
+
+    store = rd.from_items([
+        # declarations
+        {"s": "knows", "p": "a", "o": "AsymmetricProperty"},
+        {"s": "parentOf", "p": "a", "o": "IrreflexiveProperty"},
+        {"s": "likes", "p": "propertyDisjointWith", "o": "hates"},
+        # asymmetric: x<->y both ways, plus a reflexive hit, plus a
+        # clean one-way edge
+        {"s": "x", "p": "knows", "o": "y"},
+        {"s": "y", "p": "knows", "o": "x"},
+        {"s": "z", "p": "knows", "o": "z"},     # x==y counts (prp-asyp)
+        {"s": "x", "p": "knows", "o": "w"},     # clean
+        {"s": "x", "p": "knows", "o": "y"},     # duplicate: set semantics
+        # irreflexive
+        {"s": "a", "p": "parentOf", "o": "a"},
+        {"s": "a", "p": "parentOf", "o": "b"},  # clean
+        # disjoint: same (s, o) under both preds; one clean pair
+        {"s": "u", "p": "likes", "o": "v"},
+        {"s": "u", "p": "hates", "o": "v"},
+        {"s": "u", "p": "likes", "o": "q"},     # clean
+    ])
+    out = (property_axiom_violations(store).to_pandas()
+           .sort_values(["kind", "s", "p", "o"]).reset_index(drop=True))
+    exp = pd.DataFrame({
+        "s": ["x", "y", "z", "a", "u", "u"],
+        "p": ["knows", "knows", "knows", "parentOf", "hates", "likes"],
+        "o": ["y", "x", "z", "a", "v", "v"],
+        "kind": ["asymmetric"] * 3 + ["irreflexive"] + ["disjoint"] * 2,
+    }).sort_values(["kind", "s", "p", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["s", "p", "o", "kind"]], exp)
+
+    # no declarations -> typed empty result, schema kept (Ray's
+    # to_pandas drops columns on zero blocks, so assert the schema)
+    clean = rd.from_items([{"s": "x", "p": "knows", "o": "y"}])
+    empty = property_axiom_violations(clean)
+    assert empty.schema().names == ["s", "p", "o", "kind"]
+    assert empty.count() == 0
