@@ -13085,6 +13085,61 @@ ORDER BY kind, s, p, o
 """
 
 
+def q259_dag_path_counts(sf_dir: str) -> pd.DataFrame:
+    """DAG distinct-path counting (stages/graph.py:dag_path_counts,
+    the (+, x) counting-semiring sibling of k-hop BFS and longest-path
+    layering): a 4-layer DAG built from lineitem (node = layer * 1000
+    + key % 80, edges strictly layer t-1 -> t, so acyclic by
+    construction; parallel edges count as distinct paths — multigraph
+    semantics).  Per round ONE hash join + grouped-SUM fold; the
+    frontier empties by round <= 4.  Oracle: unrolled per-length
+    frontier CTEs f0..f4 summed."""
+    from ..stages.graph import dag_path_counts
+
+    li = _read(sf_dir, "lineitem",
+               ["l_linenumber", "l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["l_linenumber"] <= 4]
+        return pd.DataFrame({
+            "src": ((df["l_linenumber"] - 1) * 1000
+                    + df["l_partkey"] % 80).astype("int64"),
+            "dst": (df["l_linenumber"] * 1000
+                    + df["l_suppkey"] % 80).astype("int64")})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    out = dag_path_counts(edges, k=4).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q259_SQL = """
+WITH e AS (
+  SELECT (l_linenumber - 1) * 1000 + (l_partkey % 80) AS src,
+         l_linenumber * 1000 + (l_suppkey % 80) AS dst
+  FROM lineitem WHERE l_linenumber <= 4),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+roots AS (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT dst FROM e)),
+f0 AS (SELECT node, CAST(1 AS BIGINT) AS cnt FROM roots),
+f1 AS (SELECT e.dst AS node, CAST(SUM(f0.cnt) AS BIGINT) AS cnt
+       FROM f0 JOIN e ON e.src = f0.node GROUP BY e.dst),
+f2 AS (SELECT e.dst AS node, CAST(SUM(f1.cnt) AS BIGINT) AS cnt
+       FROM f1 JOIN e ON e.src = f1.node GROUP BY e.dst),
+f3 AS (SELECT e.dst AS node, CAST(SUM(f2.cnt) AS BIGINT) AS cnt
+       FROM f2 JOIN e ON e.src = f2.node GROUP BY e.dst),
+f4 AS (SELECT e.dst AS node, CAST(SUM(f3.cnt) AS BIGINT) AS cnt
+       FROM f3 JOIN e ON e.src = f3.node GROUP BY e.dst)
+SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_paths
+FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+      UNION ALL SELECT * FROM f4)
+GROUP BY node ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13394,6 +13449,7 @@ QUERIES: dict[str, tuple] = {
     "q256_haskey_sameas": (q256_haskey_sameas, Q256_SQL),
     "q257_boilerplate_removal": (q257_boilerplate_removal, Q257_SQL),
     "q258_property_axiom_checks": (q258_property_axiom_checks, Q258_SQL),
+    "q259_dag_path_counts": (q259_dag_path_counts, Q259_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

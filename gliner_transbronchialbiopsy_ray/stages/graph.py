@@ -3342,3 +3342,164 @@ def dag_longest_path(
         if frontier.count() == 0:
             break
     return best.select_columns(["node", "layer"])
+
+
+def dag_path_counts(
+    edges: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_threshold: int = 500_000,
+) -> ray.data.Dataset:
+    """DAG distinct-path counting under the (+, x) counting semiring:
+    (node, n_paths) where n_paths = the number of distinct directed
+    paths reaching the node from ANY root (a node with no incoming
+    edge; roots count their empty path, so n_paths(root) >= 1).
+    The third semiring sibling next to k_hop_reachability's (min, +)
+    and dag_longest_path's (max, +) — provenance/lineage fan-in,
+    attack-path enumeration and feed-forward network fan-out all read
+    off it.
+
+    Per round the frontier carries f_t = paths of length EXACTLY t per
+    node; ONE hash join relaxes out-edges to f_{t+1}(v) = sum over
+    (u, v) of f_t(u) (grouped SUM fold, not max), totals accumulate by
+    a final grouped sum over all rounds.  On a DAG the frontier
+    empties by round <= longest path, so `k` >= that bound gives the
+    exact count; cyclic inputs are the caller's contract violation
+    (counts would diverge) and simply stop at the bound.  Parallel
+    edges count as distinct paths (multigraph semantics) — pre-dedup
+    upstream for simple-graph counting.
+
+    `strategy` follows dag_longest_path: "broadcast" keeps the count
+    state driver-resident (node-count <= `broadcast_threshold`
+    contract) and streams only edges per round; "join" is the
+    unbounded-graph shuffle path; "auto" counts nodes once and
+    picks."""
+    from ray.data.aggregate import Sum
+
+    from .joins import coalesce_for_join
+
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    edges = coalesce_for_join(
+        edges.select_columns([src, dst]), num_partitions).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "n_paths": pa.array([], type=pa.int64())}))
+
+    if strategy != "join":
+        def endpoint_sets(b: pa.Table) -> pa.Table:
+            s = pd.unique(b.column(src).to_pandas())
+            d = pd.unique(b.column(dst).to_pandas())
+            return pa.table({
+                "node": pa.array(np.concatenate([s, d]).astype("int64")),
+                "is_dst": pa.array(np.concatenate(
+                    [np.zeros(len(s), "int8"), np.ones(len(d), "int8")]))})
+
+        ep = edges.map_batches(endpoint_sets, batch_format="pyarrow")
+        ep = (ep.groupby("node").max("is_dst")
+              .map_batches(lambda b: b.rename_columns(["node", "is_dst"]),
+                           batch_format="pyarrow").materialize())
+        n_nodes = ep.count()
+        if strategy == "broadcast" or n_nodes <= broadcast_threshold:
+            eps = ep.to_pandas()
+            total: dict[int, int] = {
+                int(n): 1 for n, d in zip(eps["node"], eps["is_dst"])
+                if d == 0}
+            frontier = dict(total)
+            for _ in range(k):
+                if not frontier:
+                    break
+                ref = ray.put(frontier)
+
+                def step_b(b: pa.Table, _r=ref) -> pd.DataFrame:
+                    fr = ray.get(_r)
+                    u = b.column(src).to_pylist()
+                    v = b.column(dst).to_pylist()
+                    cand: dict[int, int] = {}
+                    for uu, vv in zip(u, v):
+                        c = fr.get(uu)
+                        if c is not None:
+                            cand[vv] = cand.get(vv, 0) + c
+                    return pd.DataFrame({
+                        "node": pd.Series(list(cand.keys()),
+                                          dtype="int64"),
+                        "n_paths": pd.Series(list(cand.values()),
+                                             dtype="int64")})
+
+                parts = edges.map_batches(
+                    step_b, batch_format="pyarrow").take_all()
+                frontier = {}
+                for r in parts:
+                    n, c = int(r["node"]), int(r["n_paths"])
+                    frontier[n] = frontier.get(n, 0) + c
+                for n, c in frontier.items():
+                    total[n] = total.get(n, 0) + c
+            items = sorted(total.items())
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([n for n, _ in items], type=pa.int64()),
+                "n_paths": pa.array([c for _, c in items],
+                                    type=pa.int64())}))
+
+    srcs = edges.map_batches(
+        lambda b: pa.table({"node": b.column(src).cast(pa.int64())}),
+        batch_format="pyarrow")
+    dsts = edges.map_batches(
+        lambda b: pa.table({
+            "node": b.column(dst).cast(pa.int64()),
+            "_in": pa.array(np.ones(b.num_rows, "int8"))}),
+        batch_format="pyarrow")
+    dsts = (dsts.groupby("node").max("_in")
+            .map_batches(lambda b: b.rename_columns(["node", "_in"]),
+                         batch_format="pyarrow"))
+    j = coalesce_for_join(
+        srcs.groupby("node").count().drop_columns(["count()"])
+        .materialize(), num_partitions
+    ).join(coalesce_for_join(dsts.materialize(), num_partitions),
+           join_type="left_outer", num_partitions=num_partitions,
+           on=("node",), right_on=("node",))
+    roots = j.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_in")))
+                   .select(["node"]),
+        batch_format="pyarrow")
+
+    def as_seed(batch: pa.Table) -> pa.Table:
+        ids = pd.unique(batch.column("node").to_pandas())
+        return pa.table({
+            "node": pa.array(ids.astype("int64")),
+            "n_paths": pa.array(np.ones(len(ids), "int64"))})
+
+    frontier = roots.map_batches(
+        as_seed, batch_format="pyarrow").materialize()
+    acc = [frontier]
+    for _ in range(k):
+        if frontier.count() == 0:
+            break
+        expand = coalesce_for_join(
+            frontier, num_partitions
+        ).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=(src,),
+        )
+
+        def step(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column(dst).cast(pa.int64()),
+                "n_paths": batch.column("n_paths").cast(pa.int64())})
+
+        frontier = (expand.map_batches(step, batch_format="pyarrow")
+                    .groupby("node")
+                    .aggregate(Sum("n_paths", alias_name="n_paths"))
+                    .materialize())
+        acc.append(frontier)
+    out = acc[0]
+    for part in acc[1:]:
+        out = out.union(part)
+    return (out.groupby("node")
+            .aggregate(Sum("n_paths", alias_name="n_paths")))

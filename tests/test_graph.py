@@ -1038,3 +1038,45 @@ def test_k_hop_min_cost_strategies_equal():
     assert a.equals(b)
     c = run("auto", broadcast_threshold=4)   # overflow fallback
     assert c.equals(b)
+
+
+def test_dag_path_counts_diamond_and_multigraph(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        dag_path_counts,
+    )
+
+    # diamond 0->{1,2}->3 plus a parallel edge 0->1 (multigraph: the
+    # parallel edge doubles every path through it) and a second root 9
+    edges = rd.from_items([
+        {"src": 0, "dst": 1}, {"src": 0, "dst": 1},  # parallel
+        {"src": 0, "dst": 2},
+        {"src": 1, "dst": 3}, {"src": 2, "dst": 3},
+        {"src": 9, "dst": 3},
+    ])
+    exp = pd.DataFrame({
+        "node": [0, 1, 2, 3, 9],
+        # 3: 2 via node1 + 1 via node2 + 1 via root 9
+        "n_paths": [1, 2, 1, 4, 1],
+    })
+    for strategy in ("broadcast", "join"):
+        out = (dag_path_counts(edges, k=3, strategy=strategy)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        out["node"] = out["node"].astype("int64")
+        out["n_paths"] = out["n_paths"].astype("int64")
+        pd.testing.assert_frame_equal(out, exp.astype("int64"), )
+
+    # k smaller than the longest path truncates (documented bound)
+    out = (dag_path_counts(edges, k=1, strategy="broadcast")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out.set_index("node")["n_paths"].to_dict() == {
+        0: 1, 1: 2, 2: 1, 3: 1, 9: 1}
+
+    # empty input -> typed empty
+    empty = dag_path_counts(
+        rd.from_arrow(__import__("pyarrow").table(
+            {"src": [], "dst": []})), k=2)
+    assert empty.schema().names == ["node", "n_paths"]
+    assert empty.count() == 0
