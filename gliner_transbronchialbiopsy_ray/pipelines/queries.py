@@ -13140,6 +13140,76 @@ GROUP BY node ORDER BY node
 """
 
 
+def q260_dsir_importance(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style data selection
+    (stages/text_analysis.py:dsir_importance_scores — Xie et al. 2023,
+    hashed-bigram importance weights linearized to integer ppm so the
+    ranking is engine-exact): target = lang 'en', raw = the whole
+    corpus, 512 hashed buckets; top 100 docs by importance score.
+    Two streaming passes, bounded driver state (2 x 512 ints), no
+    shuffle; top-k via per-batch partials + driver merge.  Oracle:
+    positional bigram self-join + md5_number_lower bucketing +
+    integer-division ppm replay."""
+    from ..stages.text_analysis import dsir_importance_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    docs = docs.map_batches(
+        lambda b: b.append_column(
+            "is_target",
+            pc.cast(pc.equal(b.column("lang").cast(pa.string()), "en"),
+                    pa.int8())),
+        batch_format="pyarrow")
+    scored = dsir_importance_scores(docs, n_buckets=512)
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (df.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(100))
+
+    parts = scored.map_batches(
+        block_topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(100)
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].astype("int64")
+    return out[["doc_id", "score"]]
+
+
+Q260_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, g.w, g.o FROM documents,
+  LATERAL (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                  generate_subscripts(
+                    string_split(coalesce(text, ''), ' '), 1) AS o) g),
+big AS (
+  SELECT a.doc_id, a.lang,
+         md5_number_lower(a.w || ' ' || b.w) % 512 AS bucket
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.o = a.o + 1),
+raw AS (SELECT bucket, count(*) AS c FROM big GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c FROM big WHERE lang = 'en'
+        GROUP BY bucket),
+tot AS (SELECT (SELECT sum(c) FROM raw) AS traw,
+               (SELECT coalesce(sum(c), 0) FROM tgt) AS ttgt),
+delta AS (
+  SELECT r.bucket,
+         CAST((1000000 * (coalesce(t.c, 0) + 1)) // (tot.ttgt + 512)
+              AS BIGINT)
+         - CAST((1000000 * (r.c + 1)) // (tot.traw + 512) AS BIGINT)
+           AS d
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot),
+scores AS (
+  SELECT d0.doc_id,
+         CAST(coalesce(sum(delta.d), 0) AS BIGINT) AS score
+  FROM documents d0
+  LEFT JOIN big ON big.doc_id = d0.doc_id
+  LEFT JOIN delta ON big.bucket = delta.bucket
+  GROUP BY d0.doc_id)
+SELECT doc_id, score FROM scores
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13450,6 +13520,7 @@ QUERIES: dict[str, tuple] = {
     "q257_boilerplate_removal": (q257_boilerplate_removal, Q257_SQL),
     "q258_property_axiom_checks": (q258_property_axiom_checks, Q258_SQL),
     "q259_dag_path_counts": (q259_dag_path_counts, Q259_SQL),
+    "q260_dsir_importance": (q260_dsir_importance, Q260_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -537,3 +537,85 @@ class BpeEncoder:
                               for w in self.word_rx.findall(t)))
         return batch.append_column(
             "n_bpe_tokens", pa.array(counts, type=pa.int64()))
+
+
+def _bigram_buckets(text: str | None, n_buckets: int) -> np.ndarray:
+    """Hashed word-bigram bucket ids for one document: split on single
+    spaces (string_split parity — empty tokens kept), md5 lower-64
+    (little-endian bytes [8:16], DuckDB md5_number_lower parity) of
+    'w1 w2' mod n_buckets, one entry per bigram OCCURRENCE."""
+    toks = (text or "").split(" ")
+    if len(toks) < 2:
+        return np.empty(0, dtype="int64")
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(f"{a} {b}".encode("utf-8")).digest()[8:],
+            "little") % n_buckets
+         for a, b in zip(toks, toks[1:])),
+        dtype="int64", count=len(toks) - 1)
+
+
+def dsir_importance_scores(
+    docs: ray.data.Dataset,
+    n_buckets: int = 512,
+    ppm: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+) -> ray.data.Dataset:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al. 2023, linearized to INTEGER arithmetic so the score is
+    engine-exact): feature j = hashed word-bigram bucket; the raw
+    distribution comes from ALL docs, the target distribution from
+    rows flagged `target_col` == 1; per-bucket add-one-smoothed
+    integer ppm probabilities; a document's importance score is the
+    sum over its bigram occurrences of
+    (target_ppm(bucket) - raw_ppm(bucket)) — the linear surrogate for
+    DSIR's sum of log-ratios (monotone-equivalent ranking signal, no
+    transcendental enters the result, so a SQL oracle replays it
+    bit-for-bit).
+
+    Scale shape: pass 1 streams once and folds per-batch count
+    VECTORS (2 x n_buckets int64 per block — bounded driver state,
+    order-insensitive integer sums); the ppm-delta vector broadcasts
+    via ray.put; pass 2 streams again scoring each doc by one
+    np.bincount-free gather-sum.  No shuffle anywhere.  Returns
+    (id_col, score) for every doc."""
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(n_buckets, dtype="int64")
+        tgt = np.zeros(n_buckets, dtype="int64")
+        texts = batch.column(text_col).to_pylist()
+        flags = batch.column(target_col).to_pylist()
+        for t, f in zip(texts, flags):
+            b = _bigram_buckets(t, n_buckets)
+            if len(b):
+                binc = np.bincount(b, minlength=n_buckets)
+                raw += binc
+                if f:
+                    tgt += binc
+        return pa.table({"raw": pa.array([raw.tolist()]),
+                         "tgt": pa.array([tgt.tolist()])})
+
+    raw = np.zeros(n_buckets, dtype="int64")
+    tgt = np.zeros(n_buckets, dtype="int64")
+    for part in docs.map_batches(
+            count_partials, batch_format="pyarrow").iter_rows():
+        raw += np.asarray(part["raw"], dtype="int64")
+        tgt += np.asarray(part["tgt"], dtype="int64")
+    t_raw, t_tgt = int(raw.sum()), int(tgt.sum())
+    raw_ppm = (ppm * (raw + 1)) // (t_raw + n_buckets)
+    tgt_ppm = (ppm * (tgt + 1)) // (t_tgt + n_buckets)
+    delta_ref = ray.put((tgt_ppm - raw_ppm).astype("int64"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        delta = ray.get(delta_ref)
+        ids = batch.column(id_col)
+        out = np.empty(batch.num_rows, dtype="int64")
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            b = _bigram_buckets(t, n_buckets)
+            out[i] = delta[b].sum() if len(b) else 0
+        return pa.table({id_col: ids,
+                         "score": pa.array(out, type=pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -149,3 +149,35 @@ def test_curate_corpus_funnel_each_gate(ray_session):
     assert row["n_kept"] == 1                # d5 out (8-gram hit vs bench)
     assert row["kept_tokens"] == 10 and row["n_windows"] == 2
     assert all(str(t) == "int64" for t in out.dtypes)
+
+
+def test_dsir_importance_scores_ranks_targetlike_docs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.text_analysis import (
+        dsir_importance_scores,
+    )
+
+    # target docs share the bigram "alpha beta"; decoys share "zzz qqq";
+    # a mixed doc carries both -> middle score; empty text scores 0
+    rows = []
+    for i in range(4):
+        rows.append({"doc_id": i, "text": "alpha beta " * 5,
+                     "is_target": 1})
+    for i in range(4, 10):
+        rows.append({"doc_id": i, "text": "zzz qqq " * 5,
+                     "is_target": 0})
+    rows.append({"doc_id": 10, "text": "alpha beta zzz qqq",
+                 "is_target": 0})
+    rows.append({"doc_id": 11, "text": "", "is_target": 0})
+    out = (dsir_importance_scores(rd.from_items(rows), n_buckets=64)
+           .to_pandas().set_index("doc_id")["score"])
+    assert out.loc[11] == 0
+    # every pure-target doc outranks every decoy and the mixed doc
+    assert out.loc[list(range(4))].min() > out.loc[10]
+    assert out.loc[10] > out.loc[list(range(4, 10))].max()
+    # deterministic across reruns (pure integer arithmetic)
+    out2 = (dsir_importance_scores(rd.from_items(rows), n_buckets=64)
+            .to_pandas().set_index("doc_id")["score"])
+    assert (out.sort_index() == out2.sort_index()).all()
