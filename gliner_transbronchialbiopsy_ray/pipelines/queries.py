@@ -13210,6 +13210,106 @@ ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q261_running_distinct(sf_dir: str) -> pd.DataFrame:
+    """Running DISTINCT-user count per event_type in (ts, event_id)
+    order (stages/window.py:keyed_running_agg agg="count_distinct") —
+    the audience-growth curve, a window aggregate SQL has no native
+    form for.  ONE crc-bucket exchange on event_type; first-occurrence
+    marks + cumsum inside the bucket.  Oracle: row_number() = 1 flag
+    over (event_type, user_id) + windowed SUM."""
+    from ..stages.window import keyed_running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = keyed_running_agg(
+        ds, key="event_type", order_by=["ts", "event_id"],
+        value="user_id", out_col="distinct_users",
+        agg="count_distinct", n_buckets=16).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    return (out[["event_id", "event_type", "distinct_users"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+Q261_SQL = """
+WITH marked AS (
+  SELECT event_id, event_type, ts,
+         CASE WHEN row_number() OVER (
+                PARTITION BY event_type, user_id
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events)
+SELECT event_id, event_type,
+       CAST(sum(is_first) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_users
+FROM marked ORDER BY event_id
+"""
+
+
+def q262_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated scalar subquery (orders strictly above THEIR OWN
+    customer's average order value): per-customer (sum, count)
+    partials fold through one native hash join back onto orders; the
+    comparison cross-multiplies in integer CENTS
+    (price_cents * n > sum_cents) so no float division enters either
+    engine and boundary rows can't flip on ulp drift."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import coalesce_for_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b.column("o_totalprice").to_numpy() * 100)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "price_cents": pa.array(c.astype("int64"))})
+
+    ocents = orders.map_batches(cents, batch_format="pyarrow")
+    agg = (ocents.groupby("o_custkey").aggregate(
+        Sum("price_cents", alias_name="sum_cents"),
+        Count(alias_name="n_orders")))
+    n_parts = 8
+    joined = coalesce_for_join(ocents, n_parts).join(
+        coalesce_for_join(agg, n_parts), join_type="inner",
+        num_partitions=n_parts, on=("o_custkey",),
+        right_on=("o_custkey",))
+
+    def above(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        m = (df["price_cents"].to_numpy("int64")
+             * df["n_orders"].to_numpy("int64")
+             > df["sum_cents"].to_numpy("int64"))
+        out = df[np.asarray(m)]
+        return pd.DataFrame({
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "price_cents": out["price_cents"].astype("int64")})
+
+    out = joined.map_batches(above, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q262_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders),
+agg AS (
+  SELECT o_custkey, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+         count(*) AS n_orders
+  FROM c GROUP BY o_custkey)
+SELECT c.o_orderkey, c.o_custkey, c.price_cents
+FROM c JOIN agg USING (o_custkey)
+WHERE c.price_cents * agg.n_orders > agg.sum_cents
+ORDER BY c.o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13521,6 +13621,8 @@ QUERIES: dict[str, tuple] = {
     "q258_property_axiom_checks": (q258_property_axiom_checks, Q258_SQL),
     "q259_dag_path_counts": (q259_dag_path_counts, Q259_SQL),
     "q260_dsir_importance": (q260_dsir_importance, Q260_SQL),
+    "q261_running_distinct": (q261_running_distinct, Q261_SQL),
+    "q262_above_customer_avg": (q262_above_customer_avg, Q262_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -73,11 +73,24 @@ def keyed_running_agg(
     """Per-key cumulative aggregate in `order_by` order (SQL:
     `agg(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
     PRECEDING)`).  order_by must make the order total (include a
-    tie-breaker column) or float results are engine-dependent."""
-    assert agg in ("sum", "max", "min", "count")
+    tie-breaker column) or float results are engine-dependent.
+
+    agg="count_distinct" is the RUNNING DISTINCT count of `value`
+    within the key (SQL has no native count(DISTINCT) OVER — the
+    standard emulation marks each (key, value)'s first occurrence in
+    order and running-sums the marks; this kernel does exactly that,
+    so an oracle can replay it with a row_number() = 1 flag + a
+    windowed SUM).  Correct because hash_bucketed_map_groups
+    co-locates a key's FULL history in one bucket."""
+    assert agg in ("sum", "max", "min", "count", "count_distinct")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_by, kind="stable")
+        if agg == "count_distinct":
+            first = ~g.duplicated(subset=[key, value], keep="first")
+            g[out_col] = (first.astype("int64")
+                          .groupby(g[key], sort=False).cumsum())
+            return g
         grp = g.groupby(key, sort=False)[value]
         if agg == "sum":
             g[out_col] = grp.cumsum()

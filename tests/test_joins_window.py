@@ -358,3 +358,27 @@ def test_keyed_lag_matches_duckdb():
     p = got["prev_value"].to_numpy()
     assert ((np.isnan(d) & np.isnan(p))
             | (d == got["v"].to_numpy() - p)).all()
+
+
+def test_keyed_running_agg_count_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.window import (
+        keyed_running_agg,
+    )
+
+    rows = [
+        {"k": "a", "o": 1, "v": 10},
+        {"k": "a", "o": 2, "v": 20},
+        {"k": "a", "o": 3, "v": 10},  # repeat: count stays
+        {"k": "a", "o": 4, "v": 30},
+        {"k": "b", "o": 1, "v": 10},
+        {"k": "b", "o": 2, "v": 10},
+    ]
+    for parts in (1, 3):
+        ds = rd.from_items(rows).repartition(parts)
+        out = (keyed_running_agg(ds, key="k", order_by=["o"], value="v",
+                                 out_col="rd", agg="count_distinct")
+               .to_pandas().sort_values(["k", "o"]))
+        assert list(out["rd"]) == [1, 2, 2, 3, 1, 1], parts
