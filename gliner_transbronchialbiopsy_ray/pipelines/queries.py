@@ -2480,6 +2480,75 @@ def btb_gif_bmp_media(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def btb_tiff_media(sf_dir: str) -> pd.DataFrame:
+    """REAL TIFF decode path (pure Python/NumPy, no codec libs):
+    deterministic TIFF payloads — both byte orders, compressions
+    none/PackBits/TIFF-LZW (MSB-first, early code-width change),
+    horizontal predictor, grayscale photometric, multi-strip — run
+    decode -> channel-stat features -> exact block-mean resize through
+    the SAME actor-pool stage as the other containers
+    (stages/multimodal.py:RawImageStage routing on the II*/MM* magic).
+    The checkerboard anchor decodes pixel-identically across all
+    variants; a truncated payload pins the error path.  Deterministic
+    -> golden-pinned (rows-only)."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import encode_tiff, raw_media_features
+
+    rng = np.random.RandomState(1771)
+    board = np.zeros((8, 8, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    board[(yy + xx) % 2 == 1] = (200, 100, 50)
+    refs, payloads = [], []
+    variants = [
+        ("none_le", dict(compression="none")),
+        ("none_be", dict(compression="none", big_endian=True)),
+        ("packbits", dict(compression="packbits")),
+        ("lzw", dict(compression="lzw")),
+        ("lzw_pred", dict(compression="lzw", predictor=True)),
+        ("strips", dict(compression="packbits", rows_per_strip=3)),
+    ]
+    for tag, kw in variants:
+        refs.append(f"tiff://board_{tag}")
+        payloads.append(encode_tiff(board, **kw))
+    for i in range(10):
+        img = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+        _, kw = variants[i % len(variants)]
+        refs.append(f"tiff://{i:03d}")
+        payloads.append(encode_tiff(img, **kw))
+    g = rng.randint(0, 256, size=(6, 6, 1)).astype(np.uint8)
+    gray = np.repeat(g, 3, axis=2)
+    refs.append("tiff://gray")
+    payloads.append(encode_tiff(gray, gray=True, compression="lzw"))
+    refs.append("tiff://bad")
+    payloads.append(payloads[0][:30])
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * len(refs), type=pa.int32()),
+        "height": pa.array([0] * len(refs), type=pa.int32()),
+    }))
+    ds = raw_media_features(media, out_w=4, out_h=4, concurrency=2)
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_size=256, batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    df["resized_md5"] = df["resized_payload"].map(
+        lambda b: None if b is None else _hashlib.md5(b).hexdigest())
+    df = df.drop(columns=["resized_payload"])
+    df = df.sort_values("media_ref").reset_index(drop=True)
+    anchors = [f"tiff://board_{t}" for t, _ in variants]
+    md5s = set()
+    for ref in anchors:
+        feat = np.asarray(df.loc[df["media_ref"] == ref,
+                                 "feature"].iloc[0])
+        assert np.allclose(feat[:3], [100.0, 50.0, 25.0]), ref
+        md5s.add(df.loc[df["media_ref"] == ref, "resized_md5"].iloc[0])
+    assert len(md5s) == 1, md5s  # identical pixels across all variants
+    assert df.loc[df["media_ref"] == "tiff://bad",
+                  "decode_status"].iloc[0].startswith("decode_error")
+    return df
+
+
 def btb_video_frames(sf_dir: str) -> pd.DataFrame:
     """REAL video frame-sampling path: deterministic RAWV clips (a
     seekable raw-RGB container, stages/multimodal.py) run through the
@@ -13401,6 +13470,7 @@ QUERIES: dict[str, tuple] = {
     "btb_png_media": (btb_png_media, None),
     "btb_jpeg_media": (btb_jpeg_media, None),
     "btb_gif_bmp_media": (btb_gif_bmp_media, None),
+    "btb_tiff_media": (btb_tiff_media, None),
     "btb_video_frames": (btb_video_frames, None),
     "q68_heavy_hitters_cms": (q68_heavy_hitters_cms, None),
     "q69_grouped_moments": (q69_grouped_moments, Q69_SQL),

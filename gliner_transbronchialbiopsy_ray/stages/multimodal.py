@@ -1194,6 +1194,346 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+# --- TIFF (real pixel decode: none/PackBits/LZW + horizontal predictor) ----
+#
+# TIFF 6.0 per the public spec: both byte orders (II/MM), IFD walk,
+# 8-bit samples, photometric 0/1 (grayscale, 0 = white-is-zero
+# inverted), 2 (RGB) and 3 (palette, 16-bit colormap), chunky planar
+# config, multi-strip images, compressions 1 (none), 5 (TIFF-LZW:
+# MSB-first codes, 9-bit start, EARLY code-width change at 2^n - 1 —
+# the documented divergence from GIF's LZW) and 32773 (PackBits), plus
+# predictor 2 (per-channel horizontal differencing).  encode_tiff
+# writes all of it for fixtures/roundtrips.
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW -> bytes: MSB-first bit packing, 256=Clear,
+    257=EOI, early code-size change (grow at table length 2^n - 1)."""
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev = None
+    n = len(data)
+    while len(out) < max_out:
+        while nbits < code_size:
+            if pos >= n:
+                raise ValueError("tiff: LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            table = list(base)
+            code_size = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("tiff: first LZW code is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("tiff: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    return bytes(out[:max_out])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (exact inverse of the decoder):
+    MSB-first, Clear first, EOI last, early change, reset at 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    emit(256, code_size)
+    if data:
+        w = data[:1]
+        for i in range(1, len(data)):
+            c = data[i:i + 1]
+            wc = w + c
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], code_size)
+            table[wc] = next_code
+            next_code += 1
+            # decoder appends lag one code behind the encoder's
+            # registrations, and its early change fires at table
+            # length 2^n - 1 — so the WRITER switches at 2^n
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            elif next_code == 4094:  # table nearly full: reset
+                emit(256, code_size)
+                table = {bytes([j]): j for j in range(256)}
+                next_code = 258
+                code_size = 9
+            w = c
+        emit(table[w], code_size)
+    emit(257, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1
+            if i + h + 1 > n:
+                raise ValueError("tiff: truncated PackBits literal")
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("tiff: truncated PackBits repeat")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: noop
+    return bytes(out[:max_out])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (i < n and i - lit_start < 128
+               and not (i + 1 < n and data[i] == data[i + 1])):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL TIFF pixel decode -> (h, w, 3) uint8 (first IFD).
+    Malformed payloads raise ValueError so the calling stage keeps the
+    row and records decode_status."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("tiff: payload too short")
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("tiff: bad signature")
+
+    def u(off: int, size: int) -> int:
+        if off + size > len(payload):
+            raise ValueError("tiff: truncated read")
+        return int.from_bytes(payload[off:off + size], bo)
+
+    ifd = u(4, 4)
+    if ifd + 2 > len(payload):
+        raise ValueError("tiff: truncated IFD")
+    n_entries = u(ifd, 2)
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        if typ not in _SIZES:
+            continue
+        sz = _SIZES[typ]
+        total = sz * cnt
+        voff = e + 8 if total <= 4 else u(e + 8, 4)
+        tags[tag] = [u(voff + j * sz, sz) for j in range(cnt)]
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"tiff: missing required tag {exc}")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError("tiff: only 8-bit samples supported")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [len(bits)])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    predictor = tags.get(317, [1])[0]
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("tiff: planar configuration 2 not supported")
+    if w <= 0 or h <= 0 or rows_per_strip <= 0:
+        raise ValueError("tiff: bad dimensions")
+    row_bytes = w * spp
+    chunks = []
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= rows
+        want = rows * row_bytes
+        if off + cnt > len(payload):
+            raise ValueError("tiff: strip out of range")
+        raw = payload[off:off + cnt]
+        if comp == 1:
+            if len(raw) < want:
+                raise ValueError("tiff: short uncompressed strip")
+            strip = raw[:want]
+        elif comp == 5:
+            strip = _tiff_lzw_decode(raw, want)
+        elif comp == 32773:
+            strip = _packbits_decode(raw, want)
+        else:
+            raise ValueError(f"tiff: unsupported compression {comp}")
+        if len(strip) < want:
+            raise ValueError("tiff: strip data underrun")
+        a = np.frombuffer(strip, dtype=np.uint8).reshape(rows, w, spp)
+        if predictor == 2:
+            a = (np.cumsum(a.astype(np.uint64), axis=1)
+                 & 0xFF).astype(np.uint8)
+        chunks.append(a)
+    img = np.concatenate(chunks, axis=0)
+    if photo == 3:  # palette: 16-bit colormap, R then G then B planes
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("tiff: missing palette colormap")
+        pal = (np.asarray(cmap[:3 * 256], dtype=np.uint32)
+               .reshape(3, 256).T // 257).astype(np.uint8)
+        return pal[img[:, :, 0]]
+    if spp == 1:
+        g = img[:, :, 0]
+        if photo == 0:  # white-is-zero
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if spp < 3:
+        raise ValueError(f"tiff: unsupported samples per pixel {spp}")
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def encode_tiff(img: np.ndarray, compression: str = "none",
+                predictor: bool = False, gray: bool = False,
+                rows_per_strip: int | None = None,
+                big_endian: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> TIFF bytes (II or MM, single IFD, chunky).
+    compression: 'none' | 'packbits' | 'lzw'; predictor applies
+    horizontal differencing (LZW's usual companion); gray writes one
+    luma-less channel (the red plane) as photometric 1."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_tiff expects (h, w, 3) uint8")
+    h, w, _ = img.shape
+    data = img[:, :, :1] if gray else img
+    spp = data.shape[2]
+    if rows_per_strip is None:
+        rows_per_strip = h
+    bo = "big" if big_endian else "little"
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = data[r0:r0 + rows_per_strip]
+        if predictor:
+            d = rows.astype(np.int16)
+            d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
+            rows = (d & 0xFF).astype(np.uint8)
+        raw = rows.tobytes()
+        if compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    n_strips = len(strips)
+
+    entries: list[tuple[int, int, int, list[int]]] = []
+    extra = bytearray()  # out-of-line values, appended after the IFD
+
+    def add(tag: int, typ: int, vals: list[int]) -> None:
+        entries.append((tag, typ, len(vals), vals))
+
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [comp_id])
+    add(262, 3, [1 if gray else 2])
+    add(273, 4, [0] * n_strips)      # patched below
+    add(277, 3, [spp])
+    add(278, 3, [rows_per_strip])
+    add(279, 4, [len(s) for s in strips])
+    if predictor:
+        add(317, 3, [2])
+    entries.sort()
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    data_off = ifd_off + ifd_len
+    _SZ = {3: 2, 4: 4}
+
+    # lay out out-of-line arrays first, then strips
+    voffs: dict[int, int] = {}
+    cur = data_off
+    for tag, typ, cnt, vals in entries:
+        if _SZ[typ] * cnt > 4:
+            voffs[tag] = cur
+            cur += _SZ[typ] * cnt
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(cur)
+        cur += len(s)
+
+    def pack_vals(typ: int, vals: list[int]) -> bytes:
+        return b"".join(v.to_bytes(_SZ[typ], bo) for v in vals)
+
+    out = bytearray()
+    out += b"MM\x00*" if big_endian else b"II*\x00"
+    out += ifd_off.to_bytes(4, bo)
+    out += len(entries).to_bytes(2, bo)
+    for tag, typ, cnt, vals in entries:
+        if tag == 273:
+            vals = strip_offs
+        out += tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+        out += cnt.to_bytes(4, bo)
+        blob = pack_vals(typ, vals)
+        if len(blob) <= 4:
+            out += blob + bytes(4 - len(blob))
+        else:
+            out += voffs[tag].to_bytes(4, bo)
+    out += bytes(4)  # next-IFD pointer: none
+    for tag, typ, cnt, vals in entries:
+        if tag == 273:
+            vals = strip_offs
+        if _SZ[typ] * cnt > 4:
+            out += pack_vals(typ, vals)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 # --- BMP (real pixel decode: BI_RGB 8/24/32-bit + BI_RLE8) -----------------
 
 
@@ -1413,6 +1753,9 @@ class RawImageStage:
                 elif p is not None and len(p) != raw_size and (
                         p[:2] == b"BM"):
                     img = decode_bmp(p).astype(np.float32)
+                elif p is not None and len(p) != raw_size and (
+                        p[:4] in (b"II*\x00", b"MM\x00*")):
+                    img = decode_tiff(p).astype(np.float32)
                 else:
                     img = decode_raw_rgb(p, w, h).astype(np.float32)
             except (ValueError, TypeError) as exc:
@@ -2056,6 +2399,27 @@ def probe_image_header(payload: bytes) -> dict:
         bpp = int.from_bytes(payload[28:30], "little")
         return {"format": "bmp", "width": w, "height": h,
                 "channels": 1 if bpp == 8 else 3}
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "little" if payload[:2] == b"II" else "big"
+        try:
+            ifd = int.from_bytes(payload[4:8], bo)
+            n = int.from_bytes(payload[ifd:ifd + 2], bo)
+            vals = {}
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                tag = int.from_bytes(payload[e:e + 2], bo)
+                typ = int.from_bytes(payload[e + 2:e + 4], bo)
+                sz = {1: 1, 3: 2, 4: 4}.get(typ)
+                if tag in (256, 257, 277) and sz:
+                    vals[tag] = int.from_bytes(
+                        payload[e + 8:e + 8 + sz], bo)
+            if 256 in vals and 257 in vals:
+                return {"format": "tiff", "width": vals[256],
+                        "height": vals[257],
+                        "channels": vals.get(277, 1)}
+        except Exception:
+            return bad
+        return bad
     return bad
 
 

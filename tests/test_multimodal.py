@@ -1178,3 +1178,123 @@ def test_probe_image_header_gif_bmp():
         ("bmp", 11, 6, 1)
     assert probe_image_header(b"GIF89a\x00")["format"] == "unknown"
     assert probe_image_header(b"BM" + bytes(20))["format"] == "unknown"
+
+
+def test_tiff_roundtrip_all_variants():
+    """decode_tiff/encode_tiff: both byte orders, none/PackBits/LZW
+    (MSB-first, early code-width change, 4094 reset), horizontal
+    predictor, grayscale, palette via hand-built bytes, multi-strip."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _tiff_lzw_decode, _tiff_lzw_encode, decode_tiff, encode_tiff,
+    )
+
+    rng = np.random.RandomState(42)
+    # big random stream crosses the 511/1023/2047 width boundaries and
+    # the 4094 table reset
+    data = rng.randint(0, 256, size=60000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    for be in (False, True):
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (False, True):
+                img = rng.randint(0, 256, size=(11, 6, 3)).astype(np.uint8)
+                enc = encode_tiff(img, compression=comp, predictor=pred,
+                                  big_endian=be)
+                assert np.array_equal(decode_tiff(enc), img), \
+                    (be, comp, pred)
+    img = rng.randint(0, 256, size=(33, 20, 3)).astype(np.uint8)
+    enc = encode_tiff(img, compression="lzw", predictor=True,
+                      rows_per_strip=8)
+    assert np.array_equal(decode_tiff(enc), img)
+
+    g = np.repeat(rng.randint(0, 256, size=(5, 4, 1)).astype(np.uint8),
+                  3, axis=2)
+    assert np.array_equal(decode_tiff(encode_tiff(g, gray=True)), g)
+
+    import pytest as _pt
+    ok = encode_tiff(img)
+    for bad in (None, b"II*\x00", ok[:40], b"XXXX" + ok[4:]):
+        with _pt.raises(ValueError):
+            decode_tiff(bad)
+
+
+def test_tiff_decoder_independent_fixture():
+    """decode_tiff against HAND-BUILT TIFF bytes (not from
+    encode_tiff): a 2x1 uncompressed RGB II file with the strip before
+    the IFD, and a 2x2 palette (photometric 3) file with a 16-bit
+    colormap — layouts our encoder never produces."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        decode_tiff,
+    )
+
+    def entry(tag, typ, cnt, val):
+        sz = {3: 2, 4: 4}[typ]
+        v = val.to_bytes(sz, "little") if isinstance(val, int) else val
+        return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + v + bytes(4 - len(v)))
+
+    # strip data FIRST (offset 8), IFD after it
+    strip = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+    ifd_off = 8 + len(strip)
+    ents = [
+        entry(256, 3, 1, 2), entry(257, 3, 1, 1),
+        entry(258, 3, 3, (8).to_bytes(2, "little") * 2),  # inline 2 of 3
+        entry(259, 3, 1, 1), entry(262, 3, 1, 2),
+        entry(273, 4, 1, 8), entry(277, 3, 1, 3),
+        entry(278, 3, 1, 1), entry(279, 4, 1, len(strip)),
+    ]
+    # 258 needs 3 shorts (6 bytes > 4): relocate after IFD
+    bps_off = ifd_off + 2 + 12 * len(ents) + 4
+    ents[2] = entry(258, 3, 3, bps_off)
+    tiff = (b"II*\x00" + ifd_off.to_bytes(4, "little") + strip
+            + len(ents).to_bytes(2, "little") + b"".join(ents)
+            + bytes(4) + (8).to_bytes(2, "little") * 3)
+    got = decode_tiff(tiff)
+    assert np.array_equal(got, np.array([[[10, 20, 30], [40, 50, 60]]]))
+
+    # palette file: indices 0..3, colormap value v maps to v*257//257=v
+    idx = bytes([0, 1, 2, 3])
+    cmap = []
+    for plane in range(3):  # R,G,B planes of 256 shorts
+        for i in range(256):
+            cmap.append(((plane * 50 + i * 3) % 256) * 257)
+    cmap_b = b"".join(v.to_bytes(2, "little") for v in cmap)
+    ifd_off = 8 + len(idx)
+    ents = [
+        entry(256, 3, 1, 2), entry(257, 3, 1, 2),
+        entry(258, 3, 1, 8), entry(259, 3, 1, 1),
+        entry(262, 3, 1, 3), entry(273, 4, 1, 8),
+        entry(277, 3, 1, 1), entry(278, 3, 1, 2),
+        entry(279, 4, 1, len(idx)),
+        entry(320, 3, 768, 0),  # offset patched below
+    ]
+    cmap_off = ifd_off + 2 + 12 * len(ents) + 4
+    ents[-1] = entry(320, 3, 768, cmap_off)
+    tiff2 = (b"II*\x00" + ifd_off.to_bytes(4, "little") + idx
+             + len(ents).to_bytes(2, "little") + b"".join(ents)
+             + bytes(4) + cmap_b)
+    got2 = decode_tiff(tiff2)
+    exp = np.zeros((2, 2, 3), dtype=np.uint8)
+    for r in range(2):
+        for c in range(2):
+            i = idx[r * 2 + c]
+            exp[r, c] = [(0 + i * 3) % 256, (50 + i * 3) % 256,
+                         (100 + i * 3) % 256]
+    assert np.array_equal(got2, exp)
+
+
+def test_probe_image_header_tiff():
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        encode_tiff, probe_image_header,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(6, 11, 3)).astype(np.uint8)
+    for be in (False, True):
+        m = probe_image_header(encode_tiff(img, big_endian=be))
+        assert m == {"format": "tiff", "width": 11, "height": 6,
+                     "channels": 3}, m
+    mg = probe_image_header(encode_tiff(img, gray=True))
+    assert (mg["width"], mg["height"], mg["channels"]) == (11, 6, 1)
+    assert probe_image_header(b"II*\x00\xff\xff\xff\xff")["format"] \
+        == "unknown"
