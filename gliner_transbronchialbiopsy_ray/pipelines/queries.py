@@ -13379,6 +13379,50 @@ ORDER BY c.o_orderkey
 """
 
 
+def q263_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve
+    (stages/text_analysis.py:vocab_growth + the two-phase
+    global_prefix_sum): per doc in id order, cumulative token count vs
+    cumulative distinct-vocabulary size.  One coarse word-hash
+    exchange finds each word's first document (hashes travel, never
+    strings); the per-doc table then prefix-sums with O(blocks) driver
+    state.  All integers.  Oracle: min(doc_id) per word + two windowed
+    sums."""
+    from ..stages.text_analysis import vocab_growth
+    from ..stages.window import global_prefix_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    per_doc = vocab_growth(docs)
+    out = global_prefix_sum(per_doc, "doc_id", "n_toks",
+                            out_col="cum_tokens")
+    out = global_prefix_sum(out, "doc_id", "new_words",
+                            out_col="cum_vocab")
+    df = out.to_pandas()
+    for c in ("doc_id", "cum_tokens", "cum_vocab"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "cum_tokens", "cum_vocab"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+Q263_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+  FROM documents),
+firsts AS (SELECT w, min(doc_id) AS d FROM toks GROUP BY w),
+newc AS (SELECT d AS doc_id, count(*) AS nw FROM firsts GROUP BY d),
+tokc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id)
+SELECT d0.doc_id,
+       CAST(sum(coalesce(tokc.nt, 0)) OVER (ORDER BY d0.doc_id)
+            AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(newc.nw, 0)) OVER (ORDER BY d0.doc_id)
+            AS BIGINT) AS cum_vocab
+FROM documents d0
+LEFT JOIN tokc ON tokc.doc_id = d0.doc_id
+LEFT JOIN newc ON newc.doc_id = d0.doc_id
+ORDER BY d0.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13693,6 +13737,7 @@ QUERIES: dict[str, tuple] = {
     "q260_dsir_importance": (q260_dsir_importance, Q260_SQL),
     "q261_running_distinct": (q261_running_distinct, Q261_SQL),
     "q262_above_customer_avg": (q262_above_customer_avg, Q262_SQL),
+    "q263_vocab_growth": (q263_vocab_growth, Q263_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

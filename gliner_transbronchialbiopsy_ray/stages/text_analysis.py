@@ -619,3 +619,81 @@ def dsir_importance_scores(
                          "score": pa.array(out, type=pa.int64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def vocab_growth(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Heaps-law vocabulary-growth inputs: per document (in id order,
+    ids unique), the token count and the count of words whose FIRST
+    corpus occurrence is this document.  Feeding both through
+    global_prefix_sum yields the classic cumulative-tokens vs
+    cumulative-vocabulary curve — all integer arithmetic, so an
+    oracle replays it exactly.
+
+    Scale shape: per-batch (word-hash, min doc) pre-aggregation, ONE
+    coarse hash-bucket exchange folds the global first-doc per word,
+    per-doc new-word counts come back keyed by doc bucket and meet the
+    per-doc token counts in one grouped sum — word STRINGS never leave
+    the first pass (md5-64 hashes travel; collisions conflate words at
+    ~1e-13/pair, the standard trade the other hash ops here make)."""
+    import zlib
+
+    def tok_partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype("int64")
+        texts = batch.column(text_col).to_pylist()
+        first: dict[int, int] = {}
+        n_toks = np.zeros(len(ids), dtype="int64")
+        for i, (d, t) in enumerate(zip(ids, texts)):
+            words = (t or "").split(" ")
+            n_toks[i] = len(words)
+            for w in words:
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[8:],
+                    "little")
+                if h not in first or d < first[h]:
+                    first[h] = int(d)
+        hh = np.fromiter(first.keys(), dtype="uint64",
+                         count=len(first)).view("int64")
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(first), "int8"),
+                                    np.ones(len(ids), "int8")]),
+            "key": np.concatenate([hh, np.zeros(len(ids), "int64")]),
+            "doc_id": np.concatenate(
+                [np.fromiter(first.values(), dtype="int64",
+                             count=len(first)), ids]),
+            "n": np.concatenate([np.zeros(len(first), "int64"), n_toks]),
+            # word rows bucket by word hash (0..n-1); token rows by doc
+            # id in a DISJOINT range (n..2n-1) so neither family
+            # hotspots a single group
+            "_bucket": np.concatenate([
+                (hh % n_buckets).astype("int32"),
+                (n_buckets + ids % n_buckets).astype("int32")]),
+        })
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g[g["kind"] == 1]
+        out = [pd.DataFrame({
+            "doc_id": toks["doc_id"].to_numpy("int64"),
+            "n_toks": toks["n"].to_numpy("int64"),
+            "new_words": np.zeros(len(toks), "int64")})]
+        words = g[g["kind"] == 0]
+        if len(words):
+            firsts = (words.groupby("key", sort=False)["doc_id"].min())
+            nw = firsts.groupby(firsts).size()
+            out.append(pd.DataFrame({
+                "doc_id": nw.index.to_numpy("int64"),
+                "n_toks": np.zeros(len(nw), "int64"),
+                "new_words": nw.to_numpy("int64")}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = (docs.map_batches(tok_partials, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(fold_bucket, batch_format="pandas"))
+    return (parts.groupby("doc_id").sum(["n_toks", "new_words"])
+            .map_batches(lambda b: b.rename_columns(
+                ["doc_id", "n_toks", "new_words"]),
+                batch_format="pyarrow"))
