@@ -13423,6 +13423,24 @@ ORDER BY d0.doc_id
 """
 
 
+def q264_pq_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k
+    (stages/similarity.py:pq_topk — Jegou et al. 2011): the
+    memory-bound ANN scale path next to IVF's compute-bound one;
+    8 subspaces x 16 codes compress the 64-float embeddings 32x, and
+    the scan is a LUT gather-sum per batch.  Approximate by
+    construction -> golden-pinned rows-only (recall vs brute force is
+    gated in tests)."""
+    from ..stages.similarity import pq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)),
+        batch_format="pyarrow").take_all()
+    queries = {r["vec_id"]: r["embedding"] for r in qrows}
+    return pq_topk(emb, queries, k=5, m=8, n_codes=16)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13738,6 +13756,7 @@ QUERIES: dict[str, tuple] = {
     "q261_running_distinct": (q261_running_distinct, Q261_SQL),
     "q262_above_customer_avg": (q262_above_customer_avg, Q262_SQL),
     "q263_vocab_growth": (q263_vocab_growth, Q263_SQL),
+    "q264_pq_ann_topk": (q264_pq_ann_topk, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

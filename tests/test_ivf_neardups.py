@@ -193,3 +193,59 @@ def test_embedding_neardup_high_dim():
         ray.data.from_items(rows), cosine_threshold=0.95
     ).to_pandas()
     assert (1, 2) in set(zip(out["left_id"], out["right_id"]))
+
+
+def test_pq_topk_recall_and_encode_roundtrip(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.similarity import (
+        brute_force_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    # clustered synthetic vectors: PQ/ADC must recover most true
+    # neighbors (same-cluster points dominate cosine top-k)
+    rng = np.random.RandomState(77)
+    centers = rng.randn(6, 32) * 4
+    rows = []
+    for i in range(240):
+        c = i % 6
+        rows.append({"vec_id": i,
+                     "embedding": (centers[c]
+                                   + rng.randn(32) * 0.3).tolist()})
+    ds = rd.from_items(rows).repartition(4)
+    queries = {r["vec_id"]: r["embedding"] for r in rows[:6]}
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = pq_topk(ds, queries, k=5, m=8, n_codes=16)
+    assert list(approx.columns) == ["query_id", "neighbor_id",
+                                    "score", "rank"]
+    # within a tight cluster the true top-5 are near-TIES (cosine gaps
+    # smaller than the quantization error), so exact-id recall is not
+    # the ADC contract — CLUSTER recall is: every returned neighbor
+    # must come from the query's own cluster, for every query
+    for qid in queries:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = approx[approx["query_id"] == qid]["neighbor_id"]
+        assert all(n % 6 == qid % 6 for n in e)  # sanity: data is easy
+        assert all(n % 6 == qid % 6 for n in a), (qid, list(a))
+
+    # encode: m uint8 codes per vector; deterministic across reruns
+    books = pq_train(ds, m=8, n_codes=16)
+    assert books.shape == (8, 16, 4)
+    enc = (pq_encode(ds, books).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(enc) == 240
+    assert all(len(c) == 8 for c in enc["code"])
+    enc2 = (pq_encode(ds, books).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert (enc["code"].map(list) == enc2["code"].map(list)).all()
+
+    # reconstruction from 8 uint8 codes stays close to the original
+    # normalized vectors (the ADC quality contract)
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    codes = np.array(enc["code"].map(list).tolist())
+    recon = np.concatenate([books[j][codes[:, j]] for j in range(8)],
+                           axis=1)
+    cos = (recon * V).sum(1) / np.linalg.norm(recon, axis=1)
+    assert cos.mean() > 0.98 and cos.min() > 0.9, (cos.mean(), cos.min())
