@@ -13441,6 +13441,55 @@ def q264_pq_ann_topk(sf_dir: str) -> pd.DataFrame:
     return pq_topk(emb, queries, k=5, m=8, n_codes=16)
 
 
+def btb_wet_ingest(sf_dir: str) -> pd.DataFrame:
+    """WARC/WET ingest end to end (sources/warc.py — the Common Crawl
+    container): deterministic WET files (plain + gzip-member-per-record
+    + one corrupt file) written to scratch, read through the Ray
+    binary-file source with record explosion inside map_batches, then
+    composed with the token-count curation op — error rows ride along,
+    never dropped.  Deterministic -> golden-pinned (rows-only; file
+    framing isn't SQL-expressible)."""
+    import os
+    import tempfile
+
+    from ..sources.warc import build_wet_bytes, read_wet_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(40)
+    rows = docs.to_pandas().sort_values("doc_id")
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"btb_wet_{abs(hash(sf_dir)) % 10**8}")
+    os.makedirs(out_dir, exist_ok=True)
+    recs = [{"url": f"http://ex/doc/{int(r.doc_id)}",
+             "date": "2026-01-01T00:00:00Z",
+             "text": r.text or ""} for r in rows.itertuples()]
+    for shard in range(4):
+        part = recs[shard::4]
+        gz = shard % 2 == 1
+        name = f"part-{shard}.wet" + (".gz" if gz else "")
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(build_wet_bytes(part, gzip_members=gz))
+    with open(os.path.join(out_dir, "corrupt.wet"), "wb") as f:
+        f.write(b"not a warc file")
+    ds = read_wet_documents(out_dir)
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "n_tokens", pc.cast(pc.add(
+                pc.count_substring(
+                    pc.cast(b.column("text"), pa.string()), " "), 1),
+                pa.int64())),
+        batch_format="pyarrow")
+    df = ds.to_pandas()
+    # scratch paths vary per host: reduce doc_id to basename#idx
+    df["doc_id"] = df["doc_id"].map(lambda p: p.rsplit("/", 1)[-1])
+    # error rows carry null text -> null count; pin as -1
+    df["n_tokens"] = df["n_tokens"].fillna(-1).astype("int64")
+    df = (df[["doc_id", "url", "date", "n_tokens", "error"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    assert df["error"].notnull().sum() == 1  # the corrupt file row
+    assert (df["error"].isnull().sum()) == len(recs)
+    return df
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13757,6 +13806,7 @@ QUERIES: dict[str, tuple] = {
     "q262_above_customer_avg": (q262_above_customer_avg, Q262_SQL),
     "q263_vocab_growth": (q263_vocab_growth, Q263_SQL),
     "q264_pq_ann_topk": (q264_pq_ann_topk, None),
+    "btb_wet_ingest": (btb_wet_ingest, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
