@@ -13490,6 +13490,83 @@ def btb_wet_ingest(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q265_url_dedup(sf_dir: str) -> pd.DataFrame:
+    """URL normalization + URL-level dedup (stages/urls.py — the
+    pre-content-dedup step of web-crawl curation): deterministic messy
+    URLs built from orders (mixed-case hosts, explicit :443 ports,
+    utm_*/ref= tracking params, fragments) canonicalize and collapse;
+    per registered domain, total rows vs distinct canonical URLs.
+    ONE coarse crc(canonical_url) exchange with per-batch pre-dedup.
+    Oracle: regexp decomposition + list_filter/list_sort replay of the
+    exact normalization rules."""
+    from ..stages.urls import url_dedup_stats
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def synth(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ok = df["o_orderkey"].to_numpy("int64")
+        ck = df["o_custkey"].to_numpy("int64")
+        url = (
+            pd.Series(["HTTPS://Shop"] * len(df))
+            + pd.Series(ck % 20).astype(str) + ".Example"
+            + pd.Series(ck % 20).astype(str) + ".COM"
+            + np.where(ok % 3 == 0, ":443", "")
+            + "/item/" + pd.Series(ok % 500).astype(str)
+            + np.where(ok % 2 == 0,
+                       "?utm_source=mail&id="
+                       + pd.Series(ok % 7).astype(str) + "&ref=x",
+                       "?id=" + pd.Series(ok % 7).astype(str))
+            + np.where(ok % 5 == 0, "#sec", ""))
+        return pd.DataFrame({"url": url})
+
+    ds = orders.map_batches(synth, batch_format="pyarrow")
+    out = url_dedup_stats(ds).to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_unique"] = out["n_unique"].astype("int64")
+    return (out[["domain", "n_rows", "n_unique"]]
+            .sort_values("domain").reset_index(drop=True))
+
+
+Q265_SQL = """
+WITH u AS (
+  SELECT 'HTTPS://Shop' || (o_custkey % 20) || '.Example'
+         || (o_custkey % 20) || '.COM'
+         || (CASE WHEN o_orderkey % 3 = 0 THEN ':443' ELSE '' END)
+         || '/item/' || (o_orderkey % 500)
+         || (CASE WHEN o_orderkey % 2 = 0
+             THEN '?utm_source=mail&id=' || (o_orderkey % 7) || '&ref=x'
+             ELSE '?id=' || (o_orderkey % 7) END)
+         || (CASE WHEN o_orderkey % 5 = 0 THEN '#sec' ELSE '' END)
+           AS url
+  FROM orders),
+p AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(
+      url, '^[a-zA-Z]+://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
+    regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+n AS (
+  SELECT
+    scheme || '://' || host
+      || (CASE WHEN path = '' THEN '/' ELSE path END)
+      || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        AS canonical_url,
+    regexp_extract(host, '([^.:]+\\.[^.:]+)$', 1) AS domain
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT starts_with(x, 'ref='))), '&') AS q2
+    FROM p))
+SELECT domain, count(*) AS n_rows,
+       count(DISTINCT canonical_url) AS n_unique
+FROM n GROUP BY domain ORDER BY domain
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13807,6 +13884,7 @@ QUERIES: dict[str, tuple] = {
     "q263_vocab_growth": (q263_vocab_growth, Q263_SQL),
     "q264_pq_ann_topk": (q264_pq_ann_topk, None),
     "btb_wet_ingest": (btb_wet_ingest, None),
+    "q265_url_dedup": (q265_url_dedup, Q265_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

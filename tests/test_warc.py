@@ -72,3 +72,45 @@ def test_read_wet_documents_end_to_end(ray_session, tmp_path):
     assert len(errs) == 1 and errs.iloc[0]["doc_id"].endswith("c.wet#0")
     texts = ok[ok["url"] == "http://ex/b"]["text"]
     assert list(texts) == ["café résumé\nsecond line"]
+
+
+def test_normalize_url_rules():
+    from gliner_transbronchialbiopsy_ray.stages.urls import normalize_url
+
+    n, d = normalize_url(
+        "HTTPS://Shop3.Example.COM:443/item/7?utm_source=m&id=2&ref=x#s")
+    assert n == "https://shop3.example.com/item/7?id=2"
+    assert d == "example.com"
+    # default port 80, empty path, param sorting
+    n, d = normalize_url("http://A.B.org:80?b=2&a=1")
+    assert n == "http://a.b.org/?a=1&b=2"
+    assert d == "b.org"
+    # non-default port survives; single-label host
+    n, d = normalize_url("http://localhost:8080/x")
+    assert n == "http://localhost:8080/x" and d == "localhost"
+    # unparseable -> (None, None), rows kept by callers
+    assert normalize_url("not a url") == (None, None)
+    assert normalize_url(None) == (None, None)
+    assert normalize_url("ftp:/missing-slashes") == (None, None)
+
+
+def test_url_dedup_stats_counts(ray_session):
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.urls import (
+        url_dedup_stats,
+    )
+
+    rows = [
+        {"url": "http://a.com/x?utm_source=1"},
+        {"url": "HTTP://A.com/x"},            # same canonical as above
+        {"url": "http://a.com/y"},
+        {"url": "https://b.net:443/"},
+        {"url": "https://b.net/"},            # same canonical
+    ]
+    for parts in (1, 3):
+        out = (url_dedup_stats(rd.from_items(rows).repartition(parts))
+               .to_pandas().sort_values("domain").reset_index(drop=True))
+        assert list(out["domain"]) == ["a.com", "b.net"]
+        assert list(out["n_rows"]) == [3, 2]
+        assert list(out["n_unique"]) == [2, 1]
