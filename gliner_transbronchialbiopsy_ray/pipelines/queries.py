@@ -13567,6 +13567,79 @@ FROM n GROUP BY domain ORDER BY domain
 """
 
 
+def q266_pass_at_k(sf_dir: str) -> pd.DataFrame:
+    """Model-eval pass@k aggregate (Chen et al. 2021, the unbiased
+    estimator 1 - C(n-c, k)/C(n, k)) in EXACT integer arithmetic:
+    tasks = l_partkey buckets, a "sample" passes when l_quantity > 25;
+    per task n (samples), c (passes), and pass@1/pass@5 as ppm via
+    Python big-int products — the oracle replays with HUGEINT
+    products, so no float division enters either engine.  Shape: one
+    bounded grouped count (combiner first), vectorized ppm math on the
+    small per-task table."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["task"] = (df["l_partkey"] % 2000).astype("int64")
+        df["c"] = (df["l_quantity"] > 25).astype("int64")
+        g = df.groupby("task", as_index=False).agg(
+            n=("c", "size"), c=("c", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    per_task = (li.map_batches(partials, batch_format="pyarrow")
+                .groupby("task").sum(["n", "c"])
+                .map_batches(lambda b: b.rename_columns(
+                    ["task", "n", "c"]), batch_format="pyarrow")
+                .to_pandas())
+
+    def pass_ppm(n: int, c: int, k: int) -> int:
+        if n - c < k:
+            return 1_000_000
+        num = den = 1
+        for i in range(k):
+            num *= (n - c - i)
+            den *= (n - i)
+        return 1_000_000 - (1_000_000 * num) // den
+
+    per_task = per_task[per_task["n"] >= 5].copy()
+    per_task["pass1_ppm"] = [
+        pass_ppm(int(n), int(c), 1)
+        for n, c in zip(per_task["n"], per_task["c"])]
+    per_task["pass5_ppm"] = [
+        pass_ppm(int(n), int(c), 5)
+        for n, c in zip(per_task["n"], per_task["c"])]
+    out = per_task[["task", "n", "c", "pass1_ppm", "pass5_ppm"]]
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out.sort_values("task").reset_index(drop=True)
+
+
+Q266_SQL = """
+WITH s AS (
+  SELECT l_partkey % 2000 AS task,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS pass
+  FROM lineitem),
+t AS (
+  SELECT task, count(*) AS n, sum(pass) AS c
+  FROM s GROUP BY task HAVING count(*) >= 5)
+SELECT CAST(task AS BIGINT) AS task, CAST(n AS BIGINT) AS n,
+       CAST(c AS BIGINT) AS c,
+       CAST(CASE WHEN n - c < 1 THEN 1000000
+            ELSE 1000000 - (1000000 * CAST(n - c AS HUGEINT))
+                           // CAST(n AS HUGEINT) END AS BIGINT)
+         AS pass1_ppm,
+       CAST(CASE WHEN n - c < 5 THEN 1000000
+            ELSE 1000000
+              - (1000000
+                 * (CAST(n - c AS HUGEINT) * (n - c - 1) * (n - c - 2)
+                    * (n - c - 3) * (n - c - 4)))
+                // (CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
+                    * (n - 4)) END AS BIGINT) AS pass5_ppm
+FROM t ORDER BY task
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13885,6 +13958,7 @@ QUERIES: dict[str, tuple] = {
     "q264_pq_ann_topk": (q264_pq_ann_topk, None),
     "btb_wet_ingest": (btb_wet_ingest, None),
     "q265_url_dedup": (q265_url_dedup, Q265_SQL),
+    "q266_pass_at_k": (q266_pass_at_k, Q266_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
