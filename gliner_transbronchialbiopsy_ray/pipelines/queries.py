@@ -13640,6 +13640,77 @@ FROM t ORDER BY task
 """
 
 
+def q267_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit (the data-governance gate before releasing a
+    training corpus): quasi-identifier = (nation, mktsegment, coarse
+    account-cents bucket); every customer in an equivalence class
+    smaller than k=3 comes back flagged with its class size.  Shape:
+    per-batch combiner counts -> one bounded grouped sum -> broadcast
+    of the (small by construction) violating-class set into a streamed
+    filter — the big table never shuffles.  Integer cents bucketing
+    keeps both engines exact."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"])
+
+    def with_qi(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        cents = np.round(df["c_acctbal"].to_numpy() * 100).astype("int64")
+        # +200k shift keeps cents non-negative: Python // floors but
+        # DuckDB // truncates, and they disagree below zero
+        df["bal_bucket"] = (cents + 200_000) // 200_000
+        df["c_nationkey"] = df["c_nationkey"].astype("int64")
+        return df
+
+    qi = cust.map_batches(with_qi, batch_format="pyarrow")
+    counts = (qi.groupby(["c_nationkey", "c_mktsegment", "bal_bucket"])
+              .count()
+              .map_batches(lambda b: b.rename_columns(
+                  ["c_nationkey", "c_mktsegment", "bal_bucket", "n"]),
+                  batch_format="pyarrow").to_pandas())
+    small = counts[counts["n"] < 3]
+    small_set = ray.put({
+        (int(r.c_nationkey), str(r.c_mktsegment), int(r.bal_bucket)):
+        int(r.n) for r in small.itertuples()})
+
+    def flag(b: pa.Table) -> pd.DataFrame:
+        s = ray.get(small_set)
+        df = b.to_pandas()
+        keys = list(zip(df["c_nationkey"].astype("int64"),
+                        df["c_mktsegment"].astype(str),
+                        df["bal_bucket"].astype("int64")))
+        mask = np.fromiter((k in s for k in keys), dtype=bool,
+                           count=len(df))
+        out = df[mask].copy()
+        out["class_size"] = [s[k] for k, m in zip(keys, mask) if m]
+        return out[["c_custkey", "c_nationkey", "c_mktsegment",
+                    "bal_bucket", "class_size"]]
+
+    out = qi.map_batches(flag, batch_format="pyarrow").to_pandas()
+    for c in ("c_custkey", "c_nationkey", "bal_bucket", "class_size"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q267_SQL = """
+WITH qi AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 200000) // 200000
+           AS bal_bucket
+  FROM customer),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         count(*) AS class_size
+  FROM qi GROUP BY ALL)
+SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bucket,
+       CAST(c.class_size AS BIGINT) AS class_size
+FROM qi q JOIN cls c USING (c_nationkey, c_mktsegment, bal_bucket)
+WHERE c.class_size < 3
+ORDER BY q.c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -13959,6 +14030,7 @@ QUERIES: dict[str, tuple] = {
     "btb_wet_ingest": (btb_wet_ingest, None),
     "q265_url_dedup": (q265_url_dedup, Q265_SQL),
     "q266_pass_at_k": (q266_pass_at_k, Q266_SQL),
+    "q267_k_anonymity": (q267_k_anonymity, Q267_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
