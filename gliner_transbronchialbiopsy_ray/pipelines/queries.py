@@ -13711,6 +13711,34 @@ ORDER BY q.c_custkey
 """
 
 
+def q268_arrow_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Arrow IPC source/sink round trip (sources/io.py:write_arrow_ipc
+    / read_arrow_ipc — the zero-copy interchange layout next to the
+    parquet path): documents stream to .arrows files inside workers
+    (content-addressed names, atomic publish) and stream back through
+    the binary-file source.  Oracle: the identity projection — a
+    lossless round trip must equal SELECT from the source table."""
+    import os
+    import tempfile
+
+    from ..sources.io import read_arrow_ipc, write_arrow_ipc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"btb_ipc_{abs(hash(sf_dir)) % 10**8}")
+    paths = write_arrow_ipc(docs, out_dir, rows_per_file=200)
+    assert paths, "ipc sink wrote no files"
+    back = read_arrow_ipc(paths).to_pandas()
+    back["doc_id"] = back["doc_id"].astype("int64")
+    return (back[["doc_id", "text", "lang"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+Q268_SQL = """
+SELECT doc_id, text, lang FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14031,6 +14059,7 @@ QUERIES: dict[str, tuple] = {
     "q265_url_dedup": (q265_url_dedup, Q265_SQL),
     "q266_pass_at_k": (q266_pass_at_k, Q266_SQL),
     "q267_k_anonymity": (q267_k_anonymity, Q267_SQL),
+    "q268_arrow_ipc_roundtrip": (q268_arrow_ipc_roundtrip, Q268_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -272,3 +272,60 @@ def read_zordered_box(
         return b.filter(pc.and_(mx, my)).drop_columns(["_morton"])
 
     return ds.map_batches(residual, batch_format="pyarrow"), nread
+
+
+def write_arrow_ipc(ds: ray.data.Dataset, out_dir: str,
+                    rows_per_file: int = 100_000) -> list[str]:
+    """Arrow IPC (Feather v2 / stream-format) SINK: one .arrows file
+    per input block-group, written inside map_batches workers (the
+    driver never holds data) — the zero-copy interchange format for
+    handing a Dataset to non-Ray Arrow consumers.  Returns the file
+    paths (content-addressed names, so re-runs overwrite
+    deterministically rather than duplicating)."""
+    import hashlib
+    import os
+
+    import pyarrow.ipc as ipc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        digest = hashlib.md5()
+        for col in batch.column_names:
+            for chunk in batch.column(col).chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        digest.update(buf)
+        name = os.path.join(out_dir,
+                            f"part-{digest.hexdigest()[:16]}.arrows")
+        tmp = name + ".tmp"
+        with ipc.new_stream(tmp, batch.schema) as w:
+            w.write_table(batch)
+        os.replace(tmp, name)  # atomic publish: resumable layout
+        return pa.table({"path": pa.array([name], type=pa.string()),
+                         "n_rows": pa.array([batch.num_rows],
+                                            type=pa.int64())})
+
+    manifest = ds.map_batches(dump, batch_format="pyarrow",
+                              batch_size=rows_per_file).to_pandas()
+    return sorted(manifest["path"].tolist()) if len(manifest) else []
+
+
+def read_arrow_ipc(paths: str | list[str]) -> ray.data.Dataset:
+    """Arrow IPC SOURCE: .arrows stream files -> Dataset, decoded
+    inside map_batches over the binary-file read (each file's record
+    batches become rows; the driver touches only file listings)."""
+    import pyarrow.ipc as ipc
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for data in batch.column("bytes").to_pylist():
+            with ipc.open_stream(data) as r:
+                tables.append(r.read_all())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow")

@@ -26,6 +26,30 @@ import pyarrow as pa
 import ray.data
 
 _GZ_MAGIC = b"\x1f\x8b"
+_BZ2_MAGIC = b"BZh"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def decompress_payload(data: bytes) -> bytes:
+    """Transparent decompression by magic: gzip (member-concatenated),
+    bz2, xz/lzma — the three stdlib codecs crawl dumps actually ship
+    in (.warc.gz, wiki .bz2, .xz).  Plain data passes through.
+    Raises ValueError on corrupt streams."""
+    if data[:2] == _GZ_MAGIC:
+        return gunzip_members(data)
+    if data[:3] == _BZ2_MAGIC:
+        import bz2
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError) as exc:
+            raise ValueError(f"warc: bad bz2 stream: {exc}")
+    if data[:6] == _XZ_MAGIC:
+        import lzma
+        try:
+            return lzma.decompress(data)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"warc: bad xz stream: {exc}")
+    return data
 
 
 def gunzip_members(data: bytes) -> bytes:
@@ -60,12 +84,11 @@ def parse_warc(payload: bytes) -> list[dict]:
     if payload is None:
         return [{"warc_type": None, "url": None, "date": None,
                  "text": None, "error": "warc: empty payload"}]
-    if payload[:2] == _GZ_MAGIC:
-        try:
-            payload = gunzip_members(payload)
-        except ValueError as exc:
-            return [{"warc_type": None, "url": None, "date": None,
-                     "text": None, "error": str(exc)}]
+    try:
+        payload = decompress_payload(payload)
+    except ValueError as exc:
+        return [{"warc_type": None, "url": None, "date": None,
+                 "text": None, "error": str(exc)}]
     pos = 0
     n = len(payload)
     while pos < n:

@@ -131,3 +131,24 @@ def test_zorder_box_query_prunes_and_is_exact():
     assert (df["v"].to_numpy() ==
             df["x"].to_numpy() + df["y"].to_numpy()).all()
     assert nread < len(zones)      # 2-D skipping really pruned
+
+
+def test_arrow_ipc_roundtrip_and_atomic_names(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.sources.io import (
+        read_arrow_ipc, write_arrow_ipc,
+    )
+
+    rows = [{"a": i, "b": f"s{i}"} for i in range(57)]
+    ds = rd.from_items(rows).repartition(3)
+    paths = write_arrow_ipc(ds, str(tmp_path / "ipc"), rows_per_file=20)
+    assert paths and all(p.endswith(".arrows") for p in paths)
+    back = (read_arrow_ipc(paths).to_pandas()
+            .sort_values("a").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        back, pd.DataFrame(rows), check_dtype=False)
+    # content-addressed: a re-run publishes the SAME file set (no dupes)
+    paths2 = write_arrow_ipc(ds, str(tmp_path / "ipc"), rows_per_file=20)
+    assert set(paths2) == set(paths)

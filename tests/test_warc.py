@@ -114,3 +114,16 @@ def test_url_dedup_stats_counts(ray_session):
         assert list(out["domain"]) == ["a.com", "b.net"]
         assert list(out["n_rows"]) == [3, 2]
         assert list(out["n_unique"]) == [2, 1]
+
+
+def test_parse_warc_bz2_and_xz():
+    import bz2
+    import lzma
+
+    data = build_wet_bytes(RECS)
+    for blob in (bz2.compress(data), lzma.compress(data)):
+        rows = parse_warc(blob)
+        assert [r["text"] for r in rows[1:]] == [r["text"] for r in RECS]
+        assert all(r["error"] is None for r in rows)
+    assert parse_warc(b"BZh9garbage")[0]["error"].startswith("warc:")
+    assert parse_warc(b"\xfd7zXZ\x00junk")[0]["error"].startswith("warc:")
