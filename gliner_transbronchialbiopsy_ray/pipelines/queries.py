@@ -13739,6 +13739,75 @@ SELECT doc_id, text, lang FROM documents ORDER BY doc_id
 """
 
 
+def q269_incremental_join(sf_dir: str) -> pd.DataFrame:
+    """Incremental JOIN maintenance (state/snapshot_join.py — the IVM
+    delta-join identity dL@R + L@dR + dL@dR over persisted bucketed
+    state): snapshot day1 commits the even halves of orders/customer;
+    day2's delta over the odd halves must emit EXACTLY the join rows
+    where at least one side is new.  Shuffle cost is O(delta) — state
+    is read pre-bucketed per group.  Oracle: the full join minus the
+    day1 x day1 quadrant."""
+    import hashlib as _h
+    import os
+    import shutil
+    import tempfile
+
+    from ..state.snapshot_join import incremental_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def okeyed(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "k": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64")})
+
+    def ckeyed(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "k": df["c_custkey"].astype("int64"),
+            "c_nationkey": df["c_nationkey"].astype("int64")})
+
+    o = orders.map_batches(okeyed, batch_format="pyarrow")
+    c = cust.map_batches(ckeyed, batch_format="pyarrow")
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "btb_ijoin_" + _h.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(state, ignore_errors=True)
+
+    def even(ds, col):
+        return ds.map_batches(
+            lambda b, _c=col: b.filter(
+                pc.equal(pc.bit_wise_and(b.column(_c), 1), 0)),
+            batch_format="pyarrow")
+
+    def odd(ds, col):
+        return ds.map_batches(
+            lambda b, _c=col: b.filter(
+                pc.equal(pc.bit_wise_and(b.column(_c), 1), 1)),
+            batch_format="pyarrow")
+
+    incremental_join(even(o, "o_orderkey"), even(c, "k"),
+                     state, "day1", key="k")
+    delta = incremental_join(odd(o, "o_orderkey"), odd(c, "k"),
+                             state, "day2", key="k")
+    df = delta.to_pandas()
+    for col in ("k", "o_orderkey", "c_nationkey"):
+        df[col] = df[col].astype("int64")
+    return (df[["k", "o_orderkey", "c_nationkey"]]
+            .sort_values(["k", "o_orderkey"]).reset_index(drop=True))
+
+
+Q269_SQL = """
+SELECT o.o_custkey AS k, o.o_orderkey,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE NOT (o.o_orderkey % 2 = 0 AND c.c_custkey % 2 = 0)
+ORDER BY k, o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14060,6 +14129,7 @@ QUERIES: dict[str, tuple] = {
     "q266_pass_at_k": (q266_pass_at_k, Q266_SQL),
     "q267_k_anonymity": (q267_k_anonymity, Q267_SQL),
     "q268_arrow_ipc_roundtrip": (q268_arrow_ipc_roundtrip, Q268_SQL),
+    "q269_incremental_join": (q269_incremental_join, Q269_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
