@@ -3,7 +3,9 @@ metadata, processed by actor-pool `map_batches` stages.
 
 The codec libraries are NOT in this environment; raw RGB888, netpbm
 P5/P6, PNG (stdlib-zlib inflate + unfilter), baseline JPEG (pure-NumPy
-Huffman + IDCT, `decode_jpeg`/`encode_jpeg`), WAV (PCM, IEEE float,
+Huffman + IDCT, `decode_jpeg`/`encode_jpeg`), GIF (real LZW,
+`decode_gif`/`encode_gif`), BMP (BI_RGB + BI_RLE8), TIFF
+(none/PackBits/TIFF-LZW + predictor), WAV (PCM, IEEE float,
 G.711 u-law/A-law, IMA ADPCM — own RIFF parser) and RAWV video are REAL
 pure-NumPy/stdlib decoders; MP4/ISO-BMFF and MP3/MPEG-audio DEMUX
 (box walk / frame walk, sample+frame tables, O(sampled) byte-range
