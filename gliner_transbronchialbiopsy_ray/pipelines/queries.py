@@ -13808,6 +13808,308 @@ ORDER BY k, o_orderkey
 """
 
 
+def q270_benford_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit audit (the fraud / synthetic-data
+    screen a curation pipeline runs before trusting a numeric feed):
+    leading digit of o_totalprice tallied in ONE streamed pass
+    (per-batch bincount partials over exact integer cents — no float
+    log10 anywhere; the leading digit of cents == the leading digit of
+    the price), folded into 9 rows, compared against the Benford
+    expectation as integer-ppm LITERALS shared with the oracle (both
+    engines carry the same constants, so no transcendental enters the
+    comparison).  obs_ppm uses floor division — non-negative, so
+    DuckDB's truncating // agrees."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            b.column("o_totalprice").to_numpy() * 100).astype("int64")
+        # leading digit without float log: repeated integer division
+        while cents.max(initial=0) >= 10:
+            big = cents >= 10
+            cents[big] //= 10
+        n = np.bincount(cents, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype="int64"),
+                             "n": n.astype("int64")})
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("digit").sum("n").to_pandas())
+    counts = counts.rename(columns={"sum(n)": "n"})
+    counts["n"] = counts["n"].astype("int64")
+    total = int(counts["n"].sum())
+    benford = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    out = counts.sort_values("digit").reset_index(drop=True)
+    out["obs_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    out["benford_ppm"] = out["digit"].map(benford).astype("int64")
+    out["delta_ppm"] = (out["obs_ppm"] - out["benford_ppm"]).astype("int64")
+    return out[["digit", "n", "obs_ppm", "benford_ppm", "delta_ppm"]]
+
+
+Q270_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c),
+b(digit, benford_ppm) AS (VALUES
+  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+  (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+SELECT CAST(b.digit AS BIGINT) AS digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(COALESCE(c.n, 0) * 1000000 // t.total
+            - b.benford_ppm AS BIGINT) AS delta_ppm
+FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN t
+ORDER BY digit
+"""
+
+
+def q271_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-group Tukey-fence outlier audit over EXACT discrete
+    quartiles (stages/stats.py:grouped_quantile_disc — the
+    PERCENTILE_DISC generalization of grouped_median_x2, both
+    quartiles from ONE co-location pass): o_totalprice cents per
+    o_orderpriority, fences at Q1 - 1.5*IQR / Q3 + 1.5*IQR kept in
+    integer math by doubling (2v < 2*Q1 - 3*IQR), then the (5-row)
+    fence table broadcasts into a second streamed counting pass — the
+    big table never shuffles twice.  Oracle: quantile_disc + the same
+    doubled-integer fence."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b.column("o_totalprice").to_numpy() * 100).astype("int64")
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pa.array(c)})
+
+    vals = orders.map_batches(cents, batch_format="pyarrow")
+    from ..stages.stats import grouped_quantile_disc
+    q = grouped_quantile_disc(
+        vals, ["o_orderpriority"], "cents",
+        [("q1_cents", 1, 4), ("q3_cents", 3, 4)]).to_pandas()
+    fences = ray.put({
+        str(r.o_orderpriority): (int(r.q1_cents), int(r.q3_cents))
+        for r in q.itertuples()})
+
+    def flag(b: pa.Table) -> pd.DataFrame:
+        f = ray.get(fences)
+        df = b.to_pandas()
+        pr = df["o_orderpriority"].astype(str).to_numpy()
+        v = df["cents"].to_numpy()
+        q1 = np.array([f[p][0] for p in pr], dtype="int64")
+        q3 = np.array([f[p][1] for p in pr], dtype="int64")
+        iqr = q3 - q1
+        out = (2 * v < 2 * q1 - 3 * iqr) | (2 * v > 2 * q3 + 3 * iqr)
+        part = pd.DataFrame({"o_orderpriority": pr, "out": out})
+        g = part.groupby("o_orderpriority", sort=False)["out"]
+        res = g.agg(n_outliers="sum", n_total="size").reset_index()
+        return res
+
+    tallies = (vals.map_batches(flag, batch_format="pyarrow").to_pandas()
+               .groupby("o_orderpriority", sort=False)[
+                   ["n_outliers", "n_total"]].sum().reset_index())
+    out = q.merge(tallies, on="o_orderpriority")
+    out["o_orderpriority"] = out["o_orderpriority"].astype(str)
+    for c in ("q1_cents", "q3_cents", "n_outliers", "n_total"):
+        out[c] = out[c].astype("int64")
+    return (out[["o_orderpriority", "q1_cents", "q3_cents",
+                 "n_outliers", "n_total"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+Q271_SQL = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+q AS (
+  SELECT o_orderpriority,
+         quantile_disc(cents, 0.25) AS q1_cents,
+         quantile_disc(cents, 0.75) AS q3_cents
+  FROM v GROUP BY o_orderpriority)
+SELECT q.o_orderpriority, q.q1_cents, q.q3_cents,
+       CAST(sum(CASE WHEN 2 * v.cents < 2 * q.q1_cents
+                          - 3 * (q.q3_cents - q.q1_cents)
+                       OR 2 * v.cents > 2 * q.q3_cents
+                          + 3 * (q.q3_cents - q.q1_cents)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n_total
+FROM v JOIN q USING (o_orderpriority)
+GROUP BY q.o_orderpriority, q.q1_cents, q.q3_cents
+ORDER BY q.o_orderpriority
+"""
+
+
+def q272_gini_profile(sf_dir: str) -> pd.DataFrame:
+    """Categorical-column Gini-impurity profile (the data-quality
+    screen for label/class skew before training): four categorical
+    columns across lineitem and orders, each table profiled in ONE
+    streamed pass — a batch emits (col, value, n) count partials for
+    all of its table's profiled columns at once (the oracle's
+    UNION ALL costs one scan per column; the engine pays one per
+    TABLE), one bounded (col, value) exchange folds them, and the
+    gini fold runs driver-side over the bounded histogram in PYTHON
+    INTS (sum(c^2) overflows int64 at petabyte row counts; the oracle
+    casts to HUGEINT for the same reason).  gini_ppm =
+    1e6 - (1e6 * sum(c^2)) // N^2, exact on both engines."""
+    table_cols = {
+        "lineitem": ["l_returnflag", "l_linestatus"],
+        "orders": ["o_orderstatus", "o_orderpriority"],
+    }
+
+    def make_partial(cols: list[str]):
+        def partial(b: pa.Table) -> pd.DataFrame:
+            df = b.to_pandas()
+            parts = []
+            for c in cols:
+                vc = df[c].value_counts()
+                parts.append(pd.DataFrame({
+                    "col": c, "val": vc.index.astype(str),
+                    "n": vc.to_numpy().astype("int64")}))
+            return pd.concat(parts, ignore_index=True)
+        return partial
+
+    partials = None
+    for table, cols in table_cols.items():
+        p = (_read(sf_dir, table, cols)
+             .map_batches(make_partial(cols), batch_format="pyarrow"))
+        partials = p if partials is None else partials.union(p)
+    hist = (partials.groupby(["col", "val"]).sum("n").to_pandas()
+            .rename(columns={"sum(n)": "n"}))
+    rows = []
+    for c in [c for cs in table_cols.values() for c in cs]:
+        h = hist[hist["col"] == c]
+        counts = [int(x) for x in h["n"]]
+        total = sum(counts)
+        ss = sum(x * x for x in counts)
+        rows.append({
+            "col": c, "n_distinct": len(counts), "n_total": total,
+            "gini_ppm": 1_000_000 - (1_000_000 * ss) // (total * total)})
+    out = pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+    for c in ("n_distinct", "n_total", "gini_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+Q272_SQL = """
+WITH u AS (
+  SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+c AS (SELECT col, val, count(*) AS n FROM u GROUP BY col, val),
+g AS (SELECT col, count(*) AS n_distinct, sum(n) AS total,
+             sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS ss
+      FROM c GROUP BY col)
+SELECT col, CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(total AS BIGINT) AS n_total,
+       CAST(1000000 - (1000000 * ss)
+            // (CAST(total AS HUGEINT) * CAST(total AS HUGEINT))
+            AS BIGINT) AS gini_ppm
+FROM g ORDER BY col
+"""
+
+
+def q273_cusum_drift(sf_dir: str) -> pd.DataFrame:
+    """CUSUM drift / changepoint screen over the monthly order volume
+    (the ingest-monitoring primitive: flag sustained upward shifts in
+    a feed's arrival rate): monthly counts aggregate DISTRIBUTED
+    (bounded ~84 keys), then the inherently SEQUENTIAL one-sided CUSUM
+    recurrence S_m = max(0, S_{m-1} + n_m - mean - slack) folds
+    driver-side over the bounded month series — documented
+    bounded-key contract, the same discipline as q65's global prefix
+    scan.  slack = mean // 20 (5%), alarm when S > mean.  All integer;
+    the oracle replays the recurrence with a recursive CTE."""
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def month_part(b: pa.Table) -> pd.DataFrame:
+        m = pd.to_datetime(
+            b.column("o_orderdate").to_pandas()).dt.strftime("%Y-%m")
+        vc = m.value_counts()
+        return pd.DataFrame({"month": vc.index.astype(str),
+                             "n": vc.to_numpy().astype("int64")})
+
+    m = (orders.map_batches(month_part, batch_format="pyarrow")
+         .groupby("month").sum("n").to_pandas()
+         .rename(columns={"sum(n)": "n"})
+         .sort_values("month").reset_index(drop=True))
+    mean = int(m["n"].sum()) // len(m)
+    slack = mean // 20
+    s, cusum = 0, []
+    for n in m["n"]:
+        s = max(0, s + int(n) - mean - slack)
+        cusum.append(s)
+    m["cusum"] = pd.Series(cusum, dtype="int64")
+    m["alarm"] = (m["cusum"] > mean).astype("int64")
+    m["n"] = m["n"].astype("int64")
+    return m[["month", "n", "cusum", "alarm"]]
+
+
+Q273_SQL = """
+WITH RECURSIVE
+m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+      FROM orders GROUP BY month),
+o AS (SELECT month, n, row_number() OVER (ORDER BY month) AS rn FROM m),
+p AS (SELECT CAST(sum(n) // count(*) AS BIGINT) AS mean FROM m),
+c AS (
+  SELECT o.rn, o.month, o.n,
+         GREATEST(0, o.n - p.mean - p.mean // 20) AS s
+  FROM o, p WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.month, o.n,
+         GREATEST(0, c.s + o.n - p.mean - p.mean // 20)
+  FROM c JOIN o ON o.rn = c.rn + 1 CROSS JOIN p)
+SELECT c.month, CAST(c.n AS BIGINT) AS n, CAST(c.s AS BIGINT) AS cusum,
+       CAST(CASE WHEN c.s > p.mean THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM c, p ORDER BY c.month
+"""
+
+
+def q274_regex_scalar_parity(sf_dir: str) -> pd.DataFrame:
+    """Scalar string-function parity pack: regexp_extract (first
+    number, first long word) via pyarrow's RE2 — the SAME regex
+    engine DuckDB links, so semantics match by construction (q107's
+    redaction pack established the precedent) — plus split_part,
+    which both sides define as ''-on-missing (short lists fall back
+    via a vectorized pandas .str[2]; Arrow's list_element raises on
+    out-of-range, so the list path stays in pandas).  One streamed
+    pass; no Python loop touches a row."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(b: pa.Table) -> pd.DataFrame:
+        t = b.column("text")
+        num = pc.extract_regex(t, pattern=r"(?P<m>[0-9]+)")
+        word = pc.extract_regex(t, pattern=r"(?P<m>[a-zA-Z]{8,})")
+        num = pc.fill_null(pc.struct_field(num, "m"), "")
+        word = pc.fill_null(pc.struct_field(word, "m"), "")
+        third = (t.to_pandas().str.split(" ").str[2]
+                 .fillna("").astype(str))
+        return pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy().astype("int64"),
+            "first_num": num.to_pandas().astype(str),
+            "long_word": word.to_pandas().astype(str),
+            "third_token": third.to_numpy()})
+
+    out = docs.map_batches(extract, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("first_num", "long_word", "third_token"):
+        out[c] = out[c].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q274_SQL = """
+SELECT doc_id,
+       COALESCE(regexp_extract(text, '[0-9]+'), '') AS first_num,
+       COALESCE(regexp_extract(text, '[a-zA-Z]{8,}'), '') AS long_word,
+       split_part(text, ' ', 3) AS third_token
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14130,6 +14432,11 @@ QUERIES: dict[str, tuple] = {
     "q267_k_anonymity": (q267_k_anonymity, Q267_SQL),
     "q268_arrow_ipc_roundtrip": (q268_arrow_ipc_roundtrip, Q268_SQL),
     "q269_incremental_join": (q269_incremental_join, Q269_SQL),
+    "q270_benford_audit": (q270_benford_audit, Q270_SQL),
+    "q271_iqr_outliers": (q271_iqr_outliers, Q271_SQL),
+    "q272_gini_profile": (q272_gini_profile, Q272_SQL),
+    "q273_cusum_drift": (q273_cusum_drift, Q273_SQL),
+    "q274_regex_scalar_parity": (q274_regex_scalar_parity, Q274_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

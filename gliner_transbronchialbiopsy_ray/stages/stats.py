@@ -469,3 +469,58 @@ def grouped_mode(
     return (ds.map_batches(combine, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(pick, batch_format="pandas"))
+
+
+def grouped_quantile_disc(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value: str,
+    quantiles: list[tuple[str, int, int]],
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """EXACT per-group DISCRETE quantiles (PERCENTILE_DISC /
+    quantile_disc semantics): for each requested quantile num/den the
+    group's sorted element at index ceil(n * num/den) - 1 — the
+    smallest element whose cumulative rank reaches the quantile,
+    always a member of the set, so integer inputs stay int64-exact
+    (the convention DuckDB's quantile_disc uses, pinned by probe:
+    n=7, q=0.75 -> the 6th element, where floor((n-1)q) would pick
+    the 5th).
+
+    `quantiles` is [(out_col, num, den), ...] — e.g.
+    [("q1", 1, 4), ("q3", 3, 4)] yields one row per group with both
+    quartile columns from a SINGLE co-location pass.
+
+    Same holistic discipline as grouped_median_x2: ONE crc(key)
+    coarse-bucket exchange, then a vectorized per-bucket sort with
+    group run lengths — all groups in a bucket are picked at once, no
+    per-group Python loop."""
+    import zlib
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + [value]).to_pandas()
+        k = df[keys[0]].astype(str)
+        for c in keys[1:]:
+            k = k + "\x00" + df[c].astype(str)
+        df["_bucket"] = k.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(keys + [value], kind="stable")
+        v = d[value].to_numpy()
+        grp = (d[keys].astype(str).agg("\x00".join, axis=1).to_numpy())
+        starts = np.concatenate(
+            ([0], np.flatnonzero(grp[1:] != grp[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(grp)]))
+        n = ends - starts
+        out = d.iloc[starts][keys].reset_index(drop=True)
+        for col, num, den in quantiles:
+            idx = starts + (num * n + den - 1) // den - 1
+            out[col] = v[idx].astype("int64")
+        out["n"] = n.astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pick, batch_format="pandas"))
