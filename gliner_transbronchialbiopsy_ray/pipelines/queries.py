@@ -14110,6 +14110,92 @@ FROM documents ORDER BY doc_id
 """
 
 
+def btb_mp1_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL MPEG-1 Layer I PAYLOAD decode (stages/multimodal.py:
+    decode_mp1_frame + Mp1SubbandDecoder): deterministic synthetic
+    Layer I streams across channel modes (mono/stereo/joint/dual),
+    multi-frame VBR, ID3v2-tagged — bitstream unpack (allocation,
+    scalefactors, sample codes) + the formula-exact requantizer to
+    subband samples, with crc32 over the raw quantized codes pinning
+    bit-exact decode.  Layer II/III payloads and garbage rows keep
+    their rows flagged (the remaining codec stub is Layer II/III +
+    H.264/AAC payloads only).  Golden-pinned (rows-only); the
+    analytic RMS values are pinned by tests/test_mp1.py."""
+    from ..stages.multimodal import (_mp3_parse_header,
+                                     encode_mp1_frame,
+                                     mp1_subband_features)
+
+    def make_stream(seed: int) -> bytes:
+        mode = (3, 0, 1, 2)[seed % 4]
+        ext = 1 if mode == 1 else 0
+        nch = 1 if mode == 3 else 2
+        bound = (ext + 1) * 4 if mode == 1 else 32
+        out = bytearray()
+        if seed % 3 == 1:  # leading ID3v2 tag
+            pad = 16 + seed
+            out += (b"ID3\x03\x00\x00"
+                    + bytes([0, 0, pad >> 7, pad & 0x7F])
+                    + b"x" * pad)
+        for f in range(2 + seed % 3):
+            alloc = np.zeros((32, nch), dtype=np.int64)
+            scf = np.zeros((32, nch), dtype=np.int64)
+            codes = np.zeros((12, 32, nch), dtype=np.int64)
+            for i in range(6 + seed % 5):
+                sb = (i * 5 + seed) % 32
+                a = 1 + (i * 3 + seed + f) % 14
+                if sb >= bound:
+                    alloc[sb, :] = a
+                else:
+                    for ch in range(nch):
+                        alloc[sb, ch] = 1 + (i * 3 + seed + f + ch) % 14
+                for ch in range(nch):
+                    aa = int(alloc[sb, ch])
+                    if aa:
+                        scf[sb, ch] = (i * 7 + seed + ch * 11) % 63
+                        levels = 2 ** (aa + 1) - 1
+                        for s in range(12):
+                            codes[s, sb, ch] = (
+                                s * 31 + sb * 7 + ch * 13 + seed) % levels
+            if mode == 1:  # shared intensity codes above the bound
+                for sb in range(bound, 32):
+                    codes[:, sb, 1] = codes[:, sb, 0]
+            out += encode_mp1_frame(
+                codes, alloc, scf, sr_idx=seed % 3,
+                br_idx=12 + (seed + f) % 3, mode=mode,
+                mode_extension=ext)
+        return bytes(out)
+
+    refs = [f"mp1://{i:02d}" for i in range(8)]
+    payloads = [make_stream(i) for i in range(8)]
+    l3_hdr = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+              | (9 << 12) | (0 << 10) | (3 << 6)).to_bytes(4, "big")
+    l3_size = _mp3_parse_header(l3_hdr + bytes(4), 0)["frame_size"]
+    refs.append("mp1://layer3")
+    payloads.append((l3_hdr + bytes(l3_size - 4)) * 2)
+    refs.append("mp1://bad")
+    payloads.append(b"not-an-mpeg-stream")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    out = (mp1_subband_features(media, n_frames=3, concurrency=2)
+           .to_pandas())
+    # integer spectral summary instead of raw float32 lists: the
+    # golden hash stays repr-stable across numpy versions
+    rms = out["subband_rms"]
+    out["rms_argmax"] = [
+        int(np.argmax(v)) if len(v) else -1 for v in rms]
+    out["rms_max_ppm"] = [
+        int(round(float(np.max(v)) * 1e6)) if len(v) else -1
+        for v in rms]
+    out = out.drop(columns=["subband_rms"])
+    for c in ("frame_idx", "channels", "active_subbands",
+              "codes_crc32", "rms_argmax", "rms_max_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["media_ref", "frame_idx"])
+            .reset_index(drop=True))
+
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14437,6 +14523,7 @@ QUERIES: dict[str, tuple] = {
     "q272_gini_profile": (q272_gini_profile, Q272_SQL),
     "q273_cusum_drift": (q273_cusum_drift, Q273_SQL),
     "q274_regex_scalar_parity": (q274_regex_scalar_parity, Q274_SQL),
+    "btb_mp1_decode": (btb_mp1_decode, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

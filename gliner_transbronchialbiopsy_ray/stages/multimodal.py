@@ -9,9 +9,12 @@ Huffman + IDCT, `decode_jpeg`/`encode_jpeg`), GIF (real LZW,
 G.711 u-law/A-law, IMA ADPCM — own RIFF parser) and RAWV video are REAL
 pure-NumPy/stdlib decoders; MP4/ISO-BMFF and MP3/MPEG-audio DEMUX
 (box walk / frame walk, sample+frame tables, O(sampled) byte-range
-extraction) are REAL too.  Only the compressed codec PAYLOAD decode
-kernels (H.264/AAC samples, Layer I-III audio frames) remain stubbed
-(deterministic fakes, clearly marked).  The Ray side —
+extraction) are REAL too, and MPEG-1/2 LAYER I audio payloads decode
+for real (formula-exact requantizer to subband samples — see the
+Layer I section).  Only the remaining compressed codec PAYLOAD decode
+kernels (H.264/AAC samples, Layer II/III audio frames — all gated on
+tabulated allocation/Huffman data) remain stubbed (deterministic
+fakes, clearly marked).  The Ray side —
 schema, batch sizing, actor signature, output layout — is real and tested
 throughout.  Swap `_decode_stub` for a real codec (PIL/torchaudio) on a
 GPU cluster; the stage contract does not change.
@@ -2787,6 +2790,7 @@ def _mp3_parse_header(buf: bytes, pos: int) -> dict:
     return {
         "version": version, "layer": layer, "bitrate_kbps": bitrate,
         "sample_rate": rate, "padding": padding, "mode": mode,
+        "mode_extension": (h >> 4) & 0x3,
         "channels": 1 if mode == "mono" else 2,
         "crc_protected": not (h >> 16) & 0x1,
         "samples_per_frame": spf, "frame_size": size,
@@ -2949,6 +2953,299 @@ def mp3_frame_features(
     large media rows."""
     return media.map_batches(
         Mp3FrameExtractor,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# --- MPEG-1/2 Layer I frame decode (ISO 11172-3 / 13818-3 §2.4.2.5) -------
+# Layer I is the one MPEG-audio layer whose payload decode is PURELY
+# formula-derived — 4-bit linear allocation codes, a 2^(1-i/3)
+# scalefactor law and the (s/2^(nb-1) - 1 + 2^(1-nb)) * 2^nb/(2^nb-1)
+# requantizer; no tabulated allocation classes (Layer II) or Huffman
+# tables (Layer III).  Decode stops at EXACT subband samples: the
+# 32-band polyphase synthesis window D is tabulated data in the
+# standard (Annex 3-B.3), so PCM reconstruction stays out of scope and
+# the subband-domain samples (the time-frequency representation the
+# psychoacoustic layer actually codes) are the decoder's output —
+# exactly what a feature-extraction pipeline consumes.  Layer II/III
+# payloads remain the documented stub.
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes (frame-local — a Layer I frame
+    is <= ~8 KiB, so per-frame Python int shifting is fine)."""
+
+    def __init__(self, buf: bytes, bit_pos: int = 0):
+        self.buf = buf
+        self.pos = bit_pos
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.buf) * 8:
+            raise ValueError("layer1 frame truncated mid-field")
+        out = 0
+        pos = self.pos
+        while n:
+            byte = self.buf[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(n, avail)
+            out = (out << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return out
+
+
+def _mp1_requantize(code: int, nb: int) -> float:
+    """Layer I requantizer (§2.4.3.2.1): MSB-inverted two's-complement
+    fraction s''' = code/2^(nb-1) - 1, then
+    s'' = (s''' + 2^(1-nb)) * 2^nb/(2^nb - 1).  Encoders use
+    2^nb - 1 LEVELS (the all-ones code is excluded to avoid sync
+    emulation), which makes the grid symmetric in (-1, 1); the decoder
+    stays permissive on all-ones input like real decoders."""
+    frac = code / float(1 << (nb - 1)) - 1.0
+    return (frac + 2.0 ** (1 - nb)) * ((1 << nb) / float((1 << nb) - 1))
+
+
+def _mp1_scalefactor(idx: int) -> float:
+    """Table 3-B.1 scalefactor law: 2^(1 - idx/3), idx 0..62."""
+    if not 0 <= idx <= 62:
+        raise ValueError("layer1 scalefactor index 63 is forbidden")
+    return 2.0 ** (1.0 - idx / 3.0)
+
+
+def decode_mp1_frame(payload: bytes, offset: int = 0) -> dict:
+    """Decode ONE Layer I frame at `offset` to exact subband samples.
+
+    Returns {header, alloc (32, nch), scf_idx (32, nch), codes
+    (12, 32, nch) raw quantized ints, samples (12, 32, nch) float64
+    requantized * scalefactor}.  Joint (intensity) stereo shares the
+    allocation AND the sample codes above the bound =
+    (mode_extension + 1) * 4 subbands; each channel still applies its
+    own scalefactor (§2.4.2.5).  Raises ValueError on allocation code
+    15, scalefactor 63, or a frame too short for its own fields."""
+    hdr = _mp3_parse_header(payload, offset)
+    if hdr["layer"] != 1:
+        raise ValueError(f"not a Layer I frame (layer {hdr['layer']})")
+    nch = hdr["channels"]
+    bound = 32
+    if hdr["mode"] == "joint_stereo":
+        bound = (hdr["mode_extension"] + 1) * 4
+    frame = payload[offset:offset + hdr["frame_size"]]
+    if len(frame) < hdr["frame_size"]:
+        raise ValueError("layer1 frame truncated")
+    br = _BitReader(frame, (6 if hdr["crc_protected"] else 4) * 8)
+
+    alloc = np.zeros((32, nch), dtype=np.int64)
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("layer1 allocation code 15")
+                alloc[sb, ch] = a
+        else:
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("layer1 allocation code 15")
+            alloc[sb, :] = a
+
+    scf_idx = np.zeros((32, nch), dtype=np.int64)
+    scf = np.ones((32, nch), dtype=np.float64)
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[sb, ch]:
+                idx = br.read(6)
+                scf_idx[sb, ch] = idx
+                scf[sb, ch] = _mp1_scalefactor(idx)
+
+    codes = np.zeros((12, 32, nch), dtype=np.int64)
+    samples = np.zeros((12, 32, nch), dtype=np.float64)
+    for s in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    a = int(alloc[sb, ch])
+                    if a:
+                        nb = a + 1
+                        c = br.read(nb)
+                        codes[s, sb, ch] = c
+                        samples[s, sb, ch] = (
+                            scf[sb, ch] * _mp1_requantize(c, nb))
+            else:
+                a = int(alloc[sb, 0])
+                if a:
+                    nb = a + 1
+                    c = br.read(nb)  # shared intensity code
+                    for ch in range(nch):
+                        codes[s, sb, ch] = c
+                        samples[s, sb, ch] = (
+                            scf[sb, ch] * _mp1_requantize(c, nb))
+    return {"header": hdr, "alloc": alloc, "scf_idx": scf_idx,
+            "codes": codes, "samples": samples}
+
+
+def encode_mp1_frame(
+    codes: np.ndarray,
+    alloc: np.ndarray,
+    scf_idx: np.ndarray,
+    sr_idx: int = 2,
+    br_idx: int = 14,
+    mode: int = 3,
+    mode_extension: int = 0,
+    version: str = "1",
+) -> bytes:
+    """Build a VALID Layer I frame from raw quantized sample codes —
+    the synthesis side of decode_mp1_frame (test oracle + synthetic
+    corpora; decode(encode(x)) is bit-exact on codes/alloc/scf by
+    construction).  Unused trailing slot bytes are zero-filled, as
+    real encoders do.  `mode`: 0 stereo, 1 joint, 2 dual, 3 mono."""
+    nch = 1 if mode == 3 else 2
+    bound = (mode_extension + 1) * 4 if mode == 1 else 32
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    h = ((0x7FF << 21) | (ver_bits << 19) | (3 << 17) | (1 << 16)
+         | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+         | (mode_extension << 4))
+    hdr4 = h.to_bytes(4, "big")
+    size = _mp3_parse_header(hdr4 + bytes(4), 0)["frame_size"]
+
+    for sb in range(32):
+        for ch in range(nch):
+            a = int(alloc[sb, ch])
+            if a and (codes[:, sb, ch] >= (1 << (a + 1)) - 1).any():
+                raise ValueError(
+                    "layer1 all-ones code is forbidden (2^nb - 1 "
+                    f"levels): subband {sb}")
+
+    bits: list[tuple[int, int]] = []
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                bits.append((int(alloc[sb, ch]), 4))
+        else:
+            bits.append((int(alloc[sb, 0]), 4))
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[sb, ch]:
+                bits.append((int(scf_idx[sb, ch]), 6))
+    for s in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    a = int(alloc[sb, ch])
+                    if a:
+                        bits.append((int(codes[s, sb, ch]), a + 1))
+            else:
+                a = int(alloc[sb, 0])
+                if a:
+                    bits.append((int(codes[s, sb, 0]), a + 1))
+
+    acc, nacc = 0, 0
+    body = bytearray()
+    for val, n in bits:
+        acc = (acc << n) | (val & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            body.append((acc >> nacc) & 0xFF)
+    if nacc:
+        body.append((acc << (8 - nacc)) & 0xFF)
+    frame = bytearray(hdr4) + body
+    if len(frame) > size:
+        raise ValueError("layer1 payload exceeds frame size "
+                         f"({len(frame)} > {size}) — raise br_idx")
+    frame += bytes(size - len(frame))
+    return bytes(frame)
+
+
+class Mp1SubbandDecoder:
+    """Actor stage over (media_ref, payload) MPEG-audio rows: REAL
+    Layer I payload decode — evenly-spaced frames are located via the
+    strict frame table (O(sampled) bytes touched) and decoded to exact
+    subband samples; emits per-frame spectral features (per-subband
+    RMS over the 12 granules, averaged across channels, float32[32])
+    plus a crc32 over the raw quantized codes that pins bit-exact
+    decode.  Layer II/III rows keep their row with
+    decode_status='unsupported_layer:N' — the documented remaining
+    codec stub; demux errors keep rows too (readers never drop)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_nch, o_nsb = [], [], [], []
+        o_crc, o_rms, o_status = [], [], []
+
+        def emit(ref, idx, nch, nsb, crc, rms, status):
+            o_ref.append(ref)
+            o_idx.append(idx)
+            o_nch.append(nch)
+            o_nsb.append(nsb)
+            o_crc.append(crc)
+            # [] not None on error rows: a null list trips Ray's
+            # tensor-extension cast in to_pandas; ragged is fine
+            o_rms.append([] if rms is None else rms)
+            o_status.append(status)
+
+        for ref, p in zip(refs, payloads):
+            try:
+                meta = probe_mp3(p)
+                offsets, _sizes, _brs = mp3_frame_table(p)
+            except (ValueError, IndexError, EOFError) as exc:
+                emit(ref, -1, -1, -1, 0, None, f"demux_error: {exc}")
+                continue
+            if meta["layer"] != 1:
+                emit(ref, -1, -1, -1, 0, None,
+                     f"unsupported_layer:{meta['layer']}")
+                continue
+            picks = np.unique(np.linspace(
+                0, len(offsets) - 1,
+                min(self.n_frames, len(offsets))).astype(np.int64))
+            for k in picks:
+                try:
+                    d = decode_mp1_frame(p, int(offsets[k]))
+                except ValueError as exc:
+                    emit(ref, int(k), -1, -1, 0, None,
+                         f"decode_error: {exc}")
+                    continue
+                rms = np.sqrt(
+                    (d["samples"] ** 2).mean(axis=(0, 2))).astype(
+                        np.float32)
+                emit(ref, int(k), d["samples"].shape[2],
+                     int((d["alloc"][:, 0] > 0).sum()),
+                     _z.crc32(d["codes"].tobytes()),
+                     rms.tolist(), "ok")
+        return pa.table({
+            "media_ref": pa.array(o_ref, type=pa.string()),
+            "frame_idx": pa.array(o_idx, type=pa.int64()),
+            "channels": pa.array(o_nch, type=pa.int64()),
+            "active_subbands": pa.array(o_nsb, type=pa.int64()),
+            "codes_crc32": pa.array(o_crc, type=pa.int64()),
+            "subband_rms": pa.array(
+                o_rms, type=pa.list_(pa.float32())),
+            "decode_status": pa.array(o_status, type=pa.string()),
+        })
+
+
+def mp1_subband_features(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """MPEG-audio payload dataset -> Layer I subband-domain features
+    (REAL payload decode; Layer II/III rows pass through flagged)."""
+    return media.map_batches(
+        Mp1SubbandDecoder,
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
