@@ -14196,6 +14196,220 @@ def btb_mp1_decode(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q275_locf_gapfill(sf_dir: str) -> pd.DataFrame:
+    """LOCF gap-fill (the time-series regularization step before
+    training on sensor/metric feeds): per sampled user, an hourly grid
+    from their first to last observed hour, missing hours carrying the
+    last observed hourly-max value forward.  Hourly partials aggregate
+    combiner-first, then ONE crc(user) exchange co-locates each user's
+    (bounded) hour series for a vectorized reindex+ffill — grid
+    generation is per-group, never a driver loop.  Hours travel as
+    strings (timestamp dtype parity between engines is a known trap).
+    Oracle: generate_series grid + last_value IGNORE NULLS."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def hourly(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["user_id"] % 7 == 0]
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="datetime64[ns]"),
+                                 "mx": pd.Series([], dtype="int64")})
+        h = (pd.to_datetime(df["ts"]).dt.floor("h")
+             .astype("datetime64[ns]"))
+        c = np.round(df["value"].to_numpy() * 100).astype("int64")
+        part = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                              "h": h, "mx": c})
+                .groupby(["user_id", "h"], sort=False)["mx"].max()
+                .reset_index())
+        return part
+
+    hv = (ev.map_batches(hourly, batch_format="pyarrow")
+          .groupby(["user_id", "h"]).max("mx")
+          .map_batches(lambda b: b.rename_columns(["user_id", "h", "mx"]),
+                       batch_format="pyarrow"))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, d in g.groupby("user_id", sort=False):
+            d = d.sort_values("h")
+            grid = pd.date_range(d["h"].iloc[0], d["h"].iloc[-1],
+                                 freq="h")
+            s = d.set_index("h")["mx"].reindex(grid)
+            outs.append(pd.DataFrame({
+                "user_id": np.int64(uid),
+                "hour": grid.strftime("%Y-%m-%d %H:00"),
+                "filled_cents": s.ffill().astype("int64").to_numpy(),
+                "observed": s.notna().astype("int64").to_numpy()}))
+        return pd.concat(outs, ignore_index=True)
+
+    from ..stages.window import hash_bucketed_map_groups
+    out = hash_bucketed_map_groups(hv, "user_id", fill).to_pandas()
+    for c in ("user_id", "filled_cents", "observed"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["user_id", "hour"])
+            .reset_index(drop=True))
+
+
+Q275_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE user_id % 7 = 0),
+hv AS (SELECT user_id, h, max(c) AS mx FROM e GROUP BY user_id, h),
+span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+         FROM hv GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM span),
+j AS (SELECT g.user_id, g.h, hv.mx
+      FROM grid g LEFT JOIN hv
+        ON hv.user_id = g.user_id AND hv.h = g.h)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:00') AS hour,
+       CAST(last_value(mx IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS filled_cents,
+       CAST(mx IS NOT NULL AS BIGINT) AS observed
+FROM j ORDER BY user_id, hour
+"""
+
+
+def q276_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter SEMI-JOIN (the scale pattern for big-probe x
+    selective-build joins: ship 128 KiB of bits instead of the key
+    set): qualifying order keys (totalprice > 4000 00.00) fold into a
+    2^20-bit / 4-hash bloom as per-batch bitmap partials OR-merged
+    driver-side (O(blocks) x 128 KiB, key count never collected), the
+    bloom broadcasts via ray.put into a vectorized lineitem prefilter
+    (no false negatives, so nothing is lost), and only the SURVIVORS
+    (~selectivity + FP rate) pay the exact native hash join that
+    removes false positives.  Result is EXACTLY the semi-join — the
+    bloom is a transport optimization, which is why a plain EXISTS
+    oracle replays it.  tests/test_joins_window.py pins the FP rate
+    and the prefilter's pruning."""
+    M_BITS = 1 << 20
+    MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+    def _positions(keys: np.ndarray) -> list[np.ndarray]:
+        k = keys.astype(np.uint64)
+        return [((k * np.uint64(m)) >> np.uint64(40)).astype(np.int64)
+                % M_BITS for m in MULTS]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def build(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        keys = df.loc[df["o_totalprice"] > 400000.0,
+                      "o_orderkey"].to_numpy("int64")
+        bits = np.zeros(M_BITS // 64, dtype=np.uint64)
+        for pos in _positions(keys):
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = orders.map_batches(build, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(M_BITS // 64, dtype=np.uint64)
+    for blob in parts["bits"]:
+        bloom |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = b.column("l_orderkey").to_numpy().astype("int64")
+        mask = np.ones(len(keys), dtype=bool)
+        for pos in _positions(keys):
+            mask &= (bits[pos >> 6]
+                     >> (pos & 63).astype(np.uint64)) & 1 != 0
+        return b.filter(pa.array(mask))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_quantity"])
+    survivors = li.map_batches(prefilter, batch_format="pyarrow")
+
+    qual = orders.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 400000.0)
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow")
+    from ..stages.joins import coalesce_for_join
+    npart = 8
+    exact = coalesce_for_join(survivors, npart).join(
+        coalesce_for_join(qual, npart), join_type="inner",
+        num_partitions=npart, on=("l_orderkey",),
+        right_on=("o_orderkey",))
+
+    out = _preagg(
+        exact.map_batches(
+            lambda b: pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "qty": pa.array(np.round(
+                    b.column("l_quantity").to_numpy()).astype("int64")),
+            }), batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n_items": ("qty", "count"), "sum_qty": ("qty", "sum")},
+    )  # merge="driver" -> already a pandas frame
+    out["l_returnflag"] = out["l_returnflag"].astype(str)
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return (out.sort_values("l_returnflag").reset_index(drop=True)
+            [["l_returnflag", "n_items", "sum_qty"]])
+
+
+Q276_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q277_range_frame_sum(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE windowed aggregate (stages/window.py:
+    keyed_range_frame_sum — the sliding-window-by-VALUE operator Ray
+    Data lacks; q35's sliding window counts ROWS, this one bounds the
+    frame by TIME): per event, the sum of value-cents of the same
+    user's events in the trailing hour, peers at the current timestamp
+    included (RANGE frames are peer-inclusive — searchsorted right
+    bound).  ONE crc(user) exchange, prefix-sum + two binary searches
+    per row.  Oracle: SUM OVER (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_ns": (pd.to_datetime(df["ts"])
+                      .astype("datetime64[ns]").astype("int64")),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype("int64")})
+
+    from ..stages.window import keyed_range_frame_sum
+    out = keyed_range_frame_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order="ts_ns", value="cents",
+        range_width=3_600_000_000_000, out="w_sum_cents").to_pandas()
+    out = out[["event_id", "user_id", "w_sum_cents"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q277_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS w_sum_cents
+FROM events ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14524,6 +14738,9 @@ QUERIES: dict[str, tuple] = {
     "q273_cusum_drift": (q273_cusum_drift, Q273_SQL),
     "q274_regex_scalar_parity": (q274_regex_scalar_parity, Q274_SQL),
     "btb_mp1_decode": (btb_mp1_decode, None),
+    "q275_locf_gapfill": (q275_locf_gapfill, Q275_SQL),
+    "q276_bloom_semijoin": (q276_bloom_semijoin, Q276_SQL),
+    "q277_range_frame_sum": (q277_range_frame_sum, Q277_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

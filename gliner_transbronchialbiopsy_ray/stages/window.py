@@ -496,3 +496,47 @@ def keyed_lag(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(lag_bucket, batch_format="pandas"))
+
+
+def keyed_range_frame_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    value: str,
+    range_width: int,
+    out: str = "w_sum",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Time-RANGE windowed aggregate Ray Data lacks natively: for every
+    row, the sum of `value` over rows of the SAME key whose `order`
+    lies in [row.order - range_width, row.order] — SQL's
+    SUM(v) OVER (PARTITION BY key ORDER BY o
+                 RANGE BETWEEN w PRECEDING AND CURRENT ROW),
+    INCLUDING the current row's order-value peers (RANGE frames are
+    peer-inclusive; a searchsorted right bound reproduces that
+    exactly).
+
+    `order`/`value` must be integer-like (cast timestamps to epoch
+    ns); the window math is prefix-sum + two binary searches per row
+    — vectorized per bucket, no per-row Python.  ONE crc(key)
+    exchange; scales with the widest single key, not the corpus."""
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, order], kind="stable")
+        o = d[order].to_numpy(np.int64)
+        v = d[value].to_numpy(np.int64)
+        ks = d[key].astype(str).to_numpy()
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ks)]))
+        res = np.empty(len(d), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg_o = o[s:e]
+            pref = np.concatenate(([0], np.cumsum(v[s:e])))
+            lo = np.searchsorted(seg_o, seg_o - range_width, "left")
+            hi = np.searchsorted(seg_o, seg_o, "right")
+            res[s:e] = pref[hi] - pref[lo]
+        d[out] = res
+        return d
+
+    return hash_bucketed_map_groups(ds, key, win, n_buckets=n_buckets)

@@ -382,3 +382,92 @@ def test_keyed_running_agg_count_distinct(ray_session):
                                  out_col="rd", agg="count_distinct")
                .to_pandas().sort_values(["k", "o"]))
         assert list(out["rd"]) == [1, 2, 2, 3, 1, 1], parts
+
+
+def test_keyed_range_frame_sum_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.window import (
+        keyed_range_frame_sum,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, 300).astype("int64"),
+        # duplicate order values exercise peer inclusion
+        "o": rng.integers(0, 60, 300).astype("int64"),
+        "v": rng.integers(-9, 10, 300).astype("int64"),
+    })
+    df["rid"] = np.arange(300, dtype="int64")
+    for parts in (1, 4):
+        got = (keyed_range_frame_sum(
+            rd.from_pandas(df).repartition(parts),
+            key="k", order="o", value="v", range_width=10)
+            .to_pandas().sort_values("rid").reset_index(drop=True))
+        exp = duckdb.sql("""
+            SELECT rid, CAST(sum(v) OVER (
+                PARTITION BY k ORDER BY o
+                RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS w
+            FROM df ORDER BY rid""").fetchdf()
+        assert list(got["w_sum"].astype("int64")) == \
+            list(exp["w"].astype("int64")), parts
+
+
+def test_bloom_semijoin_prunes_and_is_exact(ray_session):
+    """The q276 bloom prefilter must (a) never drop a true match and
+    (b) actually prune: FP rate of a 2^20-bit/4-hash bloom at ~3k keys
+    is way under 1%, so non-qualifying rows surviving the prefilter
+    should be rare."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+    truth = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM read_parquet('{sf}/orders.parquet')
+          WHERE o_totalprice > 400000)""").fetchone()[0]
+    total = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')
+        """).fetchone()[0]
+
+    # replicate the query's bloom inline to measure the prefilter
+    M_BITS = 1 << 20
+    MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+    def positions(keys):
+        k = keys.astype(np.uint64)
+        return [((k * np.uint64(m)) >> np.uint64(40)).astype(np.int64)
+                % M_BITS for m in MULTS]
+
+    qual = duckdb.sql(f"""
+        SELECT o_orderkey FROM read_parquet('{sf}/orders.parquet')
+        WHERE o_totalprice > 400000""").fetchdf()[
+            "o_orderkey"].to_numpy("int64")
+    li = duckdb.sql(f"""
+        SELECT l_orderkey FROM read_parquet('{sf}/lineitem.parquet')
+        """).fetchdf()["l_orderkey"].to_numpy("int64")
+    bits = np.zeros(M_BITS // 64, dtype=np.uint64)
+    for pos in positions(qual):
+        np.bitwise_or.at(bits, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+    mask = np.ones(len(li), dtype=bool)
+    for pos in positions(li):
+        mask &= (bits[pos >> 6]
+                 >> (pos & 63).astype(np.uint64)) & 1 != 0
+    survivors = int(mask.sum())
+    qual_set = set(qual.tolist())
+    true_mask = np.fromiter((k in qual_set for k in li), dtype=bool,
+                            count=len(li))
+    # no false negatives
+    assert (mask | ~true_mask).all() and survivors >= truth
+    # and real pruning: survivors are close to the true matches,
+    # far below the full table
+    assert survivors < total * 0.6
+    fp = survivors - int(true_mask.sum())
+    assert fp <= max(10, 0.01 * total)
