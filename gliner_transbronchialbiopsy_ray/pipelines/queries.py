@@ -14410,6 +14410,243 @@ FROM events ORDER BY event_id
 """
 
 
+def q278_association_rules(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association rules (the frequent-itemset / Apriori
+    k=2 pass a recommendation or curation pipeline runs over baskets):
+    part pairs sharing >= 3 distinct orders, with support, directional
+    confidence and lift in EXACT integer ppm (floor division; all
+    inputs non-negative so DuckDB's truncating // agrees).
+
+    Scale shape: pair counts come from stages/graph.py
+    cooccurrence_edges (per-batch distinct combiner -> ONE group-bucket
+    exchange emitting pre-counted pairs -> ONE pair-bucket exchange; no
+    self-join — the d^2 blowup happens inside a vectorized kernel);
+    per-item order counts are ONE combiner-first aggregate whose result
+    is item-dimension-sized and BROADCAST into the pair stream; the
+    basket-count scalar is a count over the same distinct combiner.
+    lift > 1e6 ppm means the pair co-occurs more than independence
+    predicts."""
+    from ..stages.graph import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=3)
+
+    def distinct_local(b: pa.Table) -> pd.DataFrame:
+        return b.to_pandas().drop_duplicates()
+
+    # global distinct (order, part): per-batch combiner, then one keyed
+    # exchange finishes the distinct — per-part counts and the basket
+    # count both read the deduplicated stream
+    op = (li.map_batches(distinct_local, batch_format="pyarrow")
+          .groupby(["l_orderkey", "l_partkey"]).count()
+          .select_columns(["l_orderkey", "l_partkey"])
+          .materialize())
+    dd = op.groupby("l_partkey").count().to_pandas()
+    ccol = [c for c in dd.columns if c != "l_partkey"][0]
+    dd = dd.rename(columns={"l_partkey": "item", ccol: "n_item"})
+    baskets = op.groupby("l_orderkey").count().count()
+    lut = ray.put(dict(zip(dd["item"].astype("int64"),
+                           dd["n_item"].astype("int64"))))
+
+    def rules(b: pa.Table, _n=baskets) -> pd.DataFrame:
+        f = ray.get(lut)
+        df = b.to_pandas()
+        if not len(df):
+            return pd.DataFrame({
+                "pa": pd.Series([], dtype="int64"),
+                "pb": pd.Series([], dtype="int64"),
+                "n_ab": pd.Series([], dtype="int64"),
+                "support_ppm": pd.Series([], dtype="int64"),
+                "conf_ab_ppm": pd.Series([], dtype="int64"),
+                "conf_ba_ppm": pd.Series([], dtype="int64"),
+                "lift_ppm": pd.Series([], dtype="int64")})
+        a = df["a"].to_numpy("int64")
+        bb = df["b"].to_numpy("int64")
+        n_ab = df["n"].to_numpy("int64")
+        n_a = np.array([f[x] for x in a], dtype="int64")
+        n_b = np.array([f[x] for x in bb], dtype="int64")
+        return pd.DataFrame({
+            "pa": a, "pb": bb, "n_ab": n_ab,
+            "support_ppm": n_ab * 1_000_000 // _n,
+            "conf_ab_ppm": n_ab * 1_000_000 // n_a,
+            "conf_ba_ppm": n_ab * 1_000_000 // n_b,
+            "lift_ppm": n_ab * _n * 1_000_000 // (n_a * n_b)})
+
+    out = (pairs.map_batches(rules, batch_format="pyarrow").to_pandas()
+           .sort_values(["n_ab", "pa", "pb"],
+                        ascending=[False, True, True], kind="stable")
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+Q278_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+items AS (SELECT l_partkey AS item, count(*) AS n_item
+          FROM op GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_ab
+  FROM op x JOIN op y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT CAST(p.pa AS BIGINT) AS pa, CAST(p.pb AS BIGINT) AS pb,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(p.n_ab * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+       CAST(p.n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ab_ppm,
+       CAST(p.n_ab * 1000000 // ib.n_item AS BIGINT) AS conf_ba_ppm,
+       CAST(p.n_ab * n.n_orders * 1000000
+            // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN items ia ON ia.item = p.pa
+JOIN items ib ON ib.item = p.pb
+CROSS JOIN n
+ORDER BY n_ab DESC, pa, pb
+"""
+
+
+def q279_luby_mis(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
+    """Deterministic Luby maximal-independent-set over the part
+    co-purchase KG (stages/graph.py:luby_mis — the parallel
+    symmetry-breaking primitive behind distributed matching/coloring):
+    md5-of-id priorities, `rounds` bounded rounds, one node-bucketed
+    min-neighbor exchange per round.  The FIXED round count makes the
+    trajectory replayable by the unrolled SQL oracle (q127/q231
+    pattern) — both engines walk the identical bounded prefix, so
+    results coincide even if the MIS is not yet maximal."""
+    from ..stages.graph import cooccurrence_edges, luby_mis
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    out = luby_mis(edges, rounds=rounds).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["status"] = out["status"].astype(str)
+    out["decided_round"] = out["decided_round"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q279_sql(rounds: int = 4) -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # alive set several times, and DuckDB re-inlines plain CTEs, so an
+    # unmaterialized unroll re-scans the parquet exponentially (the
+    # q216 HITS-oracle lesson).
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2),
+sym AS MATERIALIZED (
+  SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+mis{r} AS MATERIALIZED (
+  SELECT n.node FROM alive{r - 1} n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s JOIN alive{r - 1} m ON s.v = m.node
+    WHERE s.u = n.node
+      AND md5(CAST(s.v AS VARCHAR)) < md5(CAST(n.node AS VARCHAR)))),
+rem{r} AS MATERIALIZED (
+  SELECT DISTINCT s.v AS node
+  FROM sym s JOIN mis{r} m ON s.u = m.node
+  JOIN alive{r - 1} a ON a.node = s.v
+  WHERE s.v NOT IN (SELECT node FROM mis{r})),
+alive{r} AS MATERIALIZED (
+  SELECT node FROM alive{r - 1}
+  WHERE node NOT IN (SELECT node FROM mis{r})
+    AND node NOT IN (SELECT node FROM rem{r}))""")
+    unions = "\n  UNION ALL ".join(
+        [f"SELECT node, 'mis' AS status, CAST({r} AS BIGINT) AS "
+         f"decided_round FROM mis{r}\n  UNION ALL "
+         f"SELECT node, 'removed', CAST({r} AS BIGINT) FROM rem{r}"
+         for r in range(1, rounds + 1)]
+        + [f"SELECT node, 'alive', CAST(-1 AS BIGINT) FROM alive{rounds}"])
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node, status, decided_round FROM (
+  {unions})
+ORDER BY node""")
+    return "".join(parts)
+
+
+Q279_SQL = _q279_sql()
+
+
+def q280_twap(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average event value (TWAP — the
+    time-series summary where each observation holds until the next
+    one): weight = milliseconds until the user's next event (the final
+    observation carries no weight), exact integer cents x ms folded to
+    floor-division ppm-free cents.  ONE crc(user) exchange on the
+    keyed-window scaffold; inside a bucket the fold is a vectorized
+    sort + shift + weighted sum.  Oracle: LEAD window + the same
+    integer division.  Users with a single event (no weighted span)
+    are dropped, matching the SQL's NULL-sum filter."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts_ms": (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                      .astype("int64") // 1_000_000),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype("int64")})
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_ms", "cents"], kind="stable")
+        u = g["user_id"].to_numpy("int64")
+        t = g["ts_ms"].to_numpy("int64")
+        c = g["cents"].to_numpy("int64")
+        nxt = np.empty_like(t)
+        nxt[:-1] = t[1:]
+        nxt[-1] = t[-1]
+        last = np.zeros(len(u), dtype=bool)
+        last[-1] = True
+        last[:-1] = u[:-1] != u[1:]
+        dur = np.where(last, 0, nxt - t)
+        part = pd.DataFrame({"user_id": u, "w": dur * c, "d": dur})
+        agg = part.groupby("user_id", sort=False).sum().reset_index()
+        agg = agg[agg["d"] > 0]
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "twap_cents": (agg["w"] // agg["d"]).astype("int64"),
+            "span_ms": agg["d"].astype("int64")})
+
+    out = hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=twap).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q280_SQL = """
+WITH v AS (
+  SELECT user_id,
+         CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT user_id, cents,
+         lead(ts_ms) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, cents) - ts_ms AS dur
+  FROM v),
+a AS (
+  SELECT user_id, sum(dur * cents) AS num, sum(dur) AS den
+  FROM w WHERE dur IS NOT NULL GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(num // den AS BIGINT) AS twap_cents,
+       CAST(den AS BIGINT) AS span_ms
+FROM a WHERE den > 0 ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14741,6 +14978,9 @@ QUERIES: dict[str, tuple] = {
     "q275_locf_gapfill": (q275_locf_gapfill, Q275_SQL),
     "q276_bloom_semijoin": (q276_bloom_semijoin, Q276_SQL),
     "q277_range_frame_sum": (q277_range_frame_sum, Q277_SQL),
+    "q278_association_rules": (q278_association_rules, Q278_SQL),
+    "q279_luby_mis": (q279_luby_mis, Q279_SQL),
+    "q280_twap": (q280_twap, Q280_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -3503,3 +3503,149 @@ def dag_path_counts(
         out = out.union(part)
     return (out.groupby("node")
             .aggregate(Sum("n_paths", alias_name="n_paths")))
+
+
+def _md5_prio(nodes: np.ndarray) -> np.ndarray:
+    """Deterministic per-node priority: md5 hex of the DECIMAL id string.
+    Distinct ids give distinct digests, and DuckDB's md5(CAST(x AS
+    VARCHAR)) replays it exactly, so a SQL oracle can re-derive the same
+    random-looking total order with no shared RNG."""
+    import hashlib
+
+    return np.array([hashlib.md5(str(int(x)).encode()).hexdigest()
+                     for x in nodes], dtype=object)
+
+
+def luby_mis(
+    edges: ray.data.Dataset,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+    n_buckets: int = 32,
+    broadcast_threshold: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Bounded-round deterministic Luby maximal-independent-set over an
+    undirected (a < b canonical, distinct) edge set — the classic
+    symmetry-breaking primitive (Luby 1986) behind parallel matching /
+    coloring / scheduling.  Each round, an alive node whose md5 priority
+    is strictly smaller than every alive neighbor's (or with no alive
+    neighbor left) joins the MIS; MIS nodes and their alive neighbors
+    leave the alive set.  A FIXED round count makes the trajectory
+    replayable by an unrolled SQL oracle (the q127/q231 pattern); Luby's
+    theorem kills a constant fraction of edges per round in expectation,
+    so a handful of rounds decides almost everything.
+
+    Returns one row per node: (node, status, decided_round) with status
+    in {'mis', 'removed', 'alive'}; 'alive' rows carry
+    decided_round = -1 (undecided after `rounds`).
+
+    Scale shape: per round, ONE node-bucketed exchange folds the min
+    alive-neighbor priority; the MIS and removed sets of a round are
+    bounded by the alive node count and travel as broadcast sorted
+    arrays (id membership via searchsorted) — the same contract as
+    k_core_peel's auto path.  `broadcast_threshold` guards the alive-set
+    collect; past it the caller should pre-partition the graph."""
+    sym_cols = (src, dst)
+
+    def node_part(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column(src).to_numpy().astype("int64")
+        v = batch.column(dst).to_numpy().astype("int64")
+        node = np.unique(np.concatenate([u, v]))
+        return _tag_int_bucket(pd.DataFrame({"node": node}),
+                               "node", n_buckets)
+
+    all_nodes = (edges.map_batches(node_part, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(lambda g: g[["node"]].drop_duplicates(),
+                             batch_format="pandas")
+                 .to_pandas()["node"].to_numpy("int64"))
+    all_nodes = np.sort(all_nodes)
+    if len(all_nodes) > broadcast_threshold:
+        raise ValueError(
+            f"alive set {len(all_nodes)} exceeds broadcast_threshold "
+            f"{broadcast_threshold}; pre-partition the graph")
+
+    e = edges.select_columns(list(sym_cols)).materialize()
+    alive = all_nodes  # sorted ids
+    decided: dict[int, tuple[str, int]] = {}
+    for r in range(1, rounds + 1):
+        if len(alive) == 0:
+            break
+        # min alive-neighbor priority per node, one bucketed exchange
+        def min_nb_part(batch: pa.Table, _alive=alive) -> pd.DataFrame:
+            u = batch.column(src).to_numpy().astype("int64")
+            v = batch.column(dst).to_numpy().astype("int64")
+            node = np.concatenate([u, v])
+            nb = np.concatenate([v, u])
+            df = pd.DataFrame({"node": node,
+                               "nb_prio": _md5_prio(nb)})
+            part = (df.groupby("node", sort=False)["nb_prio"].min()
+                    .reset_index())
+            return _tag_int_bucket(part, "node", n_buckets)
+
+        min_nb = (e.map_batches(min_nb_part, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(
+                      lambda g: g.groupby("node", sort=False)["nb_prio"]
+                      .min().reset_index(), batch_format="pandas")
+                  .to_pandas())
+        if "node" not in min_nb.columns:  # edge set drained: all isolated
+            min_nb = pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "nb_prio": pd.Series([], dtype=object)})
+        own = pd.DataFrame({"node": alive})
+        own["own_prio"] = _md5_prio(own["node"].to_numpy())
+        m = own.merge(min_nb, on="node", how="left")
+        isolated = m["nb_prio"].isna()
+        wins = isolated | (m["own_prio"] < m["nb_prio"].fillna(""))
+        mis_ids = np.sort(m.loc[wins, "node"].to_numpy("int64"))
+        if len(mis_ids) == 0:
+            break
+        # removed = alive neighbors of MIS nodes (one streamed pass)
+        mis_ref = ray.put(mis_ids)
+
+        def nb_of_mis(batch: pa.Table, _ref=mis_ref) -> pd.DataFrame:
+            mids = ray.get(_ref)
+            u = batch.column(src).to_numpy().astype("int64")
+            v = batch.column(dst).to_numpy().astype("int64")
+
+            def member(x, a):
+                i = np.minimum(np.searchsorted(a, x), len(a) - 1)
+                return a[i] == x if len(a) else np.zeros(len(x), bool)
+
+            out = np.concatenate([v[member(u, mids)], u[member(v, mids)]])
+            return pd.DataFrame({"node": np.unique(out)})
+
+        nb = e.map_batches(nb_of_mis, batch_format="pyarrow").to_pandas()
+        nb_ids = (np.unique(nb["node"].to_numpy("int64"))
+                  if len(nb) else np.empty(0, "int64"))
+        removed = np.setdiff1d(nb_ids, mis_ids, assume_unique=True)
+        for x in mis_ids:
+            decided[int(x)] = ("mis", r)
+        for x in removed:
+            decided[int(x)] = ("removed", r)
+        alive = np.setdiff1d(
+            alive, np.union1d(mis_ids, removed), assume_unique=True)
+        if len(alive) == 0:
+            break
+        alive_ref = ray.put(alive)
+
+        def keep_alive(batch: pa.Table, _ref=alive_ref) -> pa.Table:
+            a = ray.get(_ref)
+            u = batch.column(src).to_numpy().astype("int64")
+            v = batch.column(dst).to_numpy().astype("int64")
+            iu = np.minimum(np.searchsorted(a, u), len(a) - 1)
+            iv = np.minimum(np.searchsorted(a, v), len(a) - 1)
+            return batch.filter(pa.array((a[iu] == u) & (a[iv] == v)))
+
+        e = e.map_batches(keep_alive, batch_format="pyarrow").materialize()
+
+    rows = pd.DataFrame({
+        "node": all_nodes.astype("int64"),
+        "status": [decided.get(int(x), ("alive", -1))[0]
+                   for x in all_nodes],
+        "decided_round": np.array(
+            [decided.get(int(x), ("alive", -1))[1] for x in all_nodes],
+            dtype="int64"),
+    })
+    return ray.data.from_pandas(rows)

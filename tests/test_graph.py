@@ -1080,3 +1080,50 @@ def test_dag_path_counts_diamond_and_multigraph(ray_session):
             {"src": [], "dst": []})), k=2)
     assert empty.schema().names == ["node", "n_paths"]
     assert empty.count() == 0
+
+
+def test_luby_mis_independence_and_maximality():
+    from gliner_transbronchialbiopsy_ray.stages.graph import luby_mis
+
+    # path 1-2-3-4-5 plus a disconnected edge 10-11
+    edges = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4},
+        {"a": 4, "b": 5}, {"a": 10, "b": 11},
+    ])
+    out = luby_mis(edges, rounds=6).to_pandas()
+    assert sorted(out["node"]) == [1, 2, 3, 4, 5, 10, 11]
+    assert set(out["status"]) <= {"mis", "removed"}  # converged: no alive
+    mis = set(out.loc[out["status"] == "mis", "node"])
+    adj = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    # independence: no edge inside the MIS
+    assert not any(u in mis and v in mis for u, v in adj)
+    # maximality: every non-MIS node has a MIS neighbour
+    for n in set(out["node"]) - mis:
+        assert any((u == n and v in mis) or (v == n and u in mis)
+                   for u, v in adj)
+    # determinism: same input -> identical frame
+    out2 = luby_mis(edges, rounds=6).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("node").reset_index(drop=True),
+        out2.sort_values("node").reset_index(drop=True))
+
+
+def test_luby_mis_bounded_rounds_leave_alive_rows():
+    from gliner_transbronchialbiopsy_ray.stages.graph import luby_mis
+
+    # star: center 0 vs leaves -- leaves whose only neighbour (0) was
+    # merely REMOVED are still alive after round 1 and join the MIS as
+    # isolated nodes in round 2
+    star = rd.from_items([{"a": 0, "b": i} for i in range(1, 6)])
+    one = luby_mis(star, rounds=1).to_pandas()
+    assert (one["status"] == "alive").any()
+    two = luby_mis(star, rounds=2).to_pandas()
+    assert (two["status"] != "alive").all()
+    alive_r1 = set(one.loc[one["status"] == "alive", "node"])
+    late = two[two["node"].isin(alive_r1)]
+    assert (late["status"] == "mis").all()
+    assert (late["decided_round"] == 2).all()
+    # round-0 contract: everything still alive, decided_round -1
+    zero = luby_mis(star, rounds=0).to_pandas()
+    assert (zero["status"] == "alive").all()
+    assert (zero["decided_round"] == -1).all()
