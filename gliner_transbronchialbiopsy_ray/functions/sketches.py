@@ -329,3 +329,57 @@ def grouped_approx_distinct(
             acc.merge(other)
         out.append({key: kv, "approx_distinct": acc.estimate()})
     return pd.DataFrame(out)
+
+
+def grouped_kmv_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    k: int = 64,
+) -> pd.DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per key —
+    the order-statistics dual of HyperLogLog, with the property HLL
+    lacks: the retained hashes support set INTERSECTION estimates, and
+    the estimator is SQL-replayable EXACTLY (no float registers).
+
+    Hash = first 48 bits of md5 of the DECIMAL value string, so DuckDB
+    re-derives it: CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12)
+    AS BIGINT).  Estimate = (k-1) * 2^48 // h_k (h_k = k-th smallest
+    hash of the distinct values); a key with fewer than k distinct
+    values holds ALL its hashes and the estimate is exact.
+
+    Scale shape: each batch ships at most k (hash, value) pairs per key
+    (per-batch distinct + bottom-k combiner); the per-key fold merges
+    partials, deduplicates by VALUE (cross-batch repeats of one value
+    collapse; hash collisions between different values are kept, the
+    same multiset SQL's DISTINCT-then-hash sees) and re-takes the k
+    smallest.  No raw-row shuffle — the exchange carries only sketch
+    partials.  Returns a small driver frame (key, n_sketch, h_k,
+    kmv_estimate); keys are bounded by contract (group cardinality)."""
+    m48 = 1 << 48
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([key, value]).to_pandas().drop_duplicates()
+        hv = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:12],
+                           16) for v in df[value]], dtype="int64")
+        df = pd.DataFrame({key: df[key].to_numpy(),
+                           "_hv": hv, "_val": df[value].to_numpy()})
+        return (df.sort_values("_hv", kind="stable")
+                .groupby(key, sort=False).head(k))
+
+    grouped = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(key))
+
+    def fold_named(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[key].iloc[0]
+        g = (g.drop_duplicates(subset=["_val"])
+             .sort_values("_hv", kind="stable").head(k))
+        n = len(g)
+        h_k = int(g["_hv"].iloc[-1]) if n else 0
+        est = (k - 1) * m48 // h_k if (n >= k and h_k > 0) else n
+        return pd.DataFrame({key: [kv], "n_sketch": [np.int64(n)],
+                             "h_k": [np.int64(h_k)],
+                             "kmv_estimate": [np.int64(est)]})
+
+    return (grouped.map_groups(fold_named, batch_format="pandas")
+            .to_pandas())

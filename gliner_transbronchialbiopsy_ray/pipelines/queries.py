@@ -14647,6 +14647,208 @@ FROM a WHERE den > 0 ORDER BY user_id
 """
 
 
+def q281_kmv_distinct(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """KMV / bottom-k distinct-count sketch per event type
+    (functions/sketches.py:grouped_kmv_distinct — the order-statistics
+    dual of HLL whose estimator is EXACT-integer SQL-replayable):
+    48-bit md5-prefix hashes, estimate = (k-1) * 2^48 // h_k, groups
+    under k distinct values fall back to the exact count.  Sketch
+    partials ship <= k pairs per key per batch — no raw-row shuffle;
+    the exact side (for err_ppm) is the usual two-step distinct.
+    Oracle: row_number over the hashed distinct values picks the same
+    h_k; '0x' || hex CAST re-derives the same 48-bit integers."""
+    from ..functions.sketches import grouped_kmv_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = grouped_kmv_distinct(ev, key="event_type", value="user_id", k=k)
+
+    exact = (ev.groupby(["event_type", "user_id"]).count()
+             .groupby("event_type").count().to_pandas())
+    ccol = [c for c in exact.columns if c != "event_type"][0]
+    exact = exact.rename(columns={ccol: "n_exact"})
+
+    out = sk.merge(exact, on="event_type")
+    out["err_ppm"] = (abs(out["kmv_estimate"] - out["n_exact"])
+                      * 1_000_000 // out["n_exact"])
+    out["event_type"] = out["event_type"].astype(str)
+    for c in ("n_exact", "kmv_estimate", "err_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_type", "n_exact", "kmv_estimate", "err_ppm"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q281_SQL = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM d),
+x AS (SELECT event_type, count(*) AS n_exact FROM h GROUP BY 1),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+kk AS (SELECT event_type, hv AS h_k FROM r WHERE rn = 64)
+SELECT x.event_type,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(63 * 281474976710656 // kk.h_k, x.n_exact)
+            AS BIGINT) AS kmv_estimate,
+       CAST(abs(COALESCE(63 * 281474976710656 // kk.h_k, x.n_exact)
+                - x.n_exact) * 1000000 // x.n_exact AS BIGINT) AS err_ppm
+FROM x LEFT JOIN kk ON x.event_type = kk.event_type
+ORDER BY x.event_type
+"""
+
+
+def q282_referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over a deterministically CORRUPTED
+    dimension load (the dangling-foreign-key check a warehouse runs
+    after every ingest; both engines replay the same corruption rule, so
+    the orphan counts are oracle-exact): parents dropped where the key
+    is divisible by the per-relationship prime, orphans = child rows
+    whose FK no longer resolves.  Scale shape: per relationship, both
+    sides project to the single key column and a NATIVE left_anti hash
+    join counts the orphans — no broadcast of the (unbounded) parent
+    key set, no driver state."""
+    from ..stages.joins import coalesce_for_join
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    rels = [
+        ("lineitem.l_orderkey->orders",
+         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey", 97),
+        ("lineitem.l_partkey->part",
+         _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+         _read(sf_dir, "part", ["p_partkey"]), "p_partkey", 89),
+        ("orders.o_custkey->customer",
+         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", 53),
+    ]
+    rows = []
+    for name, child, fk, parent, pk, prime in rels:
+        surviving = parent.map_batches(
+            lambda b, _pk=pk, _p=prime: b.filter(
+                pa.array(b.column(_pk).to_numpy() % _p != 0)),
+            batch_format="pyarrow")
+        n_child = child.count()
+        orphans = coalesce_for_join(child, nparts).join(
+            coalesce_for_join(surviving.materialize(), nparts),
+            join_type="left_anti", num_partitions=nparts,
+            on=(fk,), right_on=(pk,))
+        n_orph = orphans.count()
+        rows.append({"relationship": name,
+                     "n_child": np.int64(n_child),
+                     "n_orphans": np.int64(n_orph),
+                     "orphan_ppm": np.int64(
+                         n_orph * 1_000_000 // n_child)})
+    out = pd.DataFrame(rows).sort_values("relationship")
+    out["relationship"] = out["relationship"].astype(str)
+    for c in ("n_child", "n_orphans", "orphan_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q282_SQL = """
+WITH r1 AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+         count(*) AS n_child,
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 97 <> 0
+         )) AS n_orphans
+  FROM lineitem l),
+r2 AS (
+  SELECT 'lineitem.l_partkey->part',
+         count(*),
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM part p
+           WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 89 <> 0))
+  FROM lineitem l),
+r3 AS (
+  SELECT 'orders.o_custkey->customer',
+         count(*),
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM customer c
+           WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 53 <> 0))
+  FROM orders o),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3)
+SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+FROM u ORDER BY relationship
+"""
+
+
+def q283_snapshot_table_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot table diff (stages/joins.py:snapshot_diff — the
+    load-over-load audit): snapshot B is derived from orders by a
+    deterministic mutation both engines replay (keys % 97 deleted,
+    o_totalprice bumped where % 89, % 83 keys cloned as new rows with
+    key + 10M), then diffed on (o_custkey, o_orderstatus,
+    o_totalprice).  ONE crc(key) exchange, vectorized in-bucket outer
+    merge; the summary folds row-level diffs to (change_type,
+    changed_cols) counts.  Oracle: FULL OUTER JOIN + CASE."""
+    from ..stages.joins import snapshot_diff
+
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    a = _read(sf_dir, "orders", ["o_orderkey"] + cols)
+
+    def mutate(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        keep = df[df["o_orderkey"] % 97 != 0].copy()
+        bump = (keep["o_orderkey"] % 89 == 0).to_numpy()
+        keep.loc[bump, "o_totalprice"] = (
+            keep.loc[bump, "o_totalprice"] + 1.0)
+        clones = df[df["o_orderkey"] % 83 == 0].copy()
+        clones["o_orderkey"] = clones["o_orderkey"] + 10_000_000
+        return pd.concat([keep, clones], ignore_index=True)
+
+    b = a.map_batches(mutate, batch_format="pyarrow")
+    d = snapshot_diff(a, b, key="o_orderkey", cols=cols)
+    out = (d.groupby(["change_type", "changed_cols"]).count()
+           .to_pandas())
+    ccol = [c for c in out.columns
+            if c not in ("change_type", "changed_cols")][0]
+    out = out.rename(columns={ccol: "n"})
+    out["change_type"] = out["change_type"].astype(str)
+    out["changed_cols"] = out["changed_cols"].astype(str)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["change_type", "changed_cols"])
+            .reset_index(drop=True))
+
+
+Q283_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 83 = 0),
+f AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_custkey <> b.o_custkey
+                OR a.o_orderstatus <> b.o_orderstatus
+                OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+              ELSE rtrim(
+       (CASE WHEN a.o_custkey <> b.o_custkey
+             THEN 'o_custkey,' ELSE '' END) ||
+       (CASE WHEN a.o_orderstatus <> b.o_orderstatus
+             THEN 'o_orderstatus,' ELSE '' END) ||
+       (CASE WHEN a.o_totalprice <> b.o_totalprice
+             THEN 'o_totalprice,' ELSE '' END), ',') END AS changed_cols
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT change_type, changed_cols, CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -14981,6 +15183,9 @@ QUERIES: dict[str, tuple] = {
     "q278_association_rules": (q278_association_rules, Q278_SQL),
     "q279_luby_mis": (q279_luby_mis, Q279_SQL),
     "q280_twap": (q280_twap, Q280_SQL),
+    "q281_kmv_distinct": (q281_kmv_distinct, Q281_SQL),
+    "q282_referential_integrity": (q282_referential_integrity, Q282_SQL),
+    "q283_snapshot_table_diff": (q283_snapshot_table_diff, Q283_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -471,3 +471,41 @@ def test_bloom_semijoin_prunes_and_is_exact(ray_session):
     assert survivors < total * 0.6
     fp = survivors - int(true_mask.sum())
     assert fp <= max(10, 0.01 * total)
+
+
+def test_snapshot_diff_change_types_and_mask(ray_session):
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.joins import snapshot_diff
+
+    a = rd.from_items([
+        {"k": 1, "x": 10, "y": "a"},
+        {"k": 2, "x": 20, "y": "b"},
+        {"k": 3, "x": 30, "y": "c"},
+        {"k": 4, "x": 40, "y": "d"},
+    ])
+    b = rd.from_items([
+        {"k": 1, "x": 10, "y": "a"},     # unchanged
+        {"k": 2, "x": 99, "y": "b"},     # changed: x
+        {"k": 3, "x": 31, "y": "z"},     # changed: x,y
+        {"k": 5, "x": 50, "y": "e"},     # added (4 removed)
+    ])
+    out = (snapshot_diff(a, b, key="k", cols=["x", "y"]).to_pandas()
+           .set_index("k").sort_index())
+    assert out.loc[1, "change_type"] == "unchanged"
+    assert out.loc[2, "change_type"] == "changed"
+    assert out.loc[2, "changed_cols"] == "x"
+    assert out.loc[3, "changed_cols"] == "x,y"
+    assert out.loc[4, "change_type"] == "removed"
+    assert out.loc[5, "change_type"] == "added"
+    assert (out.loc[[1, 4, 5], "changed_cols"] == "").all()
+
+
+def test_snapshot_diff_duplicate_key_raises(ray_session):
+    import pytest
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.joins import snapshot_diff
+
+    a = rd.from_items([{"k": 1, "x": 1}, {"k": 1, "x": 2}])
+    b = rd.from_items([{"k": 1, "x": 1}])
+    with pytest.raises(Exception, match="duplicate"):
+        snapshot_diff(a, b, key="k", cols=["x"]).to_pandas()

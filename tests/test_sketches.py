@@ -203,3 +203,30 @@ def test_cms_hash_rows_are_independent():
                 all_rows += 1
     assert same0 > 50          # collisions in one row are common at w=128
     assert all_rows == 0       # but never in all four rows
+
+
+def test_grouped_kmv_distinct_accuracy_and_exact_fallback(ray_session):
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        grouped_kmv_distinct)
+
+    # group 'big': 5000 distinct values -> sketch path (k=64);
+    # group 'small': 10 distinct -> exact fallback
+    rows = [{"g": "big", "v": i} for i in range(5000)]
+    rows += [{"g": "big", "v": i} for i in range(1000)]  # repeats collapse
+    rows += [{"g": "small", "v": i} for i in range(10)] * 3
+    ds = rd.from_items(rows).repartition(8)
+    out = (grouped_kmv_distinct(ds, key="g", value="v", k=64)
+           .set_index("g"))
+    small = out.loc["small"]
+    assert small["kmv_estimate"] == 10 and small["n_sketch"] == 10
+    big = out.loc["big"]
+    # KMV with k=64: relative error ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert abs(big["kmv_estimate"] - 5000) / 5000 < 0.4
+    assert big["n_sketch"] == 64
+
+    # mergeability: block layout must not change the result
+    out2 = (grouped_kmv_distinct(ds.repartition(2), key="g",
+                                 value="v", k=64).set_index("g"))
+    assert out2["kmv_estimate"].to_dict() == out["kmv_estimate"].to_dict()
+    assert out2["h_k"].to_dict() == out["h_k"].to_dict()
