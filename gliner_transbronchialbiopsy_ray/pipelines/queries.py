@@ -14849,6 +14849,114 @@ FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def btb_mp2_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL MPEG-1 Layer II PAYLOAD decode (stages/multimodal.py:
+    decode_mp2_frame + Mp2SubbandDecoder): deterministic synthetic
+    Layer II streams across channel modes and ALL FOUR B.2 allocation
+    tables (a/b/c/d via bitrate/samplerate selection), all scfsi
+    sharing modes, grouped 3/5/9-step classes — bitstream unpack +
+    the formula-exact requantizer to subband samples, with crc32 over
+    the raw quantized codes pinning bit-exact decode.  Layer I/III
+    payloads and garbage rows keep their rows flagged (remaining codec
+    stub is Layer III + H.264/AAC payloads).  Golden-pinned
+    (rows-only); analytic values pinned by tests/test_mp2.py."""
+    from ..stages.multimodal import (_mp2_select_table,
+                                     _mp3_parse_header,
+                                     encode_mp1_frame,
+                                     encode_mp2_frame,
+                                     mp2_subband_features)
+
+    def make_stream(seed: int) -> bytes:
+        mode = (3, 0, 1, 2)[seed % 4]
+        ext = 1 if mode == 1 else 0
+        nch = 1 if mode == 3 else 2
+        # pick a (sr, br) pair that selects each B.2 table across seeds
+        # mono seeds (0, 4) land on the low-rate tables d and c, which
+        # only exist at low bitrate-per-channel
+        sr_idx, br_idx = [(2, 4), (1, 14), (0, 13), (0, 12),
+                          (0, 4), (1, 12), (2, 5), (0, 14)][seed % 8]
+        if nch == 2 and br_idx <= 5:
+            br_idx = 13  # low rates can't carry the 2-channel payload
+        hdr = _mp3_parse_header(
+            (((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+              | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+              | (ext << 4)).to_bytes(4, "big") + bytes(4)), 0)
+        _tid, rows = _mp2_select_table(hdr)
+        sblimit = len(rows)
+        bound = min((ext + 1) * 4, sblimit) if mode == 1 else sblimit
+        out = bytearray()
+        if seed % 3 == 1:  # leading ID3v2 tag
+            pad = 16 + seed
+            out += (b"ID3\x03\x00\x00"
+                    + bytes([0, 0, pad >> 7, pad & 0x7F])
+                    + b"x" * pad)
+        for f in range(2 + seed % 2):
+            alloc = np.zeros((32, nch), dtype=np.int64)
+            scfsi = np.zeros((32, nch), dtype=np.int64)
+            scf = np.zeros((3, 32, nch), dtype=np.int64)
+            codes = np.zeros((36, 32, nch), dtype=np.int64)
+            for sb in range(0, sblimit, 2 + nch):
+                if sb >= bound:
+                    alloc[sb, :] = 1 + (sb * 3 + seed + f) % len(rows[sb])
+                else:
+                    for ch in range(nch):
+                        alloc[sb, ch] = (1 + (sb * 3 + seed + f + ch)
+                                         % len(rows[sb]))
+                for ch in range(nch):
+                    ai = int(alloc[sb, ch])
+                    if not ai:
+                        continue
+                    si = (sb + ch + seed) % 4
+                    scfsi[sb, ch] = si
+                    base = (sb * 5 + ch * 7 + seed) % 60
+                    s3 = {0: (base, base + 1, base + 2),
+                          1: (base, base, base + 2),
+                          2: (base, base, base),
+                          3: (base, base + 1, base + 1)}[si]
+                    for p in range(3):
+                        scf[p, sb, ch] = s3[p]
+                    steps = rows[sb][ai - 1]
+                    for s in range(36):
+                        codes[s, sb, ch] = (
+                            s * 31 + sb * 7 + ch * 13 + seed + f) % steps
+            if mode == 1:
+                for sb in range(bound, sblimit):
+                    codes[:, sb, 1] = codes[:, sb, 0]
+            out += encode_mp2_frame(
+                codes, alloc, scfsi, scf, sr_idx=sr_idx, br_idx=br_idx,
+                mode=mode, mode_extension=ext)
+        return bytes(out)
+
+    refs = [f"mp2://{i:02d}" for i in range(8)]
+    payloads = [make_stream(i) for i in range(8)]
+    # Layer I row: flagged unsupported_layer:1 by the Layer II stage
+    l1 = encode_mp1_frame(
+        np.zeros((12, 32, 1), dtype=np.int64),
+        np.zeros((32, 1), dtype=np.int64),
+        np.zeros((32, 1), dtype=np.int64), mode=3)
+    refs.append("mp2://layer1")
+    payloads.append(l1 * 2)
+    refs.append("mp2://bad")
+    payloads.append(b"not-an-mpeg-stream")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    out = (mp2_subband_features(media, n_frames=3, concurrency=2)
+           .to_pandas())
+    rms = out["subband_rms"]
+    out["rms_argmax"] = [
+        int(np.argmax(v)) if len(v) else -1 for v in rms]
+    out["rms_max_ppm"] = [
+        int(round(float(np.max(v)) * 1e6)) if len(v) else -1
+        for v in rms]
+    out = out.drop(columns=["subband_rms"])
+    for c in ("frame_idx", "channels", "active_subbands",
+              "codes_crc32", "rms_argmax", "rms_max_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["media_ref", "frame_idx"])
+            .reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15186,6 +15294,7 @@ QUERIES: dict[str, tuple] = {
     "q281_kmv_distinct": (q281_kmv_distinct, Q281_SQL),
     "q282_referential_integrity": (q282_referential_integrity, Q282_SQL),
     "q283_snapshot_table_diff": (q283_snapshot_table_diff, Q283_SQL),
+    "btb_mp2_decode": (btb_mp2_decode, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

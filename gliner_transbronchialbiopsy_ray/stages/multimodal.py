@@ -9,12 +9,13 @@ Huffman + IDCT, `decode_jpeg`/`encode_jpeg`), GIF (real LZW,
 G.711 u-law/A-law, IMA ADPCM — own RIFF parser) and RAWV video are REAL
 pure-NumPy/stdlib decoders; MP4/ISO-BMFF and MP3/MPEG-audio DEMUX
 (box walk / frame walk, sample+frame tables, O(sampled) byte-range
-extraction) are REAL too, and MPEG-1/2 LAYER I audio payloads decode
-for real (formula-exact requantizer to subband samples — see the
-Layer I section).  Only the remaining compressed codec PAYLOAD decode
-kernels (H.264/AAC samples, Layer II/III audio frames — all gated on
-tabulated allocation/Huffman data) remain stubbed (deterministic
-fakes, clearly marked).  The Ray side —
+extraction) are REAL too, and MPEG-1 LAYER I and LAYER II audio
+payloads decode for real (formula-exact requantizers to subband
+samples; Layer II adds the B.2 allocation tables, grouped 3/5/9-step
+classes and scfsi scalefactor sharing — see the Layer I/II sections).
+Only the remaining compressed codec PAYLOAD decode kernels (H.264/AAC
+samples, Layer III audio frames — gated on large tabulated Huffman
+data) remain stubbed (deterministic fakes, clearly marked).  The Ray side —
 schema, batch sizing, actor signature, output layout — is real and tested
 throughout.  Swap `_decode_stub` for a real codec (PIL/torchaudio) on a
 GPU cluster; the stage contract does not change.
@@ -2971,8 +2972,8 @@ def mp3_frame_features(
 # standard (Annex 3-B.3), so PCM reconstruction stays out of scope and
 # the subband-domain samples (the time-frequency representation the
 # psychoacoustic layer actually codes) are the decoder's output —
-# exactly what a feature-extraction pipeline consumes.  Layer II/III
-# payloads remain the documented stub.
+# exactly what a feature-extraction pipeline consumes.  Layer II has
+# its own decoder below; Layer III payloads remain the documented stub.
 
 
 class _BitReader:
@@ -3170,9 +3171,10 @@ class Mp1SubbandDecoder:
     subband samples; emits per-frame spectral features (per-subband
     RMS over the 12 granules, averaged across channels, float32[32])
     plus a crc32 over the raw quantized codes that pins bit-exact
-    decode.  Layer II/III rows keep their row with
-    decode_status='unsupported_layer:N' — the documented remaining
-    codec stub; demux errors keep rows too (readers never drop)."""
+    decode.  Layer II rows route to Mp2SubbandDecoder; Layer III rows
+    keep their row with decode_status='unsupported_layer:3' — the
+    documented remaining codec stub; demux errors keep rows too
+    (readers never drop)."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
@@ -3246,6 +3248,389 @@ def mp1_subband_features(
     (REAL payload decode; Layer II/III rows pass through flagged)."""
     return media.map_batches(
         Mp1SubbandDecoder,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# --- MPEG-1 Audio Layer II payload decode (ISO 11172-3 §2.4.2.6/B.2/B.4) ---
+# Classes of quantization, Table B.4: steps -> (codeword bits, grouped).
+# Grouped classes pack 3 consecutive samples into one base-`steps`
+# codeword; ungrouped classes send 3 codes of ceil(log2(steps+1)) bits
+# whose all-ones pattern is excluded (steps = 2^nb - 1 levels).
+_MP2_CLASS_BITS = {
+    3: (5, True), 5: (7, True), 9: (10, True),
+    7: (3, False), 15: (4, False), 31: (5, False), 63: (6, False),
+    127: (7, False), 255: (8, False), 511: (9, False), 1023: (10, False),
+    2047: (11, False), 4095: (12, False), 8191: (13, False),
+    16383: (14, False), 32767: (15, False), 65535: (16, False),
+}
+
+# Bit-allocation tables B.2a-d: per subband, the ordered list of step
+# counts for allocation index 1..2^nbal-1 (index 0 = no allocation);
+# nbal = log2(len(list) + 1).
+_B2A_SB0_2 = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+              16383, 32767, 65535]
+_B2A_SB3_10 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+               8191, 65535]
+_B2A_SB11_22 = [3, 5, 7, 9, 15, 31, 65535]
+_B2A_TOP = [3, 5, 65535]
+_B2CD_SB0_1 = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+               8191, 16383, 32767]
+_B2CD_REST = [3, 5, 9, 15, 31, 63, 127]
+
+_MP2_TABLES = {
+    "a": [_B2A_SB0_2] * 3 + [_B2A_SB3_10] * 8 + [_B2A_SB11_22] * 12
+         + [_B2A_TOP] * 4,                                   # sblimit 27
+    "b": [_B2A_SB0_2] * 3 + [_B2A_SB3_10] * 8 + [_B2A_SB11_22] * 12
+         + [_B2A_TOP] * 7,                                   # sblimit 30
+    "c": [_B2CD_SB0_1] * 2 + [_B2CD_REST] * 6,               # sblimit 8
+    "d": [_B2CD_SB0_1] * 2 + [_B2CD_REST] * 10,              # sblimit 12
+}
+
+
+def _mp2_select_table(hdr: dict) -> tuple[str, list[list[int]]]:
+    """Table selection per ISO 11172-3 §2.4.2.6 (the same mapping
+    kjmp2/pl_mpeg tabulate): low rates use the 8/12-subband tables,
+    mid rates B.2a, high rates B.2b except at 48 kHz."""
+    if hdr["version"] != "1":
+        raise ValueError(
+            "MPEG-2 LSF Layer II uses its own allocation table "
+            "(13818-3 Table B.1) — not supported")
+    kbps, sr, nch = hdr["bitrate_kbps"], hdr["sample_rate"], hdr["channels"]
+    if nch == 1:
+        rate_class = 0 if kbps <= 80 else (1 if kbps <= 128 else 2)
+    else:
+        rate_class = 0 if kbps <= 112 else (1 if kbps <= 224 else 2)
+    sr_class = {44100: 0, 48000: 1, 32000: 2}[sr]
+    tid = (("c", "c", "d"), ("a", "a", "a"),
+           ("b", "a", "b"))[rate_class][sr_class]
+    return tid, _MP2_TABLES[tid]
+
+
+def _mp2_nbal(row: list[int]) -> int:
+    return (len(row) + 1).bit_length() - 1
+
+
+def decode_mp2_frame(payload: bytes, offset: int = 0) -> dict:
+    """Decode ONE MPEG-1 Layer II frame at `offset` to exact subband
+    samples (1152 PCM samples = 36 per subband; 12 granules x 3).
+
+    Requantization: for an n-step class, s'' = (2v - (n-1)) / n —
+    algebraically identical to the spec's s'' = C(s''' + D) law with
+    C = 2^nb/n and D = (2^nb - n + 1)/2^nb (Table B.4's constants),
+    so no float table is transcribed.  Grouped classes (3/5/9 steps)
+    unpack one base-n codeword into 3 samples.  scfsi 0..3 expand to
+    the 3 scalefactor parts (12 samples each).  Joint stereo shares
+    allocation AND codes above bound = (mode_extension + 1) * 4,
+    capped at sblimit; scalefactors stay per-channel (§2.4.2.6).
+    Raises on MPEG-2 LSF, scalefactor 63, out-of-range codes, and
+    frames too short for their own fields.
+
+    Returns {header, table_id, sblimit, alloc_idx (32, nch),
+    scfsi (32, nch), scf_idx (3, 32, nch), codes (36, 32, nch),
+    samples (36, 32, nch)}."""
+    hdr = _mp3_parse_header(payload, offset)
+    if hdr["layer"] != 2:
+        raise ValueError(f"not a Layer II frame (layer {hdr['layer']})")
+    tid, rows = _mp2_select_table(hdr)
+    sblimit = len(rows)
+    nch = hdr["channels"]
+    bound = sblimit
+    if hdr["mode"] == "joint_stereo":
+        bound = min((hdr["mode_extension"] + 1) * 4, sblimit)
+    frame = payload[offset:offset + hdr["frame_size"]]
+    if len(frame) < hdr["frame_size"]:
+        raise ValueError("layer2 frame truncated")
+    br = _BitReader(frame, (6 if hdr["crc_protected"] else 4) * 8)
+
+    alloc_idx = np.zeros((32, nch), dtype=np.int64)
+    for sb in range(sblimit):
+        nbal = _mp2_nbal(rows[sb])
+        if sb < bound:
+            for ch in range(nch):
+                alloc_idx[sb, ch] = br.read(nbal)
+        else:
+            alloc_idx[sb, :] = br.read(nbal)
+
+    scfsi = np.zeros((32, nch), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc_idx[sb, ch]:
+                scfsi[sb, ch] = br.read(2)
+
+    scf_idx = np.zeros((3, 32, nch), dtype=np.int64)
+    scf = np.ones((3, 32, nch), dtype=np.float64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc_idx[sb, ch]:
+                continue
+            si = scfsi[sb, ch]
+            if si == 0:
+                i0, i1, i2 = br.read(6), br.read(6), br.read(6)
+            elif si == 1:
+                i0 = br.read(6)
+                i1 = i0
+                i2 = br.read(6)
+            elif si == 2:
+                i0 = br.read(6)
+                i1 = i2 = i0
+            else:
+                i0, i1 = br.read(6), br.read(6)
+                i2 = i1
+            for p, idx in enumerate((i0, i1, i2)):
+                scf_idx[p, sb, ch] = idx
+                scf[p, sb, ch] = _mp1_scalefactor(idx)
+
+    codes = np.zeros((36, 32, nch), dtype=np.int64)
+    samples = np.zeros((36, 32, nch), dtype=np.float64)
+    for gr in range(12):
+        for sb in range(sblimit):
+            chans = range(nch) if sb < bound else (0,)
+            for ch in chans:
+                ai = int(alloc_idx[sb, ch])
+                if not ai:
+                    continue
+                steps = rows[sb][ai - 1]
+                bits, grouped = _MP2_CLASS_BITS[steps]
+                if grouped:
+                    c = br.read(bits)
+                    if c >= steps ** 3:
+                        raise ValueError(
+                            f"layer2 grouped code {c} out of range "
+                            f"(steps {steps})")
+                    vs = (c % steps, (c // steps) % steps,
+                          c // (steps * steps))
+                else:
+                    vs = []
+                    for _ in range(3):
+                        v = br.read(bits)
+                        if v >= steps:
+                            raise ValueError(
+                                "layer2 all-ones code is forbidden "
+                                f"(steps {steps})")
+                        vs.append(v)
+                part = gr // 4
+                tgt = range(nch) if sb >= bound else (ch,)
+                for k, v in enumerate(vs):
+                    s_idx = gr * 3 + k
+                    q = (2 * v - (steps - 1)) / steps
+                    for cch in tgt:
+                        codes[s_idx, sb, cch] = v
+                        samples[s_idx, sb, cch] = scf[part, sb, cch] * q
+    return {"header": hdr, "table_id": tid, "sblimit": sblimit,
+            "alloc_idx": alloc_idx, "scfsi": scfsi, "scf_idx": scf_idx,
+            "codes": codes, "samples": samples}
+
+
+def encode_mp2_frame(
+    codes: np.ndarray,
+    alloc_idx: np.ndarray,
+    scfsi: np.ndarray,
+    scf_idx: np.ndarray,
+    sr_idx: int = 0,
+    br_idx: int = 12,
+    mode: int = 3,
+    mode_extension: int = 0,
+) -> bytes:
+    """Build a VALID MPEG-1 Layer II frame from raw quantized codes —
+    the synthesis dual of decode_mp2_frame (test oracle + synthetic
+    corpora; decode(encode(x)) is bit-exact on codes/alloc/scfsi/scf
+    by construction).  Validates allocation indices against the
+    selected B.2 table, code ranges against the class, scalefactor
+    indices <= 62, and that scf_idx parts obey the scfsi sharing
+    pattern (scfsi=1 -> parts 0,1 equal; 2 -> all equal; 3 -> 1,2
+    equal) so the roundtrip can be exact."""
+    nch = 1 if mode == 3 else 2
+    ver_bits = 3
+    h = ((0x7FF << 21) | (ver_bits << 19) | (2 << 17) | (1 << 16)
+         | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+         | (mode_extension << 4))
+    hdr4 = h.to_bytes(4, "big")
+    hdr = _mp3_parse_header(hdr4 + bytes(4), 0)
+    tid, rows = _mp2_select_table(hdr)
+    sblimit = len(rows)
+    bound = sblimit
+    if mode == 1:
+        bound = min((mode_extension + 1) * 4, sblimit)
+
+    if alloc_idx[sblimit:].any():
+        raise ValueError(f"allocation above sblimit {sblimit} "
+                         f"(table {tid})")
+    bits_out: list[tuple[int, int]] = []
+    for sb in range(sblimit):
+        nbal = _mp2_nbal(rows[sb])
+        for ch in range(nch):
+            if not 0 <= alloc_idx[sb, ch] <= len(rows[sb]):
+                raise ValueError(
+                    f"allocation index {alloc_idx[sb, ch]} out of "
+                    f"range for subband {sb} (table {tid})")
+        if sb >= bound and nch == 2 and \
+                alloc_idx[sb, 0] != alloc_idx[sb, 1]:
+            raise ValueError("joint-stereo allocation must match "
+                             f"above bound {bound} (subband {sb})")
+        if sb < bound:
+            for ch in range(nch):
+                bits_out.append((int(alloc_idx[sb, ch]), nbal))
+        else:
+            bits_out.append((int(alloc_idx[sb, 0]), nbal))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc_idx[sb, ch]:
+                bits_out.append((int(scfsi[sb, ch]), 2))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc_idx[sb, ch]:
+                continue
+            i0, i1, i2 = (int(scf_idx[p, sb, ch]) for p in range(3))
+            for idx in (i0, i1, i2):
+                if not 0 <= idx <= 62:
+                    raise ValueError("layer2 scalefactor index "
+                                     f"{idx} out of range")
+            si = int(scfsi[sb, ch])
+            if si == 0:
+                send = (i0, i1, i2)
+            elif si == 1:
+                if i0 != i1:
+                    raise ValueError("scfsi=1 requires parts 0,1 equal")
+                send = (i0, i2)
+            elif si == 2:
+                if not (i0 == i1 == i2):
+                    raise ValueError("scfsi=2 requires all parts equal")
+                send = (i0,)
+            else:
+                if i1 != i2:
+                    raise ValueError("scfsi=3 requires parts 1,2 equal")
+                send = (i0, i1)
+            bits_out.extend((s, 6) for s in send)
+    for gr in range(12):
+        for sb in range(sblimit):
+            chans = range(nch) if sb < bound else (0,)
+            for ch in chans:
+                ai = int(alloc_idx[sb, ch])
+                if not ai:
+                    continue
+                steps = rows[sb][ai - 1]
+                nbits, grouped = _MP2_CLASS_BITS[steps]
+                vs = [int(codes[gr * 3 + k, sb, ch]) for k in range(3)]
+                for v in vs:
+                    if not 0 <= v < steps:
+                        raise ValueError(
+                            f"layer2 code {v} out of range "
+                            f"(steps {steps}, subband {sb})")
+                if grouped:
+                    bits_out.append(
+                        (vs[0] + steps * vs[1] + steps * steps * vs[2],
+                         nbits))
+                else:
+                    bits_out.extend((v, nbits) for v in vs)
+
+    acc, nacc = 0, 0
+    body = bytearray()
+    for val, n in bits_out:
+        acc = (acc << n) | (val & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            body.append((acc >> nacc) & 0xFF)
+    if nacc:
+        body.append((acc << (8 - nacc)) & 0xFF)
+    frame = bytearray(hdr4) + body
+    size = hdr["frame_size"]
+    if len(frame) > size:
+        raise ValueError(f"layer2 payload exceeds frame size "
+                         f"({len(frame)} > {size}) — raise br_idx")
+    frame += bytes(size - len(frame))
+    return bytes(frame)
+
+
+class Mp2SubbandDecoder:
+    """Actor stage over (media_ref, payload) MPEG-audio rows: REAL
+    Layer II payload decode — evenly-spaced frames located via the
+    strict frame table (O(sampled) bytes touched), decoded to exact
+    subband samples; emits per-frame features (per-subband RMS over
+    the 36 samples, averaged across channels, float32[32]) plus a
+    crc32 over the raw quantized codes pinning bit-exact decode.
+    Layer I/III rows keep their row flagged (Layer I has its own
+    decoder; Layer III/AAC/H.264 payloads are the remaining stub);
+    demux errors keep rows too (readers never drop)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_nch, o_nsb = [], [], [], []
+        o_tid, o_crc, o_rms, o_status = [], [], [], []
+
+        def emit(ref, idx, nch, nsb, tid, crc, rms, status):
+            o_ref.append(ref)
+            o_idx.append(idx)
+            o_nch.append(nch)
+            o_nsb.append(nsb)
+            o_tid.append(tid)
+            o_crc.append(crc)
+            o_rms.append([] if rms is None else rms)
+            o_status.append(status)
+
+        for ref, p in zip(refs, payloads):
+            try:
+                meta = probe_mp3(p)
+                offsets, _sizes, _brs = mp3_frame_table(p)
+            except (ValueError, IndexError, EOFError) as exc:
+                emit(ref, -1, -1, -1, "", 0, None, f"demux_error: {exc}")
+                continue
+            if meta["layer"] != 2:
+                emit(ref, -1, -1, -1, "", 0, None,
+                     f"unsupported_layer:{meta['layer']}")
+                continue
+            picks = np.unique(np.linspace(
+                0, len(offsets) - 1,
+                min(self.n_frames, len(offsets))).astype(np.int64))
+            for k in picks:
+                try:
+                    d = decode_mp2_frame(p, int(offsets[k]))
+                except ValueError as exc:
+                    emit(ref, int(k), -1, -1, "", 0, None,
+                         f"decode_error: {exc}")
+                    continue
+                rms = np.sqrt(
+                    (d["samples"] ** 2).mean(axis=(0, 2))).astype(
+                        np.float32)
+                emit(ref, int(k), d["samples"].shape[2],
+                     int((d["alloc_idx"][:, 0] > 0).sum()),
+                     d["table_id"],
+                     _z.crc32(d["codes"].tobytes()),
+                     rms.tolist(), "ok")
+        return pa.table({
+            "media_ref": pa.array(o_ref, type=pa.string()),
+            "frame_idx": pa.array(o_idx, type=pa.int64()),
+            "channels": pa.array(o_nch, type=pa.int64()),
+            "active_subbands": pa.array(o_nsb, type=pa.int64()),
+            "alloc_table": pa.array(o_tid, type=pa.string()),
+            "codes_crc32": pa.array(o_crc, type=pa.int64()),
+            "subband_rms": pa.array(
+                o_rms, type=pa.list_(pa.float32())),
+            "decode_status": pa.array(o_status, type=pa.string()),
+        })
+
+
+def mp2_subband_features(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """MPEG-audio payload dataset -> Layer II subband-domain features
+    (REAL payload decode; Layer I/III rows pass through flagged)."""
+    return media.map_batches(
+        Mp2SubbandDecoder,
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
