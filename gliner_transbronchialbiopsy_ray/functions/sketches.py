@@ -336,6 +336,7 @@ def grouped_kmv_distinct(
     key: str,
     value: str,
     k: int = 64,
+    keep_hashes: bool = False,
 ) -> pd.DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct-count sketch per key —
     the order-statistics dual of HyperLogLog, with the property HLL
@@ -355,7 +356,9 @@ def grouped_kmv_distinct(
     same multiset SQL's DISTINCT-then-hash sees) and re-takes the k
     smallest.  No raw-row shuffle — the exchange carries only sketch
     partials.  Returns a small driver frame (key, n_sketch, h_k,
-    kmv_estimate); keys are bounded by contract (group cardinality)."""
+    kmv_estimate[, hashes when keep_hashes — the retained bottom-k
+    sample, the input to theta-sketch set operations]); keys are
+    bounded by contract (group cardinality)."""
     m48 = 1 << 48
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -377,9 +380,11 @@ def grouped_kmv_distinct(
         n = len(g)
         h_k = int(g["_hv"].iloc[-1]) if n else 0
         est = (k - 1) * m48 // h_k if (n >= k and h_k > 0) else n
-        return pd.DataFrame({key: [kv], "n_sketch": [np.int64(n)],
-                             "h_k": [np.int64(h_k)],
-                             "kmv_estimate": [np.int64(est)]})
+        out = {key: [kv], "n_sketch": [np.int64(n)],
+               "h_k": [np.int64(h_k)], "kmv_estimate": [np.int64(est)]}
+        if keep_hashes:  # the retained bottom-k sample (theta-sketch ops)
+            out["hashes"] = [g["_hv"].astype("int64").tolist()]
+        return pd.DataFrame(out)
 
     return (grouped.map_groups(fold_named, batch_format="pandas")
             .to_pandas())

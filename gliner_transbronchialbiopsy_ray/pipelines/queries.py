@@ -14957,6 +14957,184 @@ def btb_mp2_decode(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q284_theta_sketch_ops(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Theta-sketch SET OPERATIONS over KMV samples (the capability HLL
+    lacks: intersection estimates from mergeable per-set sketches):
+    distinct 'view' users vs distinct 'purchase' users.  theta =
+    min(h_k) of the two sketches; each retained sample is cut to
+    hashes < theta; est = |sample-set-op| * 2^48 // theta — exact
+    integer arithmetic, so the SQL oracle replays the estimator
+    bit-for-bit (not just an accuracy bound).  Sets under k distinct
+    values keep theta = 2^48 and the estimates degrade to exact.
+    Scale shape: two sketch folds (each ships <= k pairs per batch) +
+    one exact-distinct pass for the err columns; set math on <= 2k
+    driver-side hashes."""
+    from ..functions.sketches import grouped_kmv_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    both = ev.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("event_type").to_numpy(zero_copy_only=False),
+            ("view", "purchase")))),
+        batch_format="pyarrow")
+    sk = grouped_kmv_distinct(both, key="event_type", value="user_id",
+                              k=k, keep_hashes=True).set_index("event_type")
+    m48 = 1 << 48
+    theta_a = int(sk.loc["view", "h_k"]) \
+        if sk.loc["view", "n_sketch"] >= k else m48
+    theta_b = int(sk.loc["purchase", "h_k"]) \
+        if sk.loc["purchase", "n_sketch"] >= k else m48
+    theta = min(theta_a, theta_b)
+    sa = {h for h in sk.loc["view", "hashes"] if h < theta}
+    sb = {h for h in sk.loc["purchase", "hashes"] if h < theta}
+    est_inter = len(sa & sb) * m48 // theta
+    est_union = len(sa | sb) * m48 // theta
+
+    # exact side: one distinct-pair exchange, flags folded per user
+    def flags(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "v": (df["event_type"] == "view").astype("int64"),
+            "p": (df["event_type"] == "purchase").astype("int64")})
+
+    f = (both.map_batches(flags, batch_format="pyarrow")
+         .groupby("user_id").max(["v", "p"]).to_pandas())
+    vc = f["max(v)"].astype(bool)
+    pc_ = f["max(p)"].astype(bool)
+    n_inter = int((vc & pc_).sum())
+    n_union = int((vc | pc_).sum())
+    return pd.DataFrame({
+        "pair": ["view*purchase"],
+        "n_exact_inter": np.array([n_inter], dtype="int64"),
+        "est_inter": np.array([est_inter], dtype="int64"),
+        "n_exact_union": np.array([n_union], dtype="int64"),
+        "est_union": np.array([est_union], dtype="int64")})
+
+
+Q284_SQL = """
+WITH va AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view'),
+pu AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'purchase'),
+ha AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv FROM va),
+hb AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv FROM pu),
+ka AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+                       FROM ha) WHERE rn <= 64),
+kb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+                       FROM hb) WHERE rn <= 64),
+th AS (
+  SELECT least(
+    CASE WHEN (SELECT count(*) FROM ha) >= 64
+         THEN (SELECT max(hv) FROM ka) ELSE 281474976710656 END,
+    CASE WHEN (SELECT count(*) FROM hb) >= 64
+         THEN (SELECT max(hv) FROM kb) ELSE 281474976710656 END) AS theta),
+sa AS (SELECT hv FROM ka, th WHERE hv < theta),
+sb AS (SELECT hv FROM kb, th WHERE hv < theta),
+ii AS (SELECT count(*) AS n FROM (SELECT hv FROM sa INTERSECT
+                                  SELECT hv FROM sb)),
+uu AS (SELECT count(*) AS n FROM (SELECT hv FROM sa UNION
+                                  SELECT hv FROM sb)),
+xx AS (SELECT
+  (SELECT count(*) FROM (SELECT user_id FROM va INTERSECT
+                         SELECT user_id FROM pu)) AS n_inter,
+  (SELECT count(*) FROM (SELECT user_id FROM va UNION
+                         SELECT user_id FROM pu)) AS n_union)
+SELECT 'view*purchase' AS pair,
+       CAST(xx.n_inter AS BIGINT) AS n_exact_inter,
+       CAST(ii.n * 281474976710656 // th.theta AS BIGINT) AS est_inter,
+       CAST(xx.n_union AS BIGINT) AS n_exact_union,
+       CAST(uu.n * 281474976710656 // th.theta AS BIGINT) AS est_union
+FROM xx, ii, uu, th
+"""
+
+
+def q285_grouped_ols_slope(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordinary-least-squares TREND of event value over event
+    rank (the drift detector a metrics pipeline fits per key): slope
+    in exact integer ppm via the closed form
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = 0-based rank in
+    (ts, event_id) order, y = value cents.  Moments are distributive —
+    ONE crc(user) exchange on the keyed-window scaffold, Python-int
+    cross products in the fold (n*Sxy*1e6 exceeds int64; the oracle
+    casts to HUGEINT for the same reason), sign-aware truncation so
+    DuckDB's // agrees on negative slopes.  Users with < 2 events are
+    dropped (degenerate fit)."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "ts_ns": (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                      .astype("int64")),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype("int64")})
+
+    def ols(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_ns", "event_id"], kind="stable")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            n = len(gg)
+            if n < 2:
+                continue
+            y = [int(v) for v in gg["cents"]]
+            sx = n * (n - 1) // 2
+            sxx = (n - 1) * n * (2 * n - 1) // 6
+            sy = sum(y)
+            sxy = sum(i * v for i, v in enumerate(y))
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            sgn = 1 if num >= 0 else -1
+            rows.append({"user_id": np.int64(uid),
+                         "n_events": np.int64(n),
+                         "slope_ppm": np.int64(
+                             sgn * (abs(num) * 1_000_000 // den))})
+        if not rows:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "slope_ppm": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    out = hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=ols).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q285_SQL = """
+WITH v AS (
+  SELECT user_id,
+         CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS HUGEINT) AS x,
+         CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y) AS sy, sum(x * y) AS sxy
+  FROM v GROUP BY user_id HAVING count(*) >= 2),
+s AS (
+  SELECT user_id, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM m)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+            * (abs(num) * 1000000 // den) AS BIGINT) AS slope_ppm
+FROM s ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15295,6 +15473,8 @@ QUERIES: dict[str, tuple] = {
     "q282_referential_integrity": (q282_referential_integrity, Q282_SQL),
     "q283_snapshot_table_diff": (q283_snapshot_table_diff, Q283_SQL),
     "btb_mp2_decode": (btb_mp2_decode, None),
+    "q284_theta_sketch_ops": (q284_theta_sketch_ops, Q284_SQL),
+    "q285_grouped_ols_slope": (q285_grouped_ols_slope, Q285_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
