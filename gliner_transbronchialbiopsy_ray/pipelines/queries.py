@@ -15135,6 +15135,286 @@ FROM s ORDER BY user_id
 """
 
 
+def q286_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Per-group winsorization audit (the robust-clipping step feature
+    pipelines apply before training): order totals clipped at the
+    exact discrete p05/p95 per order priority, reporting the clipped
+    sums and clip counts.  Exact quantiles from ONE co-location pass
+    (stages/stats.py:grouped_quantile_disc), then the 5-row fence
+    table BROADCASTS into a second streamed pass that clips and folds
+    combiner-first — the big table shuffles zero times.  Oracle:
+    quantile_disc + greatest/least."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b.column("o_totalprice").to_numpy() * 100).astype("int64")
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pa.array(c)})
+
+    vals = orders.map_batches(cents, batch_format="pyarrow")
+    from ..stages.stats import grouped_quantile_disc
+    q = grouped_quantile_disc(
+        vals, ["o_orderpriority"], "cents",
+        [("p05_cents", 1, 20), ("p95_cents", 19, 20)]).to_pandas()
+    fences = ray.put({
+        str(r.o_orderpriority): (int(r.p05_cents), int(r.p95_cents))
+        for r in q.itertuples()})
+
+    def clip(b: pa.Table) -> pd.DataFrame:
+        f = ray.get(fences)
+        df = b.to_pandas()
+        pr = df["o_orderpriority"].astype(str).to_numpy()
+        v = df["cents"].to_numpy()
+        lo = np.array([f[p][0] for p in pr], dtype="int64")
+        hi = np.array([f[p][1] for p in pr], dtype="int64")
+        w = np.clip(v, lo, hi)
+        part = pd.DataFrame({
+            "o_orderpriority": pr, "sum_cents": v, "wins_cents": w,
+            "n_lo": (v < lo).astype("int64"),
+            "n_hi": (v > hi).astype("int64")})
+        return (part.groupby("o_orderpriority", sort=False)
+                .agg(sum_cents=("sum_cents", "sum"),
+                     wins_cents=("wins_cents", "sum"),
+                     n_lo=("n_lo", "sum"), n_hi=("n_hi", "sum"))
+                .reset_index())
+
+    t = (vals.map_batches(clip, batch_format="pyarrow").to_pandas()
+         .groupby("o_orderpriority", sort=False).sum().reset_index())
+    out = q.merge(t, on="o_orderpriority")
+    out["o_orderpriority"] = out["o_orderpriority"].astype(str)
+    for c in ("p05_cents", "p95_cents", "sum_cents", "wins_cents",
+              "n_lo", "n_hi"):
+        out[c] = out[c].astype("int64")
+    return (out[["o_orderpriority", "p05_cents", "p95_cents",
+                 "sum_cents", "wins_cents", "n_lo", "n_hi"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+Q286_SQL = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+q AS (
+  SELECT o_orderpriority,
+         CAST(quantile_disc(cents, 0.05) AS BIGINT) AS p05_cents,
+         CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95_cents
+  FROM v GROUP BY 1)
+SELECT v.o_orderpriority, q.p05_cents, q.p95_cents,
+       CAST(sum(v.cents) AS BIGINT) AS sum_cents,
+       CAST(sum(greatest(q.p05_cents, least(q.p95_cents, v.cents)))
+            AS BIGINT) AS wins_cents,
+       CAST(count(*) FILTER (WHERE v.cents < q.p05_cents)
+            AS BIGINT) AS n_lo,
+       CAST(count(*) FILTER (WHERE v.cents > q.p95_cents)
+            AS BIGINT) AS n_hi
+FROM v JOIN q USING (o_orderpriority)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def q288_rolling_zscore_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Rolling z-score anomaly detection in EXACT integer arithmetic
+    (the streaming-metrics outlier flag, with the float trap removed):
+    per user, over the trailing 24 events (ROWS window, current row
+    included), flag |z| > 2 via the cross-multiplied identity
+    z^2 > 4  <=>  n*(n*x - s1)^2 > 4*n*(n*s2 - s1^2) / n ... reduced
+    to (n*x - s1)^2 > 4*(n*s2 - s1^2) — no sqrt, no division, so the
+    SQL oracle replays it bit-for-bit.  ONE crc(user) exchange;
+    in-bucket the rolling sums are two cumsum-diff arrays.  Windows
+    shorter than 4 rows never flag (degenerate variance)."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = 24
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_ns": (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                      .astype("int64")),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype("int64")})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_ns", "event_id"], kind="stable")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            x = gg["cents"].to_numpy("int64")
+            n_r = len(x)
+            c1 = np.concatenate([[0], np.cumsum(x)])
+            c2 = np.concatenate([[0], np.cumsum(x * x)])
+            lo = np.maximum(0, np.arange(n_r) - W + 1)
+            hi = np.arange(n_r) + 1
+            n = (hi - lo).astype("int64")
+            s1 = c1[hi] - c1[lo]
+            s2 = c2[hi] - c2[lo]
+            dev = n * x - s1
+            var4 = 4 * (n * s2 - s1 * s1)
+            flag = (n >= 4) & (dev * dev > var4)
+            rows.append(pd.DataFrame({
+                "event_id": gg["event_id"].to_numpy("int64"),
+                "user_id": np.int64(uid),
+                "win_n": n,
+                "is_anomaly": flag.astype("int64")}))
+        if not rows:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "win_n": pd.Series([], dtype="int64"),
+                "is_anomaly": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=roll).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q288_SQL = """
+WITH v AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS x, ts
+  FROM events),
+w AS (
+  SELECT event_id, user_id, x,
+         count(*) OVER win AS n,
+         sum(x) OVER win AS s1,
+         sum(x * x) OVER win AS s2
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS win_n,
+       CAST(CASE WHEN n >= 4
+                  AND (n * x - s1) * (n * x - s1)
+                      > 4 * (n * s2 - s1 * s1)
+             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w ORDER BY event_id
+"""
+
+
+def q287_temporal_reachability(sf_dir: str, rounds: int = 3) -> pd.DataFrame:
+    """Time-respecting earliest-arrival reachability
+    (stages/graph.py:temporal_earliest_arrival) over the supply-chain
+    temporal graph: customer -> supplier edges stamped with the ORDER
+    date, supplier -> customer edges stamped with the SHIP date — a
+    path is realizable only with non-decreasing edge times, the
+    semantics static BFS gets wrong.  Suppliers carry the -(s+1)
+    encoding (key 0 collision lesson, ADVICE r2).  Seeds: customers
+    with key % 500 = 0 at t0 = epoch.  Bounded rounds unroll to a
+    MATERIALIZED-CTE oracle replaying the identical min-merge
+    trajectory."""
+    from ..stages.graph import temporal_earliest_arrival
+    from ..stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li_sh = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    DAY_NS = 86_400_000_000_000
+
+    def order_days(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_days": (pd.to_datetime(df["o_orderdate"])
+                       .astype("datetime64[ns]").astype("int64")
+                       // DAY_NS)})
+
+    od = orders.map_batches(order_days, batch_format="pyarrow")
+    joined = smart_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def fwd(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "src": df["o_custkey"].astype("int64"),
+            "dst": (-(df["l_suppkey"].astype("int64") + 1)),
+            "t": df["o_days"].astype("int64")})
+
+    def ship_days(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "s_days": (pd.to_datetime(df["l_shipdate"])
+                       .astype("datetime64[ns]").astype("int64")
+                       // DAY_NS)})
+
+    jb = smart_join(
+        li_sh.map_batches(ship_days, batch_format="pyarrow"),
+        od.map_batches(
+            lambda b: b.select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey")
+
+    def bwd(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "src": (-(df["l_suppkey"].astype("int64") + 1)),
+            "dst": df["o_custkey"].astype("int64"),
+            "t": df["s_days"].astype("int64")})
+
+    edges = (joined.map_batches(fwd, batch_format="pyarrow")
+             .union(jb.map_batches(bwd, batch_format="pyarrow")))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    seeds = cust.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b.column("c_custkey").to_numpy()[
+                b.column("c_custkey").to_numpy() % 500 == 0]
+            .astype("int64")}).assign(t0=np.int64(0)),
+        batch_format="pyarrow")
+
+    out = temporal_earliest_arrival(
+        edges, seeds, rounds=rounds).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["t_arr"] = out["t_arr"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q287_sql(rounds: int = 3) -> str:
+    parts = ["""
+WITH oe AS MATERIALIZED (
+  SELECT o.o_custkey AS src, -(l.l_suppkey + 1) AS dst,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT -(l.l_suppkey + 1), o.o_custkey,
+         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+a0 AS MATERIALIZED (
+  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS t_arr
+  FROM customer WHERE c_custkey % 500 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT node, min(t_arr) AS t_arr FROM (
+    SELECT node, t_arr FROM a{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS t_arr
+    FROM a{r - 1} p JOIN oe e
+      ON e.src = p.node AND e.t >= p.t_arr
+  ) GROUP BY node)""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(t_arr AS BIGINT) AS t_arr
+FROM a{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+Q287_SQL = _q287_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15475,6 +15755,9 @@ QUERIES: dict[str, tuple] = {
     "btb_mp2_decode": (btb_mp2_decode, None),
     "q284_theta_sketch_ops": (q284_theta_sketch_ops, Q284_SQL),
     "q285_grouped_ols_slope": (q285_grouped_ols_slope, Q285_SQL),
+    "q286_winsorize": (q286_winsorize, Q286_SQL),
+    "q287_temporal_reachability": (q287_temporal_reachability, Q287_SQL),
+    "q288_rolling_zscore_anomalies": (q288_rolling_zscore_anomalies, Q288_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

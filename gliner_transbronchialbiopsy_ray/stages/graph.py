@@ -3649,3 +3649,118 @@ def luby_mis(
             dtype="int64"),
     })
     return ray.data.from_pandas(rows)
+
+
+def temporal_earliest_arrival(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    t: str = "t",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Time-respecting earliest-arrival reachability over a temporal
+    edge set (Kempe-Kleinberg-Kumar temporal paths — the traversal
+    where an edge is usable only at its timestamp): arrival[v] = the
+    minimum final edge time of a path seed ->* v whose edge times are
+    NON-DECREASING and start at or after the seed's start time
+    (waiting at a node is allowed).  Static BFS over-reports here — a
+    path that uses a Tuesday edge before a Monday edge is not
+    realizable; this operator is the primitive for supply-chain /
+    contagion / information-flow analyses.
+
+    Per round: ONE native hash join (frontier x edges on `src`,
+    keeping rows with edge time >= the frontier arrival) and ONE
+    union+grouped-min fold that merges improvements into the state —
+    the k_hop_reachability shape with (node, t_arr) state instead of
+    (node, hops).  Semi-naive: only nodes whose arrival IMPROVED last
+    round re-expand (an unimproved node's expansions were already
+    folded — min-merge makes the full and incremental frontiers
+    equivalent, which is also why a fixed `rounds` unrolls to a SQL
+    oracle).  State is MATERIALIZED between rounds (iterative lineage
+    rule).  `seeds`: dataset (node, t0).  Output: (node, t_arr) for
+    every node reached within `rounds` temporal hops."""
+    from .joins import coalesce_for_join
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 2
+
+    def norm(ds, node_col, t_col):
+        return ds.map_batches(
+            lambda b: pa.table({
+                "node": b.column(node_col).cast(pa.int64()),
+                "t_arr": b.column(t_col).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    e = edges.map_batches(
+        lambda b: pa.table({
+            src: b.column(src).cast(pa.int64()),
+            dst: b.column(dst).cast(pa.int64()),
+            t: b.column(t).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    state = (norm(seeds, "node", "t0")
+             .groupby("node").min("t_arr")
+             .map_batches(lambda b: pa.table({
+                 "node": b.column("node"),
+                 "t_arr": b.column("min(t_arr)")}),
+                 batch_format="pyarrow")
+             .materialize())
+    frontier = state
+    for _ in range(rounds):
+        if frontier.count() == 0:
+            break
+        j = coalesce_for_join(frontier, num_partitions).join(
+            coalesce_for_join(e, num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("node",), right_on=(src,))
+
+        def expand(b: pa.Table) -> pa.Table:
+            ok = pc.greater_equal(b.column(t), b.column("t_arr"))
+            f = b.filter(ok)
+            return pa.table({"node": f.column(dst).cast(pa.int64()),
+                             "t_arr": f.column(t).cast(pa.int64())})
+
+        cand = (j.map_batches(expand, batch_format="pyarrow")
+                .groupby("node").min("t_arr")
+                .map_batches(lambda b: pa.table({
+                    "node": b.column("node"),
+                    "cand_t": b.column("min(t_arr)")}),
+                    batch_format="pyarrow"))
+        if cand.count() == 0:
+            break
+        # merge + improvement detection in ONE grouped fold: tag sides
+        tagged = state.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"), "t_val": b.column("t_arr"),
+                "is_old": pa.array(np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow").union(cand.map_batches(
+                lambda b: pa.table({
+                    "node": b.column("node"),
+                    "t_val": b.column("cand_t"),
+                    "is_old": pa.array(np.zeros(b.num_rows, dtype=bool))}),
+                batch_format="pyarrow"))
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            best = g.groupby("node", sort=False)["t_val"].min()
+            old = (g[g["is_old"]].groupby("node", sort=False)["t_val"]
+                   .min())
+            out = best.reset_index().rename(columns={"t_val": "t_arr"})
+            om = out["node"].map(old)
+            out["improved"] = om.isna() | (out["t_arr"] < om)
+            return out
+
+        merged = (tagged.groupby("node")
+                  .map_groups(fold, batch_format="pandas")
+                  .materialize())
+        state = merged.map_batches(
+            lambda b: b.select(["node", "t_arr"]),
+            batch_format="pyarrow").materialize()
+        frontier = merged.map_batches(
+            lambda b: b.filter(b.column("improved"))
+            .select(["node", "t_arr"]),
+            batch_format="pyarrow").materialize()
+    return state

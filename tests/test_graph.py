@@ -1127,3 +1127,37 @@ def test_luby_mis_bounded_rounds_leave_alive_rows():
     zero = luby_mis(star, rounds=0).to_pandas()
     assert (zero["status"] == "alive").all()
     assert (zero["decided_round"] == -1).all()
+
+
+def test_temporal_earliest_arrival_respects_time_order():
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        temporal_earliest_arrival)
+
+    edges = rd.from_items([
+        {"src": 1, "dst": 2, "t": 5},
+        {"src": 2, "dst": 3, "t": 3},   # decreasing after 5: unusable
+        {"src": 2, "dst": 3, "t": 7},
+        {"src": 1, "dst": 4, "t": 1},
+        {"src": 4, "dst": 3, "t": 2},
+        {"src": 3, "dst": 5, "t": 1},   # before any arrival at 3
+    ])
+    seeds = rd.from_items([{"node": 1, "t0": 0}])
+    out = (temporal_earliest_arrival(edges, seeds, rounds=4)
+           .to_pandas().set_index("node")["t_arr"].to_dict())
+    # static BFS would reach 5; temporal order forbids it (3 arrives
+    # at t=2 earliest, the 3->5 edge fired at t=1)
+    assert out == {1: 0, 2: 5, 3: 2, 4: 1}
+
+    # a later seed start invalidates early edges
+    late = rd.from_items([{"node": 1, "t0": 6}])
+    out2 = (temporal_earliest_arrival(edges, late, rounds=4)
+            .to_pandas().set_index("node")["t_arr"].to_dict())
+    assert out2 == {1: 6}
+
+    # waiting is allowed: equal times chain (non-strict >=)
+    eq = rd.from_items([{"src": 1, "dst": 2, "t": 4},
+                        {"src": 2, "dst": 3, "t": 4}])
+    out3 = (temporal_earliest_arrival(
+        eq, rd.from_items([{"node": 1, "t0": 4}]), rounds=2)
+        .to_pandas().set_index("node")["t_arr"].to_dict())
+    assert out3 == {1: 4, 2: 4, 3: 4}
