@@ -15415,6 +15415,68 @@ FROM a{rounds} ORDER BY node""")
 Q287_SQL = _q287_sql()
 
 
+def btb_image_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate IMAGE dedup via perceptual hashing
+    (stages/multimodal.py:ImagePerceptualHasher + the signature-
+    agnostic banded-hamming transport from stages/dedup.py): the SAME
+    picture re-encoded across every REAL codec in the engine (PNG,
+    GIF, BMP, TIFF, PPM, baseline JPEG) plus a brightness-shifted
+    copy must collapse into one dHash cluster (hamming 0 — gradients
+    survive re-encode and uniform shifts), while distinct pictures
+    stay apart.  Corrupt rows keep their row flagged.  Golden-pinned
+    (rows-only); invariance pinned analytically in
+    tests/test_multimodal.py."""
+    from ..stages.multimodal import (encode_bmp, encode_gif, encode_jpeg,
+                                     encode_png, encode_ppm, encode_tiff,
+                                     image_phash_neardups)
+
+    def make_img(seed: int) -> np.ndarray:
+        y, x = np.mgrid[0:72, 0:72]
+        return np.stack([
+            (((x + seed * 7) // 18) * 50 % 251).astype(np.uint8),
+            (((y + seed * 13) // 18) * 40 % 251).astype(np.uint8),
+            np.full((72, 72), (seed * 29) % 251, np.uint8)], axis=2)
+
+    refs, payloads = [], []
+    encoders = [("png", encode_png), ("gif", encode_gif),
+                ("bmp", encode_bmp), ("tiff", encode_tiff),
+                ("ppm", encode_ppm), ("jpeg", encode_jpeg)]
+    for seed in range(4):
+        img = make_img(seed)
+        for fmt, enc in encoders:
+            refs.append(f"img://{seed}/{fmt}")
+            payloads.append(enc(img))
+        shifted = np.clip(img.astype(int) + 3, 0, 255).astype(np.uint8)
+        refs.append(f"img://{seed}/shifted")
+        payloads.append(encode_png(shifted))
+    refs.append("img://bad")
+    payloads.append(b"not-an-image")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([None] * len(refs), type=pa.int64()),
+        "height": pa.array([None] * len(refs), type=pa.int64())}))
+    sigs, pairs = image_phash_neardups(media, max_hamming=3)
+    sdf = sigs.to_pandas()
+    pdf = pairs.to_pandas()
+    # summarize: per image cluster, how many of its 7 variants paired
+    sdf["dhash_hex"] = [f"{int(v):016x}" for v in sdf["dhash"]]
+    sdf["ahash_hex"] = [f"{int(v):016x}" for v in sdf["ahash"]]
+    sdf = sdf.drop(columns=["dhash", "ahash"])
+    pdf = pdf.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    out = sdf.merge(
+        pdf.groupby("left_id").size().rename("n_pairs_as_left")
+        .reset_index().rename(columns={"left_id": "media_ref"}),
+        on="media_ref", how="left")
+    out["n_pairs_as_left"] = (out["n_pairs_as_left"].fillna(0)
+                              .astype("int64"))
+    for c in ("img_w", "img_h"):
+        out[c] = out[c].astype("int64")
+    return (out[["media_ref", "dhash_hex", "ahash_hex", "img_w",
+                 "img_h", "decode_status", "n_pairs_as_left"]]
+            .sort_values("media_ref").reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15758,6 +15820,7 @@ QUERIES: dict[str, tuple] = {
     "q286_winsorize": (q286_winsorize, Q286_SQL),
     "q287_temporal_reachability": (q287_temporal_reachability, Q287_SQL),
     "q288_rolling_zscore_anomalies": (q288_rolling_zscore_anomalies, Q288_SQL),
+    "btb_image_phash_dedup": (btb_image_phash_dedup, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

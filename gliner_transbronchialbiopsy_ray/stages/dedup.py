@@ -876,15 +876,35 @@ def simhash_neardup_pairs(
     shuffle — same trick as minhash_candidate_pairs).
 
     Output: (left_id, right_id, hamming)."""
+    sigs = simhash_signatures(docs, concurrency=concurrency)
+    return hamming_neardup_pairs(sigs, max_hamming=max_hamming,
+                                 bands=bands)
+
+
+def hamming_neardup_pairs(
+    sigs: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> ray.data.Dataset:
+    """Banded pigeonhole search for near-duplicate 64-bit fingerprints —
+    the signature-agnostic core of simhash_neardup_pairs, reused by any
+    64-bit perceptual hash (text SimHash, image dHash/aHash, audio
+    fingerprints): any pair with hamming <= max_hamming agrees on >= 1
+    of `bands` sub-keys when bands > max_hamming; explode to band keys,
+    groupby a coarse (band, key) bucket, verify exact hamming inside,
+    keep each pair only in its FIRST shared band.
+
+    `sigs`: dataset with (id_col, sig_col uint64).  Output:
+    (left_id, right_id, hamming)."""
     assert 64 % bands == 0 and bands > max_hamming
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
-    sigs = simhash_signatures(docs, concurrency=concurrency)
-
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sim = batch.column("simhash").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_pylist()
+        sim = batch.column(sig_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
         rep_sim = np.repeat(sim, bands)

@@ -34,6 +34,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
@@ -1713,6 +1714,34 @@ def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+
+def _decode_image_any(p: bytes, w: int | None, h: int | None) -> np.ndarray:
+    """Format-sniffed decode shared by RawImageStage and the perceptual
+    hasher: a payload whose size exactly matches width*height*3 metadata
+    is headerless raw RGB888 (raw pixels can legitimately START with
+    "P6" or the PNG magic, so the metadata match outranks the magic);
+    otherwise PNG/PNM/JPEG/GIF/BMP/TIFF magics route to the real
+    decoders."""
+    raw_size = (w or 0) * (h or 0) * 3
+    if p is not None and len(p) != raw_size:
+        if p[:8] == _PNG_MAGIC:
+            return decode_png(p)
+        if p[:2] in (b"P5", b"P6"):
+            return decode_pnm(p)
+        if p[:2] == b"\xff\xd8":
+            return decode_jpeg(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(p)
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff(p)
+    if p is None or w is None or h is None:
+        raise ValueError("unknown image format (no magic matched and no "
+                         "raw RGB width/height metadata)")
+    return decode_raw_rgb(p, w, h)
+
+
 class RawImageStage:
     """Actor stage over a media-payload dataset (media_ref, payload,
     width, height): REAL decode -> channel statistics features -> real
@@ -1743,27 +1772,7 @@ class RawImageStage:
         feats, resized, status = [], [], []
         for r, p, w, h in zip(refs, payloads, ws, hs):
             try:
-                raw_size = (w or 0) * (h or 0) * 3
-                if p is not None and len(p) != raw_size and (
-                        p[:8] == _PNG_MAGIC):
-                    img = decode_png(p).astype(np.float32)
-                elif p is not None and len(p) != raw_size and p[:2] in (
-                        b"P5", b"P6"):
-                    img = decode_pnm(p).astype(np.float32)
-                elif p is not None and len(p) != raw_size and (
-                        p[:2] == b"\xff\xd8"):
-                    img = decode_jpeg(p).astype(np.float32)
-                elif p is not None and len(p) != raw_size and (
-                        p[:6] in (b"GIF87a", b"GIF89a")):
-                    img = decode_gif(p).astype(np.float32)
-                elif p is not None and len(p) != raw_size and (
-                        p[:2] == b"BM"):
-                    img = decode_bmp(p).astype(np.float32)
-                elif p is not None and len(p) != raw_size and (
-                        p[:4] in (b"II*\x00", b"MM\x00*")):
-                    img = decode_tiff(p).astype(np.float32)
-                else:
-                    img = decode_raw_rgb(p, w, h).astype(np.float32)
+                img = _decode_image_any(p, w, h).astype(np.float32)
             except (ValueError, TypeError) as exc:
                 feats.append(None)
                 resized.append(None)
@@ -3637,3 +3646,117 @@ def mp2_subband_features(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# --- perceptual image hashing (near-duplicate image dedup) ----------------
+
+
+def _int_luma(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma in EXACT integer fixed point:
+    (299 R + 587 G + 114 B) // 1000 — deterministic across platforms,
+    no float rounding in the hash path."""
+    im = img.astype(np.int64)
+    return (299 * im[:, :, 0] + 587 * im[:, :, 1]
+            + 114 * im[:, :, 2]) // 1000
+
+
+def _gray_block_resize(g: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Grayscale downsample: exact integer block mean when the scale
+    divides evenly (sum // count), nearest-neighbor otherwise — the
+    grayscale twin of _area_resize."""
+    h, w = g.shape
+    if h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        return (g.reshape(out_h, fh, out_w, fw).sum(axis=(1, 3))
+                // (fh * fw))
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return g[yi][:, xi]
+
+
+def image_dhash(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): 9x8 integer luma grid, one bit
+    per horizontal gradient (left < right).  Robust to uniform
+    brightness/contrast shifts and re-encodes; bit i = row-major
+    gradient i."""
+    g = _gray_block_resize(_int_luma(img), 9, 8)
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+def image_ahash(img: np.ndarray) -> int:
+    """64-bit average hash (aHash): 8x8 integer luma grid, one bit per
+    cell >= the integer grid mean (sum // 64)."""
+    g = _gray_block_resize(_int_luma(img), 8, 8)
+    mean = int(g.sum()) // 64
+    bits = (g >= mean).ravel()
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class ImagePerceptualHasher:
+    """Actor stage over (media_ref, payload, width, height) image rows:
+    REAL decode via the shared format sniffer, then 64-bit dHash +
+    aHash perceptual fingerprints — the signatures that make image
+    near-dup dedup a 64-bit hamming problem, so the text dedup
+    machinery (stages/dedup.py:hamming_neardup_pairs, banded
+    pigeonhole) applies unchanged.  Failed rows keep their row with
+    hashes 0 and decode_status set (readers never drop)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        dh, ah, ows, ohs, status = [], [], [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            try:
+                img = _decode_image_any(p, w, h)
+            except (ValueError, TypeError) as exc:
+                dh.append(0)
+                ah.append(0)
+                ows.append(-1)
+                ohs.append(-1)
+                status.append(f"decode_error: {exc}")
+                continue
+            dh.append(image_dhash(img))
+            ah.append(image_ahash(img))
+            ohs.append(img.shape[0])
+            ows.append(img.shape[1])
+            status.append("ok")
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "dhash": pa.array(np.array(dh, dtype=np.uint64)),
+            "ahash": pa.array(np.array(ah, dtype=np.uint64)),
+            "img_w": pa.array(ows, type=pa.int64()),
+            "img_h": pa.array(ohs, type=pa.int64()),
+            "decode_status": pa.array(status, type=pa.string()),
+        })
+
+
+def image_phash_neardups(
+    media: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Image near-duplicate detection end to end: decode (actor pool)
+    -> dHash signatures -> banded-pigeonhole hamming pairs (the text
+    SimHash transport, signature-agnostic).  Returns (signatures,
+    pairs); pairs carry (left_id, right_id, hamming) over media_ref."""
+    from .dedup import hamming_neardup_pairs
+
+    sigs = media.map_batches(
+        ImagePerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    ).materialize()
+    ok = sigs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("decode_status"), "ok")),
+        batch_format="pyarrow")
+    pairs = hamming_neardup_pairs(
+        ok, max_hamming=max_hamming, bands=bands,
+        id_col="media_ref", sig_col="dhash")
+    return sigs, pairs

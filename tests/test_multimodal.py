@@ -1298,3 +1298,48 @@ def test_probe_image_header_tiff():
     assert (mg["width"], mg["height"], mg["channels"]) == (11, 6, 1)
     assert probe_image_header(b"II*\x00\xff\xff\xff\xff")["format"] \
         == "unknown"
+
+
+def test_image_perceptual_hash_invariance_and_pairs(ray_session):
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _decode_image_any, encode_bmp, encode_gif, encode_jpeg,
+        encode_png, encode_ppm, encode_tiff, image_ahash, image_dhash,
+        image_phash_neardups)
+
+    y, x = np.mgrid[0:72, 0:72]
+    img = np.stack([((x // 18) * 60).astype(np.uint8),
+                    ((y // 18) * 60).astype(np.uint8),
+                    np.full((72, 72), 40, np.uint8)], axis=2)
+    d0, a0 = image_dhash(img), image_ahash(img)
+    # every real codec round-trip preserves both hashes exactly
+    # (JPEG included: gradients survive quantization on smooth content)
+    for enc in (encode_png, encode_gif, encode_bmp, encode_tiff,
+                encode_ppm, encode_jpeg):
+        dec = _decode_image_any(enc(img), None, None)
+        assert image_dhash(dec) == d0
+        assert image_ahash(dec) == a0
+    # uniform brightness shift: dHash exact (gradients unchanged)
+    sh = np.clip(img.astype(int) + 3, 0, 255).astype(np.uint8)
+    assert image_dhash(sh) == d0
+    # an unrelated image is far in hamming space
+    rng = np.random.RandomState(0)
+    other = rng.randint(0, 255, (72, 72, 3), dtype=np.uint8)
+    assert bin(image_dhash(other) ^ d0).count("1") > 10
+
+    # end-to-end: planted cluster pairs found, distinct not, errors kept
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["a/png", "a/gif", "a/shift", "b/png",
+                               "bad"], type=pa.string()),
+        "payload": pa.array([encode_png(img), encode_gif(img),
+                             encode_png(sh), encode_png(other),
+                             b"junk"], type=pa.binary()),
+        "width": pa.array([None] * 5, type=pa.int64()),
+        "height": pa.array([None] * 5, type=pa.int64())}))
+    sigs, pairs = image_phash_neardups(media, max_hamming=3)
+    sdf = sigs.to_pandas().set_index("media_ref")
+    assert sdf.loc["bad", "decode_status"].startswith("decode_error")
+    got = {tuple(sorted((l, r))) for l, r in
+           zip(pairs.to_pandas()["left_id"], pairs.to_pandas()["right_id"])}
+    assert got == {("a/gif", "a/png"), ("a/png", "a/shift"),
+                   ("a/gif", "a/shift")}
