@@ -15477,6 +15477,64 @@ def btb_image_phash_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("media_ref").reset_index(drop=True))
 
 
+def btb_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate AUDIO dedup via energy fingerprints
+    (stages/multimodal.py:AudioFingerprinter + the shared banded-
+    hamming transport): the SAME recording re-encoded through every
+    REAL audio coding in the engine (PCM16, G.711 u-law/A-law, IMA
+    ADPCM) plus a gain-scaled copy collapses to one hamming-0
+    fingerprint cluster (window-energy RATIOS survive companding,
+    requantization and uniform gain — and the decode_wav fact-chunk
+    trim keeps ADPCM frame-aligned), while different recordings stay
+    apart.  Corrupt rows keep their row flagged.  Golden-pinned
+    (rows-only); invariance pinned in tests/test_multimodal.py."""
+    from ..stages.multimodal import (audio_fingerprint_neardups,
+                                     encode_wav)
+
+    def make_audio(seed: int) -> np.ndarray:
+        rng = np.random.RandomState(100 + seed)
+        W, n_per = 66, 200
+        env = np.repeat(rng.uniform(0.08, 0.85, W), n_per)
+        k = np.hanning(81)
+        env = np.convolve(env, k / k.sum(), mode="same")
+        t = np.arange(W * n_per) / 8000.0
+        f1, f2 = 220 + 37 * seed, 110 + 23 * seed
+        x = env * (0.7 * np.sin(2 * np.pi * f1 * t)
+                   + 0.3 * np.sin(2 * np.pi * f2 * t))
+        return (np.clip(x, -0.99, 0.99) * 32767).astype(np.int16)[:, None]
+
+    refs, payloads = [], []
+    for seed in range(3):
+        xi = make_audio(seed)
+        for fmt in ("pcm16", "ulaw", "alaw", "ima_adpcm"):
+            refs.append(f"wav://{seed}/{fmt}")
+            payloads.append(encode_wav(xi, 8000, fmt=fmt))
+        refs.append(f"wav://{seed}/gain")
+        payloads.append(encode_wav(
+            (xi * 0.25).astype(np.int16), 8000, fmt="pcm16"))
+    refs.append("wav://bad")
+    payloads.append(b"RIFFgarbage-not-a-wave")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    sigs, pairs = audio_fingerprint_neardups(media, max_hamming=3)
+    sdf = sigs.to_pandas()
+    pdf = pairs.to_pandas()
+    sdf["fp_hex"] = [f"{int(v):016x}" for v in sdf["fingerprint"]]
+    sdf = sdf.drop(columns=["fingerprint"])
+    out = sdf.merge(
+        pdf.groupby("left_id").size().rename("n_pairs_as_left")
+        .reset_index().rename(columns={"left_id": "media_ref"}),
+        on="media_ref", how="left")
+    out["n_pairs_as_left"] = (out["n_pairs_as_left"].fillna(0)
+                              .astype("int64"))
+    for c in ("sample_rate", "n_frames"):
+        out[c] = out[c].astype("int64")
+    return (out[["media_ref", "fp_hex", "sample_rate", "n_frames",
+                 "decode_status", "n_pairs_as_left"]]
+            .sort_values("media_ref").reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15821,6 +15879,7 @@ QUERIES: dict[str, tuple] = {
     "q287_temporal_reachability": (q287_temporal_reachability, Q287_SQL),
     "q288_rolling_zscore_anomalies": (q288_rolling_zscore_anomalies, Q288_SQL),
     "btb_image_phash_dedup": (btb_image_phash_dedup, None),
+    "btb_audio_fingerprint": (btb_audio_fingerprint, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -2073,6 +2073,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
     fmt_body = data = None
+    fact_frames = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -2081,6 +2082,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt_body = payload[pos + 8:pos + 8 + size]
         elif cid == b"data":
             data = payload[pos + 8:pos + 8 + size]
+        elif cid == b"fact" and size >= 4:
+            fact_frames = int.from_bytes(
+                payload[pos + 8:pos + 12], "little")
         pos += 8 + size + (size & 1)
     if fmt_body is None or data is None:
         raise ValueError("missing fmt or data chunk")
@@ -2117,10 +2121,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif tag == _WAVE_FMT_IMA_ADPCM:
         x = decode_ima_adpcm(data, nch, balign).astype(
             np.float32) / 32768.0
+        # fact chunk carries the true frame count (WAVE spec for
+        # compressed codings): trim the final block's pad tail so
+        # decode(encode(x)) is frame-count exact
+        if fact_frames is not None and 0 < fact_frames <= len(x):
+            x = x[:fact_frames]
         return x, rate  # decode_ima_adpcm already returns (n, nch)
     else:
         raise ValueError(f"unsupported WAVE format tag: 0x{tag:04x}")
-    return x[:len(x) - len(x) % nch].reshape(-1, nch), rate
+    x = x[:len(x) - len(x) % nch].reshape(-1, nch)
+    if fact_frames is not None and 0 < fact_frames <= len(x):
+        x = x[:fact_frames]
+    return x, rate
 
 
 class RawAudioStage:
@@ -3759,4 +3771,89 @@ def image_phash_neardups(
     pairs = hamming_neardup_pairs(
         ok, max_hamming=max_hamming, bands=bands,
         id_col="media_ref", sig_col="dhash")
+    return sigs, pairs
+
+
+# --- audio fingerprinting (near-duplicate audio dedup) --------------------
+
+
+def audio_energy_fingerprint(x: np.ndarray) -> int:
+    """64-bit audio fingerprint from windowed energy GRADIENTS (the
+    same gradient-sign construction as image_dhash, over time instead
+    of space): mix to mono, split into 65 equal windows, bit i =
+    energy(window i) < energy(window i+1).  Energy ratios are
+    invariant under uniform gain, and window energies survive lossy
+    companding (G.711) and ADPCM requantization — so re-encodes of
+    one recording collapse to hamming-0/near-0 while different
+    recordings land far apart.  `x`: float array (n_frames,
+    n_channels) in [-1, 1] (decode_wav's contract)."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = len(mono)
+    if n < 130:
+        raise ValueError("audio too short to fingerprint (< 130 frames)")
+    W = 65
+    cut = (n // W) * W
+    e = (mono[:cut].astype(np.float64) ** 2).reshape(W, -1).sum(axis=1)
+    bits = (e[:-1] < e[1:])
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class AudioFingerprinter:
+    """Actor stage over (media_ref, payload) WAV rows: REAL decode
+    (PCM / float / G.711 / IMA-ADPCM via decode_wav) -> 64-bit energy
+    fingerprint; failed rows keep their row with fingerprint 0 and
+    decode_status set."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        fp, rate, nfr, status = [], [], [], []
+        for p in payloads:
+            try:
+                x, r = decode_wav(p)
+                f = audio_energy_fingerprint(x)
+            except (ValueError, TypeError) as exc:
+                fp.append(0)
+                rate.append(-1)
+                nfr.append(-1)
+                status.append(f"decode_error: {exc}")
+                continue
+            fp.append(f)
+            rate.append(r)
+            nfr.append(x.shape[0])
+            status.append("ok")
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "fingerprint": pa.array(np.array(fp, dtype=np.uint64)),
+            "sample_rate": pa.array(rate, type=pa.int64()),
+            "n_frames": pa.array(nfr, type=pa.int64()),
+            "decode_status": pa.array(status, type=pa.string()),
+        })
+
+
+def audio_fingerprint_neardups(
+    media: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Audio near-duplicate detection end to end: decode (actor pool)
+    -> energy fingerprints -> banded-pigeonhole hamming pairs (the
+    shared 64-bit transport).  Returns (signatures, pairs)."""
+    from .dedup import hamming_neardup_pairs
+
+    sigs = media.map_batches(
+        AudioFingerprinter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    ).materialize()
+    ok = sigs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("decode_status"), "ok")),
+        batch_format="pyarrow")
+    pairs = hamming_neardup_pairs(
+        ok, max_hamming=max_hamming, bands=bands,
+        id_col="media_ref", sig_col="fingerprint")
     return sigs, pairs

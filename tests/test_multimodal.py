@@ -1343,3 +1343,54 @@ def test_image_perceptual_hash_invariance_and_pairs(ray_session):
            zip(pairs.to_pandas()["left_id"], pairs.to_pandas()["right_id"])}
     assert got == {("a/gif", "a/png"), ("a/png", "a/shift"),
                    ("a/gif", "a/shift")}
+
+
+def test_audio_fingerprint_invariance_and_pairs(ray_session):
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        audio_energy_fingerprint, audio_fingerprint_neardups,
+        decode_wav, encode_wav)
+
+    rng = np.random.RandomState(5)
+    W, n_per = 66, 200
+    env = np.repeat(rng.uniform(0.08, 0.85, W), n_per)
+    k = np.hanning(81)
+    env = np.convolve(env, k / k.sum(), mode="same")
+    t = np.arange(W * n_per) / 8000.0
+    x = np.clip(env * (0.7 * np.sin(2 * np.pi * 330 * t)
+                       + 0.3 * np.sin(2 * np.pi * 187 * t)), -0.99, 0.99)
+    xi = (x * 32767).astype(np.int16)[:, None]
+    f0 = audio_energy_fingerprint(xi.astype(np.float64) / 32768.0)
+    # every real audio coding round-trips to the same fingerprint
+    # (the decode_wav fact-chunk trim keeps ADPCM frame-aligned)
+    for fmt in ("pcm16", "ulaw", "alaw", "ima_adpcm"):
+        y, _ = decode_wav(encode_wav(xi, 8000, fmt=fmt))
+        assert y.shape[0] == len(xi)
+        assert audio_energy_fingerprint(y) == f0, fmt
+    # uniform gain: energy ratios unchanged
+    assert audio_energy_fingerprint(
+        (xi * 0.25).astype(np.int16).astype(np.float64) / 32768.0) == f0
+    # a different recording is far away
+    other = rng.randn(len(xi), 1) * 0.3
+    assert bin(audio_energy_fingerprint(other) ^ f0).count("1") > 10
+    # too-short audio raises (stage keeps the row)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too short"):
+        audio_energy_fingerprint(np.zeros((100, 1)))
+
+    # end-to-end pairs
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["a/pcm", "a/ulaw", "b/pcm", "bad"],
+                              type=pa.string()),
+        "payload": pa.array([
+            encode_wav(xi, 8000, fmt="pcm16"),
+            encode_wav(xi, 8000, fmt="ulaw"),
+            encode_wav((np.clip(other, -0.99, 0.99)
+                        * 32767).astype(np.int16), 8000, fmt="pcm16"),
+            b"RIFFjunk"], type=pa.binary())}))
+    sigs, pairs = audio_fingerprint_neardups(media, max_hamming=3)
+    sdf = sigs.to_pandas().set_index("media_ref")
+    assert sdf.loc["bad", "decode_status"].startswith("decode_error")
+    got = {tuple(sorted((l, r))) for l, r in zip(
+        pairs.to_pandas()["left_id"], pairs.to_pandas()["right_id"])}
+    assert got == {("a/pcm", "a/ulaw")}
