@@ -15535,6 +15535,183 @@ def btb_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
             .sort_values("media_ref").reset_index(drop=True))
 
 
+def q289_conversion_attribution(sf_dir: str) -> pd.DataFrame:
+    """Conversion attribution (first-touch AND last-touch, the
+    marketing-analytics join a clickstream pipeline runs): for each
+    purchase event, the user's first and last 'view' in the trailing
+    7 days (strictly before the purchase; ties on timestamp broken by
+    event_id so both engines pick the same touch).  ONE crc(user)
+    exchange; in-bucket the per-user view lists resolve every purchase
+    with two binary searches — no per-event loop, no self-join.
+    Purchases with no view in the window report -1.  Oracle:
+    correlated min/max subqueries over the same window."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    WIN_NS = 7 * 86_400_000_000_000
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "ts_ns": (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                      .astype("int64"))})
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            v = (gg[gg["event_type"] == "view"]
+                 .sort_values(["ts_ns", "event_id"], kind="stable"))
+            p = gg[gg["event_type"] == "purchase"]
+            if not len(p):
+                continue
+            vt = v["ts_ns"].to_numpy("int64")
+            vid = v["event_id"].to_numpy("int64")
+            pt = p["ts_ns"].to_numpy("int64")
+            pid = p["event_id"].to_numpy("int64")
+            hi = np.searchsorted(vt, pt, side="left")  # strictly before
+            lo = np.searchsorted(vt, pt - WIN_NS, side="left")
+            has = hi > lo
+            first = np.where(has, vid[np.clip(lo, 0, max(len(vid) - 1, 0))]
+                             if len(vid) else -1, -1)
+            last = np.where(has, vid[np.clip(hi - 1, 0,
+                                             max(len(vid) - 1, 0))]
+                            if len(vid) else -1, -1)
+            rows.append(pd.DataFrame({
+                "purchase_event_id": pid,
+                "user_id": np.int64(uid),
+                "first_touch_event_id": first.astype("int64"),
+                "last_touch_event_id": last.astype("int64")}))
+        if not rows:
+            return pd.DataFrame({
+                "purchase_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "first_touch_event_id": pd.Series([], dtype="int64"),
+                "last_touch_event_id": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=attribute).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("purchase_event_id")
+            .reset_index(drop=True))
+
+
+Q289_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(COALESCE((
+         SELECT v.event_id FROM v
+         WHERE v.user_id = p.user_id AND v.ts < p.ts
+           AND v.ts >= p.ts - INTERVAL 7 DAY
+         ORDER BY v.ts, v.event_id LIMIT 1), -1)
+         AS BIGINT) AS first_touch_event_id,
+       CAST(COALESCE((
+         SELECT v.event_id FROM v
+         WHERE v.user_id = p.user_id AND v.ts < p.ts
+           AND v.ts >= p.ts - INTERVAL 7 DAY
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), -1)
+         AS BIGINT) AS last_touch_event_id
+FROM p ORDER BY purchase_event_id
+"""
+
+
+def q290_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Interval-union coverage (the classic islands problem: total
+    time covered by possibly-overlapping intervals): per user, each
+    event opens an interval [ts, ts + (cents % 720) minutes] — a rule
+    both engines replay — and the answer is the union length in
+    minutes plus the island count.  ONE crc(user) exchange; in-bucket
+    the fold is sort + running-max prefix + vectorized clamp (no
+    per-interval loop).  Oracle: the window-max islands technique."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    MIN_NS = 60_000_000_000
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        cents = np.round(df["value"].to_numpy() * 100).astype("int64")
+        start = (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                 .astype("int64"))
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "s_ns": start,
+            "e_ns": start + (cents % 720) * MIN_NS})
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s_ns", "e_ns", "event_id"],
+                          kind="stable")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            s = gg["s_ns"].to_numpy("int64")
+            e = gg["e_ns"].to_numpy("int64")
+            runmax = np.maximum.accumulate(e)
+            prev = np.concatenate([[np.iinfo(np.int64).min],
+                                   runmax[:-1]])
+            new_island = s > prev
+            # covered = sum over rows of max(0, min-growth of runmax)
+            grow = np.where(new_island, e - s,
+                            np.maximum(e - prev, 0))
+            rows.append({"user_id": np.int64(uid),
+                         "covered_min": np.int64(grow.sum() // MIN_NS),
+                         "n_islands": np.int64(new_island.sum())})
+        return pd.DataFrame(rows) if rows else pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "covered_min": pd.Series([], dtype="int64"),
+            "n_islands": pd.Series([], dtype="int64")})
+
+    out = hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=cover).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q290_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(epoch_ns(CAST(ts AS TIMESTAMP)) AS BIGINT) AS s_ns,
+         CAST(epoch_ns(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           + (CAST(round(value * 100) AS BIGINT) % 720)
+             * 60000000000 AS e_ns
+  FROM events),
+o AS (
+  SELECT user_id, s_ns, e_ns,
+         max(e_ns) OVER (PARTITION BY user_id
+                         ORDER BY s_ns, e_ns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+  FROM iv),
+g AS (
+  SELECT user_id,
+         CASE WHEN prev_max IS NULL OR s_ns > prev_max
+              THEN e_ns - s_ns
+              ELSE greatest(e_ns - prev_max, 0) END AS grow,
+         CASE WHEN prev_max IS NULL OR s_ns > prev_max
+              THEN 1 ELSE 0 END AS isl
+  FROM o)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(grow) // 60000000000 AS BIGINT) AS covered_min,
+       CAST(sum(isl) AS BIGINT) AS n_islands
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -15880,6 +16057,8 @@ QUERIES: dict[str, tuple] = {
     "q288_rolling_zscore_anomalies": (q288_rolling_zscore_anomalies, Q288_SQL),
     "btb_image_phash_dedup": (btb_image_phash_dedup, None),
     "btb_audio_fingerprint": (btb_audio_fingerprint, None),
+    "q289_conversion_attribution": (q289_conversion_attribution, Q289_SQL),
+    "q290_interval_coverage": (q290_interval_coverage, Q290_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
