@@ -3554,12 +3554,19 @@ def luby_mis(
         return _tag_int_bucket(pd.DataFrame({"node": node}),
                                "node", n_buckets)
 
-    all_nodes = (edges.map_batches(node_part, batch_format="pyarrow")
-                 .groupby("_bucket")
-                 .map_groups(lambda g: g[["node"]].drop_duplicates(),
-                             batch_format="pandas")
-                 .to_pandas()["node"].to_numpy("int64"))
-    all_nodes = np.sort(all_nodes)
+    nd = (edges.map_batches(node_part, batch_format="pyarrow")
+          .groupby("_bucket")
+          .map_groups(lambda g: g[["node"]].drop_duplicates(),
+                      batch_format="pandas")
+          .to_pandas())
+    all_nodes = np.sort(nd["node"].to_numpy("int64")
+                        if "node" in nd.columns
+                        else np.empty(0, "int64"))
+    if len(all_nodes) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "status": pd.Series([], dtype=object),
+            "decided_round": pd.Series([], dtype="int64")}))
     if len(all_nodes) > broadcast_threshold:
         raise ValueError(
             f"alive set {len(all_nodes)} exceeds broadcast_threshold "
@@ -3703,6 +3710,10 @@ def temporal_earliest_arrival(
             dst: b.column(dst).cast(pa.int64()),
             t: b.column(t).cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+    if seeds.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "t_arr": pd.Series([], dtype="int64")}))
     state = (norm(seeds, "node", "t0")
              .groupby("node").min("t_arr")
              .map_batches(lambda b: pa.table({
@@ -3712,7 +3723,7 @@ def temporal_earliest_arrival(
              .materialize())
     frontier = state
     for _ in range(rounds):
-        if frontier.count() == 0:
+        if frontier.count() == 0 or e.count() == 0:
             break
         j = coalesce_for_join(frontier, num_partitions).join(
             coalesce_for_join(e, num_partitions), join_type="inner",

@@ -165,3 +165,37 @@ def test_empty_inputs_session4_text_and_stats():
         "p": pa.array([], type=pa.string()),
         "o": pa.array([], type=pa.string())}))
     assert induce_shapes(spo).count() == 0
+
+
+def test_luby_mis_empty_edges_typed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.graph import luby_mis
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    out = luby_mis(empty, rounds=2)
+    assert out.schema().names == ["node", "status", "decided_round"]
+    assert out.count() == 0
+
+
+def test_temporal_earliest_arrival_empty_inputs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        temporal_earliest_arrival)
+
+    empty_e = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                      "dst": pa.array([], pa.int64()),
+                                      "t": pa.array([], pa.int64())}))
+    seeds = rd.from_items([{"node": 1, "t0": 0}])
+    # no edges: the seed set is the fixpoint
+    out = temporal_earliest_arrival(empty_e, seeds, rounds=2).to_pandas()
+    assert out.to_dict("records") == [{"node": 1, "t_arr": 0}]
+    # no seeds: typed empty
+    empty_s = rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                      "t0": pa.array([], pa.int64())}))
+    e1 = rd.from_items([{"src": 1, "dst": 2, "t": 3}])
+    out2 = temporal_earliest_arrival(e1, empty_s, rounds=2)
+    assert out2.schema().names == ["node", "t_arr"]
+    assert out2.count() == 0
