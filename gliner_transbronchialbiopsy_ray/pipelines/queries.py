@@ -15712,6 +15712,59 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+def q291_phrase_index_search(sf_dir: str) -> pd.DataFrame:
+    """Persisted positional inverted index + exact phrase search
+    (state/search_index.py — the retrieval surface): the corpus is
+    committed in TWO incremental snapshots (even doc_ids, then odd),
+    and the phrase 'table key' is answered by reading ONLY the term
+    buckets it hashes to — no corpus rescan, commit cost O(snapshot),
+    query cost O(matching postings).  The oracle replays the
+    tokenizer (regexp_extract_all + lower, ASCII-exact) and the
+    contiguous-position join, proving the index is lossless."""
+    import shutil
+    import tempfile
+
+    from ..state.search_index import commit_snapshot, phrase_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    state = tempfile.mkdtemp(prefix="gtb_searchidx_")
+    try:
+        even = docs.map_batches(
+            lambda b: b.filter(pa.array(
+                b.column("doc_id").to_numpy() % 2 == 0)),
+            batch_format="pyarrow")
+        odd = docs.map_batches(
+            lambda b: b.filter(pa.array(
+                b.column("doc_id").to_numpy() % 2 == 1)),
+            batch_format="pyarrow")
+        commit_snapshot(even, state, "even")
+        commit_snapshot(odd, state, "odd")
+        out = phrase_search(state, "table key")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q291_SQL = """
+WITH toks AS (
+  SELECT doc_id, lower(unnest(l)) AS term,
+         unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS l
+        FROM documents)),
+m AS (
+  SELECT a.doc_id, a.pos
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'key'
+  WHERE a.term = 'table')
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16059,6 +16112,7 @@ QUERIES: dict[str, tuple] = {
     "btb_audio_fingerprint": (btb_audio_fingerprint, None),
     "q289_conversion_attribution": (q289_conversion_attribution, Q289_SQL),
     "q290_interval_coverage": (q290_interval_coverage, Q290_SQL),
+    "q291_phrase_index_search": (q291_phrase_index_search, Q291_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -1,0 +1,216 @@
+"""Persisted POSITIONAL inverted index with incremental commits and
+phrase search — the retrieval surface of the engine (the index a corpus
+pipeline maintains so "find every document containing this exact
+phrase" never rescans 100 TB of text).
+
+Layout (the snapshot_dedup marker discipline):
+
+  state_dir/postings/_meta.json            {"n_buckets": N}
+  state_dir/postings/snap=<id>/bucket=<b>/*.parquet
+      (term, doc_id, positions list<int64>) — postings of the docs
+      committed by that snapshot, partitioned by crc32(term) % N
+  state_dir/postings/snap=<id>/_SUCCESS    commit marker
+
+Scale properties:
+
+- **Commit cost is O(new snapshot).**  A daily shard tokenizes and
+  writes only its own postings; prior snapshots are untouched.
+- **Query cost is O(matching terms).**  A k-term phrase reads ONLY the
+  <= k bucket directories its terms hash to — predicate-pruned state
+  reads, the zone-map idea applied to text.
+- **Positions make the index exact**: a phrase matches iff term_i
+  appears at position p+i for a shared start p — verified inside one
+  crc(doc) exchange, vectorized per doc.
+
+Contract: doc_ids are append-only across snapshots (a doc committed
+twice would double its postings — the upstream dedup state owns
+identity).  Tokenization is ASCII-word ([A-Za-z0-9]+ then lower), so a
+SQL engine replays it exactly with regexp_extract_all + lower.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .snapshot_dedup import _commit_bucketed, _committed_snapshots
+
+_POSTINGS = "postings"
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """ASCII-word tokens, lowercased.  [A-Za-z0-9]+ extraction keeps
+    every token ASCII, so Python .lower() and SQL lower() agree."""
+    return [t.lower() for t in _TOKEN_RE.findall(text or "")]
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    return zlib.crc32(term.encode()) % n_buckets
+
+
+def _resolve_n_buckets(state_dir: str, n_buckets: int | None) -> int:
+    """n_buckets fixes the term partitioning of every committed
+    snapshot — persisted on first commit, verified afterwards (the
+    snapshot_shacl discipline)."""
+    root = os.path.join(state_dir, _POSTINGS)
+    path = os.path.join(root, "_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = int(json.load(f)["n_buckets"])
+        if n_buckets is not None and n_buckets != stored:
+            raise ValueError(
+                f"search index at {state_dir} was committed with "
+                f"n_buckets={stored}; got {n_buckets}")
+        return stored
+    if n_buckets is None:
+        n_buckets = 32
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    return n_buckets
+
+
+def commit_snapshot(
+    docs: ray.data.Dataset,
+    state_dir: str,
+    snapshot_id: str,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Tokenize `docs` and append their postings as one committed
+    snapshot.  Returns False (no-op) when `snapshot_id` is already
+    committed; a crashed partial commit is cleaned and rewritten —
+    the write is atomic at the `_SUCCESS` marker."""
+    nb = _resolve_n_buckets(state_dir, n_buckets)
+
+    def build(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        terms, dids, poss = [], [], []
+        for did, text in zip(ids, texts):
+            toks = tokenize(text)
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                by_term.setdefault(t, []).append(i)
+            for t, pl in by_term.items():
+                terms.append(t)
+                dids.append(did)
+                poss.append(np.asarray(pl, dtype=np.int64))
+        # explicit Arrow list type: letting pandas infer ndarray cells
+        # would route the ragged column into Ray's tensor extension,
+        # which cannot concatenate empty slices
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(np.asarray(dids, dtype=np.int64)),
+            "positions": pa.array([p.tolist() for p in poss],
+                                  pa.list_(pa.int64())),
+            "bucket": pa.array(
+                np.array([_term_bucket(t, nb) for t in terms],
+                         dtype=np.int32))})
+
+    posts = docs.map_batches(build, batch_format="pyarrow")
+    return _commit_bucketed(posts, state_dir, _POSTINGS, snapshot_id)
+
+
+def phrase_search(
+    state_dir: str,
+    phrase: str,
+    n_doc_buckets: int = 32,
+) -> pd.DataFrame:
+    """Exact phrase search over every committed snapshot: returns
+    (doc_id, n_matches, first_pos) for documents containing the
+    phrase's token sequence contiguously, sorted by doc_id.
+
+    Reads ONLY the term buckets the phrase hashes to, filters to the
+    exact terms, then co-locates each candidate doc's k posting lists
+    on ONE crc(doc) exchange; the in-bucket verifier intersects
+    position sets vectorized (np.isin per term offset)."""
+    terms = tokenize(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    nb = _resolve_n_buckets(state_dir, None)
+    need = sorted({_term_bucket(t, nb) for t in terms})
+    dirs = []
+    for snap in _committed_snapshots(state_dir, _POSTINGS):
+        for b in need:
+            sub = os.path.join(state_dir, _POSTINGS, snap, f"bucket={b}")
+            if os.path.isdir(sub):
+                dirs.extend(os.path.join(sub, f)
+                            for f in sorted(os.listdir(sub))
+                            if f.endswith(".parquet"))
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_matches": pd.Series([], dtype="int64"),
+        "first_pos": pd.Series([], dtype="int64")})
+    if not dirs:
+        return empty
+    posts = ray.data.read_parquet(dirs)
+    term_set = sorted(set(terms))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        df = batch.select(["term", "doc_id", "positions"]).to_pandas()
+        df = df[df["term"].isin(term_set)]
+        # positions travel the exchange as BYTES: ragged int arrays in
+        # object cells would hit Ray's tensor-extension empty-slice bug
+        blobs = [np.asarray(pl, dtype=np.int64).tobytes()
+                 for pl in df["positions"]]
+        bucket = (df["doc_id"]
+                  .map(lambda d: zlib.crc32(str(d).encode()))
+                  .astype("int64") % n_doc_buckets).astype("int32")
+        return pa.table({
+            "term": pa.array(df["term"].tolist(), pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "positions": pa.array(blobs, pa.binary()),
+            "_bucket": pa.array(bucket.to_numpy(np.int32))})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, gg in g.groupby("doc_id", sort=False):
+            by_term = {}
+            for t, pl in zip(gg["term"], gg["positions"]):
+                # append-only contract: one posting per (snap, term,
+                # doc); merge across snapshots just in case
+                prev = by_term.get(t)
+                arr = np.frombuffer(pl, dtype=np.int64)
+                by_term[t] = (np.concatenate([prev, arr])
+                              if prev is not None else arr)
+            if any(t not in by_term for t in terms):
+                continue
+            starts = np.sort(by_term[terms[0]])
+            for i, t in enumerate(terms[1:], start=1):
+                if not len(starts):
+                    break
+                starts = starts[np.isin(starts + i,
+                                        by_term[t],
+                                        assume_unique=False)]
+            if len(starts):
+                rows.append({"doc_id": did,
+                             "n_matches": np.int64(len(starts)),
+                             "first_pos": np.int64(starts.min())})
+        if not rows:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_matches": pd.Series([], dtype="int64"),
+                "first_pos": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    out = (posts.map_batches(keep, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(lambda g: verify(g.drop(columns=["_bucket"])),
+                       batch_format="pandas")
+           .to_pandas())
+    if "doc_id" not in out.columns:
+        return empty
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
