@@ -15765,6 +15765,109 @@ FROM m GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q292_storage_layout_advisor(sf_dir: str) -> pd.DataFrame:
+    """Columnar storage-layout advisor (the audit that decides Parquet
+    encodings: run-length vs dictionary): for each candidate column of
+    orders, the RUN count in o_orderkey order (RLE potential) and the
+    distinct count (dictionary potential), plus avg run length in
+    exact ppm.  Scale shape: ONE native sort by the key, then
+    per-block partials (runs inside the block + the block's first/last
+    values) folded with an O(blocks) boundary pass on the driver — the
+    global-prefix-scan discipline; distinct counts ride one keyed
+    combiner exchange per column.  Oracle: lag() window + count
+    DISTINCT."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    orders = _read(sf_dir, "orders", ["o_orderkey"] + cols)
+    sorted_ds = orders.sort("o_orderkey")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        if not len(df):
+            return pd.DataFrame({
+                "first_key": pd.Series([], dtype="int64"),
+                **{f"{c}_{s}": pd.Series([], dtype=object)
+                   for c in cols for s in ("first", "last")},
+                **{f"{c}_runs": pd.Series([], dtype="int64")
+                   for c in cols},
+                "n_rows": pd.Series([], dtype="int64")})
+        row = {"first_key": [np.int64(df["o_orderkey"].iloc[0])],
+               "n_rows": [np.int64(len(df))]}
+        for c in cols:
+            v = df[c].to_numpy()
+            row[f"{c}_first"] = [v[0]]
+            row[f"{c}_last"] = [v[-1]]
+            row[f"{c}_runs"] = [np.int64(1 + (v[1:] != v[:-1]).sum())]
+        return pd.DataFrame(row)
+
+    parts = (sorted_ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().sort_values("first_key")
+             .reset_index(drop=True))
+    n_rows = int(parts["n_rows"].sum())
+    runs = {}
+    for c in cols:
+        r = int(parts[f"{c}_runs"].sum())
+        # boundary fold: a block whose first value equals the previous
+        # block's last value does NOT start a new run
+        prev_last = parts[f"{c}_last"].iloc[:-1].to_numpy()
+        nxt_first = parts[f"{c}_first"].iloc[1:].to_numpy()
+        r -= int((prev_last == nxt_first).sum())
+        runs[c] = r
+
+    distincts = {}
+    for c in cols:
+        distincts[c] = (orders.select_columns([c])
+                        .groupby(c).count().count())
+
+    out = pd.DataFrame({
+        "column": cols,
+        "n_rows": np.int64(n_rows),
+        "n_distinct": [np.int64(distincts[c]) for c in cols],
+        "n_runs": [np.int64(runs[c]) for c in cols],
+        "avg_run_ppm": [np.int64(n_rows * 1_000_000 // runs[c])
+                        for c in cols]})
+    out["column"] = out["column"].astype(str)
+    for c in ("n_rows", "n_distinct", "n_runs", "avg_run_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+Q292_SQL = """
+WITH s AS (
+  SELECT o_orderstatus, o_orderpriority, o_custkey,
+         lag(o_orderstatus) OVER w AS p1,
+         lag(o_orderpriority) OVER w AS p2,
+         lag(o_custkey) OVER w AS p3
+  FROM orders WINDOW w AS (ORDER BY o_orderkey)),
+m AS (
+  SELECT count(*) AS n_rows,
+         count(DISTINCT o_orderstatus) AS d1,
+         count(DISTINCT o_orderpriority) AS d2,
+         count(DISTINCT o_custkey) AS d3,
+         count(*) FILTER (WHERE p1 IS NULL
+                          OR o_orderstatus <> p1) AS r1,
+         count(*) FILTER (WHERE p2 IS NULL
+                          OR o_orderpriority <> p2) AS r2,
+         count(*) FILTER (WHERE p3 IS NULL
+                          OR o_custkey <> p3) AS r3
+  FROM s)
+SELECT col.column1 AS "column",
+       CAST(m.n_rows AS BIGINT) AS n_rows,
+       CAST(CASE col.column1 WHEN 'o_custkey' THEN m.d3
+            WHEN 'o_orderpriority' THEN m.d2 ELSE m.d1 END
+            AS BIGINT) AS n_distinct,
+       CAST(CASE col.column1 WHEN 'o_custkey' THEN m.r3
+            WHEN 'o_orderpriority' THEN m.r2 ELSE m.r1 END
+            AS BIGINT) AS n_runs,
+       CAST(m.n_rows * 1000000 //
+            (CASE col.column1 WHEN 'o_custkey' THEN m.r3
+             WHEN 'o_orderpriority' THEN m.r2 ELSE m.r1 END)
+            AS BIGINT) AS avg_run_ppm
+FROM m CROSS JOIN (VALUES ('o_custkey'), ('o_orderpriority'),
+                          ('o_orderstatus')) AS col(column1)
+ORDER BY "column"
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16113,6 +16216,7 @@ QUERIES: dict[str, tuple] = {
     "q289_conversion_attribution": (q289_conversion_attribution, Q289_SQL),
     "q290_interval_coverage": (q290_interval_coverage, Q290_SQL),
     "q291_phrase_index_search": (q291_phrase_index_search, Q291_SQL),
+    "q292_storage_layout_advisor": (q292_storage_layout_advisor, Q292_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
