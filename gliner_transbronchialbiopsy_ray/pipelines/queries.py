@@ -15868,6 +15868,51 @@ ORDER BY "column"
 """
 
 
+def btb_media_curation(sf_dir: str) -> pd.DataFrame:
+    """The MEDIA-CURATION capstone (pipelines/media.py:curate_media —
+    the multimodal composition mirroring the text curation funnel):
+    mixed-format image corpus -> header probe (no pixel decode) ->
+    perceptual hashes -> hamming near-dup clustering -> canonical
+    keeper per cluster -> features decoded for KEEPERS ONLY.  Planted
+    clusters (one picture re-encoded across codecs) collapse to one
+    canonical; corrupt rows ride through flagged.  Golden-pinned."""
+    from ..pipelines.media import curate_media
+    from ..stages.multimodal import (encode_bmp, encode_gif, encode_png,
+                                     encode_ppm)
+
+    def make_img(seed: int) -> np.ndarray:
+        y, x = np.mgrid[0:48, 0:48]
+        return np.stack([
+            (((x + seed * 5) // 12) * 55 % 251).astype(np.uint8),
+            (((y + seed * 11) // 12) * 45 % 251).astype(np.uint8),
+            np.full((48, 48), (seed * 37) % 251, np.uint8)], axis=2)
+
+    refs, payloads = [], []
+    encs = [("png", encode_png), ("gif", encode_gif),
+            ("bmp", encode_bmp), ("ppm", encode_ppm)]
+    for seed in range(3):
+        img = make_img(seed)
+        for fmt, enc in encs:
+            refs.append(f"m://{seed}/{fmt}")
+            payloads.append(enc(img))
+    refs.append("m://bad")
+    payloads.append(b"garbage-bytes")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    out = curate_media(media).to_pandas()
+    out["dhash_hex"] = [f"{int(v):016x}" for v in out["dhash"]]
+    out["ahash_hex"] = [f"{int(v):016x}" for v in out["ahash"]]
+    out = out.drop(columns=["dhash", "ahash"])
+    out["is_canonical"] = out["is_canonical"].astype(bool)
+    for c in ("probe_w", "probe_h", "mean_luma"):
+        out[c] = out[c].astype("int64")
+    return (out[["media_ref", "probe_format", "probe_w", "probe_h",
+                 "dhash_hex", "ahash_hex", "cluster_id",
+                 "is_canonical", "decode_status", "mean_luma"]]
+            .sort_values("media_ref").reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16217,6 +16262,7 @@ QUERIES: dict[str, tuple] = {
     "q290_interval_coverage": (q290_interval_coverage, Q290_SQL),
     "q291_phrase_index_search": (q291_phrase_index_search, Q291_SQL),
     "q292_storage_layout_advisor": (q292_storage_layout_advisor, Q292_SQL),
+    "btb_media_curation": (btb_media_curation, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

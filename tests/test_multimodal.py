@@ -1394,3 +1394,39 @@ def test_audio_fingerprint_invariance_and_pairs(ray_session):
     got = {tuple(sorted((l, r))) for l, r in zip(
         pairs.to_pandas()["left_id"], pairs.to_pandas()["right_id"])}
     assert got == {("a/pcm", "a/ulaw")}
+
+
+def test_curate_media_clusters_canonicals_and_error_rows(ray_session):
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.pipelines.media import curate_media
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        encode_gif, encode_png)
+
+    y, x = np.mgrid[0:48, 0:48]
+    img = np.stack([((x // 12) * 55).astype(np.uint8),
+                    ((y // 12) * 45).astype(np.uint8),
+                    np.full((48, 48), 80, np.uint8)], axis=2)
+    rng = np.random.RandomState(1)
+    other = rng.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["a/png", "a/gif", "b/png", "bad"],
+                              type=pa.string()),
+        "payload": pa.array([encode_png(img), encode_gif(img),
+                             encode_png(other), b"junk"],
+                            type=pa.binary())}))
+    out = (curate_media(media).to_pandas()
+           .set_index("media_ref").sort_index())
+    # cluster: a/png joins a/gif ('a/gif' is the lexicographic min ->
+    # canonical); b is its own cluster
+    assert out.loc["a/png", "cluster_id"] == "a/gif"
+    assert out.loc["a/gif", "cluster_id"] == "a/gif"
+    assert bool(out.loc["a/gif", "is_canonical"])
+    assert not bool(out.loc["a/png", "is_canonical"])
+    assert bool(out.loc["b/png", "is_canonical"])
+    # features decoded ONLY for canonicals
+    assert out.loc["a/gif", "mean_luma"] >= 0
+    assert out.loc["a/png", "mean_luma"] == -1
+    # error row kept, never canonical
+    assert out.loc["bad", "decode_status"].startswith("decode_error")
+    assert not bool(out.loc["bad", "is_canonical"])
+    assert out.loc["bad", "probe_format"] == "unknown"
