@@ -15913,6 +15913,82 @@ def btb_media_curation(sf_dir: str) -> pd.DataFrame:
             .sort_values("media_ref").reset_index(drop=True))
 
 
+def q293_hierarchy_rollup(sf_dir: str, levels: int = 5) -> pd.DataFrame:
+    """Hierarchical rollup (the BOM/org-chart subtree aggregate): each
+    customer hangs under the decimal-trie hierarchy parent(c) = c // 10,
+    and every internal node reports its SUBTREE order-cents total and
+    leaf count.  Scale shape: ancestors are ARITHMETIC (c // 10^d), so
+    each leaf emits its <= `levels` ancestor rows ROW-LOCALLY (a
+    flat-map, never an iterative parent join) and ONE grouped sum
+    finishes the rollup — the depth-bounded trie trick that turns a
+    recursive aggregation into a single exchange.  Leaf sums ride a
+    pre-aggregation per customer first, so the ancestor blowup
+    multiplies customer-level rows, not order-level.  Only nodes at
+    depth >= 1 (true ancestors) are reported.  Oracle: UNION ALL over
+    the power ladder."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype("int64")})
+
+    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
+                .groupby("o_custkey").sum("cents")
+                .map_batches(lambda b: pa.table({
+                    "o_custkey": b.column("o_custkey"),
+                    "cents": b.column("sum(cents)")}),
+                    batch_format="pyarrow"))
+
+    def ancestors(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        c = df["o_custkey"].to_numpy("int64")
+        v = df["cents"].to_numpy("int64")
+        nodes, depths, vals, leaves = [], [], [], []
+        anc = c.copy()
+        for d in range(1, levels + 1):
+            anc = anc // 10
+            nodes.append(anc.copy())
+            depths.append(np.full(len(c), d, dtype="int64"))
+            vals.append(v)
+            leaves.append(np.ones(len(c), dtype="int64"))
+        return pd.DataFrame({
+            "node": np.concatenate(nodes),
+            "depth": np.concatenate(depths),
+            "cents": np.concatenate(vals),
+            "n_leaves": np.concatenate(leaves)})
+
+    out = (per_cust.map_batches(ancestors, batch_format="pyarrow")
+           .groupby(["node", "depth"]).sum(["cents", "n_leaves"])
+           .to_pandas())
+    out = out.rename(columns={"sum(cents)": "subtree_cents",
+                              "sum(n_leaves)": "n_leaves"})
+    for c in ("node", "depth", "subtree_cents", "n_leaves"):
+        out[c] = out[c].astype("int64")
+    return (out[["node", "depth", "subtree_cents", "n_leaves"]]
+            .sort_values(["depth", "node"]).reset_index(drop=True))
+
+
+Q293_SQL = """
+WITH leaf AS (
+  SELECT o_custkey AS c,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+anc AS (
+  SELECT c // 10 AS node, 1 AS depth, cents FROM leaf
+  UNION ALL SELECT c // 100, 2, cents FROM leaf
+  UNION ALL SELECT c // 1000, 3, cents FROM leaf
+  UNION ALL SELECT c // 10000, 4, cents FROM leaf
+  UNION ALL SELECT c // 100000, 5, cents FROM leaf)
+SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents,
+       CAST(count(*) AS BIGINT) AS n_leaves
+FROM anc GROUP BY 1, 2 ORDER BY depth, node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16263,6 +16339,7 @@ QUERIES: dict[str, tuple] = {
     "q291_phrase_index_search": (q291_phrase_index_search, Q291_SQL),
     "q292_storage_layout_advisor": (q292_storage_layout_advisor, Q292_SQL),
     "btb_media_curation": (btb_media_curation, None),
+    "q293_hierarchy_rollup": (q293_hierarchy_rollup, Q293_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
