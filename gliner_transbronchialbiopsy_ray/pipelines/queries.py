@@ -15989,6 +15989,61 @@ FROM anc GROUP BY 1, 2 ORDER BY depth, node
 """
 
 
+def q294_ranked_retrieval(sf_dir: str, k: int = 15) -> pd.DataFrame:
+    """Ranked retrieval over the persisted positional index
+    (state/search_index.py:ranked_search): integer tf-idf-lite scoring
+    score(d) = sum tf(t,d) * (1e6 // df(t)) over the distinct query
+    terms — floor division keeps the ranking exact-integer, so the
+    oracle replays it bit-for-bit (a float BM25 could not be
+    hash-compared).  The index is committed in two incremental
+    snapshots; the query reads ONLY its terms' buckets, df comes from
+    the index itself, and doc scores fold on one crc(doc) exchange.
+    Ties break on doc_id."""
+    import shutil
+    import tempfile
+
+    from ..state.search_index import commit_snapshot, ranked_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    state = tempfile.mkdtemp(prefix="gtb_rankidx_")
+    try:
+        commit_snapshot(docs.map_batches(
+            lambda b: b.filter(pa.array(
+                b.column("doc_id").to_numpy() % 2 == 0)),
+            batch_format="pyarrow"), state, "even")
+        commit_snapshot(docs.map_batches(
+            lambda b: b.filter(pa.array(
+                b.column("doc_id").to_numpy() % 2 == 1)),
+            batch_format="pyarrow"), state, "odd")
+        out = ranked_search(state, "vector table spark", k=k)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q294_SQL = """
+WITH toks AS (
+  SELECT doc_id, lower(unnest(l)) AS term
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS l
+        FROM documents)),
+q(term) AS (VALUES ('vector'), ('table'), ('spark')),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN q ON q.term = t.term GROUP BY 1, 2),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term IN (SELECT term FROM q) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * (1000000 // df.df)) AS score
+  FROM tf JOIN df ON df.term = tf.term GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16340,6 +16395,7 @@ QUERIES: dict[str, tuple] = {
     "q292_storage_layout_advisor": (q292_storage_layout_advisor, Q292_SQL),
     "btb_media_curation": (btb_media_curation, None),
     "q293_hierarchy_rollup": (q293_hierarchy_rollup, Q293_SQL),
+    "q294_ranked_retrieval": (q294_ranked_retrieval, Q294_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -214,3 +214,80 @@ def phrase_search(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ranked_search(
+    state_dir: str,
+    query: str,
+    k: int = 10,
+    n_doc_buckets: int = 32,
+) -> pd.DataFrame:
+    """Bag-of-words ranked retrieval over the committed index:
+    score(doc) = sum over DISTINCT query terms of
+    tf(term, doc) * (1_000_000 // df(term)) — an integer tf-idf
+    variant (rarer terms weigh more; floor division keeps the score
+    exact-integer so a SQL oracle replays the ranking bit-for-bit,
+    unlike a float BM25).  Ties break on doc_id ascending.
+
+    Reads ONLY the query's term buckets; df comes from the index
+    itself (one posting row per (snapshot, term, doc)), the
+    term->weight map is query-sized and broadcast, and doc scores fold
+    on ONE crc(doc) exchange.  Returns the top `k` (doc_id, score)."""
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        raise ValueError("empty query")
+    nb = _resolve_n_buckets(state_dir, None)
+    need = sorted({_term_bucket(t, nb) for t in terms})
+    files = []
+    for snap in _committed_snapshots(state_dir, _POSTINGS):
+        for b in need:
+            sub = os.path.join(state_dir, _POSTINGS, snap, f"bucket={b}")
+            if os.path.isdir(sub):
+                files.extend(os.path.join(sub, f)
+                             for f in sorted(os.listdir(sub))
+                             if f.endswith(".parquet"))
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="int64")})
+    if not files:
+        return empty
+    posts = ray.data.read_parquet(files)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        df = batch.select(["term", "doc_id", "positions"]).to_pandas()
+        df = df[df["term"].isin(terms)]
+        tf = np.asarray([len(pl) for pl in df["positions"]],
+                        dtype=np.int64)
+        return pa.table({
+            "term": pa.array(df["term"].tolist(), pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "tf": pa.array(tf)})
+
+    tfd = posts.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    dfc = tfd.groupby("term").count().to_pandas()
+    if not len(dfc):
+        return empty
+    ccol = [c for c in dfc.columns if c != "term"][0]
+    weights = {t: 1_000_000 // int(n)
+               for t, n in zip(dfc["term"], dfc[ccol])}
+    w_ref = ray.put(weights)
+
+    def score_part(batch: pa.Table) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        df = batch.to_pandas()
+        df["part"] = df["tf"] * df["term"].map(w).astype("int64")
+        g = (df.groupby("doc_id", sort=False)["part"].sum()
+             .reset_index().rename(columns={"part": "score"}))
+        return g
+
+    scored = (tfd.map_batches(score_part, batch_format="pyarrow")
+              .groupby("doc_id").sum("score").to_pandas())
+    if "doc_id" not in scored.columns:
+        return empty
+    scol = [c for c in scored.columns if c != "doc_id"][0]
+    scored = scored.rename(columns={scol: "score"})
+    scored["doc_id"] = scored["doc_id"].astype("int64")
+    scored["score"] = scored["score"].astype("int64")
+    return (scored.sort_values(["score", "doc_id"],
+                               ascending=[False, True], kind="stable")
+            .head(k).reset_index(drop=True))

@@ -86,3 +86,34 @@ def test_n_buckets_pinned_and_crash_recovery(ray_session, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     meta = json.load(open(os.path.join(state, "postings", "_meta.json")))
     assert meta["n_buckets"] == 8
+
+
+def test_ranked_search_weights_and_ties(ray_session, tmp_path):
+    state = str(tmp_path / "idx")
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "rare common common"},
+        {"doc_id": 2, "text": "common common common"},
+        {"doc_id": 3, "text": "rare rare"},
+        {"doc_id": 4, "text": "unrelated words"},
+    ])
+    from gliner_transbronchialbiopsy_ray.state.search_index import (
+        ranked_search)
+
+    commit_snapshot(docs, state, "a")
+    out = ranked_search(state, "rare common", k=10)
+    # df(rare)=2 -> w=500000; df(common)=2 -> w=500000
+    scores = dict(zip(out["doc_id"], out["score"]))
+    assert scores == {1: 3 * 500_000, 2: 3 * 500_000, 3: 2 * 500_000}
+    # tie between docs 1 and 2 breaks on doc_id ascending
+    assert list(out["doc_id"][:2]) == [1, 2]
+    # k truncates
+    assert len(ranked_search(state, "rare common", k=1)) == 1
+    # duplicate query terms don't double-count (DISTINCT terms)
+    pd.testing.assert_frame_equal(
+        ranked_search(state, "rare rare common"),
+        ranked_search(state, "rare common"))
+    # absent vocabulary -> typed empty
+    none = ranked_search(state, "zebra")
+    assert list(none.columns) == ["doc_id", "score"] and len(none) == 0
+    with pytest.raises(ValueError, match="empty query"):
+        ranked_search(state, "  ")
