@@ -232,6 +232,20 @@ class CountMinSketch:
         self.table += other.table
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate (AMS/CM inner product, Cormode &
+        Muthukrishnan §4.2): min over rows of the rowwise counter dot
+        product estimates sum_k fA(k) * fB(k) = |A JOIN B| on the
+        sketched key.  Always an OVERestimate (collision mass only
+        adds); error <= (e/width) * |A| * |B| per row with probability
+        1 - e^-depth.  Requires identical (width, depth)."""
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("inner_product requires identical sketch "
+                             "dimensions")
+        dots = (self.table.astype(np.int64)
+                * other.table.astype(np.int64)).sum(axis=1)
+        return int(dots.min())
+
     def estimate(self, key) -> int:
         idx = self._indices([key])
         return int(min(self.table[r, idx[r, 0]] for r in range(self.depth)))

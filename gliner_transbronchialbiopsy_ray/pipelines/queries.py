@@ -16044,6 +16044,55 @@ FROM s ORDER BY score DESC, doc_id LIMIT 15
 """
 
 
+def q295_join_size_estimate(sf_dir: str) -> pd.DataFrame:
+    """Self-join-size (F2) estimation WITHOUT running the join — the
+    planner statistic the AMS/CMS inner product was built for (Cormode
+    & Muthukrishnan §4.2): |events JOIN events| on user_id
+    (= sum of squared per-user counts, the second frequency moment)
+    estimated from ONE count-min sketch dotted with itself.  Per-batch
+    partials merge driver-side (the HLL plan shape: a few KB each, NO
+    shuffle, the table never moves); estimate = min over rows of the
+    squared-counter sum, always an overestimate, tight exactly when
+    the join is skew-dominated — the case where knowing the size
+    matters.  (A uniform FK join like orders x lineitem is the
+    estimator's documented worst case: collision mass e/w*|A||B|
+    swamps the true count-product.)  The exact side (for err_ppm) is
+    one grouped-count pass + a sum of squares.  Rows-only/golden: the
+    sketch hash (pandas hash_array + splitmix64) has no SQL replay."""
+    from ..functions.sketches import CountMinSketch
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        keys, counts = np.unique(
+            b.column("user_id").to_numpy(), return_counts=True)
+        s = CountMinSketch(width=4096, depth=4)
+        s.add_counts(keys.tolist(), counts)
+        return pd.DataFrame({"t": [s.table.tobytes()]})
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    acc = CountMinSketch(width=4096, depth=4)
+    for blob in parts.get("t", []):
+        other = CountMinSketch(width=4096, depth=4)
+        other.table = np.frombuffer(
+            blob, dtype=np.int64).reshape(4, 4096).copy()
+        acc.merge(other)
+    est = acc.inner_product(acc)
+
+    counts = ev.groupby("user_id").count().to_pandas()
+    ccol = [c for c in counts.columns if c != "user_id"][0]
+    c = counts[ccol].to_numpy("int64")
+    n_exact = int((c * c).sum())
+    return pd.DataFrame({
+        "pair": ["events*events@user_id"],
+        "n_exact": np.array([n_exact], dtype="int64"),
+        "n_est": np.array([est], dtype="int64"),
+        "overestimate": np.array([est >= n_exact], dtype=bool),
+        "err_ppm": np.array(
+            [(est - n_exact) * 1_000_000 // max(n_exact, 1)],
+            dtype="int64")})
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16396,6 +16445,7 @@ QUERIES: dict[str, tuple] = {
     "btb_media_curation": (btb_media_curation, None),
     "q293_hierarchy_rollup": (q293_hierarchy_rollup, Q293_SQL),
     "q294_ranked_retrieval": (q294_ranked_retrieval, Q294_SQL),
+    "q295_join_size_estimate": (q295_join_size_estimate, None),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------

@@ -230,3 +230,34 @@ def test_grouped_kmv_distinct_accuracy_and_exact_fallback(ray_session):
                                  value="v", k=64).set_index("g"))
     assert out2["kmv_estimate"].to_dict() == out["kmv_estimate"].to_dict()
     assert out2["h_k"].to_dict() == out["h_k"].to_dict()
+
+
+def test_cms_inner_product_join_size(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        CountMinSketch)
+
+    keys_a = rng.randint(0, 3000, 20000)
+    keys_b = rng.randint(0, 3000, 15000)
+    ka, ca = np.unique(keys_a, return_counts=True)
+    kb, cb = np.unique(keys_b, return_counts=True)
+    exact = int(sum(int(x) * int(dict(zip(kb, cb)).get(k, 0))
+                    for k, x in zip(ka, ca)))
+    sa = CountMinSketch(width=4096, depth=4).add_counts(ka.tolist(), ca)
+    sb = CountMinSketch(width=4096, depth=4).add_counts(kb.tolist(), cb)
+    est = sa.inner_product(sb)
+    # always an overestimate, within the e/width * |A| * |B| bound
+    assert est >= exact
+    bound = int(np.e / 4096 * len(keys_a) * len(keys_b))
+    assert est - exact <= bound
+    # merge-then-product equals product of merged halves' sum
+    sa1 = CountMinSketch(width=4096, depth=4).add_counts(
+        ka[:1000].tolist(), ca[:1000])
+    sa2 = CountMinSketch(width=4096, depth=4).add_counts(
+        ka[1000:].tolist(), ca[1000:])
+    assert sa1.merge(sa2).inner_product(sb) == est
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="identical"):
+        sa.inner_product(CountMinSketch(width=1024, depth=4))
