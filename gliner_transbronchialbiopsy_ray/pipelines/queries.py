@@ -16093,6 +16093,72 @@ def q295_join_size_estimate(sf_dir: str) -> pd.DataFrame:
             dtype="int64")})
 
 
+def q296_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition matrix (the first-order Markov summary of
+    user journeys): consecutive event pairs per user in (ts, event_id)
+    order, counted globally, with the row-conditional probability in
+    exact integer ppm (floor division — both engines agree).  ONE
+    crc(user) exchange; in-bucket the pair emission is a vectorized
+    shift, and only (from, to, n) partials leave the bucket.  Oracle:
+    lead() window + a windowed row total."""
+    from ..stages.window import hash_bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "ts_ns": (pd.to_datetime(df["ts"]).astype("datetime64[ns]")
+                      .astype("int64"))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_ns", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy("int64")
+        t = g["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        part = pd.DataFrame({"from_type": t[:-1][same],
+                             "to_type": t[1:][same]})
+        return (part.groupby(["from_type", "to_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    counts = (hash_bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", fn=pairs).to_pandas()
+        .groupby(["from_type", "to_type"], sort=False)["n"].sum()
+        .reset_index())
+    totals = counts.groupby("from_type")["n"].sum().rename("row_total")
+    out = counts.merge(totals, on="from_type")
+    out["p_ppm"] = (out["n"] * 1_000_000 // out["row_total"])
+    for c in ("from_type", "to_type"):
+        out[c] = out[c].astype(str)
+    for c in ("n", "p_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out[["from_type", "to_type", "n", "p_ppm"]]
+            .sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
+Q296_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 //
+            sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+FROM c ORDER BY from_type, to_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16446,6 +16512,7 @@ QUERIES: dict[str, tuple] = {
     "q293_hierarchy_rollup": (q293_hierarchy_rollup, Q293_SQL),
     "q294_ranked_retrieval": (q294_ranked_retrieval, Q294_SQL),
     "q295_join_size_estimate": (q295_join_size_estimate, None),
+    "q296_event_transitions": (q296_event_transitions, Q296_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
