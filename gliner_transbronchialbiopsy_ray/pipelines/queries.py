@@ -16159,6 +16159,55 @@ FROM c ORDER BY from_type, to_type
 """
 
 
+def q297_monthly_quantile_bands(sf_dir: str) -> pd.DataFrame:
+    """Composite-key exact quantile bands (the per-period robust
+    summary dashboards plot): per (order month, priority), the exact
+    discrete p25/p50/p75 of order cents from ONE co-location pass —
+    grouped_quantile_disc on a COMPOSITE key, showing the holistic
+    quantile scaffold is key-arity-agnostic.  Oracle: quantile_disc
+    grouped the same way; months travel as strings (timestamp dtype
+    parity trap)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame({
+            "month": (pd.to_datetime(df["o_orderdate"])
+                      .dt.strftime("%Y-%m")),
+            "o_orderpriority": df["o_orderpriority"].astype(str),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype("int64")})
+
+    from ..stages.stats import grouped_quantile_disc
+    out = grouped_quantile_disc(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["month", "o_orderpriority"], "cents",
+        [("p25_cents", 1, 4), ("p50_cents", 1, 2),
+         ("p75_cents", 3, 4)]).to_pandas()
+    for c in ("month", "o_orderpriority"):
+        out[c] = out[c].astype(str)
+    for c in ("p25_cents", "p50_cents", "p75_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["month", "o_orderpriority", "p25_cents", "p50_cents",
+                 "p75_cents"]]
+            .sort_values(["month", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+Q297_SQL = """
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       o_orderpriority,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                          0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                          0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                          0.75) AS BIGINT) AS p75_cents
+FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16513,6 +16562,7 @@ QUERIES: dict[str, tuple] = {
     "q294_ranked_retrieval": (q294_ranked_retrieval, Q294_SQL),
     "q295_join_size_estimate": (q295_join_size_estimate, None),
     "q296_event_transitions": (q296_event_transitions, Q296_SQL),
+    "q297_monthly_quantile_bands": (q297_monthly_quantile_bands, Q297_SQL),
 }
 
 # --- driver CORRECTNESS window ordering (round 3) ---------------------------
