@@ -14872,9 +14872,9 @@ def btb_mp2_decode(sf_dir: str) -> pd.DataFrame:
         nch = 1 if mode == 3 else 2
         # pick a (sr, br) pair that selects each B.2 table across seeds
         # mono seeds (0, 4) land on the low-rate tables d and c, which
-        # only exist at low bitrate-per-channel
-        sr_idx, br_idx = [(2, 4), (1, 14), (0, 13), (0, 12),
-                          (0, 4), (1, 12), (2, 5), (0, 14)][seed % 8]
+        # only exist at <=48 kbit/s/channel (kjmp2 QUANT_LUT_STEP1)
+        sr_idx, br_idx = [(2, 2), (1, 14), (0, 13), (0, 12),
+                          (0, 2), (1, 12), (2, 5), (0, 14)][seed % 8]
         if nch == 2 and br_idx <= 5:
             br_idx = 13  # low rates can't carry the 2-channel payload
         hdr = _mp3_parse_header(
@@ -16565,16 +16565,19 @@ QUERIES: dict[str, tuple] = {
     "q297_monthly_quantile_bands": (q297_monthly_quantile_bands, Q297_SQL),
 }
 
-# --- driver CORRECTNESS window ordering (round 3) ---------------------------
+
+# --- driver CORRECTNESS window ordering (round 4) ---------------------------
 # The correctness driver verifies only the FIRST 50 entries of queries()
 # (dict order) against their DuckDB oracles.  Rounds 1-2 exposed the original
-# first 50; this rotation keeps 7 flagship anchors and fills the remaining 43
-# slots with oracle-backed entries that have never produced a driver row —
-# the KG/SPARQL/rules family first (VERDICT r2, next-round item #1).  All
-# other entries keep their original relative order after the window; rotate
-# again next round.
-_DRIVER_WINDOW_R3 = [
-    # anchors (regression guard — driver-green in r1/r2)
+# first 50; round 3 rotated onto the KG/SPARQL family (43 first-time-green
+# rows).  Round 4 keeps the same 7 flagship anchors and fills the remaining
+# 43 slots with never-driver-checked oracle entries: the session-6/7/8
+# families (statistical audits q270-q274, time-series q275-q277/q280,
+# analytics q278-q297, sketches q281/q284, search index q291/q294) plus a
+# band of the q40-q63 window/join/sampling family (VERDICT r3, next-round
+# item #1).  All other entries keep their relative order after the window.
+_DRIVER_WINDOW_R4 = [
+    # anchors (regression guard — driver-green in r1-r3)
     "btb_triples",
     "btb_wide",
     "q01_lineitem_agg",
@@ -16582,53 +16585,55 @@ _DRIVER_WINDOW_R3 = [
     "q13_exact_dedup",
     "q22_minhash_neardup",
     "q33_verified_neardups",
-    # never-driver-verified oracle entries (KG/SPARQL/rules/graph family)
-    "q131_bgp_match",
-    "q132_property_path",
-    "q133_bgp_optional",
-    "q134_rule_materialize",
-    "q137_semi_naive_reachability",
-    "q138_incremental_entailment",
-    "q139_bgp_filter_minus",
-    "q140_bgp_aggregate",
-    "q141_bgp_path_ops",
-    "q142_declarative_triplify",
-    "q143_domain_range_entailment",
-    "q144_shacl_validation",
-    "q145_sameas_fusion",
-    "q146_truth_discovery",
-    "q147_entity_dictionary",
-    "q148_encoded_triples",
-    "q149_ntriples_roundtrip",
-    "q150_temporal_snapshot",
-    "q151_reified_statements",
-    "q152_predicate_profile",
-    "q153_construct_template",
-    "q154_node_property_table",
-    "q155_subproperty_entailment",
-    "q157_disjointness_check",
-    "q158_named_graph_provenance",
-    "q160_turtle_ingest",
-    "q161_inverseof_entailment",
-    "q162_path_quantifiers",
-    "q163_characteristic_sets",
-    "q164_transitive_property",
-    "q165_bgp_union",
-    "q166_bgp_bind",
-    "q168_shacl_extended",
-    "q181_stratified_negation",
-    "q182_inverse_functional_sameas",
-    "q183_functional_violations",
-    "q184_class_summary",
-    "q185_rdf_list_unroll",
-    "q186_sparql_order_limit",
-    "q187_sparql_subquery",
-    "q192_kg_repair_pipeline",
-    "q200_kg_construct_capstone",
-    "q202_incremental_shacl",
+    # session-7 statistical audits + time-series (never driver-checked)
+    "q270_benford_audit",
+    "q271_iqr_outliers",
+    "q272_gini_profile",
+    "q273_cusum_drift",
+    "q274_regex_scalar_parity",
+    "q275_locf_gapfill",
+    "q276_bloom_semijoin",
+    "q277_range_frame_sum",
+    # session-8 analytics / sketches / graph / search index
+    "q278_association_rules",
+    "q279_luby_mis",
+    "q280_twap",
+    "q281_kmv_distinct",
+    "q282_referential_integrity",
+    "q283_snapshot_table_diff",
+    "q284_theta_sketch_ops",
+    "q285_grouped_ols_slope",
+    "q286_winsorize",
+    "q287_temporal_reachability",
+    "q288_rolling_zscore_anomalies",
+    "q289_conversion_attribution",
+    "q290_interval_coverage",
+    "q291_phrase_index_search",
+    "q292_storage_layout_advisor",
+    "q293_hierarchy_rollup",
+    "q294_ranked_retrieval",
+    "q296_event_transitions",
+    "q297_monthly_quantile_bands",
+    # q40-q63 window/join/sampling band (never driver-checked)
+    "q40_customer_order_counts",
+    "q41_string_kernels",
+    "q42_conditional_agg",
+    "q44_distinct_counts",
+    "q46_median_per_type",
+    "q47_having_filter",
+    "q48_anti_join",
+    "q49_asof_join",
+    "q50_range_join_count",
+    "q51_running_total",
+    "q52_watermark_late_flags",
+    "q53_grouped_quantiles",
+    "q57_stratified_sample",
+    "q61_repetition_filter",
+    "q62_decontaminate",
+    "q63_tfidf_topk",
 ]
-assert len(_DRIVER_WINDOW_R3) == 50
+assert len(_DRIVER_WINDOW_R4) == 50
 QUERIES = {
-    **{name: QUERIES[name] for name in _DRIVER_WINDOW_R3},
-    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_WINDOW_R3)},
+    **{name: QUERIES[name] for name in _DRIVER_WINDOW_R4},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_WINDOW_R4)},
 }

@@ -3322,10 +3322,13 @@ def _mp2_select_table(hdr: dict) -> tuple[str, list[list[int]]]:
             "MPEG-2 LSF Layer II uses its own allocation table "
             "(13818-3 Table B.1) — not supported")
     kbps, sr, nch = hdr["bitrate_kbps"], hdr["sample_rate"], hdr["channels"]
+    # Rate classes are keyed on kbit/s PER CHANNEL (kjmp2 QUANT_LUT_STEP1):
+    # per-channel 32-48 -> low, 56-80 -> mid, 96+ -> high; i.e. mono totals
+    # <=48 / 56-80 / 96+, stereo totals <=96 / 112-160 / 192+.
     if nch == 1:
-        rate_class = 0 if kbps <= 80 else (1 if kbps <= 128 else 2)
+        rate_class = 0 if kbps <= 48 else (1 if kbps <= 80 else 2)
     else:
-        rate_class = 0 if kbps <= 112 else (1 if kbps <= 224 else 2)
+        rate_class = 0 if kbps <= 96 else (1 if kbps <= 160 else 2)
     sr_class = {44100: 0, 48000: 1, 32000: 2}[sr]
     tid = (("c", "c", "d"), ("a", "a", "a"),
            ("b", "a", "b"))[rate_class][sr_class]

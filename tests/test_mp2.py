@@ -65,8 +65,9 @@ def _fill(mode, ext, sr_idx, br_idx, scfsi_pattern, density=2):
     (3, 0, 0, 12, [0, 1, 2, 3], "b"),   # mono 256k @44.1
     (0, 0, 1, 14, [2, 3], "a"),         # stereo 384k @48
     (1, 1, 0, 13, [0], "b"),            # joint 320k @44.1, bound 8
-    (3, 0, 2, 4, [1], "d"),             # mono 64k @32
-    (3, 0, 0, 4, [0, 2], "c"),          # mono 64k @44.1
+    (3, 0, 2, 2, [1], "d"),             # mono 48k @32 (low rate class)
+    (3, 0, 0, 2, [0, 2], "c"),          # mono 48k @44.1 (low rate class)
+    (0, 0, 2, 6, [1, 3], "d"),          # stereo 96k total @32 -> low, 'd'
     (2, 0, 0, 13, [3, 0], "b"),         # dual 320k @44.1
 ])
 def test_mp2_roundtrip_bit_exact(mode, ext, sr_idx, br_idx, pattern,
@@ -172,7 +173,7 @@ def test_mp2_error_paths():
     with pytest.raises(ValueError, match="sblimit"):
         encode_mp2_frame(codes, alloc2, np.zeros((32, 1), dtype=np.int64),
                          np.zeros((3, 32, 1), dtype=np.int64),
-                         sr_idx=0, br_idx=4, mode=3)  # 64k @44.1 -> c
+                         sr_idx=0, br_idx=2, mode=3)  # 48k @44.1 -> c
 
 
 def test_mp2_table_shapes():
@@ -190,3 +191,30 @@ def test_mp2_table_shapes():
     # every step count has a class entry
     assert all(s in _MP2_CLASS_BITS for t in _MP2_TABLES.values()
                for r in t for s in r)
+
+@pytest.mark.parametrize("mode,sr_idx,br_idx,exp_tid", [
+    # mono totals: <=48 low, 56-80 mid, 96+ high (kjmp2 QUANT_LUT_STEP1)
+    (3, 0, 1, "c"),    # mono 32k  @44.1 -> low  -> c
+    (3, 2, 2, "d"),    # mono 48k  @32   -> low  -> d
+    (3, 0, 3, "a"),    # mono 56k  @44.1 -> mid  -> a
+    (3, 0, 4, "a"),    # mono 64k  @44.1 -> mid  -> a (ADVICE r3: was c)
+    (3, 0, 5, "a"),    # mono 80k  @44.1 -> mid  -> a
+    (3, 0, 6, "b"),    # mono 96k  @44.1 -> high -> b
+    (3, 1, 6, "a"),    # mono 96k  @48   -> high -> a (48 kHz exception)
+    (3, 2, 6, "b"),    # mono 96k  @32   -> high -> b
+    # stereo totals: <=96 low, 112-160 mid, 192+ high
+    (0, 0, 6, "c"),    # stereo  96k @44.1 -> low  -> c
+    (0, 2, 6, "d"),    # stereo  96k @32   -> low  -> d
+    (0, 0, 7, "a"),    # stereo 112k @44.1 -> mid  -> a (ADVICE r3: was c)
+    (0, 0, 9, "a"),    # stereo 160k @44.1 -> mid  -> a
+    (0, 0, 10, "b"),   # stereo 192k @44.1 -> high -> b (ADVICE r3: was a)
+    (0, 0, 11, "b"),   # stereo 224k @44.1 -> high -> b
+    (0, 1, 11, "a"),   # stereo 224k @48   -> high -> a
+])
+def test_mp2_rate_class_boundaries(mode, sr_idx, br_idx, exp_tid):
+    """ISO 11172-3 §2.4.2.6 table selection is keyed on kbit/s PER
+    CHANNEL (ADVICE r3 high): real-world rates 64k mono and
+    112/192/224k stereo must select the right B.2 table."""
+    hdr = _mp3_parse_header(_header(mode, 0, sr_idx, br_idx) + bytes(4), 0)
+    tid, _rows = _mp2_select_table(hdr)
+    assert tid == exp_tid
