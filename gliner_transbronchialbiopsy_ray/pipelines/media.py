@@ -40,7 +40,7 @@ def curate_media(
     from ..stages.dedup import hamming_neardup_pairs
     from ..stages.multimodal import ImagePerceptualHasher, probe_image_header
 
-    def probe(batch: pa.Table) -> pd.DataFrame:
+    def probe(batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
         fmt, w, h = [], [], []
@@ -54,11 +54,13 @@ def curate_media(
                 fmt.append("unknown")
                 w.append(-1)
                 h.append(-1)
-        out = batch.to_pandas()
-        out["probe_format"] = fmt
-        out["probe_w"] = np.asarray(w, dtype="int64")
-        out["probe_h"] = np.asarray(h, dtype="int64")
-        return out
+        # stay Arrow: a pandas round-trip would coerce nullable int64
+        # width/height metadata to float64 (32 -> 32.0), which breaks
+        # the raw-RGB decode downstream
+        return (batch
+                .append_column("probe_format", pa.array(fmt, pa.string()))
+                .append_column("probe_w", pa.array(w, pa.int64()))
+                .append_column("probe_h", pa.array(h, pa.int64())))
 
     probed = media.map_batches(probe, batch_format="pyarrow")
 
@@ -115,9 +117,10 @@ def curate_media(
             for r, s in zip(refs, df["decode_status"])]
         return df
 
-    flagged = probed.map_batches(
+    flagged = probed.map_batches(with_meta, batch_format="pyarrow") \
+        .map_batches(
         lambda b: b.select(["media_ref", "payload", "probe_format",
-                            "probe_w", "probe_h"]),
+                            "probe_w", "probe_h", "width", "height"]),
         batch_format="pyarrow").join(
         # hashes + status ride back onto the probed rows
         hashed.map_batches(
@@ -128,21 +131,34 @@ def curate_media(
     ).map_batches(verdict, batch_format="pyarrow")
 
     def features(batch: pa.Table) -> pd.DataFrame:
+        # Headerless raw RGB needs the width/height metadata the hasher
+        # used (ADVICE r3: decoding with (p, None, None) raised through
+        # the pipeline); decode failures keep their row with
+        # mean_luma = -1 and a status flag — readers never drop rows.
         from ..stages.multimodal import _decode_image_any
 
         df = batch.to_pandas()
         mean_luma = np.full(len(df), -1, dtype="int64")
-        for i, (p, keep) in enumerate(zip(df["payload"],
-                                          df["is_canonical"])):
+        status = np.full(len(df), "skipped", dtype=object)
+        for i, (p, keep, w, h) in enumerate(zip(
+                df["payload"], df["is_canonical"],
+                df["width"], df["height"])):
             if not keep:
                 continue
-            img = _decode_image_any(p, None, None)
-            lum = (299 * img[:, :, 0].astype(np.int64)
-                   + 587 * img[:, :, 1].astype(np.int64)
-                   + 114 * img[:, :, 2].astype(np.int64)) // 1000
-            mean_luma[i] = int(lum.mean())
-        out = df.drop(columns=["payload"])
+            try:
+                img = _decode_image_any(
+                    p, None if pd.isna(w) else int(w),
+                    None if pd.isna(h) else int(h))
+                lum = (299 * img[:, :, 0].astype(np.int64)
+                       + 587 * img[:, :, 1].astype(np.int64)
+                       + 114 * img[:, :, 2].astype(np.int64)) // 1000
+                mean_luma[i] = int(lum.mean())
+                status[i] = "ok"
+            except (ValueError, TypeError) as e:
+                status[i] = f"feature_error:{type(e).__name__}"
+        out = df.drop(columns=["payload", "width", "height"])
         out["mean_luma"] = mean_luma
+        out["feature_status"] = status.astype(str)
         return out
 
     return flagged.map_batches(features, batch_format="pyarrow",

@@ -1430,3 +1430,36 @@ def test_curate_media_clusters_canonicals_and_error_rows(ray_session):
     assert out.loc["bad", "decode_status"].startswith("decode_error")
     assert not bool(out.loc["bad", "is_canonical"])
     assert out.loc["bad", "probe_format"] == "unknown"
+
+
+def test_curate_media_raw_rgb_features_via_metadata(ray_session):
+    """ADVICE r3: a canonical row whose payload is headerless raw RGB
+    must get REAL features via the width/height metadata columns (the
+    hasher already used them), and a metadata-less raw row keeps its
+    row with a feature_status flag instead of failing the pipeline."""
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.pipelines.media import curate_media
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import encode_png
+
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    other = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(["raw/a", "png/b"], type=pa.string()),
+        "payload": pa.array([raw.tobytes(), encode_png(other)],
+                            type=pa.binary()),
+        "width": pa.array([32, None], type=pa.int64()),
+        "height": pa.array([32, None], type=pa.int64()),
+    }))
+    out = (curate_media(media).to_pandas()
+           .set_index("media_ref").sort_index())
+    # the raw row is its own canonical and its features really decoded
+    assert bool(out.loc["raw/a", "is_canonical"])
+    assert out.loc["raw/a", "feature_status"] == "ok"
+    lum = (299 * raw[:, :, 0].astype(np.int64)
+           + 587 * raw[:, :, 1].astype(np.int64)
+           + 114 * raw[:, :, 2].astype(np.int64)) // 1000
+    assert out.loc["raw/a", "mean_luma"] == int(lum.mean())
+    assert out.loc["png/b", "feature_status"] == "ok"
+    # non-canonical rows are skipped, not errored
+    assert set(out["feature_status"]) <= {"ok", "skipped"}
