@@ -242,9 +242,12 @@ class CountMinSketch:
         if (self.width, self.depth) != (other.width, other.depth):
             raise ValueError("inner_product requires identical sketch "
                              "dimensions")
-        dots = (self.table.astype(np.int64)
-                * other.table.astype(np.int64)).sum(axis=1)
-        return int(dots.min())
+        # Python-int accumulation (ADVICE r3): under extreme single-key
+        # skew a per-cell product of two ~3e9 counters exceeds int64
+        # and would overflow silently to a wrong/negative estimate.
+        dots = (self.table.astype(object)
+                * other.table.astype(object)).sum(axis=1)
+        return int(min(dots))
 
     def estimate(self, key) -> int:
         idx = self._indices([key])

@@ -14831,17 +14831,18 @@ WITH b AS (
 f AS (
   SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
               WHEN b.o_orderkey IS NULL THEN 'removed'
-              WHEN a.o_custkey <> b.o_custkey
-                OR a.o_orderstatus <> b.o_orderstatus
-                OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+              WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                THEN 'changed'
               ELSE 'unchanged' END AS change_type,
          CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
               ELSE rtrim(
-       (CASE WHEN a.o_custkey <> b.o_custkey
+       (CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
              THEN 'o_custkey,' ELSE '' END) ||
-       (CASE WHEN a.o_orderstatus <> b.o_orderstatus
+       (CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
              THEN 'o_orderstatus,' ELSE '' END) ||
-       (CASE WHEN a.o_totalprice <> b.o_totalprice
+       (CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
              THEN 'o_totalprice,' ELSE '' END), ',') END AS changed_cols
   FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
 SELECT change_type, changed_cols, CAST(count(*) AS BIGINT) AS n

@@ -3531,9 +3531,16 @@ def luby_mis(
     is strictly smaller than every alive neighbor's (or with no alive
     neighbor left) joins the MIS; MIS nodes and their alive neighbors
     leave the alive set.  A FIXED round count makes the trajectory
-    replayable by an unrolled SQL oracle (the q127/q231 pattern); Luby's
-    theorem kills a constant fraction of edges per round in expectation,
-    so a handful of rounds decides almost everything.
+    replayable by an unrolled SQL oracle (the q127/q231 pattern).
+
+    NOTE (ADVICE r3): priorities are hashed ONCE and held fixed across
+    rounds, so this is the deterministic greedy-by-fixed-priority MIS
+    variant, not textbook Luby — Luby's constant-fraction-per-round
+    expectation requires a fresh draw each round and does NOT apply
+    here; an adversarial priority order can need O(n) rounds (each
+    round still decides at least every local priority minimum, so on
+    hashed ids the expected round count stays logarithmic).  Undecided
+    rows after `rounds` are reported honestly as 'alive'.
 
     Returns one row per node: (node, status, decided_round) with status
     in {'mis', 'removed', 'alive'}; 'alive' rows carry

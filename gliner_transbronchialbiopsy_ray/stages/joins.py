@@ -323,7 +323,9 @@ def snapshot_diff(
     order) of the columns whose values differ ('' when not 'changed').
 
     Contract: `key` is unique within each snapshot (enforced: duplicate
-    keys in a bucket raise).  Scale shape: both sides project to
+    keys in a bucket raise).  Value comparison is IS DISTINCT FROM:
+    null-in-both is unchanged, null-vs-value is changed.  Scale shape:
+    both sides project to
     key+cols, tag a side bit, union, ONE crc(key) bucket exchange; the
     in-bucket kernel is a single vectorized outer merge — no broadcast,
     no driver state, and each side is scanned once."""
@@ -356,7 +358,13 @@ def snapshot_diff(
         changed_cols = np.full(n, "", dtype=object)
         any_changed = np.zeros(n, dtype=bool)
         for c in cols:
-            d = both_mask & (m[f"{c}_a"].to_numpy() != m[f"{c}_b"].to_numpy())
+            # IS DISTINCT FROM semantics (ADVICE r3): a column null in
+            # BOTH snapshots is unchanged (plain != reports NaN != NaN
+            # as changed); null vs value IS a change — the audit
+            # contract a warehouse diff needs.
+            va, vb = m[f"{c}_a"].to_numpy(), m[f"{c}_b"].to_numpy()
+            d = (both_mask & (va != vb)
+                 & ~(pd.isna(va) & pd.isna(vb)))
             any_changed |= d
             changed_cols[d] = np.where(
                 changed_cols[d] == "", c, changed_cols[d] + "," + c)

@@ -500,6 +500,36 @@ def test_snapshot_diff_change_types_and_mask(ray_session):
     assert (out.loc[[1, 4, 5], "changed_cols"] == "").all()
 
 
+def test_snapshot_diff_null_semantics(ray_session):
+    """ADVICE r3: IS DISTINCT FROM semantics — a column null in BOTH
+    snapshots is unchanged (plain != would report NaN != NaN as
+    changed); null vs value IS a change."""
+    import ray.data as rd
+    from gliner_transbronchialbiopsy_ray.stages.joins import snapshot_diff
+
+    a = rd.from_items([
+        {"k": 1, "x": None, "y": "a"},   # null in both -> unchanged
+        {"k": 2, "x": None, "y": "b"},   # null -> value: changed (x)
+        {"k": 3, "x": 3.0, "y": None},   # value -> null: changed (x)
+        {"k": 4, "x": None, "y": None},  # all-null in both -> unchanged
+    ])
+    b = rd.from_items([
+        {"k": 1, "x": None, "y": "a"},
+        {"k": 2, "x": 2.0, "y": "b"},
+        {"k": 3, "x": None, "y": None},
+        {"k": 4, "x": None, "y": None},
+    ])
+    out = (snapshot_diff(a, b, key="k", cols=["x", "y"]).to_pandas()
+           .set_index("k").sort_index())
+    assert out.loc[1, "change_type"] == "unchanged"
+    assert out.loc[2, "change_type"] == "changed"
+    assert out.loc[2, "changed_cols"] == "x"
+    assert out.loc[3, "change_type"] == "changed"
+    assert out.loc[3, "changed_cols"] == "x"
+    assert out.loc[4, "change_type"] == "unchanged"
+    assert out.loc[4, "changed_cols"] == ""
+
+
 def test_snapshot_diff_duplicate_key_raises(ray_session):
     import pytest
     import ray.data as rd

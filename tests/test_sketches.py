@@ -261,3 +261,18 @@ def test_cms_inner_product_join_size(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="identical"):
         sa.inner_product(CountMinSketch(width=1024, depth=4))
+
+
+def test_cms_inner_product_no_int64_overflow():
+    """ADVICE r3: a per-cell product of two ~3e9 counters exceeds int64
+    (9.2e18) — the estimator must accumulate in Python ints, not
+    overflow silently to a wrong/negative estimate."""
+    from gliner_transbronchialbiopsy_ray.functions.sketches import (
+        CountMinSketch)
+
+    big = 3_000_000_000
+    sa = CountMinSketch(width=64, depth=2).add_counts(["hot"], [big])
+    sb = CountMinSketch(width=64, depth=2).add_counts(["hot"], [big])
+    est = sa.inner_product(sb)
+    assert est >= big * big          # 9e18 > int64 max
+    assert est > 0
