@@ -128,7 +128,7 @@ SCALING_NDOCS = int(os.environ.get("GRAFT_SCALING_NDOCS", "40000"))
 SCALING_WORK_FACTOR = int(os.environ.get("GRAFT_SCALING_WF", "256"))
 
 
-SCALING_JOB = os.environ.get("GRAFT_SCALING_JOB", "kg")  # kg | dedup
+SCALING_JOB = os.environ.get("GRAFT_SCALING_JOB", "kg")  # kg | dedup | cc
 
 
 def run_scaling_job() -> dict:
@@ -147,6 +147,8 @@ def run_scaling_job() -> dict:
     _warm_execution()
     if SCALING_JOB == "dedup":
         return _run_scaling_job_dedup()
+    if SCALING_JOB == "cc":
+        return _run_scaling_job_cc()
     from gliner_transbronchialbiopsy_ray.config import (
         PipelineConfig,
         configure_data_context,
@@ -230,6 +232,56 @@ def _run_scaling_job_dedup() -> dict:
     out = {
         "metric": "scaling_job_dedup", "value": sec, "unit": "sec",
         "rows": rows, "docs": SCALING_NDOCS,
+        "docs_per_sec": round(SCALING_NDOCS / sec, 1),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def _run_scaling_job_cc() -> dict:
+    """Iterative-exchange leg (VERDICT r3 item 3): distributed
+    connected components over the MinHash candidate graph of the
+    fixture corpus.  The pair table is built ONCE (cached parquet under
+    /tmp, keyed by corpus size) so both parallelism legs time only the
+    label-propagation fixpoint — per round two native hash joins plus
+    one crc(node)-bucket fold, every exchange at the cluster-sized
+    partition count (ray already initialized by run_scaling_job)."""
+    import ray
+
+    from gliner_transbronchialbiopsy_ray.config import configure_data_context
+    from gliner_transbronchialbiopsy_ray.fixtures import write_corpus
+    from gliner_transbronchialbiopsy_ray.stages.assemble import assemble_text
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    configure_data_context()
+    pairs_dir = f"/tmp/graft_cc_pairs_{SCALING_NDOCS}"
+    if not os.path.exists(os.path.join(pairs_dir, "_DONE")):
+        path = write_corpus(SCALING_NDOCS, seed=42, shards=64)
+        docs = ray.data.read_parquet(
+            f"{path}/documents", override_num_blocks=NUM_CPUS * 4
+        ).map_batches(assemble_text, batch_format="pyarrow").map_batches(
+            lambda b: b.select(["doc_id", "text"]).filter(
+                b.column("text").is_valid()),
+            batch_format="pyarrow",
+        )
+        minhash_candidate_pairs(
+            docs, jaccard_threshold=0.5,
+            concurrency=(NUM_CPUS, NUM_CPUS),
+            shuffle_blocks=None, sig_bits=8,
+        ).write_parquet(pairs_dir)
+        open(os.path.join(pairs_dir, "_DONE"), "w").close()
+    t0 = time.perf_counter()
+    pairs = ray.data.read_parquet(pairs_dir)
+    labels = connected_components(pairs, distributed=True)
+    nodes = labels.count()
+    sec = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "scaling_job_cc", "value": sec, "unit": "sec",
+        "rows": nodes, "docs": SCALING_NDOCS,
         "docs_per_sec": round(SCALING_NDOCS / sec, 1),
         "num_cpus": NUM_CPUS,
     }

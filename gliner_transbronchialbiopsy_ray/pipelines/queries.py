@@ -14958,6 +14958,102 @@ def btb_mp2_decode(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def btb_mp3_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL (partial) MPEG-1 Layer III PAYLOAD decode
+    (stages/multimodal.py: decode_mp3_frames + Mp3SpectralDecoder):
+    deterministic synthetic Layer III streams exercising side-info
+    parsing, the BIT RESERVOIR (main_data_begin back-pointers across
+    frames), scfsi scalefactor sharing, long AND short (block_type 2)
+    windows with subblock gains, the implemented Huffman subset
+    (big_values tables 0/1, count1 table B) and the formula-exact
+    requantizer — with |q| <= 1 every spectral line is an exact power
+    of two, so max_xr_ppm pins values analytically.  A stream needing
+    an unimplemented Huffman table, a Layer II stream and a garbage
+    row keep their rows flagged (the documented partial-decode gaps
+    stay LOUD).  Golden-pinned (rows-only); analytic values pinned by
+    tests/test_mp3_layer3.py."""
+    from ..stages.multimodal import (encode_mp2_frame,
+                                     encode_mp3_stream,
+                                     mp3_spectral_features)
+
+    def gran(seed: int, gr: int, ch: int, short: bool = False) -> dict:
+        k = seed * 7 + gr * 3 + ch
+        g = {"global_gain": 140 + (k * 13) % 80,
+             "scalefac_compress": (5, 10, 14, 7)[k % 4],
+             "scalefac_scale": k % 2, "preflag": (k // 2) % 2,
+             "count1table_select": 1,
+             "table_select": [1, 1, 1],
+             "region0_count": 2 + k % 3, "region1_count": 2,
+             "bigv": [((1, 0), (0, 1), (1, 1), (1, -1), (-1, 1),
+                       (0, 0))[(k + i) % 6] for i in range(4 + k % 5)],
+             "count1": [[(1, 0, -1, 0)[(k + i + j) % 4]
+                         for j in range(4)] for i in range(k % 4)]}
+        from ..stages.multimodal import _MP3_SLEN
+        s1, s2 = _MP3_SLEN[g["scalefac_compress"]]
+        if short:
+            g["block_type"] = 2
+            g["table_select"] = [1, 1]
+            g["subblock_gain"] = [k % 3, 0, (k + 1) % 3]
+            g["scalefactors"] = {"short": [
+                [(w + k + sfb) % (1 << (s1 if sfb < 6 else s2))
+                 if (s1 if sfb < 6 else s2) else 0
+                 for sfb in range(12)] for w in range(3)]}
+        else:
+            g["block_type"] = 0
+            g["scalefactors"] = {"long": [
+                (k + sfb) % (1 << (s1 if sfb < 11 else s2))
+                if (s1 if sfb < 11 else s2) else 0
+                for sfb in range(21)]}
+        return g
+
+    def make_stream(seed: int) -> bytes:
+        mode = (3, 0, 1, 2)[seed % 4]
+        nch = 1 if mode == 3 else 2
+        frames = []
+        for f in range(2 + seed % 2):
+            # granule 1 shares scalefactor groups via scfsi on mono
+            # even seeds; short blocks on seeds % 3 == 2
+            short = seed % 3 == 2
+            if seed % 2 == 0 and not short:
+                g0 = [gran(seed + f, 0, ch) for ch in range(nch)]
+                g1 = [dict(g, count1=[[1, 0, 0, 0]]) for g in
+                      [dict(gg) for gg in g0]]
+                scfsi = [[1, 0, 1, 1] for _ in range(nch)]
+            else:
+                g0 = [gran(seed + f, 0, ch, short) for ch in range(nch)]
+                g1 = [gran(seed + f, 1, ch, short) for ch in range(nch)]
+                scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+            frames.append({"scfsi": scfsi, "granules": [g0, g1]})
+        return encode_mp3_stream(frames, sr_idx=seed % 3,
+                                 br_idx=(8, 10, 11)[seed % 3],
+                                 mode=mode)
+
+    refs = [f"mp3://{i:02d}" for i in range(6)]
+    payloads = [make_stream(i) for i in range(6)]
+    # Layer II row: flagged unsupported_layer:2
+    l2 = encode_mp2_frame(
+        np.zeros((36, 32, 1), dtype=np.int64),
+        np.zeros((32, 1), dtype=np.int64),
+        np.zeros((32, 1), dtype=np.int64),
+        np.zeros((3, 32, 1), dtype=np.int64), sr_idx=1, br_idx=10,
+        mode=3)
+    refs.append("mp3://layer2")
+    payloads.append(l2 * 2)
+    refs.append("mp3://bad")
+    payloads.append(b"not-an-mpeg-stream")
+    media = rd.from_arrow(pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary())}))
+    out = (mp3_spectral_features(media, n_frames=3, concurrency=2)
+           .to_pandas())
+    for c in ("frame_idx", "granule", "channel", "block_type",
+              "global_gain", "nonzero_lines", "qs_crc32", "max_xr_ppm"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["media_ref", "frame_idx", "granule",
+                             "channel"])
+            .reset_index(drop=True))
+
+
 def q284_theta_sketch_ops(sf_dir: str, k: int = 64) -> pd.DataFrame:
     """Theta-sketch SET OPERATIONS over KMV samples (the capability HLL
     lacks: intersection estimates from mergeable per-set sketches):
@@ -16547,6 +16643,7 @@ QUERIES: dict[str, tuple] = {
     "q282_referential_integrity": (q282_referential_integrity, Q282_SQL),
     "q283_snapshot_table_diff": (q283_snapshot_table_diff, Q283_SQL),
     "btb_mp2_decode": (btb_mp2_decode, None),
+    "btb_mp3_decode": (btb_mp3_decode, None),
     "q284_theta_sketch_ops": (q284_theta_sketch_ops, Q284_SQL),
     "q285_grouped_ols_slope": (q285_grouped_ols_slope, Q285_SQL),
     "q286_winsorize": (q286_winsorize, Q286_SQL),

@@ -12,10 +12,15 @@ pure-NumPy/stdlib decoders; MP4/ISO-BMFF and MP3/MPEG-audio DEMUX
 extraction) are REAL too, and MPEG-1 LAYER I and LAYER II audio
 payloads decode for real (formula-exact requantizers to subband
 samples; Layer II adds the B.2 allocation tables, grouped 3/5/9-step
-classes and scfsi scalefactor sharing — see the Layer I/II sections).
-Only the remaining compressed codec PAYLOAD decode kernels (H.264/AAC
-samples, Layer III audio frames — gated on large tabulated Huffman
-data) remain stubbed (deterministic fakes, clearly marked).  The Ray side —
+classes and scfsi scalefactor sharing — see the Layer I/II sections),
+and LAYER III decodes PARTIALLY for real: full side-info parsing, the
+bit reservoir, scfsi sharing, long/short windows, count1 table B and
+big_values Huffman tables 0/1 with formula-exact requantization to 576
+spectral lines — the remaining big_values tables 2-31 / count1 table A
+/ mixed blocks raise LOUD errors naming the gap (see the Layer III
+section for why that data is not transcribed).  Only the H.264/AAC
+sample payload decode kernels remain stubbed (deterministic fakes,
+clearly marked).  The Ray side —
 schema, batch sizing, actor signature, output layout — is real and tested
 throughout.  Swap `_decode_stub` for a real codec (PIL/torchaudio) on a
 GPU cluster; the stage contract does not change.
@@ -2993,8 +2998,8 @@ def mp3_frame_features(
 # standard (Annex 3-B.3), so PCM reconstruction stays out of scope and
 # the subband-domain samples (the time-frequency representation the
 # psychoacoustic layer actually codes) are the decoder's output —
-# exactly what a feature-extraction pipeline consumes.  Layer II has
-# its own decoder below; Layer III payloads remain the documented stub.
+# exactly what a feature-extraction pipeline consumes.  Layer II and
+# (partially) Layer III have their own decoders below.
 
 
 class _BitReader:
@@ -3192,9 +3197,9 @@ class Mp1SubbandDecoder:
     subband samples; emits per-frame spectral features (per-subband
     RMS over the 12 granules, averaged across channels, float32[32])
     plus a crc32 over the raw quantized codes that pins bit-exact
-    decode.  Layer II rows route to Mp2SubbandDecoder; Layer III rows
-    keep their row with decode_status='unsupported_layer:3' — the
-    documented remaining codec stub; demux errors keep rows too
+    decode.  Layer II/III rows route to Mp2SubbandDecoder /
+    Mp3SpectralDecoder and keep their row here with
+    decode_status='unsupported_layer:N'; demux errors keep rows too
     (readers never drop)."""
 
     def __init__(self, n_frames: int = 4):
@@ -3578,8 +3583,8 @@ class Mp2SubbandDecoder:
     subband samples; emits per-frame features (per-subband RMS over
     the 36 samples, averaged across channels, float32[32]) plus a
     crc32 over the raw quantized codes pinning bit-exact decode.
-    Layer I/III rows keep their row flagged (Layer I has its own
-    decoder; Layer III/AAC/H.264 payloads are the remaining stub);
+    Layer I/III rows keep their row flagged (Layer I and III have
+    their own decoders: Mp1SubbandDecoder / Mp3SpectralDecoder);
     demux errors keep rows too (readers never drop)."""
 
     def __init__(self, n_frames: int = 4):
@@ -3655,6 +3660,618 @@ def mp2_subband_features(
     (REAL payload decode; Layer I/III rows pass through flagged)."""
     return media.map_batches(
         Mp2SubbandDecoder,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# --- MPEG-1 Audio Layer III payload decode (honest partial) ---------------
+# REAL side-info parsing (the full MPEG-1 granule field layout), bit
+# reservoir (main_data_begin back-pointers across frames), scfsi
+# scalefactor sharing, long/short/mixed window side fields, count1
+# quadruple Huffman (table B) and big_values Huffman tables 0 and 1,
+# and the formula-exact requantizer to 576 spectral lines per granule.
+# Big-values tables 2-31, count1 table A and mixed-block scalefactors
+# raise a LOUD ValueError naming the gap (tabulated Huffman data for
+# the remaining tables is deliberately not transcribed from memory —
+# the MP2 rate-class lesson: spec tables carried without an external
+# cross-check are a silent-corruption risk; the implemented subset is
+# externally checkable because tables 0/1/B are small enough to verify
+# against ISO 11172-3 Table B.7 by hand).  Reference behavior:
+# reference repo has no audio path; public spec is ISO 11172-3 §2.4.1.7
+# (side info), §2.4.2.7 (main data), §2.4.3.4 (requantization).
+
+# scalefac_compress -> (slen1, slen2) bit widths (ISO 11172-3 §2.4.2.7)
+_MP3_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
+             (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+             (4, 2), (4, 3)]
+
+# preemphasis table, long scalefactor bands 0..21 (§2.4.3.4)
+_MP3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+               1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+# long-block scalefactor band edges (frequency-line index), Table B.8
+_MP3_SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+# short-block band edges (per window; 12 bands + end), Table B.8
+_MP3_SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
+# big_values Huffman: implemented tables only.  Table 1 (2x2, no
+# linbits), ISO Table B.7: (x,y) -> (code, length); table 0 emits no
+# bits and decodes all-zero.
+_MP3_HUFF1 = {(0, 0): (0b1, 1), (1, 0): (0b01, 2),
+              (0, 1): (0b001, 3), (1, 1): (0b000, 3)}
+_MP3_HUFF1_DEC = {(ln, code): xy for xy, (code, ln) in _MP3_HUFF1.items()}
+_MP3_BV_TABLES = {0: None, 1: _MP3_HUFF1_DEC}
+
+
+def _mp3_side_info(frame: bytes, hdr: dict) -> dict:
+    """Parse the MPEG-1 Layer III side information block (§2.4.1.7).
+
+    Returns {main_data_begin, scfsi (nch, 4), granules: [gr][ch] dicts
+    with part2_3_length, big_values, global_gain, scalefac_compress,
+    window_switching, block_type, mixed_block, table_select,
+    subblock_gain, region0_count, region1_count, preflag,
+    scalefac_scale, count1table_select, size_bytes}."""
+    if hdr["version"] != "1":
+        raise ValueError("MPEG-2 LSF Layer III side info (9 bytes, 1 "
+                         "granule) not supported")
+    nch = hdr["channels"]
+    start = (6 if hdr["crc_protected"] else 4)
+    size = 17 if nch == 1 else 32
+    if len(frame) < start + size:
+        raise ValueError("layer3 frame truncated in side info")
+    br = _BitReader(frame, start * 8)
+    info: dict = {"main_data_begin": br.read(9), "size_bytes": size}
+    br.read(5 if nch == 1 else 3)  # private_bits
+    info["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    grs = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(nch):
+            g = {
+                "part2_3_length": br.read(12),
+                "big_values": br.read(9),
+                "global_gain": br.read(8),
+                "scalefac_compress": br.read(4),
+            }
+            g["window_switching"] = br.read(1)
+            if g["window_switching"]:
+                g["block_type"] = br.read(2)
+                g["mixed_block"] = br.read(1)
+                g["table_select"] = [br.read(5) for _ in range(2)]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                if g["block_type"] == 0:
+                    raise ValueError(
+                        "layer3 window_switching with block_type 0 is "
+                        "forbidden (§2.4.1.7)")
+                # switched blocks carry no region fields: the split
+                # is the fixed 36-line boundary (§2.4.2.7); stored
+                # values are informational
+                g["region0_count"] = -1
+                g["region1_count"] = -1
+            else:
+                g["block_type"] = 0
+                g["mixed_block"] = 0
+                g["table_select"] = [br.read(5) for _ in range(3)]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+                g["subblock_gain"] = [0, 0, 0]
+            if g["big_values"] > 288:
+                raise ValueError("layer3 big_values > 288")
+            g["preflag"] = br.read(1)
+            g["scalefac_scale"] = br.read(1)
+            g["count1table_select"] = br.read(1)
+            chs.append(g)
+        grs.append(chs)
+    info["granules"] = grs
+    return info
+
+
+def _mp3_read_scalefactors(br: "_BitReader", g: dict, scfsi: list,
+                           gr: int, prev: dict | None) -> tuple[dict, int]:
+    """Part-2 scalefactor decode.  Long blocks: bands 0-10 slen1 bits,
+    11-20 slen2, scfsi groups [0-5][6-10][11-15][16-20] reuse granule
+    0's values in granule 1.  Short blocks: 3 windows x (bands 0-5
+    slen1, 6-11 slen2), no scfsi.  Mixed blocks raise (documented
+    gap).  Returns ({'long': [21], 'short': [3][12]}, bits_read)."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    bits = 0
+    if g["block_type"] == 2 and g["mixed_block"]:
+        raise ValueError("layer3 mixed-block scalefactors not "
+                         "implemented (documented partial-decode gap)")
+    if g["block_type"] == 2:
+        short = []
+        for sfb in range(12):
+            n = slen1 if sfb < 6 else slen2
+            short.append([br.read(n) for _ in range(3)])
+            bits += 3 * n
+        return {"long": [0] * 21,
+                "short": [[short[s][w] for s in range(12)]
+                          for w in range(3)]}, bits
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+              (16, 21, slen2)]
+    vals = [0] * 21
+    for gi, (lo, hi, n) in enumerate(groups):
+        if gr == 1 and scfsi[gi]:
+            if prev is None:
+                raise ValueError("layer3 scfsi set but granule 0 "
+                                 "scalefactors unavailable")
+            vals[lo:hi] = prev["long"][lo:hi]
+        else:
+            for sfb in range(lo, hi):
+                vals[sfb] = br.read(n)
+                bits += n
+    return {"long": vals, "short": None}, bits
+
+
+def _mp3_read_spectrum(br: "_BitReader", g: dict, hdr: dict,
+                       part2_bits: int) -> tuple[np.ndarray, int]:
+    """Part-3 Huffman decode to 576 quantized integer lines.
+
+    big_values pairs decode through the implemented (x,y) tables —
+    unimplemented table ids raise naming the table; count1 quadruples
+    use table B (4-bit inverted-bits codes); table A raises.  Region
+    boundaries only select WHICH table applies, so they are resolved
+    against the long-block band edges per §2.4.2.7."""
+    qs = np.zeros(576, dtype=np.int64)
+    limit = g["part2_3_length"] - part2_bits
+    if limit < 0:
+        raise ValueError("layer3 part2 overran part2_3_length")
+    t0 = br.pos
+    edges = _MP3_SFB_LONG[hdr["sample_rate"]]
+    if g["window_switching"]:
+        # switched blocks: fixed 36-line region boundary, two tables
+        bounds = [min(36, g["big_values"] * 2), g["big_values"] * 2]
+    else:
+        r0 = edges[min(g["region0_count"] + 1, len(edges) - 1)]
+        r1 = edges[min(g["region0_count"] + 1 + g["region1_count"] + 1,
+                       len(edges) - 1)]
+        bounds = [min(r0, g["big_values"] * 2),
+                  min(r1, g["big_values"] * 2), g["big_values"] * 2]
+    pos = 0
+    for region, end in enumerate(bounds):
+        tid = g["table_select"][region]
+        if tid not in _MP3_BV_TABLES:
+            raise ValueError(
+                f"layer3 big_values huffman table {tid} not implemented "
+                "(tables 0 and 1 only - documented partial-decode gap)")
+        table = _MP3_BV_TABLES[tid]
+        while pos < end:
+            if table is None:
+                x = y = 0
+            else:
+                code, ln = 0, 0
+                while (ln, code) not in table:
+                    code = (code << 1) | br.read(1)
+                    ln += 1
+                    if ln > 19:
+                        raise ValueError("layer3 invalid huffman code")
+                x, y = table[(ln, code)]
+            if x and br.read(1):
+                x = -x
+            if y and br.read(1):
+                y = -y
+            qs[pos], qs[pos + 1] = x, y
+            pos += 2
+    # count1 region: quadruples until the granule's bit budget is spent
+    if g["count1table_select"] == 0:
+        if br.pos - t0 < limit and pos < 576:
+            raise ValueError("layer3 count1 table A not implemented "
+                             "(documented partial-decode gap)")
+    while br.pos - t0 < limit and pos + 4 <= 576:
+        p = 15 - br.read(4)  # table B: 4-bit inverted-bits codes
+        quad = [(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, p & 1]
+        for k in range(4):
+            v = quad[k]
+            if v and br.read(1):
+                v = -v
+            qs[pos + k] = v
+        pos += 4
+    if br.pos - t0 > limit:
+        raise ValueError("layer3 huffman data overran part2_3_length")
+    br.pos = t0 + limit  # skip stuffing to the next granule
+    return qs, pos
+
+
+def _mp3_requantize(qs: np.ndarray, g: dict, scf: dict,
+                    hdr: dict) -> np.ndarray:
+    """Formula-exact requantizer (§2.4.3.4): xr = sign(q) |q|^(4/3)
+    * 2^((global_gain-210)/4) * 2^(-m (scalefac + preflag*pretab)),
+    m = (scalefac_scale+1)/2; short windows subtract 8*subblock_gain
+    inside the power-of-two exponent.  With the implemented Huffman
+    subset |q| <= 1, so |q|^(4/3) is exactly 0 or 1 and outputs are
+    exact powers of two."""
+    sr = hdr["sample_rate"]
+    mag = np.abs(qs).astype(np.float64) ** (4.0 / 3.0)
+    xr = np.sign(qs) * mag
+    m = 0.5 * (g["scalefac_scale"] + 1)
+    if g["block_type"] == 2:
+        edges = _MP3_SFB_SHORT[sr]
+        widths = np.diff(edges)
+        exp = np.zeros(576)
+        pos = 0
+        for sfb in range(12):
+            for w in range(3):
+                width = widths[sfb]
+                if pos + width > 576:
+                    break
+                exp[pos:pos + width] = (
+                    (g["global_gain"] - 210 - 8 * g["subblock_gain"][w])
+                    / 4.0 - m * scf["short"][w][sfb])
+                pos += width
+        # lines past the banded region (if any) keep granule gain
+        exp[pos:] = (g["global_gain"] - 210) / 4.0
+    else:
+        edges = _MP3_SFB_LONG[sr]
+        exp = np.full(576, (g["global_gain"] - 210) / 4.0)
+        for sfb in range(21):
+            lo, hi = edges[sfb], edges[sfb + 1]
+            exp[lo:hi] -= m * (scf["long"][sfb]
+                               + g["preflag"] * _MP3_PRETAB[sfb])
+    return xr * np.power(2.0, exp)
+
+
+def decode_mp3_frames(payload: bytes, max_frames: int | None = None
+                      ) -> list[dict]:
+    """Decode the Layer III frames of an MPEG-1 audio stream through
+    the bit reservoir: frames are walked in order (main_data_begin
+    back-pointers need every predecessor's main data), each granule's
+    side info + scalefactors + quantized spectrum + requantized lines
+    are returned.  Frames whose payload needs an unimplemented Huffman
+    table raise ValueError naming the gap (callers like
+    Mp3SpectralDecoder keep rows flagged).
+
+    Returns [{frame_idx, side_info, granules: [gr][ch] {scalefactors,
+    qs (576 int64), xr (576 float64), nonzero}}]."""
+    offsets, _sizes, _brs = mp3_frame_table(payload)
+    if max_frames is not None:
+        offsets = offsets[:max_frames]
+    main_buf = bytearray()
+    shipped = 0  # absolute bytes accumulated into main_buf
+    out = []
+    for fi, off in enumerate(offsets):
+        hdr = _mp3_parse_header(payload, int(off))
+        if hdr["layer"] != 3:
+            raise ValueError(f"not a Layer III frame (layer {hdr['layer']})")
+        frame = payload[int(off):int(off) + hdr["frame_size"]]
+        if len(frame) < hdr["frame_size"]:
+            raise ValueError("layer3 frame truncated")
+        info = _mp3_side_info(frame, hdr)
+        start = (6 if hdr["crc_protected"] else 4) + info["size_bytes"]
+        region = frame[start:]
+        begin_abs = shipped - info["main_data_begin"]
+        if begin_abs < 0:
+            raise ValueError("layer3 main_data_begin underflows the "
+                             "bit reservoir")
+        main_buf += region
+        shipped += len(region)
+        # trim the reservoir, keeping absolute addressing
+        base = shipped - len(main_buf)
+        br = _BitReader(bytes(main_buf), (begin_abs - base) * 8)
+        nch = hdr["channels"]
+        grs = []
+        prev_scf = [None] * nch
+        for gr in range(2):
+            chs = []
+            for ch in range(nch):
+                g = info["granules"][gr][ch]
+                p0 = br.pos
+                scf, p2bits = _mp3_read_scalefactors(
+                    br, g, info["scfsi"][ch], gr, prev_scf[ch])
+                qs, nlines = _mp3_read_spectrum(br, g, hdr, p2bits)
+                if br.pos - p0 != g["part2_3_length"]:
+                    raise ValueError("layer3 granule length mismatch")
+                if gr == 0 and g["block_type"] != 2:
+                    prev_scf[ch] = scf
+                xr = _mp3_requantize(qs, g, scf, hdr)
+                chs.append({"scalefactors": scf, "qs": qs, "xr": xr,
+                            "nonzero": int(np.count_nonzero(qs)),
+                            "nlines": nlines})
+            grs.append(chs)
+        if len(main_buf) > 511 + len(region):
+            del main_buf[:len(main_buf) - 511 - len(region)]
+        out.append({"frame_idx": fi, "side_info": info,
+                    "granules": grs, "header": hdr})
+    return out
+
+
+def _mp3_granule_bits(g: dict, gr: int, scfsi: list,
+                      prev_long: list | None) -> list[tuple[int, int]]:
+    """Pack one granule's main data as (value, nbits) fields:
+    scalefactors (honoring scfsi on granule 1), big_values pairs
+    through the selected table, count1 quadruples through table B."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    bits: list[tuple[int, int]] = []
+    scf = g["scalefactors"]
+    if g["block_type"] == 2:
+        for sfb in range(12):
+            n = slen1 if sfb < 6 else slen2
+            for w in range(3):
+                v = scf["short"][w][sfb]
+                if not 0 <= v < (1 << n) if n else v != 0:
+                    raise ValueError("layer3 scalefactor exceeds slen")
+                if n:
+                    bits.append((v, n))
+    else:
+        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                  (16, 21, slen2)]
+        for gi, (lo, hi, n) in enumerate(groups):
+            if gr == 1 and scfsi[gi]:
+                if prev_long is None or \
+                        scf["long"][lo:hi] != prev_long[lo:hi]:
+                    raise ValueError("scfsi=1 requires granule 0/1 "
+                                     "scalefactors equal")
+                continue
+            for sfb in range(lo, hi):
+                v = scf["long"][sfb]
+                if v >= (1 << n) if n else v != 0:
+                    raise ValueError("layer3 scalefactor exceeds slen")
+                if n:
+                    bits.append((v, n))
+    # big_values region layout mirrors the decoder exactly
+    bv = g["bigv"]
+    tids = g["table_select"]
+    nlines = 2 * len(bv)
+    if g["window_switching"]:
+        bounds = [min(36, nlines), nlines]
+    else:
+        edges = _MP3_SFB_LONG[g["_sr"]]
+        r0 = edges[min(g["region0_count"] + 1, len(edges) - 1)]
+        r1 = edges[min(g["region0_count"] + 1 + g["region1_count"] + 1,
+                       len(edges) - 1)]
+        bounds = [min(r0, nlines), min(r1, nlines), nlines]
+    pos = 0
+    for region, end in enumerate(bounds):
+        tid = tids[region]
+        while pos < end:
+            x, y = bv[pos // 2]
+            if tid == 0:
+                if x or y:
+                    raise ValueError("table 0 region carries nonzero")
+            elif tid == 1:
+                code, ln = _MP3_HUFF1[(abs(x), abs(y))]
+                bits.append((code, ln))
+                if x:
+                    bits.append((1 if x < 0 else 0, 1))
+                if y:
+                    bits.append((1 if y < 0 else 0, 1))
+            else:
+                raise ValueError(f"encoder: table {tid} unsupported")
+            pos += 2
+    for quad in g["count1"]:
+        p = sum((1 if v else 0) << (3 - k) for k, v in enumerate(quad))
+        bits.append((15 - p, 4))
+        for v in quad:
+            if v:
+                bits.append((1 if v < 0 else 0, 1))
+    return bits
+
+
+def encode_mp3_stream(
+    frames: list,
+    sr_idx: int = 0,
+    br_idx: int = 11,
+    mode: int = 3,
+) -> bytes:
+    """Test dual of decode_mp3_frames: packs granule specs into a real
+    MPEG-1 Layer III stream — side info, scalefactors, Huffman codes
+    (tables 0/1/B), and the BIT RESERVOIR: each frame's main data is
+    written into the stream of frame payload regions in order, and
+    main_data_begin back-pointers are computed so decoders must read
+    across frame boundaries whenever a frame's capacity exceeds its
+    own main data.
+
+    Each frame spec is {scfsi: [nch][4], granules: [2][nch] of
+    {global_gain, scalefac_compress, scalefac_scale, preflag,
+    block_type (0|2), subblock_gain, table_select, region0_count,
+    region1_count, scalefactors, bigv: [(x, y)], count1: [[v,w,x,y]]}}.
+    """
+    nch = 1 if mode == 3 else 2
+    sr = [44100, 48000, 32000][sr_idx]
+    hdr4 = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | (mode << 6))
+    hdr = _mp3_parse_header(hdr4.to_bytes(4, "big") + bytes(4), 0)
+    side_bytes = 17 if nch == 1 else 32
+    cap = hdr["frame_size"] - 4 - side_bytes
+
+    # 1) per-frame main data bitstrings (byte-padded per frame)
+    frame_main: list[bytes] = []
+    all_side: list[list] = []
+    for spec in frames:
+        acc, n = 0, 0
+        out = bytearray()
+        sides = []
+        prev_long = [None] * nch
+        for gr in range(2):
+            for ch in range(nch):
+                g = dict(spec["granules"][gr][ch])
+                g["_sr"] = sr
+                g.setdefault("window_switching",
+                             1 if g.get("block_type", 0) == 2 else 0)
+                g.setdefault("block_type", 0)
+                g.setdefault("subblock_gain", [0, 0, 0])
+                g.setdefault("preflag", 0)
+                g.setdefault("scalefac_scale", 0)
+                g.setdefault("count1", [])
+                g.setdefault("bigv", [])
+                fields = _mp3_granule_bits(
+                    g, gr, spec["scfsi"][ch], prev_long[ch])
+                nbits = sum(b for _, b in fields)
+                g["part2_3_length"] = nbits
+                g["big_values"] = len(g["bigv"])
+                sides.append(g)
+                if gr == 0 and g["block_type"] != 2:
+                    prev_long[ch] = list(g["scalefactors"]["long"])
+                for v, b in fields:
+                    acc = (acc << b) | (v & ((1 << b) - 1))
+                    n += b
+                    while n >= 8:
+                        out.append((acc >> (n - 8)) & 0xFF)
+                        n -= 8
+                        acc &= (1 << n) - 1
+        if n:
+            out.append((acc << (8 - n)) & 0xFF)
+        frame_main.append(bytes(out))
+        all_side.append(sides)
+
+    # 2) bound the reservoir: pad each frame's main data with ancillary
+    # zero bytes (decoders read only part2_3_length bits per granule)
+    # so the accumulated surplus — the NEXT frame's main_data_begin —
+    # stays within the 9-bit field, as real encoders do
+    mdb = 0
+    for fi, raw in enumerate(frame_main):
+        pad = max(0, mdb + cap - len(raw) - 400)
+        if pad:
+            raw = raw + bytes(pad)
+            frame_main[fi] = raw
+        mdb = mdb + cap - len(raw)
+
+    # 3) distribute through the reservoir
+    B = b"".join(frame_main)
+    stream = bytearray()
+    shipped = 0   # bytes of B shipped in earlier frames' regions
+    offset = 0    # bytes of B belonging to earlier frames' main data
+    for fi, spec in enumerate(frames):
+        mdb = shipped - offset
+        if not 0 <= mdb <= 511:
+            raise ValueError(
+                f"frame {fi}: main_data_begin {mdb} out of range — "
+                "re-balance frame payload sizes vs bitrate")
+        if offset + len(frame_main[fi]) > shipped + cap:
+            raise ValueError(
+                f"frame {fi}: main data spills past its own frame "
+                "(raise br_idx)")
+        bits: list[tuple[int, int]] = [(mdb, 9),
+                                       (0, 5 if nch == 1 else 3)]
+        for ch in range(nch):
+            for b in spec["scfsi"][ch]:
+                bits.append((b, 1))
+        for g in all_side[fi]:
+            bits += [(g["part2_3_length"], 12), (g["big_values"], 9),
+                     (g["global_gain"], 8), (g["scalefac_compress"], 4),
+                     (g["window_switching"], 1)]
+            if g["window_switching"]:
+                bits += [(g["block_type"], 2), (0, 1)]
+                bits += [(t, 5) for t in g["table_select"][:2]]
+                bits += [(sg, 3) for sg in g["subblock_gain"]]
+            else:
+                bits += [(t, 5) for t in g["table_select"][:3]]
+                bits += [(g["region0_count"], 4),
+                         (g["region1_count"], 3)]
+            bits += [(g["preflag"], 1), (g["scalefac_scale"], 1),
+                     (g.get("count1table_select", 1), 1)]
+        acc, n = 0, 0
+        side = bytearray()
+        for v, b in bits:
+            acc = (acc << b) | (v & ((1 << b) - 1))
+            n += b
+            while n >= 8:
+                side.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+                acc &= (1 << n) - 1
+        if n:
+            side.append((acc << (8 - n)) & 0xFF)
+        if len(side) != side_bytes:
+            raise ValueError(f"side info {len(side)} != {side_bytes}")
+        region = B[shipped:shipped + cap]
+        region = region + bytes(cap - len(region))
+        stream += hdr4.to_bytes(4, "big") + bytes(side) + region
+        shipped += cap
+        offset += len(frame_main[fi])
+    return bytes(stream)
+
+
+class Mp3SpectralDecoder:
+    """Actor stage over (media_ref, payload) MPEG-audio rows: REAL
+    Layer III payload decode through the bit reservoir — side info,
+    scfsi scalefactor sharing, Huffman subset (big_values tables 0/1,
+    count1 table B), formula-exact requantization to 576 spectral
+    lines per granule.  Emits per-granule features: nonzero line
+    count, crc32 over the quantized integer spectrum (pins bit-exact
+    decode), max |xr| in ppm, global gain.  Layer I/II rows and frames
+    needing an unimplemented Huffman table keep their rows flagged
+    (readers never drop)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows: list[tuple] = []
+
+        def emit(ref, fi, gr, ch, bt, gg, nz, crc, amp, status):
+            rows.append((ref, fi, gr, ch, bt, gg, nz, crc, amp, status))
+
+        for ref, p in zip(refs, payloads):
+            try:
+                meta = probe_mp3(p)
+            except (ValueError, IndexError, EOFError) as exc:
+                emit(ref, -1, -1, -1, -1, -1, -1, 0, -1,
+                     f"demux_error: {exc}")
+                continue
+            if meta["layer"] != 3:
+                emit(ref, -1, -1, -1, -1, -1, -1, 0, -1,
+                     f"unsupported_layer:{meta['layer']}")
+                continue
+            try:
+                frames = decode_mp3_frames(p, max_frames=self.n_frames)
+            except ValueError as exc:
+                emit(ref, -1, -1, -1, -1, -1, -1, 0, -1,
+                     f"decode_error: {exc}")
+                continue
+            for fr in frames:
+                for gr, chs in enumerate(fr["granules"]):
+                    for ch, d in enumerate(chs):
+                        g = fr["side_info"]["granules"][gr][ch]
+                        amp = float(np.abs(d["xr"]).max())
+                        emit(ref, fr["frame_idx"], gr, ch,
+                             g["block_type"], g["global_gain"],
+                             d["nonzero"],
+                             _z.crc32(d["qs"].tobytes()),
+                             int(round(amp * 1e6)), "ok")
+        cols = list(zip(*rows)) if rows else [[]] * 10
+        return pa.table({
+            "media_ref": pa.array(cols[0], type=pa.string()),
+            "frame_idx": pa.array(cols[1], type=pa.int64()),
+            "granule": pa.array(cols[2], type=pa.int64()),
+            "channel": pa.array(cols[3], type=pa.int64()),
+            "block_type": pa.array(cols[4], type=pa.int64()),
+            "global_gain": pa.array(cols[5], type=pa.int64()),
+            "nonzero_lines": pa.array(cols[6], type=pa.int64()),
+            "qs_crc32": pa.array(cols[7], type=pa.int64()),
+            "max_xr_ppm": pa.array(cols[8], type=pa.int64()),
+            "decode_status": pa.array(cols[9], type=pa.string()),
+        })
+
+
+def mp3_spectral_features(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """MPEG-audio payload dataset -> Layer III spectral-domain features
+    (REAL partial payload decode; Layer I/II rows pass through
+    flagged)."""
+    return media.map_batches(
+        Mp3SpectralDecoder,
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
