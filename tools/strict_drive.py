@@ -19,9 +19,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 qs, sql = E.queries(), E.oracle_sql()
-if len(sys.argv) > 1:  # optional name-substring filters
-    pats = sys.argv[1:]
-    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
+args = sys.argv[1:]
+if args[:1] == ["--since"]:
+    # --since <logfile>: drive only registry entries that have NO
+    # status line in a prior strict-drive log — the cheap per-session
+    # verification mode for a 330+ registry (ROUND_NOTES r3 item 7).
+    # Entries whose CODE changed still need a name filter or a full
+    # drive; this mode covers the additive-growth common case.
+    import re
+
+    seen = set(re.findall(r"\] (\S+): (?:ORACLE_MATCH|ROWS_ONLY)",
+                          open(args[1]).read()))
+    qs = {n: f for n, f in qs.items() if n not in seen}
+    print(f"--since {args[1]}: {len(seen)} entries already green, "
+          f"{len(qs)} to drive")
+elif args:  # optional name-substring filters
+    qs = {n: f for n, f in qs.items() if any(p in n for p in args)}
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
