@@ -88,3 +88,41 @@ def test_shuffle_rewrite_matches_broadcast():
     # empty link set: store unchanged
     sh2 = apply_sameas(store, _links([]), strategy="shuffle").to_pandas()
     assert len(sh2) == 6
+
+
+def test_distributed_cc_contraction_rounds_match_driver(ray_session):
+    """Force the DISTRIBUTED contraction rounds (driver_finish_threshold
+    0) on a graph that needs several rounds — a long chain plus cliques
+    — and require exact agreement with the driver-side path, plus the
+    contract-then-solve default on the same input."""
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.dedup import (
+        _cc_distributed,
+        connected_components,
+    )
+
+    pairs = []
+    # chain n00-n01-...-n07 (diameter forces multiple rounds)
+    for i in range(7):
+        pairs.append({"left_id": f"n{i:02d}", "right_id": f"n{i+1:02d}"})
+    # two cliques
+    for ids in (["c10", "c11", "c12", "c13"], ["d20", "d21", "d22"]):
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.append({"left_id": a, "right_id": b})
+    ds = rd.from_items(pairs)
+    want = sorted(map(tuple, connected_components(ds).to_pandas()
+                      [["node", "component"]].to_numpy()))
+    forced = _cc_distributed(ds, 20, "left_id", "right_id",
+                             num_partitions=3,
+                             driver_finish_threshold=0).to_pandas()
+    assert sorted(map(tuple, forced[["node", "component"]]
+                      .to_numpy())) == want
+    solved = connected_components(ds, distributed=True).to_pandas()
+    assert sorted(map(tuple, solved[["node", "component"]]
+                      .to_numpy())) == want
+    # every chain node landed on the chain minimum
+    assert set(forced[forced["node"].str.startswith("n")]["component"]) \
+        == {"n00"}
