@@ -16305,6 +16305,211 @@ FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority
 """
 
 
+def q298_quota_allocation(sf_dir: str) -> pd.DataFrame:
+    """EXACT-SIZE proportional-allocation sampling (the corpus-balancing
+    step of web-scale corpus prep — per-domain quotas): a total budget of
+    T = N // 2 docs is split across `source` strata proportionally to each
+    stratum's total n_chars by the largest-remainder (Hamilton) method in
+    PURE INTEGER arithmetic (base = w_i*T // W, leftovers to the largest
+    w_i*T % W remainders, ties by source asc), each allocation clipped to
+    the stratum's row count (truncated Hamilton — no redistribution, so
+    both engines agree without iterating).  Within a stratum the selected
+    rows are the alloc_i smallest by md5(doc_id) (deterministic "random",
+    stable across engines/block layouts).  Distinct from q64 (Bernoulli
+    temperature resampling — probabilistic size) and q57/q205 (fixed
+    fraction): this is the exact-budget allocator.
+
+    Scale shape: stratum stats via per-batch combiner (bounded source
+    enum); the per-stratum selection keeps <= alloc_i rows per batch (so
+    <= T per batch) and the driver fold merges bounded partials — the
+    output itself is the T-row sample, so driver state is O(T), the
+    sampler's contract."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    stats = _preagg(docs, ["source"],
+                    {"n": ("doc_id", "count"), "w": ("n_chars", "sum")})
+    n_total = int(stats["n"].sum())
+    w_total = int(stats["w"].sum())
+    t_budget = n_total // 2
+    stats["base"] = (stats["w"] * t_budget) // w_total
+    stats["rem"] = (stats["w"] * t_budget) % w_total
+    stats = stats.sort_values(["rem", "source"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+    extra = t_budget - int(stats["base"].sum())
+    stats["alloc"] = stats["base"] + (np.arange(len(stats)) < extra)
+    stats["alloc"] = np.minimum(stats["alloc"], stats["n"]).astype("int64")
+    alloc_ref = ray.put(dict(zip(stats["source"], stats["alloc"])))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        alloc = ray.get(alloc_ref)
+        df = batch.to_pandas()[["source", "doc_id"]]
+        df["h"] = [hashlib.md5(str(int(d)).encode()).hexdigest()
+                   for d in df["doc_id"]]
+        df = df.sort_values(["source", "h", "doc_id"], kind="stable")
+        df["rk"] = df.groupby("source").cumcount()
+        keep = df["rk"] < df["source"].map(alloc).fillna(0).astype("int64")
+        return df.loc[keep, ["source", "doc_id", "h"]]
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    alloc = dict(zip(stats["source"], stats["alloc"]))
+    parts = parts.sort_values(["source", "h", "doc_id"], kind="stable")
+    parts["rk"] = parts.groupby("source").cumcount()
+    out = parts[parts["rk"] < parts["source"].map(alloc)]
+    out = out[["source", "doc_id"]].sort_values(
+        ["source", "doc_id"], kind="stable").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+Q298_SQL = """
+WITH t AS (SELECT count(*) AS n_all, count(*) // 2 AS budget FROM documents),
+c AS (SELECT source, count(*) AS n, sum(n_chars) AS w
+      FROM documents GROUP BY source),
+wt AS (SELECT sum(w) AS w_total FROM c),
+b AS (SELECT c.source, c.n,
+             (c.w * t.budget) // wt.w_total AS base,
+             (c.w * t.budget) % wt.w_total AS rem
+      FROM c, t, wt),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b),
+a AS (SELECT source, n,
+             base + CASE WHEN rk <= (SELECT budget FROM t)
+                                     - (SELECT sum(base) FROM b)
+                    THEN 1 ELSE 0 END AS raw_alloc
+      FROM r),
+al AS (SELECT source, least(raw_alloc, n) AS alloc FROM a),
+s AS (SELECT source, doc_id, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+SELECT s.source, s.doc_id FROM s JOIN al USING (source) WHERE s.rk <= al.alloc
+"""
+
+
+def q299_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training
+    (stages/similarity.py:hard_negative_topk): for each of 8 query
+    vectors, the exact cosine top-5 neighbors with a DIFFERENT label —
+    queries + labels broadcast once, one streamed corpus pass with
+    per-batch (k x queries) partials, bounded driver merge.  Distinct
+    from q18 (unconstrained ANN) and q121 (modular KG corruption
+    sampling): the label-exclusion mask is what makes the negatives
+    hard."""
+    from ..stages.similarity import hard_negative_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 8)), batch_format="pyarrow"
+    ).take_all()  # 8 tiny rows reach the driver
+    queries = {r["vec_id"]: r["embedding"] for r in qrows}
+    labels = {r["vec_id"]: r["label"] for r in qrows}
+    out = hard_negative_topk(emb, queries, labels, k=5)
+    out["neighbor_label"] = out["neighbor_label"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_id", "neighbor_id", "neighbor_label", "score", "rank"]]
+
+
+Q299_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+           FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(e.label AS BIGINT) AS neighbor_label,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]),
+               6) AS score
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, neighbor_label, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q300_dag_betweenness(sf_dir: str) -> pd.DataFrame:
+    """DAG path-through centrality (all-paths betweenness): n_through(v) =
+    (#root->v paths) x (#v->sink paths) = the number of complete
+    root-to-sink paths crossing v — the counting-semiring betweenness a
+    lineage/impact analysis reads off a provenance DAG.  Two
+    dag_path_counts runs (stages/graph.py — q259's forward counts, plus
+    the same fold on the REVERSED edge set, whose roots are the sinks),
+    joined per node; the per-node product is exact int64.  Node space is
+    the q259 4-layer construction (<= 4,020 nodes by construction —
+    bounded), so the final join folds driver-side; unbounded graphs would
+    use the native hash join instead."""
+    from ..stages.graph import dag_path_counts
+
+    li = _read(sf_dir, "lineitem",
+               ["l_linenumber", "l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df = df[df["l_linenumber"] <= 4]
+        return pd.DataFrame({
+            "src": ((df["l_linenumber"] - 1) * 1000
+                    + df["l_partkey"] % 80).astype("int64"),
+            "dst": (df["l_linenumber"] * 1000
+                    + df["l_suppkey"] % 80).astype("int64")})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    fwd = dag_path_counts(edges, k=4).to_pandas()
+    rev = edges.map_batches(
+        lambda b: pa.table({"src": b.column("dst"), "dst": b.column("src")}),
+        batch_format="pyarrow")
+    bwd = dag_path_counts(rev, k=4).to_pandas()
+    out = fwd.merge(bwd, on="node", suffixes=("_fwd", "_bwd"))
+    out["n_through"] = (out["n_paths_fwd"].astype("int64")
+                        * out["n_paths_bwd"].astype("int64"))
+    out = out[["node", "n_through"]].sort_values("node").reset_index(drop=True)
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
+Q300_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT (l_linenumber - 1) * 1000 + (l_partkey % 80) AS src,
+         l_linenumber * 1000 + (l_suppkey % 80) AS dst
+  FROM lineitem WHERE l_linenumber <= 4),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+f0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS cnt FROM nodes
+      WHERE node NOT IN (SELECT dst FROM e)),
+f1 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(f0.cnt) AS BIGINT) AS cnt
+      FROM f0 JOIN e ON e.src = f0.node GROUP BY e.dst),
+f2 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(f1.cnt) AS BIGINT) AS cnt
+      FROM f1 JOIN e ON e.src = f1.node GROUP BY e.dst),
+f3 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(f2.cnt) AS BIGINT) AS cnt
+      FROM f2 JOIN e ON e.src = f2.node GROUP BY e.dst),
+f4 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(f3.cnt) AS BIGINT) AS cnt
+      FROM f3 JOIN e ON e.src = f3.node GROUP BY e.dst),
+fwd AS MATERIALIZED (
+  SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_fwd
+  FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+        UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+        UNION ALL SELECT * FROM f4)
+  GROUP BY node),
+b0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS cnt FROM nodes
+      WHERE node NOT IN (SELECT src FROM e)),
+b1 AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(b0.cnt) AS BIGINT) AS cnt
+      FROM b0 JOIN e ON e.dst = b0.node GROUP BY e.src),
+b2 AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(b1.cnt) AS BIGINT) AS cnt
+      FROM b1 JOIN e ON e.dst = b1.node GROUP BY e.src),
+b3 AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(b2.cnt) AS BIGINT) AS cnt
+      FROM b2 JOIN e ON e.dst = b2.node GROUP BY e.src),
+b4 AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(b3.cnt) AS BIGINT) AS cnt
+      FROM b3 JOIN e ON e.dst = b3.node GROUP BY e.src),
+bwd AS MATERIALIZED (
+  SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_bwd
+  FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        UNION ALL SELECT * FROM b4)
+  GROUP BY node)
+SELECT fwd.node, fwd.n_fwd * bwd.n_bwd AS n_through
+FROM fwd JOIN bwd USING (node) ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16661,6 +16866,9 @@ QUERIES: dict[str, tuple] = {
     "q295_join_size_estimate": (q295_join_size_estimate, None),
     "q296_event_transitions": (q296_event_transitions, Q296_SQL),
     "q297_monthly_quantile_bands": (q297_monthly_quantile_bands, Q297_SQL),
+    "q298_quota_allocation": (q298_quota_allocation, Q298_SQL),
+    "q299_hard_negatives": (q299_hard_negatives, Q299_SQL),
+    "q300_dag_betweenness": (q300_dag_betweenness, Q300_SQL),
 }
 
 

@@ -326,6 +326,77 @@ def brute_force_topk(
     return out
 
 
+def hard_negative_topk(
+    embeddings: ray.data.Dataset,
+    queries: dict,
+    query_labels: dict,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Hard-negative mining: for each query vector, the exact cosine top-k
+    neighbors whose `label_col` DIFFERS from the query's label (the
+    contrastive-training staple — nearest points of a different class are
+    the hardest negatives).  Same streamed-partials shape as
+    `brute_force_topk`: queries + their labels broadcast once (`ray.put`),
+    one pass over the corpus with a per-batch (k x n_queries) partial, one
+    bounded driver merge.  Self-pairs excluded (a row can share an id with
+    a query even when labels differ is impossible — same id implies same
+    row — but the guard keeps semantics obvious).  Returns (query_id,
+    neighbor_id, neighbor_label, score, rank) with the rounded-score +
+    neighbor-id deterministic tie-break used by the whole ANN family."""
+    query_ids = list(queries.keys())
+    qm = np.array([queries[i] for i in query_ids], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qlabels = np.array([query_labels[i] for i in query_ids])
+    ref = ray.put((query_ids, qm / qn, qlabels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, qlab = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        labels = np.asarray(batch.column(label_col).to_pylist())
+        m = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ qmat.T  # (batch, n_queries)
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi, qid in enumerate(qids):
+            mask = (labels != qlab[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sub_lab = labels[mask]
+            col = np.round(sims[mask, qi], 6)  # rank on the ROUNDED score
+            order = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            for t in order:
+                out_q.append(qid)
+                out_n.append(sub_ids[t])
+                out_l.append(sub_lab[t])
+                out_s.append(float(col[t]))
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "neighbor_label": pa.array(out_l),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    partials = embeddings.select_columns(
+        [id_col, vec_col, label_col]
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "query_id" not in partials.columns:  # empty input -> no blocks
+        partials = pd.DataFrame(
+            columns=["query_id", "neighbor_id", "neighbor_label", "score"])
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True], kind="stable",
+    )
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
 def pca_embeddings(
     embeddings: ray.data.Dataset,
     k: int = 2,
