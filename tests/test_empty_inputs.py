@@ -84,6 +84,40 @@ def test_similarity_empty(ray_session):
     assert assigned.count() == 0
 
 
+def test_hard_negative_topk_empty_and_no_negatives(ray_session):
+    from gliner_transbronchialbiopsy_ray.stages.similarity import (
+        hard_negative_topk,
+    )
+
+    q = {1: np.ones(4, dtype=np.float32)}
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    }))
+    out = hard_negative_topk(empty, q, {1: 0}, k=3)
+    assert len(out) == 0 and "rank" in out.columns
+    # corpus where EVERY row shares the query's label: the mask removes
+    # all candidates, so the result must be empty, not an error
+    same = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0, 0, 0]] * 3, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    }))
+    out = hard_negative_topk(same, q, {1: 0}, k=3)
+    assert len(out) == 0
+    # one row of a different label is the single (hard) negative
+    mixed = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0, 0, 0]] * 3, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 7], pa.int32()),
+    }))
+    out = hard_negative_topk(mixed, q, {1: 0}, k=3)
+    assert list(out["neighbor_id"]) == [3]
+    assert list(out["neighbor_label"]) == [7]
+    assert list(out["rank"]) == [1]
+
+
 def test_dedup_empty(ray_session):
     docs = _empty_docs()
     assert len(exact_dedup(docs).to_pandas()) == 0
