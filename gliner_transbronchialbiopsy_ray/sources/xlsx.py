@@ -9,9 +9,10 @@ blanks) parses and writes with `zipfile` + `xml.etree` alone.
 
 Reader semantics: first row = column names; missing cells -> None; numeric
 cells -> float (int when integral), matching pandas' read_excel defaults
-closely enough for the annotation ETL.  Styling on write is out of scope
-(K2's colors/widths are presentation); the sink writes a plain valid
-workbook any spreadsheet app opens.
+closely enough for the annotation ETL.  The sink replicates the reference
+export's styling (K2, dashboard_v1.py:497-515): bold/wrapped/top-aligned
+header with the #D9EAD3 fill and thin borders, plus auto-sized columns —
+via a minimal styles.xml, still pure stdlib.
 """
 
 from __future__ import annotations
@@ -109,16 +110,18 @@ def read_xlsx_dataset(path: str) -> ray.data.Dataset:
     return ray.data.from_items(rows)
 
 
-def _sheet_xml(df: pd.DataFrame) -> str:
-    def cell(ref: str, v) -> str:
+def _sheet_xml(df: pd.DataFrame, styled: bool = False) -> str:
+    hdr_s = ' s="1"' if styled else ""
+
+    def cell(ref: str, v, style: str = "") -> str:
         if v is None or (isinstance(v, float) and v != v):  # NaN
-            return ""
+            return f'<c r="{ref}"{style}/>' if style else ""
         if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+            return f'<c r="{ref}"{style} t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
+            return f'<c r="{ref}"{style}><v>{v}</v></c>'
         return (
-            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f'<c r="{ref}"{style} t="inlineStr"><is><t xml:space="preserve">'
             f"{escape(str(v))}</t></is></c>"
         )
 
@@ -132,9 +135,23 @@ def _sheet_xml(df: pd.DataFrame) -> str:
 
     lines = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
              '<worksheet xmlns="http://schemas.openxmlformats.org/'
-             'spreadsheetml/2006/main"><sheetData>']
-    header = f'<row r="1">' + "".join(
-        cell(f"{col_letter(j)}1", str(c)) for j, c in enumerate(df.columns)
+             'spreadsheetml/2006/main">']
+    if styled:
+        # auto-sized columns, reference dashboard_v1.py:509-515 semantics:
+        # width = max cell/header string length + 2 (capped — a 10k-char
+        # document cell should not produce a 10k-wide column)
+        widths = []
+        for j, c in enumerate(df.columns):
+            w = len(str(c))
+            if len(df):
+                w = max(w, int(df[c].astype(str).str.len().max()))
+            widths.append(min(w + 2, 80))
+        lines.append("<cols>" + "".join(
+            f'<col min="{j + 1}" max="{j + 1}" width="{w}" customWidth="1"/>'
+            for j, w in enumerate(widths)) + "</cols>")
+    lines.append("<sheetData>")
+    header = '<row r="1">' + "".join(
+        cell(f"{col_letter(j)}1", str(c), hdr_s) for j, c in enumerate(df.columns)
     ) + "</row>"
     lines.append(header)
     for i, row in enumerate(df.itertuples(index=False), start=2):
@@ -147,8 +164,37 @@ def _sheet_xml(df: pd.DataFrame) -> str:
     return "".join(lines)
 
 
-def write_xlsx(df: pd.DataFrame, path: str, sheet_name: str = "Résultats") -> str:
-    """Results sink (K2 minus styling): one-sheet workbook."""
+# minimal stylesheet replicating the reference export's header format
+# (dashboard_v1.py:497-504: bold, wrapped, top-aligned, #D9EAD3 fill,
+# thin border).  fill 0/1 are the spec-mandated none/gray125 slots;
+# cellXfs 0 = default, 1 = header.
+_STYLES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    '<fonts count="2"><font/><font><b/></font></fonts>'
+    '<fills count="3">'
+    '<fill><patternFill patternType="none"/></fill>'
+    '<fill><patternFill patternType="gray125"/></fill>'
+    '<fill><patternFill patternType="solid"><fgColor rgb="FFD9EAD3"/>'
+    '<bgColor indexed="64"/></patternFill></fill>'
+    "</fills>"
+    '<borders count="2"><border/>'
+    '<border><left style="thin"/><right style="thin"/>'
+    '<top style="thin"/><bottom style="thin"/></border></borders>'
+    '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+    '<cellXfs count="2"><xf/>'
+    '<xf fontId="1" fillId="2" borderId="1" applyFont="1" applyFill="1" '
+    'applyBorder="1" applyAlignment="1">'
+    '<alignment vertical="top" wrapText="1"/></xf></cellXfs>'
+    "</styleSheet>"
+)
+
+
+def write_xlsx(df: pd.DataFrame, path: str, sheet_name: str = "Résultats",
+               styled: bool = True) -> str:
+    """Results sink (K2): one-sheet workbook; `styled` (default) applies
+    the reference export's presentation — bold/wrapped/filled header row
+    with thin borders and auto-sized columns."""
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
@@ -156,7 +202,9 @@ def write_xlsx(df: pd.DataFrame, path: str, sheet_name: str = "Résultats") -> s
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-        "</Types>"
+        + ('<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+           if styled else "")
+        + "</Types>"
     )
     rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -175,14 +223,18 @@ def write_xlsx(df: pd.DataFrame, path: str, sheet_name: str = "Résultats") -> s
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
         '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
-        "</Relationships>"
+        + ('<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+           if styled else "")
+        + "</Relationships>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("_rels/.rels", rels)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        zf.writestr("xl/worksheets/sheet1.xml", _sheet_xml(df))
+        if styled:
+            zf.writestr("xl/styles.xml", _STYLES_XML)
+        zf.writestr("xl/worksheets/sheet1.xml", _sheet_xml(df, styled=styled))
     return path
 
 

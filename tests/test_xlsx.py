@@ -34,6 +34,36 @@ def test_write_read_roundtrip(tmp_path):
     assert rows[0]["note"] == "é & <xml>"  # escaping survives
 
 
+def test_styled_workbook(tmp_path):
+    """K2 styling (reference dashboard_v1.py:497-515): header cells carry
+    the style-1 xf (bold / wrapped / #D9EAD3 fill / thin border), columns
+    are auto-sized, every part is well-formed XML, and the styled file
+    round-trips through the reader identically to the unstyled one."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    df = pd.DataFrame({"doc_id": [1, 2], "label": ["Grade A", None],
+                       "score": [0.5, 2]})
+    ps = str(tmp_path / "styled.xlsx")
+    pu = str(tmp_path / "plain.xlsx")
+    write_xlsx(df, ps)                  # styled is the default
+    write_xlsx(df, pu, styled=False)
+    with zipfile.ZipFile(ps) as zf:
+        for n in zf.namelist():
+            ET.fromstring(zf.read(n))   # every part well-formed
+        assert "xl/styles.xml" in zf.namelist()
+        styles = zf.read("xl/styles.xml").decode()
+        assert "D9EAD3" in styles and "<b/>" in styles and "wrapText" in styles
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+        # all 3 header cells styled; data cells not
+        assert sheet.count('s="1"') == 3
+        assert "<cols>" in sheet and 'customWidth="1"' in sheet
+    with zipfile.ZipFile(pu) as zf:
+        assert "xl/styles.xml" not in zf.namelist()
+        assert 's="1"' not in zf.read("xl/worksheets/sheet1.xml").decode()
+    assert read_xlsx_rows(ps) == read_xlsx_rows(pu)
+
+
 def test_shared_strings_fixture(tmp_path):
     """Reader handles the sharedStrings encoding real writers emit (our
     own writer uses inlineStr, so this path needs its own fixture)."""
