@@ -54,8 +54,9 @@ def write_json(ds: ray.data.Dataset, path: str, **kwargs) -> None:
 
 def write_excel(ds: ray.data.Dataset, path: str,
                 sheet_name: str = "Résultats") -> str:
-    """Excel results sink (reference K2, dashboard_v1.py:487-519, minus
-    styling) — pure-stdlib workbook writer, see sources/xlsx.py."""
+    """Excel results sink (reference K2, dashboard_v1.py:487-519,
+    including the styled header + auto-sized columns) — pure-stdlib
+    workbook writer, see sources/xlsx.py."""
     from .xlsx import results_to_xlsx
 
     return results_to_xlsx(ds, path, sheet_name=sheet_name)

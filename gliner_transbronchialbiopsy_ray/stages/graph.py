@@ -582,9 +582,14 @@ def cooccurrence_edges(
             aa.append(it[s:e][iu[0]])
             bb.append(it[s:e][iu[1]])
         if not aa:
-            return pd.DataFrame({"a": np.empty(0, "int64"),
-                                 "b": np.empty(0, "int64"),
-                                 "n": np.empty(0, "int64")})
+            # MUST carry the _bucket tag: the next groupby("_bucket")
+            # fails on any block missing the column (caught by a
+            # full-suite q246 run where one bucket emitted no pairs)
+            return _tag_int_bucket(
+                pd.DataFrame({"a": np.empty(0, "int64"),
+                              "b": np.empty(0, "int64"),
+                              "n": np.empty(0, "int64")}),
+                "a", n_buckets)
         out = pd.DataFrame({"a": np.concatenate(aa),
                             "b": np.concatenate(bb)})
         # pre-count within the bucket: shuffle volume = distinct pairs
@@ -2279,8 +2284,13 @@ def hits_int(
             sm = g[g["is_score"] == 1].set_index("u")["val"]
             e = g[g["is_score"] == 0]
             if not len(e):
-                return pd.DataFrame({c: pd.Series(dtype="int64") for c
-                                     in ("u", "v", "val", "is_score")})
+                # keep the _bucket column so every output block shares
+                # one schema (the downstream retag would mask this, but
+                # mixed-schema blocks trip Ray's schema unification)
+                out = pd.DataFrame({c: pd.Series(dtype="int64") for c
+                                    in ("u", "v", "val", "is_score")})
+                out["_bucket"] = pd.Series(dtype="int32")
+                return out
             w = e[key_col].map(sm).fillna(0).astype("int64")
             part = pd.DataFrame({"n": e[emit_col].to_numpy("int64"),
                                  "val": w.to_numpy()})
@@ -2411,9 +2421,12 @@ def label_propagation_communities(
         lm = g[g["is_lab"] == 1].set_index("node")["lab"]
         e = g[g["is_lab"] == 0]
         if not len(e):
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
-                                 ("node", "nbr", "lab", "cnt",
-                                  "is_lab")})
+            # MUST carry _bucket: this output unions into another
+            # groupby("_bucket") directly (the q246 empty-block lesson)
+            out = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                ("node", "nbr", "lab", "cnt", "is_lab")})
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
         v = pd.DataFrame({"node": e["node"].to_numpy("int64"),
                           "lab": e["nbr"].map(lm).to_numpy("int64")})
         agg = (v.groupby(["node", "lab"], sort=False).size()

@@ -99,6 +99,46 @@ def test_cooccurrence_edges_counts_and_cap():
     assert gc == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
 
 
+def test_cooccurrence_edges_pairless_buckets():
+    from gliner_transbronchialbiopsy_ray.stages.graph import cooccurrence_edges
+
+    # every group has ONE item -> every invoked LSH bucket emits zero
+    # pairs, so gen_pairs takes its empty-return path; that path must
+    # still carry the _bucket tag or the second groupby("_bucket")
+    # raises "no such column" (the q246 full-suite failure)
+    ds = rd.from_items([{"g": g, "i": g * 7} for g in range(40)])
+    out = cooccurrence_edges(ds, "g", "i", min_count=1).to_pandas()
+    assert len(out) == 0  # executing without "no such column" IS the test
+    # (zero-row to_pandas drops columns — the Dataset schema is the
+    # contract, asserted via the mixed case below)
+    # mixed case: exactly one bucket has a real pair, the rest are empty
+    ds2 = rd.from_items([{"g": g, "i": g * 7} for g in range(40)]
+                        + [{"g": 0, "i": 999}])
+    out2 = cooccurrence_edges(ds2, "g", "i", min_count=1).to_pandas()
+    assert {(a, b): n for a, b, n in
+            zip(out2["a"], out2["b"], out2["n"])} == {(0, 999): 1}
+
+
+def test_label_propagation_hits_empty_vote_buckets():
+    """The same empty-return hazard in label_propagation (neighbor_votes)
+    and HITS (fold): a bucket whose rows are all label/score rows with no
+    edge rows takes the empty path, which must keep the _bucket column."""
+    from gliner_transbronchialbiopsy_ray.stages.graph import (
+        hits_int,
+        label_propagation_communities,
+    )
+
+    # isolated-ish graph: single edge + far-apart node ids spread labels
+    # across many buckets, so most vote buckets hold labels only
+    e = rd.from_items([{"a": 1, "b": 33}, {"a": 2, "b": 66}])
+    lp = label_propagation_communities(e, rounds=2).to_pandas()
+    assert set(lp["node"]) == {1, 33, 2, 66}
+    h = hits_int(e.map_batches(
+        lambda b: b.rename_columns(["src", "dst"]),
+        batch_format="pyarrow"), rounds=1).to_pandas()
+    assert set(h["node"]) == {1, 33, 2, 66}
+
+
 def test_triangle_counts_known_graph():
     from gliner_transbronchialbiopsy_ray.stages.graph import triangle_counts
 
