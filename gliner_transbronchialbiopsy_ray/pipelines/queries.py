@@ -16510,6 +16510,82 @@ FROM fwd JOIN bwd USING (node) ORDER BY node
 """
 
 
+def q301_bloom_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Per-file Bloom-index point lookup over the clustered store
+    (sources/range_store.py:build_bloom_index / read_point_lookup — the
+    lakehouse file-skipping index): lineitem is range-clustered by
+    l_orderkey, a Bloom index is built over the NON-clustering column
+    l_partkey (one bounded bitset per file, one streamed pass), and the
+    point query reads only Bloom-positive files with an exact equality
+    residual.  False positives cost file reads, never rows.  Oracle:
+    the plain equality scan."""
+    import tempfile
+
+    from ..sources.range_store import (
+        build_bloom_index,
+        read_point_lookup,
+        write_range_partitioned,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    path = tempfile.mkdtemp(prefix="q301_", dir="/tmp") + "/store"
+    write_range_partitioned(li.repartition(16), path, "l_orderkey",
+                            num_ranges=8)
+    build_bloom_index(path, "l_partkey")
+    out = read_point_lookup(
+        path, "l_partkey", 7,
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]).to_pandas()
+    out["l_partkey"] = np.int64(7)
+    out = out[["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]]
+    return out.sort_values(["l_orderkey", "l_linenumber"],
+                           kind="stable").reset_index(drop=True)
+
+
+Q301_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_partkey = 7
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q302_compact_store(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction (sources/range_store.py:compact_store — the
+    lakehouse OPTIMIZE primitive) with read-equality proof: events are
+    range-clustered by ts into a deliberately fragmented store (32 input
+    blocks x 8 ranges), compacted to one file per range (per-range Ray
+    tasks, two-rename atomicity, manifest unchanged, Bloom indexes
+    rebuilt), then a key-range read over the COMPACTED store must equal
+    the plain SQL range scan."""
+    import tempfile
+
+    from ..sources.range_store import (
+        compact_store,
+        read_key_range,
+        write_range_partitioned,
+    )
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    path = tempfile.mkdtemp(prefix="q302_", dir="/tmp") + "/store"
+    write_range_partitioned(ev.repartition(32), path, "ts", num_ranges=8)
+    stats = compact_store(path, target_rows_per_file=1 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    lo = dt.datetime(2024, 1, 3)
+    hi = dt.datetime(2024, 1, 5)
+    out = read_key_range(path, lo, hi,
+                         columns=["event_id", "user_id"]).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id", kind="stable").reset_index(drop=True)
+
+
+Q302_SQL = """
+SELECT event_id, user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16869,6 +16945,8 @@ QUERIES: dict[str, tuple] = {
     "q298_quota_allocation": (q298_quota_allocation, Q298_SQL),
     "q299_hard_negatives": (q299_hard_negatives, Q299_SQL),
     "q300_dag_betweenness": (q300_dag_betweenness, Q300_SQL),
+    "q301_bloom_point_lookup": (q301_bloom_point_lookup, Q301_SQL),
+    "q302_compact_store": (q302_compact_store, Q302_SQL),
 }
 
 

@@ -33,11 +33,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet  # noqa: F401 — enables pa.parquet.* in tasks
 import ray.data
 
 _MANIFEST = "_range_manifest.json"
@@ -120,6 +122,165 @@ def write_range_partitioned(
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+_BLOOM = "_bloom_{col}.json"
+_H1_KEY = "0123456789123456"  # pandas siphash keys: build+query must match,
+_H2_KEY = "6543216543216543"  # so they are pinned here, not left to defaults
+
+
+def _bloom_positions(values: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per value via double hashing of two pinned-key
+    siphashes (vectorized; h2 forced odd so the stride cycles all of a
+    power-of-two m)."""
+    h1 = pd.util.hash_pandas_object(values, index=False, hash_key=_H1_KEY)
+    h2 = pd.util.hash_pandas_object(values, index=False, hash_key=_H2_KEY)
+    h1 = h1.to_numpy().astype(np.uint64)
+    h2 = (h2.to_numpy().astype(np.uint64) | np.uint64(1))
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    return pos  # (n_values, k)
+
+
+def _bloom_bits(values: pd.Series, m_bits: int, k: int) -> bytes:
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(values):
+        bits[_bloom_positions(values.dropna(), m_bits, k).ravel()] = True
+    return np.packbits(bits).tobytes()
+
+
+def _bloom_maybe(bitset: bytes, value, m_bits: int, k: int) -> bool:
+    bits = np.unpackbits(np.frombuffer(bitset, dtype=np.uint8))
+    pos = _bloom_positions(pd.Series([value]), m_bits, k)[0]
+    return bool(bits[pos].all())
+
+
+def _store_files(path: str) -> list[str]:
+    out = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if d.startswith("range_id=") and os.path.isdir(full):
+            out += [os.path.join(full, f) for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")]
+    return out
+
+
+def build_bloom_index(path: str, column: str,
+                      m_bits: int = 8192, k: int = 4) -> dict:
+    """Per-FILE Bloom filter index over `column` — the lakehouse
+    file-skipping index for point lookups on NON-clustering columns
+    (the range manifest only prunes on the sort key).  One Ray task per
+    file reads ONLY that column and emits a fixed-size bitset; the
+    driver folds n_files tiny rows and writes `_bloom_<column>.json`
+    atomically (tmp + rename, after the data — a crashed build leaves
+    the store readable without the index).  False positives cost extra
+    file reads, never wrong rows (the reader's exact filter stays)."""
+    files = _store_files(path)
+
+    def file_bloom(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for f in batch.column("file").to_pylist():
+            t = pa.parquet.read_table(f, columns=[column])
+            vals = t.column(column).to_pandas()
+            rows.append({"file": os.path.relpath(f, path),
+                         "bits": _bloom_bits(vals, m_bits, k).hex()})
+        return pd.DataFrame(rows)
+
+    blooms = ray.data.from_items(
+        [{"file": f} for f in files]
+    ).map_batches(file_bloom, batch_format="pyarrow", batch_size=1).to_pandas()
+    index = {"column": column, "m_bits": m_bits, "k": k,
+             "files": dict(zip(blooms["file"], blooms["bits"]))}
+    target = os.path.join(path, _BLOOM.format(col=column))
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, target)
+    return index
+
+
+def read_point_lookup(
+    path: str, column: str, value,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Rows with `column == value`, reading ONLY files whose Bloom
+    filter can contain the value (plus the manifest's range pruning
+    when `column` IS the clustering key).  Exact equality filter on
+    the surviving files — bloom false positives add reads, not rows."""
+    with open(os.path.join(path, _BLOOM.format(col=column))) as f:
+        idx = json.load(f)
+    m_bits, k = idx["m_bits"], idx["k"]
+    files = [os.path.join(path, rel) for rel, bits in idx["files"].items()
+             if _bloom_maybe(bytes.fromhex(bits), value, m_bits, k)]
+    with open(os.path.join(path, _MANIFEST)) as f:
+        m = json.load(f)
+    if column == m["key"]:  # compose with range pruning
+        b = np.asarray(m["boundaries"],
+                       dtype="float64" if m["kind"] == "float" else "int64")
+        v = _scalar(value, m["kind"])
+        rid = int(np.searchsorted(b, v, side="right"))
+        files = [f for f in files
+                 if os.path.basename(os.path.dirname(f)) == f"range_id={rid}"]
+    if not files:
+        return ray.data.from_items([])
+    cols = None if columns is None else list(dict.fromkeys([column, *columns]))
+    ds = ray.data.read_parquet(files, columns=cols)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch[column], pa.scalar(value)))
+        if "range_id" in out.column_names:
+            out = out.drop_columns(["range_id"])
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def compact_store(path: str, target_rows_per_file: int = 1 << 20) -> dict:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive): each
+    range directory's files are rewritten into ceil(rows / target) files
+    — one Ray task per range, so ranges compact in parallel and a range
+    is the atomicity unit (its new files land in a tmp dir that replaces
+    the old one with two renames).  Boundaries and the manifest are
+    unchanged (compaction never moves rows across ranges); any Bloom
+    indexes are REBUILT afterwards (file identities changed).  Returns
+    {"files_before": n, "files_after": n}."""
+    before = _store_files(path)
+    rdirs = sorted(d for d in os.listdir(path) if d.startswith("range_id="))
+
+    def compact_range(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for d in batch.column("dir").to_pylist():
+            full = os.path.join(path, d)
+            files = [os.path.join(full, f) for f in sorted(os.listdir(full))
+                     if f.endswith(".parquet")]
+            t = pa.concat_tables([pa.parquet.read_table(f) for f in files])
+            tmp = full + ".compact"
+            os.makedirs(tmp, exist_ok=True)
+            n_out = max(1, -(-t.num_rows // target_rows_per_file))
+            per = -(-t.num_rows // n_out)
+            for i in range(n_out):
+                pa.parquet.write_table(
+                    t.slice(i * per, per),
+                    os.path.join(tmp, f"part-{i:05d}.parquet"))
+            old = full + ".old"
+            os.replace(full, old)
+            os.replace(tmp, full)
+            shutil.rmtree(old)
+            out.append({"dir": d, "files": n_out})
+        return pd.DataFrame(out)
+
+    ray.data.from_items([{"dir": d} for d in rdirs]).map_batches(
+        compact_range, batch_format="pyarrow", batch_size=1).to_pandas()
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_bloom_") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                idx = json.load(fh)
+            build_bloom_index(path, idx["column"],
+                              m_bits=idx["m_bits"], k=idx["k"])
+    return {"files_before": len(before), "files_after": len(_store_files(path))}
 
 
 def read_key_range(

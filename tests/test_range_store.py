@@ -88,3 +88,75 @@ def test_skewed_boundaries_still_exact(tmp_path):
     assert len(got) == 901 + 9  # 42 x901 (hot + arange) plus 40,41,43..49
     bounds = compute_range_boundaries(ds, "k", num_ranges=8)
     assert len(bounds) == len(set(bounds))  # ties deduped, never repeated
+
+
+def test_bloom_index_point_lookup_and_skipping(tmp_path):
+    from gliner_transbronchialbiopsy_ray.sources.range_store import (
+        _bloom_maybe,
+        _store_files,
+        build_bloom_index,
+        read_point_lookup,
+    )
+
+    df = pd.DataFrame({"k": np.arange(2000, dtype="int64"),
+                       "p": (np.arange(2000, dtype="int64") * 37) % 500})
+    store = str(tmp_path / "bl")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(8), store, "k", num_ranges=4)
+    idx = build_bloom_index(store, "p")
+    # exact result on a non-clustering column
+    got = read_point_lookup(store, "p", 111).to_pandas()
+    exp = df[df["p"] == 111]
+    assert sorted(got["k"]) == sorted(exp["k"])
+    # absent value: bloom admits (almost) nothing and the result is empty
+    assert read_point_lookup(store, "p", 9_999_999).count() == 0
+    # index persisted atomically and parameters recorded
+    with open(os.path.join(store, "_bloom_p.json")) as f:
+        disk = json.load(f)
+    assert disk["column"] == "p" and disk["m_bits"] == idx["m_bits"]
+    assert set(disk["files"]) == {
+        os.path.relpath(f, store) for f in _store_files(store)}
+    # clustering-key lookup composes bloom with range pruning
+    build_bloom_index(store, "k")
+    got_k = read_point_lookup(store, "k", 1234).to_pandas()
+    assert list(got_k["k"]) == [1234]
+    # a present value must be admitted by its own file's bloom (no FN)
+    rel = {os.path.relpath(f, store): b for f, b in
+           ((f, disk["files"][os.path.relpath(f, store)])
+            for f in _store_files(store))}
+    assert any(_bloom_maybe(bytes.fromhex(b), 111,
+                            disk["m_bits"], disk["k"]) for b in rel.values())
+
+
+def test_compact_store_equality_and_index_rebuild(tmp_path):
+    from gliner_transbronchialbiopsy_ray.sources.range_store import (
+        _store_files,
+        build_bloom_index,
+        compact_store,
+        read_point_lookup,
+    )
+
+    df = pd.DataFrame({"k": np.arange(3000, dtype="int64"),
+                       "p": np.arange(3000, dtype="int64") % 77})
+    store = str(tmp_path / "cp")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(24), store, "k", num_ranges=4)
+    build_bloom_index(store, "p")
+    before = read_key_range(store, 500, 2500).to_pandas()
+    stats = compact_store(store, target_rows_per_file=1 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    # one file per range at this target
+    assert stats["files_after"] == len(
+        {os.path.dirname(f) for f in _store_files(store)})
+    after = read_key_range(store, 500, 2500).to_pandas()
+    assert sorted(after["k"]) == sorted(before["k"])
+    # bloom index was rebuilt against the NEW file identities
+    with open(os.path.join(store, "_bloom_p.json")) as f:
+        disk = json.load(f)
+    assert set(disk["files"]) == {
+        os.path.relpath(f, store) for f in _store_files(store)}
+    got = read_point_lookup(store, "p", 33).to_pandas()
+    assert sorted(got["k"]) == sorted(df[df["p"] == 33]["k"])
+    # idempotent: compacting again changes nothing
+    stats2 = compact_store(store, target_rows_per_file=1 << 20)
+    assert stats2["files_after"] == stats["files_after"]
