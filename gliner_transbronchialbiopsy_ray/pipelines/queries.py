@@ -16586,6 +16586,48 @@ ORDER BY event_id
 """
 
 
+def q303_schema_evolution_read(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution parquet read (sources/io.py:read_parquet_evolving
+    — the long-lived-table reality: columns added/dropped across file
+    generations): generation A holds (o_orderkey, o_totalprice) for even
+    keys, generation B holds (o_orderkey, o_orderstatus) for odd keys;
+    the evolving reader unifies from file FOOTERS only (O(files) driver
+    work, no data scan) and pads missing columns with typed nulls inside
+    map_batches.  Oracle replays the union-with-nulls directly over
+    orders."""
+    import tempfile
+
+    from ..sources.io import read_parquet_evolving
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    d = tempfile.mkdtemp(prefix="q303_", dir="/tmp")
+
+    def gen_a(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), 0))
+        return t.select(["o_orderkey", "o_totalprice"])
+
+    def gen_b(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), 1))
+        return t.select(["o_orderkey", "o_orderstatus"])
+
+    orders.map_batches(gen_a, batch_format="pyarrow").write_parquet(
+        f"{d}/gen=a")
+    orders.map_batches(gen_b, batch_format="pyarrow").write_parquet(
+        f"{d}/gen=b")
+    out = read_parquet_evolving(d).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey", kind="stable").reset_index(drop=True)
+
+
+Q303_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+FROM orders ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16947,6 +16989,7 @@ QUERIES: dict[str, tuple] = {
     "q300_dag_betweenness": (q300_dag_betweenness, Q300_SQL),
     "q301_bloom_point_lookup": (q301_bloom_point_lookup, Q301_SQL),
     "q302_compact_store": (q302_compact_store, Q302_SQL),
+    "q303_schema_evolution_read": (q303_schema_evolution_read, Q303_SQL),
 }
 
 

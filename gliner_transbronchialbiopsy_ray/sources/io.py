@@ -330,3 +330,90 @@ def read_arrow_ipc(paths: str | list[str]) -> ray.data.Dataset:
         return pa.concat_tables(tables, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+def unify_schemas(schemas: list[pa.Schema]) -> pa.Schema:
+    """Union of fields across file schemas with widening promotion —
+    the schema-evolution merge rule: a column missing from a file reads
+    as nulls; int widens to the widest int seen; (int, float) widens to
+    float64; identical types pass through; anything else conflicting is
+    a loud error (silent coercion hides corruption).  Field order =
+    first-seen order (the evolution timeline)."""
+    order: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.type
+                continue
+            a, b = types[f.name], f.type
+            if a.equals(b):
+                continue
+            if pa.types.is_integer(a) and pa.types.is_integer(b):
+                types[f.name] = a if a.bit_width >= b.bit_width else b
+            elif ((pa.types.is_integer(a) or pa.types.is_floating(a))
+                  and (pa.types.is_integer(b) or pa.types.is_floating(b))):
+                types[f.name] = pa.float64()
+            else:
+                raise ValueError(
+                    f"schema evolution conflict on {f.name!r}: "
+                    f"{a} vs {b} (no widening rule)")
+    return pa.schema([pa.field(n, types[n]) for n in order])
+
+
+def read_parquet_evolving(
+    paths: str | list[str], columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Parquet SOURCE over files with HETEROGENEOUS schemas (the
+    long-lived-table reality: columns added/dropped over time).  The
+    driver reads only file FOOTERS (O(files), no data) to compute the
+    unified schema via `unify_schemas`, then each schema-group of files
+    is read with Ray's normal parquet reader and padded/cast to the
+    unified schema inside map_batches — missing columns become typed
+    nulls, narrower numerics widen.  `columns` prunes the unified
+    schema (and the per-file reads) to the requested subset."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(_glob.glob(os.path.join(paths, "**", "*.parquet"),
+                                      recursive=True))
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+    if not files:
+        return ray.data.from_items([])
+    schemas = [pq.read_schema(f) for f in files]
+    unified = unify_schemas(schemas)
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+    # group files by their (relevant) physical schema so each group is
+    # one ordinary pruned read
+    groups: dict[tuple, list[str]] = {}
+    for f, sch in zip(files, schemas):
+        names = [n for n in sch.names if n in unified.names]
+        key = tuple((n, str(sch.field(n).type)) for n in names)
+        groups.setdefault(key, []).append(f)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for fld in unified:
+            if fld.name in batch.column_names:
+                cols.append(pc.cast(batch.column(fld.name), fld.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=fld.type))
+        return pa.table(dict(zip(unified.names, cols)))
+
+    parts = []
+    for key, fs in sorted(groups.items()):
+        names = [n for n, _t in key]
+        ds = ray.data.read_parquet(fs, columns=names or None)
+        parts.append(ds.map_batches(conform, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

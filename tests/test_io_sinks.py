@@ -152,3 +152,43 @@ def test_arrow_ipc_roundtrip_and_atomic_names(ray_session, tmp_path):
     # content-addressed: a re-run publishes the SAME file set (no dupes)
     paths2 = write_arrow_ipc(ds, str(tmp_path / "ipc"), rows_per_file=20)
     assert set(paths2) == set(paths)
+
+
+def test_unify_schemas_widening_and_conflicts():
+    import pyarrow as pa
+    import pytest
+
+    from gliner_transbronchialbiopsy_ray.sources.io import unify_schemas
+
+    a = pa.schema([("k", pa.int32()), ("x", pa.float32())])
+    b = pa.schema([("k", pa.int64()), ("y", pa.string())])
+    u = unify_schemas([a, b])
+    assert u.names == ["k", "x", "y"]          # first-seen order
+    assert u.field("k").type == pa.int64()     # int widens
+    c = pa.schema([("x", pa.int16())])
+    u2 = unify_schemas([a, c])
+    assert u2.field("x").type == pa.float64()  # int+float -> float64
+    with pytest.raises(ValueError, match="conflict"):
+        unify_schemas([a, pa.schema([("x", pa.string())])])
+
+
+def test_read_parquet_evolving_pads_and_casts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gliner_transbronchialbiopsy_ray.sources.io import read_parquet_evolving
+
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int32()),
+                             "a": pa.array([10, 20], pa.int64())}),
+                   str(tmp_path / "f1.parquet"))
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "b": pa.array(["z"], pa.string())}),
+                   str(tmp_path / "f2.parquet"))
+    out = read_parquet_evolving(str(tmp_path)).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [1, 2, 3]          # int32 widened into int64
+    assert list(out["a"].fillna(-1)) == [10, 20, -1]
+    assert list(out["b"].fillna("")) == ["", "", "z"]
+    # column pruning: only the requested subset survives
+    sub = read_parquet_evolving(str(tmp_path), columns=["id", "b"]).to_pandas()
+    assert sorted(sub.columns) == ["b", "id"]
