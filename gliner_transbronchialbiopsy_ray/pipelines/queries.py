@@ -16628,6 +16628,45 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q304_compacted_index_search(sf_dir: str) -> pd.DataFrame:
+    """Index compaction with query-equality proof
+    (state/search_index.py:compact_index — the maintenance op that
+    restores query read-amplification to one file set per term bucket
+    while commits stay O(new-data)): the corpus is committed in FOUR
+    snapshots (doc_id % 4), compacted to one (per-bucket parallel merge,
+    manifest-guarded crash recovery), and the phrase query over the
+    compacted index must equal q291's SQL replay over the raw corpus."""
+    import shutil
+    import tempfile
+
+    from ..state.search_index import (
+        commit_snapshot,
+        compact_index,
+        phrase_search,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    state = tempfile.mkdtemp(prefix="gtb_cidx_")
+    try:
+        for r in range(4):
+            part = docs.map_batches(
+                lambda b, _r=r: b.filter(pa.array(
+                    b.column("doc_id").to_numpy() % 4 == _r)),
+                batch_format="pyarrow")
+            commit_snapshot(part, state, f"part{r}")
+        stats = compact_index(state)
+        assert stats == {"snapshots_before": 4, "snapshots_after": 1}
+        out = phrase_search(state, "table key")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q304_SQL = Q291_SQL
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -16990,6 +17029,7 @@ QUERIES: dict[str, tuple] = {
     "q301_bloom_point_lookup": (q301_bloom_point_lookup, Q301_SQL),
     "q302_compact_store": (q302_compact_store, Q302_SQL),
     "q303_schema_evolution_read": (q303_schema_evolution_read, Q303_SQL),
+    "q304_compacted_index_search": (q304_compacted_index_search, Q304_SQL),
 }
 
 

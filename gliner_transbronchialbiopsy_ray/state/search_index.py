@@ -138,6 +138,7 @@ def phrase_search(
     terms = tokenize(phrase)
     if not terms:
         raise ValueError("empty phrase")
+    _recover_compaction(state_dir)  # finish/roll back a crashed compaction
     nb = _resolve_n_buckets(state_dir, None)
     need = sorted({_term_bucket(t, nb) for t in terms})
     dirs = []
@@ -236,6 +237,7 @@ def ranked_search(
     terms = sorted(set(tokenize(query)))
     if not terms:
         raise ValueError("empty query")
+    _recover_compaction(state_dir)  # finish/roll back a crashed compaction
     nb = _resolve_n_buckets(state_dir, None)
     need = sorted({_term_bucket(t, nb) for t in terms})
     files = []
@@ -291,3 +293,95 @@ def ranked_search(
     return (scored.sort_values(["score", "doc_id"],
                                ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True))
+
+
+# --- snapshot compaction (the index OPTIMIZE) ------------------------------
+
+_COMPACTING = "_COMPACTING.json"
+
+
+def _recover_compaction(state_dir: str) -> None:
+    """Finish or roll back a crashed compaction.  The `_COMPACTING.json`
+    manifest (written atomically before any destructive step) makes the
+    crash window well-defined: target committed -> finish the source
+    deletes; target uncommitted -> the compaction never happened, drop
+    the partial target."""
+    import shutil
+
+    root = os.path.join(state_dir, _POSTINGS)
+    mpath = os.path.join(root, _COMPACTING)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as f:
+        m = json.load(f)
+    target = os.path.join(root, m["target"])
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        for s in m["sources"]:
+            sdir = os.path.join(root, s)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir)
+    elif os.path.isdir(target):
+        shutil.rmtree(target)
+    os.remove(mpath)
+
+
+def compact_index(state_dir: str) -> dict:
+    """Merge every committed posting snapshot into ONE (the maintenance
+    counterpart of commit_snapshot: commits stay O(new-data), and
+    compaction restores query read-amplification to one file set per
+    term bucket).  Per-BUCKET parallel Ray tasks merge the snapshots'
+    bucket files; the bucket partitioning (and `_meta.json`) is
+    unchanged, so queries are untouched.
+
+    Crash safety (single-maintainer contract — like any OPTIMIZE
+    without MVCC, no concurrent writer, and readers during the commit
+    window may double-count): target snapshot is built fully, the
+    `_COMPACTING.json` manifest lands atomically, the target's
+    `_SUCCESS` commits it, sources are deleted, the manifest is
+    removed.  `_recover_compaction` (called here and by searches)
+    finishes or rolls back any crash point."""
+    import shutil
+
+    _recover_compaction(state_dir)
+    root = os.path.join(state_dir, _POSTINGS)
+    snaps = _committed_snapshots(state_dir, _POSTINGS)
+    if len(snaps) <= 1:
+        return {"snapshots_before": len(snaps), "snapshots_after": len(snaps)}
+    target_id = f"snap=compacted-{len(snaps)}-{snaps[-1].split('=', 1)[1]}"
+    target = os.path.join(root, target_id)
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    buckets = sorted({
+        d for s in snaps
+        for d in os.listdir(os.path.join(root, s)) if d.startswith("bucket=")
+    })
+
+    def merge_bucket(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            files = [os.path.join(root, s, b, f)
+                     for s in snaps
+                     if os.path.isdir(os.path.join(root, s, b))
+                     for f in sorted(os.listdir(os.path.join(root, s, b)))
+                     if f.endswith(".parquet")]
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="default")
+            os.makedirs(os.path.join(target, b), exist_ok=True)
+            pq.write_table(t, os.path.join(target, b, "part-0.parquet"))
+            out.append({"bucket": b, "rows": t.num_rows})
+        return pd.DataFrame(out, columns=["bucket", "rows"])
+
+    ray.data.from_items([{"bucket": b} for b in buckets]).map_batches(
+        merge_bucket, batch_format="pyarrow", batch_size=1).to_pandas()
+    mpath = os.path.join(root, _COMPACTING)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"sources": snaps, "target": target_id}, f)
+    os.replace(tmp, mpath)
+    open(os.path.join(target, "_SUCCESS"), "w").close()
+    for s in snaps:
+        shutil.rmtree(os.path.join(root, s))
+    os.remove(mpath)
+    return {"snapshots_before": len(snaps), "snapshots_after": 1}

@@ -117,3 +117,61 @@ def test_ranked_search_weights_and_ties(ray_session, tmp_path):
     assert list(none.columns) == ["doc_id", "score"] and len(none) == 0
     with pytest.raises(ValueError, match="empty query"):
         ranked_search(state, "  ")
+
+
+def test_compact_index_equality_and_recovery(ray_session, tmp_path):
+    from gliner_transbronchialbiopsy_ray.state.search_index import (
+        _COMPACTING,
+        _recover_compaction,
+        compact_index,
+        ranked_search,
+    )
+
+    state = str(tmp_path / "cidx")
+    docs = _docs()
+    commit_snapshot(docs.filter(lambda r: (r["doc_id"] or 0) % 2 == 0),
+                    state, "even")
+    commit_snapshot(docs.filter(lambda r: (r["doc_id"] or 0) % 2 == 1),
+                    state, "odd")
+    before_p = phrase_search(state, "quick brown")
+    before_r = ranked_search(state, "quick fox nothing", k=5)
+    stats = compact_index(state)
+    assert stats == {"snapshots_before": 2, "snapshots_after": 1}
+    # queries identical over the single compacted snapshot
+    pd.testing.assert_frame_equal(phrase_search(state, "quick brown"),
+                                  before_p)
+    pd.testing.assert_frame_equal(
+        ranked_search(state, "quick fox nothing", k=5), before_r)
+    # idempotent (single snapshot -> no-op)
+    assert compact_index(state)["snapshots_after"] == 1
+    # commits after compaction keep working
+    commit_snapshot(rd.from_items(
+        [{"doc_id": 9, "text": "quick brown newcomer"}]), state, "late")
+    got = phrase_search(state, "quick brown").set_index("doc_id")
+    assert 9 in got.index and 1 in got.index
+
+    # crash window A: manifest written, target NOT committed -> roll back
+    root = os.path.join(state, "postings")
+    snaps = sorted(d for d in os.listdir(root) if d.startswith("snap="))
+    fake_target = "snap=compacted-99-x"
+    os.makedirs(os.path.join(root, fake_target, "bucket=0"), exist_ok=True)
+    with open(os.path.join(root, _COMPACTING), "w") as f:
+        json.dump({"sources": snaps, "target": fake_target}, f)
+    _recover_compaction(state)
+    assert not os.path.isdir(os.path.join(root, fake_target))
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("snap=")) == snaps  # sources intact
+
+    # crash window B: target committed, sources not yet deleted ->
+    # recovery (triggered via the search path) finishes the deletes
+    stats2 = compact_index(state)
+    assert stats2["snapshots_after"] == 1
+    target = [d for d in os.listdir(root) if d.startswith("snap=")][0]
+    ghost = os.path.join(root, "snap=ghost")
+    os.makedirs(os.path.join(ghost, "bucket=0"), exist_ok=True)
+    open(os.path.join(ghost, "_SUCCESS"), "w").close()
+    with open(os.path.join(root, _COMPACTING), "w") as f:
+        json.dump({"sources": ["snap=ghost"], "target": target}, f)
+    got2 = phrase_search(state, "quick brown")  # search runs recovery
+    assert not os.path.isdir(ghost)
+    assert got2.set_index("doc_id").index.tolist() == got.index.tolist()
