@@ -16667,6 +16667,56 @@ def q304_compacted_index_search(sf_dir: str) -> pd.DataFrame:
 Q304_SQL = Q291_SQL
 
 
+def q305_property_graph_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Property-graph export -> IMPORT round trip (stages/kgprep.py:
+    import_property_graph, the inverse of q208's export — the full
+    interchange loop every graph-DB migration needs): the customer KG
+    exports to Neo4j-bulk node/relationship CSV parts, imports back to
+    (s, p, o) triples (row-local flat-maps, no exchange), and the
+    reconstructed store must equal the original triple multiset.
+    Oracle: the three triple families in plain SQL."""
+    import tempfile
+
+    from ..stages.kgprep import export_property_graph, import_property_graph
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def to_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        s = "cust:" + df["c_custkey"].astype(str)
+        return pd.concat([
+            pd.DataFrame({"s": s, "p": "type", "o": "Customer"}),
+            pd.DataFrame({"s": s, "p": "segment",
+                          "o": df["c_mktsegment"].astype(str)}),
+            pd.DataFrame({"s": s, "p": "in_nation",
+                          "o": "nation:" + df["c_nationkey"].astype(str)}),
+        ], ignore_index=True)
+
+    store = cust.map_batches(to_triples, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="pgrt_", dir="/tmp")
+    paths = export_property_graph(
+        store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
+    back = import_property_graph(
+        paths["nodes_dir"], paths["rels_dir"], prop_preds=["segment"])
+    out = back.to_pandas().astype(str)
+    return out.sort_values(["s", "p", "o"],
+                           kind="stable").reset_index(drop=True)
+
+
+Q305_SQL = """
+WITH t AS (
+  SELECT 'cust:' || c_custkey AS s, 'type' AS p, 'Customer' AS o
+  FROM customer
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'segment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'in_nation', 'nation:' || c_nationkey
+  FROM customer)
+SELECT s, p, o FROM t ORDER BY s, p, o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -17030,6 +17080,7 @@ QUERIES: dict[str, tuple] = {
     "q302_compact_store": (q302_compact_store, Q302_SQL),
     "q303_schema_evolution_read": (q303_schema_evolution_read, Q303_SQL),
     "q304_compacted_index_search": (q304_compacted_index_search, Q304_SQL),
+    "q305_property_graph_roundtrip": (q305_property_graph_roundtrip, Q305_SQL),
 }
 
 

@@ -823,3 +823,44 @@ def export_property_graph(
     nodes.write_csv(nodes_dir)
     rel_ds.write_csv(rels_dir)
     return {"nodes_dir": nodes_dir, "rels_dir": rels_dir}
+
+
+def import_property_graph(
+    nodes_dir: str,
+    rels_dir: str,
+    prop_preds: list[str],
+    type_pred: str = "type",
+    fill: str = "-",
+) -> ray.data.Dataset:
+    """Property-graph IMPORT — the inverse of `export_property_graph`,
+    closing the interchange loop: the Neo4j-bulk-style node table
+    becomes (s=node, p=type_pred, o=label) plus one
+    (s=node, p=prop, o=value) triple per non-`fill` property cell, and
+    the relationship table becomes (s=src, p=rel_type, o=dst).  Both
+    reads are row-local flat-maps (no exchange); `fill` cells (the
+    export's missing-property marker) emit no triple, so
+    export -> import is lossless up to the export's own lossy steps
+    (multi-valued properties collapsed, non-min types dropped)."""
+    def node_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        out_s, out_p, out_o = [], [], []
+        out_s += df["node"].tolist()
+        out_p += [type_pred] * len(df)
+        out_o += df["label"].tolist()
+        for prop in prop_preds:
+            keep = df[prop] != fill
+            out_s += df.loc[keep, "node"].tolist()
+            out_p += [prop] * int(keep.sum())
+            out_o += df.loc[keep, prop].tolist()
+        return pd.DataFrame({"s": out_s, "p": out_p, "o": out_o})
+
+    def rel_triples(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().astype(str)
+        return pd.DataFrame({"s": df["src"], "p": df["rel_type"],
+                             "o": df["dst"]})
+
+    nodes = ray.data.read_csv(nodes_dir).map_batches(
+        node_triples, batch_format="pyarrow")
+    rels = ray.data.read_csv(rels_dir).map_batches(
+        rel_triples, batch_format="pyarrow")
+    return nodes.union(rels)

@@ -265,3 +265,32 @@ def test_export_property_graph_roundtrip(tmp_path):
     assert list(map(tuple, rels[["src", "rel_type", "dst"]]
                     .to_numpy())) == [("n1", "knows", "n2"),
                                       ("n2", "knows", "n1")]
+
+
+def test_import_property_graph_lossless_and_fill(ray_session, tmp_path):
+    """export -> import is lossless up to the export's documented lossy
+    steps; `fill` cells emit no triple."""
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.kgprep import (
+        export_property_graph,
+        import_property_graph,
+    )
+
+    triples = rd.from_items([
+        {"s": "a", "p": "type", "o": "T"},
+        {"s": "a", "p": "name", "o": "Alice"},
+        {"s": "a", "p": "knows", "o": "b"},
+        {"s": "b", "p": "type", "o": "T"},
+        # b has NO name -> fill cell in the node table -> no triple back
+        {"s": "b", "p": "knows", "o": "a"},
+    ])
+    out = export_property_graph(
+        triples, str(tmp_path / "pg"), rel_preds=["knows"],
+        prop_preds=["name"])
+    back = import_property_graph(
+        out["nodes_dir"], out["rels_dir"], prop_preds=["name"])
+    got = sorted(map(tuple, back.to_pandas()[["s", "p", "o"]].to_numpy()))
+    assert got == [("a", "knows", "b"), ("a", "name", "Alice"),
+                   ("a", "type", "T"), ("b", "knows", "a"),
+                   ("b", "type", "T")]
