@@ -16717,6 +16717,161 @@ SELECT s, p, o FROM t ORDER BY s, p, o
 """
 
 
+def q306_leakage_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/test split (the eval-hygiene step of every
+    training-data pipeline): docs split deterministically by md5(doc_id)
+    (10% test — the q64 md5_number_lower parity trick), then any TRAIN
+    doc whose exact text hash also appears in TEST is flagged as leaked
+    and excluded.  The leak check is ONE crc(text-hash)-bucket exchange
+    (test and train copies of a hash co-locate by construction — never a
+    broadcast of the test set, which is O(corpus) at scale).  Output:
+    per-source (n_train, n_test, n_leaked)."""
+    import hashlib
+    import zlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ids = df["doc_id"].astype(str)
+        split = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+             % 10 == 0 for s in ids), dtype=bool, count=len(df))
+        h = [hashlib.md5((t or "").encode()).hexdigest()
+             for t in df["text"]]
+        return pd.DataFrame({
+            "source": df["source"].astype(str),
+            "is_test": split.astype("int64"),
+            "h": h,
+            "_bucket": np.fromiter(
+                (zlib.crc32(x.encode()) % 32 for x in h),
+                dtype="int32", count=len(df))})
+
+    def leak_check(g: pd.DataFrame) -> pd.DataFrame:
+        test_h = set(g.loc[g["is_test"] == 1, "h"])
+        train = g[g["is_test"] == 0]
+        leaked = train["h"].isin(test_h)
+        out = pd.DataFrame({
+            "source": pd.concat([g.loc[g["is_test"] == 1, "source"],
+                                 train["source"]], ignore_index=True),
+            "kind": (["test"] * int((g["is_test"] == 1).sum())
+                     + np.where(leaked, "leaked", "train").tolist())})
+        return (out.groupby(["source", "kind"], sort=False)
+                .size().reset_index(name="n"))
+
+    parts = (docs.map_batches(tag, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(leak_check, batch_format="pandas")
+             .to_pandas())
+    parts = parts.sort_values(["source", "kind", "n"],
+                              kind="stable").reset_index(drop=True)
+    agg = (parts.groupby(["source", "kind"], sort=False)["n"].sum()
+           .unstack(fill_value=0).reset_index())
+    for c in ("train", "test", "leaked"):
+        if c not in agg.columns:
+            agg[c] = 0
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_train": agg["train"].astype("int64"),
+        "n_test": agg["test"].astype("int64"),
+        "n_leaked": agg["leaked"].astype("int64")})
+    return out.sort_values("source", kind="stable").reset_index(drop=True)
+
+
+Q306_SQL = """
+WITH d AS (
+  SELECT source, md5(coalesce(text, '')) AS h,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0
+              THEN 1 ELSE 0 END AS is_test
+  FROM documents),
+t AS (SELECT DISTINCT h FROM d WHERE is_test = 1)
+SELECT source,
+       count(*) FILTER (is_test = 0 AND h NOT IN (SELECT h FROM t))
+         AS n_train,
+       count(*) FILTER (is_test = 1) AS n_test,
+       count(*) FILTER (is_test = 0 AND h IN (SELECT h FROM t))
+         AS n_leaked
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q307_adaptive_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """Per-source ADAPTIVE quality gating (the CCNet-style step: a
+    global threshold over-prunes terse domains and under-prunes verbose
+    ones, so each source gets its own bar): quality signal = whitespace
+    token count; bar = the source's exact discrete p25 (grouped-quantile
+    kernel — per-batch combiner over the bounded source enum); one
+    broadcast of the tiny (source -> p25) map gates a second streamed
+    pass.  Output: per-source (p25_tokens, n_kept, n_dropped); kept =
+    tokens >= p25."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def toks(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({
+            "source": df["source"].astype(str),
+            "n_tok": df["text"].map(
+                lambda t: len((t or "").split())).astype("int64")})
+
+    counted = docs.map_batches(toks, batch_format="pyarrow")
+    # exact per-source p25: sources are a bounded enum, so the full
+    # (source, n_tok) histogram folds driver-side from per-batch partials
+    hist = _preagg(
+        counted.map_batches(
+            lambda b: b.to_pandas().groupby(
+                ["source", "n_tok"], sort=False).size().reset_index(name="c"),
+            batch_format="pyarrow"),
+        ["source", "n_tok"], {"c": ("c", "sum")})
+    p25 = {}
+    for src, grp in hist.groupby("source"):
+        grp = grp.sort_values("n_tok")
+        total = int(grp["c"].sum())
+        # DuckDB quantile_disc(x, 0.25) = sorted element at 0-based rank
+        # floor(0.25 * (n-1)) — verified empirically; mirror exactly
+        need = int(np.floor(0.25 * (total - 1))) + 1  # 1-based cum rank
+        cum = grp["c"].cumsum()
+        p25[src] = int(grp.loc[cum >= need, "n_tok"].iloc[0])
+    p25_ref = ray.put(p25)
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        bar = ray.get(p25_ref)
+        df = batch.to_pandas()
+        src = df["source"].astype(str)
+        nt = df["text"].map(lambda t: len((t or "").split()))
+        kept = nt >= src.map(bar)
+        out = pd.DataFrame({"source": src, "kept": kept})
+        return (out.groupby(["source", "kept"], sort=False)
+                .size().reset_index(name="n"))
+
+    parts = _preagg(docs.map_batches(gate, batch_format="pyarrow"),
+                    ["source", "kept"], {"n": ("n", "sum")})
+    agg = parts.pivot_table(index="source", columns="kept", values="n",
+                            fill_value=0, aggfunc="sum").reset_index()
+    out = pd.DataFrame({
+        "source": agg["source"].astype(str),
+        "p25_tokens": agg["source"].map(p25).astype("int64"),
+        "n_kept": agg.get(True, pd.Series(0, index=agg.index)).astype("int64"),
+        "n_dropped": agg.get(False, pd.Series(0, index=agg.index)).astype("int64"),
+    })
+    return out.sort_values("source", kind="stable").reset_index(drop=True)
+
+
+Q307_SQL = """
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_tok
+  FROM documents),
+q AS (SELECT source,
+             CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS p25_tokens
+      FROM d GROUP BY source)
+SELECT d.source, q.p25_tokens,
+       count(*) FILTER (d.n_tok >= q.p25_tokens) AS n_kept,
+       count(*) FILTER (d.n_tok < q.p25_tokens) AS n_dropped
+FROM d JOIN q ON d.source = q.source
+GROUP BY d.source, q.p25_tokens ORDER BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -17081,6 +17236,8 @@ QUERIES: dict[str, tuple] = {
     "q303_schema_evolution_read": (q303_schema_evolution_read, Q303_SQL),
     "q304_compacted_index_search": (q304_compacted_index_search, Q304_SQL),
     "q305_property_graph_roundtrip": (q305_property_graph_roundtrip, Q305_SQL),
+    "q306_leakage_safe_split": (q306_leakage_safe_split, Q306_SQL),
+    "q307_adaptive_quality_gate": (q307_adaptive_quality_gate, Q307_SQL),
 }
 
 
