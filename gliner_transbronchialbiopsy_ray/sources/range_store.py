@@ -167,7 +167,8 @@ def _store_files(path: str) -> list[str]:
 
 
 def build_bloom_index(path: str, column: str,
-                      m_bits: int = 8192, k: int = 4) -> dict:
+                      m_bits: int = 8192, k: int = 4,
+                      incremental: bool = False) -> dict:
     """Per-FILE Bloom filter index over `column` — the lakehouse
     file-skipping index for point lookups on NON-clustering columns
     (the range manifest only prunes on the sort key).  One Ray task per
@@ -175,8 +176,29 @@ def build_bloom_index(path: str, column: str,
     driver folds n_files tiny rows and writes `_bloom_<column>.json`
     atomically (tmp + rename, after the data — a crashed build leaves
     the store readable without the index).  False positives cost extra
-    file reads, never wrong rows (the reader's exact filter stays)."""
+    file reads, never wrong rows (the reader's exact filter stays).
+
+    `incremental=True` makes maintenance O(new data): files already in
+    the persisted index keep their bitsets (parameters must match —
+    loud error otherwise), only missing files are read; entries for
+    files that no longer exist (compacted away) are dropped."""
     files = _store_files(path)
+    prior: dict[str, str] = {}
+    if incremental:
+        ipath = os.path.join(path, _BLOOM.format(col=column))
+        if os.path.exists(ipath):
+            with open(ipath) as f:
+                old = json.load(f)
+            if (old["m_bits"], old["k"]) != (m_bits, k):
+                raise ValueError(
+                    f"bloom index at {ipath} was built with "
+                    f"m_bits={old['m_bits']}, k={old['k']}; got "
+                    f"m_bits={m_bits}, k={k}")
+            live = {os.path.relpath(f, path) for f in files}
+            prior = {rel: b for rel, b in old["files"].items()
+                     if rel in live}
+        files = [f for f in files
+                 if os.path.relpath(f, path) not in prior]
 
     def file_bloom(batch: pa.Table) -> pd.DataFrame:
         rows = []
@@ -187,11 +209,15 @@ def build_bloom_index(path: str, column: str,
                          "bits": _bloom_bits(vals, m_bits, k).hex()})
         return pd.DataFrame(rows)
 
-    blooms = ray.data.from_items(
-        [{"file": f} for f in files]
-    ).map_batches(file_bloom, batch_format="pyarrow", batch_size=1).to_pandas()
+    new_bits: dict[str, str] = {}
+    if files:
+        blooms = ray.data.from_items(
+            [{"file": f} for f in files]
+        ).map_batches(file_bloom, batch_format="pyarrow",
+                      batch_size=1).to_pandas()
+        new_bits = dict(zip(blooms["file"], blooms["bits"]))
     index = {"column": column, "m_bits": m_bits, "k": k,
-             "files": dict(zip(blooms["file"], blooms["bits"]))}
+             "files": {**prior, **new_bits}}
     target = os.path.join(path, _BLOOM.format(col=column))
     tmp = target + ".tmp"
     with open(tmp, "w") as f:

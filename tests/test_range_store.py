@@ -160,3 +160,43 @@ def test_compact_store_equality_and_index_rebuild(tmp_path):
     # idempotent: compacting again changes nothing
     stats2 = compact_store(store, target_rows_per_file=1 << 20)
     assert stats2["files_after"] == stats["files_after"]
+
+
+def test_bloom_index_incremental_update(tmp_path):
+    import pytest
+
+    from gliner_transbronchialbiopsy_ray.sources.range_store import (
+        _store_files,
+        build_bloom_index,
+        read_point_lookup,
+    )
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                       "p": np.arange(1000, dtype="int64") % 50})
+    store = str(tmp_path / "inc")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(4), store, "k", num_ranges=4)
+    idx1 = build_bloom_index(store, "p")
+    # append more files into an existing range dir (the growth path)
+    rdir = sorted(d for d in os.listdir(store)
+                  if d.startswith("range_id="))[0]
+    extra = pa.table({"k": pa.array([1_000_000], pa.int64()),
+                      "p": pa.array([49], pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(extra, os.path.join(store, rdir, "zz-extra.parquet"))
+    idx2 = build_bloom_index(store, "p", incremental=True)
+    # prior bitsets identical, exactly one new entry
+    assert set(idx2["files"]) - set(idx1["files"]) == {
+        os.path.join(rdir, "zz-extra.parquet")}
+    for rel, bits in idx1["files"].items():
+        assert idx2["files"][rel] == bits
+    got = read_point_lookup(store, "p", 49).to_pandas()
+    assert 1_000_000 in set(got["k"])  # the appended row is findable
+    # parameter mismatch is a loud error, never silent re-params
+    with pytest.raises(ValueError, match="m_bits"):
+        build_bloom_index(store, "p", m_bits=4096, incremental=True)
+    # stale entries for deleted files are dropped
+    os.remove(os.path.join(store, rdir, "zz-extra.parquet"))
+    idx3 = build_bloom_index(store, "p", incremental=True)
+    assert set(idx3["files"]) == {
+        os.path.relpath(f, store) for f in _store_files(store)}
