@@ -16872,6 +16872,47 @@ GROUP BY d.source, q.p25_tokens ORDER BY d.source
 """
 
 
+def q308_grid_distance_join(sf_dir: str) -> pd.DataFrame:
+    """Spatial distance self-join via grid blocking
+    (stages/joins.py:grid_distance_join — the spatial analog of LSH
+    banding: constant 9x ghost replication + one cell-bucket exchange
+    instead of the O(n^2) cross join): parts become integer points
+    (x = key*37 % 1000, y = key*91 % 1000), pairs within squared
+    distance 15^2 in exact integer arithmetic.  Oracle: the literal
+    cross join with the same distance predicate — feasible at oracle
+    scale, the thing the grid exists to avoid at 100 TB."""
+    from ..stages.joins import grid_distance_join
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def to_points(b: pa.Table) -> pd.DataFrame:
+        k = b.column("p_partkey").to_numpy().astype("int64")
+        return pd.DataFrame({"id": k, "x": (k * 37) % 1000,
+                             "y": (k * 91) % 1000})
+
+    pts = part.map_batches(to_points, batch_format="pyarrow")
+    out = grid_distance_join(pts, radius=15).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "dist_sq": pd.Series(dtype="int64")})
+    out = out.astype("int64")
+    return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+Q308_SQL = """
+WITH p AS (
+  SELECT p_partkey AS id, (p_partkey * 37) % 1000 AS x,
+         (p_partkey * 91) % 1000 AS y
+  FROM part)
+SELECT a.id AS a, b.id AS b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -17238,6 +17279,7 @@ QUERIES: dict[str, tuple] = {
     "q305_property_graph_roundtrip": (q305_property_graph_roundtrip, Q305_SQL),
     "q306_leakage_safe_split": (q306_leakage_safe_split, Q306_SQL),
     "q307_adaptive_quality_gate": (q307_adaptive_quality_gate, Q307_SQL),
+    "q308_grid_distance_join": (q308_grid_distance_join, Q308_SQL),
 }
 
 

@@ -375,3 +375,102 @@ def snapshot_diff(
 
     return both.groupby("_bucket").map_groups(
         diff_bucket, batch_format="pandas")
+
+
+def grid_distance_join(
+    points: ray.data.Dataset,
+    radius: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distance self-join via GRID BLOCKING — the spatial analog of LSH
+    banding: all pairs (a, b) with a.id < b.id and squared Euclidean
+    distance <= radius^2, in EXACT integer arithmetic (int coordinates
+    contract, so the SQL oracle replays bit-for-bit).
+
+    Shape: each point lands in its home cell (x//radius, y//radius) and
+    is REPLICATED as a ghost into the 8 neighbor cells — any pair within
+    `radius` shares the left point's home cell with the right point as
+    home-or-ghost, so ONE cell-bucket exchange finds every pair.  The
+    (home left, any right, left.id < right.id) rule counts each pair
+    exactly once: a same-cell pair has both endpoints home (id order
+    picks one orientation); a cross-cell pair is home-left only in the
+    smaller-id point's cell iff that orientation matches.  Replication
+    factor is a constant 9 — independent of data size, the property that
+    makes the pattern work at 100 TB (vs the O(n^2) cross join).
+    Per-cell pairing is a vectorized grid of home x all rows.
+
+    Hot-cell caveat: a cell with k points does O(k * k_nbr) work; at
+    production scale pair radius to data density (the star_cap analog
+    is the caller shrinking `radius`)."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    r2 = radius * radius
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def scatter(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "id": batch.column(id_col).to_numpy().astype("int64"),
+            "x": batch.column(x_col).to_numpy().astype("int64"),
+            "y": batch.column(y_col).to_numpy().astype("int64")})
+        cx = df["x"] // radius
+        cy = df["y"] // radius
+        parts = []
+        for dx, dy in offs:
+            p = df.copy()
+            p["cell_x"] = cx + dx
+            p["cell_y"] = cy + dy
+            p["is_home"] = np.int64(1 if (dx, dy) == (0, 0) else 0)
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        # one int cell key; bucket it for the coarse exchange
+        out["cell"] = out["cell_x"] * 1_000_003 + out["cell_y"]
+        out["_bucket"] = (out["cell"] % n_buckets).astype("int32")
+        return out[["id", "x", "y", "cell", "is_home", "_bucket"]]
+
+    def pair_cells(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+            "dist_sq": pd.Series(dtype="int64")})
+        g = g.sort_values(["cell", "is_home", "id"], kind="stable")
+        cells = g["cell"].to_numpy()
+        brk = np.flatnonzero(cells[1:] != cells[:-1])
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk + 1, [len(g)]])
+        ids = g["id"].to_numpy()
+        xs = g["x"].to_numpy()
+        ys = g["y"].to_numpy()
+        home = g["is_home"].to_numpy().astype(bool)
+        A, B, D = [], [], []
+        for s, e in zip(starts, ends):
+            h = np.flatnonzero(home[s:e]) + s
+            if len(h) == 0 or e - s < 2:
+                continue
+            dx = xs[h][:, None] - xs[s:e][None, :]
+            dy = ys[h][:, None] - ys[s:e][None, :]
+            d2 = dx * dx + dy * dy
+            ok = (d2 <= r2) & (ids[h][:, None] < ids[s:e][None, :])
+            li, ri = np.nonzero(ok)
+            if len(li):
+                A.append(ids[h][li])
+                B.append(ids[s:e][ri])
+                D.append(d2[li, ri])
+        if not A:
+            return empty
+        out = pd.DataFrame({"a": np.concatenate(A),
+                            "b": np.concatenate(B),
+                            "dist_sq": np.concatenate(D)})
+        # a ghost-right pair could ALSO appear with roles flipped when
+        # both orientations satisfy home-left + id order?  No: the left
+        # is always HOME, and a point is home in exactly one cell, so
+        # pair (a, b) with a.id < b.id emits only from a's home cell —
+        # but b may be home there too AND ghost-duplicated via several
+        # neighbor offsets of the same cell only if cells collide in the
+        # 1_000_003 packing; dedup guards the collision case cheaply.
+        return out.drop_duplicates(["a", "b"]).astype("int64")
+
+    return (points.map_batches(scatter, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pair_cells, batch_format="pandas"))

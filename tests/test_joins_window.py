@@ -539,3 +539,41 @@ def test_snapshot_diff_duplicate_key_raises(ray_session):
     b = rd.from_items([{"k": 1, "x": 1}])
     with pytest.raises(Exception, match="duplicate"):
         snapshot_diff(a, b, key="k", cols=["x"]).to_pandas()
+
+
+def test_grid_distance_join_exact_and_edges(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_transbronchialbiopsy_ray.stages.joins import grid_distance_join
+
+    # planted layout: a tight cluster, a boundary-straddling pair (cells
+    # differ), an exact-radius pair, and an isolated far point
+    pts = pd.DataFrame({
+        "id": [1, 2, 3, 10, 11, 20, 21, 99],
+        "x":  [0, 3, 4, 29, 31, 50, 50, 500],
+        "y":  [0, 4, 3, 0,  0,  70, 85, 500],
+    })
+    got = (grid_distance_join(rd.from_pandas(pts), radius=15)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # brute-force reference
+    exp = []
+    for (i, r1), (j, r2) in itertools.combinations(pts.iterrows(), 2):
+        d2 = (r1["x"] - r2["x"]) ** 2 + (r1["y"] - r2["y"]) ** 2
+        if d2 <= 225:
+            a, b = sorted((r1["id"], r2["id"]))
+            exp.append((a, b, d2))
+    exp = sorted(exp)
+    assert list(map(tuple, got[["a", "b", "dist_sq"]].to_numpy())) == exp
+    # the boundary pair (10, 11) crosses cells 1 and 2 — found once
+    assert (10, 11, 4) in exp and ((got["a"] == 10) & (got["b"] == 11)).sum() == 1
+    # exact-radius inclusivity: (20, 21) at distance exactly 15
+    assert (20, 21, 225) in exp
+    # empty input
+    empty = rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                         "x": pd.Series(dtype="int64"),
+                                         "y": pd.Series(dtype="int64")}))
+    assert grid_distance_join(empty, radius=5).count() == 0
