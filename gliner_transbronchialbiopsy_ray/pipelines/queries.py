@@ -16913,6 +16913,93 @@ ORDER BY a, b
 """
 
 
+def q309_frequent_triples(sf_dir: str) -> pd.DataFrame:
+    """Apriori LEVEL 3 (frequent item TRIPLES, extending q278's pair
+    pass): triples of parts sharing >= 2 distinct orders.  The classic
+    candidate pruning makes this tractable: a triple can be frequent
+    only if all three of its pairs are, so the frequent-PAIR set (the
+    already-pruned small dimension, from cooccurrence_edges) broadcasts
+    once and each order's basket generates only pair-consistent
+    candidates inside one order-bucket exchange; candidate counts fold
+    per bucket before the final tiny merge.  At 100 TB the broadcast
+    side is the pruned pair set, not the baskets.  Oracle: the literal
+    3-way self-join."""
+    from ..stages.graph import cooccurrence_edges
+
+    minsup = 2
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               min_count=minsup).to_pandas()
+    freq = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    freq_ref = ray.put(freq)
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas().drop_duplicates()
+        df.columns = ["o", "i"]
+        df["_bucket"] = (df["o"] % 32).astype("int32")
+        return df
+
+    def gen_triples(g: pd.DataFrame) -> pd.DataFrame:
+        fp = ray.get(freq_ref)
+        g = g.drop_duplicates(["o", "i"]).sort_values(["o", "i"],
+                                                      kind="stable")
+        oo = g["o"].to_numpy()
+        ii = g["i"].to_numpy()
+        brk = np.flatnonzero(oo[1:] != oo[:-1])
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk + 1, [len(g)]])
+        X, Y, Z = [], [], []
+        for s, e in zip(starts, ends):
+            items = ii[s:e]
+            if len(items) < 3:
+                continue
+            # pair-consistent candidates only (Apriori pruning)
+            for a_i in range(len(items) - 2):
+                for b_i in range(a_i + 1, len(items) - 1):
+                    x, y = int(items[a_i]), int(items[b_i])
+                    if (x, y) not in fp:
+                        continue
+                    for c_i in range(b_i + 1, len(items)):
+                        z = int(items[c_i])
+                        if (x, z) in fp and (y, z) in fp:
+                            X.append(x)
+                            Y.append(y)
+                            Z.append(z)
+        out = pd.DataFrame({"x": X, "y": Y, "z": Z})
+        if not len(out):
+            return pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                 "y": pd.Series(dtype="int64"),
+                                 "z": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return (out.groupby(["x", "y", "z"], sort=False)
+                .size().reset_index(name="n").astype("int64"))
+
+    parts = (li.map_batches(tag, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(gen_triples, batch_format="pandas")
+             .to_pandas())  # candidate triples: pruned, small
+    if not len(parts):
+        return pd.DataFrame({"x": pd.Series(dtype="int64"),
+                             "y": pd.Series(dtype="int64"),
+                             "z": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    out = (parts.groupby(["x", "y", "z"], sort=False)["n"].sum()
+           .reset_index())
+    out = out[out["n"] >= minsup].astype("int64")
+    return out.sort_values(["x", "y", "z"],
+                           kind="stable").reset_index(drop=True)
+
+
+Q309_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem)
+SELECT a.i AS x, b.i AS y, c2.i AS z, count(*) AS n
+FROM d a JOIN d b ON a.o = b.o AND a.i < b.i
+         JOIN d c2 ON a.o = c2.o AND b.i < c2.i
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+ORDER BY x, y, z
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -17280,6 +17367,7 @@ QUERIES: dict[str, tuple] = {
     "q306_leakage_safe_split": (q306_leakage_safe_split, Q306_SQL),
     "q307_adaptive_quality_gate": (q307_adaptive_quality_gate, Q307_SQL),
     "q308_grid_distance_join": (q308_grid_distance_join, Q308_SQL),
+    "q309_frequent_triples": (q309_frequent_triples, Q309_SQL),
 }
 
 
