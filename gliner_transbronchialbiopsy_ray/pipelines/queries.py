@@ -17000,6 +17000,156 @@ ORDER BY x, y, z
 """
 
 
+def q310_dbscan_grid(sf_dir: str) -> pd.DataFrame:
+    """Deterministic DBSCAN via grid blocking (the density-clustering
+    composition: q308's grid_distance_join supplies eps-adjacency
+    without a cross join, connected_components supplies the core-graph
+    clustering): eps=8, minPts=3 over md5-placed integer points from
+    part.  Core = >= minPts-1 eps-neighbors; clusters = CC over
+    core-core edges labeled by MIN member id; border points join the
+    MIN label among their core neighbors (the deterministic variant of
+    classic DBSCAN's first-found assignment); everything else is noise
+    (label -1).  The quadratic step (eps-adjacency) is fully
+    distributed; cluster state (core set, label map) rides as broadcast
+    maps — the small-side contract, with the native-join variants as
+    the at-scale alternative.  Oracle: cross-join adjacency + 12
+    unrolled MATERIALIZED min-label rounds (depth verified <= 7)."""
+    import hashlib
+
+    from ..stages.dedup import connected_components
+    from ..stages.joins import grid_distance_join
+
+    eps, minpts = 8, 3
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def to_points(b: pa.Table) -> pd.DataFrame:
+        k = b.column("p_partkey").to_numpy().astype("int64")
+        def mdl(s):
+            return int.from_bytes(
+                hashlib.md5(s.encode()).digest()[8:], "little")
+        return pd.DataFrame({
+            "id": k,
+            "x": [mdl(str(i)) % 500 for i in k],
+            "y": [mdl(str(i) + "y") % 500 for i in k]})
+
+    pts = part.map_batches(to_points, batch_format="pyarrow")
+    pairs = grid_distance_join(pts, radius=eps).materialize()
+
+    # degrees -> core set: distributed endpoint fold
+    def endpoints(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.concatenate([
+            b.column("a").to_numpy(), b.column("b").to_numpy()])})
+
+    deg = _preagg(pairs.map_batches(endpoints, batch_format="pyarrow")
+                  .map_batches(lambda b: b.to_pandas().assign(c=1),
+                               batch_format="pyarrow"),
+                  ["id"], {"d": ("c", "sum")})
+    core_ids = set(deg.loc[deg["d"] >= minpts - 1, "id"].astype(int))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(b: pa.Table) -> pd.DataFrame:
+        cs = ray.get(core_ref)
+        df = b.to_pandas()
+        keep = df["a"].isin(cs) & df["b"].isin(cs)
+        return df.loc[keep, ["a", "b"]]
+
+    cc = connected_components(
+        pairs.map_batches(core_edges, batch_format="pyarrow"),
+        left_col="a", right_col="b").to_pandas()
+    label = dict(zip(cc["node"].astype(int), cc["component"].astype(int)))
+    # isolated cores (no core neighbor) form their own singleton cluster
+    for cid in core_ids:
+        label.setdefault(cid, cid)
+    label_ref = ray.put(label)
+
+    # border points: min core-neighbor label, one pass over the pairs
+    def border_partials(b: pa.Table) -> pd.DataFrame:
+        cs, lab = ray.get(core_ref), ray.get(label_ref)
+        df = b.to_pandas()
+        rows = []
+        for u, v in ((df["a"], df["b"]), (df["b"], df["a"])):
+            m = (~u.isin(cs)) & v.isin(cs)
+            if m.any():
+                rows.append(pd.DataFrame({
+                    "id": u[m].astype(int),
+                    "lab": v[m].map(lab).astype(int)}))
+        if not rows:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "lab": pd.Series(dtype="int64")})
+        out = pd.concat(rows, ignore_index=True)
+        return (out.groupby("id", sort=False)["lab"].min()
+                .reset_index())
+
+    bp = _preagg(pairs.map_batches(border_partials, batch_format="pyarrow"),
+                 ["id"], {"lab": ("lab", "min")})
+    border = dict(zip(bp["id"].astype(int), bp["lab"].astype(int)))
+    border_ref = ray.put(border)
+
+    def assemble(b: pa.Table) -> pd.DataFrame:
+        cs, lab = ray.get(core_ref), ray.get(label_ref)
+        bd = ray.get(border_ref)
+        ids = b.column("p_partkey").to_numpy().astype("int64")
+        role, lb = [], []
+        for i in ids:
+            i = int(i)
+            if i in cs:
+                role.append("core")
+                lb.append(lab[i])
+            elif i in bd:
+                role.append("border")
+                lb.append(bd[i])
+            else:
+                role.append("noise")
+                lb.append(-1)
+        return pd.DataFrame({"id": ids, "role": role,
+                             "cluster": np.asarray(lb, dtype="int64")})
+
+    out = part.map_batches(assemble, batch_format="pyarrow").to_pandas()
+    out["id"] = out["id"].astype("int64")
+    return out.sort_values("id", kind="stable").reset_index(drop=True)
+
+
+Q310_SQL = "\n".join(
+    ["""
+WITH p AS MATERIALIZED (
+  SELECT p_partkey AS id,
+         CAST(md5_number_lower(CAST(p_partkey AS VARCHAR)) % 500
+              AS BIGINT) AS x,
+         CAST(md5_number_lower(CAST(p_partkey AS VARCHAR) || 'y') % 500
+              AS BIGINT) AS y
+  FROM part),
+e AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v FROM p a JOIN p b ON a.id != b.id
+  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 64),
+deg AS MATERIALIZED (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+core AS MATERIALIZED (SELECT id FROM deg WHERE d + 1 >= 3),
+ce AS MATERIALIZED (
+  SELECT e.u, e.v FROM e
+  WHERE e.u IN (SELECT id FROM core) AND e.v IN (SELECT id FROM core)),
+l0 AS MATERIALIZED (SELECT id AS node, id AS lab FROM core)"""]
+    + [f""",
+l{i} AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    SELECT node, lab FROM l{i-1}
+    UNION ALL
+    SELECT ce.u AS node, l.lab FROM l{i-1} l JOIN ce ON ce.v = l.node
+  ) GROUP BY node)""" for i in range(1, 13)]
+    + ["""
+, bl AS MATERIALIZED (
+  SELECT e.u AS id, MIN(l.lab) AS lab
+  FROM e JOIN l12 l ON l.node = e.v
+  WHERE e.u NOT IN (SELECT id FROM core)
+  GROUP BY e.u)
+SELECT p.id,
+       CASE WHEN l.node IS NOT NULL THEN 'core'
+            WHEN bl.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(l.lab, bl.lab, -1) AS BIGINT) AS cluster
+FROM p LEFT JOIN l12 l ON l.node = p.id
+       LEFT JOIN bl ON bl.id = p.id
+ORDER BY p.id"""])
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -17368,6 +17518,7 @@ QUERIES: dict[str, tuple] = {
     "q307_adaptive_quality_gate": (q307_adaptive_quality_gate, Q307_SQL),
     "q308_grid_distance_join": (q308_grid_distance_join, Q308_SQL),
     "q309_frequent_triples": (q309_frequent_triples, Q309_SQL),
+    "q310_dbscan_grid": (q310_dbscan_grid, Q310_SQL),
 }
 
 
