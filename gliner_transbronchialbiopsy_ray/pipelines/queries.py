@@ -17532,8 +17532,8 @@ QUERIES: dict[str, tuple] = {
 # analytics q278-q297, sketches q281/q284, search index q291/q294) plus a
 # band of the q40-q63 window/join/sampling family (VERDICT r3, next-round
 # item #1).  All other entries keep their relative order after the window.
-_DRIVER_WINDOW_R4 = [
-    # anchors (regression guard — driver-green in r1-r3)
+_DRIVER_WINDOW_R5 = [
+    # anchors (regression guard — driver-green in r1-r4)
     "btb_triples",
     "btb_wide",
     "q01_lineitem_agg",
@@ -17541,55 +17541,55 @@ _DRIVER_WINDOW_R4 = [
     "q13_exact_dedup",
     "q22_minhash_neardup",
     "q33_verified_neardups",
-    # session-7 statistical audits + time-series (never driver-checked)
-    "q270_benford_audit",
-    "q271_iqr_outliers",
-    "q272_gini_profile",
-    "q273_cusum_drift",
-    "q274_regex_scalar_parity",
-    "q275_locf_gapfill",
-    "q276_bloom_semijoin",
-    "q277_range_frame_sum",
-    # session-8 analytics / sketches / graph / search index
-    "q278_association_rules",
-    "q279_luby_mis",
-    "q280_twap",
-    "q281_kmv_distinct",
-    "q282_referential_integrity",
-    "q283_snapshot_table_diff",
-    "q284_theta_sketch_ops",
-    "q285_grouped_ols_slope",
-    "q286_winsorize",
-    "q287_temporal_reachability",
-    "q288_rolling_zscore_anomalies",
-    "q289_conversion_attribution",
-    "q290_interval_coverage",
-    "q291_phrase_index_search",
-    "q292_storage_layout_advisor",
-    "q293_hierarchy_rollup",
-    "q294_ranked_retrieval",
-    "q296_event_transitions",
-    "q297_monthly_quantile_bands",
-    # q40-q63 window/join/sampling band (never driver-checked)
-    "q40_customer_order_counts",
-    "q41_string_kernels",
-    "q42_conditional_agg",
-    "q44_distinct_counts",
-    "q46_median_per_type",
-    "q47_having_filter",
-    "q48_anti_join",
-    "q49_asof_join",
-    "q50_range_join_count",
-    "q51_running_total",
-    "q52_watermark_late_flags",
-    "q53_grouped_quantiles",
-    "q57_stratified_sample",
-    "q61_repetition_filter",
-    "q62_decontaminate",
-    "q63_tfidf_topk",
+    # round-5 rotation: the oldest never-driver-checked oracle band
+    # (q43-q108: sampling, rollup/cube, window functions, LM/text,
+    # time-series, dedup-family; VERDICT r4 next-round item #1)
+    "q43_deterministic_sample",
+    "q56_rollup",
+    "q59_semi_join_bloom",
+    "q64_mixture_resample",
+    "q65_pack_sequences",
+    "q66_bipartite_pagerank",
+    "q67_label_centroids",
+    "q69_grouped_moments",
+    "q71_chunk_documents",
+    "q73_unpivot",
+    "q74_lag_delta",
+    "q75_fuzzy_name_pairs",
+    "q76_ntile_rank",
+    "q77_string_agg_per_order",
+    "q78_mode_per_nation",
+    "q79_cube_orders",
+    "q80_set_ops",
+    "q81_profile_orders",
+    "q82_percentile_cont",
+    "q83_degree_histogram",
+    "q84_bigram_lm",
+    "q86_funnel",
+    "q87_full_outer_join",
+    "q88_json_props_stats",
+    "q89_cross_join",
+    "q90_transition_matrix",
+    "q91_moving_avg",
+    "q92_lm_doc_score",
+    "q93_time_weighted_avg",
+    "q94_gapfill_hourly",
+    "q95_cohort_retention",
+    "q96_revenue_share",
+    "q97_weighted_median",
+    "q98_skyline",
+    "q99_mad",
+    "q100_trend_slope",
+    "q101_iqr_outliers",
+    "q102_dup_windows",
+    "q103_doc_dup_window_stats",
+    "q104_ngram_jaccard_pairs",
+    "q106_dedup_rewrite",
+    "q107_pii_redact",
+    "q108_inverted_index",
 ]
-assert len(_DRIVER_WINDOW_R4) == 50
+assert len(_DRIVER_WINDOW_R5) == 50
 QUERIES = {
-    **{name: QUERIES[name] for name in _DRIVER_WINDOW_R4},
-    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_WINDOW_R4)},
+    **{name: QUERIES[name] for name in _DRIVER_WINDOW_R5},
+    **{n: v for n, v in QUERIES.items() if n not in set(_DRIVER_WINDOW_R5)},
 }
