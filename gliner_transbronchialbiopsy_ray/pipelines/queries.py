@@ -15,6 +15,7 @@ Numeric-parity rules used throughout so value-hashes match the oracle:
 from __future__ import annotations
 
 import datetime as dt
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -4791,8 +4792,12 @@ def q111_incremental_dedup(sf_dir: str):
         lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 1)),
         batch_format="pyarrow")
     state_dir = tempfile.mkdtemp(prefix="snapdedup_", dir="/tmp")
-    incremental_exact_dedup(base, state_dir, snapshot_id="base")
-    return incremental_exact_dedup(snap, state_dir, snapshot_id="day1")
+    try:
+        incremental_exact_dedup(base, state_dir, snapshot_id="base")
+        return incremental_exact_dedup(
+            snap, state_dir, snapshot_id="day1").to_pandas()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 Q111_SQL = """
@@ -4838,8 +4843,12 @@ def q112_incremental_lsh(sf_dir: str):
         lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 1)),
         batch_format="pyarrow")
     state_dir = tempfile.mkdtemp(prefix="snaplsh_", dir="/tmp")
-    incremental_lsh_dedup(base, state_dir, snapshot_id="base")
-    return incremental_lsh_dedup(snap, state_dir, snapshot_id="day1")
+    try:
+        incremental_lsh_dedup(base, state_dir, snapshot_id="base")
+        return incremental_lsh_dedup(
+            snap, state_dir, snapshot_id="day1").to_pandas()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def q113_range_store(sf_dir: str):
@@ -4855,10 +4864,13 @@ def q113_range_store(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
     store = tempfile.mkdtemp(prefix="rangestore_", dir="/tmp")
-    write_range_partitioned(ev, store, key="ts", num_ranges=8)
-    win = read_key_range(store, "2024-01-10", "2024-01-20",
-                         columns=["event_type"])
-    out = _preagg(win, ["event_type"], {"n": ("event_type", "count")})
+    try:
+        write_range_partitioned(ev, store, key="ts", num_ranges=8)
+        win = read_key_range(store, "2024-01-10", "2024-01-20",
+                             columns=["event_type"])
+        out = _preagg(win, ["event_type"], {"n": ("event_type", "count")})
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -10164,8 +10176,11 @@ def q202_incremental_shacl(sf_dir: str):
                      ("max_count", "located_in", 1)])]
 
     state_dir = tempfile.mkdtemp(prefix="snapshacl_", dir="/tmp")
-    commit_snapshot(base, state_dir, "base")
-    out = incremental_validate(day1, shapes, state_dir).to_pandas()
+    try:
+        commit_snapshot(base, state_dir, "base")
+        out = incremental_validate(day1, shapes, state_dir).to_pandas()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
     cols = ["node", "shape", "constraint", "pred", "detail"]
     out = out[cols].astype(str)
     return out.sort_values(cols).reset_index(drop=True)
@@ -10336,13 +10351,16 @@ def q206_nquads_provenance_roundtrip(sf_dir: str):
             "o_datatype": None, "o_lang": None})
 
     out_dir = tempfile.mkdtemp(prefix="nquads_", dir="/tmp")
-    man = write_nquads(supp.map_batches(quads, batch_format="pyarrow"),
-                       out_dir)
-    back = read_nquads(sorted(man["path"]))
-    bindings = match_bgp(
-        back, [("?s", "located_in", "?o", "?g")], g_col="g",
-        cast_nodes=False)
-    out = bindings.to_pandas().astype(str)
+    try:
+        man = write_nquads(supp.map_batches(quads, batch_format="pyarrow"),
+                           out_dir)
+        back = read_nquads(sorted(man["path"]))
+        bindings = match_bgp(
+            back, [("?s", "located_in", "?o", "?g")], g_col="g",
+            cast_nodes=False)
+        out = bindings.to_pandas().astype(str)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return (out[["s", "o", "g"]].sort_values(["s", "o", "g"])
             .reset_index(drop=True))
 
@@ -10481,10 +10499,13 @@ def q208_property_graph_export(sf_dir: str):
 
     store = cust.map_batches(to_triples, batch_format="pyarrow")
     out_dir = tempfile.mkdtemp(prefix="pgexport_", dir="/tmp")
-    paths = export_property_graph(
-        store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
-    nodes = ray.data.read_csv(paths["nodes_dir"]).to_pandas()
-    n_rels = ray.data.read_csv(paths["rels_dir"]).count()
+    try:
+        paths = export_property_graph(
+            store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
+        nodes = ray.data.read_csv(paths["nodes_dir"]).to_pandas()
+        n_rels = ray.data.read_csv(paths["rels_dir"]).count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     if n_rels != len(nodes):
         raise AssertionError(
             f"expected one in_nation rel per node: {n_rels} vs "
@@ -12168,8 +12189,11 @@ def q239_jsonld_round_trip(sf_dir: str):
         ])),
     ])
     d = tempfile.mkdtemp(prefix="q239_", dir="/tmp")
-    manifest = write_jsonld(store, d)
-    back = read_jsonld(sorted(manifest["path"])).to_pandas()
+    try:
+        manifest = write_jsonld(store, d)
+        back = read_jsonld(sorted(manifest["path"])).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     assert back["error"].isna().all()
     out = back[["s", "p", "o"]].astype(str)
     return out.sort_values(["s", "p", "o"]).reset_index(drop=True)
@@ -12477,12 +12501,15 @@ def q246_incremental_cc(sf_dir: str):
         return f
 
     d = tempfile.mkdtemp(prefix="q246_", dir="/tmp")
-    for parity in (0, 1):
-        co = cooccurrence_edges(
-            li.map_batches(keep(parity), batch_format="pyarrow"),
-            "l_orderkey", "l_partkey", min_count=1)
-        commit_edges(d, co, f"parity{parity}")
-    out = current_labels(d).to_pandas().astype("int64")
+    try:
+        for parity in (0, 1):
+            co = cooccurrence_edges(
+                li.map_batches(keep(parity), batch_format="pyarrow"),
+                "l_orderkey", "l_partkey", min_count=1)
+            commit_edges(d, co, f"parity{parity}")
+        out = current_labels(d).to_pandas().astype("int64")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -12765,10 +12792,6 @@ def q251_zonemap_range_query(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_returnflag", "l_quantity"])
     d = tempfile.mkdtemp(prefix="q251_", dir="/tmp")
-    zones = write_zonemapped(li, d, "l_orderkey", n_ranges=16)
-    lo, hi = 1000, 3000
-    out, nread = read_zonemapped(d, lo=lo, hi=hi)
-    assert nread < len(zones), "zone map failed to skip anything"
 
     def to_int(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -12776,9 +12799,16 @@ def q251_zonemap_range_query(sf_dir: str):
             "q": pa.array(b.column("l_quantity").to_numpy()
                           .astype("int64"))})
 
-    agg = _preagg(out.map_batches(to_int, batch_format="pyarrow"),
-                  ["l_returnflag"],
-                  {"sum_qty": ("q", "sum"), "n": ("q", "count")})
+    try:
+        zones = write_zonemapped(li, d, "l_orderkey", n_ranges=16)
+        lo, hi = 1000, 3000
+        out, nread = read_zonemapped(d, lo=lo, hi=hi)
+        assert nread < len(zones), "zone map failed to skip anything"
+        agg = _preagg(out.map_batches(to_int, batch_format="pyarrow"),
+                      ["l_returnflag"],
+                      {"sum_qty": ("q", "sum"), "n": ("q", "count")})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     agg["l_returnflag"] = agg["l_returnflag"].astype(str)
     agg[["sum_qty", "n"]] = agg[["sum_qty", "n"]].astype("int64")
     return agg.sort_values("l_returnflag").reset_index(drop=True)
@@ -12856,20 +12886,23 @@ def q253_zorder_box_query(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_quantity"])
     d = tempfile.mkdtemp(prefix="q253_", dir="/tmp")
-    zones = write_zordered(li, d, "l_partkey", "l_suppkey",
-                           n_ranges=16)
-    out, nread = read_zordered_box(d, "l_partkey", 100, 400,
-                                   "l_suppkey", 10, 40)
-    assert nread < len(zones), "z-order pruning failed to skip"
 
     def to_int(b: pa.Table) -> pa.Table:
         return pa.table({
             "q": pa.array(b.column("l_quantity").to_numpy()
                           .astype("int64"))})
 
-    part = out.map_batches(to_int, batch_format="pyarrow")
-    tot = part.sum("q") or 0
-    n = part.count()
+    try:
+        zones = write_zordered(li, d, "l_partkey", "l_suppkey",
+                               n_ranges=16)
+        out, nread = read_zordered_box(d, "l_partkey", 100, 400,
+                                       "l_suppkey", 10, 40)
+        assert nread < len(zones), "z-order pruning failed to skip"
+        part = out.map_batches(to_int, batch_format="pyarrow")
+        tot = part.sum("q") or 0
+        n = part.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return pd.DataFrame({"sum_qty": pd.Series([int(tot)], dtype="int64"),
                          "n": pd.Series([int(n)], dtype="int64")})
 
@@ -16529,13 +16562,17 @@ def q301_bloom_point_lookup(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
-    path = tempfile.mkdtemp(prefix="q301_", dir="/tmp") + "/store"
-    write_range_partitioned(li.repartition(16), path, "l_orderkey",
-                            num_ranges=8)
-    build_bloom_index(path, "l_partkey")
-    out = read_point_lookup(
-        path, "l_partkey", 7,
-        columns=["l_orderkey", "l_linenumber", "l_quantity"]).to_pandas()
+    root = tempfile.mkdtemp(prefix="q301_", dir="/tmp")
+    try:
+        path = root + "/store"
+        write_range_partitioned(li.repartition(16), path, "l_orderkey",
+                                num_ranges=8)
+        build_bloom_index(path, "l_partkey")
+        out = read_point_lookup(
+            path, "l_partkey", 7,
+            columns=["l_orderkey", "l_linenumber", "l_quantity"]).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     out["l_partkey"] = np.int64(7)
     out = out[["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]]
     return out.sort_values(["l_orderkey", "l_linenumber"],
@@ -16566,14 +16603,18 @@ def q302_compact_store(sf_dir: str) -> pd.DataFrame:
     )
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    path = tempfile.mkdtemp(prefix="q302_", dir="/tmp") + "/store"
-    write_range_partitioned(ev.repartition(32), path, "ts", num_ranges=8)
-    stats = compact_store(path, target_rows_per_file=1 << 20)
-    assert stats["files_after"] < stats["files_before"]
-    lo = dt.datetime(2024, 1, 3)
-    hi = dt.datetime(2024, 1, 5)
-    out = read_key_range(path, lo, hi,
-                         columns=["event_id", "user_id"]).to_pandas()
+    root = tempfile.mkdtemp(prefix="q302_", dir="/tmp")
+    try:
+        path = root + "/store"
+        write_range_partitioned(ev.repartition(32), path, "ts", num_ranges=8)
+        stats = compact_store(path, target_rows_per_file=1 << 20)
+        assert stats["files_after"] < stats["files_before"]
+        lo = dt.datetime(2024, 1, 3)
+        hi = dt.datetime(2024, 1, 5)
+        out = read_key_range(path, lo, hi,
+                             columns=["event_id", "user_id"]).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     out["event_id"] = out["event_id"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("event_id", kind="stable").reset_index(drop=True)
@@ -16611,11 +16652,14 @@ def q303_schema_evolution_read(sf_dir: str) -> pd.DataFrame:
         t = b.filter(pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), 1))
         return t.select(["o_orderkey", "o_orderstatus"])
 
-    orders.map_batches(gen_a, batch_format="pyarrow").write_parquet(
-        f"{d}/gen=a")
-    orders.map_batches(gen_b, batch_format="pyarrow").write_parquet(
-        f"{d}/gen=b")
-    out = read_parquet_evolving(d).to_pandas()
+    try:
+        orders.map_batches(gen_a, batch_format="pyarrow").write_parquet(
+            f"{d}/gen=a")
+        orders.map_batches(gen_b, batch_format="pyarrow").write_parquet(
+            f"{d}/gen=b")
+        out = read_parquet_evolving(d).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return out.sort_values("o_orderkey", kind="stable").reset_index(drop=True)
 
@@ -16695,11 +16739,14 @@ def q305_property_graph_roundtrip(sf_dir: str) -> pd.DataFrame:
 
     store = cust.map_batches(to_triples, batch_format="pyarrow")
     out_dir = tempfile.mkdtemp(prefix="pgrt_", dir="/tmp")
-    paths = export_property_graph(
-        store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
-    back = import_property_graph(
-        paths["nodes_dir"], paths["rels_dir"], prop_preds=["segment"])
-    out = back.to_pandas().astype(str)
+    try:
+        paths = export_property_graph(
+            store, out_dir, rel_preds=["in_nation"], prop_preds=["segment"])
+        back = import_property_graph(
+            paths["nodes_dir"], paths["rels_dir"], prop_preds=["segment"])
+        out = back.to_pandas().astype(str)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out.sort_values(["s", "p", "o"],
                            kind="stable").reset_index(drop=True)
 

@@ -351,7 +351,25 @@ def unify_schemas(schemas: list[pa.Schema]) -> pa.Schema:
             if a.equals(b):
                 continue
             if pa.types.is_integer(a) and pa.types.is_integer(b):
-                types[f.name] = a if a.bit_width >= b.bit_width else b
+                au = pa.types.is_unsigned_integer(a)
+                bu = pa.types.is_unsigned_integer(b)
+                if au == bu:
+                    types[f.name] = a if a.bit_width >= b.bit_width else b
+                else:
+                    # mixed signedness widens to the smallest SIGNED type
+                    # that holds both ranges (uint32+int32 -> int64);
+                    # uint64+signed has no 128-bit home -> loud error,
+                    # never a first-seen-wins narrowing (ADVICE r4)
+                    uw = a.bit_width if au else b.bit_width
+                    sw = b.bit_width if au else a.bit_width
+                    need = max(sw, uw * 2)
+                    if need > 64:
+                        raise ValueError(
+                            f"schema evolution conflict on {f.name!r}: "
+                            f"{a} vs {b} (uint64 cannot widen into a "
+                            f"signed 64-bit type)")
+                    types[f.name] = {16: pa.int16(), 32: pa.int32(),
+                                     64: pa.int64()}[need]
             elif ((pa.types.is_integer(a) or pa.types.is_floating(a))
                   and (pa.types.is_integer(b) or pa.types.is_floating(b))):
                 types[f.name] = pa.float64()

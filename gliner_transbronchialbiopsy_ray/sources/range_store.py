@@ -143,6 +143,44 @@ def _bloom_positions(values: pd.Series, m_bits: int, k: int) -> np.ndarray:
     return pos  # (n_values, k)
 
 
+def _bloom_dtype(arrow_type: pa.DataType) -> str:
+    """Canonical hash dtype for a stored column.  pandas siphash is
+    dtype-sensitive (float64 hashes by bit pattern), so BOTH the build
+    and the probe must hash through the same dtype — otherwise an int
+    probe (7) on a float64 column (stored 7.0) hashes differently and
+    the filter returns a FALSE NEGATIVE, silently skipping files that
+    contain matches (ADVICE r4).  The canonical dtype is derived from
+    the ARROW type, never pandas inference (an all-null int64 file
+    would otherwise infer float64 and poison the build side too)."""
+    if pa.types.is_boolean(arrow_type):
+        return "bool"
+    if pa.types.is_unsigned_integer(arrow_type):
+        return "uint64"
+    if pa.types.is_integer(arrow_type):
+        return "int64"
+    if pa.types.is_floating(arrow_type) or pa.types.is_decimal(arrow_type):
+        return "float64"
+    if pa.types.is_timestamp(arrow_type):
+        return "int64"  # exact microsecond ticks, like the range manifest
+    return "str"
+
+
+def _bloom_series(values, dtype: str) -> pd.Series:
+    """Coerce build values (ChunkedArray) or a probe scalar to the
+    canonical hash dtype.  Nulls are dropped on the build side before
+    the cast so int64 columns never round-trip through float64."""
+    if isinstance(values, (pa.ChunkedArray, pa.Array)):
+        arr = values.drop_null()
+        if dtype == "int64" and pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        s = arr.to_pandas()
+    else:
+        s = pd.Series([values])
+    if dtype == "str":
+        return s.astype(str)
+    return s.astype(dtype)
+
+
 def _bloom_bits(values: pd.Series, m_bits: int, k: int) -> bytes:
     bits = np.zeros(m_bits, dtype=bool)
     if len(values):
@@ -150,17 +188,62 @@ def _bloom_bits(values: pd.Series, m_bits: int, k: int) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-def _bloom_maybe(bitset: bytes, value, m_bits: int, k: int) -> bool:
+def _bloom_maybe(bitset: bytes, value, m_bits: int, k: int,
+                 dtype: str | None = None) -> bool:
     bits = np.unpackbits(np.frombuffer(bitset, dtype=np.uint8))
-    pos = _bloom_positions(pd.Series([value]), m_bits, k)[0]
+    probe = (_bloom_series(value, dtype) if dtype is not None
+             else pd.Series([value]))
+    pos = _bloom_positions(probe, m_bits, k)[0]
     return bool(bits[pos].all())
 
 
+def _recover_compaction(path: str) -> None:
+    """Finish or roll back a compaction that crashed mid-rename
+    (ADVICE r4: a crash between `replace(full, old)` and
+    `replace(tmp, full)` left the range only under `range_id=N.old`,
+    which readers silently skipped — a whole range vanished).  The
+    three directory states are unambiguous, so no manifest is needed:
+
+    - `N` and `N.old` both exist  -> renames completed, crash before
+      cleanup: drop `N.old`.
+    - `N.old` without `N`         -> crash inside the rename window;
+      `N.compact` was fully written before the first rename, so roll
+      FORWARD (`N.compact` -> `N`) if present, else roll BACK
+      (`N.old` -> `N`).
+    - `N.compact` with `N` intact -> crash while writing the tmp dir
+      (before any rename): drop the partial `N.compact`.
+
+    Runs on every read and on compaction entry (the search_index
+    pattern).  Single concurrent compactor per store assumed, as for
+    any OPTIMIZE primitive."""
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("range_id=") or not d.endswith(".old"):
+            continue
+        old = os.path.join(path, d)
+        full = old[:-len(".old")]
+        tmp = full + ".compact"
+        if os.path.isdir(full):
+            shutil.rmtree(old)
+        elif os.path.isdir(tmp):
+            os.replace(tmp, full)
+            shutil.rmtree(old)
+        else:
+            os.replace(old, full)
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("range_id=") or not d.endswith(".compact"):
+            continue
+        tmp = os.path.join(path, d)
+        if os.path.isdir(tmp[:-len(".compact")]):
+            shutil.rmtree(tmp)
+
+
 def _store_files(path: str) -> list[str]:
+    _recover_compaction(path)
     out = []
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
-        if d.startswith("range_id=") and os.path.isdir(full):
+        if (d.startswith("range_id=") and os.path.isdir(full)
+                and not d.endswith((".old", ".compact"))):
             out += [os.path.join(full, f) for f in sorted(os.listdir(full))
                     if f.endswith(".parquet")]
     return out
@@ -183,6 +266,10 @@ def build_bloom_index(path: str, column: str,
     loud error otherwise), only missing files are read; entries for
     files that no longer exist (compacted away) are dropped."""
     files = _store_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    dtype = _bloom_dtype(
+        pa.parquet.read_schema(files[0]).field(column).type)
     prior: dict[str, str] = {}
     if incremental:
         ipath = os.path.join(path, _BLOOM.format(col=column))
@@ -194,6 +281,14 @@ def build_bloom_index(path: str, column: str,
                     f"bloom index at {ipath} was built with "
                     f"m_bits={old['m_bits']}, k={old['k']}; got "
                     f"m_bits={m_bits}, k={k}")
+            if old.get("dtype") != dtype:
+                # pre-dtype indexes (or a column type change) hashed
+                # through pandas-inferred dtypes; their bitsets cannot
+                # be mixed with canonical-dtype ones — rebuild fully.
+                raise ValueError(
+                    f"bloom index at {ipath} has hash dtype "
+                    f"{old.get('dtype')!r} but the store column is "
+                    f"{dtype!r}; rebuild with incremental=False")
             live = {os.path.relpath(f, path) for f in files}
             prior = {rel: b for rel, b in old["files"].items()
                      if rel in live}
@@ -204,7 +299,7 @@ def build_bloom_index(path: str, column: str,
         rows = []
         for f in batch.column("file").to_pylist():
             t = pa.parquet.read_table(f, columns=[column])
-            vals = t.column(column).to_pandas()
+            vals = _bloom_series(t.column(column), dtype)
             rows.append({"file": os.path.relpath(f, path),
                          "bits": _bloom_bits(vals, m_bits, k).hex()})
         return pd.DataFrame(rows)
@@ -216,7 +311,7 @@ def build_bloom_index(path: str, column: str,
         ).map_batches(file_bloom, batch_format="pyarrow",
                       batch_size=1).to_pandas()
         new_bits = dict(zip(blooms["file"], blooms["bits"]))
-    index = {"column": column, "m_bits": m_bits, "k": k,
+    index = {"column": column, "m_bits": m_bits, "k": k, "dtype": dtype,
              "files": {**prior, **new_bits}}
     target = os.path.join(path, _BLOOM.format(col=column))
     tmp = target + ".tmp"
@@ -234,11 +329,13 @@ def read_point_lookup(
     filter can contain the value (plus the manifest's range pruning
     when `column` IS the clustering key).  Exact equality filter on
     the surviving files — bloom false positives add reads, not rows."""
+    _recover_compaction(path)
     with open(os.path.join(path, _BLOOM.format(col=column))) as f:
         idx = json.load(f)
     m_bits, k = idx["m_bits"], idx["k"]
+    dtype = idx.get("dtype")  # pre-dtype indexes fall back to inference
     files = [os.path.join(path, rel) for rel, bits in idx["files"].items()
-             if _bloom_maybe(bytes.fromhex(bits), value, m_bits, k)]
+             if _bloom_maybe(bytes.fromhex(bits), value, m_bits, k, dtype)]
     with open(os.path.join(path, _MANIFEST)) as f:
         m = json.load(f)
     if column == m["key"]:  # compose with range pruning
@@ -273,8 +370,10 @@ def compact_store(path: str, target_rows_per_file: int = 1 << 20) -> dict:
     unchanged (compaction never moves rows across ranges); any Bloom
     indexes are REBUILT afterwards (file identities changed).  Returns
     {"files_before": n, "files_after": n}."""
-    before = _store_files(path)
-    rdirs = sorted(d for d in os.listdir(path) if d.startswith("range_id="))
+    before = _store_files(path)  # also recovers any crashed compaction
+    rdirs = sorted(d for d in os.listdir(path)
+                   if d.startswith("range_id=")
+                   and not d.endswith((".old", ".compact")))
 
     def compact_range(batch: pa.Table) -> pd.DataFrame:
         out = []
@@ -317,6 +416,7 @@ def read_key_range(
     fetched alongside for the residual filter, then dropped if not
     requested).  Returns an empty (schema-less) dataset when no range
     directory overlaps."""
+    _recover_compaction(path)
     with open(os.path.join(path, _MANIFEST)) as f:
         m = json.load(f)
     key, kind = m["key"], m["kind"]

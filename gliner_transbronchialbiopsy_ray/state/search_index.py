@@ -347,9 +347,18 @@ def compact_index(state_dir: str) -> dict:
     snaps = _committed_snapshots(state_dir, _POSTINGS)
     if len(snaps) <= 1:
         return {"snapshots_before": len(snaps), "snapshots_after": len(snaps)}
-    target_id = f"snap=compacted-{len(snaps)}-{snaps[-1].split('=', 1)[1]}"
+    # uniquify against the COMMITTED sources: a prior compaction can have
+    # left e.g. snap=compacted-2-x among snaps, and a naive
+    # f"compacted-{len}-{last}" can collide with it — the rmtree below
+    # would then delete a live source before merge_bucket reads it
+    # (ADVICE r4).  Bump the generation until the id is fresh.
+    gen, last = len(snaps), snaps[-1].split("=", 1)[1]
+    target_id = f"snap=compacted-{gen}-{last}"
+    while target_id in set(snaps):
+        gen += 1
+        target_id = f"snap=compacted-{gen}-{last}"
     target = os.path.join(root, target_id)
-    if os.path.isdir(target):
+    if os.path.isdir(target):  # uncommitted leftover only, never a source
         shutil.rmtree(target)
     buckets = sorted({
         d for s in snaps

@@ -170,6 +170,26 @@ def test_unify_schemas_widening_and_conflicts():
     assert u2.field("x").type == pa.float64()  # int+float -> float64
     with pytest.raises(ValueError, match="conflict"):
         unify_schemas([a, pa.schema([("x", pa.string())])])
+    # mixed signedness widens to the smallest signed type holding BOTH
+    # ranges (ADVICE r4: bit-width-alone kept first-seen arbitrarily)
+    mix = unify_schemas([pa.schema([("k", pa.uint32())]),
+                         pa.schema([("k", pa.int32())])])
+    assert mix.field("k").type == pa.int64()
+    mix2 = unify_schemas([pa.schema([("k", pa.int64())]),
+                          pa.schema([("k", pa.uint8())])])
+    assert mix2.field("k").type == pa.int64()
+    mix3 = unify_schemas([pa.schema([("k", pa.uint8())]),
+                          pa.schema([("k", pa.int8())])])
+    assert mix3.field("k").type == pa.int16()
+    # uint64 + signed has no 128-bit home: loud error both directions
+    for pair in ([("k", pa.uint64())], [("k", pa.int8())]):
+        with pytest.raises(ValueError, match="uint64"):
+            unify_schemas([pa.schema([("k", pa.uint64())]),
+                           pa.schema([("k", pa.int64())])])
+    # same-signedness unsigned still takes the wider unsigned
+    mix4 = unify_schemas([pa.schema([("k", pa.uint16())]),
+                          pa.schema([("k", pa.uint64())])])
+    assert mix4.field("k").type == pa.uint64()
 
 
 def test_read_parquet_evolving_pads_and_casts(ray_session, tmp_path):

@@ -200,3 +200,91 @@ def test_bloom_index_incremental_update(tmp_path):
     idx3 = build_bloom_index(store, "p", incremental=True)
     assert set(idx3["files"]) == {
         os.path.relpath(f, store) for f in _store_files(store)}
+
+
+def test_bloom_probe_dtype_coercion(tmp_path):
+    """ADVICE r4: an int probe on a float64 column must hash through the
+    STORED column's dtype — pandas hashes float64 by bit pattern, so an
+    uncoerced int 7 probing stored 7.0 was a bloom FALSE NEGATIVE that
+    silently skipped files containing matches."""
+    from gliner_transbronchialbiopsy_ray.sources.range_store import (
+        build_bloom_index,
+        read_point_lookup,
+    )
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                       "p": (np.arange(1000) % 50).astype("float64")})
+    store = str(tmp_path / "flt")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(4), store, "k", num_ranges=4)
+    idx = build_bloom_index(store, "p")
+    assert idx["dtype"] == "float64"
+    # int probe on the float64 column: every matching row must be found
+    got = read_point_lookup(store, "p", 7).to_pandas()
+    assert sorted(got["k"]) == sorted(df[df["p"] == 7.0]["k"])
+    # float probe on an int64 column likewise
+    build_bloom_index(store, "k")
+    got_k = read_point_lookup(store, "k", 123.0).to_pandas()
+    assert list(got_k["k"]) == [123]
+    # incremental over a pre-dtype (or type-changed) index is a loud error
+    import pytest
+    ipath = os.path.join(store, "_bloom_p.json")
+    with open(ipath) as f:
+        legacy = json.load(f)
+    legacy.pop("dtype")
+    with open(ipath, "w") as f:
+        json.dump(legacy, f)
+    with pytest.raises(ValueError, match="dtype"):
+        build_bloom_index(store, "p", incremental=True)
+
+
+def test_compaction_crash_recovery(tmp_path):
+    """ADVICE r4: a crash between compact_store's two renames left a
+    range only under range_id=N.old, which every reader silently
+    skipped.  Readers now finish or roll back the crashed compaction;
+    all three crash states recover to the full row set."""
+    from gliner_transbronchialbiopsy_ray.sources.range_store import (
+        _store_files,
+        compact_store,
+    )
+    import shutil as sh
+
+    df = pd.DataFrame({"k": np.arange(1200, dtype="int64"),
+                       "p": np.arange(1200, dtype="int64") % 7})
+    store = str(tmp_path / "crash")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(8), store, "k", num_ranges=3)
+    all_rows = sorted(read_key_range(store, 0, 10**9).to_pandas()["k"])
+    rdir = sorted(d for d in os.listdir(store)
+                  if d.startswith("range_id="))[0]
+    full = os.path.join(store, rdir)
+
+    # state A: mid-window crash — tmp fully written, full renamed to .old
+    sh.copytree(full, full + ".compact")
+    os.replace(full, full + ".old")
+    assert sorted(read_key_range(store, 0, 10**9).to_pandas()["k"]) \
+        == all_rows  # roll-forward: no vanished range
+    assert os.path.isdir(full) and not os.path.exists(full + ".old")
+
+    # state B: crash after both renames, before .old cleanup
+    sh.copytree(full, full + ".old")
+    assert sorted(read_key_range(store, 0, 10**9).to_pandas()["k"]) \
+        == all_rows
+    assert not os.path.exists(full + ".old")
+
+    # state C: crash while WRITING tmp (full intact) — partial tmp dropped
+    os.makedirs(full + ".compact")
+    assert sorted(read_key_range(store, 0, 10**9).to_pandas()["k"]) \
+        == all_rows
+    assert not os.path.exists(full + ".compact")
+
+    # state A rollback variant: .old without tmp rolls back losslessly
+    os.replace(full, full + ".old")
+    assert sorted(read_key_range(store, 0, 10**9).to_pandas()["k"]) \
+        == all_rows
+    # and a subsequent compaction proceeds normally
+    stats = compact_store(store, target_rows_per_file=1 << 20)
+    assert stats["files_after"] <= stats["files_before"]
+    assert sorted(read_key_range(store, 0, 10**9).to_pandas()["k"]) \
+        == all_rows
+    assert _store_files(store)

@@ -175,3 +175,33 @@ def test_compact_index_equality_and_recovery(ray_session, tmp_path):
     got2 = phrase_search(state, "quick brown")  # search runs recovery
     assert not os.path.isdir(ghost)
     assert got2.set_index("doc_id").index.tolist() == got.index.tolist()
+
+
+def test_compact_index_target_never_collides_with_source(
+        ray_session, tmp_path):
+    """ADVICE r4: with committed snapshots [compacted-2-x, x] the naive
+    target id f"compacted-{len}-{last}" equals the FIRST source, and the
+    pre-merge rmtree deleted a live snapshot's postings.  The generation
+    now bumps past any committed source id."""
+    from gliner_transbronchialbiopsy_ray.state.search_index import (
+        compact_index,
+        phrase_search,
+        ranked_search,
+    )
+
+    state = str(tmp_path / "collide")
+    docs = _docs()
+    # ids chosen so sorted() yields [snap=compacted-2-x, snap=x] and the
+    # naive target f"snap=compacted-2-{'x'}" == the first source
+    commit_snapshot(docs.filter(lambda r: (r["doc_id"] or 0) % 2 == 0),
+                    state, "compacted-2-x")
+    commit_snapshot(docs.filter(lambda r: (r["doc_id"] or 0) % 2 == 1),
+                    state, "x")
+    before_p = phrase_search(state, "quick brown")
+    before_r = ranked_search(state, "quick fox nothing", k=5)
+    stats = compact_index(state)
+    assert stats == {"snapshots_before": 2, "snapshots_after": 1}
+    pd.testing.assert_frame_equal(phrase_search(state, "quick brown"),
+                                  before_p)
+    pd.testing.assert_frame_equal(
+        ranked_search(state, "quick fox nothing", k=5), before_r)
