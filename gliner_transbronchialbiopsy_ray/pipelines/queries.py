@@ -14998,9 +14998,11 @@ def btb_mp3_decode(sf_dir: str) -> pd.DataFrame:
     parsing, the BIT RESERVOIR (main_data_begin back-pointers across
     frames), scfsi scalefactor sharing, long AND short (block_type 2)
     windows with subblock gains, the implemented Huffman subset
-    (big_values tables 0/1, count1 table B) and the formula-exact
-    requantizer — with |q| <= 1 every spectral line is an exact power
-    of two, so max_xr_ppm pins values analytically.  A stream needing
+    (big_values tables 0/1/2/3/6 — each granule rotates through them
+    with magnitudes up to the table's range — plus count1 table B) and
+    the formula-exact requantizer; |q| <= 1 lines are exact powers of
+    two and |q| in {2, 3} lines carry the deterministic float64
+    rounding of |q|^(4/3), so max_xr_ppm pins values analytically.  A stream needing
     an unimplemented Huffman table, a Layer II stream and a garbage
     row keep their rows flagged (the documented partial-decode gaps
     stay LOUD).  Golden-pinned (rows-only); analytic values pinned by
@@ -15011,13 +15013,18 @@ def btb_mp3_decode(sf_dir: str) -> pd.DataFrame:
 
     def gran(seed: int, gr: int, ch: int, short: bool = False) -> dict:
         k = seed * 7 + gr * 3 + ch
+        # rotate through every implemented big_values table (1, 2, 3,
+        # 6) so the golden exercises all of them; bigv magnitudes are
+        # capped at the table's range (dim-1: 1, 2, 2, 3)
+        t = (1, 2, 3, 6)[k % 4]
+        m = {1: 1, 2: 2, 3: 2, 6: 3}[t]
         g = {"global_gain": 140 + (k * 13) % 80,
              "scalefac_compress": (5, 10, 14, 7)[k % 4],
              "scalefac_scale": k % 2, "preflag": (k // 2) % 2,
              "count1table_select": 1,
-             "table_select": [1, 1, 1],
+             "table_select": [t, t, t],
              "region0_count": 2 + k % 3, "region1_count": 2,
-             "bigv": [((1, 0), (0, 1), (1, 1), (1, -1), (-1, 1),
+             "bigv": [((1, 0), (0, m), (m, 1), (1, -m), (-m, m),
                        (0, 0))[(k + i) % 6] for i in range(4 + k % 5)],
              "count1": [[(1, 0, -1, 0)[(k + i + j) % 4]
                          for j in range(4)] for i in range(k % 4)]}
@@ -15025,7 +15032,7 @@ def btb_mp3_decode(sf_dir: str) -> pd.DataFrame:
         s1, s2 = _MP3_SLEN[g["scalefac_compress"]]
         if short:
             g["block_type"] = 2
-            g["table_select"] = [1, 1]
+            g["table_select"] = [t, t]
             g["subblock_gain"] = [k % 3, 0, (k + 1) % 3]
             g["scalefactors"] = {"short": [
                 [(w + k + sfb) % (1 << (s1 if sfb < 6 else s2))

@@ -15,10 +15,11 @@ samples; Layer II adds the B.2 allocation tables, grouped 3/5/9-step
 classes and scfsi scalefactor sharing — see the Layer I/II sections),
 and LAYER III decodes PARTIALLY for real: full side-info parsing, the
 bit reservoir, scfsi sharing, long/short windows, count1 table B and
-big_values Huffman tables 0/1 with formula-exact requantization to 576
-spectral lines — the remaining big_values tables 2-31 / count1 table A
-/ mixed blocks raise LOUD errors naming the gap (see the Layer III
-section for why that data is not transcribed).  Only the H.264/AAC
+big_values Huffman tables 0/1/2/3/6 with formula-exact requantization
+to 576 spectral lines — the remaining big_values tables (the
+linbits/escape family) / count1 table A / mixed blocks raise LOUD
+errors naming the gap (see the Layer III section for the import-time
+structural proof carried tables must pass).  Only the H.264/AAC
 sample payload decode kernels remain stubbed (deterministic fakes,
 clearly marked).  The Ray side —
 schema, batch sizing, actor signature, output layout — is real and tested
@@ -3672,15 +3673,16 @@ def mp2_subband_features(
 # REAL side-info parsing (the full MPEG-1 granule field layout), bit
 # reservoir (main_data_begin back-pointers across frames), scfsi
 # scalefactor sharing, long/short/mixed window side fields, count1
-# quadruple Huffman (table B) and big_values Huffman tables 0 and 1,
+# quadruple Huffman (table B) and big_values Huffman tables 0, 1, 2,
+# 3 and 6 (every linbits-free table whose data passes the import-time
+# structural proof in _validate_huff_xy: prefix-free + Kraft-complete),
 # and the formula-exact requantizer to 576 spectral lines per granule.
-# Big-values tables 2-31, count1 table A and mixed-block scalefactors
-# raise a LOUD ValueError naming the gap (tabulated Huffman data for
-# the remaining tables is deliberately not transcribed from memory —
-# the MP2 rate-class lesson: spec tables carried without an external
-# cross-check are a silent-corruption risk; the implemented subset is
-# externally checkable because tables 0/1/B are small enough to verify
-# against ISO 11172-3 Table B.7 by hand).  Reference behavior:
+# The remaining big-values tables (5, 7-31 — the linbits/escape
+# family), count1 table A and mixed-block scalefactors raise a LOUD
+# ValueError naming the gap (spec tables carried without a validating
+# cross-check are a silent-corruption risk — the MP2 rate-class
+# lesson; the carried tables are small enough to verify against ISO
+# 11172-3 Table B.7 by hand AND are machine-checked at import).  Reference behavior:
 # reference repo has no audio path; public spec is ISO 11172-3 §2.4.1.7
 # (side info), §2.4.2.7 (main data), §2.4.3.4 (requantization).
 
@@ -3709,13 +3711,68 @@ _MP3_SFB_SHORT = {
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
 
-# big_values Huffman: implemented tables only.  Table 1 (2x2, no
-# linbits), ISO Table B.7: (x,y) -> (code, length); table 0 emits no
-# bits and decodes all-zero.
+# big_values Huffman: implemented tables only.  ISO 11172-3 Table B.7
+# data, (x,y) -> (code, length); table 0 emits no bits and decodes
+# all-zero.  Tables 1 (2x2), 2/3 (3x3) and 6 (4x4) — all linbits-free —
+# are carried because each passes the import-time STRUCTURAL proof
+# below: the code set must be prefix-free AND Kraft-complete
+# (sum 2^-len == 1), which any single transcription slip in a length
+# or code value breaks.  Tables whose data cannot be validated that
+# way in-sandbox (no external decoder to cross-check) stay loud
+# errors rather than silent-corruption risks — the MP2 rate-class
+# lesson (ROUND_NOTES r3/r4).
 _MP3_HUFF1 = {(0, 0): (0b1, 1), (1, 0): (0b01, 2),
               (0, 1): (0b001, 3), (1, 1): (0b000, 3)}
-_MP3_HUFF1_DEC = {(ln, code): xy for xy, (code, ln) in _MP3_HUFF1.items()}
-_MP3_BV_TABLES = {0: None, 1: _MP3_HUFF1_DEC}
+_MP3_HUFF2 = {
+    (0, 0): (0b1, 1), (0, 1): (0b010, 3), (0, 2): (0b000001, 6),
+    (1, 0): (0b011, 3), (1, 1): (0b001, 3), (1, 2): (0b00001, 5),
+    (2, 0): (0b00011, 5), (2, 1): (0b00010, 5), (2, 2): (0b000000, 6),
+}
+_MP3_HUFF3 = {
+    (0, 0): (0b11, 2), (0, 1): (0b10, 2), (0, 2): (0b000001, 6),
+    (1, 0): (0b001, 3), (1, 1): (0b01, 2), (1, 2): (0b00001, 5),
+    (2, 0): (0b00011, 5), (2, 1): (0b00010, 5), (2, 2): (0b000000, 6),
+}
+_MP3_HUFF6 = {
+    (0, 0): (0b111, 3), (0, 1): (0b011, 3), (0, 2): (0b00101, 5),
+    (0, 3): (0b0000001, 7),
+    (1, 0): (0b110, 3), (1, 1): (0b10, 2), (1, 2): (0b0011, 4),
+    (1, 3): (0b00010, 5),
+    (2, 0): (0b0101, 4), (2, 1): (0b0100, 4), (2, 2): (0b00100, 5),
+    (2, 3): (0b000001, 6),
+    (3, 0): (0b000011, 6), (3, 1): (0b00011, 5), (3, 2): (0b000010, 6),
+    (3, 3): (0b0000000, 7),
+}
+
+
+def _validate_huff_xy(table: dict, tid: int, dim: int) -> dict:
+    """Structural proof of a big_values code table: full (x,y) domain,
+    prefix-free, and Kraft-COMPLETE (every B.7 table is a complete
+    prefix code, so sum 2^-len must equal 1 exactly).  Any transcription
+    slip in one length or code value breaks one of the three.  Raises
+    at import; returns the decode map {(len, code): (x, y)}."""
+    if set(table) != {(x, y) for x in range(dim) for y in range(dim)}:
+        raise AssertionError(f"mp3 table {tid}: domain != {dim}x{dim}")
+    codes = sorted((ln, code) for code, ln in table.values())
+    if len(set(codes)) != len(codes):
+        raise AssertionError(f"mp3 table {tid}: duplicate code")
+    if sum(1 << (19 - ln) for ln, _ in codes) != (1 << 19):
+        raise AssertionError(f"mp3 table {tid}: not Kraft-complete")
+    bits = [format(code, f"0{ln}b") for ln, code in codes]
+    for i, a in enumerate(bits):
+        for b in bits[i + 1:]:
+            if b.startswith(a) or a.startswith(b):
+                raise AssertionError(
+                    f"mp3 table {tid}: {a} prefixes {b}")
+    return {(ln, code): xy for xy, (code, ln) in table.items()}
+
+
+_MP3_HUFF_ENC = {1: _MP3_HUFF1, 2: _MP3_HUFF2, 3: _MP3_HUFF3,
+                 6: _MP3_HUFF6}
+_MP3_BV_DIMS = {1: 2, 2: 3, 3: 3, 6: 4}
+_MP3_BV_TABLES = {0: None, **{
+    tid: _validate_huff_xy(t, tid, _MP3_BV_DIMS[tid])
+    for tid, t in _MP3_HUFF_ENC.items()}}
 
 
 def _mp3_side_info(frame: bytes, hdr: dict) -> dict:
@@ -3848,7 +3905,8 @@ def _mp3_read_spectrum(br: "_BitReader", g: dict, hdr: dict,
         if tid not in _MP3_BV_TABLES:
             raise ValueError(
                 f"layer3 big_values huffman table {tid} not implemented "
-                "(tables 0 and 1 only - documented partial-decode gap)")
+                f"(tables {sorted(_MP3_BV_TABLES)} only - documented "
+                "partial-decode gap)")
         table = _MP3_BV_TABLES[tid]
         while pos < end:
             if table is None:
@@ -3893,8 +3951,10 @@ def _mp3_requantize(qs: np.ndarray, g: dict, scf: dict,
     * 2^((global_gain-210)/4) * 2^(-m (scalefac + preflag*pretab)),
     m = (scalefac_scale+1)/2; short windows subtract 8*subblock_gain
     inside the power-of-two exponent.  With the implemented Huffman
-    subset |q| <= 1, so |q|^(4/3) is exactly 0 or 1 and outputs are
-    exact powers of two."""
+    tables |q| <= 3; q in {0, +-1} yields exact powers of two, and
+    |q| in {2, 3} multiplies in np.power's deterministic float64
+    rounding of 2^(4/3) / 3^(4/3) (a fixed constant per platform;
+    tests compare through the same kernel)."""
     sr = hdr["sample_rate"]
     mag = np.abs(qs).astype(np.float64) ** (4.0 / 3.0)
     xr = np.sign(qs) * mag
@@ -4042,8 +4102,13 @@ def _mp3_granule_bits(g: dict, gr: int, scfsi: list,
             if tid == 0:
                 if x or y:
                     raise ValueError("table 0 region carries nonzero")
-            elif tid == 1:
-                code, ln = _MP3_HUFF1[(abs(x), abs(y))]
+            elif tid in _MP3_HUFF_ENC:
+                enc = _MP3_HUFF_ENC[tid]
+                if (abs(x), abs(y)) not in enc:
+                    raise ValueError(
+                        f"encoder: |({x}, {y})| exceeds table {tid} "
+                        f"range {_MP3_BV_DIMS[tid]}x{_MP3_BV_DIMS[tid]}")
+                code, ln = enc[(abs(x), abs(y))]
                 bits.append((code, ln))
                 if x:
                     bits.append((1 if x < 0 else 0, 1))

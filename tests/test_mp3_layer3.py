@@ -157,3 +157,77 @@ def test_mp3_sfb_tables_shape():
     for sr, edges in _MP3_SFB_LONG.items():
         assert len(edges) == 23 and edges[0] == 0 and edges[-1] == 576
         assert all(b > a for a, b in zip(edges, edges[1:]))
+
+
+def test_mp3_tables_2_3_6_roundtrip_and_requant():
+    """Big-values tables 2/3 (3x3) and 6 (4x4): encode->decode
+    roundtrip of magnitudes up to the table range, and the |q|>1
+    requantizer values pin analytically (|q|^(4/3) in float64)."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _MP3_BV_TABLES,
+    )
+
+    assert sorted(_MP3_BV_TABLES) == [0, 1, 2, 3, 6]
+    cases = {2: [(2, 0), (0, 2), (2, 1), (1, -2), (-2, 2), (2, 2)],
+             3: [(2, 0), (0, 1), (-2, 2), (1, 2), (2, -1), (0, 0)],
+             6: [(3, 0), (0, 3), (2, 3), (-3, 1), (3, -3), (2, 2)]}
+    for tid, bigv in cases.items():
+        fr = _frame([[_gran(gg=210, bigv=bigv, ts=(tid, tid, tid))],
+                     [_gran()]])
+        out = decode_mp3_frames(encode_mp3_stream([fr], sr_idx=0,
+                                                  br_idx=8, mode=3))
+        d = out[0]["granules"][0][0]
+        flat = [v for xy in bigv for v in xy]
+        assert list(d["qs"][:len(flat)]) == flat, f"table {tid}"
+        # gg=210, all scalefactors 0 -> xr = sign(q) |q|^(4/3) exactly
+        for i, q in enumerate(flat):
+            exp = np.sign(q) * np.power(np.float64(abs(q)), 4.0 / 3.0)
+            assert d["xr"][i] == exp, (tid, i)
+    # magnitude beyond the table's range is a loud encoder error
+    with pytest.raises(ValueError, match="exceeds table 2"):
+        encode_mp3_stream([_frame([[_gran(bigv=[(3, 0)],
+                                          ts=(2, 2, 2))],
+                                   [_gran()]])], sr_idx=0, br_idx=8,
+                          mode=3)
+
+
+def test_mp3_mixed_region_tables():
+    """Different tables per region: region boundaries select the right
+    decode table (region0 ends at the band edge, not mid-pair)."""
+    # region0_count=2 at 44.1k -> r0 = edge[3] = 12 lines = 6 pairs
+    bigv = [(1, 1)] * 6 + [(3, -2)] * 3  # region0: table 1; region1: 6
+    fr = _frame([[_gran(gg=210, bigv=bigv, ts=(1, 6, 0), r0=2, r1=9)],
+                 [_gran()]])
+    out = decode_mp3_frames(encode_mp3_stream([fr], sr_idx=0,
+                                              br_idx=8, mode=3))
+    d = out[0]["granules"][0][0]
+    assert list(d["qs"][:18]) == [1, 1] * 6 + [3, -2] * 3
+    assert d["xr"][12] == np.power(np.float64(3.0), 4.0 / 3.0)
+    assert d["xr"][13] == -np.power(np.float64(2.0), 4.0 / 3.0)
+
+
+def test_mp3_huff_table_structural_validation():
+    """The import-time proof rejects any transcription slip: a wrong
+    length breaks Kraft completeness, a duplicated code breaks
+    uniqueness, a shifted code breaks prefix-freeness."""
+    from gliner_transbronchialbiopsy_ray.stages.multimodal import (
+        _MP3_HUFF2,
+        _validate_huff_xy,
+    )
+
+    good = dict(_MP3_HUFF2)
+    assert _validate_huff_xy(good, 2, 3)  # the shipped table passes
+    bad = dict(good)
+    bad[(2, 2)] = (0b0000000, 7)  # lengthened -> Kraft hole
+    with pytest.raises(AssertionError, match="Kraft"):
+        _validate_huff_xy(bad, 99, 3)
+    dup = dict(good)
+    dup[(2, 2)] = good[(2, 1)]  # duplicate code
+    with pytest.raises(AssertionError, match="duplicate"):
+        _validate_huff_xy(dup, 99, 3)
+    pfx = dict(good)
+    pfx[(2, 2)] = (0b00000, 5)  # prefix of (0,2) "000001"
+    with pytest.raises(AssertionError, match="prefix|Kraft"):
+        _validate_huff_xy(pfx, 99, 3)
+    with pytest.raises(AssertionError, match="domain"):
+        _validate_huff_xy(good, 99, 4)
