@@ -33,6 +33,98 @@ if args[:1] == ["--since"]:
     qs = {n: f for n, f in qs.items() if n not in seen}
     print(f"--since {args[1]}: {len(seen)} entries already green, "
           f"{len(qs)} to drive")
+elif args[:1] == ["--changed"]:
+    # --changed <git-ref>: drive only registry entries whose
+    # IMPLEMENTING code differs from <ref> (ROUND_NOTES r4 item: code
+    # changes are invisible to --since).  Two signals, union'd:
+    #   1. queries.py hunks -> the top-level functions they fall in ->
+    #      every entry whose fn (or SQL constant) spans a changed line;
+    #      a hunk in shared helpers (_read, _preagg, module header)
+    #      maps to NO single entry and forces a FULL drive (loud note).
+    #   2. any other changed package module -> every entry whose fn
+    #      source names it in a relative import (from ..stages.x
+    #      import / from ..sources.x / from ..state.x / from ..stages
+    #      import x).
+    import ast
+    import re
+    import subprocess
+
+    ref = args[1]
+    repo = "/root/repo"
+    pkg = "gliner_transbronchialbiopsy_ray"
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", pkg],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    qpath = f"{pkg}/pipelines/queries.py"
+    qsrc = open(f"{repo}/{qpath}").read()
+    tree = ast.parse(qsrc)
+    spans = {}  # top-level def/assign name -> (lo, hi) line span
+    for node in tree.body:
+        hi = node.end_lineno
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            spans[node.name] = (node.lineno, hi)
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            spans[node.targets[0].id] = (node.lineno, hi)
+    fn_names = {fn.__name__: n for n, (fn, _s) in
+                ((n, v) for n, v in
+                 __import__("gliner_transbronchialbiopsy_ray.pipelines."
+                            "queries", fromlist=["QUERIES"])
+                 .QUERIES.items())}
+    pick: set[str] = set()
+    full_drive = False
+    if qpath in changed:
+        hunks = subprocess.run(
+            ["git", "diff", "-U0", ref, "--", qpath],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+        lines: set[int] = set()
+        for m in re.finditer(r"^@@ [^+]*\+(\d+)(?:,(\d+))?", hunks,
+                             re.M):
+            start, n = int(m.group(1)), int(m.group(2) or 1)
+            lines.update(range(start, start + max(n, 1)))
+        for ln in sorted(lines):
+            owner = next((name for name, (lo, hi) in spans.items()
+                          if lo <= ln <= hi), None)
+            if owner is None:
+                continue  # blank separators between defs
+            if owner in fn_names:
+                pick.add(fn_names[owner])
+            elif owner.endswith("_SQL") or owner.startswith(
+                    "_DRIVER_WINDOW") or owner == "QUERIES":
+                continue  # SQL text / ordering: value-checked anyway
+            else:
+                print(f"--changed: hunk at {qpath}:{ln} is in shared "
+                      f"helper {owner!r} -> full drive")
+                full_drive = True
+    mod_pat = re.compile(
+        r"from \.\.(?:stages|sources|state|functions|pipelines)"
+        r"(?:\.(\w+))? import ([\w, ]+)")
+    for path in changed:
+        if path == qpath:
+            continue
+        stem = path.rsplit("/", 1)[-1].removesuffix(".py")
+        import inspect
+        for n, fn in qs.items():
+            try:
+                src = inspect.getsource(fn)
+            except OSError:
+                pick.add(n)
+                continue
+            for m in mod_pat.finditer(src):
+                mods = ([m.group(1)] if m.group(1)
+                        else [x.strip() for x in m.group(2).split(",")])
+                if stem in mods:
+                    pick.add(n)
+                    break
+    if not full_drive:
+        qs = {n: f for n, f in qs.items() if n in pick}
+        print(f"--changed {ref}: {len(changed)} changed files -> "
+              f"{len(qs)} entries to drive: {sorted(qs)}")
+    else:
+        print(f"--changed {ref}: shared-helper change -> driving all "
+              f"{len(qs)} entries")
 elif args:  # optional name-substring filters
     qs = {n: f for n, f in qs.items() if any(p in n for p in args)}
 con = duckdb.connect()
