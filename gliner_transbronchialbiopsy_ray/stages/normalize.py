@@ -68,13 +68,65 @@ def format_grade_notations(text: str) -> str:
     return text
 
 
+# Rows made only of these chars behave IDENTICALLY under Python re and
+# Arrow's RE2 kernels for every pattern in clean_text (the vectorized
+# fast path below): ASCII printable + \t\n\r (RE2 \s and Python \s agree
+# on these; \v/\x85/  etc. do NOT and are excluded), Latin-1/-A
+# letters U+00C0-U+017F (kept by clean_text's EXPLICIT whitelist ranges,
+# so RE2's ASCII-only \w vs Python's unicode \w never matters), and the
+# dash variants (literal chars in both engines).  Anything else — other
+# scripts, exotic whitespace, control chars — falls back to the per-row
+# Python reference implementation, so the column transform is exactly
+# clean_text row-for-row on ALL inputs (property-tested).
+_ARROW_SAFE_PAT = r"^[ -~\t\n\rÀ-ſ‐-―]*$"
+
+
+def clean_text_column(arr):
+    """Vectorized clean_text over a pa.Array/ChunkedArray of strings:
+    the five substitution passes run as Arrow RE2 kernels for rows
+    inside the engine-agreement character set (_ARROW_SAFE_PAT); other
+    rows take the per-string Python path.  Nulls stay null.  NFKC runs
+    per-row via unicodedata (C-fast) — pyarrow 16.1's utf8_normalize
+    returns DECOMPOSED output even for NFC/NFKC (missing compose flag),
+    so the Arrow kernel cannot be used for it."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    norm = pa.array(
+        [unicodedata.normalize("NFKC", t) if t is not None else None
+         for t in arr.to_pylist()], type=pa.string())
+    safe = pc.match_substring_regex(norm, _ARROW_SAFE_PAT)
+    v = pc.replace_substring_regex(norm, r"\s+", replacement=" ")
+    v = pc.replace_substring_regex(v, _SPECIAL.pattern, replacement="")
+    v = pc.replace_substring_regex(
+        v, r"\s*([.,;:!?])\s*", replacement=r"\1 ")
+    v = pc.replace_substring_regex(v, r"\.{2,}", replacement=".")
+    v = pc.replace_substring_regex(v, "[-‐‑‒–"
+                                   "—―]+", replacement="-")
+    v = pc.utf8_trim_whitespace(v)
+    if pc.all(pc.fill_null(safe, True)).as_py():
+        return v
+    # sparse fallback: only the rows RE2 may treat differently
+    out = v.to_pylist()
+    raw = arr.to_pylist()
+    for i, ok in enumerate(safe.to_pylist()):
+        if ok is False and raw[i] is not None:
+            out[i] = clean_text(raw[i])
+    return pa.array(out, type=pa.string())
+
+
 def extract_conclusion(text: str) -> str | None:
     """Two-stage section segmentation: CONCLUSION header -> transbronchial
     biopsy sub-section, ending at the lavage section or a trailing marker.
     Returns None when no conclusion/biopsy section exists (caller keeps the
     row and flags it — rows are never silently dropped)."""
-    text = clean_text(text)
+    return _conclusion_from_clean(clean_text(text))
 
+
+def _conclusion_from_clean(text: str) -> str | None:
+    """extract_conclusion body over ALREADY-CLEANED text (the batch path
+    cleans the whole column vectorized first)."""
     conclusion_text = None
     for pat in _CONCLUSION:
         m = pat.search(text)
@@ -112,17 +164,23 @@ def extract_conclusion(text: str) -> str | None:
 def segment_batch(batch: pa.Table) -> pa.Table:
     """Arrow batch transform: text -> (conclusion, status).
 
-    Per-row regex work runs in C via compiled module-level patterns; no state
-    to amortize, so this stays a stateless `map_batches` task stage."""
-    texts = batch.column("text").to_pylist()
+    The whole-document clean pass (NFKC + five substitutions — the bulk
+    of the wall time) runs VECTORIZED via clean_text_column; only the
+    section searches and the short-section grade rewrite stay per-row
+    (compiled patterns, C regex)."""
+    cleaned = clean_text_column(batch.column("text"))
+    texts = cleaned.to_pylist()
+    # no_text keys on the RAW text (a whitespace-only doc cleans to ""
+    # but is flagged no_conclusion, exactly as the per-string path does)
+    raws = batch.column("text").to_pylist()
     conclusions: list[str | None] = []
     status: list[str] = []
-    for t in texts:
-        if not t:
+    for t, raw in zip(texts, raws):
+        if not raw:
             conclusions.append(None)
             status.append("no_text")
             continue
-        c = extract_conclusion(t)
+        c = _conclusion_from_clean(t)
         if c is None:
             conclusions.append(None)
             status.append("no_conclusion")

@@ -13,42 +13,57 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import LABELS
 
 
 def pivot_wide(batch: pa.Table, labels: list[str] | None = None) -> pa.Table:
+    """Row-local pivot, Arrow-vectorized (r4-verdict hot-path item):
+    entities flatten ONCE (zero-copy list_flatten/list_parent_indices);
+    each label column is a masked ListArray + `pc.binary_join(';')` in
+    C.  Only the Scores JSON assembly walks entities in Python (one
+    pass over the flattened arrays — float repr / json.dumps semantics
+    are the reference contract and don't vectorize)."""
     labels = labels or LABELS
     col = batch.column("entities")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    ent_lists = col.to_pylist()
-    doc_ids = batch.column("doc_id").to_pylist()
-    conclusions = batch.column("conclusion").to_pylist()
+    n = batch.num_rows
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(col)
+    lab = flat.field("label")
+    txt = flat.field("text")
 
-    cols: dict[str, list] = {lb: [] for lb in labels}
-    scores_col: list[str] = []
-    n_entities: list[int] = []
-    for ents in ent_lists:
-        ents = ents or []
-        per_label: dict[str, list[str]] = {}
-        per_scores: dict[str, list[float]] = {}
-        for e in ents:  # entity lists are short (<=~20); row-local
-            per_label.setdefault(e["label"], []).append(e["text"])
-            per_scores.setdefault(e["label"], []).append(round(e["score"], 3))
-        for lb in labels:
-            vals = per_label.get(lb)
-            cols[lb].append(";".join(vals) if vals else None)
-        scores_col.append(json.dumps(per_scores, ensure_ascii=False, sort_keys=True))
-        n_entities.append(len(ents))
-
-    out = {
-        "Nom_Document": pa.array(doc_ids, type=pa.string()),
-        "Conclusion": pa.array(conclusions, type=pa.string()),
+    out: dict[str, pa.Array] = {
+        "Nom_Document": batch.column("doc_id").cast(pa.string()),
+        "Conclusion": batch.column("conclusion").cast(pa.string()),
     }
     for lb in labels:
-        out[lb] = pa.array(cols[lb], type=pa.string())
+        m = pc.fill_null(pc.equal(lab, lb), False)
+        mnp = m.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(parents[mnp], minlength=n)
+        offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), txt.filter(m))
+        joined = pc.binary_join(lst, ";")
+        out[lb] = pc.if_else(pa.array(cnt > 0), joined,
+                             pa.scalar(None, type=pa.string()))
+
+    # Scores: {label: [round(score, 3) in row order]} as canonical JSON
+    acc: dict[int, dict[str, list[float]]] = {}
+    scores = flat.field("score").to_pylist()
+    for p, lb2, s in zip(parents.tolist(), lab.to_pylist(), scores):
+        acc.setdefault(p, {}).setdefault(lb2, []).append(round(s, 3))
+    empty = json.dumps({})
+    scores_col = [
+        json.dumps(acc[i], ensure_ascii=False, sort_keys=True)
+        if i in acc else empty
+        for i in range(n)
+    ]
     out["Scores"] = pa.array(scores_col, type=pa.string())
-    out["n_entities"] = pa.array(n_entities, type=pa.int32())
+    out["n_entities"] = pc.cast(
+        pc.fill_null(pc.list_value_length(col), 0), pa.int32())
     return pa.table(out)

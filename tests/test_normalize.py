@@ -47,3 +47,54 @@ def test_extract_conclusion_absent():
     assert extract_conclusion("") is None
     # conclusion without a biopsy section
     assert extract_conclusion("CONCLUSION : rien de notable.") is None
+
+
+def test_clean_text_column_matches_clean_text_rowwise():
+    """clean_text_column (Arrow RE2 fast path + per-row fallback) must
+    equal clean_text row-for-row on ANY input — safe French/ASCII rows,
+    engine-disagreement rows (exotic whitespace, non-Latin scripts,
+    \\u2028, NBSP, combining marks), empties and nulls."""
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.stages.normalize import (
+        clean_text,
+        clean_text_column,
+    )
+
+    rows = [
+        None, "", "   ", "plain ascii.",
+        "CONCLUSION : grade A1-B0 observé…",
+        "café au lait",           # NBSP -> NFKC space
+        "tabs\tand\nnewlines\r\nhere",
+        "exotic line separators", # py \s matches, RE2 doesn't
+        "vertical\x0btab and \x85 NEL",     # ditto
+        "Кириллица and 中文 text",           # py \w keeps, RE2 strips
+        "mixed ascii + œuvre + ¼ + ²",      # NFKC compat expansions
+        "dash – variants — here ― ok",
+        "été decomposed",       # combining marks -> NFKC composes
+        "weird @#$%^&* strip&()[]{}\"'-",
+        "dots... everywhere.... !",
+        "punct  ,  spaced   ;x",
+    ]
+    got = clean_text_column(pa.array(rows, type=pa.string())).to_pylist()
+    exp = [clean_text(t) if t is not None else None for t in rows]
+    assert got == exp
+
+
+def test_clean_text_column_hypothesis_equivalence():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.stages.normalize import (
+        clean_text,
+        clean_text_column,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.text(max_size=60), max_size=8))
+    def check(rows):
+        got = clean_text_column(pa.array(rows, type=pa.string())).to_pylist()
+        assert got == [clean_text(t) for t in rows]
+
+    check()

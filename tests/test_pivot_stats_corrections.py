@@ -152,3 +152,56 @@ def test_apply_cdc_log_upsert_delete():
     ])
     with pytest.raises(Exception, match="total-order"):
         apply_cdc_log(bad, ["k"]).to_pandas()
+
+
+def test_pivot_wide_matches_rowwise_reference():
+    """The Arrow-vectorized pivot must equal the straightforward per-row
+    construction on every column — including rows with no entities
+    (null AND empty lists), unknown labels (Scores only), duplicate
+    mentions per label (order preserved), and float rounding in Scores."""
+    import json
+
+    import pyarrow as pa
+
+    from gliner_transbronchialbiopsy_ray.stages.pivot import pivot_wide
+
+    labels = ["Grade A", "Grade B", "Rejet"]
+    ent = pa.list_(pa.struct([("label", pa.string()),
+                              ("text", pa.string()),
+                              ("score", pa.float64())]))
+    rows = [
+        [{"label": "Grade A", "text": "A1", "score": 0.91234},
+         {"label": "Grade A", "text": "A0", "score": 0.5},
+         {"label": "Rejet", "text": "minime", "score": 0.75}],
+        [],
+        None,
+        [{"label": "Unknown", "text": "x", "score": 0.25}],
+        [{"label": "Grade B", "text": "B0", "score": 1.0},
+         {"label": "Grade B", "text": "B0", "score": 0.3335}],
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "conclusion": pa.array(["c"] * len(rows)),
+        "entities": pa.array(rows, type=ent),
+    })
+    out = pivot_wide(batch, labels=labels)
+    exp_cols = {lb: [] for lb in labels}
+    exp_scores, exp_n = [], []
+    for ents in rows:
+        ents = ents or []
+        pl, ps = {}, {}
+        for e in ents:
+            pl.setdefault(e["label"], []).append(e["text"])
+            ps.setdefault(e["label"], []).append(round(e["score"], 3))
+        for lb in labels:
+            v = pl.get(lb)
+            exp_cols[lb].append(";".join(v) if v else None)
+        exp_scores.append(json.dumps(ps, ensure_ascii=False,
+                                     sort_keys=True))
+        exp_n.append(len(ents))
+    for lb in labels:
+        assert out.column(lb).to_pylist() == exp_cols[lb], lb
+    assert out.column("Scores").to_pylist() == exp_scores
+    assert out.column("n_entities").to_pylist() == exp_n
+    assert out.column("Nom_Document").to_pylist() == [
+        f"d{i}" for i in range(len(rows))]

@@ -99,12 +99,38 @@ elif args[:1] == ["--changed"]:
                       f"helper {owner!r} -> full drive")
                 full_drive = True
     mod_pat = re.compile(
-        r"from \.\.(?:stages|sources|state|functions|pipelines)"
-        r"(?:\.(\w+))? import ([\w, ]+)")
-    for path in changed:
-        if path == qpath:
-            continue
-        stem = path.rsplit("/", 1)[-1].removesuffix(".py")
+        r"from \.+(?:(?:stages|sources|state|functions|pipelines)\.)?"
+        r"(\w+) import ([\w, ]+)")
+    _PKGS = {"stages", "sources", "state", "functions", "pipelines"}
+
+    def _mods(m):
+        # "from ..stages import a, b" puts module names in the list;
+        # otherwise group(1) IS the module (handles .btb and ..config)
+        if m.group(1) in _PKGS:
+            return [x.strip() for x in m.group(2).split(",")]
+        return [m.group(1)]
+    # transitive closure over package-internal imports: a change to
+    # stages/assemble.py must select entries that only import
+    # pipelines/btb.py (which imports assemble) — chase module->module
+    # edges to a fixpoint, then match entries on the closed set.
+    import glob as _glob
+
+    mod_imports: dict[str, set[str]] = {}
+    for mpath in _glob.glob(f"{repo}/{pkg}/**/*.py", recursive=True):
+        stem_m = mpath.rsplit("/", 1)[-1].removesuffix(".py")
+        deps = set()
+        for m in mod_pat.finditer(open(mpath).read()):
+            deps.update(_mods(m))
+        mod_imports.setdefault(stem_m, set()).update(deps - {None})
+    affected = {p.rsplit("/", 1)[-1].removesuffix(".py")
+                for p in changed if p != qpath}
+    while True:
+        grow = {m for m, deps in mod_imports.items()
+                if deps & affected} - affected
+        if not grow:
+            break
+        affected |= grow
+    if affected:
         import inspect
         for n, fn in qs.items():
             try:
@@ -113,9 +139,7 @@ elif args[:1] == ["--changed"]:
                 pick.add(n)
                 continue
             for m in mod_pat.finditer(src):
-                mods = ([m.group(1)] if m.group(1)
-                        else [x.strip() for x in m.group(2).split(",")])
-                if stem in mods:
+                if affected & set(_mods(m)):
                     pick.add(n)
                     break
     if not full_drive:
